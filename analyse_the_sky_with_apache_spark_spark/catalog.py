@@ -1,0 +1,65 @@
+"""Fixture loaders.
+
+Single choke-point for reading the test tables so every operator gets the
+same schemas — in particular the ``events`` nanosecond-timestamp conversion
+happens exactly once, here (SURVEY.md §1.1).
+
+Scale note: loaders return *unmaterialized* scans. Predicate pushdown and
+column pruning happen against the parquet source (verify with
+``df.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``); at 100 TB
+the same code reads a partitioned table and Catalyst prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_confs
+
+#: all fixture tables (TESTDATA.md + FIXTURES.md; documents/embeddings are
+#: in scope even though TESTDATA.md's table list omits them).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing engine-hostile physical types.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark 4 reads it only as
+    BIGINT ns (legacy flag, set by ensure_confs). We convert with *integer*
+    division — ``ts div 1000`` — not float division: epoch-ns ≈ 1.7e18
+    exceeds double's 53-bit mantissa, so ``/1000`` would round-trip through
+    an imprecise double and can be off by a microsecond vs DuckDB's exact
+    truncation.
+    """
+    ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table (lazy scans; nothing is materialized)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the ``spark.sql`` door."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,288 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All group-by aggregation here compiles to Spark's HashAggregateExec with
+map-side partial aggregation before the shuffle — at 100 TB each of these
+shuffles only one pre-aggregated row per (partition × group), not raw rows.
+Money sums use the exact-decimal trick from ``functions.exact`` so the
+value-hash is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import davg, davg_sql, dsum, dsum_sql
+from ..registry import register
+
+_Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the flagship query (scan → filter → agg → sort).
+
+    One shuffle (on the 6-value group key); the filter and the 7-column
+    projection are pushed into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty", 2),
+            dsum("l_extendedprice", "sum_base_price", 4),
+            dsum(disc_price, "sum_disc_price", 6),
+            dsum(charge, "sum_charge", 6),
+            davg("l_quantity", "avg_qty", 2),
+            davg("l_extendedprice", "avg_price", 4),
+            davg("l_discount", "avg_disc", 8),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "agg_group_basic",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 'sum_qty', 2)},
+       {dsum_sql('l_extendedprice', 'sum_base_price', 4)},
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 6)},
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+       {davg_sql('l_quantity', 'avg_qty', 2)},
+       {davg_sql('l_extendedprice', 'avg_price', 4)},
+       {davg_sql('l_discount', 'avg_disc', 8)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)(q1_pricing_summary)
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity', 'sum_qty', 2)},
+       {davg_sql('l_discount', 'avg_disc', 8)},
+       CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+       CAST(MAX(l_shipdate) AS DATE) AS max_ship
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table aggregate — no group key, single-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty", 2),
+        davg("l_discount", "avg_disc", 8),
+        F.min("l_shipdate").cast("date").alias("min_ship"),
+        F.max("l_shipdate").cast("date").alias("max_ship"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_returnflag) AS n_flags,
+       COUNT(*) AS n_rows
+FROM lineitem
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT)s in one agg → Catalyst Expand-based plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the 100-TB path for cardinality.
+
+    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
+    hashes can't match; tests/test_approx.py asserts the rsd error bound
+    against the exact count instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(MEDIAN(l_quantity), 1) AS med_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates; rounded coarsely in both engines (§5.3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.median("l_quantity"), 1).alias("med_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 'sum_qty', 2)},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy; NULL marks subtotal rows in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty", 2),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_extendedprice', 'sum_price', 4)},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_price", 4),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity', 'sum_qty', 2)},
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — PySpark 4 exposes this via the SQL door only."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns.
+
+    The value list is passed explicitly — at 100 TB an implicit pivot
+    would first run a distinct-values job over the whole table. Pivot
+    yields NULL for empty cells while the oracle's filtered COUNT yields
+    0, so cells are coalesced.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.count(F.lit(1))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "agg_tumbling_batch",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'sum_value', 6)}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window over event time via ``F.window`` (1-day).
+
+    Epoch-aligned 1-day windows are exactly date_trunc('day', ts) — the
+    streaming twin is ``stream_tumbling`` (streaming/queries.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value", 6),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
