@@ -1,0 +1,307 @@
+"""Join operators (SURVEY.md §2.3).
+
+Physical-strategy notes for 100 TB (verified shapes in
+tests/test_plans.py):
+
+- every dimension here (region/nation/customer/supplier/part at bench
+  scale) is far under ``spark.sql.autoBroadcastJoinThreshold`` — Catalyst
+  plans BroadcastHashJoin, so the fact table never shuffles for dim joins;
+- fact-to-fact equi-joins (orders ⋈ lineitem) shuffle both sides on the
+  key once — at scale, bucketing both tables on the join key would
+  eliminate that shuffle (documented per-operator, not pre-built);
+- the theta/band join keeps the *small* side broadcast so it never
+  degenerates into a cartesian shuffle;
+- the as-of join uses the union+window rewrite (operators/asof.py) — one
+  shuffle, skew-safe — instead of a nested-loop range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
+from ..registry import register
+from .asof import asof_join
+
+
+@register(
+    "join_inner_equi",
+    oracle=f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue', 6)},
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way equi join → agg → top-k.
+
+    customer (dim) broadcasts; orders⋈lineitem shuffles on the order key.
+    The top-k sorts on the exact-decimal revenue, so ordering is
+    engine-stable; l_orderkey breaks ties.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+SELECT n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue', 6)},
+       COUNT(*) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join with a local-supplier condition.
+
+    All four dims broadcast; only orders⋈lineitem shuffles. The
+    s_nationkey = c_nationkey condition rides on the supplier join.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_left_right_full",
+    oracle="""
+SELECT 'left' AS jt, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_matched
+FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+UNION ALL
+SELECT 'right' AS jt, COUNT(*) AS n_rows, COUNT(l_orderkey) AS n_matched
+FROM lineitem RIGHT JOIN part ON p_partkey = l_partkey
+UNION ALL
+SELECT 'full' AS jt, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+             THEN 1 END) AS n_matched
+FROM customer FULL JOIN orders ON c_custkey = o_custkey
+""",
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join family; unmatched sides produce real NULLs (parts that
+    were never ordered / customers with no orders)."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    left = (
+        p.join(li, p.p_partkey == li.l_partkey, "left")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.count("l_orderkey").alias("n_matched"))
+        .select(F.lit("left").alias("jt"), "n_rows", "n_matched")
+    )
+    right = (
+        li.join(p, p.p_partkey == li.l_partkey, "right")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.count("l_orderkey").alias("n_matched"))
+        .select(F.lit("right").alias("jt"), "n_rows", "n_matched")
+    )
+    full = (
+        c.join(o, c.c_custkey == o.o_custkey, "full")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(
+                    F.col("o_orderkey").isNotNull() & F.col("c_custkey").isNotNull(), 1
+                )
+            ).alias("n_matched"),
+        )
+        .select(F.lit("full").alias("jt"), "n_rows", "n_matched")
+    )
+    return left.unionByName(right).unionByName(full)
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 200000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no right-side duplication, no payload)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (customers with no jumbo order; every
+    customer has *some* order in the fixtures, so the right side is
+    filtered to keep the result non-trivial)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (tiny × tiny only — 125 rows)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+_BUCKETS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"), (250.0, 1000.0, "high")]
+_BUCKETS_SQL = ", ".join(f"({lo}, {hi}, '{nm}')" for lo, hi, nm in _BUCKETS)
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+SELECT b.name AS bucket, COUNT(*) AS n,
+       {dsum_sql('e.value', 'sum_value', 6)}
+FROM events e
+JOIN (VALUES {_BUCKETS_SQL}) AS b(lo, hi, name)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.name
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: events against value ranges.
+
+    The band table is a handful of rows → broadcast nested loop against
+    it is the right plan. At 100 TB with a LARGE band table, the scale
+    path is bin-then-equi-join: assign each event floor(value/width) and
+    explode each band into the bins it overlaps (same trick as the
+    astronomy coordinate cross-match, SURVEY.md §2.12).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = spark.createDataFrame(_BUCKETS, ["lo", "hi", "name"])
+    return (
+        ev.join(
+            F.broadcast(b),
+            (ev.value >= b.lo) & (ev.value < b.hi),
+        )
+        .groupBy(F.col("name").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value", 6))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest click at-or-before it by the same
+    user (DuckDB ASOF JOIN is the oracle; Spark has no native as-of —
+    operators/asof.py implements the union+window rewrite)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_values={"click_ts": "ts"},
+    )
+    return out.select("event_id", "user_id", "ts", "click_ts")
+
+
+@register(
+    "join_broadcast_hint",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS n_suppliers,
+       {dsum_sql('s_acctbal', 'sum_bal', 4)}
+FROM nation JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint — same result as the unhinted plan; exists
+    to pin BroadcastHashJoin for the bench and the plan-shape test."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal", "sum_bal", 4))
+    )

@@ -1,0 +1,73 @@
+"""Sort / limit / sample operators (SURVEY.md §2.6).
+
+``orderBy(...).limit(k)`` plans TakeOrderedAndProject — per-partition
+top-k + a k-row merge on the driver, never a full sort. That IS the
+100-TB plan for top-k; a global ORDER BY without LIMIT is the one shape
+to avoid at scale (range-partitioned full sort).
+
+Every ordered query fully tie-breaks its keys (SURVEY.md §5.3 hazard 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "sort_multikey",
+    oracle="""
+SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS prio_or_null,
+       o_totalprice
+FROM orders
+ORDER BY prio_or_null ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULL placement (NULLs manufactured
+    via nullif; the LIMIT makes sort order observable under the driver's
+    order-insensitive hash)."""
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return (
+        o.select("o_orderkey", prio.alias("prio_or_null"), "o_totalprice")
+        .orderBy(
+            F.col("prio_or_null").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            "o_orderkey",
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "limit_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (asserted in test_plans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register("tablesample")  # rows-only: sampling seeds don't align across engines
+def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed — reproducible within Spark,
+    but not across engines, so no SQL oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
