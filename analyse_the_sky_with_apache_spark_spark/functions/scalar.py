@@ -1,0 +1,328 @@
+"""Scalar-function families (SURVEY.md §2.8).
+
+One registered query per family; each stacks several functions so a
+single value-hash covers them all. Everything stays JVM-side inside
+whole-stage codegen — no Python UDFs anywhere on this surface.
+
+Cross-engine discipline learned the hard way (tools/check.py):
+- never ROUND a raw double for output — identical IEEE expression trees
+  already agree bit-for-bit, and ROUND semantics differ on edge doubles;
+  round only transcendentals (libm results genuinely differ in the last
+  ulp) and round them coarsely;
+- never CAST double→int (Spark truncates, DuckDB rounds) — floor first;
+- integer microseconds (unix_micros/epoch_us) for timestamp arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT c_custkey,
+       concat(c_name, '-', c_mktsegment)              AS full_label,
+       upper(substr(c_name, 1, 8))                    AS head_up,
+       lower(c_mktsegment)                            AS seg_lo,
+       length(c_name)                                 AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0')      AS key_pad,
+       rpad(c_mktsegment, 12, '.')                    AS seg_pad,
+       trim(concat('  ', c_mktsegment, '  '))         AS seg_trim,
+       regexp_extract(c_name, 'Customer#(\\d+)', 1)   AS cust_num,
+       regexp_replace(c_name, '0+', '-', 'g')         AS squashed,
+       replace(c_name, 'Customer', 'C')               AS short_name,
+       strpos(c_name, '#')                            AS hash_pos,
+       (c_name LIKE '%9%')                            AS has_nine
+FROM customer
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/substr/case/pad/trim/regex/replace/position."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment")).alias(
+            "full_label"
+        ),
+        F.upper(F.substring("c_name", 1, 8)).alias("head_up"),
+        F.lower("c_mktsegment").alias("seg_lo"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_pad"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+            "seg_trim"
+        ),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).alias("cust_num"),
+        # DuckDB side needs the 'g' flag — its regexp_replace is
+        # first-match-only by default, Spark's is global.
+        F.regexp_replace("c_name", "0+", "-").alias("squashed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.col("c_name").like("%9%").alias("has_nine"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                       AS d,
+       year(CAST(o_orderdate AS DATE))                 AS yr,
+       month(CAST(o_orderdate AS DATE))                AS mo,
+       day(CAST(o_orderdate AS DATE))                  AS dom,
+       quarter(CAST(o_orderdate AS DATE))              AS qtr,
+       isodow(CAST(o_orderdate AS DATE)) - 1           AS wd,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                                                       AS month_start,
+       CAST(o_orderdate AS DATE) + 30                  AS plus_30,
+       CAST(o_orderdate AS DATE) - 15                  AS minus_15,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                                                       AS days_since,
+       last_day(CAST(o_orderdate AS DATE))             AS month_end,
+       make_date(year(CAST(o_orderdate AS DATE)),
+                 month(CAST(o_orderdate AS DATE)), 1)  AS first_of_month,
+       datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                                                       AS epoch_days
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family. Fixture dates are midnight timestamps, cast to date
+    first (§5.3). Weekday alignment: Spark weekday (0=Mon) == DuckDB
+    isodow-1."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.weekday(d).alias("wd"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("plus_30"),
+        F.date_sub(d, 15).alias("minus_15"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.last_day(d).alias("month_end"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("first_of_month"),
+        F.unix_date(d).alias("epoch_days"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT p_partkey,
+       abs(p_size - 25)                       AS dist_25,
+       CAST(ceil(p_retailprice) AS BIGINT)    AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT)   AS price_floor,
+       p_size * p_size                        AS size_sq,
+       sqrt(p_size)                           AS size_sqrt,
+       round(exp(p_size / 10.0), 6)           AS e_pow,
+       round(ln(p_retailprice), 6)            AS log_price,
+       p_size % 7                             AS size_mod,
+       CAST(sign(p_size - 25) AS INT)         AS side,
+       CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bin
+FROM part
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-correctly-rounded (exact cross-engine);
+    exp/ln are libm-dependent, hence rounded to 6. floor(x/width) is the
+    engine's histogram-binning idiom (width_bucket is not portable to the
+    oracle)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("dist_25"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        (F.col("p_size") * F.col("p_size")).alias("size_sq"),
+        F.sqrt("p_size").alias("size_sqrt"),
+        F.round(F.exp(F.col("p_size") / 10.0), 6).alias("e_pow"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("log_price"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("side"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bin"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR)                    AS key_str,
+       CAST(floor(o_totalprice) AS BIGINT)            AS price_int,
+       CAST(o_orderdate AS DATE)                      AS d,
+       CAST(o_orderkey AS DOUBLE) / 7                 AS key_frac,
+       CAST(concat(CAST(o_orderkey AS VARCHAR), '.5') AS DOUBLE)
+                                                      AS parsed_dbl,
+       TRY_CAST(o_orderstatus AS INTEGER)             AS bad_int,
+       TRY_CAST(concat('x', CAST(o_orderkey AS VARCHAR)) AS DOUBLE)
+                                                      AS bad_dbl
+FROM orders
+""",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast/try_cast across types. double→int goes through floor()
+    (Spark truncates a bare cast, DuckDB rounds it — not portable);
+    try_cast on malformed input yields NULL in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    key_str = F.col("o_orderkey").cast("string")
+    return o.select(
+        "o_orderkey",
+        key_str.alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.col("o_orderkey").cast("double") / 7).alias("key_frac"),
+        F.concat(key_str, F.lit(".5")).cast("double").alias("parsed_dbl"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_int"),
+        F.concat(F.lit("x"), key_str).try_cast("double").alias("bad_dbl"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                    AS dim,
+       embedding[1]::DOUBLE                              AS first_val,
+       list_aggregate(embedding, 'max')::DOUBLE          AS max_val,
+       list_aggregate(embedding, 'min')::DOUBLE          AS min_val,
+       round(list_aggregate(list_transform(embedding, x -> x::DOUBLE),
+                            'sum'), 4)                   AS sum_val,
+       round(list_aggregate(list_transform(embedding[1:8],
+                            x -> x::DOUBLE), 'sum'), 4)  AS sum_head,
+       len(list_distinct(embedding))                     AS n_distinct,
+       list_sort(embedding)[1]::DOUBLE                   AS sorted_first,
+       list_contains(embedding, embedding[1])            AS has_first,
+       len(list_filter(embedding, x -> x > 0))           AS n_pos,
+       (vec_id % 10 + 1) * (vec_id % 10 + 2) / 2         AS tri_sum
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions (transform/filter/
+    aggregate/zip_with are the idiomatic no-UDF path for vector math).
+    Array-typed outputs are reduced to scalars — cross-engine hashing of
+    raw lists is not portable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_double = F.transform(emb, lambda x: x.cast("double"))
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.array_max(emb).cast("double").alias("max_val"),
+        F.array_min(emb).cast("double").alias("min_val"),
+        F.round(fold_sum(as_double), 4).alias("sum_val"),
+        F.round(
+            fold_sum(F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double"))), 4
+        ).alias("sum_head"),
+        F.size(F.array_distinct(emb)).alias("n_distinct"),
+        F.element_at(F.sort_array(emb), 1).cast("double").alias("sorted_first"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("has_first"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        fold_sum(F.sequence(F.lit(1), (F.col("vec_id") % 10 + 1).cast("int")))
+        .cast("double")
+        .alias("tri_sum"),
+    )
+
+
+@register(
+    "fn_map_struct",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::INTEGER     AS k_val,
+       len(json_keys(props))                   AS n_keys,
+       event_type                              AS type_from_struct,
+       user_id * 2                             AS doubled_id
+FROM events
+""",
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON→struct/map manufacture + field access (the fixtures have no
+    nested columns, so nested values are built from events.props and
+    struct()/named_struct, then reduced back to scalars)."""
+    ev = load_table(spark, sf_dir, "events")
+    as_struct = F.from_json("props", "k INT")
+    as_map = F.from_json("props", "map<string,int>")
+    nested = F.named_struct(
+        F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id")
+    )
+    return ev.select(
+        "event_id",
+        as_struct.getField("k").alias("k_val"),
+        F.size(F.map_keys(as_map)).alias("n_keys"),
+        nested.getField("t").alias("type_from_struct"),
+        (nested.getField("u") * 2).alias("doubled_id"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')        AS k_str,
+       json_extract(props, '$.k')::INTEGER      AS k_int,
+       json_extract_string(props, '$.missing')  AS absent,
+       json_valid(props)                        AS is_valid
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path family over the props payload; missing paths yield NULL
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text)            AS text_md5,
+       sha256(text)         AS text_sha256,
+       md5(concat(lang, '|', source)) AS meta_md5
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash family (md5/sha256 hex). Spark-native hashes
+    (xxhash64, hash, crc32) live in fn_hash_native — their seeds are
+    engine-specific."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))).alias("meta_md5"),
+    )
+
+
+@register("fn_hash_native")  # rows-only: Spark-specific hash seeds
+def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 / murmur3 hash / crc32 — the fast in-engine hashes used
+    by shuffle partitioning and the dedup/LSH operators."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xx64"),
+        F.hash("text").alias("text_murmur"),
+        F.crc32("text").alias("text_crc32"),
+    )

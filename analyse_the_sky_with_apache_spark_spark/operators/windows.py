@@ -1,0 +1,238 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+One shuffle per distinct partitioning key; all six queries below reuse a
+single partitioning each, so Catalyst plans exactly one Exchange + one
+sort per query. Scale notes:
+
+- window partitions must fit an executor's memory page by page — the
+  partition keys here (customer, user, order) are high-cardinality, which
+  is the shape that scales; a window partitioned by a 6-value key would
+  concentrate 100 TB on 6 tasks;
+- running sums use ROWS frames (streaming accumulation) and integer-exact
+  or decimal-exact sums, so results are order-stable across engines;
+- ntile is only deterministic under a total order — it gets a fully
+  tie-broken window, while rank/dense_rank/percent_rank deliberately run
+  on a tied ordering to exercise tie semantics (deterministic for them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "win_rank_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+""",
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via row_number (tie-broken by o_orderkey — bare
+    row_number over a tied sort is nondeterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_ranking",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority,
+       RANK()         OVER w_ties  AS rnk,
+       DENSE_RANK()   OVER w_ties  AS drnk,
+       PERCENT_RANK() OVER w_ties  AS prnk,
+       CUME_DIST()    OVER w_ties  AS cdist,
+       NTILE(4)       OVER w_total AS quartile
+FROM orders
+WINDOW
+  w_ties  AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority),
+  w_total AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey)
+""",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family. rank/dense_rank/percent_rank/cume_dist run over a
+    deliberately *tied* ordering (priority has 5 values) — they are
+    deterministic under ties; ntile is not, so it gets a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w_ties = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    w_total = Window.partitionBy("o_orderstatus").orderBy(
+        "o_orderpriority", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.percent_rank().over(w_ties).alias("prnk"),
+        F.cume_dist().over(w_ties).alias("cdist"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, ts,
+       LAG(ts)  OVER w AS prev_ts,
+       LEAD(event_type) OVER w AS next_type,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event per user — the sessionization building block.
+    Gaps are computed in integer microseconds (epoch_us/unix_micros) so
+    both engines agree exactly at full timestamp precision."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+
+
+@register(
+    "win_running_rows",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS running_qty,
+       COUNT(*) OVER w AS running_cnt
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                      l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_running_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum/count with an explicit ROWS frame; the sum goes
+    through decimal so the prefix sums are exact in any engine.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixtures (11785 dup
+    groups at sf0.01) — a ROWS frame needs a total order, so the sort key
+    is the full verified-unique composite.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, day_num,
+       COUNT(*) OVER w AS cnt_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS spend_30d
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS day_num
+  FROM orders
+) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a value axis: trailing-30-day order count and spend
+    per customer. RANGE frames are defined by value, so tied day_nums get
+    identical frames — deterministic without a tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day_num.alias("day_num"),
+        F.col("o_totalprice"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "day_num",
+        F.count(F.lit(1)).over(w).alias("cnt_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey)  OVER w AS last_key,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over an explicit full-partition frame — frame-spec
+    defaults differ between engines (last_value's default frame ends at
+    CURRENT ROW), so the frame is always stated (SURVEY.md §2.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    )
