@@ -1,0 +1,237 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+Each query runs a REAL streaming execution (file source → stateful
+operators → memory sink, trigger availableNow) and returns the final
+result table; batch SQL over the same events is the oracle where the
+semantics are batch-expressible. Watermark/dedup/stateful run rows-only
+plus dedicated pytest assertions (tests/test_streaming.py).
+
+Scale notes: windowed/session aggregation state is partitioned by
+(group key) — high-cardinality keys (user_id) shard state across
+executors; watermarks bound state size; complete mode below is a test
+convenience (memory sink), production sinks run append/update with
+watermarks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, dsum_sql
+from ..registry import register
+from .replay import run_stream, stage_events
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value', 'sum_value', 6)}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling windows by event type, executed as a genuine
+    streaming aggregation; the batch twin is agg_tumbling_batch."""
+    src = stage_events(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value", 6)
+    )
+    res = run_stream(spark, agg, mode="complete", name="tumbling")
+    return res.select(
+        F.col("w.start").cast("date").alias("day"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+WITH starts AS (
+  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 19:00:00',
+                                TIMESTAMP '2024-01-31 00:00:00',
+                                INTERVAL 1 HOUR)) AS ws
+)
+SELECT ws AS window_start, COUNT(*) AS n,
+       {dsum_sql('e.value', 'sum_value', 6)}
+FROM starts JOIN events e
+  ON e.ts >= ws AND e.ts < ws + INTERVAL 6 HOUR
+GROUP BY ws
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every hour. The oracle regenerates Spark's
+    epoch-aligned window-start grid with generate_series + a range join —
+    an inner join, so only non-empty windows appear, exactly like the
+    streaming output."""
+    src = stage_events(spark, sf_dir)
+    agg = src.groupBy(F.window("ts", "6 hours", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value", 6)
+    )
+    res = run_stream(spark, agg, mode="complete", name="sliding")
+    return res.select(F.col("w.start").alias("window_start"), "n", "sum_value")
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       {dsum_sql('value', 'sum_value', 6)}
+FROM y
+GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user as a streaming
+    aggregation. The oracle is the classic batch sessionization rewrite
+    (lag → gap ≥ 30 min → running session id) — two independent
+    implementations of the same semantics checking each other.
+
+    Gap-boundary rule encoded in the oracle: Spark session windows end at
+    last_ts + gap *exclusive*, so an event exactly gap after its
+    predecessor starts a NEW session (hence ``>=``).
+    """
+    src = stage_events(spark, sf_dir)
+    agg = src.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value", 6))
+    res = run_stream(spark, agg, mode="complete", name="session")
+    return res.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register("stream_watermark_late")  # rows-only: watermark drops aren't SQL
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour counts under a 1-hour watermark, replayed as 4
+    time-ordered micro-batches (append mode).
+
+    Finalized windows are emitted as the watermark passes them; windows
+    still open when the stream ends stay unflushed — so the output has
+    FEWER rows than the batch equivalent. tests/test_streaming.py pins
+    both that inequality and the drop of a crafted too-late row.
+    """
+    src = stage_events(spark, sf_dir, n_files=4)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = run_stream(spark, agg, mode="append", name="late")
+    return res.select(F.col("w.start").alias("window_start"), "n")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within a watermark over a source with every event
+    duplicated (events ∪ events). Single-file staging → one micro-batch →
+    both copies fall inside the watermark and exact dedup is guaranteed,
+    so the batch oracle is simply the distinct events."""
+    src = stage_events(spark, sf_dir, duplicate=True)
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_stream(spark, deduped, mode="append", name="dedup")
+
+
+_STATE_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, max_value DOUBLE, last_ts TIMESTAMP"
+)
+_STATE_SCHEMA = "n BIGINT, mx DOUBLE, last BIGINT"
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Arbitrary stateful per-user accumulator (count / max / latest ts).
+
+    All reducers are order-independent (count, max), so the result is
+    deterministic regardless of batch order. Timestamps round-trip
+    through integer microseconds — GroupState holds a BIGINT.
+    """
+    n, mx, last = state.get if state.exists else (0, float("-inf"), 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        mx = max(mx, float(pdf["value"].max()))
+        last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, mx, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_value": [mx],
+            "last_ts": [pd.Timestamp(last, unit="us")],
+        }
+    )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — the
+    arbitrary-state escape hatch (running per-user machine). Single-batch
+    replay → the final update per key equals the batch aggregate, which
+    serves as the oracle."""
+    src = stage_events(spark, sf_dir)
+    out = src.groupBy("user_id").applyInPandasWithState(
+        _user_stats_fn,
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return run_stream(spark, out, mode="update", name="stateful")
+
+
+@register("stream_foreach_batch")  # rows-only: batch ids aren't SQL-visible
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch fan-out via foreachBatch — the production sink shape
+    for multi-destination writes (here: per-batch row counts collected
+    driver-side, 4 deterministic time-ordered batches)."""
+    src = stage_events(spark, sf_dir, n_files=4)
+    acc: list[tuple[int, int]] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        acc.append((int(batch_id), df.count()))
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", __import__("tempfile").mkdtemp("fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(acc), "batch_id BIGINT, n_rows BIGINT"
+    )
