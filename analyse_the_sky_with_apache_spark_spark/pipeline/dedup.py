@@ -1,0 +1,240 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+
+Four rungs of the dedup ladder, each with a different cost/recall point:
+
+- exact        — one hash-groupBy shuffle; the 100-TB default
+- minhash-LSH  — MLlib MinHash + banded similarity join; near-dup at
+                 scale without the n² pair space
+- simhash      — 64-bit fingerprint + banded self-join, pure DataFrame
+                 expressions (no UDF, no MLlib)
+- n-gram jaccard — exact shingle-set similarity on candidate pairs;
+                 the precise-but-costlier verifier stage
+
+The fixtures plant 8 exact-dup texts at sf0.1 and ~0.99-jaccard near-dup
+pairs at every sf (probed), so each operator has real targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keeper, md5(text) AS h, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic keeper (min doc_id) per content hash.
+
+    Implemented with the window-keeper idiom (row_number over the hash
+    partition) rather than groupBy so the full surviving ROW travels
+    through — at 100 TB you keep the document, not just its id. Single
+    shuffle on the 128-bit hash; no skew (hashes are uniform).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        d.select(
+            F.col("doc_id"),
+            h.alias("h"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(h)).alias("n_copies"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("keeper"), "h", "n_copies")
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: MLlib LSH isn't SQL-expressible
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup via MinHash-LSH over word shingles.
+
+    tokenize → HashingTF (sparse binary term vectors) → MinHashLSH
+    (5 tables) → approxSimilarityJoin at jaccard distance ≤ 0.3.
+    The banded join only compares candidates sharing a hash bucket —
+    that's the 100-TB story (no n² pair enumeration). Recall against the
+    planted near-dups is asserted in tests/test_pipeline.py.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(toks)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("ia"),
+            F.col("datasetB.doc_id").alias("ib"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("ia", "ib")
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 seeds are Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprint + banded candidate join —
+    entirely built-in expressions (no UDF, no MLlib).
+
+    fingerprint: per doc, hash each word (xxhash64); for each of 64 bit
+    positions take the sign of Σ(±1) across word-hashes. Bits are packed
+    directly into 4×16-bit band values (packing one 64-bit BIGINT would
+    overflow the sign bit under ANSI mode). Candidates equi-join on
+    (band_idx, band_value) — fingerprints within hamming ≤ 3 share ≥1 of
+    4 bands by pigeonhole, so the join space is buckets, not n². Verify
+    candidates with Σ bit_count(band_a XOR band_b) ≤ 3.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select(
+        "doc_id",
+        F.expr(
+            """
+            transform(sequence(0, 3), b ->
+              aggregate(
+                transform(sequence(0, 15), j ->
+                  CASE WHEN aggregate(
+                         transform(array_distinct(split(text, ' ')),
+                                   w -> CAST(shiftright(xxhash64(w),
+                                             b * 16 + j) & 1L AS INT)),
+                         0, (a, v) -> a + 2 * v - 1) > 0
+                       THEN shiftleft(1L, j) ELSE 0L END),
+                0L, (acc, bit) -> acc + bit))
+            """
+        ).alias("bands"),
+    )
+    exploded = fp.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band", "val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            F.expr(
+                "aggregate(zip_with(a.bands, b.bands, "
+                "(x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)"
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3).orderBy("ia", "ib")
+
+
+_SHINGLE = 8
+_JACCARD_MIN = 0.9
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
+  FROM documents, range(1, 1000) t(i)
+  WHERE i <= n_chars - {_SHINGLE - 1}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia, ib,
+       i * 1.0 / (x.n + y.n - i) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = ia
+JOIN sz y ON y.doc_id = ib
+WHERE i * 1.0 / (x.n + y.n - i) >= {_JACCARD_MIN}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-8-gram Jaccard near-dup pairs (≥ 0.9).
+
+    Shingles are generated with sequence+transform+explode (no UDF);
+    candidate pairs come from the shingle equi-join, so only docs that
+    SHARE a shingle are ever compared — at 100 TB add a min-frequency
+    filter on hot shingles to kill the head of the join-skew.
+    Jaccard is a ratio of exact ints — identical doubles in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, CAST(n_chars AS INT) - {_SHINGLE - 1}),"
+                    f" i -> substr(text, i, {_SHINGLE}))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        inter.join(sz.withColumnRenamed("doc_id", "ia").withColumnRenamed("n", "na"), "ia")
+        .join(sz.withColumnRenamed("doc_id", "ib").withColumnRenamed("n", "nb"), "ib")
+        .select(
+            "ia",
+            "ib",
+            (F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
+
+
+_COS_DUP_MIN = 0.45
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+SELECT a.vec_id AS ia, b.vec_id AS ib,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {_COS_DUP_MIN}
+""",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: embedding pairs with cosine ≥ threshold.
+
+    Reuses the normalized-matrix kernel from pipeline.similarity (the
+    normalize-once rewrite, SURVEY.md §4) with a threshold instead of
+    top-k. Probed margin to the 0.45 threshold is ~5e-4 — far above
+    cross-engine float noise, so the boundary is hash-stable.
+    """
+    from .similarity import cosine_pairs
+
+    pairs = cosine_pairs(spark, sf_dir)
+    return pairs.filter(F.col("raw_cos") >= _COS_DUP_MIN).select(
+        "ia", "ib", F.round("raw_cos", 6).alias("cos")
+    )

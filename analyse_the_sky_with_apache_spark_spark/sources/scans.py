@@ -1,0 +1,145 @@
+"""Scans / sources / sinks (SURVEY.md §2.1).
+
+Parquet is the canonical columnar source — the scan is lazy, filters and
+projections push into the reader (``PushedFilters`` / ``ReadSchema`` in
+``explain("formatted")``), and at 100 TB the same code path reads a
+partitioned directory tree with static + dynamic partition pruning.
+
+CSV/JSON are the ingest formats: schema is always *declared* (DDL string),
+never inferred — schema inference is a full extra pass over the data, which
+at 100 TB doubles the read cost and can mis-type sparse columns.
+
+Sinks write with explicit ``mode`` and, for the partitioned variant,
+``partitionBy`` — the layout that makes downstream partition pruning
+possible. Demo sinks round-trip through a temp dir and are oracle-checked
+on the read-back values, so the whole write→read cycle is hash-verified.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: per-process scratch root for sink round-trips; files are tiny (region /
+#: one lineitem projection) and overwritten on re-run.
+_SCRATCH = os.path.join(tempfile.gettempdir(), "sky_spark_sinks")
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical parquet scan: schema from the footer, zero inference."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "scan_csv",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with a declared schema + header.
+
+    The fixture set is parquet-only, so the query materializes a CSV copy
+    of ``region`` first (tiny, driver-side write) and then exercises the
+    real CSV reader path: explicit DDL schema, header row, no inference.
+    """
+    path = os.path.join(_SCRATCH, "region_csv")
+    load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").coalesce(
+        1
+    ).write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.schema("r_regionkey BIGINT, r_name STRING")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+@register(
+    "scan_json",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with declared schema (no inference pass)."""
+    path = os.path.join(_SCRATCH, "nation_json")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).json(path)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write + read-back round trip.
+
+    The aggregate is computed, written to parquet, and the *read-back*
+    is returned — the oracle hash therefore verifies the sink preserved
+    every value bit-for-bit, not just the row count.
+    """
+    path = os.path.join(_SCRATCH, "revenue_parquet")
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_returnflag = 'R'
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout (``partitionBy``) + pruned read-back.
+
+    Writes lineitem partitioned by ``l_returnflag`` then reads back ONE
+    partition via a filter on the partition column. In the read-back plan
+    the filter is a *partition filter* — Spark lists only the
+    ``l_returnflag=R`` directory and never opens the other files. This is
+    the layout/pruning pattern that matters at 100 TB: a predicate on the
+    partition key skips data proportionally.
+    """
+    path = os.path.join(_SCRATCH, "lineitem_by_flag")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    ).write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    # partitionBy makes the partition column STRING on read-back and moves
+    # it last; restore the original column order for the hash compare.
+    return back.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )

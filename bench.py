@@ -1,0 +1,83 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Runs the headline queries (one per BASELINE.md row) from the engine's
+registry at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"agg_group_basic": sec, ...}, "sf": 0.1}
+
+Timing = plan construction + execution + collect (warm session, median of
+``$SPARK_GRAFT_BENCH_RUNS`` runs, default 3, after 1 warm-up). The first
+Spark action in a session pays JVM/codegen startup; the warm-up keeps the
+per-query numbers comparable to BASELINE.md, which measured warm medians.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from analyse_the_sky_with_apache_spark_spark import registry  # noqa: E402
+from analyse_the_sky_with_apache_spark_spark.session import get_spark  # noqa: E402
+
+#: headline set — mirrors BASELINE.md's measured rows (same shapes).
+HEADLINE = (
+    "agg_group_basic",      # TPC-H Q1 pricing summary
+    "join_inner_equi",      # Q3 shipping-priority shape
+    "join_multiway",        # Q5 six-table star
+    "win_rank_topk",        # window top-N per customer
+    "agg_distinct",         # COUNT(DISTINCT) panel
+    "agg_tumbling_batch",   # events 1-day tumbling agg
+    "fn_json",              # JSON extraction over events.props
+    "dedup_exact",          # exact text dedup
+    "sim_knn_cosine",       # brute-force cosine kNN (normalized rewrite)
+    "set_except",           # EXCEPT over key sets
+)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm-up: JVM + codegen + parquet footer caches
+    qs["agg_group_basic"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = qs[key]
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        per_query[key] = round(statistics.median(samples), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(per_query.values()), 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
