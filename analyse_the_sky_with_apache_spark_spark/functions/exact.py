@@ -6,19 +6,27 @@ tree and DuckDB's aggregation associate additions differently, so
 break an exact value-hash even after ``round()`` when the true value sits
 near a rounding boundary (SURVEY.md §5.3 hazard 2).
 
-The fix used engine-wide: route sums through DECIMAL. A per-row
-``CAST(double AS DECIMAL(18,s))`` is deterministic and identical in both
-engines (same IEEE input, same rounding), the decimal SUM is exact integer
-arithmetic in any association order, and the final ``CAST(... AS DOUBLE)``
-is exact for every magnitude in the fixtures (< 2^53 / 10^s). Result:
-bit-identical aggregates with no rounding hazard at all.
+The fix used engine-wide: **scaled-integer accumulation**. Per row,
+``ROUND(x * 10^s)`` is deterministic IEEE arithmetic — both engines
+evaluate the same multiply tree on the same double and round a value that
+is within ulps of an integer (the fixture doubles carry ≤ s decimal
+digits), so the resulting BIGINT is identical everywhere. The integer SUM
+is exact in any association order, and the final
+``CAST(sum AS DOUBLE) / 10^s`` is a single, identical division in both
+engines. Result: bit-identical aggregates with no rounding hazard.
 
-The same trick yields exact averages: ``exact_sum / count`` is a single
-double division of identical operands.
+Why not DECIMAL: casting per-row to decimal(18,s) also works (and an
+earlier revision did), but Spark promotes the sum buffer past 18 digits of
+precision, off the long-backed fast path onto Int128/BigDecimal — measured
+2.5× slower on the Q1 shape at sf0.1 (1.25 s vs 0.51 s). Long sums stay
+inside whole-stage codegen as primitive arithmetic.
 
-At 100 TB this costs nothing extra: decimal sums still combine partially
-map-side (HashAggregate partial/final), and the per-row cast is
-whole-stage-codegen'd JVM arithmetic.
+Scale bounds: the long accumulator is safe while
+``n_rows × max|x| × 10^s < 2^63`` — for the largest fixture expression
+(charge ≈ 1.2e5 × 10^6) that is ~7.6e13 rows, i.e. multi-petabyte
+lineitem. Beyond that, or for hot skewed keys at 100 TB, use
+:func:`dsum_wide` (decimal(38,s) accumulator — exact at any cardinality,
+~2.5× slower) for the few money columns that need it.
 """
 
 from __future__ import annotations
@@ -27,27 +35,50 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dsum(col: Column | str, alias: str, scale: int = 4) -> Column:
-    """Order-independent SUM(double) via exact decimal accumulation."""
+def _scaled(col: Column | str, scale: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    return F.round(c * F.lit(float(10**scale))).cast("long")
+
+
+def dsum(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Order-independent SUM(double) via exact scaled-long accumulation."""
+    return (F.sum(_scaled(col, scale)).cast("double") / F.lit(float(10**scale))).alias(
+        alias
+    )
 
 
 def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Order-independent AVG(double): exact decimal sum / count."""
-    c = F.col(col) if isinstance(col, str) else col
+    """Order-independent AVG(double): exact scaled sum / scale / count."""
     return (
-        F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+        F.sum(_scaled(col, scale)).cast("double")
+        / F.lit(float(10**scale))
+        / F.count(F.lit(1))
     ).alias(alias)
 
 
 def dsum_sql(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB-side twin of :func:`dsum` (same text works in Spark SQL)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+    s = float(10**scale)
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {s}) AS BIGINT)) AS DOUBLE) / {s} AS {alias}"
+    )
 
 
 def davg_sql(expr: str, alias: str, scale: int = 6) -> str:
     """DuckDB-side twin of :func:`davg`."""
+    s = float(10**scale)
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*) AS {alias}"
+        f"CAST(SUM(CAST(ROUND(({expr}) * {s}) AS BIGINT)) AS DOUBLE) / {s} / COUNT(*)"
+        f" AS {alias}"
     )
+
+
+def dsum_wide(col: Column | str, alias: str, scale: int = 4) -> Column:
+    """Exact SUM for cardinalities past the long accumulator's bound.
+
+    decimal(38,s) accumulation — exact at any scale factor, but off the
+    codegen'd primitive fast path (~2.5× slower). Reserve for the rare
+    100-TB aggregate whose scaled sum could exceed 2^63.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double").alias(alias)

@@ -52,21 +52,33 @@ def cosine_pairs(spark: SparkSession, sf_dir: str, per_row_k: int = _TOP_K) -> D
     partners plus everything above the dedup threshold — a superset of
     any global top-k ≤ per_row_k (a globally top-k pair is necessarily
     within its own row's top-k).
+
+    Normalization happens in numpy (one vectorized pass per side), not as
+    a SQL ``aggregate`` lambda — the lambda re-evaluates the sum of
+    squares once per *element*, measured ~1 s of pure overhead at sf0.1.
     """
-    norm = normalized_embeddings(spark, sf_dir)
-    rows = norm.select("vec_id", "nvec").collect()
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["nvec"] for r in rows], dtype=np.float64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = bc.value
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_mat = np.array(list(pdf["nvec"]), dtype=np.float64)
+            q_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
             sims = q_mat @ all_mat.T  # BLAS: the whole batch in one gemm
+            # accumulate and emit ONE frame per Arrow batch — yielding a
+            # tiny frame per query row makes the serializer concat
+            # thousands of one-row frames (measured ~2× kernel overhead).
+            out_ia: list[np.ndarray] = []
+            out_ib: list[np.ndarray] = []
+            out_cos: list[np.ndarray] = []
             for qi, qid in enumerate(q_ids):
                 mask = all_ids > qid  # emit each pair once (ia < ib)
                 if not mask.any():
@@ -75,18 +87,19 @@ def cosine_pairs(spark: SparkSession, sf_dir: str, per_row_k: int = _TOP_K) -> D
                 cand_sims = sims[qi, mask]
                 k = min(per_row_k, len(cand_ids))
                 top = np.argpartition(-cand_sims, k - 1)[:k]
-                keep = top
+                out_ia.append(np.full(len(top), qid, dtype=np.int64))
+                out_ib.append(cand_ids[top])
+                out_cos.append(cand_sims[top])
+            if out_ia:
                 yield pd.DataFrame(
                     {
-                        "ia": np.full(len(keep), qid, dtype=np.int64),
-                        "ib": cand_ids[keep],
-                        "raw_cos": cand_sims[keep],
+                        "ia": np.concatenate(out_ia),
+                        "ib": np.concatenate(out_ib),
+                        "raw_cos": np.concatenate(out_cos),
                     }
                 )
 
-    return norm.select("vec_id", "nvec").mapInPandas(
-        block_topk, "ia BIGINT, ib BIGINT, raw_cos DOUBLE"
-    )
+    return e.mapInPandas(block_topk, "ia BIGINT, ib BIGINT, raw_cos DOUBLE")
 
 
 @register(
