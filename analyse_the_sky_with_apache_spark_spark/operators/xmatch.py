@@ -1,0 +1,114 @@
+"""Catalog cross-match and density binning (SURVEY.md §2.12).
+
+The reference project's domain is sky-catalog analysis; its two signature
+shapes are (a) cross-matching two object catalogs by coordinate proximity
+and (b) sky-density histograms over binned coordinates. Both are
+re-expressed here as scale-safe relational plans over the fixture tables
+(SURVEY.md §1.2 maps the astronomy model onto the fixtures: catalog ↔
+dimension table, coordinate ↔ numeric column).
+
+Cross-match at scale: the naive formulation is a non-equi (band) join —
+``|a.x - b.x| <= eps`` — which Spark can only execute as a broadcast
+nested loop (O(n·m) comparisons). The production pattern is
+**bin-then-equi-join**: quantize each coordinate to an integer cell of
+width eps, replicate one side into its 3 neighboring cells, equi-join on
+the cell id, then apply the exact band predicate. The join becomes a plain
+shuffle/broadcast hash join on an integer key — O(n+m) shuffle, ~3×
+replication of the smaller side only, no quadratic stage. At 100 TB both
+catalogs shuffle-partition by cell id and every executor matches only its
+own cells; hot cells (dense sky regions) are AQE-skew-split.
+
+Quantization is exact integer arithmetic: the fixture doubles carry two
+decimals, so ``CAST(ROUND(x*100) AS BIGINT)`` is an identical integer in
+every engine, and the band predicate compares integers — no float-boundary
+hazard at the eps cutoff (SURVEY.md §5.3 hazard 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: band half-width in cents: match |c_acctbal - s_acctbal| <= 1.00.
+_EPS_CENTS = 100
+
+
+@register(
+    "xmatch_binned",
+    oracle=f"""
+SELECT c_custkey, s_suppkey,
+       CAST(ROUND(c_acctbal*100) AS BIGINT)
+         - CAST(ROUND(s_acctbal*100) AS BIGINT) AS delta_cents
+FROM customer, supplier
+WHERE abs(CAST(ROUND(c_acctbal*100) AS BIGINT)
+          - CAST(ROUND(s_acctbal*100) AS BIGINT)) <= {_EPS_CENTS}
+""",
+)
+def xmatch_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-match customers and suppliers on account balance within eps.
+
+    The astronomy shape: two catalogs, match pairs within a coordinate
+    tolerance. Implemented as bin(+neighbor-replicate)→equi-join→exact
+    filter; the oracle is the naive band join, so the hash check proves
+    the binned plan finds exactly the naive pair set.
+    """
+    eps = _EPS_CENTS
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents"),
+    ).withColumn("cell", F.expr(f"c_cents div {eps}"))
+    # replicate the SMALLER catalog into its neighbor cells; a candidate
+    # pair within eps is always within one cell of width eps.
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                F.expr(f"s_cents div {eps} - 1"),
+                F.expr(f"s_cents div {eps}"),
+                F.expr(f"s_cents div {eps} + 1"),
+            )
+        ),
+    )
+    return (
+        c.join(s, "cell")  # equi-join on the integer cell id
+        .filter(F.abs(F.col("c_cents") - F.col("s_cents")) <= eps)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (F.col("c_cents") - F.col("s_cents")).alias("delta_cents"),
+        )
+    )
+
+
+@register(
+    "density_map_2d",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS price_cell,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_cell,
+       COUNT(*) AS n_objects
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def density_map_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density histogram — the sky-density-map shape.
+
+    Bin two numeric axes, count per cell: one hash aggregation with
+    map-side partial combine, so the shuffle carries only (cell, count)
+    rows — at 100 TB the shuffle volume is the number of occupied cells,
+    not the number of input rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).alias("price_cell"),
+            F.month("o_orderdate").cast("long").alias("month_cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_objects"))
+    )

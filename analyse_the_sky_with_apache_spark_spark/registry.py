@@ -36,6 +36,7 @@ _MODULES = (
     "operators.windows",
     "operators.sorts",
     "operators.setops",
+    "operators.xmatch",
     "functions.scalar",
     "streaming.queries",
     "pipeline.dedup",

@@ -1,0 +1,116 @@
+"""Property-based differential testing (SURVEY.md §5.2).
+
+Hypothesis generates random relational fragments — filter predicates,
+group-key subsets, sort/limit combinations — renders each one BOTH as a
+Spark SQL query through our engine's session AND as the identical ANSI
+text in DuckDB, and asserts the order-insensitive results match. The
+generated space sticks to cross-engine-deterministic ground (integer
+aggregates, exact comparisons, tie-broken limits) so any mismatch is a
+real semantics bug, not a float/ordering hazard (§5.3).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+from tests.conftest import SF_DIR, norm_rows
+
+# --- the generated fragment space (lineitem) ---------------------------
+
+_NUM_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+_STR_COLS = ("l_returnflag", "l_linestatus")
+_CMP_OPS = ("<", "<=", "=", ">=", ">", "<>")
+
+_num_pred = st.builds(
+    lambda c, op, v: f"{c} {op} {v}",
+    st.sampled_from(_NUM_COLS),
+    st.sampled_from(_CMP_OPS),
+    st.integers(min_value=0, max_value=6000),
+)
+_str_pred = st.builds(
+    lambda c, vs: f"{c} IN ({', '.join(repr(v) for v in vs)})",
+    st.sampled_from(_STR_COLS),
+    st.lists(
+        st.sampled_from(["A", "N", "R", "O", "F"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+_pred = st.one_of(_num_pred, _str_pred)
+
+_predicates = st.builds(
+    lambda ps, conj: f" {conj} ".join(f"({p})" for p in ps),
+    st.lists(_pred, min_size=1, max_size=3),
+    st.sampled_from(["AND", "OR"]),
+)
+
+_group_keys = st.lists(
+    st.sampled_from(_STR_COLS + ("l_linenumber",)),
+    min_size=1,
+    max_size=2,
+    unique=True,
+)
+
+
+def _run_both(spark, duck, sql: str):
+    """Execute identical SQL in both engines, return normalized results."""
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    rel = duck.execute(sql)
+    d_cols, d_rows = norm_rows([c[0] for c in rel.description], rel.fetchall())
+    assert s_cols == d_cols, sql
+    assert s_rows == d_rows, (
+        f"{sql}\nspark rows={len(s_rows)} duck rows={len(d_rows)}"
+    )
+
+
+_SETTINGS = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SETTINGS
+@given(where=_predicates)
+def test_filter_agrees(spark, duck, where):
+    _run_both(
+        spark,
+        duck,
+        f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {where}",
+    )
+
+
+@_SETTINGS
+@given(where=_predicates, keys=_group_keys)
+def test_filtered_group_count_agrees(spark, duck, where, keys):
+    k = ", ".join(keys)
+    _run_both(
+        spark,
+        duck,
+        f"SELECT {k}, COUNT(*) AS n, MIN(l_orderkey) AS mn,"
+        f" MAX(l_orderkey) AS mx, SUM(l_linenumber) AS s"
+        f" FROM lineitem WHERE {where} GROUP BY {k}",
+    )
+
+
+@_SETTINGS
+@given(
+    where=_predicates,
+    limit=st.integers(min_value=1, max_value=50),
+    desc=st.booleans(),
+)
+def test_tiebroken_limit_agrees(spark, duck, where, limit, desc):
+    d = "DESC" if desc else "ASC"
+    _run_both(
+        spark,
+        duck,
+        f"SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        f" WHERE {where}"
+        f" ORDER BY l_quantity {d}, l_orderkey {d}, l_linenumber {d}"
+        f" LIMIT {limit}",
+    )
