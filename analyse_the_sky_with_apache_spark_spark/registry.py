@@ -37,6 +37,7 @@ _MODULES = (
     "operators.sorts",
     "operators.setops",
     "operators.xmatch",
+    "operators.bucketing",
     "functions.scalar",
     "streaming.queries",
     "pipeline.dedup",

@@ -70,6 +70,21 @@ def test_whole_stage_codegen_covers_agg(spark):
     assert "codegen id" in _plan(df)
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    from analyse_the_sky_with_apache_spark_spark.operators.bucketing import (
+        _bucketed_table,
+    )
+
+    o = _bucketed_table(spark, SF_DIR, "orders", "o_orderkey")
+    li = _bucketed_table(spark, SF_DIR, "lineitem", "l_orderkey")
+    df = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    # co-bucketed storage satisfies the join's distribution requirement —
+    # no shuffle between scan and join.
+    assert "Exchange" not in plan
+
+
 def test_partial_aggregation_before_shuffle(spark):
     df = (
         load_table(spark, SF_DIR, "lineitem")
