@@ -4,7 +4,7 @@ Everything here is a narrow transformation — zero shuffles. The point at
 100 TB is what reaches the scan: every filter below is pushed into the
 parquet reader (``PushedFilters`` in the formatted plan) and the select
 list prunes ``ReadSchema`` to the referenced columns
-(plans/checks.py asserts both in tests/test_plans.py).
+(plans/checks.py asserts both in tests/test_plan_shape.py).
 
 The fixtures contain no NULLs, so three-valued-logic coverage
 manufactures NULLs with ``nullif`` (SURVEY.md §5.3 hazard 6).

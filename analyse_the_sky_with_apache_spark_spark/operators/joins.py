@@ -1,7 +1,7 @@
 """Join operators (SURVEY.md §2.3).
 
 Physical-strategy notes for 100 TB (verified shapes in
-tests/test_plans.py):
+tests/test_plan_shape.py):
 
 - every dimension here (region/nation/customer/supplier/part at bench
   scale) is far under ``spark.sql.autoBroadcastJoinThreshold`` — Catalyst

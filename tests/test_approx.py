@@ -1,0 +1,32 @@
+"""Approximate-operator error bounds (SURVEY.md §2.4).
+
+approx_count_distinct has no cross-engine oracle (different sketches), so
+its contract is asserted directly: the HLL++ estimate must sit within the
+configured relative standard deviation of the exact count (with a 4-sigma
+safety margin — the rsd is a standard deviation, not a hard bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+from analyse_the_sky_with_apache_spark_spark.registry import queries
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    approx = queries()["agg_approx_distinct"](spark, SF_DIR).collect()[0]
+    exact = (
+        load_table(spark, SF_DIR, "lineitem")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+        )
+        .collect()[0]
+    )
+    for est, true in (
+        (approx["approx_parts"], exact["parts"]),
+        (approx["approx_supps"], exact["supps"]),
+    ):
+        assert abs(est - true) <= max(4 * 0.01 * true, 1), (est, true)

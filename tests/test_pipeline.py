@@ -1,0 +1,92 @@
+"""Quality bounds for the approximate pipeline operators (SURVEY.md §2.10).
+
+The LSH/IVF/MinHash operators have no SQL oracle (engine-specific hash
+families), so their contract is a RECALL bound against exact ground truth
+computed independently in-process. All bounds were measured first and
+pinned with slack; seeds are fixed, so the results are deterministic and
+these tests are not flaky.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import defaultdict
+
+import numpy as np
+
+from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+from analyse_the_sky_with_apache_spark_spark.registry import queries
+from tests.conftest import SF_DIR
+
+
+def _normalized_matrix(spark):
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def test_minhash_recall_of_true_near_dups(spark):
+    """MinHash-LSH candidates must cover ≥85% of the pairs whose TRUE
+    word-set jaccard ≥ 0.7 (threshold 0.3 distance ↔ 0.7 similarity).
+    Measured 93.3% at sf0.001 with 5 hash tables."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    words = {r["doc_id"]: set(r["text"].split()) for r in docs}
+    true_pairs = set()
+    for a, b in itertools.combinations(sorted(words), 2):
+        sa, sb = words[a], words[b]
+        if len(sa & sb) / len(sa | sb) >= 0.7:
+            true_pairs.add((a, b))
+    assert true_pairs, "fixture should contain near-dup pairs"
+
+    found = {
+        (r["ia"], r["ib"])
+        for r in queries()["dedup_near_minhash"](spark, SF_DIR).collect()
+    }
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.85, f"minhash recall {recall:.3f}"
+    # precision: every candidate the join emits is a true near-dup
+    # (the exact-distance filter inside approxSimilarityJoin guarantees it)
+    assert found <= true_pairs
+
+
+def test_lsh_knn_overlaps_brute_force(spark):
+    """Random-projection LSH top pairs must contain ≥15 of the exact
+    brute-force global top-20 (measured: 19/20 at sf0.001, fixed seed)."""
+    brute = {
+        (r["ia"], r["ib"])
+        for r in queries()["sim_knn_cosine"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["ia"], r["ib"])
+        for r in queries()["sim_knn_lsh"](spark, SF_DIR).collect()
+    }
+    assert len(brute & approx) >= 15, f"overlap {len(brute & approx)}/20"
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=2 over the 10 label cells keeps mean top-3 recall
+    ≥ 0.3 (measured 0.4 — the labels are a coarse codebook; recall rises
+    with nprobe, and the exact kernel is the fallback below the broadcast
+    ceiling). Guards against the cell assignment silently breaking."""
+    ids, mat = _normalized_matrix(spark)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -2.0)
+    truth = {
+        qid: set(ids[np.argsort(-sims[qi])[:3]])
+        for qi, qid in enumerate(ids)
+        if qid < 20
+    }
+
+    got = defaultdict(set)
+    for r in queries()["ann_ivf"](spark, SF_DIR).collect():
+        got[r["q_id"]].add(r["m_id"])
+    recalls = [len(truth[q] & got[q]) / 3 for q in truth]
+    assert float(np.mean(recalls)) >= 0.3, f"ivf mean recall {np.mean(recalls):.3f}"

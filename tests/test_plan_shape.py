@@ -12,13 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+from analyse_the_sky_with_apache_spark_spark.plans.checks import plan_of as _plan
 from tests.conftest import SF_DIR
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_filter_pushdown_to_parquet(spark):

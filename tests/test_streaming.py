@@ -1,0 +1,102 @@
+"""Streaming-semantics assertions without a SQL oracle (SURVEY.md §5.2).
+
+The oracle-checkable streaming queries (tumbling/sliding/session/dedup/
+stateful) are verified in test_oracle_differential. These tests pin the
+behaviors SQL can't express: watermark finalization emitting fewer rows
+than batch, and a crafted too-late row being dropped from its window.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+from analyse_the_sky_with_apache_spark_spark.registry import queries
+from analyse_the_sky_with_apache_spark_spark.streaming.replay import run_stream
+from tests.conftest import SF_DIR
+
+_LATE_STAGE = "/tmp/analyse_the_sky_stream_stage/late_row_test"
+
+
+def test_watermark_emits_fewer_windows_than_batch(spark):
+    """Append-mode output under a watermark contains only FINALIZED
+    windows; windows still open when the stream ends never flush, so the
+    streaming result is a strict subset of the batch per-hour counts."""
+    stream_rows = queries()["stream_watermark_late"](spark, SF_DIR).collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    )
+    assert 0 < len(stream_rows) < len(batch)
+    # every emitted (window, count) is exactly the batch value — emission
+    # timing changes, finalized contents don't.
+    batch_map = {r["window_start"]: r["n"] for r in batch}
+    for r in stream_rows:
+        assert batch_map[r["window_start"]] == r["n"]
+
+
+def test_crafted_late_row_is_dropped(spark):
+    """Three micro-batches: batch 0 advances the max event time, batch 1
+    lets the watermark (published one batch behind) finalize and emit the
+    10:00 window, batch 2 replays an event from that window — by then the
+    state is evicted and the late row must be dropped, not re-opened.
+
+    (Within the SAME batch as finalization a late row still merges —
+    eviction runs at batch end; that's why the drop needs a prior-batch
+    finalization. Verified empirically on Spark 4.1.)"""
+    if os.path.isdir(_LATE_STAGE):
+        shutil.rmtree(_LATE_STAGE)
+    os.makedirs(_LATE_STAGE)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id BIGINT, ts_s STRING"
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    chunks = [
+        mk([(1, "2024-01-01 10:05:00"), (2, "2024-01-01 13:55:00")]),
+        mk([(4, "2024-01-01 14:00:00")]),  # publishes wm=12:55, evicts 10:00
+        mk([(3, "2024-01-01 10:30:00")]),  # late: window already finalized
+    ]
+
+    for i, chunk in enumerate(chunks):
+        tmp = os.path.join(_LATE_STAGE, "build")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(_LATE_STAGE, f"{i:04d}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    shutil.rmtree(os.path.join(_LATE_STAGE, "build"))
+
+    src = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_LATE_STAGE)
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    res = run_stream(spark, agg, mode="append", name="late_row").collect()
+
+    emitted = {(r["w"]["start"].isoformat(), r["n"]) for r in res}
+    # the 10:00 window finalized with exactly the on-time row; the late
+    # arrival (event 3, also in the 10:00 window) was dropped.
+    assert ("2024-01-01T10:00:00", 1) in emitted
+
+
+def test_foreach_batch_sees_time_ordered_batches(spark):
+    """The replay harness feeds micro-batches in event-time order — the
+    foundation every multi-batch streaming test stands on."""
+    df = queries()["stream_foreach_batch"](spark, SF_DIR)
+    rows = df.collect()
+    assert [r["batch_id"] for r in rows] == sorted(r["batch_id"] for r in rows)
+    total = sum(r["n_rows"] for r in rows)
+    assert total == load_table(spark, SF_DIR, "events").count()
