@@ -71,3 +71,30 @@ def tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey * 4 + l_linenumber AS VARCHAR)), 1, 2)
+      < '1a'
+""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash — the reproducible
+    alternative to seeded Bernoulli sampling.
+
+    ``md5(row key) < threshold`` picks the same rows in every engine, on
+    every run, at every partitioning — which is what a 100-TB pipeline
+    actually needs from a sample: re-runs, audits and downstream joins
+    against the sample all see the same rows ('1a'/'100' ≈ 10.2% of the
+    16-bit hash prefix space). Seeded ``sample()`` (the ``tablesample``
+    key) is faster per row but engine- and partitioning-specific.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 4 + F.col("l_linenumber")).cast("string")
+    return li.filter(F.substring(F.md5(key), 1, 2) < "1a").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
