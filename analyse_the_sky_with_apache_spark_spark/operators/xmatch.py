@@ -112,3 +112,48 @@ def density_map_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_objects"))
     )
+
+
+@register(
+    "lightcurve_stats",
+    oracle="""
+SELECT user_id, event_id, ts,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) OVER w5 AS DOUBLE)
+         / 1000000.0 / COUNT(*) OVER w5 AS roll_mean,
+       MAX(value) OVER w5 AS roll_max
+FROM events
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def lightcurve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object time-series statistics — the light-curve shape.
+
+    An observation log keyed by object id: inter-observation gap (lag)
+    plus a 5-point rolling mean/max of the measured value. One shuffle on
+    the object key; frames evaluate within each partition, so at 100 TB
+    this scales with objects, not observations-per-executor. The rolling
+    mean uses the engine's exact scaled-long sum so the oracle hash is
+    bit-stable; the gap is exact integer microseconds.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, 0)
+    us = F.unix_micros("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (
+            F.sum(F.round(F.col("value") * 1000000.0).cast("long")).over(w5)
+            .cast("double")
+            / 1000000.0
+            / F.count(F.lit(1)).over(w5)
+        ).alias("roll_mean"),
+        F.max("value").over(w5).alias("roll_max"),
+    )
