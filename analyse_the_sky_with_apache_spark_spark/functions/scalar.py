@@ -337,3 +337,34 @@ def fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hash("text").alias("text_murmur"),
         F.crc32("text").alias("text_crc32"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255                       AS k_and,
+       l_orderkey | 4096                      AS k_or,
+       xor(l_orderkey, l_linenumber)          AS k_xor,
+       l_orderkey << 2                        AS k_shl,
+       l_orderkey >> 3                        AS k_shr,
+       bit_count(l_orderkey)                  AS k_bits
+FROM lineitem
+WHERE l_orderkey < 1000
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — the workhorse of fingerprints, bitmask flags and
+    banded hashing (dedup_simhash builds on exactly these primitives)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    k, n = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(n).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).alias("k_bits"),
+    )

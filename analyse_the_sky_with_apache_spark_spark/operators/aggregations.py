@@ -286,3 +286,58 @@ def agg_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n_nationkey,
+       list_sort(list(DISTINCT s_suppkey)) AS supp_keys,
+       COUNT(*) AS n
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-result aggregation: collect group members into a SORTED
+    array. collect_set/collect_list order is partition-nondeterministic —
+    array_sort makes the nested value hashable cross-engine. At 100 TB
+    collect-per-group is only safe on bounded groups (suppliers per
+    nation); unbounded groups keep relational form instead.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_sort(F.collect_set("s_suppkey")).alias("supp_keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_SUBQUERY_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000)
+  AND c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey <= 2)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+@register("subquery_trio", oracle=_SUBQUERY_SQL)
+def subquery_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN + scalar subquery in one
+    predicate, through the SQL door. Catalyst decorrelates EXISTS/IN into
+    semi-joins (RewritePredicateSubquery) and plans the scalar subquery
+    as a one-row broadcast — the declarative forms all become joins, so
+    they scale exactly like §2.3.
+    """
+    from ..catalog import load_table as lt
+
+    for t in ("customer", "orders", "nation"):
+        lt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SUBQUERY_SQL)
