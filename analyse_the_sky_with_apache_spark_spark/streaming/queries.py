@@ -235,3 +235,84 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(acc), "batch_id BIGINT, n_rows BIGINT"
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.event_type
+FROM events e JOIN customer c ON e.user_id % 100 = c.c_custkey
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static dimension — the enrichment join every event
+    pipeline runs. The static side is a plain batch DataFrame; Spark
+    re-plans it per micro-batch (picking up dim updates) and broadcasts
+    it, so the stream side never shuffles. Stateless → no watermark
+    needed."""
+    from ..catalog import load_table
+
+    src = stage_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        src.withColumn("join_key", F.col("user_id") % 100)
+        .join(F.broadcast(dim), F.col("join_key") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "event_type")
+    )
+    return run_stream(spark, joined, mode="append", name="static_join")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: view → purchase within 30 min per
+    user (the funnel/attribution shape).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state: each side buffers only
+    rows within watermark + interval — state is bounded by arrival rate ×
+    horizon, not stream length. Single-batch replay makes the full result
+    available, and the batch self-join is the oracle.
+    """
+    src = stage_events(spark, sf_dir)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    buys = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("b_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    return run_stream(spark, joined, mode="append", name="ss_join")
