@@ -341,3 +341,38 @@ def subquery_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "nation"):
         lt(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SUBQUERY_SQL)
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT o_orderkey, kind, CAST(val AS DOUBLE) AS val
+FROM (
+  UNPIVOT (SELECT o_orderkey,
+                  o_totalprice            AS total,
+                  o_totalprice * 0.07     AS tax_est,
+                  o_totalprice / 100.0     AS cents_frac
+           FROM orders)
+  ON total, tax_est, cents_frac
+  INTO NAME kind VALUE val
+)
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns → (name, value) rows — the inverse of
+    agg_pivot. Row-local transform (an Expand node): zero shuffles, output
+    is input×k rows; at 100 TB unpivot early only if the long form feeds a
+    keyed aggregation, otherwise stay wide and save the k× scan volume.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total"),
+        (F.col("o_totalprice") * 0.07).alias("tax_est"),
+        (F.col("o_totalprice") / 100.0).alias("cents_frac"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["total", "tax_est", "cents_frac"],
+        variableColumnName="kind",
+        valueColumnName="val",
+    )
