@@ -271,12 +271,15 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_json",
     oracle="""
-SELECT event_id,
-       json_extract_string(props, '$.k')        AS k_str,
-       json_extract(props, '$.k')::INTEGER      AS k_int,
-       json_extract_string(props, '$.missing')  AS absent,
-       json_valid(props)                        AS is_valid
+SELECT json_extract_string(props, '$.k')           AS k_str,
+       json_extract(props, '$.k')::INTEGER         AS k_int,
+       COUNT(*)                                    AS n,
+       SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END)                 AS n_absent,
+       bool_and(json_valid(props))                 AS all_valid,
+       MIN(event_id)                               AS first_event
 FROM events
+GROUP BY 1, 2
 """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,9 +287,11 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines.
 
     Parses each payload ONCE via ``from_json`` and extracts every field
-    from the struct — four separate ``get_json_object`` calls re-parse
-    the string per path (measured 1.19 s → 0.80 s at sf0.1). The corrupt-
-    record column makes validity a by-product of the same parse.
+    from the struct — N separate ``get_json_object`` calls re-parse the
+    string per path (measured 1.19 s → 0.80 s at sf0.1). The corrupt-
+    record column makes validity a by-product of the same parse. The
+    grouped tail keeps the collected result proportional to the k-domain,
+    not the event count, while the hash still covers every extraction.
     """
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json(
@@ -294,12 +299,20 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k INT, missing STRING, _corrupt STRING",
         {"columnNameOfCorruptRecord": "_corrupt"},
     )
-    return ev.select("event_id", parsed.alias("p")).select(
-        "event_id",
-        F.col("p.k").cast("string").alias("k_str"),
-        F.col("p.k").alias("k_int"),
-        F.col("p.missing").alias("absent"),
-        F.col("p._corrupt").isNull().alias("is_valid"),
+    return (
+        ev.select("event_id", parsed.alias("p"))
+        .groupBy(
+            F.col("p.k").cast("string").alias("k_str"),
+            F.col("p.k").alias("k_int"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("p.missing").isNull(), 1).otherwise(0)
+            ).alias("n_absent"),
+            F.bool_and(F.col("p._corrupt").isNull()).alias("all_valid"),
+            F.min("event_id").alias("first_event"),
+        )
     )
 
 
