@@ -19,3 +19,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API — import-light so ``import
+    analyse_the_sky_with_apache_spark_spark`` stays cheap.
+
+    Exposes the pieces a library user composes directly:
+    ``get_spark``, ``load_table``, ``register_views``, ``queries``,
+    ``oracle_sql``, ``asof_join``.
+    """
+    if name == "get_spark":
+        from .session import get_spark
+        return get_spark
+    if name in ("load_table", "register_views"):
+        from . import catalog
+        return getattr(catalog, name)
+    if name in ("queries", "oracle_sql"):
+        from . import registry
+        return getattr(registry, name)
+    if name == "asof_join":
+        from .operators.asof import asof_join
+        return asof_join
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -63,6 +63,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The banded join only compares candidates sharing a hash bucket —
     that's the 100-TB story (no n² pair enumeration). Recall against the
     planted near-dups is asserted in tests/test_pipeline.py.
+
+    Fixture caveat: the synthetic corpus draws from a tiny shared
+    vocabulary, so a large fraction of ALL doc pairs genuinely exceed
+    0.7 jaccard — any correct near-dup finder returns O(n²) pairs on it
+    (measured 4.7M pairs / ~500 s at sf0.1). That is corpus pathology,
+    not operator cost: on natural text the candidate count tracks true
+    duplicates. Use sf0.01 for quick runs.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 

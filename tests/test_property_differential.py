@@ -114,3 +114,56 @@ def test_tiebroken_limit_agrees(spark, duck, where, limit, desc):
         f" ORDER BY l_quantity {d}, l_orderkey {d}, l_linenumber {d}"
         f" LIMIT {limit}",
     )
+
+
+def _run_both_tables(spark, duck, sql: str, tables=("lineitem", "orders")):
+    for t in tables:
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+    sdf = spark.sql(sql)
+    s_cols, s_rows = norm_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    rel = duck.execute(sql)
+    d_cols, d_rows = norm_rows([c[0] for c in rel.description], rel.fetchall())
+    assert s_cols == d_cols, sql
+    assert s_rows == d_rows, (
+        f"{sql}\nspark rows={len(s_rows)} duck rows={len(d_rows)}"
+    )
+
+
+@_SETTINGS
+@given(
+    where=_predicates,
+    jtype=st.sampled_from(["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"]),
+)
+def test_join_types_agree(spark, duck, where, jtype):
+    cols = (
+        "o.o_orderkey, o.o_custkey"
+        if "SEMI" in jtype or "ANTI" in jtype
+        else "o.o_orderkey, o.o_custkey, l.l_linenumber"
+    )
+    sub = f"(SELECT * FROM lineitem WHERE {where}) l"
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT {cols} FROM orders o {jtype} {sub}"
+        f" ON o.o_orderkey = l.l_orderkey",
+    )
+
+
+@_SETTINGS
+@given(
+    where=_predicates,
+    frame=st.integers(min_value=0, max_value=9),
+)
+def test_window_frames_agree(spark, duck, where, frame):
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT l_orderkey, l_linenumber,"
+        f" SUM(l_linenumber) OVER (PARTITION BY l_orderkey"
+        f"   ORDER BY l_linenumber"
+        f"   ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW) AS s,"
+        f" ROW_NUMBER() OVER (PARTITION BY l_orderkey"
+        f"   ORDER BY l_linenumber) AS rn"
+        f" FROM lineitem WHERE {where}",
+        tables=("lineitem",),
+    )
