@@ -150,3 +150,50 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, media_type STRING, width INT, height INT, "
         "n_frames INT, sampled_frame INT",
     )
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake frame sampler: 4 evenly spaced frame indices per asset, one
+    OUTPUT ROW PER FRAME (the 1→N batch-shape change a real video
+    pipeline makes). Frame ids derive deterministically from
+    (doc_id, frame_idx); a real kernel would emit the decoded frame
+    bytes instead of the md5 tag."""
+    for pdf in batches:
+        rows_id, rows_idx, rows_tag = [], [], []
+        for i in pdf["doc_id"]:
+            n_frames = 1 + (int(i) * 7) % 300
+            for j in range(4):
+                idx = (j * n_frames) // 4
+                rows_id.append(int(i))
+                rows_idx.append(idx)
+                rows_tag.append(
+                    hashlib.md5(f"{int(i)}:{idx}".encode()).hexdigest()
+                )
+        yield pd.DataFrame(
+            {"doc_id": rows_id, "frame_idx": rows_idx, "frame_tag": rows_tag}
+        )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id,
+       (j * (1 + (doc_id * 7) % 300)) // 4 AS frame_idx,
+       md5(concat(CAST(doc_id AS VARCHAR), ':',
+                  CAST((j * (1 + (doc_id * 7) % 300)) // 4 AS VARCHAR)))
+         AS frame_tag
+FROM documents, range(0, 4) t(j)
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-like binary column: each asset row
+    fans out to 4 frame rows inside ``mapInPandas`` — the row-multiplying
+    kernel shape (decode → sample → per-frame features). Deterministic
+    fake frames keep even this Python path oracle-checked; at 100 TB the
+    fan-out happens executor-side with no shuffle, and per-frame feature
+    extraction chains as another mapInPandas stage."""
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return assets.mapInPandas(
+        _frame_sample, "doc_id BIGINT, frame_idx BIGINT, frame_tag STRING"
+    )
