@@ -45,6 +45,7 @@ _MODULES = (
     "pipeline.text",
     "pipeline.multimodal",
     "pipeline.udfs",
+    "pipeline.clustering",
 )
 
 _loaded = False

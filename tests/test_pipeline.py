@@ -90,3 +90,17 @@ def test_ivf_recall_vs_exact(spark):
         got[r["q_id"]].add(r["m_id"])
     recalls = [len(truth[q] & got[q]) / 3 for q in truth]
     assert float(np.mean(recalls)) >= 0.3, f"ivf mean recall {np.mean(recalls):.3f}"
+
+
+def test_kmeans_inertia_monotone(spark):
+    """Lloyd's algorithm: inertia never increases between iterations
+    (the defining convergence property; float noise tolerance 1e-9)."""
+    from analyse_the_sky_with_apache_spark_spark.pipeline.clustering import (
+        kmeans_lloyd,
+    )
+
+    inertia = kmeans_lloyd(spark, SF_DIR, k=10, iters=4)
+    assert len(inertia) == 4
+    for a, b in zip(inertia, inertia[1:]):
+        assert b <= a * (1 + 1e-9), inertia
+    assert inertia[-1] < inertia[0]  # it actually improved
