@@ -2,25 +2,26 @@
 
 The reference-domain analogue is k-means over object features (the one
 §2.12 row outside the relational inventory). Implemented as pure
-DataFrame iteration — Lloyd's algorithm with the driver holding only the
-k×dim centroid table between rounds:
+DataFrame iteration — Lloyd's algorithm with the k×dim centroid table
+living on the DRIVER between rounds:
 
-    assign:   broadcast the k centroids, one narrow pass computes each
-              row's nearest centroid (no shuffle — the cross join is
-              against a k-row broadcast);
+    assign:   centroids enter the plan as a literal array column, so the
+              nearest-centroid argmin is a NARROW projection — no join,
+              no window, no shuffle; the dataset never moves;
     update:   posexplode to (cluster, dim, value), one hash aggregation
-              → new centroids (shuffle carries k×dim rows).
+              whose shuffle carries k×dim aggregated rows, collected to
+              the driver (tiny by construction — it must fit a literal).
 
 Per iteration: ONE shuffle of k×dim aggregated rows, never the data.
-At 100 TB the dataset stays put; only centroids move. That is exactly
-MLlib KMeans' dataflow, expressed in the engine's own operator surface.
-Convergence (monotone non-increasing inertia) is asserted in
-tests/test_pipeline.py.
+Driver materialization also truncates lineage each round (the classic
+iterative-algorithm trap on Spark; ``checkpoint()`` is the cluster-side
+equivalent for state too big to collect). Convergence (monotone
+non-increasing inertia) is asserted in tests/test_pipeline.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -29,75 +30,93 @@ from ..registry import register
 _K = 10
 _ITERS = 4
 
-_DOT = (
-    "aggregate(zip_with(vec, cvec, (a, b) -> (a - b) * (a - b)), "
-    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-)
+#: per-centroid squared euclidean distance + argmin by (d2, cluster) —
+#: struct comparison is lexicographic, so array_min encodes the tie rule
+#: "equal distance → lower cluster id".
+_ASSIGN_EXPR = """
+array_min(transform(C, c -> struct(
+  aggregate(zip_with(vec, c.cvec, (a, b) -> (a - b) * (a - b)),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d2,
+  c.cluster AS cluster)))
+"""
 
 
-def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment against a broadcast k-row table."""
-    scored = points.crossJoin(F.broadcast(centroids)).withColumn(
-        "d2", F.expr(_DOT)
+def _centroid_literal(centroids: dict[int, list[float]]) -> Column:
+    """Driver-resident centroids as a literal array<struct> column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cl).alias("cluster"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
+            )
+            for cl, vec in sorted(centroids.items())
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+
+
+def _load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec"),
+    )
+
+
+def _init_centroids(pts: DataFrame, k: int) -> dict[int, list[float]]:
+    """Deterministic seed: the k lowest vec_ids."""
+    rows = pts.orderBy("vec_id").limit(k).collect()
+    return {i + 1: list(r["vec"]) for i, r in enumerate(rows)}
+
+
+def _assign(pts: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """Narrow nearest-centroid assignment (zero shuffles)."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cluster", "d2")
+        pts.withColumn("C", _centroid_literal(centroids))
+        .withColumn("best", F.expr(_ASSIGN_EXPR))
+        .select(
+            "vec_id",
+            "vec",
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.d2").alias("d2"),
+        )
     )
+
+
+def _update(
+    assigned: DataFrame, prev: dict[int, list[float]]
+) -> tuple[dict[int, list[float]], float]:
+    """One aggregation pass → (new centroids, inertia). A cluster that
+    attracted no points keeps its previous centroid (k never shrinks
+    silently). Inertia rides the same job via a grouped sum, so the
+    assignment pipeline executes once per iteration."""
+    rows = (
+        assigned.select("cluster", "d2", F.posexplode("vec").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("v").alias("c"), F.sum("d2").alias("d2_sum"))
+        .collect()
+    )
+    new = dict(prev)
+    by_cluster: dict[int, dict[int, float]] = {}
+    inertia = 0.0
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["i"]] = r["c"]
+        if r["i"] == 0:  # d2_sum repeats per dim; count it once
+            inertia += r["d2_sum"]
+    for cl, dims in by_cluster.items():
+        new[cl] = [dims[i] for i in sorted(dims)]
+    return new, inertia
 
 
 def kmeans_lloyd(
     spark: SparkSession, sf_dir: str, k: int = _K, iters: int = _ITERS
 ) -> list[float]:
-    """Run Lloyd's iterations; returns per-iteration inertia (for tests).
-
-    Deterministic: init = the k lowest vec_ids; ties in assignment break
-    toward the lower cluster id.
-    """
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec"),
-    )
-    centroids = (
-        pts.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
-            F.col("vec").alias("cvec"),
-        )
-    )
+    """Run Lloyd's iterations; returns per-iteration inertia (for tests)."""
+    pts = _load_points(spark, sf_dir)
+    centroids = _init_centroids(pts, k)
     inertia: list[float] = []
     for _ in range(iters):
-        assigned = _assign(pts, centroids)
-        inertia.append(assigned.agg(F.sum("d2")).collect()[0][0])
-        centroids = _recompute(spark, assigned)
+        centroids, cost = _update(_assign(pts, centroids), centroids)
+        inertia.append(cost)
     return inertia
-
-
-def _recompute(spark: SparkSession, assigned: DataFrame) -> DataFrame:
-    """New centroids from an assignment — materialized through the driver.
-
-    The k×dim table is tiny by construction (it must broadcast anyway);
-    collecting it truncates the logical plan between rounds, which
-    otherwise grows a new scan+agg layer per iteration (lineage blow-up —
-    the classic iterative-algorithm trap on Spark; checkpoint() is the
-    cluster-side equivalent).
-    """
-    rows = (
-        assigned.select("cluster", F.posexplode("vec").alias("i", "v"))
-        .groupBy("cluster", "i")
-        .agg(F.avg("v").alias("c"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
-        .select("cluster", F.expr("transform(ic, x -> x.c)").alias("cvec"))
-        .collect()
-    )
-    return spark.createDataFrame(
-        [(r["cluster"], list(r["cvec"])) for r in rows],
-        "cluster INT, cvec ARRAY<DOUBLE>",
-    )
 
 
 @register("kmeans_lloyd")  # rows-only: float centroid drift is engine-internal
@@ -108,20 +127,10 @@ def kmeans_lloyd_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-dependent, so exact cross-engine hashes don't apply;
     tests pin the algorithmic contract (inertia never increases) instead.
     """
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vec"),
-    )
-    centroids = (
-        pts.orderBy("vec_id")
-        .limit(_K)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
-            F.col("vec").alias("cvec"),
-        )
-    )
+    pts = _load_points(spark, sf_dir)
+    centroids = _init_centroids(pts, _K)
     for _ in range(_ITERS):
-        centroids = _recompute(spark, _assign(pts, centroids))
+        centroids, _cost = _update(_assign(pts, centroids), centroids)
     return (
         _assign(pts, centroids)
         .groupBy("cluster")
