@@ -36,10 +36,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: (session id, sf_dir, table) → lazy scan DataFrame. A DataFrame is an
+#: session → {(sf_dir, table) → lazy scan DataFrame}. A DataFrame is an
 #: immutable logical plan, so reusing one across queries is safe and skips
-#: the per-call footer read + analysis round-trip (~80 ms measured).
-_SCANS: dict[tuple[int, str, str], DataFrame] = {}
+#: the per-call footer read + analysis round-trip (~80 ms measured). The
+#: outer key holds a STRONG reference to the SparkSession — keying by
+#: id(spark) would let CPython reuse the address after GC and hand a new
+#: session another session's (stopped) plans.
+_SCANS: dict[SparkSession, dict[tuple[str, str], DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,16 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exceeds double's 53-bit mantissa, so ``/1000`` would round-trip through
     an imprecise double and can be off by a microsecond vs DuckDB's exact
     truncation.
+
+    ``ensure_confs`` runs on EVERY call (cache hit or not) — the session
+    contract is that each registered query re-pins the runtime confs, so
+    a host that flips e.g. the session timezone between queries can't
+    silently diverge from the oracles.
     """
-    key = (id(spark), sf_dir, name)
-    cached = _SCANS.get(key)
+    ensure_confs(spark)
+    per_session = _SCANS.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
-    ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _SCANS[key] = df
+    per_session[key] = df
     return df
 
 

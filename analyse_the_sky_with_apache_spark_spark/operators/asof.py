@@ -57,10 +57,14 @@ def asof_join(
         F.lit(0).alias("__is_left"),
     )
 
-    # right rows first at equal ts => "<=" semantics
+    # right rows first at equal ts => "<=" semantics; the trailing
+    # right-value columns break ties between DUPLICATE right rows at the
+    # same (key, ts) — without them last(ignorenulls) would pick whichever
+    # duplicate the shuffle ordered last (nondeterministic). Payload NULLs
+    # from left rows sort consistently and never win the fill.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__is_left")
+        .orderBy("__ts", "__is_left", *[F.col(out) for out in right_values])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled: list[Column] = [

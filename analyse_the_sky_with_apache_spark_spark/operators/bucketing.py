@@ -42,8 +42,15 @@ def _bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:
     """Write a fixture table bucketed on ``key`` (once per sf_dir) and
-    return it through the catalog, bucket metadata attached."""
-    tbl = f"bkt_{name}_{abs(hash(sf_dir)) % 10**8}"
+    return it through the catalog, bucket metadata attached.
+
+    The table name derives from a STABLE digest of sf_dir (str hash is
+    PYTHONHASHSEED-randomized per process — it would leak one full
+    bucketed copy per run into scratch instead of reusing)."""
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"bkt_{name}_{digest}"
     if not spark.catalog.tableExists(tbl):
         (
             load_table(spark, sf_dir, name)

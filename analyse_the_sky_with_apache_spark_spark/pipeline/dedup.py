@@ -184,13 +184,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is a ratio of exact ints — identical doubles in both engines.
     """
     d = load_table(spark, sf_dir, "documents")
+    # guard + cap mirror the oracle exactly: docs shorter than one shingle
+    # produce NO shingles (an unguarded sequence(1, n-7) turns DESCENDING
+    # for n < 8 and emits junk substr positions), and shingle starts cap
+    # at 999 to match the oracle's range(1, 1000) enumeration.
     sh = (
         d.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, CAST(n_chars AS INT) - {_SHINGLE - 1}),"
-                    f" i -> substr(text, i, {_SHINGLE}))"
+                    f"CASE WHEN n_chars >= {_SHINGLE} THEN "
+                    f"transform(sequence(1, least(CAST(n_chars AS INT) - {_SHINGLE - 1}, 999)),"
+                    f" i -> substr(text, i, {_SHINGLE})) "
+                    f"ELSE array() END"
                 )
             ).alias("s"),
         )
@@ -241,7 +247,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .similarity import cosine_pairs
 
-    pairs = cosine_pairs(spark, sf_dir)
+    pairs = cosine_pairs(spark, sf_dir, threshold=_COS_DUP_MIN)
     return pairs.filter(F.col("raw_cos") >= _COS_DUP_MIN).select(
         "ia", "ib", F.round("raw_cos", 6).alias("cos")
     )

@@ -57,12 +57,19 @@ def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cosine_pairs(spark: SparkSession, sf_dir: str, per_row_k: int = _TOP_K) -> DataFrame:
+def cosine_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    per_row_k: int = _TOP_K,
+    threshold: float | None = None,
+) -> DataFrame:
     """All candidate pairs (ia < ib) with cosine similarity, computed by
     the broadcast-matrix kernel. Emits each row's top-``per_row_k``
-    partners plus everything above the dedup threshold — a superset of
-    any global top-k ≤ per_row_k (a globally top-k pair is necessarily
-    within its own row's top-k).
+    partners — a superset of any global top-k ≤ per_row_k (a globally
+    top-k pair is necessarily within its own row's top-k) — plus, when
+    ``threshold`` is given, EVERY pair at or above it (so threshold
+    consumers like dedup_embed_cosine see the complete pair set even
+    when a vector has more than per_row_k qualifying partners).
 
     Normalization happens in numpy (one vectorized pass per side), not as
     a SQL ``aggregate`` lambda — the lambda re-evaluates the sum of
@@ -97,10 +104,13 @@ def cosine_pairs(spark: SparkSession, sf_dir: str, per_row_k: int = _TOP_K) -> D
                 cand_ids = all_ids[mask]
                 cand_sims = sims[qi, mask]
                 k = min(per_row_k, len(cand_ids))
-                top = np.argpartition(-cand_sims, k - 1)[:k]
-                out_ia.append(np.full(len(top), qid, dtype=np.int64))
-                out_ib.append(cand_ids[top])
-                out_cos.append(cand_sims[top])
+                keep = np.argpartition(-cand_sims, k - 1)[:k]
+                if threshold is not None:
+                    above = np.nonzero(cand_sims >= threshold)[0]
+                    keep = np.union1d(keep, above)
+                out_ia.append(np.full(len(keep), qid, dtype=np.int64))
+                out_ib.append(cand_ids[keep])
+                out_cos.append(cand_sims[keep])
             if out_ia:
                 yield pd.DataFrame(
                     {

@@ -111,11 +111,15 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     mu = pdf["o_totalprice"].mean()
     sd = pdf["o_totalprice"].std(ddof=1)
+    z = ((pdf["o_totalprice"] - mu) / sd).round(4)
+    # singleton group: pandas std(ddof=1) is NaN where SQL STDDEV_SAMP is
+    # NULL — map to a nullable float so the Arrow column carries NULL and
+    # the oracle comparison sees the same value.
     return pd.DataFrame(
         {
             "o_orderkey": pdf["o_orderkey"],
             "o_orderstatus": pdf["o_orderstatus"],
-            "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+            "z": z.astype("Float64") if z.isna().any() else z,
         }
     )
 

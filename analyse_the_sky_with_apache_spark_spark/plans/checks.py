@@ -56,7 +56,7 @@ def read_schema(df: DataFrame) -> str:
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle/broadcast-exchange) nodes in the plan —
     the scale-cost headline of any query."""
-    return plan_of(df).count("(") and sum(
+    return sum(
         1
         for line in plan_of(df).splitlines()
         if line.strip().startswith("(") and "Exchange" in line

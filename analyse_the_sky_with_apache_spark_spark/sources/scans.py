@@ -26,9 +26,11 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 
-#: per-process scratch root for sink round-trips; files are tiny (region /
-#: one lineitem projection) and overwritten on re-run.
-_SCRATCH = os.path.join(tempfile.gettempdir(), "sky_spark_sinks")
+#: per-PROCESS scratch root for sink round-trips; files are tiny (region /
+#: one lineitem projection). mkdtemp isolates concurrent check/bench
+#: processes — a shared fixed path lets one process overwrite a directory
+#: another is mid-read on.
+_SCRATCH = tempfile.mkdtemp(prefix="sky_spark_sinks_")
 
 
 @register(

@@ -51,10 +51,13 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding",
     oracle=f"""
-WITH starts AS (
-  SELECT unnest(generate_series(TIMESTAMP '2023-12-31 19:00:00',
-                                TIMESTAMP '2024-01-31 00:00:00',
-                                INTERVAL 1 HOUR)) AS ws
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) - INTERVAL 5 HOUR AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+starts AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ws FROM bounds
 )
 SELECT ws AS window_start, COUNT(*) AS n,
        {dsum_sql('e.value', 'sum_value', 6)}
@@ -67,7 +70,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour windows sliding every hour. The oracle regenerates Spark's
     epoch-aligned window-start grid with generate_series + a range join —
     an inner join, so only non-empty windows appear, exactly like the
-    streaming output."""
+    streaming output. The grid bounds derive from the DATA (hour-truncated
+    min ts minus the window overhang, through max ts): whole-hour slides
+    align to hour boundaries, which align to the epoch grid Spark uses, so
+    no fixture time-span is baked in."""
     src = stage_events(spark, sf_dir)
     agg = src.groupBy(F.window("ts", "6 hours", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value", 6)

@@ -44,7 +44,13 @@ def stage_events(
     """Write events to a staging dir as ``n_files`` time-ordered parquet
     files (ascending mtimes → the file source replays them in event-time
     order), then open a streaming reader over it."""
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{n_files}_{int(duplicate)}"
+    # cache key includes the source file's mtime so regenerated fixtures
+    # invalidate stale staged copies instead of silently replaying them.
+    src_mtime = int(os.path.getmtime(f"{sf_dir}/events.parquet"))
+    key = (
+        f"{sf_dir.strip('/').replace('/', '_')}_{n_files}_{int(duplicate)}"
+        f"_{src_mtime}"
+    )
     stage_dir = os.path.join(_STAGE_ROOT, key)
     final_dir = os.path.join(stage_dir, "data")
 
@@ -54,7 +60,10 @@ def stage_events(
 
     if not os.path.isdir(final_dir):  # deterministic content → cacheable
         os.makedirs(stage_dir, exist_ok=True)
-        tmp = os.path.join(stage_dir, "build")
+        # per-process build paths + atomic rename: concurrent stagers
+        # each build privately; the first rename wins, losers discard.
+        tmp = os.path.join(stage_dir, f"build-{os.getpid()}")
+        pending = f"{final_dir}.tmp-{os.getpid()}"
         if n_files == 1:
             chunks = [ev]
         else:
@@ -66,17 +75,23 @@ def stage_events(
                 ranked.filter(F.col("__chunk") == i + 1).drop("__chunk")
                 for i in range(n_files)
             ]
-        os.makedirs(final_dir + ".tmp", exist_ok=True)
+        os.makedirs(pending, exist_ok=True)
         for i, chunk in enumerate(chunks):
             chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
             part = next(
                 f for f in os.listdir(tmp) if f.endswith(".parquet")
             )
-            dst = os.path.join(final_dir + ".tmp", f"{i:04d}.parquet")
+            dst = os.path.join(pending, f"{i:04d}.parquet")
             shutil.copyfile(os.path.join(tmp, part), dst)
             os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
         shutil.rmtree(tmp)
-        os.rename(final_dir + ".tmp", final_dir)
+        try:
+            os.rename(pending, final_dir)
+        except OSError:
+            if os.path.isdir(final_dir):  # another process staged it first
+                shutil.rmtree(pending, ignore_errors=True)
+            else:
+                raise
 
     reader = spark.readStream.schema(ev.schema)
     if n_files > 1:
