@@ -18,7 +18,7 @@ At 100 TB both sides shuffle once on the key; AQE handles skewed keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,38 +41,56 @@ def asof_join(
 
     left_payload = [c for c in left.columns if c not in keys and c != left_ts]
 
+    # the right payload travels as ONE struct column: last(ignorenulls)
+    # then picks one whole right ROW (the struct is non-null for every
+    # right row even when individual fields are NULL), so a left row can
+    # never be filled with a field mix from different duplicate right
+    # rows — the row-integrity guarantee ASOF joins promise.
+    rv_struct = F.struct(
+        *[F.col(src).alias(out) for out, src in right_values.items()]
+    )
     l_side = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right.schema[src].dataType).alias(out)
-          for out, src in right_values.items()],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{out}: {right.schema[src].dataType.simpleString()}"
+                for out, src in right_values.items()
+            )
+            + ">"
+        )
+        .alias("__rv"),
         F.lit(1).alias("__is_left"),
     )
     r_side = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(src).alias(out) for out, src in right_values.items()],
+        rv_struct.alias("__rv"),
         F.lit(0).alias("__is_left"),
     )
 
-    # right rows first at equal ts => "<=" semantics; the trailing
-    # right-value columns break ties between DUPLICATE right rows at the
-    # same (key, ts) — without them last(ignorenulls) would pick whichever
-    # duplicate the shuffle ordered last (nondeterministic). Payload NULLs
-    # from left rows sort consistently and never win the fill.
+    # right rows first at equal ts => "<=" semantics; the trailing struct
+    # column breaks ties between DUPLICATE right rows at the same
+    # (key, ts) by field-lexicographic order — deterministic under any
+    # shuffle order. Left rows carry a NULL struct and never win the fill.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__is_left", *[F.col(out) for out in right_values])
+        .orderBy("__ts", "__is_left", "__rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled: list[Column] = [
-        F.last(out, ignorenulls=True).over(w).alias(out) for out in right_values
-    ]
+    filled = F.last("__rv", ignorenulls=True).over(w).alias("__rv_filled")
     return (
         l_side.unionByName(r_side)
-        .select(*keys, "__ts", *left_payload, *filled, "__is_left")
+        .select(*keys, "__ts", *left_payload, filled, "__is_left")
         .filter(F.col("__is_left") == 1)
-        .select(*keys, F.col("__ts").alias(left_ts), *left_payload, *right_values)
+        .select(
+            *keys,
+            F.col("__ts").alias(left_ts),
+            *left_payload,
+            *[F.col(f"__rv_filled.{out}").alias(out) for out in right_values],
+        )
     )

@@ -38,19 +38,38 @@ _N_BUCKETS = 8
 _SALT = 8
 
 
+def _cleanup_own_buckets() -> None:
+    """Remove this process's bucketed copies (suffix ``_<pid>``)."""
+    import shutil
+
+    suffix = f"_{os.getpid()}"
+    if os.path.isdir(_SCRATCH):
+        for d in os.listdir(_SCRATCH):
+            if d.endswith(suffix):
+                shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_own_buckets)
+
+
 def _bucketed_table(
     spark: SparkSession, sf_dir: str, name: str, key: str
 ) -> DataFrame:
-    """Write a fixture table bucketed on ``key`` (once per sf_dir) and
-    return it through the catalog, bucket metadata attached.
+    """Write a fixture table bucketed on ``key`` (once per sf_dir per
+    process) and return it through the catalog, bucket metadata attached.
 
-    The table name derives from a STABLE digest of sf_dir (str hash is
-    PYTHONHASHSEED-randomized per process — it would leak one full
-    bucketed copy per run into scratch instead of reusing)."""
-    import hashlib
+    Naming: a stable crc32 digest of sf_dir (never PYTHONHASHSEED-
+    randomized str hash, and no hashlib.md5 — FIPS hosts reject it) plus
+    the pid. The pid keeps concurrent processes off each other's paths
+    (each has a fresh in-memory metastore, so both would pass the
+    tableExists check and overwrite a shared path mid-read); the atexit
+    hook below removes this process's copies so isolation doesn't leak."""
+    import zlib
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tbl = f"bkt_{name}_{digest}"
+    digest = f"{zlib.crc32(sf_dir.encode()):08x}"
+    tbl = f"bkt_{name}_{digest}_{os.getpid()}"
     if not spark.catalog.tableExists(tbl):
         (
             load_table(spark, sf_dir, name)

@@ -31,29 +31,35 @@ from ..registry import register
 
 _TOP_K = 20
 
+def _normalize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "nvec": list(mat),
+            }
+        )
+
+
 def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings with an ℓ2-normalized double-precision vector column.
 
-    The norm is computed ONCE per row into its own column and referenced
-    from the divide lambda — inlining it into the per-element lambda
-    re-evaluates the sum of squares per element (O(dim²) per row; the
-    measured cost behind the 30 s naive baseline)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return (
-        e.select(
-            "vec_id",
-            "label",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
-        )
-        .withColumn(
-            "nrm",
-            F.expr(
-                "sqrt(aggregate(dvec, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))"
-            ),
-        )
-        .select(
-            "vec_id", "label", F.expr("transform(dvec, x -> x / nrm)").alias("nvec")
-        )
+    Normalization runs as ONE vectorized numpy pass per Arrow batch
+    (mapInPandas). A pure-SQL rewrite that projects the norm into its own
+    column does NOT survive optimization: Catalyst's CollapseProject
+    inlines single-use aliases back into the divide lambda, and
+    higher-order-function bodies re-evaluate per element — restoring the
+    O(dim²)-per-row cost behind the 30 s naive baseline (verified against
+    the optimized plan). The Arrow boundary is the barrier the optimizer
+    can't collapse, and the numpy kernel is faster anyway."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    return e.mapInPandas(
+        _normalize_batches, "vec_id BIGINT, label INT, nvec ARRAY<DOUBLE>"
     )
 
 

@@ -29,8 +29,20 @@ from ..registry import register
 #: per-PROCESS scratch root for sink round-trips; files are tiny (region /
 #: one lineitem projection). mkdtemp isolates concurrent check/bench
 #: processes — a shared fixed path lets one process overwrite a directory
-#: another is mid-read on.
+#: another is mid-read on — and the atexit hook removes it so isolation
+#: doesn't leak a directory per run.
 _SCRATCH = tempfile.mkdtemp(prefix="sky_spark_sinks_")
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_scratch)
 
 
 @register(

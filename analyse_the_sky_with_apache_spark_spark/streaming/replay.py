@@ -45,12 +45,16 @@ def stage_events(
     files (ascending mtimes → the file source replays them in event-time
     order), then open a streaming reader over it."""
     # cache key includes the source file's mtime so regenerated fixtures
-    # invalidate stale staged copies instead of silently replaying them.
+    # invalidate stale staged copies instead of silently replaying them;
+    # superseded mtimes for the same prefix are pruned below so the stage
+    # root doesn't accumulate one copy per regeneration.
     src_mtime = int(os.path.getmtime(f"{sf_dir}/events.parquet"))
-    key = (
-        f"{sf_dir.strip('/').replace('/', '_')}_{n_files}_{int(duplicate)}"
-        f"_{src_mtime}"
-    )
+    prefix = f"{sf_dir.strip('/').replace('/', '_')}_{n_files}_{int(duplicate)}"
+    key = f"{prefix}_{src_mtime}"
+    if os.path.isdir(_STAGE_ROOT):
+        for d in os.listdir(_STAGE_ROOT):
+            if d.startswith(f"{prefix}_") and d != key:
+                shutil.rmtree(os.path.join(_STAGE_ROOT, d), ignore_errors=True)
     stage_dir = os.path.join(_STAGE_ROOT, key)
     final_dir = os.path.join(stage_dir, "data")
 
