@@ -104,3 +104,40 @@ def test_kmeans_inertia_monotone(spark):
     assert inertia[0] > 0  # non-trivial start (guards a degenerate fixture)
     for a, b in zip(inertia, inertia[1:]):
         assert b <= a * (1 + 1e-9), inertia
+
+
+def test_simhash_finds_identical_word_sets(spark):
+    """Documents with IDENTICAL word sets have identical simhash
+    fingerprints (hamming 0), so every such pair MUST appear in the
+    banded candidate output — a zero-tolerance recall floor (377 such
+    pairs exist at sf0.001)."""
+    import itertools
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    words = {r["doc_id"]: frozenset(r["text"].split()) for r in docs}
+    identical = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if words[a] == words[b]
+    }
+    assert identical, "fixture should contain identical-word-set pairs"
+
+    found = {
+        (r["ia"], r["ib"])
+        for r in queries()["dedup_simhash"](spark, SF_DIR).collect()
+    }
+    missed = identical - found
+    assert not missed, f"simhash missed {len(missed)} hamming-0 pairs"
+
+
+def test_hash_native_and_sample_deterministic(spark):
+    """Spark-native hashes and seeded sampling are engine-internal (no
+    oracle) but must be stable run-to-run within the engine."""
+    for key in ("fn_hash_native", "tablesample", "mm_media_metadata"):
+        a = sorted(map(tuple, queries()[key](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, queries()[key](spark, SF_DIR).collect()))
+        assert a == b, f"{key} differs between runs"
+    # the seeded sample is a genuine subset of the expected magnitude
+    n_sample = len(queries()["tablesample"](spark, SF_DIR).collect())
+    n_total = load_table(spark, SF_DIR, "lineitem").count()
+    assert 0.05 * n_total < n_sample < 0.15 * n_total
