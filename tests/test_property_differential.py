@@ -151,6 +151,39 @@ def test_join_types_agree(spark, duck, where, jtype):
 
 @_SETTINGS
 @given(
+    where_a=_predicates,
+    where_b=_predicates,
+    op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+)
+def test_set_ops_agree(spark, duck, where_a, where_b, op):
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {where_a}"
+        f" {op} "
+        f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {where_b}",
+        tables=("lineitem",),
+    )
+
+
+@_SETTINGS
+@given(
+    where=_predicates,
+    min_n=st.integers(min_value=1, max_value=30),
+)
+def test_having_agrees(spark, duck, where, min_n):
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT l_orderkey, COUNT(*) AS n, MIN(l_linenumber) AS mn"
+        f" FROM lineitem WHERE {where}"
+        f" GROUP BY l_orderkey HAVING COUNT(*) >= {min_n}",
+        tables=("lineitem",),
+    )
+
+
+@_SETTINGS
+@given(
     where=_predicates,
     frame=st.integers(min_value=0, max_value=9),
 )
