@@ -157,3 +157,71 @@ def lightcurve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_mean"),
         F.max("value").over(w5).alias("roll_max"),
     )
+
+
+@register(
+    "xmatch_2d",
+    oracle="""
+SELECT a.p_partkey AS ia, b.p_partkey AS ib,
+       CAST(ROUND(a.p_retailprice*100) AS BIGINT)
+         - CAST(ROUND(b.p_retailprice*100) AS BIGINT) AS dprice_cents,
+       a.p_size - b.p_size AS dsize
+FROM part a, part b
+WHERE a.p_partkey < b.p_partkey
+  AND abs(CAST(ROUND(a.p_retailprice*100) AS BIGINT)
+          - CAST(ROUND(b.p_retailprice*100) AS BIGINT)) <= 25
+  AND abs(a.p_size - b.p_size) <= 1
+""",
+)
+def xmatch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional self cross-match — the full sky-coordinate shape.
+
+    Pairs of parts within 0.25 on price AND 1 on size. Each row gets one
+    home cell on the integer grid (price div 25-cents, size div 1); one
+    side replicates into its 3x3 neighborhood, the join is a plain
+    equi-join on the composite cell id, and the exact 2-D band predicate
+    prunes the candidates. Versus the naive theta join (O(n^2) nested
+    loop), the pair space shrinks to co-celled candidates — the same
+    plan RA/Dec cross-match uses at survey scale, with AQE splitting any
+    hot cell (a dense cluster) at runtime.
+    """
+    eps_p, eps_s = 25, 1
+    base = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    a = base.select(
+        F.col("p_partkey").alias("ia"),
+        F.col("cents").alias("a_cents"),
+        F.col("size").alias("a_size"),
+        F.expr(f"cents div {eps_p}").alias("cx"),
+        F.expr(f"size div {eps_s}").alias("cy"),
+    )
+    b = base.select(
+        F.col("p_partkey").alias("ib"),
+        F.col("cents").alias("b_cents"),
+        F.col("size").alias("b_size"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(cents div {eps_p} + dx AS cx, "
+                f"size div {eps_s} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("ib", "b_cents", "b_size", "cell.cx", "cell.cy")
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.abs(F.col("a_cents") - F.col("b_cents")) <= eps_p)
+            & (F.abs(F.col("a_size") - F.col("b_size")) <= eps_s)
+        )
+        .select(
+            "ia",
+            "ib",
+            (F.col("a_cents") - F.col("b_cents")).alias("dprice_cents"),
+            (F.col("a_size") - F.col("b_size")).alias("dsize"),
+        )
+    )
