@@ -376,3 +376,31 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="kind",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.90), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS price_med
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines sort-and-interpolate
+    with the same linear rule, so results agree to float precision;
+    rounded at 6 per §5.3). The exact form needs a per-group sort — at
+    100 TB prefer percentile_approx (t-digest sketch, mergeable,
+    constant memory) unless exactness is a requirement.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.90)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("price_med"),
+    )
