@@ -39,10 +39,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: session → {(sf_dir, table) → lazy scan DataFrame}. A DataFrame is an
 #: immutable logical plan, so reusing one across queries is safe and skips
 #: the per-call footer read + analysis round-trip (~80 ms measured). The
-#: outer key holds a STRONG reference to the SparkSession — keying by
-#: id(spark) would let CPython reuse the address after GC and hand a new
-#: session another session's (stopped) plans.
-_SCANS: dict[SparkSession, dict[tuple[str, str], DataFrame]] = {}
+#: outer key is a WEAK reference to the SparkSession: identity-keyed (so a
+#: recycled id() can never alias a new session to a stopped session's
+#: plans) but evicted when the host drops the session, so a long-lived
+#: driver that cycles sessions doesn't pin every one for process life.
+import weakref  # noqa: E402
+
+_SCANS: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

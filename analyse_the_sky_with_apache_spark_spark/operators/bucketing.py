@@ -133,8 +133,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (key, salt) splits each key's rows across S tasks. The oracle is
     the unsalted join: identical results, different physical spread.
     """
+    # 0-based salt: l_linenumber is 1..7, so a bare `% _SALT` would never
+    # produce salt 0 — one build-side replica per key would join nothing
+    # and the hot key would spread over only _SALT-1 reducers.
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % _SALT).cast("int")
+        "salt", ((F.col("l_linenumber") - 1) % _SALT).cast("int")
     )
     o = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)]))

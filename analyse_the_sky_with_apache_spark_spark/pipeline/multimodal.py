@@ -70,7 +70,7 @@ def _binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": [len(b) for b in payloads],
-                "content_md5": [hashlib.md5(b).hexdigest() for b in payloads],
+                "content_md5": [hashlib.md5(b, usedforsecurity=False).hexdigest() for b in payloads],
                 "fake_gray": [(len(b) % 256) / 255.0 for b in payloads],
             }
         )
@@ -167,7 +167,7 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows_id.append(int(i))
                 rows_idx.append(idx)
                 rows_tag.append(
-                    hashlib.md5(f"{int(i)}:{idx}".encode()).hexdigest()
+                    hashlib.md5(f"{int(i)}:{idx}".encode(), usedforsecurity=False).hexdigest()
                 )
         yield pd.DataFrame(
             {"doc_id": rows_id, "frame_idx": rows_idx, "frame_tag": rows_tag}

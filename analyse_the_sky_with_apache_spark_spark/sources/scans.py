@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 
 #: per-PROCESS scratch root for sink round-trips; files are tiny (region /
@@ -99,9 +100,9 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_parquet",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue', 4)},
        COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -119,9 +120,10 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # the engine's exact scaled-long sum, NOT round(sum(double)) —
+            # float sums are association-order-dependent and can round to
+            # different cents across engines (SURVEY.md §5.3 hazard 2)
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
             F.count(F.lit(1)).alias("n"),
         )
     )

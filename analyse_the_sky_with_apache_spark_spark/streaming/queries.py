@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, dsum_sql
 from ..registry import register
-from .replay import run_stream, stage_events
+from .replay import checkpoint_dir, run_stream, stage_events
 
 
 @register(
@@ -233,7 +233,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         src.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", __import__("tempfile").mkdtemp("fb"))
+        .option("checkpointLocation", checkpoint_dir("fb"))
         .trigger(availableNow=True)
         .start()
     )

@@ -34,6 +34,24 @@ from ..catalog import load_table
 
 _STAGE_ROOT = "/tmp/analyse_the_sky_stream_stage"
 
+#: one checkpoint root per process, removed at exit — per-query mkdtemp
+#: with no cleanup leaks dozens of sky_ckpt_* dirs per check/bench run.
+_CKPT_ROOT = tempfile.mkdtemp(prefix="sky_ckpt_root_")
+
+
+def checkpoint_dir(name: str) -> str:
+    """A fresh checkpoint location under the process's cleaned-up root."""
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
+
+
+def _cleanup_ckpt() -> None:
+    shutil.rmtree(_CKPT_ROOT, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_ckpt)
+
 
 def stage_events(
     spark: SparkSession,
@@ -116,7 +134,7 @@ def run_stream(
         transformed.writeStream.format("memory")
         .queryName(qname)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sky_ckpt_"))
+        .option("checkpointLocation", checkpoint_dir(qname))
         .trigger(availableNow=True)
         .start()
     )

@@ -38,7 +38,9 @@ def test_minhash_recall_of_true_near_dups(spark):
     word-set jaccard ≥ 0.7 (threshold 0.3 distance ↔ 0.7 similarity).
     Measured 93.3% at sf0.001 with 5 hash tables."""
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
-    words = {r["doc_id"]: set(r["text"].split()) for r in docs}
+    # truth over LOWERCASED tokens — the operator's Tokenizer lowercases,
+    # so case-sensitive truth would spuriously flag boundary pairs.
+    words = {r["doc_id"]: set(r["text"].lower().split()) for r in docs}
     true_pairs = set()
     for a, b in itertools.combinations(sorted(words), 2):
         sa, sb = words[a], words[b]
@@ -52,9 +54,11 @@ def test_minhash_recall_of_true_near_dups(spark):
     }
     recall = len(true_pairs & found) / len(true_pairs)
     assert recall >= 0.85, f"minhash recall {recall:.3f}"
-    # precision: every candidate the join emits is a true near-dup
-    # (the exact-distance filter inside approxSimilarityJoin guarantees it)
-    assert found <= true_pairs
+    # precision: approxSimilarityJoin's exact-distance filter makes every
+    # emitted candidate a true near-dup in FEATURE space; tiny slack
+    # covers HashingTF bucket collisions merging distinct words.
+    precision = len(true_pairs & found) / len(found)
+    assert precision >= 0.99, f"minhash precision {precision:.3f}"
 
 
 def test_lsh_knn_overlaps_brute_force(spark):
