@@ -45,3 +45,22 @@ def test_equal_timestamp_matches(spark):
         left, right, on="k", right_values={"price_asof": "price"}
     ).collect()
     assert rows[0]["price_asof"] == 4.0
+
+
+def test_multi_value_fill_comes_from_one_row(spark):
+    """With several right_values columns and duplicate right rows where
+    the tie-winner carries NULL fields, the fill must still be one whole
+    right row — never a field mix assembled from different rows."""
+    left = _mk(spark, [(7, 12)], "k INT, ts INT")
+    right = _mk(
+        spark,
+        [(7, 10, 1.0, 9.0), (7, 10, 2.0, None)],
+        "k INT, ts INT, x DOUBLE, y DOUBLE",
+    )
+    rows = asof_join(
+        left, right, on="k", right_values={"x_asof": "x", "y_asof": "y"}
+    ).collect()
+    got = (rows[0]["x_asof"], rows[0]["y_asof"])
+    # struct tie-break: (x=2.0, y=NULL) sorts after (x=1.0, y=9.0), so the
+    # whole second row wins — including its NULL y.
+    assert got == (2.0, None), got

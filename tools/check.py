@@ -4,7 +4,11 @@ Runs every registered query through Spark AND its oracle SQL through
 DuckDB at a given scale factor, then compares row count, column names and
 order-insensitive values — the same contract the driver's t2 enforces.
 
-Usage:  python tools/check.py [sf_dir] [key ...]
+Usage:  python tools/check.py [--vanilla] [sf_dir] [key ...]
+
+``--vanilla`` runs against a bare ``SparkSession.builder`` session with
+none of the engine's confs — exactly what the external driver builds —
+so conf-dependence bugs surface here first.
 """
 
 from __future__ import annotations
@@ -40,10 +44,19 @@ def _norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark("check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
