@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 
 
@@ -235,4 +236,55 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w).alias("last_key"),
         F.first("o_totalprice").over(w).alias("first_price"),
+    )
+
+
+@register(
+    "sessionize_batch",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, {dsum_sql('value', 'sum_value', 6)}
+FROM y
+GROUP BY user_id, sid
+""",
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, the canonical window composition: lag gives
+    the inter-event gap, a gap ≥ 30 min flags a session start, a running
+    sum over the flags numbers the sessions, and a group-by rolls each
+    session up. Same semantics as the streaming ``session_window`` path
+    (stream_session) — three independent implementations of one
+    definition now check each other through the oracle. One shuffle on
+    the user key; every window and the final aggregate share it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us >= 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value", 6),
     )
