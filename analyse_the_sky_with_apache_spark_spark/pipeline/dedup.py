@@ -251,3 +251,35 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("raw_cos") >= _COS_DUP_MIN).select(
         "ia", "ib", F.round("raw_cos", 6).alias("cos")
     )
+
+
+@register(
+    "dedup_corpus_survivors",
+    oracle="""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, md5(d.text) AS content_h
+FROM documents d JOIN keepers USING (doc_id)
+""",
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup OUTPUT: the surviving corpus itself, full
+    rows, not just keeper ids — what a training pipeline actually writes
+    back out. The window-keeper idiom carries every column through one
+    shuffle on the content hash; no second join against the source is
+    needed (the groupBy-then-join-back form the oracle uses would scan
+    the corpus twice and shuffle it twice).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id", "lang", "source", "n_chars",
+            h.alias("content_h"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
