@@ -39,7 +39,17 @@ _str_pred = st.builds(
         unique=True,
     ),
 )
-_pred = st.one_of(_num_pred, _str_pred)
+_date_pred = st.builds(
+    lambda y1, m1, y2, m2: (
+        f"l_shipdate BETWEEN TIMESTAMP '{min(y1, y2)}-{min(m1, m2):02d}-01 00:00:00'"
+        f" AND TIMESTAMP '{max(y1, y2)}-{max(m1, m2):02d}-28 00:00:00'"
+    ),
+    st.integers(min_value=1995, max_value=2001),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1995, max_value=2001),
+    st.integers(min_value=1, max_value=12),
+)
+_pred = st.one_of(_num_pred, _str_pred, _date_pred)
 
 _predicates = st.builds(
     lambda ps, conj: f" {conj} ".join(f"({p})" for p in ps),
