@@ -288,3 +288,71 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value", 6),
     )
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS day_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), cal AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT c.user_id, c.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+""",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample + gap fill — regularize an irregular time series.
+
+    The light-curve / observation-log shape: aggregate events to one row
+    per (object, day), then densify to the full per-object calendar with
+    ``sequence(min_day, max_day)`` + ``explode``, left-join the observed
+    days back, and forward-fill the measurement with
+    ``last(ignorenulls=True)`` over an unbounded-preceding ROWS frame.
+    Missing days surface as ``is_gap=1`` with ``n_events=0``.
+
+    Scale: the calendar is generated per key from its own bounds — no
+    driver-side date loop, no cross join against a global calendar — so
+    densification is O(days-per-key) rows emitted map-side. All four
+    stages (daily agg, bounds agg, join, fill window) hash on the same
+    user key family; the daily sum uses the exact scaled-long path so the
+    forward-filled doubles are bit-identical to the oracle's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "day_value", 6),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    )

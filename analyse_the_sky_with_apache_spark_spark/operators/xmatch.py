@@ -36,6 +36,40 @@ from ..registry import register
 _EPS_CENTS = 100
 
 
+def _balance_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (customer, supplier) pairs within ``_EPS_CENTS`` on balance.
+
+    The shared bin-then-equi-join stage: quantize balances to integer
+    cents, cell width = eps, replicate the smaller catalog (supplier)
+    into its 3 neighboring cells, hash-join on the cell id, then apply
+    the exact band predicate. Output columns: c_custkey, s_suppkey,
+    c_cents, s_cents.
+    """
+    eps = _EPS_CENTS
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents"),
+    ).withColumn("cell", F.expr(f"c_cents div {eps}"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.array(
+                F.expr(f"s_cents div {eps} - 1"),
+                F.expr(f"s_cents div {eps}"),
+                F.expr(f"s_cents div {eps} + 1"),
+            )
+        ),
+    )
+    return (
+        c.join(s, "cell")
+        .filter(F.abs(F.col("c_cents") - F.col("s_cents")) <= eps)
+        .select("c_custkey", "s_suppkey", "c_cents", "s_cents")
+    )
+
+
 @register(
     "xmatch_binned",
     oracle=f"""
@@ -55,34 +89,64 @@ def xmatch_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; the oracle is the naive band join, so the hash check proves
     the binned plan finds exactly the naive pair set.
     """
-    eps = _EPS_CENTS
-    c = load_table(spark, sf_dir, "customer").select(
+    return _balance_candidates(spark, sf_dir).select(
         "c_custkey",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents"),
-    ).withColumn("cell", F.expr(f"c_cents div {eps}"))
-    # replicate the SMALLER catalog into its neighbor cells; a candidate
-    # pair within eps is always within one cell of width eps.
-    s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.array(
-                F.expr(f"s_cents div {eps} - 1"),
-                F.expr(f"s_cents div {eps}"),
-                F.expr(f"s_cents div {eps} + 1"),
-            )
-        ),
+        (F.col("c_cents") - F.col("s_cents")).alias("delta_cents"),
     )
-    return (
-        c.join(s, "cell")  # equi-join on the integer cell id
-        .filter(F.abs(F.col("c_cents") - F.col("s_cents")) <= eps)
-        .select(
-            "c_custkey",
-            "s_suppkey",
-            (F.col("c_cents") - F.col("s_cents")).alias("delta_cents"),
-        )
+
+
+@register(
+    "xmatch_nearest",
+    oracle=f"""
+WITH cand AS (
+  SELECT c_custkey, s_suppkey,
+         CAST(ROUND(c_acctbal*100) AS BIGINT)
+           - CAST(ROUND(s_acctbal*100) AS BIGINT) AS delta_cents
+  FROM customer, supplier
+  WHERE abs(CAST(ROUND(c_acctbal*100) AS BIGINT)
+            - CAST(ROUND(s_acctbal*100) AS BIGINT)) <= {_EPS_CENTS}
+)
+SELECT c_custkey,
+       arg_min(s_suppkey, abs(delta_cents)*1000000 + s_suppkey) AS s_suppkey,
+       arg_min(delta_cents, abs(delta_cents)*1000000 + s_suppkey) AS delta_cents,
+       MIN(abs(delta_cents)) AS abs_delta_cents
+FROM cand GROUP BY c_custkey
+""",
+)
+def xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-match-within-radius — nearest-neighbor catalog cross-match.
+
+    The other signature astronomy join: for each object in catalog A,
+    keep only the single closest object from catalog B within the match
+    radius (not all pairs). Candidates come from the same binned
+    equi-join stage as ``xmatch_binned``; the per-object argmin is one
+    hash aggregation over a lexicographic struct min — fully
+    deterministic because the ordinal ``|delta|*1e6 + s_suppkey`` embeds
+    a unique tie-break. No window, no second shuffle: groupBy(c_custkey)
+    with map-side partial min, so at 100 TB the reduce stage carries one
+    row per matched object, not one per candidate pair.
+    """
+    cand = _balance_candidates(spark, sf_dir).select(
+        "c_custkey",
+        "s_suppkey",
+        (F.col("c_cents") - F.col("s_cents")).alias("delta_cents"),
+    )
+    ordinal = F.abs(F.col("delta_cents")) * 1000000 + F.col("s_suppkey")
+    best = cand.groupBy("c_custkey").agg(
+        F.min(
+            F.struct(
+                ordinal.alias("ord"),
+                F.col("s_suppkey").alias("s_suppkey"),
+                F.col("delta_cents").alias("delta_cents"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("m.s_suppkey").alias("s_suppkey"),
+        F.col("m.delta_cents").alias("delta_cents"),
+        F.abs(F.col("m.delta_cents")).alias("abs_delta_cents"),
     )
 
 

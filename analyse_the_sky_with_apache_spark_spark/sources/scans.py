@@ -159,3 +159,25 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: Spark's second columnar format, hash-verified.
+
+    DuckDB cannot read ORC, so the oracle checks the *content*: the
+    round-tripped rows must equal the parquet original. ORC keeps the
+    vectorized reader + predicate pushdown properties of parquet; at
+    100 TB the choice between them is an ecosystem question, not a plan
+    question — every operator in this engine is storage-format agnostic
+    past the scan node.
+    """
+    path = os.path.join(_SCRATCH, "region_orc")
+    df = load_table(spark, sf_dir, "region")
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("r_regionkey", "r_name")
