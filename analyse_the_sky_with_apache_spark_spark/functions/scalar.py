@@ -381,3 +381,29 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("k_shr"),
         F.bit_count(k).alias("k_bits"),
     )
+
+
+@register(
+    "fn_generator",
+    oracle="""
+SELECT doc_id,
+       CAST(UNNEST(range(len(string_split(text, ' ')))) AS INT) AS pos,
+       UNNEST(string_split(text, ' ')) AS word
+FROM documents
+""",
+)
+def fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (table-valued) expressions: posexplode with ordinality.
+
+    ``posexplode`` emits (position, element) pairs — the ordinality-
+    preserving lateral flatten (DuckDB: zipped UNNESTs). Generate exec
+    runs map-side inside whole-stage codegen: no shuffle, output rows =
+    total token count. Position is the 0-based array index, so token
+    order survives the flatten — required by any sequence-aware
+    downstream (n-grams, positional features).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )

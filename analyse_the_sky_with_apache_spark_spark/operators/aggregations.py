@@ -404,3 +404,39 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.90)), 6).alias("p90"),
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("price_med"),
     )
+
+
+@register(
+    "agg_cond",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       arg_max(o_orderkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+         AS top_orderkey
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def agg_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / argmax aggregates in one pass.
+
+    ``count_if`` + ``bool_and``/``bool_or`` + ``max_by`` — the
+    filtered-aggregate family. All evaluate in a single
+    HashAggregate with map-side partials (booleans combine as AND/OR,
+    count_if as sum), so adding predicates adds zero shuffles. The
+    ``max_by`` ordinal is an exact integer (cents ⊕ orderkey) so the
+    argmax is tie-free and hash-stable across engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ordinal = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.max_by("o_orderkey", ordinal).alias("top_orderkey"),
+    )

@@ -197,3 +197,52 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         _frame_sample, "doc_id BIGINT, frame_idx BIGINT, frame_tag STRING"
     )
+
+
+@register(
+    "emb_quantize",
+    oracle="""
+SELECT vec_id,
+  list_transform(embedding, v ->
+    CAST(FLOOR((CAST(v AS DOUBLE) - CAST(list_aggregate(embedding,'min') AS DOUBLE)) * 127.0
+      / GREATEST(CAST(list_aggregate(embedding,'max') AS DOUBLE)
+                 - CAST(list_aggregate(embedding,'min') AS DOUBLE), 1e-12)) AS INT)) AS codes,
+  list_aggregate(list_transform(embedding, v ->
+    CAST(FLOOR((CAST(v AS DOUBLE) - CAST(list_aggregate(embedding,'min') AS DOUBLE)) * 127.0
+      / GREATEST(CAST(list_aggregate(embedding,'max') AS DOUBLE)
+                 - CAST(list_aggregate(embedding,'min') AS DOUBLE), 1e-12)) AS BIGINT)), 'sum') AS code_sum,
+  ROUND(CAST(list_aggregate(embedding,'min') AS DOUBLE), 6) AS vmin,
+  ROUND(CAST(list_aggregate(embedding,'max') AS DOUBLE), 6) AS vmax
+FROM embeddings
+""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column.
+
+    The storage-compression step of a vector pipeline: min-max quantize
+    each float32 vector to 7-bit codes (4x smaller, 0..127), keeping the
+    per-vector (vmin, vmax) scale pair for dequantization. Pure built-in
+    higher-order functions (``transform`` with an outer min/max
+    reference) — per-row, map-side, no shuffle, no Python; identical
+    IEEE double arithmetic in the same association order on both engines
+    makes even the FLOOR boundaries hash-stable. ``code_sum`` is an
+    order-independent integer checksum of the whole code array.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    rng = F.greatest(mx - mn, F.lit(1e-12))
+    code = lambda v: F.floor((v.cast("double") - mn) * 127.0 / rng)  # noqa: E731
+    codes = F.transform("embedding", lambda v: code(v).cast("int"))
+    code_sum = F.aggregate(
+        F.transform("embedding", lambda v: code(v)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        codes.alias("codes"),
+        code_sum.alias("code_sum"),
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+    )

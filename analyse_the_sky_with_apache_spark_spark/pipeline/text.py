@@ -305,3 +305,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "text_chunk",
+    oracle="""
+SELECT doc_id, CAST(n AS INT) AS chunk_id,
+       substr(text, CAST(n*90 + 1 AS INT), 120) AS chunk,
+       length(substr(text, CAST(n*90 + 1 AS INT), 120)) AS chunk_len
+FROM documents,
+     UNNEST(range(0, CAST(GREATEST(CEIL(n_chars / 90.0), 1) AS BIGINT))) AS u(n)
+""",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step.
+
+    Chunks of 120 characters with stride 90 (30-char overlap): chunk
+    starts are ``sequence(0, n_chunks-1)`` exploded map-side, the slice
+    is a built-in ``substr`` — zero Python, zero shuffle, output rows ≈
+    input_chars/stride. At 100 TB chunking is embarrassingly parallel
+    per input split; the overlap parameterization (chunk > stride) is
+    what RAG/embedding pipelines need so no boundary sentence is lost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(F.ceil(F.col("n_chars") / F.lit(90.0)), F.lit(1)).cast(
+        "long"
+    )
+    start = F.col("chunk_id").cast("int") * 90 + 1
+    chunk = F.col("text").substr(start, F.lit(120))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
