@@ -183,6 +183,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on hot shingles to kill the head of the join-skew.
     Jaccard is a ratio of exact ints — identical doubles in both engines.
     """
+    return jaccard_pairs(spark, sf_dir, _JACCARD_MIN)
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str, jmin: float) -> DataFrame:
+    """Char-8-gram Jaccard pairs (ia < ib, jaccard >= jmin) — shared kernel."""
     d = load_table(spark, sf_dir, "documents")
     # guard + cap mirror the oracle exactly: docs shorter than one shingle
     # produce NO shingles (an unguarded sequence(1, n-7) turns DESCENDING
@@ -220,7 +225,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return jac.filter(F.col("jaccard") >= _JACCARD_MIN)
+    return jac.filter(F.col("jaccard") >= jmin)
 
 
 _COS_DUP_MIN = 0.45
@@ -283,3 +288,94 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_CC_JACCARD = 0.5
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
+  FROM documents, range(1, 1000) t(i)
+  WHERE i <= n_chars - {_SHINGLE - 1}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ia, ib FROM inter
+  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+  WHERE i * 1.0 / (x.n + y.n - i) >= {_CC_JACCARD}
+),
+edges AS (SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib AS a, ia AS b FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM edges e JOIN reach ON e.a = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    graph (edges = char-8-gram Jaccard >= 0.5), component id = min doc_id.
+
+    The step after pair finding in every corpus dedup pipeline: near-dup
+    PAIRS must become duplicate CLUSTERS before survivor selection, and
+    pairs are not transitive — A~B, B~C puts A,C in one cluster with no
+    direct edge. Implemented as iterative min-label propagation: each
+    round every node takes the min component id over itself and its
+    neighbors (one join + one groupBy per round), with
+    ``localCheckpoint`` truncating the lineage so the plan stays flat,
+    and a driver-side one-scalar convergence probe (rounds needed =
+    graph diameter, not data size). At 100 TB the same loop runs with
+    the alternating large-star/small-star optimization (Kiveris et al.,
+    "Connected Components in MapReduce"); label propagation is the
+    standard Spark shape since no recursive SQL exists there. The DuckDB
+    oracle computes the same fixpoint declaratively with a recursive CTE
+    — two genuinely independent algorithms checking each other.
+    """
+    edges = jaccard_pairs(spark, sf_dir, _CC_JACCARD).select("ia", "ib")
+    und = edges.union(edges.select(F.col("ib"), F.col("ia"))).toDF("src", "dst")
+    # seed: every doc is its own component (singletons stay in the output)
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        neigh = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("ncomp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
