@@ -407,3 +407,36 @@ def fn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract(props, '$.k') AS DOUBLE) AS k_double,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.missing') AS INT) AS k_missing
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT columns (Spark 4): parse once, extract typed.
+
+    ``parse_json`` decodes the JSON string into the binary VARIANT
+    encoding a single time; each ``variant_get`` then navigates the
+    pre-parsed tree — unlike ``get_json_object``, which re-parses the
+    string per call (a measured trap, see fn_json). Missing paths yield
+    NULL via ``try_variant_get``. At 100 TB VARIANT is the schema-on-read
+    answer for heterogeneous event payloads: store once as VARIANT,
+    shred typed columns at query time with full codegen support.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_double"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+    )

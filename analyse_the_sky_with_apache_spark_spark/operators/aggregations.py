@@ -440,3 +440,27 @@ def agg_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.max_by("o_orderkey", ordinal).alias("top_orderkey"),
     )
+
+
+@register("agg_hll_sketch")  # rows-only: Datasketches HLL != DuckDB's sketch
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+).
+
+    The two-level pattern that matters at 100 TB: build per-(status,
+    priority) sketches once, then UNION the binary sketches to any
+    coarser grouping — here per-status distinct customers — without
+    touching the raw data again. ``hll_sketch_agg`` partials combine
+    map-side like any aggregate; the re-aggregation input is one small
+    sketch blob per group, so rollups over a trillion-row fact cost one
+    pass plus sketch-merge arithmetic. Estimate error bound vs the exact
+    count is asserted in tests/test_approx.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 14).alias("sk")
+    )
+    return sk.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias(
+            "approx_custkeys"
+        )
+    )

@@ -30,3 +30,22 @@ def test_approx_count_distinct_within_rsd(spark):
         (approx["approx_supps"], exact["supps"]),
     ):
         assert abs(est - true) <= max(4 * 0.01 * true, 1), (est, true)
+
+
+def test_hll_sketch_union_within_bound(spark):
+    """Sketch-merge estimate must track the exact rollup within ~2% (lgK=14)."""
+    rows = {
+        r["o_orderstatus"]: r["approx_custkeys"]
+        for r in queries()["agg_hll_sketch"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert rows.keys() == exact.keys()
+    for status, est in rows.items():
+        true = exact[status]
+        assert abs(est - true) <= max(4 * 0.02 * true, 2), (status, est, true)
