@@ -440,3 +440,48 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+SELECT c_custkey,
+       lower(replace(c_name, '#', '')) || '.example.com' AS host,
+       '/seg/' || CAST(c_nationkey AS VARCHAR) AS path,
+       'q=' || c_mktsegment AS query,
+       'c=' || c_mktsegment AS q_param
+FROM customer
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: build a URL, then take it apart with ``parse_url``.
+
+    The oracle derives each component directly from the source columns,
+    so ``parse_url``'s HOST/PATH/QUERY/QUERY-param extraction is checked
+    against an independent ground-truth construction — not against
+    another URL parser. Web-corpus pipelines need this for host-level
+    dedup and robots/quality filtering; it's a codegen'd JVM expression,
+    no regex in Python.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.lit(".example.com/seg/"),
+        F.col("c_nationkey").cast("string"),
+        F.lit("?q="),
+        F.col("c_mktsegment"),
+        F.lit("&c="),
+        F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.concat(F.lit("q="), F.parse_url(url, F.lit("QUERY"), F.lit("q"))).alias(
+            "query"
+        ),
+        F.concat(
+            F.lit("c="), F.parse_url(url, F.lit("QUERY"), F.lit("c"))
+        ).alias("q_param"),
+    )

@@ -136,3 +136,34 @@ def filter_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("at_least"),
         F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("at_most"),
     )
+
+
+@register(
+    "obs_metrics",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: ``observe`` metrics riding on a filter.
+
+    ``Observation`` attaches named aggregate metrics (row count, sum)
+    to a point in the plan; they are computed DURING the action as
+    accumulator-style side output — no second scan, no extra job. The
+    production use at 100 TB: every pipeline stage reports rows-in /
+    rows-out / null-rate for data-quality monitoring at zero marginal
+    cost. The observed DataFrame's rows are unchanged (hash-checked);
+    the metric values themselves are asserted in
+    tests/test_plan_shape.py.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("filter_stage")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("l_quantity") >= 45).cast("long")).alias("rows_kept"),
+    ).filter(F.col("l_quantity") >= 45)

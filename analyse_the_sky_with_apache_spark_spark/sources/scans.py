@@ -181,3 +181,104 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "region")
     df.write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("r_regionkey", "r_name")
+
+
+@register(
+    "scan_text",
+    oracle="""
+SELECT text AS value FROM documents
+""",
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source round-trip (``spark.read.text``).
+
+    The raw-corpus ingestion format: one line per document, a single
+    ``value`` column. Written out in parallel (one file per task) and
+    read back — line order differs from input order, which the
+    order-insensitive oracle hash is explicitly robust to.
+    """
+    path = os.path.join(_SCRATCH, "docs_text")
+    load_table(spark, sf_dir, "documents").select("text").write.mode(
+        "overwrite"
+    ).text(path)
+    return spark.read.text(path)
+
+
+def _make_skygen_source():
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SkyGenReader(DataSourceReader):
+        """Partition reader for the synthetic sky-catalog generator."""
+
+        def __init__(self, options):
+            self.n = int(options.get("n", "1000"))
+            self.parts = int(options.get("partitions", "4"))
+
+        def partitions(self):
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                InputPartition((i * step, min((i + 1) * step, self.n)))
+                for i in range(self.parts)
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (
+                    i,
+                    (i * 7919 % 36000) / 100.0,
+                    (i * 104729 % 18000) / 100.0 - 90.0,
+                    (i % 150) / 10.0,
+                )
+
+    class SkyGenSource(DataSource):
+        """Deterministic synthetic object catalog (id, ra, dec, mag)."""
+
+        @classmethod
+        def name(cls):
+            return "skygen"
+
+        def schema(self):
+            return "obj_id BIGINT, ra DOUBLE, dec DOUBLE, mag DOUBLE"
+
+        def reader(self, schema):
+            return SkyGenReader(self.options)
+
+    return SkyGenSource
+
+
+_PYDS_REGISTERED: set[int] = set()
+
+
+@register(
+    "scan_pyds",
+    oracle="""
+SELECT i AS obj_id,
+       (i*7919 % 36000)/100.0 AS ra,
+       (i*104729 % 18000)/100.0 - 90.0 AS dec,
+       (i % 150)/10.0 AS mag
+FROM range(0, 1000) t(i)
+""",
+)
+def scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Python DataSource API (Spark 4).
+
+    The extensibility door for sources Spark lacks natively (instrument
+    telemetry, survey catalogs, proprietary archives): a pure-Python
+    ``DataSource`` declaring schema + input partitions, each partition
+    read independently by an executor-side Python worker — the split
+    model any parallel source needs at scale. The demo source generates
+    a deterministic synthetic sky catalog from integer arithmetic, so
+    the DuckDB oracle reproduces it exactly from ``range()`` — the
+    whole plumb (registration, options, partition planning, Arrow
+    return path) is hash-verified.
+    """
+    if id(spark) not in _PYDS_REGISTERED:
+        spark.dataSource.register(_make_skygen_source())
+        _PYDS_REGISTERED.add(id(spark))
+    return (
+        spark.read.format("skygen")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )

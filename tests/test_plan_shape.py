@@ -89,3 +89,22 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = _plan(df)
     # partial + final HashAggregate pair around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_observe_metrics_populated(spark):
+    """observe() must report stage metrics consistent with the result."""
+    from pyspark.sql import Observation, functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("probe")
+    observed = li.select("l_quantity").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("l_quantity") >= 45).cast("long")).alias("rows_kept"),
+    ).filter(F.col("l_quantity") >= 45)
+    kept = observed.count()
+    got = obs.get
+    assert got["rows_kept"] == kept
+    assert got["rows_in"] == li.count()
