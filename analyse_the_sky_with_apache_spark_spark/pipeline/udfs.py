@@ -194,3 +194,88 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.doc_id, t.token FROM sky_tokenize("
         "TABLE(SELECT doc_id, text FROM documents WHERE doc_id < 50)) t"
     )
+
+
+@register(
+    "udtf_apply_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_returnflag,
+       CAST(ROUND(l_extendedprice*100) AS BIGINT)
+         - MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+             OVER (PARTITION BY l_returnflag) AS delta_cents
+FROM lineitem
+""",
+)
+def udtf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Arrow-native kernel via ``applyInArrow`` (Spark 4).
+
+    The zero-copy sibling of ``applyInPandas``: the group arrives as a
+    ``pyarrow.Table`` (no pandas conversion layer at all), the kernel
+    runs vectorized ``pyarrow.compute``, and the result Table ships
+    straight back over Arrow IPC. For numeric kernels this skips the
+    pandas block-manager materialization entirely — the cheapest
+    group-map boundary Spark offers. Semantics mirrored by a window SQL
+    oracle: per-flag min-centering in exact integer cents.
+    """
+    import pyarrow as pa
+
+    def center(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.round(pc.multiply(table["l_extendedprice"], 100)).cast(
+            pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": table["l_orderkey"],
+                "l_returnflag": table["l_returnflag"],
+                "delta_cents": pc.subtract(cents, pc.min(cents)),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        center, "l_orderkey BIGINT, l_returnflag STRING, delta_cents BIGINT"
+    )
+
+
+@register(
+    "udtf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
+FROM lineitem
+""",
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise Arrow map via ``mapInArrow``.
+
+    Streams each partition as a sequence of ``pyarrow.RecordBatch``es
+    through one Python worker call — the batch-iterator shape used for
+    model inference and media decode at scale, with batch size bounded
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so executor
+    memory stays flat regardless of partition size. Row-local arithmetic
+    (price → exact integer cents) keeps it oracle-checkable.
+    """
+    import pyarrow as pa
+
+    def to_cents(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for b in batches:
+            cents = pc.round(pc.multiply(b.column("l_extendedprice"), 100)).cast(
+                pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), cents],
+                names=["l_orderkey", "l_linenumber", "price_cents"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return li.mapInArrow(
+        to_cents, "l_orderkey BIGINT, l_linenumber INT, price_cents BIGINT"
+    )
