@@ -98,3 +98,67 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.substring(F.md5(key), 1, 2) < "1a").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register("sample_stratified")  # rows-only: sampleBy seeds are Spark-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum fractions.
+
+    Downsample dominant classes while keeping rare ones — the
+    class-rebalancing step of a training-data pipeline (e.g. keep all
+    'error' events, 10% of 'view's). Per-stratum Bernoulli coin flips
+    map-side: no shuffle, no stratum materialization. Fractions-realized
+    bounds are asserted in tests/test_pipeline.py; no cross-engine
+    oracle since the RNG stream is Spark's.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.1, "click": 0.3, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    return ev.sampleBy("event_type", fractions, seed=7).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@register(
+    "cache_reuse",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents,
+         COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+)
+SELECT 'big_spenders' AS segment, COUNT(*) AS n_cust
+FROM base WHERE cents > 50000000
+UNION ALL
+SELECT 'frequent' AS segment, COUNT(*) AS n_cust
+FROM base WHERE n >= 20
+""",
+)
+def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-intermediate reuse: ``persist`` + two consumers.
+
+    The iterative-workload surface: an expensive aggregate is computed
+    once, cached (memory-and-disk, serialized at scale), and consumed by
+    two branches; without the persist each branch would re-run the
+    shuffle. ``unpersist`` is the caller's job when the fan-out ends —
+    here it's deliberately left to executor eviction (LRU), the correct
+    default when downstream reuse count is unknown. At 100 TB prefer
+    `StorageLevel.MEMORY_AND_DISK` (the default) — recomputation of a
+    wide shuffle costs more than local-disk spill reads.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    ).persist()
+    big = (
+        base.filter(F.col("cents") > 50000000)
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .select(F.lit("big_spenders").alias("segment"), "n_cust")
+    )
+    freq = (
+        base.filter(F.col("n") >= 20)
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .select(F.lit("frequent").alias("segment"), "n_cust")
+    )
+    return big.unionAll(freq)

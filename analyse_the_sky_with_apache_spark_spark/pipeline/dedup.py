@@ -186,14 +186,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(spark, sf_dir, _JACCARD_MIN)
 
 
-def jaccard_pairs(spark: SparkSession, sf_dir: str, jmin: float) -> DataFrame:
-    """Char-8-gram Jaccard pairs (ia < ib, jaccard >= jmin) — shared kernel."""
+def shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct char-8-gram shingles per document — shared kernel.
+
+    Guard + cap mirror the oracle exactly: docs shorter than one shingle
+    produce NO shingles (an unguarded sequence(1, n-7) turns DESCENDING
+    for n < 8 and emits junk substr positions), and shingle starts cap
+    at 999 to match the oracle's range(1, 1000) enumeration.
+    """
     d = load_table(spark, sf_dir, "documents")
-    # guard + cap mirror the oracle exactly: docs shorter than one shingle
-    # produce NO shingles (an unguarded sequence(1, n-7) turns DESCENDING
-    # for n < 8 and emits junk substr positions), and shingle starts cap
-    # at 999 to match the oracle's range(1, 1000) enumeration.
-    sh = (
+    return (
         d.select(
             "doc_id",
             F.explode(
@@ -207,6 +209,11 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str, jmin: float) -> DataFrame:
         )
         .distinct()
     )
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str, jmin: float) -> DataFrame:
+    """Char-8-gram Jaccard pairs (ia < ib, jaccard >= jmin) — shared kernel."""
+    sh = shingle_set(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -379,3 +386,84 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+#: SQL-native MinHash-LSH geometry: 8 hash functions, 4 bands x 2 rows.
+_MH_K, _MH_B, _MH_R = 8, 4, 2
+
+
+@register(
+    "dedup_minhash_sql",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
+  FROM documents, range(1, 1000) t(i)
+  WHERE i <= n_chars - {_SHINGLE - 1}
+),
+sig AS (
+  SELECT doc_id,
+         MIN(md5(s || ':0')) AS mh0, MIN(md5(s || ':1')) AS mh1,
+         MIN(md5(s || ':2')) AS mh2, MIN(md5(s || ':3')) AS mh3,
+         MIN(md5(s || ':4')) AS mh4, MIN(md5(s || ':5')) AS mh5,
+         MIN(md5(s || ':6')) AS mh6, MIN(md5(s || ':7')) AS mh7
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+)
+SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs in pure SQL expressions — and, unlike
+    the MLlib variant (`dedup_near_minhash`), fully oracle-hash-checked.
+
+    MinHash signature: per document, the minimum md5 of each shingle
+    under k=8 salt suffixes — all k minima computed in ONE hash
+    aggregation over the shingle set (no k-times row blowup; min
+    combines map-side). LSH banding: the 8 mins pack into 4 band keys
+    (md5 of 2 concatenated mins); documents agreeing on ANY band become
+    candidates via a plain equi-join on (band, key). P(candidate) =
+    1-(1-s^2)^4 for true shingle-Jaccard s — the classic b/r recall
+    curve. At 100 TB: signature build is one shuffle on doc_id, the
+    candidate join shuffles band keys (uniform md5 — no skew), and the
+    pair space is buckets only, never n². md5 minima are
+    engine-portable, which is what makes this rung hash-checkable.
+    """
+    sh = shingle_set(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"mh{i}")
+            for i in range(_MH_K)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"mh{2*j}"), F.col(f"mh{2*j+1}")))
+                    for j in range(_MH_B)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

@@ -282,3 +282,34 @@ def scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "4")
         .load()
     )
+
+
+@register(
+    "sink_sorted_clustered",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+""",
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered, sorted parquet layout — the data-skipping sink.
+
+    ``repartitionByRange(l_shipdate)`` range-partitions by the query-time
+    predicate column (sampled boundaries, one shuffle), then
+    ``sortWithinPartitions`` orders rows inside each file. The payoff at
+    100 TB: every parquet row-group's min/max stats on l_shipdate become
+    tight and disjoint, so a date-range query prunes to a handful of
+    row groups — the open-format equivalent of clustered indexes.
+    Content round-trips bit-exactly (hash-checked against the source).
+    """
+    path = os.path.join(_SCRATCH, "li_clustered")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -145,3 +145,63 @@ def test_hash_native_and_sample_deterministic(spark):
     n_sample = len(queries()["tablesample"](spark, SF_DIR).collect())
     n_total = load_table(spark, SF_DIR, "lineitem").count()
     assert 0.05 * n_total < n_sample < 0.15 * n_total
+
+
+def test_sample_stratified_fractions(spark):
+    """sampleBy must roughly honor per-stratum fractions and never upsample."""
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    sampled = (
+        queries()["sample_stratified"](spark, SF_DIR)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    totals = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    fractions = {"view": 0.1, "click": 0.3, "purchase": 1.0, "error": 1.0, "signup": 1.0}
+    for row in sampled:
+        et, got = row["event_type"], row["count"]
+        want = fractions[et] * totals[et]
+        assert got <= totals[et]
+        if fractions[et] == 1.0:
+            assert got == totals[et], (et, got, totals[et])
+        else:
+            # Bernoulli: allow 5 sigma around n*p
+            import math
+
+            sigma = math.sqrt(totals[et] * fractions[et] * (1 - fractions[et]))
+            assert abs(got - want) <= 5 * sigma + 1, (et, got, want)
+
+
+def test_minhash_sql_exact_dups_always_candidates(spark):
+    """Identical texts have identical signatures -> all 4 bands shared."""
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    from pyspark.sql import functions as F
+
+    exact_pairs = {
+        (r["ia"], r["ib"])
+        for r in a.join(
+            b,
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .collect()
+    }
+    cand = {
+        (r["ia"], r["ib"]): r["n_shared_bands"]
+        for r in queries()["dedup_minhash_sql"](spark, SF_DIR).collect()
+    }
+    for pair in exact_pairs:
+        assert cand.get(pair) == 4, (pair, cand.get(pair))
