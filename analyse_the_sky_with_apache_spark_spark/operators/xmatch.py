@@ -289,3 +289,90 @@ def xmatch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a_size") - F.col("b_size")).alias("dsize"),
         )
     )
+
+
+#: spherical match box half-width in centi-degrees (2.00 deg).
+_SPH_EPS = 200
+
+_SPH_HAVERSINE = """
+ROUND(2*ASIN(SQRT(
+  POW(SIN(RADIANS((b_dec_c - a_dec_c)/100.0)/2), 2)
+  + COS(RADIANS(a_dec_c/100.0))*COS(RADIANS(b_dec_c/100.0))
+    *POW(SIN(RADIANS((b_ra_c - a_ra_c)/100.0)/2), 2))), 6)
+"""
+
+
+@register(
+    "xmatch_sphere",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c
+  FROM customer
+)
+SELECT a.obj_id AS ia, b.obj_id AS ib,
+       {_SPH_HAVERSINE.replace("a_dec_c", "a.dec_c").replace("b_dec_c", "b.dec_c")
+                      .replace("a_ra_c", "a.ra_c").replace("b_ra_c", "b.ra_c")}
+         AS dist_rad
+FROM cat a JOIN cat b ON a.obj_id < b.obj_id
+WHERE abs(a.ra_c - b.ra_c) <= {_SPH_EPS}
+  AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}
+""",
+)
+def xmatch_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-coordinate cross-match with great-circle distance.
+
+    The literal astronomy operator: objects on the celestial sphere
+    (RA 0–360°, Dec −90–90°, here derived deterministically from md5
+    bits so both engines see the same catalog), matched within a 2°
+    box, scored by haversine angular distance. The pair search is the
+    binned 2-D equi-join (one side replicated into its 3×3 neighbor
+    cells; integer centi-degree cells make the box predicate exact);
+    the transcendental distance is computed only on surviving pairs and
+    rounded to 6 dp — libm vs JVM trig agree far below that. RA
+    wraparound at 0°/360° is ignored here; production shifts the grid
+    by eps and unions, or uses HEALPix cell ids — same join shape. At
+    100 TB: shuffle on cell id, AQE splits dense sky cells.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    base = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000).alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000).alias(
+            "dec_c"
+        ),
+    )
+    eps = _SPH_EPS
+    a = base.select(
+        F.col("obj_id").alias("ia"),
+        F.col("ra_c").alias("a_ra_c"),
+        F.col("dec_c").alias("a_dec_c"),
+        F.expr(f"ra_c div {eps}").alias("cx"),
+        F.expr(f"dec_c div {eps}").alias("cy"),
+    )
+    b = base.select(
+        F.col("obj_id").alias("ib"),
+        F.col("ra_c").alias("b_ra_c"),
+        F.col("dec_c").alias("b_dec_c"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(ra_c div {eps} + dx AS cx, "
+                f"dec_c div {eps} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("ib", "b_ra_c", "b_dec_c", "cell.cx", "cell.cy")
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.abs(F.col("a_ra_c") - F.col("b_ra_c")) <= eps)
+            & (F.abs(F.col("a_dec_c") - F.col("b_dec_c")) <= eps)
+        )
+        .select("ia", "ib", F.expr(_SPH_HAVERSINE).alias("dist_rad"))
+    )
