@@ -121,11 +121,12 @@ def xmatch_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep only the single closest object from catalog B within the match
     radius (not all pairs). Candidates come from the same binned
     equi-join stage as ``xmatch_binned``; the per-object argmin is one
-    hash aggregation over a lexicographic struct min — fully
-    deterministic because the ordinal ``|delta|*1e6 + s_suppkey`` embeds
-    a unique tie-break. No window, no second shuffle: groupBy(c_custkey)
-    with map-side partial min, so at 100 TB the reduce stage carries one
-    row per matched object, not one per candidate pair.
+    aggregation over a lexicographic struct min (struct buffers plan as
+    SortAggregate — partial+final phases intact) — fully deterministic
+    because the ordinal ``|delta|*1e6 + s_suppkey`` embeds a unique
+    tie-break. No window, no second shuffle: groupBy(c_custkey) with
+    map-side partial min, so at 100 TB the reduce stage carries one row
+    per matched object, not one per candidate pair.
     """
     cand = _balance_candidates(spark, sf_dir).select(
         "c_custkey",

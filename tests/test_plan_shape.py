@@ -108,3 +108,42 @@ def test_observe_metrics_populated(spark):
     got = obs.get
     assert got["rows_kept"] == kept
     assert got["rows_in"] == li.count()
+
+
+def test_xmatch_sphere_no_nested_loop(spark):
+    """The binned cross-match must plan a hash/sort-merge equi-join —
+    never BroadcastNestedLoop or Cartesian (the O(n*m) failure mode)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["xmatch_sphere"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_sql_no_nested_loop(spark):
+    """LSH candidate pairing joins on (band, key) buckets — equi only."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["dedup_minhash_sql"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_gapfill_generates_map_side(spark):
+    """Calendar densification is a Generate (explode) node, not a join
+    against any global calendar relation."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["ts_gapfill"](spark, SF_DIR))
+    assert "Generate" in plan and "explode" in plan
+
+
+def test_xmatch_nearest_single_agg_after_join(spark):
+    """Nearest-match reduces candidates with an aggregate (struct-min
+    buffers plan as SortAggregate — still partial+final, map-side
+    combine intact), never a window over the full pair set."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["xmatch_nearest"](spark, SF_DIR))
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
