@@ -485,3 +485,43 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("c="), F.parse_url(url, F.lit("QUERY"), F.lit("c"))
         ).alias("q_param"),
     )
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+SELECT user_id, event_type, COUNT(*)*10 AS scaled
+FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 2
+""",
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build → transform → filter → flatten.
+
+    Per user, the event-type histogram becomes a real MapType column
+    (``map_from_entries`` over collected structs), is rescaled with
+    ``transform_values``, thinned with ``map_filter``, and exploded back
+    to rows. The oracle computes the same result relationally (GROUP BY
+    + HAVING) — two genuinely different shapes, one fixpoint. Map HOFs
+    are codegen'd JVM lambdas: the per-user map stays inside one row, so
+    the pipeline after the first aggregation is shuffle-free; at 100 TB
+    this is the pattern for per-entity feature dictionaries (bounded
+    key space per row, never a row explosion until the final flatten).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias(
+            "m"
+        )
+    )
+    return m.select(
+        "user_id",
+        F.explode(
+            F.map_filter(
+                F.transform_values(F.col("m"), lambda k, v: v * 10),
+                lambda k, v: v >= 20,
+            )
+        ).alias("event_type", "scaled"),
+    )
