@@ -210,3 +210,62 @@ def test_window_frames_agree(spark, duck, where, frame):
         f" FROM lineitem WHERE {where}",
         tables=("lineitem",),
     )
+
+
+# --- scalar expression trees (engine-portable fragments only) ----------
+
+_int_leaf = st.one_of(
+    st.sampled_from([f"CAST({c} AS BIGINT)" for c in _NUM_COLS]),
+    st.integers(min_value=1, max_value=99).map(
+        lambda v: f"CAST({v} AS BIGINT)"
+    ),
+)
+_int_expr = st.recursive(
+    _int_leaf,
+    lambda inner: st.one_of(
+        st.builds(
+            lambda a, op, b: f"({a} {op} {b})",
+            inner,
+            st.sampled_from(["+", "-", "*"]),
+            inner,
+        ),
+        st.builds(lambda a: f"abs({a})", inner),
+        st.builds(lambda a, b: f"greatest({a}, {b})", inner, inner),
+        st.builds(lambda a, b: f"least({a}, {b})", inner, inner),
+    ),
+    max_leaves=4,
+)
+
+_str_leaf = st.one_of(
+    st.sampled_from(_STR_COLS),
+    st.sampled_from(["'x'", "'Qz'"]),
+)
+_str_expr = st.recursive(
+    _str_leaf,
+    lambda inner: st.one_of(
+        st.builds(lambda a: f"upper({a})", inner),
+        st.builds(lambda a: f"lower({a})", inner),
+        st.builds(lambda a: f"reverse({a})", inner),
+        st.builds(lambda a, b: f"concat({a}, {b})", inner, inner),
+        st.builds(lambda a: f"substr({a}, 1, 2)", inner),
+        st.builds(lambda a: f"lpad({a}, 4, '_')", inner),
+    ),
+    max_leaves=4,
+)
+
+
+@_SETTINGS
+@given(ei=_int_expr, es=_str_expr, where=_predicates)
+def test_scalar_exprs_agree(spark, duck, ei, es, where):
+    """Random integer/string expression trees evaluate identically.
+
+    Leaves cast to BIGINT so arithmetic never overflows 32-bit lanes
+    differently across engines; string ops restricted to the
+    portable-core set (upper/lower/reverse/concat/substr/lpad).
+    """
+    _run_both(
+        spark,
+        duck,
+        f"SELECT l_orderkey, l_linenumber, {ei} AS ei, {es} AS es "
+        f"FROM lineitem WHERE ({where}) AND l_orderkey < 2000",
+    )
