@@ -94,3 +94,69 @@ def asof_join(
             *[F.col(f"__rv_filled.{out}").alias(out) for out in right_values],
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_values: dict[str, str] | None = None,
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row with
+    ``right.ts >= left.ts`` per key (pandas ``merge_asof
+    direction='forward'``). Same one-shuffle union+window kernel as
+    :func:`asof_join`, mirrored: left rows sort BEFORE right rows at
+    equal ts (inclusive match), the frame looks FORWARD
+    (current → unbounded following), and ``first(ignorenulls)`` picks
+    the nearest-later right struct. Ties between duplicate right rows at
+    the same (key, ts) break field-lexicographically via the struct —
+    deterministic under any shuffle order.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_values = right_values or {f"{right_ts}_asof": right_ts}
+    left_payload = [c for c in left.columns if c not in keys and c != left_ts]
+
+    rv_struct = F.struct(
+        *[F.col(src).alias(out) for out, src in right_values.items()]
+    )
+    rv_type = (
+        "struct<"
+        + ", ".join(
+            f"{out}: {right.schema[src].dataType.simpleString()}"
+            for out, src in right_values.items()
+        )
+        + ">"
+    )
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        *[F.col(c) for c in left_payload],
+        F.lit(None).cast(rv_type).alias("__rv"),
+        F.lit(0).alias("__is_right"),
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        rv_struct.alias("__rv"),
+        F.lit(1).alias("__is_right"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_right", "__rv")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = F.first("__rv", ignorenulls=True).over(w).alias("__rv_filled")
+    return (
+        l_side.unionByName(r_side)
+        .select(*keys, "__ts", *left_payload, filled, "__is_right")
+        .filter(F.col("__is_right") == 0)
+        .select(
+            *keys,
+            F.col("__ts").alias(left_ts),
+            *left_payload,
+            *[F.col(f"__rv_filled.{out}").alias(out) for out in right_values],
+        )
+    )

@@ -305,3 +305,37 @@ def join_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_suppliers"), dsum("s_acctbal", "sum_bal", 4))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MIN(c.ts) FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id AND c.ts >= p.ts) AS next_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the EARLIEST click at-or-after it by the same
+    user — forward as-of (operators/asof.py, mirrored kernel with a
+    FOLLOWING frame). The oracle is a correlated MIN subquery — a
+    genuinely different formulation (DuckDB's native ASOF is
+    backward-only), so the window rewrite is checked against
+    set-oriented semantics, including the no-later-click NULL case.
+    """
+    from .asof import asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join_forward(
+        purchases,
+        clicks,
+        on="user_id",
+        right_values={"next_click_ts": "ts"},
+    )
+    return out.select("event_id", "user_id", "ts", "next_click_ts")

@@ -64,3 +64,25 @@ def test_multi_value_fill_comes_from_one_row(spark):
     # struct tie-break: (x=2.0, y=NULL) sorts after (x=1.0, y=9.0), so the
     # whole second row wins — including its NULL y.
     assert got == (2.0, None), got
+
+
+def test_forward_basic_and_null_and_inclusive(spark):
+    """Forward as-of: earliest right at-or-after; NULL when none follows;
+    equal timestamps match (inclusive)."""
+    from analyse_the_sky_with_apache_spark_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left = _mk(spark, [(1, 10), (1, 25), (1, 31)], "k INT, ts INT")
+    right = _mk(
+        spark,
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0)],
+        "k INT, ts INT, price DOUBLE",
+    )
+    rows = {
+        r["ts"]: r["price_next"]
+        for r in asof_join_forward(
+            left, right, on="k", right_values={"price_next": "price"}
+        ).collect()
+    }
+    assert rows == {10: 1.0, 25: 3.0, 31: None}, rows
