@@ -274,8 +274,8 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT json_extract_string(props, '$.k')           AS k_str,
        json_extract(props, '$.k')::INTEGER         AS k_int,
        COUNT(*)                                    AS n,
-       SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                THEN 1 ELSE 0 END)                 AS n_absent,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)      AS n_absent,
        bool_and(json_valid(props))                 AS all_valid,
        MIN(event_id)                               AS first_event
 FROM events

@@ -292,7 +292,7 @@ def agg_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT n_nationkey,
-       list_sort(list(DISTINCT s_suppkey)) AS supp_keys,
+       array_to_string(list_sort(list(DISTINCT s_suppkey)), ',') AS supp_keys,
        COUNT(*) AS n
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_nationkey
@@ -301,9 +301,11 @@ GROUP BY n_nationkey
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-result aggregation: collect group members into a SORTED
     array. collect_set/collect_list order is partition-nondeterministic —
-    array_sort makes the nested value hashable cross-engine. At 100 TB
-    collect-per-group is only safe on bounded groups (suppliers per
-    nation); unbounded groups keep relational form instead.
+    array_sort makes the nested value deterministic cross-engine, and the
+    array is serialized to a CSV string because the driver's pandas
+    hasher cannot hash ndarray cells (round-1 TypeError, VERDICT.md
+    item 2). At 100 TB collect-per-group is only safe on bounded groups
+    (suppliers per nation); unbounded groups keep relational form instead.
     """
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -311,7 +313,10 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(n, s.s_nationkey == n.n_nationkey)
         .groupBy("n_nationkey")
         .agg(
-            F.array_sort(F.collect_set("s_suppkey")).alias("supp_keys"),
+            F.array_join(
+                F.array_sort(F.collect_set("s_suppkey")).cast("array<string>"),
+                ",",
+            ).alias("supp_keys"),
             F.count(F.lit(1)).alias("n"),
         )
     )

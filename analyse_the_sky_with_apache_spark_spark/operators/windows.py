@@ -252,8 +252,11 @@ WITH x AS (
 ),
 y AS (
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
+         -- CAST: DuckDB window SUM(int) yields HUGEINT, which the driver's
+         -- numpy hasher degrades to float64 while Spark emits int64 —
+         -- confirmed round-1 hash mismatch (VERDICT.md item 1).
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM x
 )
 SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -294,6 +294,11 @@ def xmatch_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: spherical match box half-width in centi-degrees (2.00 deg).
 _SPH_EPS = 200
+#: full RA circle in centi-degrees; _SPH_EPS divides it exactly, so the
+#: RA cell ring has _SPH_CIRCLE // _SPH_EPS uniform cells and modular
+#: neighbor replication is exact.
+_SPH_CIRCLE = 36000
+_SPH_RA_CELLS = _SPH_CIRCLE // _SPH_EPS
 
 _SPH_HAVERSINE = """
 ROUND(2*ASIN(SQRT(
@@ -319,7 +324,8 @@ SELECT a.obj_id AS ia, b.obj_id AS ib,
                       .replace("a_ra_c", "a.ra_c").replace("b_ra_c", "b.ra_c")}
          AS dist_rad
 FROM cat a JOIN cat b ON a.obj_id < b.obj_id
-WHERE abs(a.ra_c - b.ra_c) <= {_SPH_EPS}
+WHERE LEAST(abs(a.ra_c - b.ra_c),
+            {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c)) <= {_SPH_EPS}
   AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}
 """,
 )
@@ -333,9 +339,16 @@ def xmatch_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned 2-D equi-join (one side replicated into its 3×3 neighbor
     cells; integer centi-degree cells make the box predicate exact);
     the transcendental distance is computed only on surviving pairs and
-    rounded to 6 dp — libm vs JVM trig agree far below that. RA
-    wraparound at 0°/360° is ignored here; production shifts the grid
-    by eps and unions, or uses HEALPix cell ids — same join shape. At
+    rounded to 6 dp — libm vs JVM trig agree far below that.
+
+    RA wraparound at 0°/360° is handled: the RA axis is a ring of
+    ``_SPH_RA_CELLS`` uniform cells (eps divides the circle exactly), so
+    neighbor replication is ``pmod(cx+dx, n_cells)`` and the exact
+    predicate is the circular distance ``least(|Δra|, 36000-|Δra|)`` —
+    pairs straddling 0°/360° land in the same (mod-ring) cell and
+    survive the filter. The haversine itself is period-safe
+    (``sin²(Δ/2)`` is invariant under Δ±360°). Equivalent to HEALPix-
+    style ring indexing restricted to one axis; same join shape. At
     100 TB: shuffle on cell id, AQE splits dense sky cells.
     """
     c = load_table(spark, sf_dir, "customer")
@@ -347,7 +360,18 @@ def xmatch_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dec_c"
         ),
     )
-    eps = _SPH_EPS
+    return sphere_match(base)
+
+
+def sphere_match(base: DataFrame) -> DataFrame:
+    """Binned spherical pair search over (obj_id, ra_c, dec_c) rows.
+
+    The reusable kernel behind ``xmatch_sphere`` — exposed so tests can
+    plant coordinates (the md5-derived fixture catalog has no pair that
+    genuinely straddles RA 0°/360°, so wraparound correctness is pinned
+    by a planted-pair test instead).
+    """
+    eps, ncell = _SPH_EPS, _SPH_RA_CELLS
     a = base.select(
         F.col("obj_id").alias("ia"),
         F.col("ra_c").alias("a_ra_c"),
@@ -363,16 +387,18 @@ def xmatch_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"flatten(transform(sequence(-1, 1), dx -> "
                 f"transform(sequence(-1, 1), dy -> "
-                f"struct(ra_c div {eps} + dx AS cx, "
+                f"struct(pmod(ra_c div {eps} + dx, {ncell}) AS cx, "
                 f"dec_c div {eps} + dy AS cy))))"
             )
         ).alias("cell"),
     ).select("ib", "b_ra_c", "b_dec_c", "cell.cx", "cell.cy")
+    dra = F.abs(F.col("a_ra_c") - F.col("b_ra_c"))
+    circ_dra = F.least(dra, F.lit(_SPH_CIRCLE) - dra)
     return (
         a.join(b, ["cx", "cy"])
         .filter(
             (F.col("ia") < F.col("ib"))
-            & (F.abs(F.col("a_ra_c") - F.col("b_ra_c")) <= eps)
+            & (circ_dra <= eps)
             & (F.abs(F.col("a_dec_c") - F.col("b_dec_c")) <= eps)
         )
         .select("ia", "ib", F.expr(_SPH_HAVERSINE).alias("dist_rad"))

@@ -203,14 +203,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_quantize",
     oracle="""
 SELECT vec_id,
-  list_transform(embedding, v ->
+  array_to_string(list_transform(embedding, v ->
     CAST(FLOOR((CAST(v AS DOUBLE) - CAST(list_aggregate(embedding,'min') AS DOUBLE)) * 127.0
       / GREATEST(CAST(list_aggregate(embedding,'max') AS DOUBLE)
-                 - CAST(list_aggregate(embedding,'min') AS DOUBLE), 1e-12)) AS INT)) AS codes,
-  list_aggregate(list_transform(embedding, v ->
+                 - CAST(list_aggregate(embedding,'min') AS DOUBLE), 1e-12)) AS INT)), ',') AS codes,
+  CAST(list_aggregate(list_transform(embedding, v ->
     CAST(FLOOR((CAST(v AS DOUBLE) - CAST(list_aggregate(embedding,'min') AS DOUBLE)) * 127.0
       / GREATEST(CAST(list_aggregate(embedding,'max') AS DOUBLE)
-                 - CAST(list_aggregate(embedding,'min') AS DOUBLE), 1e-12)) AS BIGINT)), 'sum') AS code_sum,
+                 - CAST(list_aggregate(embedding,'min') AS DOUBLE), 1e-12)) AS BIGINT)), 'sum') AS BIGINT) AS code_sum,
   ROUND(CAST(list_aggregate(embedding,'min') AS DOUBLE), 6) AS vmin,
   ROUND(CAST(list_aggregate(embedding,'max') AS DOUBLE), 6) AS vmax
 FROM embeddings
@@ -226,7 +226,11 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference) — per-row, map-side, no shuffle, no Python; identical
     IEEE double arithmetic in the same association order on both engines
     makes even the FLOOR boundaries hash-stable. ``code_sum`` is an
-    order-independent integer checksum of the whole code array.
+    order-independent integer checksum of the whole code array. The code
+    array itself is serialized to a CSV string for the oracle projection
+    (the driver's pandas hasher cannot hash ndarray cells — round-1
+    failure class, VERDICT.md item 3), and DuckDB's list_aggregate 'sum'
+    yields HUGEINT, so code_sum is cast back to BIGINT in the oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
     mn = F.array_min("embedding").cast("double")
@@ -241,7 +245,7 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "vec_id",
-        codes.alias("codes"),
+        F.array_join(codes.cast("array<string>"), ",").alias("codes"),
         code_sum.alias("code_sum"),
         F.round(mn, 6).alias("vmin"),
         F.round(mx, 6).alias("vmax"),

@@ -21,9 +21,9 @@ from ..registry import register
     oracle=f"""
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        {dsum_sql("len(string_split(text, ' '))", 'avg_tokens_numer', 2)}
 FROM documents
 GROUP BY lang, source

@@ -49,19 +49,10 @@ def norm_rows(cols, rows):
 
 
 def assert_matches_oracle(spark, duck, fn, sql, sf_dir=SF_DIR):
+    """Driver-grade comparison: both sides through pandas/numpy (see
+    tools/canon.py) so HUGEINT→float64 and nested-cell divergences fail
+    here before the driver sees them (round-1 lesson, ADVICE.md)."""
+    from tools.canon import compare_spark_duck
+
     df = fn(spark, sf_dir)
-    s_cols, s_rows = norm_rows(df.columns, [tuple(r) for r in df.collect()])
-    rel = duck.execute(sql)
-    d_cols, d_rows = norm_rows(
-        [c[0] for c in rel.description], rel.fetchall()
-    )
-    assert s_cols == d_cols, f"columns: spark={s_cols} duck={d_cols}"
-    assert len(s_rows) == len(d_rows), (
-        f"rowcount: spark={len(s_rows)} duck={len(d_rows)}"
-    )
-    if s_rows != d_rows:
-        first = next(i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b)
-        raise AssertionError(
-            f"values differ; first @{first}:\n"
-            f"  spark={s_rows[first]}\n  duck ={d_rows[first]}"
-        )
+    compare_spark_duck(df, duck.execute(sql))

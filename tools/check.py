@@ -13,34 +13,18 @@ so conf-dependence bugs surface here first.
 
 from __future__ import annotations
 
-import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from analyse_the_sky_with_apache_spark_spark import registry  # noqa: E402
 from analyse_the_sky_with_apache_spark_spark.catalog import TABLES  # noqa: E402
 from analyse_the_sky_with_apache_spark_spark.session import get_spark  # noqa: E402
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # exact float equality is the target; repr makes diffs visible
-        return repr(v)
-    return repr(v)
-
-
-def _norm_rows(cols, rows):
-    """Sort columns by name, then rows — order-insensitive multiset form."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+from tools.canon import OracleCompareError, compare_spark_duck  # noqa: E402
 
 
 def main() -> int:
@@ -70,46 +54,33 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        dt = time.time() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(s_rows)} rows (rows-only, {dt:.1f}s)")
+            try:
+                df = fn(spark, sf_dir)
+                n_rows = df.count()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+                n_fail += 1
+                continue
+            dt = time.time() - t0
+            print(f"rows  {name}: {n_rows} rows (rows-only, {dt:.1f}s)")
             n_rows_only += 1
             continue
         try:
+            df = fn(spark, sf_dir)
             rel = con.execute(oracles[name])
-            d_cols = [c[0] for c in rel.description]
-            d_rows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            n_rows = compare_spark_duck(df, rel)
+        except OracleCompareError as e:
+            print(f"FAIL  {name}: {e}")
             n_fail += 1
             continue
-        sc, sr = _norm_rows(s_cols, s_rows)
-        dc, dr = _norm_rows(d_cols, d_rows)
-        if sc != dc:
-            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
             n_fail += 1
-        elif len(sr) != len(dr):
-            print(f"FAIL  {name}: rowcount spark={len(sr)} duck={len(dr)}")
-            n_fail += 1
-        elif sr != dr:
-            diffs = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
-            i = diffs[0]
-            print(
-                f"FAIL  {name}: {len(diffs)}/{len(sr)} rows differ; first @"
-                f"{i}:\n  spark={sr[i]}\n  duck ={dr[i]}"
-            )
-            n_fail += 1
-        else:
-            print(f"ok    {name}: {len(sr)} rows match ({dt:.1f}s)")
-            n_pass += 1
+            continue
+        dt = time.time() - t0
+        print(f"ok    {name}: {n_rows} rows match ({dt:.1f}s)")
+        n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     return 1 if n_fail else 0
 
