@@ -27,6 +27,8 @@ from analyse_the_sky_with_apache_spark_spark import registry  # noqa: E402
 from analyse_the_sky_with_apache_spark_spark.session import get_spark  # noqa: E402
 
 #: headline set — mirrors BASELINE.md's measured rows (same shapes).
+#: ``value`` in the output JSON sums ONLY these ten, so it stays
+#: comparable to BASELINE.md's total across rounds.
 HEADLINE = (
     "agg_group_basic",      # TPC-H Q1 pricing summary
     "join_inner_equi",      # Q3 shipping-priority shape
@@ -38,6 +40,18 @@ HEADLINE = (
     "dedup_exact",          # exact text dedup
     "sim_knn_cosine",       # brute-force cosine kNN (normalized rewrite)
     "set_except",           # EXCEPT over key sets
+)
+
+#: one representative per family added after BASELINE.md was measured
+#: (VERDICT.md round-1 item 6) — timed and reported in ``queries`` so
+#: later rounds see regressions, but excluded from the baseline-
+#: comparable ``value`` (their regression reference is BENCH_r02, noted
+#: in BASELINE.md's addendum).
+EXTENDED = (
+    "xmatch_sphere",        # spherical cross-match, binned candidate join
+    "dedup_minhash_sql",    # pure-SQL MinHash-LSH near-dup
+    "stream_session",       # session windows via streaming replay
+    "text_tfidf",           # tf-idf over documents
 )
 
 
@@ -56,7 +70,7 @@ def main() -> int:
     qs["agg_group_basic"](spark, sf_dir).collect()
 
     per_query: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in HEADLINE + EXTENDED:
         fn = qs[key]
         samples = []
         for _ in range(runs):
@@ -69,9 +83,12 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(per_query.values()), 4),
+                "value": round(sum(per_query[k] for k in HEADLINE), 4),
                 "unit": "sec",
                 "queries": per_query,
+                "extended_total": round(
+                    sum(per_query[k] for k in EXTENDED), 4
+                ),
                 "sf": sf,
             }
         )

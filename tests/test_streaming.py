@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from analyse_the_sky_with_apache_spark_spark.catalog import load_table
 from analyse_the_sky_with_apache_spark_spark.registry import queries
-from analyse_the_sky_with_apache_spark_spark.streaming.replay import run_stream
+from analyse_the_sky_with_apache_spark_spark.streaming.replay import (
+    checkpoint_dir,
+)
 from tests.conftest import SF_DIR
 
 _LATE_STAGE = "/tmp/analyse_the_sky_stream_stage/late_row_test"
@@ -84,12 +86,36 @@ def test_crafted_late_row_is_dropped(spark):
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    res = run_stream(spark, agg, mode="append", name="late_row").collect()
 
-    emitted = {(r["w"]["start"].isoformat(), r["n"]) for r in res}
-    # the 10:00 window finalized with exactly the on-time row; the late
-    # arrival (event 3, also in the 10:00 window) was dropped.
-    assert ("2024-01-01T10:00:00", 1) in emitted
+    # foreachBatch sink so each emission carries its micro-batch id —
+    # the memory sink would collapse the timeline and hide WHEN the
+    # 10:00 window finalized.
+    emissions: list[tuple[int, str, int]] = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            emissions.append((batch_id, r["w"]["start"].isoformat(), r["n"]))
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir("late_row_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ten = [(b, n) for b, s, n in emissions if s == "2024-01-01T10:00:00"]
+    # (1) the 10:00 window finalized exactly once, with only the on-time
+    # row — the late arrival (event 3) was dropped, never merged or
+    # re-emitted as a correction;
+    assert ten == [(ten[0][0], 1)]
+    # (2) finalization ORDER: the window flushed in a batch strictly
+    # before the late row's batch (files replay 1:1 as batches 0..2 in
+    # mtime order under availableNow + maxFilesPerTrigger=1) — the drop
+    # is only legitimate because state was already evicted by the time
+    # the late batch arrived.
+    assert ten[0][0] < len(chunks) - 1
 
 
 def test_foreach_batch_sees_time_ordered_batches(spark):
