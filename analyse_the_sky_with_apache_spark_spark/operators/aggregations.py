@@ -469,3 +469,53 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_custkeys"
         )
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+r AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistical mode per group: the most frequent
+    priority per order status, ties broken by smallest value.
+
+    Built-in ``F.mode`` picks an ARBITRARY value among tied candidates
+    (Spark docs) — useless under a cross-engine hash, so the engine's
+    mode is count + argmin over a lexicographic struct: two hash
+    aggregations, both with map-side partials, no window over raw rows.
+    The candidate stage carries one row per (group, value) — at 100 TB
+    the shuffle is the distinct-combination count, not the fact table;
+    the tie-break ``min(struct(-n, value))`` costs nothing extra and
+    makes the answer reproducible run-to-run and engine-to-engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy("o_orderstatus").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("o_orderpriority").alias("p"),
+                F.col("n").alias("n"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "o_orderstatus",
+        F.col("m.p").alias("mode_priority"),
+        F.col("m.n").alias("n"),
+    )

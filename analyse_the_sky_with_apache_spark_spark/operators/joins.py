@@ -339,3 +339,95 @@ def join_asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values={"next_click_ts": "ts"},
     )
     return out.select("event_id", "user_id", "ts", "next_click_ts")
+
+
+#: interval-overlap join: max interval length in days (key % _IVL_MOD)
+#: and the cell width that guarantees each interval spans <= 2 cells.
+_IVL_MOD = 8
+_IVL_CELL = 16
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey AS ia,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS sa,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % {_IVL_MOD} AS ea
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+b AS (
+  SELECT o_orderkey AS ib,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS sb,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % {_IVL_MOD} AS eb
+  FROM orders WHERE o_orderpriority = '5-LOW'
+)
+SELECT ia, ib,
+       CAST(GREATEST(sa, sb) AS BIGINT) AS ov_start,
+       CAST(LEAST(ea, eb) AS BIGINT) AS ov_end
+FROM a, b
+WHERE sa <= eb AND sb <= ea
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without a nested loop: urgent-order windows
+    × low-priority-order windows that overlap in time.
+
+    The naive predicate ``sa <= eb AND sb <= ea`` is a theta join Spark
+    can only plan as a broadcast nested loop. The scale plan quantizes
+    time into cells wider than the longest interval, replicates each
+    interval into the (<= 2) cells it touches, equi-joins on the cell
+    id, re-applies the exact predicate — and de-duplicates pairs that
+    share two cells by keeping only the canonical cell containing the
+    overlap's start (``cell == greatest(sa, sb) div width``), so no
+    DISTINCT shuffle is needed. O(n+m) shuffle on an integer key, ~2×
+    replication; AQE splits hot cells. Same family as xmatch binning
+    but 1-D with variable-length objects — the generic time-range /
+    genomic-interval join shape. The oracle is the naive theta join, so
+    the hash proves the binned plan finds exactly the naive pair set.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+
+    def intervals(prio: str, tag: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == prio)
+            .select(
+                F.col("o_orderkey").alias(f"i{tag}"),
+                days.alias(f"s{tag}"),
+                (days + F.col("o_orderkey") % _IVL_MOD).alias(f"e{tag}"),
+            )
+            .withColumn(
+                "cell",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            F.expr(f"s{tag} div {_IVL_CELL}"),
+                            F.expr(f"e{tag} div {_IVL_CELL}"),
+                        )
+                    )
+                ),
+            )
+        )
+
+    a = intervals("1-URGENT", "a")
+    b = intervals("5-LOW", "b")
+    ov_start = F.greatest("sa", "sb")
+    return (
+        a.join(b, "cell")
+        .filter(
+            (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (F.col("cell") == F.expr(f"greatest(sa, sb) div {_IVL_CELL}"))
+        )
+        .select(
+            "ia",
+            "ib",
+            ov_start.alias("ov_start"),
+            F.least("ea", "eb").alias("ov_end"),
+        )
+    )

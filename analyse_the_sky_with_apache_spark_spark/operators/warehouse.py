@@ -1,0 +1,203 @@
+"""Warehouse maintenance operators: MERGE upsert, SCD2 history, funnels.
+
+No Delta/Iceberg is available in this sandbox (VERDICT.md round-1 item 4),
+but the *relational core* of table maintenance is expressible on plain
+DataFrames: MERGE is a full-outer join keyed on the primary key, SCD
+Type 2 is a lead() window over the change log, and funnel analysis is a
+chain of keyed min-aggregations. Each is registered with a DuckDB oracle
+so the semantics are hash-checked, and each docstring states the 100-TB
+plan shape (SCALE.md "Warehouse maintenance").
+
+Sources derive deterministically from the fixture tables — both engines
+compute identical per-row expressions (IEEE doubles, integer modulo), so
+no synthetic data leaves the oracle's reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey AS k, 'X' AS status, o_totalprice * 1.05 AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS k, 'N' AS status, 1000.0 AS price
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT COALESCE(t.o_orderkey, s.k) AS o_orderkey,
+       COALESCE(s.status, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(s.price, t.o_totalprice) AS o_totalprice,
+       CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+            WHEN s.k IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: matched rows update,
+    unmatched source rows insert, untouched target rows carry through.
+
+    The source is a deterministic amendment batch derived from the target
+    itself (every 10th order re-priced +5%, every 1000th key offset into
+    a fresh insert). The merge is ONE full-outer shuffle join on the
+    primary key + a coalesce projection — exactly the join Delta/Iceberg
+    MERGE plans under the hood. At 100 TB: the target side's shuffle
+    disappears if the table is bucketed on the key (SCALE.md); a small
+    CDC batch broadcasts instead, making MERGE a map-only job. The
+    ``action`` column is the merge audit (insert/update/keep counts).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") * 1.05).alias("price"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("k"),
+        F.lit("N").alias("status"),
+        F.lit(1000.0).alias("price"),
+    )
+    src = upd.unionByName(ins)
+    return (
+        o.join(src, o.o_orderkey == src.k, "full_outer")
+        .select(
+            F.coalesce("o_orderkey", "k").alias("o_orderkey"),
+            F.coalesce("status", "o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("price", "o_totalprice").alias("o_totalprice"),
+            F.when(F.col("o_orderkey").isNull(), "insert")
+            .when(F.col("k").isNull(), "keep")
+            .otherwise("update")
+            .alias("action"),
+        )
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderpriority,
+       CAST(o_orderdate AS DATE) AS valid_from,
+       CAST(LEAD(o_orderdate) OVER w AS DATE) AS valid_to,
+       CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from a change log.
+
+    Each customer's orders, in (date, key) order, are treated as
+    successive versions of their priority attribute; ``lead()`` closes
+    each validity interval and the open-ended row is flagged current.
+    One shuffle on the entity key; the frame evaluates within each
+    partition, so at 100 TB this scales with entities, not versions per
+    executor. This is the standard dimension-history rebuild — the same
+    window produces the ``valid_from``/``valid_to``/``is_current``
+    triplet any SCD2 pipeline maintains incrementally.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        nxt.cast("date").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, s.t_signup, MIN(e.ts) AS t_click
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t_signup
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id, s.t_signup
+),
+p AS (
+  SELECT e.user_id, c.t_click, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id, c.t_click
+)
+SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS steps
+FROM s
+LEFT JOIN c ON s.user_id = c.user_id
+LEFT JOIN p ON c.user_id = p.user_id
+""",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: signup → first later click → first later
+    purchase, per user.
+
+    The sequential dependency (each step must happen strictly after the
+    previous step's timestamp) is a chain of keyed min-aggregations, not
+    a window over the full event stream: stage N joins the raw events to
+    stage N−1's result on the user key and aggregates the earliest
+    qualifying timestamp. Every stage shuffles on the same user key, so
+    AQE/exchange-reuse co-partitions the chain; state per user is one
+    row per stage. At 100 TB this beats the collect_list-per-user
+    pattern (unbounded per-user arrays) — memory stays O(users), and a
+    funnel with K steps is K linear passes, embarrassingly parallel in
+    users. ``steps`` counts how deep each user got (1–3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_click"))
+        .select("user_id", "t_click")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select("user_id", "t_purchase")
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias("steps"),
+        )
+    )

@@ -403,3 +403,127 @@ def sphere_match(base: DataFrame) -> DataFrame:
         )
         .select("ia", "ib", F.expr(_SPH_HAVERSINE).alias("dist_rad"))
     )
+
+
+#: cone-search center (centi-degrees) and radius. RA center sits 10 deg
+#: from the 0/360 seam, inside the 20-deg radius, so the cone genuinely
+#: wraps and exercises the circular-distance predicate. The RA box
+#: halfwidth is the radius widened by 1/cos(dec0 + r) = 1/cos(20 deg)
+#: so the box contains every point the exact haversine cut keeps.
+_CONE_RA0 = 1000
+_CONE_DEC0 = 0
+_CONE_R_CDEG = 2000
+_CONE_RA_BOX = 2130
+#: radius in radians, rounded to the same 6 dp as the distance column.
+_CONE_R_RAD = 0.349066
+
+_CONE_DIST = f"""
+ROUND(2*ASIN(SQRT(
+  POW(SIN(RADIANS((dec_c - {_CONE_DEC0})/100.0)/2), 2)
+  + COS(RADIANS(dec_c/100.0))*COS(RADIANS({_CONE_DEC0}/100.0))
+    *POW(SIN(RADIANS((ra_c - {_CONE_RA0})/100.0)/2), 2))), 6)
+"""
+
+
+@register(
+    "cone_search",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c
+  FROM customer
+)
+SELECT obj_id, ra_c, dec_c, {_CONE_DIST} AS dist_rad
+FROM cat
+WHERE LEAST(abs(ra_c - {_CONE_RA0}), {_SPH_CIRCLE} - abs(ra_c - {_CONE_RA0}))
+        <= {_CONE_RA_BOX}
+  AND abs(dec_c - {_CONE_DEC0}) <= {_CONE_R_CDEG}
+  AND {_CONE_DIST} <= {_CONE_R_RAD}
+""",
+)
+def cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone search: all objects within 20 deg of a sky position — the
+    single most common astronomy catalog query.
+
+    Two-stage predicate: a cheap box prefilter (circular RA distance on
+    the mod-ring plus a dec band — pure comparisons, pushed to the
+    scan) prunes the catalog before the transcendental haversine runs
+    on survivors; the exact cut compares the 6-dp-rounded distance in
+    both engines, so no float-boundary hazard. The center sits 10 deg
+    from RA 0/360, inside the radius, so the box genuinely wraps the
+    seam (the Spark query and oracle share the predicate formula, so a
+    symmetric wraparound bug would be hash-invisible — the planted-
+    object test on :func:`cone_filter` pins it independently). At
+    100 TB the catalog is partitioned by sky cell (sink_partitioned
+    layout on ``ra_c div eps``): the box predicate becomes static
+    partition pruning and the query reads only the handful of cells
+    under the cone — the relational form of a HEALPix index lookup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000).alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000).alias(
+            "dec_c"
+        ),
+    )
+    return cone_filter(cat)
+
+
+def cone_filter(cat: DataFrame) -> DataFrame:
+    """The reusable cone predicate over (obj_id, ra_c, dec_c) rows —
+    exposed so tests can plant an object across the RA 0/360 seam."""
+    dra = F.abs(F.col("ra_c") - _CONE_RA0)
+    return cat.filter(
+        (F.least(dra, F.lit(_SPH_CIRCLE) - dra) <= _CONE_RA_BOX)
+        & (F.abs(F.col("dec_c") - _CONE_DEC0) <= _CONE_R_CDEG)
+        & (F.expr(_CONE_DIST) <= _CONE_R_RAD)
+    ).select("obj_id", "ra_c", "dec_c", F.expr(_CONE_DIST).alias("dist_rad"))
+
+
+#: folding period: 7 days in microseconds, split into 10 phase bins.
+_FOLD_P_US = 7 * 86400 * 1_000_000
+_FOLD_BIN_US = _FOLD_P_US // 10
+
+
+@register(
+    "lightcurve_fold",
+    oracle=f"""
+SELECT event_type,
+       (epoch_us(ts) % {_FOLD_P_US}) // {_FOLD_BIN_US} AS phase_bin,
+       COUNT(*) AS n_obs,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_value
+FROM events
+GROUP BY event_type, (epoch_us(ts) % {_FOLD_P_US}) // {_FOLD_BIN_US}
+""",
+)
+def lightcurve_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-fold a time series on a known period — the light-curve
+    folding operator (variable-star / transit analysis).
+
+    Each observation maps to a phase bin via exact integer arithmetic
+    (``epoch_us mod period div bin`` — no float phase, so both engines
+    bin identically), then one hash aggregation computes the folded
+    profile per series. Map-side partials make the shuffle one row per
+    (series, bin): at 100 TB folding a trillion observations moves only
+    #series × 10 rows. The mean uses the engine's exact scaled-long sum
+    (functions/exact.py) so the profile hash is bit-stable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    phase_bin = F.expr(
+        f"(unix_micros(ts) % {_FOLD_P_US}) div {_FOLD_BIN_US}"
+    ).alias("phase_bin")
+    return ev.groupBy("event_type", phase_bin).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000.0 + F.lit(0.5)))
+            .cast("double")
+            / 1000000.0
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )

@@ -1,0 +1,181 @@
+"""Training-corpus construction operators: packing, mixing, scrubbing.
+
+The last mile of an LLM data pipeline after dedup/quality filtering
+(pipeline/dedup.py, pipeline/text.py): pack documents into fixed
+token-budget training sequences, rebalance the language/source mixture
+with deterministic sampling, and scrub PII spans. All pure built-in
+expressions (window sums, md5-uniform thresholds, regexp_replace) — no
+Python in the path, every operator oracle-hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: tokens per packed training sequence.
+_PACK_BUDGET = 512
+
+#: per-language keep rates — downsample the dominant language toward a
+#: balanced mixture (documents are en-heavy, FIXTURES.md).
+_MIX_RATES = {"en": 0.3, "es": 0.9, "de": 0.9, "fr": 0.9, "zh": 0.9}
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT lang, source, doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang, source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_excl
+  FROM toks
+)
+SELECT lang, source,
+       cum_excl // {_PACK_BUDGET} AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, source, cum_excl // {_PACK_BUDGET}
+""",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences.
+
+    Within each (lang, source) shard, documents in doc_id order are
+    assigned to sequence ``floor(exclusive-cumulative-tokens / budget)``
+    — contiguous bins of ~512 tokens, the deterministic relational form
+    of sequence packing (a doc straddling a boundary stays in the bin it
+    started in; strict first-fit would need a sequential scan per shard
+    via applyInPandas, same shuffle shape). One shuffle on the shard key
+    for the window, reused by the per-sequence rollup: at 100 TB the
+    window state is one running sum per shard and bins are emitted
+    map-side — no global coordination, shards pack independently.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    packed = toks.withColumn(
+        "seq_id", F.floor(cum_excl / F.lit(_PACK_BUDGET)).cast("long")
+    )
+    return packed.groupBy("lang", "source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+      < 16777216 * (CASE lang
+                      WHEN 'en' THEN {_MIX_RATES["en"]}
+                      ELSE {_MIX_RATES["es"]} END)
+""",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture rebalancing: per-language keep rates via a
+    content-hash threshold.
+
+    The corpus is en-heavy; training mixtures want rebalanced shares.
+    Keep a doc iff ``uniform(md5(doc_id)) < rate(lang)`` — the same rows
+    on every engine, every run, every partitioning (unlike seeded
+    Bernoulli ``sampleBy``, the rows-only ``sample_stratified`` key).
+    Map-only, no shuffle; at 100 TB this is the reproducible
+    mixture-weighting pass whose output feeds epoch construction, and
+    re-runs/audits see the identical sample. Stacks with ``sample_hash``
+    (flat split) — thresholds on disjoint hash substrings are
+    independent uniforms.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u24 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    rate = F.when(F.col("lang") == "en", F.lit(_MIX_RATES["en"])).otherwise(
+        F.lit(_MIX_RATES["es"])
+    )
+    return d.filter(u24 < F.lit(16777216) * rate).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text2, '{_PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone spans per document.
+
+    The fixture corpus is synthetic word soup, so PII is seeded
+    deterministically (same concat expression both engines) and then
+    scrubbed with ``regexp_replace`` — the patterns are chosen inside
+    the RE2 ∩ Java-regex common dialect so both engines match the same
+    spans. Map-only codegen'd expression pipeline: zero shuffles, scan
+    bandwidth is the only cost at 100 TB. Real pipelines swap in their
+    pattern pack (SSNs, credit cards, addresses) — the plan shape is
+    unchanged; counts stay as redaction audit columns.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select("doc_id", text2.alias("text2"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text2", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text2", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )

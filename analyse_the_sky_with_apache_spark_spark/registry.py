@@ -38,6 +38,7 @@ _MODULES = (
     "operators.setops",
     "operators.xmatch",
     "operators.bucketing",
+    "operators.warehouse",
     "functions.scalar",
     "streaming.queries",
     "pipeline.dedup",
@@ -46,6 +47,7 @@ _MODULES = (
     "pipeline.multimodal",
     "pipeline.udfs",
     "pipeline.clustering",
+    "pipeline.corpus",
 )
 
 _loaded = False

@@ -86,3 +86,37 @@ def test_fixture_catalog_still_matches_oracle(spark, duck):
         registry.ORACLE["xmatch_sphere"],
         SF_DIR,
     )
+
+
+#: (obj_id, ra_c, dec_c) planted cone-search catalog. The cone is
+#: centered at RA 10.00 deg, Dec 0, radius 20 deg — objects 11/12 sit
+#: across the 0/360 seam INSIDE the cone, 13 is outside by RA the short
+#: way around, 14 is inside the RA box but outside the haversine cut at
+#: a high-|dec| corner, 15 is a linear (non-wrapping) in-cone object.
+_CONE_CATALOG = [
+    (11, 35500, 0),     # circular dra = 15.00 deg -> inside
+    (12, 35101, 100),   # circular dra = 18.99 deg -> inside (wraps)
+    (13, 33800, 0),     # circular dra = 22.00 deg -> outside
+    (14, 33890, 1990),  # box corner: inside RA box, haversine > r
+    (15, 2500, -500),   # linear: dra = 15.00 deg -> inside
+]
+
+
+def test_cone_search_wraps_the_seam(spark):
+    import math
+
+    from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+        _CONE_R_RAD,
+        cone_filter,
+    )
+
+    base = spark.createDataFrame(
+        _CONE_CATALOG, "obj_id BIGINT, ra_c BIGINT, dec_c BIGINT"
+    )
+    got = {r.obj_id: r.dist_rad for r in cone_filter(base).collect()}
+    assert set(got) == {11, 12, 15}
+    # distances are the short way around and within the radius
+    for obj_id, dist in got.items():
+        ra, dec = next((r, d) for i, r, d in _CONE_CATALOG if i == obj_id)
+        assert dist == _haversine(ra, dec, 1000, 0)
+        assert dist <= _CONE_R_RAD
