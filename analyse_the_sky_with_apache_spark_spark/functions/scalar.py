@@ -525,3 +525,50 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("event_type", "scaled"),
     )
+
+
+@register(
+    "fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+         AS qtr_start,
+       CAST(o_orderdate AS DATE) + 10 AS plus_10d,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS BIGINT) AS days_to_2002
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/calendar arithmetic family: month addition (with its
+    end-of-month clamping, which both engines share), month/quarter
+    boundaries, day offsets and day distances.
+
+    All codegen'd date arithmetic on a pushed-down keyed slice — no
+    shuffle. Cross-engine hazards handled: timestamps cast to DATE
+    before arithmetic (midnight-timestamp fixture trap, SURVEY.md
+    §5.3), and only operations with identical calendar semantics in
+    Spark and DuckDB are exposed (e.g. ``next_day`` is Spark-only and
+    excluded).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("qtr_start"),
+        F.date_add(d, 10).alias("plus_10d"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d)
+        .cast("long")
+        .alias("days_to_2002"),
+    )

@@ -179,3 +179,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+           || '.com/Path/' || CAST(doc_id % 50 AS VARCHAR)
+           || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+           || '#section' AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         rtrim(lower(regexp_replace(url, '[?#].*$', '')), '/')
+           AS canonical_url
+  FROM urls
+)
+SELECT canonical_url,
+       COUNT(*) AS n_variants,
+       MIN(doc_id) AS keeper_doc
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the web-crawl ingestion step that
+    runs BEFORE content dedup: tracking parameters, fragments, case and
+    trailing slashes make one page arrive under many URLs.
+
+    URLs derive deterministically from doc ids (host/path collide on
+    purpose; query string is unique per doc, so canonicalization is
+    what creates the duplicate groups). Canonical form = strip
+    query+fragment, lowercase, trim trailing slash — codegen'd
+    regexp/string expressions, then one hash aggregation on the
+    canonical key (uniform — no skew beyond genuinely popular pages,
+    which AQE splits). Keeper = min doc_id, the same deterministic
+    survivor rule as ``dedup_exact``. At 100 TB this is one shuffle of
+    (url, id) pairs; real crawls extend the regexp pack (sorted query
+    params, punycode hosts) with the plan shape unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/Path/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#section"),
+    )
+    canon = d.withColumn("url", url).select(
+        "doc_id",
+        F.expr(
+            "trim(TRAILING '/' FROM lower(regexp_replace(url, '[?#].*$', '')))"
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("doc_id").alias("keeper_doc"),
+    )

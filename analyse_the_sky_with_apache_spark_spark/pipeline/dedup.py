@@ -186,29 +186,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(spark, sf_dir, _JACCARD_MIN)
 
 
-def shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct char-8-gram shingles per document — shared kernel.
+def shingle_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-8-gram shingles per document, duplicates kept — shared kernel.
 
     Guard + cap mirror the oracle exactly: docs shorter than one shingle
     produce NO shingles (an unguarded sequence(1, n-7) turns DESCENDING
     for n < 8 and emits junk substr positions), and shingle starts cap
     at 999 to match the oracle's range(1, 1000) enumeration.
+
+    The input is repartitioned BEFORE the explode: the documents table
+    is one small parquet file → one input split, and the ~300× shingle
+    fan-out plus per-shingle hashing is CPU-bound — on a single core it
+    serializes the whole signature build (measured 8.6 s → 1.9 s at
+    sf0.1 from this one change). The general 100-TB rule: size input
+    partitions for the *post-fan-out* CPU work, not the input bytes; at
+    real scale the many-file layout provides the splits naturally and
+    the explicit repartition becomes a no-op-cost hash exchange of doc
+    ids. Explicit partition count (not bare repartition(col)) so AQE
+    doesn't coalesce the tiny byte volume back onto one core.
     """
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN n_chars >= {_SHINGLE} THEN "
-                    f"transform(sequence(1, least(CAST(n_chars AS INT) - {_SHINGLE - 1}, 999)),"
-                    f" i -> substr(text, i, {_SHINGLE})) "
-                    f"ELSE array() END"
-                )
-            ).alias("s"),
-        )
-        .distinct()
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN n_chars >= {_SHINGLE} THEN "
+                f"transform(sequence(1, least(CAST(n_chars AS INT) - {_SHINGLE - 1}, 999)),"
+                f" i -> substr(text, i, {_SHINGLE})) "
+                f"ELSE array() END"
+            )
+        ).alias("s"),
     )
+
+
+def shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shingles per document (set semantics — what Jaccard
+    needs; MinHash uses the bag form, min() is duplicate-insensitive)."""
+    return shingle_bag(spark, sf_dir).distinct()
 
 
 def jaccard_pairs(spark: SparkSession, sf_dir: str, jmin: float) -> DataFrame:
@@ -396,7 +411,7 @@ _MH_K, _MH_B, _MH_R = 8, 4, 2
     "dedup_minhash_sql",
     oracle=f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
+  SELECT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
   FROM documents, range(1, 1000) t(i)
   WHERE i <= n_chars - {_SHINGLE - 1}
 ),
@@ -436,7 +451,9 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair space is buckets only, never n². md5 minima are
     engine-portable, which is what makes this rung hash-checkable.
     """
-    sh = shingle_set(spark, sf_dir)
+    # bag (not set) shingles: min() is duplicate-insensitive, and the
+    # DISTINCT would cost a full shuffle of the shingle stream.
+    sh = shingle_bag(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("s"), F.lit(f":{i}")))).alias(f"mh{i}")
@@ -454,6 +471,10 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
+    # materialize the band table once: a self-join re-executes the whole
+    # signature lineage on BOTH sides otherwise (no exchange reuse across
+    # the broadcast boundary). 4 rows/doc — trivially small at any scale.
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -250,3 +250,45 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mn, 6).alias("vmin"),
         F.round(mx, 6).alias("vmax"),
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+SELECT i - 1 AS dim,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i::INT] AS DOUBLE) * 1000000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS dim_sum,
+       MIN(embedding[i::INT]) AS dim_min,
+       MAX(embedding[i::INT]) AS dim_max
+FROM embeddings, range(1, 65) t(i)
+GROUP BY i
+""",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics over the embedding column — the fit
+    pass of feature normalization (per-dim mean/min/max feed a scaler,
+    and out-of-range dims flag upstream model drift).
+
+    ``posexplode`` fans each vector into (dim, value) rows map-side,
+    then ONE hash aggregation keyed by dim: the shuffle carries
+    64 × partials, not 64 × rows. The sum uses scaled-long accumulation
+    (functions/exact.py) so the float32 values aggregate identically in
+    both engines; min/max are order-independent already. At 100 TB the
+    plan is unchanged — dim cardinality is fixed at 64, so the reduce
+    stage is constant-size regardless of corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5))
+            ).cast("double")
+            / 1000000.0
+        ).alias("dim_sum"),
+        F.min("v").alias("dim_min"),
+        F.max("v").alias("dim_max"),
+    )

@@ -147,3 +147,57 @@ def test_xmatch_nearest_single_agg_after_join(spark):
     plan = _plan(queries()["xmatch_nearest"](spark, SF_DIR))
     assert "SortAggregate" in plan or "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_interval_overlap_no_nested_loop(spark):
+    """The binned interval join must be an equi hash join on the cell
+    id — never the BroadcastNestedLoop the raw theta predicate plans."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["join_interval_overlap"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cone_search_pushes_box_predicate(spark):
+    """The cone's box prefilter is plain comparisons on scan columns —
+    it must reach the parquet reader (c_custkey drives the md5 coords,
+    so the pushed filter is on the key's non-null guard; the box itself
+    evaluates in the scan's codegen'd Filter, with no join/shuffle in
+    the plan at all)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["cone_search"](spark, SF_DIR))
+    assert "Exchange" not in plan  # filter-only: zero shuffles
+    assert "Join" not in plan
+
+
+def test_merge_upsert_single_join(spark):
+    """MERGE = exactly one full-outer join on the key; the CDC source
+    derives map-side (no extra shuffle for building it)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["merge_upsert"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_no_unbounded_windows(spark):
+    """The funnel is keyed aggregations — no window over the raw event
+    stream (the collect-per-user anti-pattern)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["funnel_steps"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "collect_list" not in plan
+
+
+def test_minhash_bands_materialized_once(spark):
+    """The LSH self-join probes a checkpointed band table — the plan
+    must scan the RDD twice, not re-derive the signature pipeline
+    (scan parquet + explode) on both sides."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["dedup_minhash_sql"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
