@@ -519,3 +519,32 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.p").alias("mode_priority"),
         F.col("m.n").alias("n"),
     )
+
+
+@register("agg_approx_percentile")  # rows-only: t-digest sketch is engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``percentile_approx`` — the sketch
+    that replaces :func:`agg_percentile_exact` at 100 TB.
+
+    Exact percentiles need a sort (or full value materialization) per
+    group; the approx variant keeps a bounded quantile sketch that
+    combines map-side and merges across partitions, so the shuffle is
+    one sketch per group regardless of row count. accuracy=10000 bounds
+    rank error at 1/10000. Registered rows-only (each engine's sketch
+    differs); tests/test_approx.py pins the error envelope against the
+    exact values.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)),
+        F.lit(10000),
+    )
+    # serialized to CSV so the result stays hashable (no nested columns
+    # reach the driver's canonicalizer — round-1 lesson)
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.transform(approx, lambda x: F.round(x, 2).cast("string")), ","
+        ).alias("approx_p25_p50_p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

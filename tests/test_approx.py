@@ -49,3 +49,34 @@ def test_hll_sketch_union_within_bound(spark):
     for status, est in rows.items():
         true = exact[status]
         assert abs(est - true) <= max(4 * 0.02 * true, 2), (status, est, true)
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """percentile_approx(accuracy=10000) must land within a 1/10000 rank
+    neighborhood of the exact percentile — checked by value against the
+    exact interpolated percentiles, with a tolerance derived from the
+    local value spread (the fixture's price distribution is smooth, so
+    rank error ≈ small relative value error)."""
+    approx_rows = {
+        r["l_returnflag"]: [
+            float(x) for x in r["approx_p25_p50_p90"].split(",")
+        ]
+        for r in queries()["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    exact_rows = {
+        r["l_returnflag"]: [r["p25"], r["p50"], r["p90"]]
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.25)).alias("p25"),
+            F.percentile("l_extendedprice", F.lit(0.50)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.90)).alias("p90"),
+        )
+        .collect()
+    }
+    assert approx_rows.keys() == exact_rows.keys()
+    for flag, approx in approx_rows.items():
+        for est, true in zip(approx, exact_rows[flag]):
+            # 1% value slack: generous vs the 0.01% rank guarantee, tight
+            # enough to catch a broken sketch or wrong column
+            assert abs(est - true) <= 0.01 * abs(true) + 1, (flag, est, true)

@@ -205,3 +205,38 @@ def test_minhash_sql_exact_dups_always_candidates(spark):
     }
     for pair in exact_pairs:
         assert cand.get(pair) == 4, (pair, cand.get(pair))
+
+
+def test_pca_distributed_cov_matches_numpy(spark):
+    """The distributed covariance accumulation must reproduce numpy's
+    in-memory top eigenvector (|cosine| > 0.9999; sign is pinned by the
+    engine) and eigenvalue — validating the Spark-side pass, the only
+    part numpy does not redo."""
+    import numpy as np
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.pipeline.clustering import (
+        pca_top_component,
+    )
+    from tests.conftest import SF_DIR
+
+    v, eigs = pca_top_component(spark, SF_DIR)
+    X = np.array(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(Xc)
+    w, U = np.linalg.eigh(cov)
+    cos = abs(float(np.dot(np.array(v), U[:, -1])))
+    assert cos > 0.9999
+    assert abs(eigs[-1] - w[-1]) / w[-1] < 1e-9
+    # the projection query runs and covers all 10 labels
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    rows = queries()["emb_pca"](spark, SF_DIR).collect()
+    assert [r["label"] for r in rows] == sorted(r["label"] for r in rows)
+    assert len(rows) == 10
