@@ -359,3 +359,116 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("n_events").isNull().cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "ts_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value*1000000.0) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), cal AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), j AS (
+  SELECT c.user_id, c.day, d.sv, d.n_events
+  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+), neigh AS (
+  SELECT user_id, day, sv, n_events,
+         LAST_VALUE(sv IGNORE NULLS) OVER wp AS prev_s,
+         LAST_VALUE(CASE WHEN sv IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wp AS prev_d,
+         FIRST_VALUE(sv IGNORE NULLS) OVER wn AS next_s,
+         FIRST_VALUE(CASE WHEN sv IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wn AS next_d
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN sv IS NOT NULL THEN 1 ELSE 0 END AS is_obs,
+       CASE WHEN sv IS NOT NULL THEN CAST(sv AS DOUBLE) / 1000000.0
+            ELSE CAST(prev_s * (next_d - day) + next_s * (day - prev_d)
+                      AS DOUBLE)
+                 / (CAST(next_d - prev_d AS DOUBLE) * 1000000.0)
+       END AS interp_value
+FROM neigh
+""",
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps — the companion to
+    :func:`ts_gapfill`'s forward fill (a light curve resampled onto a
+    daily grid with straight-line infill between observations).
+
+    Same densify-and-join skeleton as the gap fill, plus a mirrored pair
+    of unbounded windows: last-observed (value, day) looking back and
+    first-observed looking forward. A gap day's value is the linear
+    blend ``(prev*(next_d-day) + next*(day-prev_d)) / (next_d-prev_d)``.
+    The blend is computed entirely in exact integers — scaled-long daily
+    sums times integer day distances — with ONE double division at the
+    end, so both engines produce bit-identical doubles and the oracle
+    hash is exact (no float accumulation anywhere). Calendar bounds are
+    each key's own min/max observed day, so every gap row has both
+    neighbors by construction.
+
+    Scale: one shuffle on the user key shared by the daily aggregate,
+    the calendar join and both windows; densification is map-side
+    ``sequence``+``explode`` (O(days-per-key) emitted rows, no global
+    calendar cross join) — the same 100-TB posture as ts_gapfill.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000.0).cast("long")).alias("sv"),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("sv").isNotNull(), F.col("day"))
+    neigh = j.select(
+        "user_id",
+        "day",
+        "sv",
+        "n_events",
+        F.last("sv", ignorenulls=True).over(wp).alias("prev_s"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("sv", ignorenulls=True).over(wn).alias("next_s"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    num = F.col("prev_s") * F.datediff("next_d", "day") + F.col(
+        "next_s"
+    ) * F.datediff("day", "prev_d")
+    den = F.datediff("next_d", "prev_d").cast("double") * 1000000.0
+    return neigh.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("sv").isNotNull().cast("int").alias("is_obs"),
+        F.when(
+            F.col("sv").isNotNull(), F.col("sv").cast("double") / 1000000.0
+        )
+        .otherwise(num.cast("double") / den)
+        .alias("interp_value"),
+    )

@@ -527,3 +527,108 @@ def lightcurve_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_value"),
     )
+
+
+#: candidate period grid for the period scan, in integer days. Includes
+#: the weekly cycle the fixture's activity actually carries plus decoys
+#: on both sides; all coprime-ish so phase bins don't alias.
+_SCAN_PERIODS_D = (3, 4, 5, 6, 7, 8, 9, 10, 11, 14)
+_SCAN_NBINS = 8
+_DAY_US = 86400 * 1_000_000
+
+
+def period_scan_kernel(ev: DataFrame, periods_us: tuple[int, ...], nbins: int) -> DataFrame:
+    """Phase-dispersion period scan over an observation log.
+
+    For every candidate period P the series is phase-folded
+    (``t mod P``, ``nbins`` bins — exact integer arithmetic) and the
+    folded profile's amplitude (max bin mean − min bin mean) measured:
+    a true periodicity concentrates signal into a high-amplitude
+    profile, while a wrong period smears it flat. ``rnk=1`` marks each
+    series' best-supported period.
+
+    Determinism for the oracle hash: bin sums are exact scaled longs
+    (cents), each bin mean is ONE double division of two exact
+    integers, and max/min/subtract are order-free — no float
+    accumulation, so both engines emit bit-identical amplitudes and
+    the rank's (amp DESC, period) ordering agrees.
+
+    Scale: the only data-sized stage is the ×P map-side fan-out into
+    the first hash aggregation, whose partials reduce the shuffle to
+    one row per (series, period, bin) — scanning a trillion-row log
+    over 10 periods moves #series × 10 × 8 rows. The profile rollup
+    and the rank window both ride the same series key.
+    """
+    from pyspark.sql import Window
+
+    e = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cv"),
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in periods_us])
+        ).alias("p_us"),
+    )
+    per_bin = (
+        e.withColumn(
+            "phase_bin", F.expr(f"(t_us % p_us) * {nbins} div p_us")
+        )
+        .groupBy("event_type", "p_us", "phase_bin")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cv").alias("a_b"))
+    )
+    bin_mean = F.col("a_b").cast("double") / F.col("n_b").cast("double")
+    prof = per_bin.groupBy("event_type", "p_us").agg(
+        F.max(bin_mean).alias("hi"),
+        F.min(bin_mean).alias("lo"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("hi") - F.col("lo")).desc(), "p_us"
+    )
+    return prof.select(
+        "event_type",
+        F.expr(f"p_us div {_DAY_US}").alias("period_days"),
+        "n_bins",
+        ((F.col("hi") - F.col("lo")) / F.lit(100.0)).alias("amp"),
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+@register(
+    "lightcurve_period_scan",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         CAST(ROUND(value*100.0) AS BIGINT) AS cv, p.p_us
+  FROM events,
+       (SELECT UNNEST([{", ".join(str(p * _DAY_US) for p in _SCAN_PERIODS_D)}]) AS p_us) p
+), b AS (
+  SELECT event_type, p_us, (t_us % p_us) * {_SCAN_NBINS} // p_us AS phase_bin,
+         COUNT(*) AS n_b, CAST(SUM(cv) AS BIGINT) AS a_b
+  FROM e GROUP BY 1, 2, 3
+), prof AS (
+  SELECT event_type, p_us,
+         MAX(CAST(a_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS hi,
+         MIN(CAST(a_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS lo,
+         COUNT(*) AS n_bins
+  FROM b GROUP BY 1, 2
+)
+SELECT event_type, p_us // {_DAY_US} AS period_days, n_bins,
+       (hi - lo) / 100.0 AS amp,
+       ROW_NUMBER() OVER (PARTITION BY event_type
+                          ORDER BY (hi - lo) DESC, p_us) AS rnk
+FROM prof
+""",
+)
+def lightcurve_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period search over the event log's light curves — the
+    variable-star operator upstream of :func:`lightcurve_fold` (which
+    folds on a KNOWN period; this finds it). See
+    :func:`period_scan_kernel` for semantics, determinism and the
+    100-TB shuffle shape; the planted-period recovery test lives in
+    tests/test_xmatch_sphere.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return period_scan_kernel(
+        ev, tuple(p * _DAY_US for p in _SCAN_PERIODS_D), _SCAN_NBINS
+    )

@@ -120,3 +120,39 @@ def test_cone_search_wraps_the_seam(spark):
         ra, dec = next((r, d) for i, r, d in _CONE_CATALOG if i == obj_id)
         assert dist == _haversine(ra, dec, 1000, 0)
         assert dist <= _CONE_R_RAD
+
+
+def test_period_scan_recovers_planted_period(spark):
+    """A synthetic square-wave light curve with a 5-day period must rank
+    period=5 first, and a pure-noise-free constant series must still
+    produce a full 10-period scan table. Built from the kernel directly
+    so the planted series controls every row."""
+    import datetime
+
+    from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+        _DAY_US,
+        _SCAN_NBINS,
+        _SCAN_PERIODS_D,
+        period_scan_kernel,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 6-hourly sampling over 140 days: value is 100.0 on days 0-1 of each
+    # 5-day cycle, 10.0 otherwise — a square wave only a 5-day (or
+    # multiple-of-5) fold concentrates.
+    for k in range(140 * 4):
+        ts = t0 + datetime.timedelta(hours=6 * k)
+        day = (k // 4) % 5
+        rows.append(("pulsar", ts, 100.0 if day < 2 else 10.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    scan = period_scan_kernel(
+        df, tuple(p * _DAY_US for p in _SCAN_PERIODS_D), _SCAN_NBINS
+    ).collect()
+    assert len(scan) == len(_SCAN_PERIODS_D)
+    by_rank = {r["rnk"]: r for r in scan}
+    # 5 beats every non-multiple; 10 (a harmonic) also folds cleanly but
+    # the rank tie-break prefers the shorter period at equal amplitude
+    assert by_rank[1]["period_days"] == 5
+    amps = {r["period_days"]: r["amp"] for r in scan}
+    assert amps[5] > amps[7] and amps[5] > amps[3]
