@@ -1,0 +1,181 @@
+"""Data-quality operators: table profiling and statistical outlier flags.
+
+The intake steps of a training-data pipeline before anything else runs:
+profile every ingested column (row/null/distinct counts, bounds) and
+flag statistical outliers per entity. Both are single-pass relational
+plans with exact-integer cores so they hash-verify against the DuckDB
+oracle (SURVEY.md §5.3 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: profiled columns of ``orders`` and how min/max canonicalize to a
+#: string that renders identically in every engine: integers verbatim,
+#: doubles via exact cents (never engine float-to-string formatting).
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+)
+
+
+def _canon_str(col, kind: str):
+    c = F.col(col)
+    if kind == "cents":
+        return F.round(c * 100.0).cast("long").cast("string")
+    return c.cast("string")
+
+
+@register(
+    "profile_table",
+    oracle="""
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_nonnull,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR),
+       CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(CAST(ROUND(MIN(o_totalprice)*100.0) AS BIGINT) AS VARCHAR),
+       CAST(CAST(ROUND(MAX(o_totalprice)*100.0) AS BIGINT) AS VARCHAR)
+FROM orders
+""",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of a table in long format — the ingest health check
+    (row count, null count, exact distinct count, bounds per column).
+
+    ONE aggregation over the table computes every metric for every
+    profiled column simultaneously (no per-column scans — the oracle's
+    UNION-ALL formulation rescans; ours does not), then a literal-array
+    ``inline`` unpivots the single metrics row into one row per column.
+    Bounds canonicalize to strings via exact integers (cents for
+    doubles), never engine float formatting, so the hash is stable.
+
+    Scale: exact COUNT(DISTINCT) over K columns Expand-multiplies input
+    ×K before the partial agg — the documented 100-TB swap is
+    ``approx_count_distinct`` (HLL++, constant-size partials) with
+    everything else unchanged; the plan shape is otherwise one
+    partial→final aggregate regardless of table size.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(col).alias(f"nn_{col}"),
+            F.countDistinct(col).alias(f"nd_{col}"),
+            F.min(col).alias(f"mn_{col}"),
+            F.max(col).alias(f"mx_{col}"),
+        ]
+    one = od.agg(*aggs)
+    entries = ", ".join(
+        f"struct('{col}' AS column_name, n_rows, nn_{col} AS n_nonnull, "
+        f"nd_{col} AS n_distinct, mn_c_{col} AS min_s, mx_c_{col} AS max_s)"
+        for col, _ in _PROFILE_COLS
+    )
+    canon = one.select(
+        "*",
+        *[
+            _canon_str(f"mn_{col}", kind).alias(f"mn_c_{col}")
+            for col, kind in _PROFILE_COLS
+        ],
+        *[
+            _canon_str(f"mx_{col}", kind).alias(f"mx_c_{col}")
+            for col, kind in _PROFILE_COLS
+        ],
+    )
+    return canon.select(F.expr(f"inline(array({entries}))"))
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(ROUND(value*100.0) AS BIGINT) AS cv
+  FROM events
+), s AS (
+  SELECT event_id, user_id, value, cv,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(cv) OVER w AS BIGINT) AS s,
+         CAST(SUM(cv*cv) OVER w AS BIGINT) AS q
+  FROM e
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT event_id, user_id, value, n,
+       (CAST(cv*n - s AS DOUBLE) * SQRT(CAST(n*(n-1) AS DOUBLE)))
+       / (CAST(n AS DOUBLE) * SQRT(CAST(n*q - s*s AS DOUBLE))) AS z
+FROM s
+WHERE n >= 30 AND n*q - s*s > 0
+  AND ABS((CAST(cv*n - s AS DOUBLE) * SQRT(CAST(n*(n-1) AS DOUBLE)))
+          / (CAST(n AS DOUBLE) * SQRT(CAST(n*q - s*s AS DOUBLE)))) > 3.0
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity statistical outliers: events whose value sits more than
+    3 sample standard deviations from the entity's own mean — the
+    data-quality flag a pipeline runs before training on a metric.
+
+    The z-score is algebraically rearranged onto an exact-integer core:
+    with cents ``cv`` and per-entity exact sums ``s = Σcv``,
+    ``q = Σcv²``, the score is
+    ``(cv·n − s)·√(n(n−1)) / (n·√(nq − s²))`` — every input an exact
+    BIGINT, four float ops per row (two sqrt, one mul, one div), each
+    deterministic IEEE, so both engines emit bit-identical doubles and
+    even the ``|z| > 3`` cut lands identically. No mean/stddev floats
+    are ever accumulated.
+
+    Scale: one shuffle on the entity key; the full-partition window
+    carries three integer accumulators per entity. Entities with n < 30
+    or zero variance are excluded (no z is defined there).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") * 100.0).cast("long").alias("cv"),
+    )
+    w = Window.partitionBy("user_id")
+    st = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "cv",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cv").over(w).alias("s"),
+        F.sum(F.col("cv") * F.col("cv")).over(w).alias("q"),
+    )
+    num = (F.col("cv") * F.col("n") - F.col("s")).cast("double") * F.sqrt(
+        (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    den = F.col("n").cast("double") * F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    )
+    z = (num / den).alias("z")
+    return (
+        st.where(
+            (F.col("n") >= 30)
+            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+        )
+        .select("event_id", "user_id", "value", "n", z)
+        .where(F.abs(F.col("z")) > 3.0)
+    )

@@ -48,6 +48,7 @@ _MODULES = (
     "pipeline.udfs",
     "pipeline.clustering",
     "pipeline.corpus",
+    "pipeline.quality",
 )
 
 _loaded = False
