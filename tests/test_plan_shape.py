@@ -201,3 +201,49 @@ def test_minhash_bands_materialized_once(spark):
     plan = _plan(queries()["dedup_minhash_sql"](spark, SF_DIR))
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_profile_table_single_scan(spark):
+    """All column metrics come from ONE aggregate over one scan — the
+    whole point vs the oracle's per-column UNION ALL rescans."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    import re
+
+    plan = _plan(queries()["profile_table"](spark, SF_DIR))
+    # distinct scan NODES (the "(n) Scan parquet" detail entries) — the
+    # tree text repeats nodes across AQE final/initial sections
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+    assert "Union" not in plan
+
+
+def test_anomaly_zscore_one_window_no_join(spark):
+    """Entity statistics ride one window partition — no self-join, no
+    second scan of events."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    import re
+
+    plan = _plan(queries()["anomaly_zscore"](spark, SF_DIR))
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+    assert "Join" not in plan
+
+
+def test_period_scan_fanout_is_map_side(spark):
+    """The ×periods replication is a Generate feeding a partial
+    aggregate — never a join against a period relation."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["lightcurve_period_scan"](spark, SF_DIR))
+    assert "Generate" in plan and "explode" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_interpolate_generates_map_side(spark):
+    """Calendar densification stays a Generate (explode) like
+    ts_gapfill — no global calendar join."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["ts_interpolate"](spark, SF_DIR))
+    assert "Generate" in plan and "explode" in plan
