@@ -344,3 +344,161 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "m_id", F.round("cos", 6).alias("cos"), "rn")
         .orderBy("q_id", "rn")
     )
+
+
+#: PQ geometry: 64-dim vectors → _PQ_M subspaces of _PQ_SUB dims; the 10
+#: label means per subspace are the code words (a trained k-means
+#: codebook slots in without changing the plan).
+_PQ_M = 8
+_PQ_SUB = 8
+
+
+@register("ann_ivf_pq")  # rows-only: engine-side float kernels
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-rank — the deepest rung of the ANN ladder
+    (after brute-force `sim_knn_cosine`, LSH `sim_knn_lsh`, and
+    `ann_ivf`): members are stored as 8 one-byte PQ codes (32×
+    compression of the 64-dim float vectors), candidate scoring reads
+    ONLY the codes via asymmetric distance (query stays full-precision
+    against the code words), and the exact vectors are fetched just for
+    the top-50 shortlist re-rank.
+
+    Layout at 100 TB: both codebooks (coarse cells + per-subspace code
+    words) are driver-side literals — cell assignment and PQ encoding
+    are NARROW projections, no shuffle of the collection. The inverted
+    list (cell, codes) is 1/32 the bytes of the raw vectors, so the
+    probe join shuffles compressed rows; only #queries × 10 full
+    vectors move for the re-rank. Recall@3 vs the exact kernel is
+    pinned in tests/test_pipeline.py.
+    """
+    norm = normalized_embeddings(spark, sf_dir)
+    # coarse cells: per-(label, dim) means, one aggregation
+    cent_rows = (
+        norm.select("label", F.posexplode("nvec").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("c"))
+        .collect()
+    )
+    cents: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cents.setdefault(r["label"], {})[r["i"]] = r["c"]
+    labels = sorted(cents)
+    full = {lab: [dims[i] for i in sorted(dims)] for lab, dims in cents.items()}
+    cell_lit = F.array(
+        *[
+            F.struct(
+                F.lit(lab).alias("cell"),
+                F.array(*[F.lit(x) for x in full[lab]]).alias("cvec"),
+            )
+            for lab in labels
+        ]
+    )
+    # PQ codebooks: per-subspace k-means trained driver-side on a
+    # BOUNDED deterministic sample (id-filtered, sorted — codebook
+    # training is always a driver/sample step, even at 100 TB; the
+    # data-sized encode below never leaves the executors).
+    samp = (
+        norm.filter(F.col("vec_id") < 1024)
+        .select("vec_id", "nvec")
+        .collect()
+    )
+    samp.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["nvec"] for r in samp], dtype=np.float64)
+    ncodes = 16
+    books: list[np.ndarray] = []
+    for m in range(_PQ_M):
+        S = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        # deterministic init: evenly spaced sample rows; 10 Lloyd steps
+        C = S[np.linspace(0, len(S) - 1, ncodes).astype(int)].copy()
+        for _ in range(10):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for k in range(ncodes):
+                if (a == k).any():
+                    C[k] = S[a == k].mean(axis=0)
+        books.append(C)
+    # flat literal indexed m*ncodes+code → 8-dim code word
+    pq_flat = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in books[m][code]])
+            for m in range(_PQ_M)
+            for code in range(ncodes)
+        ]
+    )
+    sub = f"slice(nvec, m * {_PQ_SUB} + 1, {_PQ_SUB})"
+    d2 = (
+        f"aggregate(zip_with({sub}, element_at(PQ, m * {ncodes} + code + 1), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    assign = norm.withColumn("C", cell_lit).withColumn("PQ", pq_flat).select(
+        "vec_id",
+        "nvec",
+        F.expr(
+            "slice(array_sort(transform(C, c -> struct("
+            "-aggregate(zip_with(nvec, c.cvec, (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS nd, "
+            "c.cell AS cell))), 1, 2)"
+        ).alias("cells"),
+        F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), m -> "
+            f"array_sort(transform(sequence(0, {ncodes - 1}), code -> "
+            f"struct({d2} AS d2, code AS code)))[0].code)"
+        ).alias("codes"),
+    )
+    # inverted list: cell + 8 codes — the compressed representation
+    members = assign.select(
+        F.col("vec_id").alias("m_id"),
+        F.col("cells")[0]["cell"].alias("cell"),
+        "codes",
+    )
+    probes = assign.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(F.expr("transform(cells, c -> c.cell)")).alias("cell"),
+        F.col("nvec").alias("q_vec"),
+    )
+    # asymmetric distance: query sub-vector · member's code word, summed
+    # over subspaces — touches only the codes on the member side
+    adc = (
+        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0.0 AS DOUBLE), (acc, m) -> "
+        f"acc + aggregate(zip_with(slice(q_vec, m * {_PQ_SUB} + 1, {_PQ_SUB}), "
+        f"element_at(PQ, m * {ncodes} + element_at(codes, m + 1) + 1), "
+        "(a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc2, x) -> acc2 + x))"
+    )
+    scored = (
+        probes.join(members, "cell")
+        .filter(F.col("q_id") != F.col("m_id"))
+        .withColumn("PQ", pq_flat)
+        .select("q_id", "q_vec", "m_id", F.expr(adc).alias("approx_cos"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("approx_cos").desc(), "m_id")
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 50)
+        .select("q_id", "q_vec", "m_id", "approx_cos")
+    )
+    # exact re-rank: fetch full vectors for the shortlist only
+    exact = shortlist.join(
+        norm.select(F.col("vec_id").alias("m_id"), F.col("nvec").alias("m_vec")),
+        "m_id",
+    ).select(
+        "q_id",
+        "m_id",
+        "approx_cos",
+        F.expr(
+            "aggregate(zip_with(q_vec, m_vec, (a, b) -> a * b), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "m_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "q_id",
+            "m_id",
+            F.round("approx_cos", 6).alias("approx_cos"),
+            F.round("cos", 6).alias("cos"),
+            "rn",
+        )
+        .orderBy("q_id", "rn")
+    )
