@@ -472,3 +472,66 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den)
         .alias("interp_value"),
     )
+
+
+@register(
+    "ts_ohlc_downsample",
+    oracle="""
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         ts, event_id, value
+  FROM events
+), w AS (
+  SELECT event_type, week, value,
+         FIRST_VALUE(value) OVER (PARTITION BY event_type, week
+                                  ORDER BY ts, event_id) AS open,
+         FIRST_VALUE(value) OVER (PARTITION BY event_type, week
+                                  ORDER BY ts DESC, event_id DESC) AS close
+  FROM b
+)
+SELECT event_type, week,
+       MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+       MIN(close) AS close, COUNT(*) AS n_obs
+FROM w
+GROUP BY event_type, week
+""",
+)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling — collapse a raw observation log into
+    one open/high/low/close bar per (series, week), the rollup a market
+    feed or a photometric survey uses to turn ticks into candles.
+
+    Open/close are the values at the bucket's earliest/latest timestamp,
+    tie-broken by event_id so the bar is deterministic even with
+    duplicate timestamps. Spark computes them as a lexicographic
+    min/max over ``struct(t_us, event_id, value)`` — ONE hash
+    aggregation, no window, so map-side partials collapse each bucket
+    to a single row before the shuffle: downsampling a trillion-row log
+    moves only #series × #weeks rows. (The oracle states the same
+    semantics with FIRST_VALUE windows, which is how you'd write it
+    naively; the struct-min form is the scale-out version.) High/low/
+    count ride the same aggregation. Values pass through untouched
+    (no arithmetic), so both engines emit bit-identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.struct(
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            okey.alias("okey"),
+            "value",
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.min("okey").getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("okey").getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

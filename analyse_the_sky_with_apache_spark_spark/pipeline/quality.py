@@ -123,11 +123,13 @@ WITH e AS (
 )
 SELECT event_id, user_id, value, n,
        (CAST(cv*n - s AS DOUBLE) * SQRT(CAST(n*(n-1) AS DOUBLE)))
-       / (CAST(n AS DOUBLE) * SQRT(CAST(n*q - s*s AS DOUBLE))) AS z
+       / (CAST(n AS DOUBLE)
+          * SQRT(CAST(n AS DOUBLE)*q - CAST(s AS DOUBLE)*s)) AS z
 FROM s
-WHERE n >= 30 AND n*q - s*s > 0
+WHERE n >= 30 AND CAST(n AS DOUBLE)*q - CAST(s AS DOUBLE)*s > 0
   AND ABS((CAST(cv*n - s AS DOUBLE) * SQRT(CAST(n*(n-1) AS DOUBLE)))
-          / (CAST(n AS DOUBLE) * SQRT(CAST(n*q - s*s AS DOUBLE)))) > 3.0
+          / (CAST(n AS DOUBLE)
+             * SQRT(CAST(n AS DOUBLE)*q - CAST(s AS DOUBLE)*s))) > 3.0
 """,
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,11 +140,16 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The z-score is algebraically rearranged onto an exact-integer core:
     with cents ``cv`` and per-entity exact sums ``s = Σcv``,
     ``q = Σcv²``, the score is
-    ``(cv·n − s)·√(n(n−1)) / (n·√(nq − s²))`` — every input an exact
-    BIGINT, four float ops per row (two sqrt, one mul, one div), each
-    deterministic IEEE, so both engines emit bit-identical doubles and
-    even the ``|z| > 3`` cut lands identically. No mean/stddev floats
-    are ever accumulated.
+    ``(cv·n − s)·√(n(n−1)) / (n·√(nq − s²))``. The window sums s, q are
+    exact BIGINTs; the variance term ``n·q − s²`` is then evaluated in
+    DOUBLE (``double(n)·q − double(s)·s``) because the BIGINT product
+    n·q overflows 2⁶³ once n·cv² ≳ 9e18 (n ≈ 1e4 entities of 1e4-cent
+    values already get close). Every float op is the same deterministic
+    IEEE sequence in both engines, so results stay bit-identical; at
+    fixture scale the doubles are exact (all inputs < 2⁵³). Remaining
+    integer bound, documented not fixed: ``cv·n`` requires
+    n·cv < 2⁶³ ≈ 9.2e18 — safe past a trillion rows per entity at
+    1e6-cent values.
 
     Scale: one shuffle on the entity key; the full-partition window
     carries three integer accumulators per entity. Entities with n < 30
@@ -167,15 +174,14 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("cv") * F.col("n") - F.col("s")).cast("double") * F.sqrt(
         (F.col("n") * (F.col("n") - 1)).cast("double")
     )
-    den = F.col("n").cast("double") * F.sqrt(
-        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    var_term = (
+        F.col("n").cast("double") * F.col("q")
+        - F.col("s").cast("double") * F.col("s")
     )
+    den = F.col("n").cast("double") * F.sqrt(var_term)
     z = (num / den).alias("z")
     return (
-        st.where(
-            (F.col("n") >= 30)
-            & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
-        )
+        st.where((F.col("n") >= 30) & (var_term > 0))
         .select("event_id", "user_id", "value", "n", z)
         .where(F.abs(F.col("z")) > 3.0)
     )

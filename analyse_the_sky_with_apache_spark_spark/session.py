@@ -37,6 +37,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (timestamp[us] with no tz — the regenerated
+    # events fixture) must read as TIMESTAMP_LTZ under the pinned UTC
+    # session tz, not TIMESTAMP_NTZ: NTZ breaks unix_micros/epoch
+    # arithmetic everywhere, and LTZ@UTC is exactly how DuckDB (the
+    # oracle) evaluates epoch_us on the same naive values.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
 }

@@ -96,6 +96,29 @@ def test_ivf_recall_vs_exact(spark):
     assert float(np.mean(recalls)) >= 0.3, f"ivf mean recall {np.mean(recalls):.3f}"
 
 
+def test_ivf_pq_recall_vs_exact(spark):
+    """IVF-PQ (2-probe coarse cells, 8×8 PQ codes, exact top-50 re-rank)
+    must hold mean top-3 recall ≥ 0.3 against the brute-force kernel —
+    the PQ rung compresses 32× so it may not beat plain IVF, but a
+    broken code assignment or ADC scoring collapses recall to ~0."""
+    ids, mat = _normalized_matrix(spark)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -2.0)
+    truth = {
+        qid: set(ids[np.argsort(-sims[qi])[:3]])
+        for qi, qid in enumerate(ids)
+        if qid < 20
+    }
+
+    got = defaultdict(set)
+    for r in queries()["ann_ivf_pq"](spark, SF_DIR).collect():
+        got[r["q_id"]].add(r["m_id"])
+    recalls = [len(truth[q] & got[q]) / 3 for q in truth]
+    assert float(np.mean(recalls)) >= 0.3, (
+        f"ivf-pq mean recall {np.mean(recalls):.3f}"
+    )
+
+
 def test_kmeans_inertia_monotone(spark):
     """Lloyd's algorithm: inertia never increases between iterations
     (the defining convergence property; float noise tolerance 1e-9)."""

@@ -1,10 +1,10 @@
 """Driver-visibility ordering contract.
 
-The round-1 driver produced CORRECTNESS rows for exactly the first 50
-keys of ``queries()`` in dict insertion order, so insertion order decides
-which operators get externally verified each round. These tests pin the
-round-2 window: the keys that need a driver row (fixed round-1 reds +
-never-checked SURVEY §2 keys) must occupy the first 50 slots.
+The rounds 1–2 drivers produced CORRECTNESS rows for exactly the first
+50 keys of ``queries()`` in dict insertion order, so insertion order
+decides which operators get externally verified each round. These tests
+pin the round-3 window: every key with no row in CORRECTNESS_r01∪r02
+(plus operators new this round) must occupy the first 50 slots.
 """
 
 from __future__ import annotations
@@ -15,6 +15,20 @@ import os
 from analyse_the_sky_with_apache_spark_spark import registry
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked() -> set[str]:
+    """Keys with any CORRECTNESS row so far (green or rows-only)."""
+    seen: set[str] = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        with open(os.path.join(_REPO, fname)) as f:
+            rows = json.load(f)
+        seen.update(
+            k
+            for k, v in rows.items()
+            if v.get("hash_match") or v.get("err") == "no_oracle"
+        )
+    return seen
 
 
 def test_priority_keys_lead_the_registry():
@@ -32,26 +46,24 @@ def test_every_priority_key_exists():
     assert not missing, f"priority names unknown keys: {missing}"
 
 
-def test_round1_red_rows_lead():
-    """The three keys whose round-1 rows were driver-hasher artifacts must
-    be re-checked first."""
-    keys = list(registry.queries())
-    assert keys[:3] == ["sessionize_batch", "agg_collect_sorted", "emb_quantize"]
-
-
 def test_window_prefers_unchecked_keys():
-    """Apart from the red rows, the 50-slot window must not waste slots on
-    keys that already have a green round-1 CORRECTNESS row."""
-    with open(os.path.join(_REPO, "CORRECTNESS_r01.json")) as f:
-        r1 = json.load(f)
-    green = {
-        k
-        for k, v in r1.items()
-        if v.get("hash_match") or v.get("err") == "no_oracle"
-    }
+    """The 50-slot window must not waste slots on keys that already have
+    a green (or by-design rows-only) row from an earlier round."""
     window = list(registry.queries())[:50]
-    wasted = [k for k in window if k in green]
-    assert not wasted, f"green round-1 keys occupying the window: {wasted}"
+    wasted = [k for k in window if k in _driver_checked()]
+    assert not wasted, f"already-checked keys occupying the window: {wasted}"
+
+
+def test_every_unchecked_key_is_in_the_window():
+    """Dual of the above: after this round every registry key must have
+    been externally verified at least once, so no never-checked key may
+    sit past slot 50."""
+    keys = list(registry.queries())
+    allowed = set(registry._POST_WINDOW_NEW)
+    stranded = [
+        k for k in keys[50:] if k not in _driver_checked() and k not in allowed
+    ]
+    assert not stranded, f"unchecked keys stranded past the window: {stranded}"
 
 
 def test_oracle_dict_order_matches_queries():

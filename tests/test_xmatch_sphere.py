@@ -97,7 +97,9 @@ _CONE_CATALOG = [
     (11, 35500, 0),     # circular dra = 15.00 deg -> inside
     (12, 35101, 100),   # circular dra = 18.99 deg -> inside (wraps)
     (13, 33800, 0),     # circular dra = 22.00 deg -> outside
-    (14, 33890, 1990),  # box corner: inside RA box, haversine > r
+    (14, 3100, 1990),   # box corner: dra 21.00 <= 21.30 box, dec 19.90
+                        # <= 20.00 band, but haversine 0.4995 rad > r —
+                        # only the exact cut rejects it
     (15, 2500, -500),   # linear: dra = 15.00 deg -> inside
 ]
 
