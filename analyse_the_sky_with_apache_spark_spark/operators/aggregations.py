@@ -548,3 +548,40 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p25_p50_p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (p25 / median / p75) — the precise
+    counterpart to `agg_approx_percentile`'s sketch. Both engines use
+    the same continuous-quantile definition (sort the group, rank
+    p·(n−1), linearly interpolate between the two bracketing values),
+    so the 4-dp rounded doubles hash-match.
+
+    Exact quantiles need the group's values together: Spark's
+    ``percentile`` buffers each group's values at the reducer — fine
+    for bounded groups (here: order statuses). At 100 TB with huge
+    groups, that buffer is the bottleneck and the answer is the sketch
+    rung (`agg_approx_percentile`) or a two-pass count/CDF refinement;
+    this operator is the ground-truth tier of that ladder.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25D)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50D)"), 4).alias(
+            "median_price"
+        ),
+        F.round(F.expr("percentile(o_totalprice, 0.75D)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )

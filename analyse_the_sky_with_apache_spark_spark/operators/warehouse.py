@@ -201,3 +201,53 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("steps"),
         )
     )
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part o
+  WHERE o.p_retailprice < p.p_retailprice AND o.p_size > p.p_size
+)
+""",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the parts no other part strictly
+    beats on BOTH cheaper price and larger size (multi-objective
+    shortlisting — "show me the options that aren't dominated").
+
+    The oracle states the textbook NOT EXISTS form, which is an O(n²)
+    all-pairs scan. The Spark plan is the sweep-line rewrite: collapse
+    to one row per distinct price with its max size (hash agg), running
+    ``MAX(size)`` over strictly-cheaper prices (window over the
+    *distinct-price* table, one row per price), then join back — a row
+    is dominated iff that prefix-max exceeds its size. Equal-price rows
+    never dominate each other (strict dominance), which is exactly what
+    the rows-frame-over-distinct-prices computes.
+
+    Scale: two shuffles (price agg, join back — the second is a
+    broadcast when the frontier sweep table is small). The unpartitioned
+    window runs over |distinct prices| rows, not data rows; if prices
+    are near-continuous, quantize the sweep key or run the two-level
+    prefix scan (range-partition by price, per-partition max, broadcast
+    the partition prefix-maxima) — same algebra, no single-task stage.
+    """
+    pp = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = pp.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = per_price.select(
+        "p_retailprice", F.max("mx").over(w).alias("prev_mx")
+    )
+    return (
+        pp.join(F.broadcast(sweep), "p_retailprice")
+        .where(F.col("prev_mx").isNull() | (F.col("prev_mx") <= F.col("p_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -129,7 +129,11 @@ _PRIORITY = (
 #: exactly the 49 never-checked keys + ts_ohlc_downsample). These wait
 #: for the round-4 window; tests/test_registry_order.py allows them to
 #: sit past slot 50 but nothing else.
-_POST_WINDOW_NEW: tuple[str, ...] = ()
+_POST_WINDOW_NEW: tuple[str, ...] = (
+    "skyline_pareto",
+    "agg_median_exact",
+    "dedup_fuzzy_levenshtein",
+)
 
 
 

@@ -247,3 +247,37 @@ def test_ts_interpolate_generates_map_side(spark):
 
     plan = _plan(queries()["ts_interpolate"](spark, SF_DIR))
     assert "Generate" in plan and "explode" in plan
+
+
+def test_skyline_sweep_not_all_pairs(spark):
+    """The skyline must plan the sweep rewrite: no nested-loop/cartesian
+    all-pairs (the oracle's NOT EXISTS shape), and the join back onto
+    the sweep table is a broadcast on the price key."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["skyline_pareto"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_levenshtein_blocked_equi_join(spark):
+    """Candidate generation is the prefix-block equi-join; the edit
+    distance must run as a post-join filter, never as the join itself
+    (which would plan a nested loop over all pairs)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["dedup_fuzzy_levenshtein"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_single_aggregation_no_window(spark):
+    """OHLC bars come from ONE hash aggregation (struct min/max) — the
+    whole point vs the naive FIRST_VALUE-window form, which would
+    shuffle every tick into a sorted window."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["ts_ohlc_downsample"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
