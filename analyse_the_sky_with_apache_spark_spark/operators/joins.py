@@ -431,3 +431,55 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("ea", "eb").alias("ov_end"),
         )
     )
+
+
+#: as-of tolerance: matches older than this are discarded (microseconds).
+_ASOF_TOL_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE) AS click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute tolerance: the latest click
+    at-or-before each purchase, but only if it happened within the
+    window (pandas ``merge_asof(tolerance=...)``; attribution queries
+    are exactly this shape).
+
+    Reuses the one-shuffle union+window kernel unchanged, then nulls
+    out matches older than the tolerance in a map-side projection —
+    correct because the kernel picks the LATEST eligible row, so if
+    that row misses the window, every other candidate misses it too.
+    Zero extra shuffles over the plain as-of. The oracle is a
+    correlated MAX subquery with both bounds (DuckDB's native ASOF
+    accepts only one inequality) — an independent formulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_values={"click_ts": "ts"},
+    )
+    within = (
+        F.unix_micros("ts") - F.unix_micros("click_ts") <= F.lit(_ASOF_TOL_US)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("click_ts")).alias("click_ts"),
+    )

@@ -569,3 +569,69 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= _FUZZY_K)
     )
+
+
+_CONTAIN_MIN = 0.85
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
+  FROM documents, range(1, 1000) t(i)
+  WHERE i <= n_chars - {_SHINGLE - 1}
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_id, dst_id, i * 1.0 / x.n AS containment
+FROM inter JOIN sz x ON x.doc_id = src_id
+WHERE i * 1.0 / x.n >= {_CONTAIN_MIN}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| — the
+    asymmetric cousin of Jaccard that catches SUB-document duplication
+    (a short doc swallowed by a longer one scores near 1.0 on
+    containment while its Jaccard stays low). This is the quote/
+    boilerplate-inclusion detector a training-corpus dedup runs after
+    the symmetric rungs.
+
+    Same skeleton as :func:`jaccard_pairs` — distinct shingles, shingle
+    equi-join (only docs sharing a shingle are compared), one pair
+    aggregation — but pairs are DIRECTED (``!=`` not ``<``; each
+    unordered pair appears once per direction) and the denominator is
+    the source's own shingle count. The ratio is two exact ints — both
+    engines emit identical doubles. Scale posture identical to the
+    Jaccard rung, including the hot-shingle frequency cap.
+    """
+    sh = shingle_set(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src_id"), F.col("b.doc_id").alias("dst_id")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sz.withColumnRenamed("doc_id", "src_id").withColumnRenamed("n", "na"),
+            "src_id",
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            (F.col("i") * 1.0 / F.col("na")).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+    )

@@ -133,6 +133,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "skyline_pareto",
     "agg_median_exact",
     "dedup_fuzzy_levenshtein",
+    "dedup_containment",
+    "join_asof_tolerance",
 )
 
 
