@@ -251,3 +251,55 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_mx").isNull() | (F.col("prev_mx") <= F.col("p_size")))
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), firsts AS (
+  SELECT user_id, MIN(week) AS cohort FROM act GROUP BY user_id
+)
+SELECT f.cohort,
+       CAST((a.week - f.cohort) / 7 AS BIGINT) AS weeks_since,
+       COUNT(*) AS n_active
+FROM act a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in every later week they return — THE product-analytics
+    rollup (and the observing-cadence matrix of a survey: objects by
+    first-detection epoch × epochs re-detected).
+
+    Three aggregations, ONE data-sized pass: distinct (user, week)
+    activity (map-side partials collapse the event stream), per-user
+    min week, and the cohort × offset count — all keyed or co-keyed on
+    user_id, so exchange reuse runs the first-week agg and the join on
+    the same shuffle the distinct produced. ``n_active`` counts
+    distinct users by construction (act is distinct per user-week), so
+    no COUNT(DISTINCT) Expand plan is ever needed — at 100 TB the
+    pre-distinct is exactly how you dodge the distinct-aggregate
+    blowup on the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("week", "cohort") / 7).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -632,3 +632,89 @@ def lightcurve_period_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_scan_kernel(
         ev, tuple(p * _DAY_US for p in _SCAN_PERIODS_D), _SCAN_NBINS
     )
+
+
+#: quadtree depth for the pixel rollup: level 3 = 8 x 8 grid cells.
+_PIX_LEVELS = 3
+
+
+@register(
+    "sky_pixel_rollup",
+    oracle="""
+WITH cat AS (
+  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c
+  FROM customer
+), fine AS (
+  SELECT (ra_c * 8) // 36000 AS x, ((dec_c + 9000) * 8) // 18000 AS y,
+         COUNT(*) AS n
+  FROM cat GROUP BY 1, 2
+)
+SELECT 3 AS level, x * 8 + y AS pix, n AS n_objects FROM fine
+UNION ALL
+SELECT 2, (x // 2) * 4 + (y // 2), CAST(SUM(n) AS BIGINT) FROM fine GROUP BY 2
+UNION ALL
+SELECT 1, (x // 4) * 2 + (y // 4), CAST(SUM(n) AS BIGINT) FROM fine GROUP BY 2
+UNION ALL
+SELECT 0, 0, CAST(SUM(n) AS BIGINT) FROM fine
+""",
+)
+def sky_pixel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sky-pixel density rollup — a HEALPix-style
+    multi-resolution map (8×8 quadtree down to the full sky) built the
+    way a hypertable continuous aggregate is: touch the data ONCE.
+
+    The only data-sized aggregation is the finest level (level 3,
+    map-side partials → ≤64 rows). Every coarser level re-aggregates
+    the fine *aggregate* — parent pixel ids are integer divisions of
+    the child's grid coordinates, so rolling a trillion-object catalog
+    up through L levels costs one scan plus L re-aggs over ≤64-row
+    tables. (The oracle states the same four levels as independent
+    GROUP BYs over the fine CTE.) This is the same
+    aggregate-once-re-roll-many contract as `agg_hll_sketch`, with
+    COUNT's trivial merge in place of sketch union.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000).alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000).alias(
+            "dec_c"
+        ),
+    )
+    fine = (
+        cat.select(
+            (F.col("ra_c") * 8 / 36000).cast("long").alias("x"),
+            ((F.col("dec_c") + 9000) * 8 / 18000).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fine = fine.localCheckpoint(eager=True)  # scan data once, re-roll 4x
+    lvl3 = fine.select(
+        F.lit(3).cast("int").alias("level"),
+        (F.col("x") * 8 + F.col("y")).alias("pix"),
+        F.col("n").alias("n_objects"),
+    )
+    lvl2 = (
+        fine.groupBy(
+            ((F.col("x") / 2).cast("long") * 4 + (F.col("y") / 2).cast("long")).alias("pix")
+        )
+        .agg(F.sum("n").alias("n_objects"))
+        .select(F.lit(2).cast("int").alias("level"), "pix", "n_objects")
+    )
+    lvl1 = (
+        fine.groupBy(
+            ((F.col("x") / 4).cast("long") * 2 + (F.col("y") / 4).cast("long")).alias("pix")
+        )
+        .agg(F.sum("n").alias("n_objects"))
+        .select(F.lit(1).cast("int").alias("level"), "pix", "n_objects")
+    )
+    lvl0 = fine.agg(F.sum("n").alias("n_objects")).select(
+        F.lit(0).cast("int").alias("level"),
+        F.lit(0).cast("long").alias("pix"),
+        "n_objects",
+    )
+    return lvl3.unionByName(lvl2).unionByName(lvl1).unionByName(lvl0)

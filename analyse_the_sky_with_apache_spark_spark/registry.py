@@ -135,6 +135,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dedup_fuzzy_levenshtein",
     "dedup_containment",
     "join_asof_tolerance",
+    "sky_pixel_rollup",
+    "retention_cohorts",
 )
 
 

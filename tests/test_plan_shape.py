@@ -281,3 +281,23 @@ def test_ohlc_single_aggregation_no_window(spark):
     plan = _plan(queries()["ts_ohlc_downsample"](spark, SF_DIR))
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_pixel_rollup_scans_data_once(spark):
+    """All four resolution levels re-aggregate the checkpointed fine
+    table — the parquet source must appear in NO branch of the union
+    (one scan happened at checkpoint time)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["sky_pixel_rollup"](spark, SF_DIR))
+    assert "Scan parquet" not in plan
+    assert "Union" in plan
+
+
+def test_retention_no_distinct_expand(spark):
+    """n_active counts pre-distinct user-weeks — the plan must not
+    contain the COUNT(DISTINCT) Expand node."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["retention_cohorts"](spark, SF_DIR))
+    assert "Expand" not in plan
