@@ -49,6 +49,7 @@ _MODULES = (
     "pipeline.clustering",
     "pipeline.corpus",
     "pipeline.quality",
+    "workloads",
 )
 
 _loaded = False
@@ -137,6 +138,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_asof_tolerance",
     "sky_pixel_rollup",
     "retention_cohorts",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q18_large_orders",
 )
 
 

@@ -301,3 +301,25 @@ def test_retention_no_distinct_expand(spark):
 
     plan = _plan(queries()["retention_cohorts"](spark, SF_DIR))
     assert "Expand" not in plan
+
+
+def test_q3_topk_and_broadcast(spark):
+    """Q3 shape: top-10 must be TakeOrderedAndProject (no global sort of
+    the aggregate) and the filtered customer dim must broadcast."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q3_shipping_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_semi_join_decorrelated(spark):
+    """Q18's IN subquery must plan as a (left-semi) join against the
+    re-aggregated lineitem — no correlated re-execution, no nested
+    loop."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q18_large_orders"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "left_semi" in plan
