@@ -535,3 +535,44 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       ROUND(quantile_cont(value, 0.5) OVER w5, 6) AS roll_median,
+       ROUND(value - quantile_cont(value, 0.5) OVER w5, 6) AS detrended
+FROM events
+WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-point rolling MEDIAN per series plus the detrended residual —
+    median detrending is the standard robust baseline removal before
+    variability/outlier analysis (a rolling mean chases the outliers it
+    should expose; the median doesn't).
+
+    ``percentile`` runs as a window aggregate over the tie-broken
+    5-row frame; both engines use the same continuous-quantile
+    interpolation, and the frame is tiny and bounded, so the 6-dp
+    round agrees. One shuffle on the series key — same posture as
+    `lightcurve_stats`; the frame buffer is O(5), so state never grows
+    with series length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    med = F.expr("percentile(value, 0.5D)").over(w5)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(med, 6).alias("roll_median"),
+        F.round(F.col("value") - med, 6).alias("detrended"),
+    )

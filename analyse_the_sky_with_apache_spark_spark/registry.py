@@ -141,6 +141,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "q18_large_orders",
+    "win_moving_median",
 )
 
 
