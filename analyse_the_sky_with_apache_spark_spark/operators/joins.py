@@ -483,3 +483,42 @@ def join_asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(within, F.col("click_ts")).alias("click_ts"),
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT n_name, s_suppkey, s_acctbal
+FROM (
+  SELECT n_name, s_suppkey, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM nation JOIN supplier ON s_nationkey = n_nationkey
+) WHERE rn <= 2
+""",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY … LIMIT — 'for each
+    nation, its top-2 suppliers by balance' written the way an analyst
+    writes it. Catalyst DECORRELATES the lateral: the per-row subquery
+    becomes a set-oriented plan (the oracle states the window rewrite
+    explicitly — same semantics, independently formulated), so the
+    lateral door costs the same as `win_rank_topk`, not one subquery
+    execution per outer row. The plan is pinned nested-loop-free in
+    tests/test_plan_shape.py.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, l.s_suppkey, l.s_acctbal
+        FROM nation,
+        LATERAL (
+          SELECT s_suppkey, s_acctbal FROM supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey
+          LIMIT 2
+        ) l
+        """
+    )

@@ -142,6 +142,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "q5_local_supplier",
     "q18_large_orders",
     "win_moving_median",
+    "join_lateral_topk",
 )
 
 

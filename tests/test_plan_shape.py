@@ -323,3 +323,15 @@ def test_q18_semi_join_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan or "left_semi" in plan
+
+
+def test_lateral_topk_decorrelates(spark):
+    """The correlated LATERAL (ORDER BY … LIMIT 2) must decorrelate to
+    the window top-k plan — WindowGroupLimit pushes a partial top-2 per
+    key below the exchange, and no per-outer-row nested loop appears."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["join_lateral_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
