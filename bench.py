@@ -52,6 +52,9 @@ EXTENDED = (
     "dedup_minhash_sql",    # pure-SQL MinHash-LSH near-dup
     "stream_session",       # session windows via streaming replay
     "text_tfidf",           # tf-idf over documents
+    # round-3 additions (regression reference: BENCH_r03)
+    "q18_large_orders",     # composite workload: semi-join + top-k
+    "ts_ohlc_downsample",   # single-agg OHLC downsample over events
 )
 
 
