@@ -572,3 +572,41 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_2002"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+WITH variants AS (
+  SELECT lang FROM documents
+  UNION ALL SELECT upper(lang) FROM documents
+  UNION ALL SELECT concat(upper(substr(lang, 1, 1)), substr(lang, 2))
+  FROM documents
+)
+SELECT lower(lang) AS lang_ci, COUNT(*) AS n
+FROM variants
+GROUP BY lower(lang)
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATION — the engine
+    groups on ``COLLATE(lang, 'UTF8_LCASE')`` so 'en' / 'EN' / 'En'
+    (synthesized case variants of the corpus language codes) land in
+    ONE group with no normalizing rewrite of the data. Collation rides
+    the hash aggregation — same partial/final plan, the collation only
+    changes the grouping key's equality/hash functions. The group
+    REPRESENTATIVE under a collation is whichever variant the engine
+    keeps, so the projection lowercases it for the oracle hash (the
+    oracle states the portable lower() rewrite — same semantics for
+    ASCII codes).
+    """
+    d = load_table(spark, sf_dir, "documents").select("lang")
+    variants = (
+        d.unionByName(d.select(F.upper("lang").alias("lang")))
+        .unionByName(d.select(F.initcap("lang").alias("lang")))
+    )
+    return (
+        variants.groupBy(F.expr("COLLATE(lang, 'UTF8_LCASE')").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k").cast("string")).alias("lang_ci"), "n")
+    )

@@ -522,3 +522,39 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT nullif(l_returnflag, 'N') AS flag, COUNT(*) AS n_items
+  FROM lineitem GROUP BY 1
+), b AS (
+  SELECT nullif(l_returnflag, 'N') AS flag,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sq
+  FROM lineitem GROUP BY 1
+)
+SELECT a.flag, a.n_items, b.sq
+FROM a JOIN b ON a.flag IS NOT DISTINCT FROM b.flag
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the NULL
+    key row on each side MATCHES (a plain equi-join silently drops it —
+    the classic lost-rows bug when joining on nullable keys). Spark
+    plans ``eqNullSafe`` as a hash join on the null-safe key, not a
+    nested loop, so the cost is identical to the plain equi-join.
+    NULLs are planted via nullif on a flag value so the match is
+    actually exercised at every sf.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag")
+    a = li.groupBy(flag).agg(F.count(F.lit(1)).alias("n_items"))
+    b = li.groupBy(flag).agg(
+        F.sum(F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))).alias("sq")
+    )
+    return a.join(b, a["flag"].eqNullSafe(b["flag"])).select(
+        a["flag"], "n_items", "sq"
+    )

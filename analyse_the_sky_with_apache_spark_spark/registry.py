@@ -143,6 +143,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "q18_large_orders",
     "win_moving_median",
     "join_lateral_topk",
+    "fn_collation",
+    "join_null_safe",
 )
 
 
