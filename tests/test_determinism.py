@@ -28,6 +28,14 @@ _ORDER_SENSITIVE = (
     "join_asof",
     "agg_group_basic",
     "stream_stateful",
+    # round-3 additions: struct-min tie-breaks, lateral top-k, exact
+    # quantile interpolation, collation group representatives
+    "ts_ohlc_downsample",
+    "join_lateral_topk",
+    "agg_median_exact",
+    "win_moving_median",
+    "fn_collation",
+    "q18_large_orders",
 )
 
 
