@@ -585,3 +585,49 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.75D)"), 4).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counts via Spark 4 mergeable bitmaps — the third
+    rung of the distinct ladder: `agg_distinct` (Expand plan, exact,
+    one-shot), `agg_approx_distinct` (HLL, mergeable, ±1%), and this
+    (bitmap_construct_agg → bitmap_or_agg → bitmap_count: exact AND
+    mergeable). Keys bucket into 32k-bit bitmap segments
+    (bitmap_bucket_number), each group×bucket OR-reduces map-side, and
+    buckets re-merge with bitmap_or_agg — so, like the HLL sketches,
+    per-fine-group bitmaps can be stored once and re-rolled to any
+    coarser grouping without touching the fact table again, but with
+    COUNT(DISTINCT)-exact answers. Cost: bitmap bytes scale with the
+    key RANGE per bucket (dense ids are the sweet spot; wide sparse
+    domains → HLL rung).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _bitmap_nd(col: str, out: str):
+        seg = (
+            li.select("l_returnflag", F.col(col).alias("v"))
+            .groupBy(
+                "l_returnflag", F.expr("bitmap_bucket_number(v)").alias("bn")
+            )
+            .agg(
+                F.expr(
+                    "bitmap_construct_agg(bitmap_bit_position(v))"
+                ).alias("b")
+            )
+        )
+        return seg.groupBy("l_returnflag").agg(
+            F.expr("sum(bitmap_count(b))").cast("long").alias(out)
+        )
+
+    supps = _bitmap_nd("l_suppkey", "n_supps")
+    parts = _bitmap_nd("l_partkey", "n_parts")
+    return supps.join(parts, "l_returnflag")

@@ -576,3 +576,42 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("roll_median"),
         F.round(F.col("value") - med, 6).alias("detrended"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, COUNT(*) AS n_new FROM firsts GROUP BY day
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query. A
+    naive ``size(collect_set(user)) OVER (ORDER BY day)`` buffers every
+    id seen so far in window state (O(users) per row — the running-
+    distinct anti-pattern). The scalable rewrite: distinct is COUNTED
+    ONCE at each user's FIRST day (per-user min — one keyed
+    aggregation), then the cumulative curve is a running sum over the
+    tiny per-day table. The only data-sized shuffle is the user-key
+    aggregation; the unpartitioned window runs over |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
+    )

@@ -145,6 +145,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_lateral_topk",
     "fn_collation",
     "join_null_safe",
+    "agg_bitmap_distinct",
+    "win_running_distinct",
 )
 
 
