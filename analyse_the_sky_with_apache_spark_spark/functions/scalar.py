@@ -610,3 +610,46 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("k").cast("string")).alias("lang_ci"), "n")
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN (o_orderkey % 100) <> 0
+            THEN CAST(FLOOR(o_totalprice) AS BIGINT) // (o_orderkey % 100)
+       END AS safe_div,
+       CASE WHEN o_totalprice < 1e15 THEN
+            CAST(FLOOR(o_totalprice) AS BIGINT) * 1000000
+       END AS safe_mul,
+       CASE WHEN o_orderstatus IN ('O','F','P') THEN NULL
+            ELSE NULL END AS bad_cast
+FROM orders
+""",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ``try_divide`` / ``try_multiply`` /
+    ``try_cast`` return NULL where strict ANSI mode would THROW
+    (division by zero, overflow, bad cast) — the error-tolerant lane a
+    pipeline uses on dirty data without disabling ANSI globally.
+    Division by zero is planted via ``o_orderkey % 100`` (every 100th
+    row); the bad cast tries a non-numeric status string. The oracle
+    states the equivalent CASE guards. Cross-engine cast hazard handled:
+    DuckDB CAST(double AS BIGINT) ROUNDS while Spark's truncates, so
+    both sides FLOOR before the integer cast; try_divide returns true
+    division (DOUBLE), floored to match DuckDB's // floor-division.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.floor(
+            F.try_divide(
+                F.floor("o_totalprice").cast("bigint"),
+                F.col("o_orderkey") % 100,
+            )
+        ).alias("safe_div"),
+        F.try_multiply(
+            F.floor("o_totalprice").cast("bigint"), F.lit(1000000).cast("bigint")
+        ).alias("safe_mul"),
+        F.expr("try_cast(o_orderstatus AS BIGINT)").alias("bad_cast"),
+    )

@@ -631,3 +631,31 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     supps = _bitmap_nd("l_suppkey", "n_supps")
     parts = _bitmap_nd("l_partkey", "n_parts")
     return supps.join(parts, "l_returnflag")
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() flags — the way super-aggregate rows are
+    DISTINGUISHED from genuine NULL group values (a report consumer
+    cannot tell 'NULL status subtotal' from 'status IS NULL' without
+    them). Rides the same Expand plan as `agg_rollup`; the flags are
+    computed from the grouping-set id, zero extra cost.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n"
+    )

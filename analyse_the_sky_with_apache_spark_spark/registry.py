@@ -147,6 +147,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_null_safe",
     "agg_bitmap_distinct",
     "win_running_distinct",
+    "agg_grouping_id",
+    "fn_try_arith",
+    "scan_csv_permissive",
 )
 
 

@@ -313,3 +313,66 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+SELECT 'good' AS kind, COUNT(*) AS n FROM nation
+UNION ALL
+SELECT 'corrupt', 3
+""",
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV parsing of a dirty file: three malformed lines
+    (wrong arity, non-numeric key, truncated row) are planted into a
+    CSV copy of ``nation``; the reader must load every GOOD row and
+    route each bad line into ``_corrupt_record`` instead of failing the
+    job — the posture a 100-TB ingest runs with (fail-fast on one bad
+    line in a billion is not an option; DROPMALFORMED silently loses
+    data — PERMISSIVE + corrupt-record audit is the production mode).
+    The query returns the good/corrupt row counts; the oracle states
+    the expected tallies from the clean table + the planted-bad-line
+    count (the dirty file itself is engine-staged, so the oracle pins
+    the COUNTS, which is exactly the ingest-audit contract).
+    """
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = src.collect()  # 25 rows — driver-side file authoring only
+    path = os.path.join(_SCRATCH, "nation_dirty_csv")
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, "part-00000.csv")
+    with open(fname, "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        for i, r in enumerate(rows):
+            f.write(f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}\n")
+            if i == 2:
+                f.write("not_a_number,BADKEY,7\n")          # bad int
+            if i == 5:
+                f.write("99,TOO,MANY,FIELDS,HERE\n")        # wrong arity
+            if i == 8:
+                f.write("100\n")                             # truncated
+    df = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT,"
+            " _corrupt_record STRING"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # one action per branch over a cached parse: corrupt-record columns
+    # cannot be filtered in the same query that projects them (Spark
+    # restriction) — persist then audit.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).select(
+        F.lit("good").alias("kind")
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.lit("corrupt").alias("kind")
+    )
+    return good.unionByName(bad).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )
