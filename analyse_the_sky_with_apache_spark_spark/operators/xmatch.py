@@ -718,3 +718,76 @@ def sky_pixel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_objects",
     )
     return lvl3.unionByName(lvl2).unionByName(lvl1).unionByName(lvl0)
+
+
+@register(
+    "lightcurve_trend",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n,
+       (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+       / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 100.0)
+         AS slope_per_day,
+       (CAST(sy AS DOUBLE)
+        - sx * ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)))
+       / (CAST(n AS DOUBLE) * 100.0) AS intercept
+FROM s
+WHERE n >= 2 AND CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
+""",
+)
+def lightcurve_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares linear trend (slope per day + intercept)
+    — secular-drift detection over an observation log, the regr_slope /
+    regr_intercept shape. The built-in ``F.regr_slope`` accumulates
+    float co-moments whose value depends on partition order (not
+    hash-checkable); the engine instead aggregates the five EXACT
+    integer sums (n, Σx, Σy, Σxy, Σx² — days × cents, all BIGINT) in
+    one hash aggregation with map-side partials, then finishes with a
+    fixed IEEE expression in DOUBLE (the n·Σxx − Σx² normal-equation
+    form, same overflow-to-double pattern as `anomaly_zscore`) — both
+    engines emit bit-identical slopes. Series with n < 2 or a
+    degenerate single-epoch x are excluded (no fit exists).
+
+    Scale: shuffle carries five longs per series regardless of series
+    length — a trillion-observation log fits the same plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_date(F.to_date("ts")).cast("long").alias("x"),
+        F.round(F.col("value") * 100.0).cast("long").alias("y"),
+    )
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = num / den
+    return (
+        s.where((F.col("n") >= 2) & (den > 0))
+        .select(
+            "user_id",
+            "n",
+            (num / (den * 100.0)).alias("slope_per_day"),
+            (
+                (F.col("sy").cast("double") - F.col("sx") * slope)
+                / (nd * 100.0)
+            ).alias("intercept"),
+        )
+    )

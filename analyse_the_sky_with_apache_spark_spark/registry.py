@@ -150,6 +150,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_grouping_id",
     "fn_try_arith",
     "scan_csv_permissive",
+    "lightcurve_trend",
 )
 
 
