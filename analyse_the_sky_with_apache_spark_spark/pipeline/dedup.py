@@ -316,9 +316,10 @@ _CC_JACCARD = 0.5
 _CC_MAX_ITERS = 20
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
+#: shared recursive-CTE prefix: near-dup edges (jaccard >= _CC_JACCARD)
+#: + transitive reachability; both the CC oracle and the end-to-end
+#: pipeline oracle build on it.
+_CC_ORACLE_CTES = f"""
 WITH RECURSIVE
 sh AS (
   SELECT DISTINCT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
@@ -342,7 +343,13 @@ reach AS (
   SELECT doc_id AS id, doc_id AS r FROM documents
   UNION
   SELECT e.b AS id, reach.r AS r FROM edges e JOIN reach ON e.a = reach.id
-)
+)"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE_CTES
+    + """
 SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 """,
 )
@@ -634,4 +641,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i") * 1.0 / F.col("na")).alias("containment"),
         )
         .filter(F.col("containment") >= _CONTAIN_MIN)
+    )
+
+
+@register(
+    "corpus_dedup_pipeline",
+    oracle=_CC_ORACLE_CTES
+    + """,
+comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+keep AS (
+  SELECT component, MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+  FROM comp GROUP BY component
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, k.component,
+       CAST(k.n_members AS BIGINT) AS n_members
+FROM keep k JOIN documents d USING (doc_id)
+""",
+)
+def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup pipeline as one workload: shingle →
+    Jaccard pairs → connected components → one survivor per duplicate
+    CLUSTER (min doc_id), full row + cluster size — what a training-data
+    build actually runs, composed entirely from the engine's own
+    kernels (`jaccard_pairs`, the min-label-propagation loop of
+    `dedup_connected_components`, and the window-keeper idiom of
+    `dedup_corpus_survivors` — here keyed by component, not content
+    hash, so TRANSITIVE near-dups collapse too).
+
+    Scale = the sum of its stages, already argued piecewise in
+    SCALE.md: banded/shingle-joined pair space (never n²), CC rounds =
+    graph diameter, survivor selection one shuffle on the component
+    key. The oracle extends the same recursive CTE the CC oracle uses.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    rows = d.join(labels, "doc_id")
+    wc = Window.partitionBy("component")
+    return (
+        rows.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "component",
+            F.row_number().over(wc.orderBy("doc_id")).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

@@ -151,6 +151,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "fn_try_arith",
     "scan_csv_permissive",
     "lightcurve_trend",
+    "corpus_dedup_pipeline",
 )
 
 
