@@ -152,6 +152,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "scan_csv_permissive",
     "lightcurve_trend",
     "corpus_dedup_pipeline",
+    "scan_partition_pruned",
 )
 
 

@@ -376,3 +376,48 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.unionByName(bad).groupBy("kind").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS sum_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning, demonstrated end-to-end: events are
+    laid out hive-partitioned by event_type (once, cached in scratch),
+    and the reader's IN-filter prunes to the two matching directories
+    BEFORE any file is opened — `PartitionFilters` in the scan node,
+    zero rows read from the other partitions. This is the mechanism
+    every 100-TB claim in SCALE.md leans on (partition-prune first,
+    push filters second, prune columns third); here it is pinned by a
+    plan-shape test instead of assumed. The oracle aggregates the
+    original table — identical rows by construction.
+    """
+    part_dir = os.path.join(_SCRATCH, "events_by_type")
+    done = os.path.join(part_dir, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(part_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+    ev = spark.read.parquet(part_dir)
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0 + F.lit(0.5)))
+                .cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+    )

@@ -335,3 +335,16 @@ def test_lateral_topk_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """The event_type IN-filter must prune hive partitions at planning
+    time: PartitionFilters on the scan node, and event_type must NOT
+    appear as a post-scan data filter."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["scan_partition_pruned"](spark, SF_DIR))
+    assert "PartitionFilters: [event_type" in plan
+    assert "IN (click,purchase)" in plan
+    # fully pruned at planning time: no residual Filter node survives
+    assert "Filter (" not in plan
