@@ -653,3 +653,35 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_mul"),
         F.expr("try_cast(o_orderstatus AS BIGINT)").alias("bad_cast"),
     )
+
+
+_AES_KEY = "0123456789abcdef"
+
+
+@register(
+    "fn_crypto",
+    oracle="""
+SELECT c_custkey, c_name AS roundtrip, TRUE AS match
+FROM customer
+""",
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES-GCM encrypt/decrypt round-trip — column-level encryption for
+    PII-bearing fields (the at-rest pattern when storage-side
+    encryption isn't enough). The CIPHERTEXT is nondeterministic by
+    design (GCM draws a random IV per value — two encryptions of the
+    same value differ, which is the security property), so the checked
+    output is the decrypt(encrypt(x)) round-trip, which is exact; the
+    oracle is the identity. Both AES stages run JVM-side inside
+    codegen — no Python, no shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    rt = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}'),"
+        f" '{_AES_KEY}') AS STRING)"
+    )
+    return c.select(
+        "c_custkey",
+        rt.alias("roundtrip"),
+        (rt == F.col("c_name")).alias("match"),
+    )

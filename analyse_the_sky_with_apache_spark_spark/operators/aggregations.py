@@ -659,3 +659,48 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n"
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+WITH counts AS (
+  SELECT l_returnflag, l_linenumber AS item, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, item, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, item) AS rn
+  FROM counts
+)
+SELECT l_returnflag, CAST(item AS BIGINT) AS item, cnt
+FROM ranked WHERE rn <= 3
+""",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the ``approx_top_k`` frequency sketch — the
+    streaming-friendly top-k the exact groupBy+rank pair can't give at
+    100 TB (the sketch is fixed-size per group and MERGEABLE, so
+    per-partition sketches combine map-side like HLL/bitmaps; the
+    exact form shuffles every distinct (group, item) count).
+
+    On the fixture the item domain (line numbers 1–7) is far below the
+    sketch's 10k capacity, so counts are EXACT and the result
+    hash-checks against the exact-SQL oracle; at real cardinality the
+    sketch degrades gracefully to approximate counts — then the check
+    downgrades to the rows-only tier like the other sketches. The
+    nested array<struct> result is exploded to plain rows (driver
+    hasher takes no nested types — round-1 lesson).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr("approx_top_k(l_linenumber, 3)").alias("tk")
+    )
+    ex = sk.select(
+        "l_returnflag", F.explode("tk").alias("e")
+    )
+    return ex.select(
+        "l_returnflag",
+        F.col("e.item").cast("bigint").alias("item"),
+        F.col("e.count").alias("cnt"),
+    )

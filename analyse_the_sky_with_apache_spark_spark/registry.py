@@ -153,6 +153,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "lightcurve_trend",
     "corpus_dedup_pipeline",
     "scan_partition_pruned",
+    "agg_approx_topk",
+    "fn_crypto",
 )
 
 
