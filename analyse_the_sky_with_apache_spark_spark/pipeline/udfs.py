@@ -279,3 +279,66 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         to_cents, "l_orderkey BIGINT, l_linenumber INT, price_cents BIGINT"
     )
+
+
+@register(
+    "udtf_analyze",
+    oracle="""
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS word,
+       CAST(unnest(range(len(string_split(text, ' ')))) AS INT) AS pos
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema comes from a
+    static ``analyze()`` method resolved at plan time, not a fixed
+    ``returnType`` — the API for table functions whose shape depends on
+    their arguments. The demo tokenizes text into (word, pos) rows via
+    a correlated LATERAL invocation; the oracle is DuckDB's zipped
+    unnest-with-ordinality. Tokenization is ``split(' ')`` (empties
+    preserved) so both engines emit identical rows.
+
+    Scale: a Python UDTF is the row-at-a-time slow path (each outer
+    row crosses into Python); the built-in equivalent is
+    ``posexplode(split(...))`` (see text_* family) — this key exists
+    for API-surface completeness, like `udf_python`.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitWords:
+        @staticmethod
+        def analyze(col: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("word", StringType()),
+                        StructField("pos", IntegerType()),
+                    ]
+                )
+            )
+
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("sky_split_words", SplitWords)
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.pos
+        FROM documents d, LATERAL sky_split_words(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

@@ -155,6 +155,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "scan_partition_pruned",
     "agg_approx_topk",
     "fn_crypto",
+    "udtf_analyze",
 )
 
 
