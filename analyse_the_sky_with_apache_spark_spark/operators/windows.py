@@ -615,3 +615,59 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_new", F.sum("n_new").over(w).alias("cum_users")
     )
+
+
+@register(
+    "win_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grp AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_days
+  FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, streak_start, streak_days,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY streak_days DESC, streak_start)
+            AS BIGINT) AS rnk
+FROM streaks
+""",
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user,
+    ranked longest-first — THE islands idiom (``day − row_number`` is
+    constant within a run of consecutive days, so one window + one
+    groupBy turns runs into rows; retention/engagement and
+    observing-cadence analyses are this exact shape).
+
+    Two shuffles, both on the user key (the day pre-distinct, then the
+    window/groupBy pair riding the same partitioning via exchange
+    reuse); per-row state is one integer. No self-join, no sequence
+    materialization — the anti-patterns this idiom replaces.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return streaks.select(
+        "user_id",
+        "streak_start",
+        "streak_days",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+    )

@@ -156,6 +156,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_approx_topk",
     "fn_crypto",
     "udtf_analyze",
+    "win_streaks",
 )
 
 
