@@ -241,3 +241,47 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_variants"),
         F.min("doc_id").alias("keeper_doc"),
     )
+
+
+_GRP_SAMPLE_K = 5
+
+
+@register(
+    "corpus_group_sample",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= {_GRP_SAMPLE_K}
+""",
+)
+def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample — reservoir sampling's batch
+    equivalent for corpus balancing (cap every (lang, source) shard at
+    k docs for eval sets or mixture probes). Ordering by the md5 of the
+    id gives a uniform pseudo-random draw that is REPRODUCIBLE across
+    runs, engines, and partitionings — no rand() seed drift, which is
+    what makes the sample auditable (and hash-checkable). One shuffle
+    on the group key; WindowGroupLimit prunes to k per group map-side
+    before the exchange, so the shuffle carries at most k rows per
+    group per partition — never the full shard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _GRP_SAMPLE_K)
+        .drop("rn")
+    )

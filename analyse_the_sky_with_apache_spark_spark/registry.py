@@ -157,6 +157,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "fn_crypto",
     "udtf_analyze",
     "win_streaks",
+    "corpus_group_sample",
 )
 
 
