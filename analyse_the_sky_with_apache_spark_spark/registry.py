@@ -158,6 +158,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "udtf_analyze",
     "win_streaks",
     "corpus_group_sample",
+    "join_dpp",
 )
 
 

@@ -421,3 +421,64 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+WITH dim AS (
+  SELECT 'click' AS event_type, 'engagement' AS category
+  UNION ALL SELECT 'purchase', 'revenue'
+  UNION ALL SELECT 'view', 'engagement'
+  UNION ALL SELECT 'signup', 'acquisition'
+)
+SELECT d.category, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS sum_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE d.category = 'revenue'
+GROUP BY d.category
+""",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven half of the pruning
+    story (`scan_partition_pruned` pins the static half): the fact side
+    is hive-partitioned by event_type, the filter sits on the DIM table
+    only, and at runtime Spark derives the surviving partition keys
+    from the broadcast dim and prunes the fact scan with a
+    ``dynamicpruning`` subquery — unmatched partitions are never read
+    even though no literal predicate touches the fact table. At 100 TB
+    this is what makes star-schema queries over partitioned facts read
+    1% of the data; the plan-shape test asserts the pruning expression
+    is present.
+    """
+    part_dir = os.path.join(_SCRATCH, "events_by_type")
+    done = os.path.join(part_dir, "_STAGED")
+    if not os.path.exists(done):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(part_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+    ev = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("purchase", "revenue"),
+            ("view", "engagement"),
+            ("signup", "acquisition"),
+        ],
+        "event_type STRING, category STRING",
+    ).filter(F.col("category") == "revenue")
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000.0 + F.lit(0.5)))
+                .cast("double")
+                / 1000000.0
+            ).alias("sum_value"),
+        )
+    )

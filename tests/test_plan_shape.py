@@ -348,3 +348,14 @@ def test_partition_pruning_reaches_scan(spark):
     assert "IN (click,purchase)" in plan
     # fully pruned at planning time: no residual Filter node survives
     assert "Filter (" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """With the filter on the dim side only, the partitioned fact scan
+    must carry a dynamicpruning subquery in its PartitionFilters —
+    runtime pruning from the broadcast dim keys."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    df = queries()["join_dpp"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
