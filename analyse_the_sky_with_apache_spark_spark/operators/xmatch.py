@@ -791,3 +791,92 @@ def lightcurve_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+#: epoch-propagation id offset for the second-epoch copies.
+_EPOCH_OFF = 10_000_000
+
+
+@register(
+    "xmatch_epoch",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 13, 4)) AS BIGINT)
+           % 81 - 40 AS pm_ra,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 4)) AS BIGINT)
+           % 81 - 40 AS pm_dec
+  FROM customer
+), e1 AS (
+  SELECT obj_id, ((ra_c + pm_ra) % 36000 + 36000) % 36000 AS ra_c,
+         dec_c + pm_dec AS dec_c
+  FROM cat
+)
+SELECT a.obj_id AS ia, b.obj_id AS ib_src,
+       {_SPH_HAVERSINE.replace("a_dec_c", "a.dec_c").replace("b_dec_c", "b.dec_c")
+                      .replace("a_ra_c", "a.ra_c").replace("b_ra_c", "b.ra_c")}
+         AS dist_rad,
+       a.obj_id = b.obj_id AS is_self
+FROM cat a JOIN e1 b
+  ON LEAST(abs(a.ra_c - b.ra_c), {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c))
+       <= {_SPH_EPS}
+ AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}
+""",
+)
+def xmatch_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-propagated cross-match: every object carries a proper
+    motion (md5-derived centi-degrees per epoch step, |pm| ≤ 0.4°);
+    the catalog is PROPAGATED one epoch (RA wraps the 0/360 ring,
+    exact integer arithmetic) and the moved catalog is cross-matched
+    against the original positions — the survey-to-survey match where
+    the two observation epochs differ and fast movers would be LOST
+    without propagation. ``is_self`` marks an object re-finding itself
+    (always true here since |pm| < eps — the planted guarantee that
+    propagation arithmetic is exercised on every row); other pairs are
+    genuine near-neighbors across epochs.
+
+    Implementation: union the two epochs under disjoint id ranges and
+    reuse the binned ring-cell kernel (`sphere_match`) unchanged —
+    epoch handling is pure data prep, the O(n+m)-shuffle join shape is
+    untouched. Dec may exit ±90° by up to the pm bound on the synthetic
+    catalog (fixture artifact, noted; a production catalog clamps at
+    the poles where RA cells degenerate anyway — see the kernel's
+    HEALPix note).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000).alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000).alias(
+            "dec_c"
+        ),
+        (F.conv(F.substring(h, 13, 4), 16, 10).cast("long") % 81 - 40).alias(
+            "pm_ra"
+        ),
+        (F.conv(F.substring(h, 17, 4), 16, 10).cast("long") % 81 - 40).alias(
+            "pm_dec"
+        ),
+    )
+    e0 = cat.select("obj_id", "ra_c", "dec_c")
+    e1 = cat.select(
+        (F.col("obj_id") + _EPOCH_OFF).alias("obj_id"),
+        F.pmod(F.col("ra_c") + F.col("pm_ra"), F.lit(_SPH_CIRCLE)).alias("ra_c"),
+        (F.col("dec_c") + F.col("pm_dec")).alias("dec_c"),
+    )
+    pairs = sphere_match(e0.unionByName(e1))
+    return (
+        pairs.filter(
+            (F.col("ia") < _EPOCH_OFF) & (F.col("ib") >= _EPOCH_OFF)
+        )
+        .select(
+            "ia",
+            (F.col("ib") - _EPOCH_OFF).alias("ib_src"),
+            "dist_rad",
+            (F.col("ia") == F.col("ib") - _EPOCH_OFF).alias("is_self"),
+        )
+    )

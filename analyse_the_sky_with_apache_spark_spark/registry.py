@@ -159,6 +159,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "win_streaks",
     "corpus_group_sample",
     "join_dpp",
+    "xmatch_epoch",
 )
 
 
