@@ -880,3 +880,76 @@ def xmatch_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ia") == F.col("ib") - _EPOCH_OFF).alias("is_self"),
         )
     )
+
+
+#: robust-sigma scale factor: MAD → σ for a normal distribution.
+_MAD_SIGMA = 1.4826
+
+
+@register(
+    "lightcurve_sigma_clip",
+    oracle=f"""
+WITH med AS (
+  SELECT user_id, ROUND(quantile_cont(value, 0.5), 6) AS med, COUNT(*) AS n
+  FROM events GROUP BY user_id
+), mad AS (
+  SELECT e.user_id,
+         ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m ON e.user_id = m.user_id
+  GROUP BY e.user_id
+)
+SELECT m.user_id, m.n, m.med, d.mad,
+       CAST(SUM(CASE WHEN abs(e.value - m.med)
+                          > 3.0 * {_MAD_SIGMA} * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e
+JOIN med m ON e.user_id = m.user_id
+JOIN mad d ON e.user_id = d.user_id
+WHERE d.mad > 0
+GROUP BY m.user_id, m.n, m.med, d.mad
+""",
+)
+def lightcurve_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust sigma clipping per series: median + MAD (median absolute
+    deviation, scaled by 1.4826 to σ-equivalent) and the count of
+    observations beyond 3 robust sigmas — the astronomy-standard
+    outlier rejection (`anomaly_zscore`'s mean/stddev breaks down when
+    the outliers themselves inflate the dispersion; median/MAD does
+    not). Two grouped exact medians and one clipping count, all keyed
+    on the series id — three aggregations riding ONE user-key
+    partitioning via exchange reuse. The 6-dp rounds on both medians
+    pin the only interpolated doubles; the clip comparison then uses
+    identical rounded inputs in both engines. Zero-MAD series (>50%
+    identical values) are excluded — no robust scale exists there.
+
+    At 100 TB the same caveat as `agg_median_exact` applies to the
+    exact medians (reducer buffers a group's values): huge series take
+    the approx-percentile sketch for med/MAD — same plan, sketch agg
+    swapped in.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id", "med", "n", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(ad, 0.5D)"), 6).alias("mad")
+    )
+    clipped = (
+        ev.join(med, "user_id")
+        .join(mad, "user_id")
+        .where(F.col("mad") > 0)
+        .groupBy("user_id", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.0 * _MAD_SIGMA * F.col("mad")
+                ).cast("long")
+            ).alias("n_clipped")
+        )
+    )
+    return clipped.select("user_id", "n", "med", "mad", "n_clipped")

@@ -160,6 +160,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "corpus_group_sample",
     "join_dpp",
     "xmatch_epoch",
+    "lightcurve_sigma_clip",
 )
 
 
