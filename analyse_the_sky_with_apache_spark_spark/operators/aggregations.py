@@ -704,3 +704,44 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").cast("bigint").alias("item"),
         F.col("e.count").alias("cnt"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority, o_orderkey)
+         AS prio_list,
+       COUNT(*) AS n
+FROM orders
+WHERE o_orderkey <= 200
+GROUP BY o_orderstatus
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG (Spark 4) — ordered string concatenation per
+    group, the report-friendly aggregate every warehouse dialect grew
+    (DuckDB spells it string_agg ... ORDER BY). The WITHIN GROUP order
+    is fully tie-broken (priority, then key) so the concatenation is
+    deterministic under any partitioning — an untie-broken LISTAGG is
+    exactly the encounter-order flakiness the determinism gate exists
+    to catch. Bounded to a key slice: LISTAGG's result grows with
+    group size, so at 100 TB it is a reporting aggregate over
+    pre-reduced groups, never a fact-table collector (that job belongs
+    to sink_partitioned layouts).
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey)
+                 AS prio_list,
+               COUNT(*) AS n
+        FROM orders
+        WHERE o_orderkey <= 200
+        GROUP BY o_orderstatus
+        """
+    )

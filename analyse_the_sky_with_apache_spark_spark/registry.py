@@ -161,6 +161,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_dpp",
     "xmatch_epoch",
     "lightcurve_sigma_clip",
+    "agg_listagg",
 )
 
 
