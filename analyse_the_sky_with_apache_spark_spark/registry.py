@@ -162,6 +162,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "xmatch_epoch",
     "lightcurve_sigma_clip",
     "agg_listagg",
+    "q10_returned_items",
 )
 
 

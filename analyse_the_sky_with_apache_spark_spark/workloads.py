@@ -1,4 +1,4 @@
-"""Composite multi-operator workloads (TPC-H-shape Q3 / Q5 / Q18).
+"""Composite multi-operator workloads (TPC-H-shape Q3 / Q5 / Q10 / Q18).
 
 The single-operator registry keys prove each relational piece in
 isolation; these workloads prove the pieces COMPOSE — multi-join
@@ -167,4 +167,56 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity", "total_qty", 2))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue', 4)},
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a year — the churn-risk report. Fact-side filters (return flag,
+    date year) push to both scans before the join; customer and nation
+    broadcast; one aggregation on the (customer, nation) key; top-20 is
+    TakeOrderedAndProject on the exact revenue with a key tie-break.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
     )
