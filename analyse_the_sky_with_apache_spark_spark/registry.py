@@ -163,6 +163,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "lightcurve_sigma_clip",
     "agg_listagg",
     "q10_returned_items",
+    "scan_merge_schema",
 )
 
 

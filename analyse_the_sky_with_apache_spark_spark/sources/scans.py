@@ -482,3 +482,45 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "scan_merge_schema",
+    oracle="""
+SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_tier, 1 AS v
+FROM region
+UNION ALL
+SELECT r_regionkey, r_name, r_regionkey % 3 AS r_tier, 2 AS v
+FROM region
+""",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations of the same
+    table — the second grew an ``r_tier`` column — live side by side
+    in one dataset; ``mergeSchema=true`` reads the UNION of the
+    schemas, null-padding the old files (the additive-evolution
+    contract every long-lived lake table relies on; without the
+    option, which generation's footer wins is scan-order luck).
+    Merge-on-read costs one footer pass per file at planning time —
+    at 100 TB you amortize it by writing the unified schema forward
+    and keeping mergeSchema for the historical tail.
+    """
+    base = os.path.join(_SCRATCH, "region_evolved")
+    done = os.path.join(base, "_STAGED")
+    r = load_table(spark, sf_dir, "region")
+    if not os.path.exists(done):
+        r.select("r_regionkey", "r_name", F.lit(1).alias("v")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(base, "gen=1"))
+        r.select(
+            "r_regionkey",
+            "r_name",
+            (F.col("r_regionkey") % 3).alias("r_tier"),
+            F.lit(2).alias("v"),
+        ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+        with open(done, "w") as f:
+            f.write("ok")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return df.select("r_regionkey", "r_name", "r_tier", "v")
