@@ -342,3 +342,45 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+@register(
+    "udf_sql",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(FLOOR(o_totalprice) AS BIGINT) * 2 AS doubled
+FROM orders
+""",
+)
+def udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION … RETURN expr``) —
+    reusable business logic WITHOUT leaving the JVM: the function body
+    is inlined into the plan at analysis time, so unlike every Python
+    UDF in this family it costs nothing at runtime (same codegen as
+    writing the expression inline — the fastest rung of the UDF
+    ladder, above pandas_udf and far above row-Python). The oracle
+    states the inlined expressions directly.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sky_price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 50000 THEN 'low' "
+        "WHEN p < 200000 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sky_double_floor(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(p) AS BIGINT) * 2"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               sky_price_band(o_totalprice) AS band,
+               sky_double_floor(o_totalprice) AS doubled
+        FROM orders
+        """
+    )

@@ -164,6 +164,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_listagg",
     "q10_returned_items",
     "scan_merge_schema",
+    "udf_sql",
 )
 
 
