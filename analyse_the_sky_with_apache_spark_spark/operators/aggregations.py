@@ -745,3 +745,35 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.5) AS med_disc,
+       quantile_disc(o_totalprice, 0.9) AS p90_disc,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles — return an actual datum from the group, not
+    an interpolated blend (`agg_median_exact` is the continuous twin).
+    The distinction matters operationally: a discrete p90 latency/price
+    is a real observed value you can join back to its row; a continuous
+    one may not exist in the data. Both engines pick the first value
+    whose cumulative position reaches p, so raw doubles hash-match with
+    NO rounding (nothing is interpolated — the value passes through
+    bit-identical from parquet). Same reducer-buffering caveat as the
+    continuous tier; the sketch rung covers unbounded groups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("med_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+        .alias("p90_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )

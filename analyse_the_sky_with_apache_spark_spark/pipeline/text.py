@@ -8,7 +8,7 @@ associated doubles, so every query here is oracle-hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -347,4 +347,62 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk.alias("chunk"),
             F.length(chunk).alias("chunk_len"),
         )
+    )
+
+
+@register(
+    "chunk_dedup_pipeline",
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id, substr(text, CAST(n*90 + 1 AS INT), 120) AS chunk
+  FROM documents,
+       UNNEST(range(0, CAST(GREATEST(CEIL(n_chars / 90.0), 1) AS BIGINT)))
+         AS u(n)
+), marked AS (
+  SELECT doc_id, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM marked
+GROUP BY doc_id
+""",
+)
+def chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup audit — document dedup's finer-grained sibling
+    (two documents can be globally distinct yet share paragraphs; RAG
+    and pretraining dedup both operate at this granularity). Composes
+    the engine's own kernels: the `text_chunk` fan-out feeds the
+    `dedup_exact` window-keeper idiom keyed on the chunk hash, rolled
+    back up to one audit row per document (chunks emitted, chunks that
+    are duplicates of an earlier chunk anywhere in the corpus).
+
+    Scale: the fan-out is map-side; the only shuffles are the chunk-
+    hash window (uniform md5 — no skew) and the per-doc rollup. The
+    keeper order (doc_id, chunk) is fully tie-broken so the 'earlier'
+    copy is deterministic under any partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(F.ceil(F.col("n_chars") / F.lit(90.0)), F.lit(1)).cast(
+        "long"
+    )
+    start = F.col("chunk_id").cast("int") * 90 + 1
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    ).select("doc_id", F.col("text").substr(start, F.lit(120)).alias("chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk")
+    marked = chunks.select(
+        "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
     )

@@ -165,6 +165,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "q10_returned_items",
     "scan_merge_schema",
     "udf_sql",
+    "chunk_dedup_pipeline",
+    "agg_percentile_disc",
 )
 
 
