@@ -303,3 +303,52 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts, l.version_date, l.prio_pit
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT CAST(o.o_orderdate AS DATE) AS version_date,
+         o.o_orderpriority AS prio_pit
+  FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderpriority DESC
+  LIMIT 1
+) l ON TRUE
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — the feature-store lookup: each fact row gets
+    the dimension version that was valid AT ITS OWN timestamp, never a
+    later one (training-serving skew is exactly what leaks when this
+    join is done with a plain latest-version lookup). The versioned
+    dimension is the `scd2_history` change log (per-customer priority
+    versions dated by order date); the lookup is the as-of kernel
+    (operators/asof.py) — one union + one keyed window, NO per-fact
+    subquery — with the version payload traveling as a struct so a
+    fact row can never mix fields from two versions. Facts with no
+    version yet (event before the entity's first version) keep NULLs:
+    the honest answer, not a leaked future value. The oracle is the
+    per-row LATERAL lookup — the formulation the kernel replaces at
+    scale. Ties among same-timestamp versions break on the struct's
+    field order (version_date, then priority) in both engines.
+    """
+    from .asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    versions = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderdate").cast("date").alias("vdate"),
+        "o_orderpriority",
+    )
+    out = asof_join(
+        ev,
+        versions,
+        on="user_id",
+        right_values={"version_date": "vdate", "prio_pit": "o_orderpriority"},
+    )
+    return out.select("event_id", "user_id", "ts", "version_date", "prio_pit")

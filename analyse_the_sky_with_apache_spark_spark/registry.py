@@ -167,6 +167,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "udf_sql",
     "chunk_dedup_pipeline",
     "agg_percentile_disc",
+    "join_point_in_time",
 )
 
 
