@@ -731,7 +731,8 @@ WITH e AS (
 ), s AS (
   SELECT user_id, COUNT(*) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+         CAST(SUM(y*y) AS BIGINT) AS syy
   FROM e GROUP BY user_id
 )
 SELECT user_id, n,
@@ -741,7 +742,13 @@ SELECT user_id, n,
        (CAST(sy AS DOUBLE)
         - sx * ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
                 / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)))
-       / (CAST(n AS DOUBLE) * 100.0) AS intercept
+       / (CAST(n AS DOUBLE) * 100.0) AS intercept,
+       CASE WHEN CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy > 0 THEN
+         ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+          * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy))
+         / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+            * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+       END AS r2
 FROM s
 WHERE n >= 2 AND CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
 """,
@@ -753,10 +760,12 @@ def lightcurve_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     float co-moments whose value depends on partition order (not
     hash-checkable); the engine instead aggregates the five EXACT
     integer sums (n, Σx, Σy, Σxy, Σx² — days × cents, all BIGINT) in
-    one hash aggregation with map-side partials, then finishes with a
-    fixed IEEE expression in DOUBLE (the n·Σxx − Σx² normal-equation
-    form, same overflow-to-double pattern as `anomaly_zscore`) — both
-    engines emit bit-identical slopes. Series with n < 2 or a
+    one hash aggregation with map-side partials (Σy² added for the
+    fit-quality term), then finishes with a fixed IEEE expression in
+    DOUBLE (the n·Σxx − Σx² normal-equation form, same
+    overflow-to-double pattern as `anomaly_zscore`) — both engines
+    emit bit-identical slopes, intercepts, and R² (= corr², NULL for
+    zero-variance series where no fit quality exists). Series with n < 2 or a
     degenerate single-epoch x are excluded (no fit exists).
 
     Scale: shuffle carries five longs per series regardless of series
@@ -774,6 +783,7 @@ def lightcurve_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
@@ -789,6 +799,18 @@ def lightcurve_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("sy").cast("double") - F.col("sx") * slope)
                 / (nd * 100.0)
             ).alias("intercept"),
+            F.when(
+                nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+                > 0,
+                (num * num)
+                / (
+                    den
+                    * (
+                        nd * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+            ).alias("r2"),
         )
     )
 
