@@ -777,3 +777,33 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_disc"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_geomean",
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean_price,
+       COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY o_orderstatus
+""",
+)
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean via exp(avg(ln x)) — the right average for
+    multiplicative quantities (price ratios, growth factors, flux).
+    The log/exp round-trip keeps the aggregation a plain partial/final
+    AVG (no product overflow, map-side combine intact). ln/exp are
+    libm-dependent and AVG accumulates floats in partition order, so
+    this is the one aggregate family the engine rounds COARSELY (2 dp)
+    instead of computing exactly — the same §5.3 transcendental rule
+    as fn_math; the scaled-long machinery cannot apply to logs.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.exp(F.avg(F.log("o_totalprice"))), 2).alias(
+            "geo_mean_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

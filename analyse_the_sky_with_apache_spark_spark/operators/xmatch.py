@@ -975,3 +975,53 @@ def lightcurve_sigma_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return clipped.select("user_id", "n", "med", "mad", "n_clipped")
+
+
+@register(
+    "xmatch_neighbor_density",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c
+  FROM customer
+)
+SELECT a.obj_id, CAST(COUNT(b.obj_id) AS BIGINT) AS n_neighbors
+FROM cat a LEFT JOIN cat b
+  ON a.obj_id <> b.obj_id
+ AND LEAST(abs(a.ra_c - b.ra_c), {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c))
+       <= {_SPH_EPS}
+ AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}
+GROUP BY a.obj_id
+""",
+)
+def xmatch_neighbor_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object neighbor counts within the match box — the local sky
+    density / clustering measure (crowded-field flags, blend risk,
+    cluster finding all start here). Pairs come from the same binned
+    ring-cell kernel as `xmatch_sphere`; each undirected pair feeds
+    BOTH endpoints' counts, and a left join back to the catalog keeps
+    isolated objects at 0 — the oracle's LEFT JOIN ... COUNT(b) states
+    the same inclusive contract declaratively. Scale = the kernel's
+    (cell-bucketed pair space, never n²) plus one count aggregation on
+    the object id.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    base = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000).alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000).alias(
+            "dec_c"
+        ),
+    )
+    pairs = sphere_match(base)
+    ends = pairs.select(F.col("ia").alias("obj_id")).unionAll(
+        pairs.select(F.col("ib").alias("obj_id"))
+    )
+    counts = ends.groupBy("obj_id").agg(F.count(F.lit(1)).alias("n"))
+    return base.join(counts, "obj_id", "left").select(
+        "obj_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_neighbors")
+    )

@@ -168,6 +168,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "chunk_dedup_pipeline",
     "agg_percentile_disc",
     "join_point_in_time",
+    "xmatch_neighbor_density",
+    "agg_geomean",
 )
 
 
