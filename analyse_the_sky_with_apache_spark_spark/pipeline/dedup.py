@@ -373,23 +373,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     — two genuinely independent algorithms checking each other.
     """
     edges = jaccard_pairs(spark, sf_dir, _CC_JACCARD).select("ia", "ib")
-    und = edges.union(edges.select(F.col("ib"), F.col("ia"))).toDF("src", "dst")
-    # seed: every doc is its own component (singletons stay in the output)
-    labels = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("doc_id").alias("component")
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node_id")
+    )
+    return min_label_propagation(nodes, edges).toDF("doc_id", "component")
+
+
+def min_label_propagation(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> DataFrame:
+    """Iterative min-label propagation — the reusable connected-
+    components kernel (see `dedup_connected_components` for the
+    algorithmic notes; `semantic_dedup_pipeline` runs the same loop
+    over embedding-cosine edges). ``nodes``: one ``node_id`` column
+    (singletons stay in the output); ``edges``: (ia, ib) pairs.
+    Returns (node_id, component).
+    """
+    und = edges.union(
+        edges.select(F.col("ib"), F.col("ia"))
+    ).toDF("src", "dst")
+    labels = nodes.select(
+        "node_id", F.col("node_id").alias("component")
     )
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(_CC_MAX_ITERS):
+    for _ in range(max_iters):
         neigh = (
-            und.join(labels, und.dst == labels.doc_id)
+            und.join(labels, und.dst == labels.node_id)
             .groupBy("src")
             .agg(F.min("component").alias("ncomp"))
         )
         new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            labels.join(neigh, labels.node_id == neigh.src, "left")
             .select(
-                "doc_id",
+                "node_id",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("ncomp"), F.col("component")),
@@ -399,7 +416,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), "node_id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
@@ -687,6 +704,64 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             "component",
             F.row_number().over(wc.orderBy("doc_id")).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "semantic_dedup_pipeline",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= {_COS_DUP_MIN}
+),
+edges AS (SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib AS a, ia AS b FROM pairs),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM edges e JOIN reach ON e.a = reach.id
+),
+comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id),
+keep AS (
+  SELECT component, MIN(vec_id) AS vec_id, COUNT(*) AS n_members
+  FROM comp GROUP BY component
+)
+SELECT em.vec_id, em.label, k.component,
+       CAST(k.n_members AS BIGINT) AS n_members
+FROM keep k JOIN embeddings em USING (vec_id)
+""",
+)
+def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs →
+    connected components → one survivor per semantic cluster — the
+    lexical `corpus_dedup_pipeline`'s sibling operating in embedding
+    space (catches paraphrases and translations that share no
+    shingles). Edges come from the broadcast-matrix cosine kernel
+    (`dedup_embed_cosine`); clustering is the SAME
+    `min_label_propagation` loop (pairs are not transitive in cosine
+    space either); survivor selection keys on the component. At 100 TB
+    the edge stage swaps to the LSH/IVF candidate rungs — the cluster
+    and survivor stages are unchanged.
+    """
+    pairs = dedup_embed_cosine(spark, sf_dir).select("ia", "ib")
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nodes = em.select(F.col("vec_id").alias("node_id"))
+    labels = min_label_propagation(nodes, pairs).toDF("vec_id", "component")
+    rows = em.join(labels, "vec_id")
+    wc = Window.partitionBy("component")
+    return (
+        rows.select(
+            "vec_id",
+            "label",
+            "component",
+            F.row_number().over(wc.orderBy("vec_id")).alias("rn"),
             F.count(F.lit(1)).over(wc).alias("n_members"),
         )
         .filter(F.col("rn") == 1)

@@ -170,6 +170,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_point_in_time",
     "xmatch_neighbor_density",
     "agg_geomean",
+    "semantic_dedup_pipeline",
 )
 
 
