@@ -352,3 +352,52 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_values={"version_date": "vdate", "prio_pit": "o_orderpriority"},
     )
     return out.select("event_id", "user_id", "ts", "version_date", "prio_pit")
+
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "basket_item_pairs",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+""",
+)
+def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts that co-occur in the same order
+    at least ``min_support`` times — the first level of association-rule
+    mining (FP-growth's candidate generation for pairs, done
+    relationally). The self-join is keyed on the ORDER id, so the pair
+    fan-out per order is bounded by basket size squared (≤7 lineitems
+    here — never a global n²); the distinct pre-pass collapses repeated
+    (order, part) lines first so multiplicity doesn't inflate support.
+    Two shuffles: the distinct and the pair count (the equi-join reuses
+    the distinct's order-key partitioning). The support threshold
+    prunes the long tail before anything leaves the aggregation —
+    at 100 TB add a frequent-items pre-filter (the classic a-priori
+    step) so rare parts never enter the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )

@@ -171,6 +171,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "xmatch_neighbor_density",
     "agg_geomean",
     "semantic_dedup_pipeline",
+    "basket_item_pairs",
 )
 
 
