@@ -172,6 +172,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_geomean",
     "semantic_dedup_pipeline",
     "basket_item_pairs",
+    "stream_chained_agg",
 )
 
 

@@ -322,3 +322,44 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("b_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
     return run_stream(spark, joined, mode="append", name="ss_join")
+
+
+@register("stream_chained_agg")  # rows-only: append-mode emission is
+# watermark-dependent (finalized windows only) — pinned by pytest instead
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregations in one query (Spark 3.4+
+    multiple-stateful-operator support): an hourly tumbling count rolls
+    up into a daily aggregate — two windowed aggregations, two state
+    stores, one streaming plan (the pre-3.4 workaround was two queries
+    glued by a sink). The second aggregation passes the FIRST window
+    STRUCT to ``window()`` (the SPARK-40925 form), which is what
+    carries the event-time watermark through; chained stateful ops
+    require APPEND output (complete mode trips Spark's global-watermark
+    correctness check by design), so the query replays 4 time-ordered
+    micro-batches and emits each day as the watermark finalizes it —
+    the still-open tail day is withheld, which is why this key is
+    rows-only: tests/test_streaming.py pins every emitted day against
+    the batch double-aggregation and the withholding itself.
+    """
+    src = stage_events(spark, sf_dir, n_files=4)
+    hourly = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.col("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    res = run_stream(spark, daily, mode="append", name="chained")
+    return res.select(
+        "event_type",
+        F.col("d.start").cast("date").alias("day"),
+        "n_hours",
+        F.col("n_events").cast("long").alias("n_events"),
+    )

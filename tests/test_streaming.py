@@ -126,3 +126,38 @@ def test_foreach_batch_sees_time_ordered_batches(spark):
     assert [r["batch_id"] for r in rows] == sorted(r["batch_id"] for r in rows)
     total = sum(r["n_rows"] for r in rows)
     assert total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_chained_agg_matches_batch_on_finalized_days(spark):
+    """The chained (hourly → daily) stateful aggregation must agree with
+    the batch double-aggregation on every day it EMITS, and must
+    withhold the still-open tail day (append-mode finalization) — the
+    two halves of the multiple-stateful-operator contract."""
+    got = {
+        (r["event_type"], r["day"]): (r["n_hours"], r["n_events"])
+        for r in queries()["stream_chained_agg"](spark, SF_DIR).collect()
+    }
+    assert got, "chained agg emitted nothing"
+
+    ev = load_table(spark, SF_DIR, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    batch = {
+        (r["event_type"], r["day"]): (r["n_hours"], r["n_events"])
+        for r in hourly.groupBy(
+            F.to_date(F.date_trunc("day", "h")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    for key, vals in got.items():
+        assert batch[key] == vals, f"mismatch at {key}"
+    # finalization: the overall latest day is still open → withheld
+    max_batch_day = max(d for _, d in batch)
+    assert all(d < max_batch_day for _, d in got), (
+        "tail day leaked before its watermark finalized"
+    )
