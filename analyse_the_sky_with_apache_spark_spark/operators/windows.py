@@ -671,3 +671,71 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streak_days",
         F.row_number().over(wr).cast("bigint").alias("rnk"),
     )
+
+
+@register(
+    "win_pareto_abc",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS run_cents,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot_cents
+  FROM spend
+)
+SELECT o_custkey, CAST(cents AS DOUBLE) / 100.0 AS spend,
+       CAST(run_cents AS DOUBLE) / tot_cents AS cum_share,
+       CASE WHEN CAST(run_cents AS DOUBLE) / tot_cents <= 0.8 THEN 'A'
+            WHEN CAST(run_cents AS DOUBLE) / tot_cents <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by spend with their
+    cumulative revenue share and A/B/C class (top-80% / next-15% /
+    tail) — the concentration query behind every "20% of X drives 80%
+    of Y" claim. Running and total sums are EXACT integer cents (the
+    class boundary is a comparison on an exact ratio — a float running
+    sum could flip a boundary row between engines), with one double
+    division per row at the end. The unpartitioned running-sum window
+    operates on the per-customer AGGREGATE (one row per customer), not
+    raw orders; at 100 TB the two-level prefix-scan rewrite documented
+    for `skyline_pareto` applies to the same sweep.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        ).alias("cents")
+    )
+    w_run = (
+        Window.orderBy(F.col("cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("run_cents").cast("double") / F.col("tot_cents")
+    return (
+        spend.select(
+            "o_custkey",
+            "cents",
+            F.sum("cents").over(w_run).alias("run_cents"),
+            F.sum("cents").over(w_all).alias("tot_cents"),
+        )
+        .select(
+            "o_custkey",
+            (F.col("cents").cast("double") / 100.0).alias("spend"),
+            share.alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

@@ -173,6 +173,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "semantic_dedup_pipeline",
     "basket_item_pairs",
     "stream_chained_agg",
+    "win_pareto_abc",
 )
 
 
