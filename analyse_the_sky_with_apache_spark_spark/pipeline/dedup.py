@@ -767,3 +767,52 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+  FROM documents
+), marked AS (
+  SELECT doc_id, lang, source, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_variants
+  FROM norm
+)
+SELECT doc_id AS keeper, lang, source, h,
+       CAST(n_variants AS BIGINT) AS n_variants
+FROM marked WHERE rn = 1
+""",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization dedup — the rung between exact and fuzzy: collapse
+    case and whitespace-run variants (the most common near-identical
+    duplicates in scraped corpora: same text re-serialized with
+    different casing/spacing) onto one canonical hash, then the same
+    window-keeper idiom as `dedup_exact`. The normalization is three
+    codegen'd string builtins feeding md5 — one shuffle on the
+    canonical hash, full rows carried through, no Python. Stricter
+    canonicalizations (unicode NFC, punctuation folding) slot into the
+    same expression without changing the plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            h.alias("h"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(h)).alias("n_variants"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keeper"), "lang", "source", "h",
+            F.col("n_variants").cast("long").alias("n_variants"),
+        )
+    )

@@ -174,6 +174,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "basket_item_pairs",
     "stream_chained_agg",
     "win_pareto_abc",
+    "dedup_normalized",
 )
 
 
