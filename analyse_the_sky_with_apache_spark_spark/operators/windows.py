@@ -739,3 +739,57 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abc_class"),
         )
     )
+
+
+@register(
+    "ts_seasonal_index",
+    oracle="""
+WITH m AS (
+  SELECT CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sv
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(sv) AS BIGINT) AS tsv FROM m
+)
+SELECT weekday, n,
+       CAST(sv AS DOUBLE) / 1000000.0 / n AS day_mean,
+       (CAST(sv AS DOUBLE) / n) / (CAST(tsv AS DOUBLE) / tn)
+         AS seasonal_index
+FROM m, tot
+""",
+)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal index per weekday: day-of-week mean over
+    grand mean — the classical decomposition's seasonal component (and
+    an observing-cadence bias profile for a survey; weekday cycle is
+    what the fixture's activity actually carries). Both means derive
+    from the SAME exact scaled-long sums (one per-month aggregation;
+    the grand totals are re-sums of the 12-row month table, not a
+    second data pass), so the index is a ratio of exact integers with
+    two deterministic double divisions. The grand-total side is a
+    broadcast cross join of a 1-row aggregate — the standard
+    share-of-total shape at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(F.weekday("ts").cast("long").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        ).alias("sv"),
+    )
+    tot = m.agg(
+        F.sum("n").alias("tn"), F.sum("sv").alias("tsv")
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n",
+        (F.col("sv").cast("double") / 1000000.0 / F.col("n")).alias(
+            "day_mean"
+        ),
+        (
+            (F.col("sv").cast("double") / F.col("n"))
+            / (F.col("tsv").cast("double") / F.col("tn"))
+        ).alias("seasonal_index"),
+    )

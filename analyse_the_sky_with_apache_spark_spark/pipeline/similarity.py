@@ -502,3 +502,78 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rn")
     )
+
+
+_EMB_OUTLIER_COS = 0.35
+
+
+@register(
+    "emb_outliers",
+    oracle=f"""
+WITH cent AS (
+  SELECT label, i, AVG(v) AS c
+  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(1, 65)) AS i
+        FROM embeddings)
+  GROUP BY label, i
+), cvec AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
+         AS cos_to_centroid
+FROM embeddings e JOIN cvec c ON e.label = c.label
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+        < {_EMB_OUTLIER_COS}
+""",
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outliers: vectors far from their OWN label's centroid
+    (cosine below threshold) — the embedding-space mislabel/garbage
+    detector a pipeline runs before training on labeled vectors
+    (`anomaly_zscore`'s geometric sibling). One posexplode aggregation
+    builds the per-(label, dim) centroid means, re-assembled with an
+    ordered collect; the distance is a relational zip_with dot product
+    against each row's own-label centroid (broadcast join — #labels
+    rows), so the data-sized side streams through one scan. Same
+    centroid kernel as `sim_centroid_classify`, pointed inward at the
+    label's own members instead of classifying unlabeled rows.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        em.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "c"))
+            ).alias("ic")
+        )
+        .select(
+            "label", F.expr("transform(ic, x -> x.c)").alias("cv")
+        )
+    )
+    dot = (
+        "aggregate(zip_with(embedding, cv, (a, b) -> a * b), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    norm = (
+        "SQRT(aggregate(transform(embedding, a -> a * a), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) * "
+        "SQRT(aggregate(transform(cv, b -> b * b), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    cos = F.expr(f"({dot}) / ({norm})")
+    return (
+        em.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            cos.alias("raw_cos"),
+        )
+        .where(F.col("raw_cos") < _EMB_OUTLIER_COS)
+        .select(
+            "vec_id", "label", F.round("raw_cos", 6).alias("cos_to_centroid")
+        )
+    )

@@ -175,6 +175,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "stream_chained_agg",
     "win_pareto_abc",
     "dedup_normalized",
+    "ts_seasonal_index",
+    "emb_outliers",
 )
 
 
