@@ -807,3 +807,35 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_sum_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(DISTINCT CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_distinct_qty_cents,
+       CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_line,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(DISTINCT) — the other distinct aggregate (COUNT's sibling in
+    `agg_distinct`): each group's value set is deduplicated before
+    summing, planned through the same Expand machinery. Distinct
+    SUMMATION on doubles would be order-hazardous AND equality-hazardous
+    (distinctness of floats!), so the summed values are exact scaled
+    longs — distinctness and the sum are both integer-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum_distinct(
+            F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))
+        ).alias("sum_distinct_qty_cents"),
+        F.sum_distinct(F.col("l_linenumber").cast("long")).alias(
+            "sum_distinct_line"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

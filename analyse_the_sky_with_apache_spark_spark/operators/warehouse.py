@@ -401,3 +401,63 @@ def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         datediff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency,
+       CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+       NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+       NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+FROM rfm
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintiles per
+    customer, the classic CRM scoring (1 = best in each dimension).
+    One aggregation builds the three measures (monetary in exact
+    cents); each score is an NTILE(5) over a fully tie-broken total
+    order (ntile is encounter-order-nondeterministic otherwise — the
+    same rule `win_ranking` documents). The three global windows run
+    over the per-customer AGGREGATE, not raw orders; at 100 TB replace
+    them with quantile-boundary broadcasts (approx_percentile the
+    scores' cut points, then a map-side CASE) — same output contract,
+    no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        ).alias("monetary_cents"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_score"),
+    )

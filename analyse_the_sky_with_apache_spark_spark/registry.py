@@ -177,6 +177,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dedup_normalized",
     "ts_seasonal_index",
     "emb_outliers",
+    "rfm_segmentation",
+    "agg_sum_distinct",
 )
 
 
