@@ -461,3 +461,60 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
         .alias("m_score"),
     )
+
+
+_BACKLOG_DAYS = 30
+
+
+@register(
+    "interval_open_count",
+    oracle=f"""
+WITH deltas AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(1 AS BIGINT) AS delta
+  FROM orders
+  UNION ALL
+  SELECT CAST(o_orderdate AS DATE) + {_BACKLOG_DAYS}, CAST(-1 AS BIGINT)
+  FROM orders
+), daily AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+)
+SELECT day, net,
+       CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_open
+FROM daily
+""",
+)
+def interval_open_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by sweep: how many orders are OPEN
+    on each day (each order live for 30 days) — the
+    backlog/occupancy/concurrency curve. Instead of joining every day
+    against every overlapping interval (the O(days × intervals) stab
+    join), each interval becomes two DELTA events (+1 at start, −1
+    past end); a per-day net and a running sum over the tiny daily
+    table reconstruct the exact open count. One data-sized aggregation
+    (the union feeds straight into it map-side), one |days|-row
+    window — the same sweep algebra as `win_running_distinct`, applied
+    to interval stabbing. All counting is integer-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    opens = o.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    closes = o.select(
+        F.date_add(F.col("o_orderdate").cast("date"), _BACKLOG_DAYS).alias(
+            "day"
+        ),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "net", F.sum("net").over(w).alias("n_open")
+    )

@@ -179,6 +179,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "emb_outliers",
     "rfm_segmentation",
     "agg_sum_distinct",
+    "interval_open_count",
 )
 
 
