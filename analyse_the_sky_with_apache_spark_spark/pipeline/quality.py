@@ -185,3 +185,86 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", "n", z)
         .where(F.abs(F.col("z")) > 3.0)
     )
+
+
+@register(
+    "dq_rules_report",
+    oracle="""
+SELECT 'lineitem.l_quantity.not_null' AS rule,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations, COUNT(*) AS n_checked
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_quantity.range_1_50',
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_discount.range_0_1',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_returnflag.domain',
+       CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                     THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_orderkey.fk_orders',
+       CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+       COUNT(*)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def dq_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule report — the dbt-test /
+    expectations shape: each rule contributes (rule, n_violations,
+    n_checked) and a pipeline gates on violations == 0. The four
+    single-table rules (not-null, two ranges, domain membership)
+    compile to conditional sums in ONE scan-shaped aggregation each —
+    Spark computes them over a single pass via one aggregate with four
+    filtered sums, then unpivots to the long report (the oracle states
+    the per-rule UNION form); the referential rule is one left-anti
+    count against the parent key. Adding a rule adds a column to the
+    wide aggregate — never another scan. At 100 TB the report is the
+    cheapest full-table pass there is: no shuffle except the 1-row
+    aggregates and the FK join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    wide = li.agg(
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("r_null"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("r_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        ).alias("r_disc"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("r_dom"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    single = wide.selectExpr(
+        """stack(4,
+           'lineitem.l_quantity.not_null', r_null,
+           'lineitem.l_quantity.range_1_50', r_qty,
+           'lineitem.l_discount.range_0_1', r_disc,
+           'lineitem.l_returnflag.domain', r_dom) AS (rule, n_violations)""",
+        "n AS n_checked",
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_checked")))
+        .select(
+            F.lit("lineitem.l_orderkey.fk_orders").alias("rule"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    return single.unionByName(orphans)

@@ -180,6 +180,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "rfm_segmentation",
     "agg_sum_distinct",
     "interval_open_count",
+    "dq_rules_report",
 )
 
 
