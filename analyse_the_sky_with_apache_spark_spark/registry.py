@@ -181,6 +181,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_sum_distinct",
     "interval_open_count",
     "dq_rules_report",
+    "table_checksum",
 )
 
 
