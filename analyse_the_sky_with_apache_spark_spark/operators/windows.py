@@ -793,3 +793,50 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tsv").cast("double") / F.col("tn"))
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "win_year_over_year",
+    oracle="""
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mo, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(LAG(cents) OVER w AS DOUBLE) / 100.0 AS revenue_prev_year,
+       CAST(cents AS DOUBLE) / LAG(cents) OVER w AS yoy_ratio
+FROM m
+WINDOW w AS (PARTITION BY mo ORDER BY yr)
+""",
+)
+def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year comparison: monthly revenue against the SAME month
+    one year earlier — the lag window partitioned by calendar month
+    (not ordered by raw date), which is what makes it seasonal-aware.
+    The revenue base is the exact-cents monthly aggregate; the YoY
+    ratio is one double division of two exact integers, so boundary
+    months hash identically. The window runs over the (year × month)
+    aggregate — at most a few hundred rows at ANY data scale; the one
+    data-sized stage is the monthly rollup with map-side partials.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        ).alias("cents")
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "yr",
+        "mo",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (prev.cast("double") / 100.0).alias("revenue_prev_year"),
+        (F.col("cents").cast("double") / prev).alias("yoy_ratio"),
+    )

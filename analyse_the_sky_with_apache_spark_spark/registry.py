@@ -182,6 +182,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "interval_open_count",
     "dq_rules_report",
     "table_checksum",
+    "win_year_over_year",
 )
 
 
