@@ -406,3 +406,80 @@ def chunk_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
     )
+
+
+_PMI_MIN_PAIRS = 5
+
+
+@register(
+    "text_word_pmi",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dw),
+df AS (SELECT w, COUNT(*) AS n_w FROM dw GROUP BY w),
+co AS (
+  SELECT a.w AS word_a, b.w AS word_b, COUNT(*) AS n_ab
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT word_a, word_b, n_ab,
+       ROUND(LN((n_ab * 1.0 * n_docs) / (x.n_w * 1.0 * y.n_w)), 6) AS pmi
+FROM co
+JOIN df x ON x.w = word_a
+JOIN df y ON y.w = word_b
+CROSS JOIN n
+WHERE n_ab >= {_PMI_MIN_PAIRS}
+""",
+)
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in the
+    same document — the corpus-statistics operator behind collocation
+    discovery, vocabulary merging, and embedding-quality probes
+    (PMI > 0: the pair attracts; < 0: repels). Counts are exact ints
+    (document frequencies, co-occurrence via a doc-keyed self-join —
+    pair space bounded by per-doc vocab², never corpus²); the single
+    log is the only float, rounded per the transcendental rule. The
+    doc-frequency join sides are word-count-sized (vocabulary, not
+    corpus) and broadcast; the support threshold prunes inside the
+    pair aggregation. Same sweep shape at 100 TB with a frequent-word
+    cap (stopword-class words dominate the pair space exactly like hot
+    shingles).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    n_docs = dw.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    a, b = dw.alias("a"), dw.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    dfa = df.select(F.col("w").alias("word_a"), F.col("n_w").alias("na"))
+    dfb = df.select(F.col("w").alias("word_b"), F.col("n_w").alias("nb"))
+    return (
+        co.join(F.broadcast(dfa), "word_a")
+        .join(F.broadcast(dfb), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * 1.0 * F.col("n_docs"))
+                    / (F.col("na") * 1.0 * F.col("nb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -183,6 +183,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dq_rules_report",
     "table_checksum",
     "win_year_over_year",
+    "text_word_pmi",
 )
 
 
