@@ -1025,3 +1025,73 @@ def xmatch_neighbor_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(counts, "obj_id", "left").select(
         "obj_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_neighbors")
     )
+
+
+_SF_MAX_LAG_D = 7
+
+
+@register(
+    "lightcurve_structure_function",
+    oracle=f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sv,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id, b.day - a.day AS lag_days,
+         abs(CAST(b.sv AS DOUBLE) / b.n - CAST(a.sv AS DOUBLE) / a.n)
+           AS adiff
+  FROM daily a JOIN daily b
+    ON a.user_id = b.user_id AND b.day > a.day
+   AND b.day - a.day <= {_SF_MAX_LAG_D}
+)
+SELECT CAST(lag_days AS BIGINT) AS lag_days,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(adiff) / 1000000.0, 6) AS sf
+FROM pairs
+GROUP BY lag_days
+""",
+)
+def lightcurve_structure_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure function SF(τ): mean absolute brightness change between
+    observations τ days apart — the time-domain variability
+    characterization (quasar/AGN analysis lives on this curve: rising
+    SF = correlated variability, flat = noise floor). Computed on the
+    DAILY-aggregated series: per-(series, day) exact means first (one
+    data-sized aggregation), then a series-keyed self-join bounded to
+    lags ≤ 7 days — the pair space is days-per-series × lag-window,
+    never observations². Each |Δ| is one subtraction of two exact-
+    integer ratios; the per-lag mean is rounded once at the end.
+    At 100 TB the lag bound IS the scale control (pairs grow linearly
+    with the window), and the daily pre-aggregation is what keeps the
+    join sides small — the same pre-reduce-then-pair shape as
+    `basket_item_pairs`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 1000000.0 + F.lit(0.5))
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    lag = F.datediff(F.col("b.day"), F.col("a.day"))
+    mean_a = F.col("a.sv").cast("double") / F.col("a.n")
+    mean_b = F.col("b.sv").cast("double") / F.col("b.n")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.day") > F.col("a.day"))
+        & (lag <= _SF_MAX_LAG_D),
+    ).select(
+        lag.cast("long").alias("lag_days"),
+        F.abs(mean_b - mean_a).alias("adiff"),
+    )
+    return pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("adiff") / 1000000.0, 6).alias("sf"),
+    )

@@ -184,6 +184,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "table_checksum",
     "win_year_over_year",
     "text_word_pmi",
+    "lightcurve_structure_function",
 )
 
 
