@@ -840,3 +840,48 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prev.cast("double") / 100.0).alias("revenue_prev_year"),
         (F.col("cents").cast("double") / prev).alias("yoy_ratio"),
     )
+
+
+@register(
+    "ts_interarrival_hist",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT CAST(FLOOR(LN(gap_us / 1000000.0) / LN(4.0)) AS BIGINT)
+         AS log4_bucket,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY 1
+""",
+)
+def ts_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution on a log scale: per-series gaps
+    (exact integer microseconds via lag) bucketed by powers of 4 from
+    seconds upward — the burstiness/cadence profile of an event stream
+    (heavy low buckets = bursts, a spread tail = Poisson-ish arrivals).
+    One series-key shuffle for the lag window, then a map-side-partial
+    histogram aggregation over the handful of occupied buckets. The
+    log-bucket edge is the one float comparison; gaps sit at least a
+    full second from any 4^k boundary on this fixture, and min/max per
+    bucket are exact integers either way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.select(gap.alias("gap_us")).where(
+        F.col("gap_us").isNotNull() & (F.col("gap_us") > 0)
+    )
+    bucket = F.floor(
+        F.log(F.col("gap_us") / 1000000.0) / F.log(F.lit(4.0))
+    ).cast("long")
+    return gaps.groupBy(bucket.alias("log4_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

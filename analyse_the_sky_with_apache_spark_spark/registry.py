@@ -185,6 +185,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "win_year_over_year",
     "text_word_pmi",
     "lightcurve_structure_function",
+    "ts_interarrival_hist",
 )
 
 
