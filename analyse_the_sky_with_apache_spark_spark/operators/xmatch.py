@@ -1095,3 +1095,74 @@ def lightcurve_structure_function(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("adiff") / 1000000.0, 6).alias("sf"),
     )
+
+
+@register(
+    "xmatch_completeness",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 21, 3)) AS BIGINT)
+           % 10 + 12 AS mag_bin
+  FROM customer
+), matched AS (
+  SELECT DISTINCT a.obj_id
+  FROM cat a JOIN cat b
+    ON a.obj_id <> b.obj_id
+   AND LEAST(abs(a.ra_c - b.ra_c), {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c))
+         <= {_SPH_EPS}
+   AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}
+)
+SELECT c.mag_bin, COUNT(*) AS n_objects,
+       CAST(COUNT(m.obj_id) AS BIGINT) AS n_matched,
+       CAST(COUNT(m.obj_id) AS DOUBLE) / COUNT(*) AS completeness
+FROM cat c LEFT JOIN matched m ON c.obj_id = m.obj_id
+GROUP BY c.mag_bin
+""",
+)
+def xmatch_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness curve: the fraction of objects per magnitude bin
+    that find ANY counterpart within the match radius — the survey-QA
+    metric that exposes depth-dependent detection loss (completeness
+    falling off at faint magnitudes is THE plot in every survey
+    paper). Matched ids derive from the binned ring-cell kernel's pair
+    stream (both endpoints, deduplicated — no second all-pairs pass);
+    a left join back to the catalog keeps unmatched objects in the
+    denominator, and the per-bin fraction is a ratio of exact counts.
+    The synthetic magnitude rides the same md5 derivation as the
+    coordinates, so both engines bin identically.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000).alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000).alias(
+            "dec_c"
+        ),
+        (F.conv(F.substring(h, 21, 3), 16, 10).cast("long") % 10 + 12).alias(
+            "mag_bin"
+        ),
+    )
+    pairs = sphere_match(cat.select("obj_id", "ra_c", "dec_c"))
+    matched = (
+        pairs.select(F.col("ia").alias("obj_id"))
+        .unionAll(pairs.select(F.col("ib").alias("obj_id")))
+        .distinct()
+        .select("obj_id", F.lit(1).alias("is_matched"))
+    )
+    return (
+        cat.join(matched, "obj_id", "left")
+        .groupBy("mag_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.count("is_matched").cast("long").alias("n_matched"),
+            (
+                F.count("is_matched").cast("double") / F.count(F.lit(1))
+            ).alias("completeness"),
+        )
+    )

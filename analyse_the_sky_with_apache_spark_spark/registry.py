@@ -186,6 +186,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "text_word_pmi",
     "lightcurve_structure_function",
     "ts_interarrival_hist",
+    "xmatch_completeness",
 )
 
 
