@@ -1,4 +1,4 @@
-"""Composite multi-operator workloads (TPC-H-shape Q3 / Q5 / Q10 / Q18).
+"""Composite multi-operator workloads (TPC-H-shape Q3/Q4/Q5/Q10/Q12/Q14/Q18/Q19/Q22).
 
 The single-operator registry keys prove each relational piece in
 isolation; these workloads prove the pieces COMPOSE — multi-join
@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .functions.exact import dsum, dsum_sql
+from .functions.exact import davg, davg_sql, dsum, dsum_sql
 from .registry import register
 
 _Q3_CUTOFF = "1998-06-01"
@@ -219,4 +219,241 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one line
+    ship more than 90 days after ordering (the fixtures carry no
+    l_commitdate/l_receiptdate, so "late" is shipdate vs orderdate).
+
+    The correlated EXISTS decorrelates to a LEFT SEMI join whose
+    condition mixes the equi key with a non-equi date term — Catalyst
+    keeps the equi part as the hash-join key and evaluates the date
+    comparison as a join residual, so at 100 TB this is one shuffle on
+    l_orderkey (or a broadcast of the filtered quarter of orders), never
+    a nested loop. Semi-join semantics also mean lineitem is probed, not
+    expanded: an order with 7 late lines counts once, no distinct needed.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q12_late_lines",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate >  o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+""",
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among lines that shipped >30 days after their
+    order in one year, how many belonged to urgent/high-priority orders
+    vs the rest, per return flag (the fixtures carry no l_shipmode — the
+    return flag is the grouping stand-in).
+
+    One fact-fact equi-join with the year filter pushed to the lineitem
+    scan; the priority classification is a conditional-sum pair computed
+    in the same hash aggregate, so the whole query is scan → join →
+    single agg. The oracle CASTs its conditional sums to BIGINT because
+    DuckDB's SUM(int) yields HUGEINT, which the driver's numpy hasher
+    would degrade to float (VERDICT.md round-1 lesson).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 10000.0 AS total_revenue,
+       100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)
+                              ELSE 0 END) AS DOUBLE) / 10000.0)
+             / (CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 10000.0) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue that came from
+    PROMO-type parts. part broadcasts into the month-filtered lineitem
+    scan; both the promo and total revenue are exact scaled-long sums,
+    so the final ratio divides two bit-identical doubles and the
+    percentage is deterministic across engines — no rounding tolerance
+    needed even for a floating-point ratio.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(10000.0)
+        + F.lit(0.5)
+    )
+    promo = (
+        F.sum(F.when(F.col("p_type") == "PROMO", scaled).otherwise(F.lit(0)))
+        .cast("double")
+        / F.lit(10000.0)
+    )
+    total = F.sum(scaled).cast("double") / F.lit(10000.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * promo / total).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle="""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 10000.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)
+""",
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/
+    quantity bands (the fixtures carry no p_container; p_size plays its
+    role). The planner test that matters: the OR-of-conjunctions
+    references BOTH sides, so it cannot be pushed through the join —
+    Catalyst keeps p_partkey = l_partkey as the hash key and evaluates
+    the disjunction as a join residual, while still pushing the
+    single-side implications (brand/size bands on the part scan,
+    quantity band on lineitem) below the join. part broadcasts; one
+    scan each, zero extra shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bands = (
+        (
+            (p.p_brand == "Brand#1")
+            & p.p_size.between(1, 15)
+            & li.l_quantity.between(1, 20)
+        )
+        | (
+            (p.p_brand == "Brand#2")
+            & p.p_size.between(10, 30)
+            & li.l_quantity.between(15, 35)
+        )
+        | (
+            (p.p_brand == "Brand#3")
+            & p.p_size.between(20, 50)
+            & li.l_quantity.between(25, 50)
+        )
+    )
+    return li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & bands).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle=f"""
+WITH thr AS (
+  SELECT {davg_sql('c_acctbal', 'thr', 6)}
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       {dsum_sql('c_acctbal', 'total_bal', 2)}
+FROM customer, thr
+WHERE c_acctbal > thr
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per nation, the count and total balance of
+    above-average-balance customers with no order since 1999 (the
+    fixtures carry no c_phone; nationkey is the grouping stand-in, and
+    "dormant since" replaces "never ordered" because every fixture
+    customer has orders).
+
+    Three classic planner pieces in one query: a scalar aggregate
+    subquery (the positive-balance average) that broadcasts as a 1-row
+    cross join, an anti-join against the date-filtered orders, and a
+    final small-key rollup. The average threshold is an exact
+    scaled-long mean, so the > comparison picks the same customers in
+    both engines even for a balance sitting at the boundary.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "thr", 6))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "total_bal", 2),
+        )
     )
