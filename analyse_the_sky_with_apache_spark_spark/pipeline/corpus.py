@@ -285,3 +285,132 @@ def corpus_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _GRP_SAMPLE_K)
         .drop("rn")
     )
+
+
+#: word-n-gram width for the contamination check.
+_CONTAM_N = 5
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_CONTAM_N - 1}], ' ') AS s
+  FROM w, LATERAL unnest(generate_series(1, len(ws) - {_CONTAM_N - 1})) t(i)
+  WHERE len(ws) >= {_CONTAM_N}
+),
+ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+evsz AS (SELECT doc_id, COUNT(*) AS n_eval FROM ev GROUP BY doc_id),
+hits AS (
+  SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id, COUNT(*) AS n_shared
+  FROM ev JOIN tr ON ev.s = tr.s
+  GROUP BY 1, 2
+)
+SELECT eval_id, train_id, n_shared,
+       n_shared * 1.0 / n_eval AS contamination
+FROM hits JOIN evsz ON evsz.doc_id = eval_id
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: which training documents share
+    word-5-grams with the held-out eval slice, and how much.
+
+    The canonical pre-training hygiene pass (eval-set n-gram overlap, as
+    in GPT-3/PaLM contamination reports): shingle both corpus sides into
+    distinct word 5-grams, equi-join on the shingle so only docs that
+    actually share one are ever paired (never an all-pairs scan), and
+    score each (eval, train) pair by shared-shingle count over the eval
+    doc's shingle total. At 100 TB the shingle join is the standard
+    skew-aware equi-join — hot shingles (boilerplate) get a frequency
+    cap exactly like dedup_ngram_jaccard's; the eval side is tiny and
+    broadcasts. The ratio divides two exact ints — deterministic double.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    sh = (
+        d.filter(F.size(ws) >= _CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {_CONTAM_N - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {_CONTAM_N})))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % 10 == 0)
+    tr = sh.filter(F.col("doc_id") % 10 != 0)
+    evsz = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    hits = (
+        ev.alias("e")
+        .join(tr.alias("t"), F.col("e.s") == F.col("t.s"))
+        .groupBy(
+            F.col("e.doc_id").alias("eval_id"),
+            F.col("t.doc_id").alias("train_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.join(
+        F.broadcast(evsz), hits.eval_id == evsz.doc_id
+    ).select(
+        "eval_id",
+        "train_id",
+        "n_shared",
+        (F.col("n_shared") * 1.0 / F.col("n_eval")).alias("contamination"),
+    )
+
+
+#: shard count for the deterministic epoch shuffle.
+_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR) || '-epoch0') AS hh
+  FROM documents
+)
+SELECT CAST(('0x' || substr(hh, 1, 6)) AS BIGINT) % {_SHUFFLE_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY CAST(('0x' || substr(hh, 1, 6)) AS BIGINT) % {_SHUFFLE_SHARDS}
+         ORDER BY hh, doc_id) AS BIGINT) AS pos,
+       doc_id, lang
+FROM h
+""",
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: epoch-seeded hash →
+    shard → in-shard position.
+
+    Training epochs need a reproducible random permutation of the
+    corpus. Seeded ``orderBy(rand())`` is engine- and partitioning-
+    dependent; a global ``row_number`` over the hash is a single-
+    partition sort. This operator does neither: the epoch-seeded md5
+    assigns each doc a shard (top bits) and an in-shard position
+    (row_number partitioned BY shard, ordered by the full hash) — the
+    global order is (shard, pos), every window partition sorts in
+    parallel, and changing the seed string re-permutes everything.
+    At 100 TB this is one shuffle on a uniform 16-way key (use 10k
+    shards there), exactly the layout epoch readers want: one sorted
+    file list per shard, no global coordination.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hh = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-epoch0")))
+    shard = (
+        F.conv(F.substring(hh, 1, 6), 16, 10).cast("long")
+        % _SHUFFLE_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return (
+        d.select("doc_id", "lang", hh.alias("hh"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "lang")
+    )

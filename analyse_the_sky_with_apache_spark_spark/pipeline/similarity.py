@@ -577,3 +577,87 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.round("raw_cos", 6).alias("cos_to_centroid")
         )
     )
+
+
+#: hamming top-k per query for the binary-signature rung.
+_HAM_K = 5
+
+
+@register(
+    "emb_bit_hamming",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN i <= 32 AND embedding[i] > 0.0
+                       THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN i > 32 AND embedding[i] > 0.0
+                       THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) t(i)
+  GROUP BY vec_id
+),
+q AS (SELECT * FROM sig WHERE vec_id % 100 = 0),
+c AS (SELECT * FROM sig WHERE vec_id % 100 <> 0),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+              AS BIGINT) AS hamming
+  FROM q, c
+)
+SELECT q_id, cand_id, hamming, rnk
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY hamming, cand_id) AS BIGINT) AS rnk
+      FROM d)
+WHERE rnk <= {_HAM_K}
+""",
+)
+def emb_bit_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit signatures + packed hamming top-k.
+
+    The 64-dim float vector (256 B) collapses to two 32-bit sign words
+    (8 B) — a 32× memory cut, built once per row with a JVM higher-order
+    fold (no UDF). Hamming distance is then two XOR+popcount
+    instructions inside whole-stage codegen; sign-bit hamming is a
+    monotone proxy for angular distance (the SimHash bound), which is
+    why this is the standard cheap first pass before exact re-ranking
+    (see emb_quantize / sim_knn_cosine for the re-rank kernels).
+
+    At 100 TB: signatures are built map-only in the scan; the query set
+    broadcasts (it is the small side by construction); the candidate
+    side never shuffles — each partition scores locally and the per-
+    query top-k merges through the final window on a tiny
+    (n_queries × k × partitions) intermediate. Two 32-bit words rather
+    than one 64-bit word keeps every shift inside both engines' safe
+    integer range (DuckDB raises on 1 << 63).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    word = (
+        "CAST(aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> acc"
+        " + CASE WHEN element_at(embedding, i + 1) > 0.0"
+        " THEN shiftleft(1L, i - {lo}) ELSE 0L END) AS BIGINT)"
+    )
+    sig = e.select(
+        "vec_id",
+        F.expr(word.format(lo=0, hi=31)).alias("lo"),
+        F.expr(word.format(lo=32, hi=63)).alias("hi"),
+    )
+    q = sig.filter(F.col("vec_id") % 100 == 0)
+    c = sig.filter(F.col("vec_id") % 100 != 0)
+    d = (
+        c.alias("c")
+        .crossJoin(F.broadcast(q.alias("q")))
+        .select(
+            F.col("q.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            (
+                F.bit_count(F.col("q.lo").bitwiseXOR(F.col("c.lo")))
+                + F.bit_count(F.col("q.hi").bitwiseXOR(F.col("c.hi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "cand_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _HAM_K)
+    )
