@@ -839,3 +839,62 @@ def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+#: salt fan-out for the two-phase skewed aggregation.
+_SALT_N = 64
+
+
+@register(
+    "agg_salted_twophase",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_quantity', 'sum_qty', 2)},
+       {dsum_sql('l_extendedprice', 'sum_price', 4)}
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed group keys.
+
+    The fixture key (returnflag, linestatus) has only 6 values over the
+    whole fact table — the worst-case skew shape: a single-phase
+    ``groupBy`` would funnel every row of a hot key through one reducer.
+    Phase 1 groups by (key, salt) with a 64-way deterministic salt
+    (hash of the row's own orderkey — no rand(), so re-runs and
+    retries aggregate identically), spreading each hot key over 64
+    reducers that each emit one partial row. Phase 2 re-groups the
+    ≤ 6×64 partials by the real key. The partials carry the exact
+    scaled-long sums, so two-phase addition is exactly associative —
+    bit-identical to the single-phase oracle.
+
+    Spark's own HashAggregate partials solve this same problem when the
+    map side combines well; explicit salting is the plan you reach for
+    when the first shuffle ALSO needs to be balanced (e.g. high
+    cardinality per group downstream, or partial-agg disabled by
+    distinct/collect aggregates). At 100 TB the phase-1 output is
+    n_keys × salt rows — negligible — and no reducer ever sees more
+    than 1/64th of a hot key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey"), F.lit(_SALT_N)).alias("salt")
+    partial = (
+        li.groupBy("l_returnflag", "l_linestatus", salt)
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.floor(F.col("l_quantity") * 100.0 + F.lit(0.5))).alias("pq"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 10000.0 + F.lit(0.5))
+            ).alias("pp"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            (F.sum("pq").cast("double") / 100.0).alias("sum_qty"),
+            (F.sum("pp").cast("double") / 10000.0).alias("sum_price"),
+        )
+    )

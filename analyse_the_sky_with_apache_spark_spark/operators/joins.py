@@ -558,3 +558,107 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["flag"].eqNullSafe(b["flag"])).select(
         a["flag"], "n_items", "sq"
     )
+
+
+#: bloom prefilter geometry: m bits across 64-bit words, k probe hashes.
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 3
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bloom-filter semi-join: prefilter the fact scan with a
+    broadcast bitmap before the exact join.
+
+    The 100-TB pattern this demonstrates: when the build side of a
+    semi-join is selective but its key list is too big (or too remote)
+    to broadcast exactly, shrink it to a bloom filter and apply that
+    map-side on the probe scan, so the exact join only sees survivors.
+    Spark keeps ``BloomFilterAggregate`` internal (injected by the
+    runtime-filter rule, not callable from SQL), so the engine builds
+    the filter with public relational ops:
+
+    1. build side → k = 3 hash positions per key (``xxhash64`` with
+       distinct literal salts), distinct, then ``bit_or`` of
+       ``1 << (pos % 64)`` grouped by word index — a ≤ m/64-row bitmap
+       table built by one tiny shuffle;
+    2. probe side explodes its own k positions, broadcast-joins the
+       bitmap, and keeps rows where ALL k bits hit (count = k);
+    3. exact semi-join on the survivors removes false positives.
+
+    Step 3 makes the result exactly the plain semi-join (the oracle), so
+    the bloom stage is pure shuffle-volume savings — false negatives are
+    impossible (any built key finds all its own bits set). The filter
+    here is 64 Kbit = 1024 longs; size m for ~10 bits/key at the real
+    build cardinality.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "2000-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def positions(col: str) -> F.Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bitmap = (
+        o.select(F.explode(positions("o_orderkey")).alias("pos"))
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+            ).alias("mask")
+        )
+    )
+    # the probe must re-group per ROW, not per value tuple — two rows
+    # sharing the grouping values would merge their exploded bits
+    # (nbits = 2k ≠ k) and BOTH get dropped: a false negative. The
+    # fixture has no unique natural key (even (l_orderkey,
+    # l_linenumber) repeats), so each row is tagged with a transient
+    # execution-unique id before the explode; the id never reaches the
+    # output, so its arbitrariness can't leak into the result hash.
+    probe = li.withColumn("rid", F.monotonically_increasing_id()).select(
+        "rid",
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.explode(positions("l_orderkey")).alias("pos"),
+    ).select(
+        "rid",
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        (F.col("pos") / 64).cast("long").alias("word"),
+        (F.col("pos") % 64).cast("int").alias("bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(bitmap), "word")
+        .filter(F.expr("shiftleft(1L, bit) & mask") != 0)
+        .groupBy("rid", "l_orderkey", "l_extendedprice", "l_discount")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == _BLOOM_K)
+    )
+    survivors = hits.join(o, hits.l_orderkey == o.o_orderkey, "left_semi")
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
+    )

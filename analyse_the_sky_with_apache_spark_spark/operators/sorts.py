@@ -162,3 +162,93 @@ def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("frequent").alias("segment"), "n_cust")
     )
     return big.unionAll(freq)
+
+
+#: bits per dimension in the z-order interleave (2 dims × 10 bits).
+_Z_BITS = 10
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """Bit-interleave expression text, valid in both Spark SQL and DuckDB.
+
+    z = Σ_i ((x>>i)&1) << 2i  |  ((y>>i)&1) << (2i+1) — unrolled to a
+    constant-folded sum of shifts so the same text runs JVM-side in
+    whole-stage codegen and in the oracle.
+    """
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+WITH dims AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % {1 << _Z_BITS} AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              % {1 << _Z_BITS} AS BIGINT) AS y
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey, x, y,
+         CAST({_z_interleave_sql('x', 'y')} AS BIGINT) AS zval
+  FROM dims
+)
+SELECT zval >> 14 AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z
+GROUP BY zval >> 14
+""",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key + per-bucket locality stats.
+
+    Multi-dimensional pruning needs a SINGLE sort key under which files
+    stay tight in EVERY dimension — sorting by (x, y) gives perfect x
+    pruning and useless y pruning. Interleaving the bits of both dims
+    (the Morton curve) bounds each z-range to a small rectangle, so
+    file-level min/max stats prune on x AND y predicates at once — the
+    layout trick behind Delta/Iceberg OPTIMIZE ZORDER, built here from
+    20 unrolled shift-and-mask terms that stay inside whole-stage
+    codegen (the identical expression text is the oracle's).
+
+    The query reports, per top-bits z-bucket, the row count and the
+    x/y bounding box — the exact numbers a scan planner would read from
+    file footers; the bounded box widths ARE the pruning guarantee. At
+    100 TB: compute z map-only in the scan, ``repartitionByRange(z)``,
+    ``sortWithinPartitions(z)``, write — one range shuffle total
+    (sink_sorted_clustered demonstrates that write path; this operator
+    keeps the curve math and its locality proof hash-checked).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << _Z_BITS)).cast("long").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            % (1 << _Z_BITS)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    z = dims.select(
+        "o_orderkey",
+        "x",
+        "y",
+        F.expr(f"CAST({_z_interleave_sql('x', 'y')} AS BIGINT)").alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr("zval >> 14").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Property tests for the scale-pattern operators.
+
+The oracle differential already pins exact results; these pin the
+SCALE properties the operators exist for — the z-curve's locality
+bound and the bloom prefilter's actual selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analyse_the_sky_with_apache_spark_spark import registry
+from analyse_the_sky_with_apache_spark_spark.operators.sorts import _Z_BITS
+from tests.conftest import SF_DIR
+
+registry.load_all_modules()
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """Each z-bucket (2^14 consecutive z values) must cover at most a
+    128×128 tile — the Morton-curve guarantee that makes file-level
+    min/max stats prunable on BOTH dimensions. A plain (x, y) sort
+    would pass this for x and blow the y bound wide open."""
+    rows = registry.queries()["zorder_layout"](spark, SF_DIR).collect()
+    assert rows, "zorder_layout returned no buckets"
+    # 2^14 z values interleave 7 low bits of each dim → 2^7 tile width.
+    tile = 1 << 7
+    for r in rows:
+        assert r["x_max"] - r["x_min"] < tile, r
+        assert r["y_max"] - r["y_min"] < tile, r
+    # buckets jointly cover the full x domain (the curve isn't degenerate)
+    assert max(r["x_max"] for r in rows) > tile
+
+
+def test_bloom_prefilter_is_selective(spark):
+    """The bloom stage must pass far fewer rows than the full fact scan
+    (selectivity is its whole point), while the final exact join keeps
+    every true match — equality with the plain semi-join is already
+    pinned by the oracle differential; here we re-derive the bitmap and
+    measure the pass-rate."""
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.operators.joins import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "2000-01-01")
+    )
+    li = load_table(spark, SF_DIR, "lineitem")
+
+    def positions(col):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    bitmap = (
+        o.select(F.explode(positions("o_orderkey")).alias("pos"))
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("long").alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("mask"))
+    )
+    assert bitmap.count() <= _BLOOM_BITS // 64
+
+    probe = li.withColumn("rid", F.monotonically_increasing_id()).select(
+        "rid",
+        F.explode(positions("l_orderkey")).alias("pos"),
+    ).select(
+        "rid",
+        (F.col("pos") / 64).cast("long").alias("word"),
+        (F.col("pos") % 64).cast("int").alias("bit"),
+    )
+    passed = (
+        probe.join(F.broadcast(bitmap), "word")
+        .filter(F.expr("shiftleft(1L, bit) & mask") != 0)
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == _BLOOM_K)
+        .count()
+    )
+    total = li.count()
+    exact = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert exact <= passed, "bloom dropped a true match (false negative)"
+    assert passed < total * 0.5, (
+        f"bloom passed {passed}/{total} rows — not selective"
+    )
