@@ -885,3 +885,175 @@ def ts_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+#: EWMA smoothing factor as an exact rational: alpha = 2/10.
+_EWMA_NUM, _EWMA_DEN = 2, 10
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+WITH RECURSIVE x AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, event_id, value, rn, v AS e
+  FROM x WHERE rn = 1
+  UNION ALL
+  SELECT x.user_id, x.ts, x.event_id, x.value, x.rn,
+         ({_EWMA_NUM} * x.v + {_EWMA_DEN - _EWMA_NUM} * r.e
+          + {_EWMA_DEN // 2}) // {_EWMA_DEN}
+  FROM x JOIN r ON x.user_id = r.user_id AND x.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, value,
+       CAST(e AS DOUBLE) / 1000000.0 AS ewma
+FROM r
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average (α = 0.2) — the classic
+    INHERENTLY SEQUENTIAL per-key recurrence that windows can't express
+    (each output depends on the previous OUTPUT, not a previous input).
+
+    Engine plan: one shuffle on user_id into ``applyInPandas``; each
+    group runs the recurrence over its Arrow batch in event-time order.
+    That is the canonical 100-TB layout for per-entity state sweeps —
+    state lives per key, keys scale out, nothing sequential crosses key
+    boundaries (same posture as sessionize_batch / stream_stateful).
+
+    Cross-engine exactness: a float recurrence would drift in the last
+    ulp between numpy's per-op rounding and the oracle's evaluation
+    order, so the recurrence runs on the 1e-6 scaled-long grid in
+    EXACT integer arithmetic — ``E_n = (2·V_n + 8·E_{{n-1}} + 5) // 10``
+    with floor division in both engines (numpy ``//`` and DuckDB ``//``
+    both floor). The oracle is a per-user recursive CTE: two
+    independent implementations of the same integer recurrence,
+    bit-identical by construction.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        import numpy as np  # noqa: PLC0415
+
+        v = np.floor(pdf["value"].to_numpy() * 1_000_000.0 + 0.5).astype(
+            np.int64
+        )
+        e = np.empty_like(v)
+        if len(v):
+            e[0] = v[0]
+            for i in range(1, len(v)):
+                e[i] = (
+                    _EWMA_NUM * v[i]
+                    + (_EWMA_DEN - _EWMA_NUM) * e[i - 1]
+                    + _EWMA_DEN // 2
+                ) // _EWMA_DEN
+        pdf["ewma"] = e.astype(np.float64) / 1_000_000.0
+        return pdf
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma,
+        "user_id BIGINT, ts TIMESTAMP, event_id BIGINT, value DOUBLE, ewma DOUBLE",
+    )
+
+
+#: cross-correlation lag range (hours).
+_XCORR_LAGS = 6
+
+
+@register(
+    "ts_cross_corr",
+    oracle=f"""
+WITH c AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h, COUNT(*) AS x
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT epoch(date_trunc('hour', ts))::BIGINT // 3600 AS h, COUNT(*) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+l AS (SELECT unnest(generate_series(0, {_XCORR_LAGS})) AS lag),
+j AS (
+  SELECT l.lag, c.x, p.y
+  FROM l JOIN c ON TRUE JOIN p ON p.h = c.h + l.lag
+),
+s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr
+FROM s
+WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click and purchase
+    series: does click volume predict purchase volume h hours later?
+
+    The series are first reduced to (epoch-hour, count) — after that the
+    lag family is a tiny equi-join (purchase hour = click hour + lag)
+    fanned out by an exploded 0..6 lag column, never a window over the
+    raw events. Pearson r comes from the six exact integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) so the only float math is the final
+    closed-form division — deterministic in both engines (the same
+    integer-sums trick as lightcurve_trend). At 100 TB the raw-event
+    aggregation is the only data-sized pass; everything after is
+    per-hour rows (≈ 9k rows/year), broadcastable everywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hours = lambda t: (  # noqa: E731
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+    ).cast("long")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(hours("ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(hours("ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    lags = spark.range(_XCORR_LAGS + 1).select(F.col("id").alias("lag"))
+    j = (
+        c.crossJoin(F.broadcast(lags))
+        .join(p, p.h == c.h + F.col("lag"))
+        .select("lag", "x", "y")
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 10) & (varx > 0) & (vary > 0))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").alias("n_pairs"),
+            (num / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))).alias(
+                "xcorr"
+            ),
+        )
+    )

@@ -36,6 +36,12 @@ _ORDER_SENSITIVE = (
     "win_moving_median",
     "fn_collation",
     "q18_large_orders",
+    # round-4 additions: pandas recurrence kernel, transient-row-id
+    # regrouping, hash-ordered shuffle, hamming rank ties
+    "ts_ewma",
+    "join_bloom_prefilter",
+    "corpus_shuffle",
+    "emb_bit_hamming",
 )
 
 
