@@ -518,3 +518,218 @@ def interval_open_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(w).alias("n_open")
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+snap_b AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.02
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT COALESCE(a.k, b.k) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_type,
+       a.price AS old_price, b.price AS new_price
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL
+   OR a.price <> b.price OR a.status <> b.status
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: added / deleted / changed rows between
+    two versions of a table, from one full-outer join.
+
+    The two snapshots derive deterministically from orders (one drops
+    every 97th key — "not yet ingested"; the other re-prices every 13th
+    and drops every 89th — "updated/deleted since"), so both engines
+    build identical inputs. The diff itself is the generic recipe: full
+    outer on the primary key, classify by side-nullness, keep rows whose
+    compared columns differ. Unchanged rows — the overwhelming majority
+    — are filtered before they leave the join, so the output is only the
+    changeset. At 100 TB this is the standard one-shuffle reconciliation
+    between a warehouse table and a re-delivered extract; with both
+    sides bucketed on the key it degrades to a zero-shuffle zip join,
+    and at petabyte scale you first compare per-bucket checksums
+    (table_checksum) and only diff the buckets that moved.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.02
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.filter(
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+        | (F.col("a.status") != F.col("b.status"))
+    ).select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("o_orderkey"),
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "deleted")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("a.price").alias("old_price"),
+        F.col("b.price").alias("new_price"),
+    )
+
+
+#: compaction target size (simulated bytes).
+_COMPACT_TARGET = 1 << 18
+
+
+@register(
+    "compaction_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT l_returnflag AS part_key,
+         date_trunc('month', l_shipdate) AS file_month,
+         COUNT(*) * 128 AS size_bytes
+  FROM lineitem
+  GROUP BY 1, 2
+),
+planned AS (
+  SELECT part_key, file_month, size_bytes,
+         CAST(COALESCE(SUM(size_bytes) OVER (
+           PARTITION BY part_key ORDER BY file_month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) // {_COMPACT_TARGET} AS grp
+  FROM files
+)
+SELECT part_key, grp,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size_bytes) AS BIGINT) AS group_bytes,
+       CAST(MIN(file_month) AS DATE) AS first_month,
+       CAST(MAX(file_month) AS DATE) AS last_month
+FROM planned
+GROUP BY part_key, grp
+""",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: greedy sequential bin-packing of a
+    file inventory into ~target-size rewrite groups.
+
+    The inventory derives from lineitem as one simulated file per
+    (partition, ship-month) with size = rows × 128 B — the shape a real
+    planner reads from the table manifest. Within each partition, files
+    in month order are assigned to group ``floor(exclusive-cumulative-
+    bytes / target)`` — the same one-window greedy pack as
+    doc_pack_sequences, here keyed by table partition, which keeps
+    rewrite groups time-contiguous (compacted files stay prunable on
+    date). Planning at 100 TB touches only manifest rows — millions,
+    not billions — one window per partition, embarrassingly parallel;
+    the plan's (partition, grp) output IS the rewrite job list, each
+    job reading n_files inputs and writing one ~target-size file.
+    An oversized file simply spans group boundaries and stays alone in
+    its group (its successor starts a new quotient) — it is never
+    split, matching rewrite-job semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.col("l_returnflag").alias("part_key"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("file_month"),
+    ).agg((F.count(F.lit(1)) * 128).alias("size_bytes"))
+    w = (
+        Window.partitionBy("part_key")
+        .orderBy("file_month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "grp",
+        F.floor(
+            F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        ),
+    )
+    return planned.groupBy("part_key", "grp").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("group_bytes"),
+        F.min(F.col("file_month").cast("date")).alias("first_month"),
+        F.max(F.col("file_month").cast("date")).alias("last_month"),
+    )
+
+
+#: count-min sketch geometry: d hash rows × w counters.
+_CM_D, _CM_W = 4, 256
+
+
+@register(
+    "agg_countmin",
+    oracle=f"""
+WITH rows_x_hashes AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '-' ||
+                                  CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {_CM_W} AS cell
+  FROM lineitem, LATERAL unnest(generate_series(0, {_CM_D - 1})) t(j)
+)
+SELECT CAST(j AS BIGINT) AS j, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM rows_x_hashes
+GROUP BY j, cell
+""",
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch construction as a plain aggregation: the d×w
+    counter matrix summarizing the l_partkey frequency vector.
+
+    Each row contributes +1 to one counter per hash row (d = 4 salted
+    md5 hashes → w = 256 cells); a point estimate for any key is then
+    ``min_j counter[j][h_j(key)]`` — always ≥ the true count, within
+    εN (ε = e/w) with probability 1−e^−d (Cormode & Muthukrishnan
+    2005). tests/test_scale_patterns.py pins both bounds against exact
+    counts. The sketch build is ONE groupBy of d·n expanded rows into
+    ≤ d·w cells — mergeable across partitions/days by cell-wise
+    addition (counters are exact longs), which is why this is the
+    100-TB streaming-frequency workhorse: fixed 8 KB state here,
+    independent of key cardinality. md5-derived cells rather than
+    xxhash64 keep the construction reproducible in ANY engine (the
+    oracle rebuilds it cell-for-cell in DuckDB).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    exploded = li.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("l_partkey").cast("string"),
+                                        F.lit(f"-{j}"),
+                                    )
+                                ),
+                                1,
+                                6,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _CM_W
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("j", "cell")
+    )
+    return exploded.groupBy(
+        F.col("j").cast("long").alias("j"), "cell"
+    ).agg(F.count(F.lit(1)).alias("cnt"))

@@ -88,3 +88,52 @@ def test_bloom_prefilter_is_selective(spark):
     assert passed < total * 0.5, (
         f"bloom passed {passed}/{total} rows — not selective"
     )
+
+
+def test_countmin_estimate_bounds(spark):
+    """Count-min point estimates must dominate the true count (never
+    under-count) and stay within eN of it for the probed keys
+    (e = e/w ≈ 0.0106 at w = 256; with d = 4 rows the failure
+    probability e^-4 ≈ 2% per key — the fixture keys are fixed, so a
+    pass here is stable, not probabilistic)."""
+    import math
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.operators.warehouse import (
+        _CM_D,
+        _CM_W,
+    )
+
+    sketch = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in registry.queries()["agg_countmin"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_total = li.count()
+    truth = {
+        r["l_partkey"]: r["cnt"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(10)
+        .collect()
+    }
+    eps_n = math.e / _CM_W * n_total
+    import hashlib
+
+    for key, true_cnt in truth.items():
+        est = min(
+            sketch.get(
+                (
+                    j,
+                    int(hashlib.md5(f"{key}-{j}".encode()).hexdigest()[:6], 16)
+                    % _CM_W,
+                ),
+                0,
+            )
+            for j in range(_CM_D)
+        )
+        assert est >= true_cnt, f"count-min under-counted key {key}"
+        assert est <= true_cnt + eps_n, (
+            f"key {key}: est {est} exceeds true {true_cnt} + eN {eps_n:.0f}"
+        )
