@@ -1,0 +1,188 @@
+"""Graph analytics on plain DataFrames (co-purchase graph).
+
+The graph is derived from the fixtures: parts are vertices, and an edge
+connects two parts that appear in the same order (the classic market-
+basket projection; basket_item_pairs mines the weighted version). No
+graph framework is involved — edges are rows, and the canonical graph
+kernels (triangle counting, degree distribution) are expressed as
+self-joins and aggregations, which is exactly how they run at 100 TB
+(GraphX/GraphFrames compile to the same joins).
+
+Iterative label propagation lives in pipeline/dedup.py
+(dedup_connected_components); this module holds the single-pass kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges, canonically u < v."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wed AS (
+  SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       n_nodes, w AS n_wedges, t AS n_triangles,
+       3.0 * CAST(t AS DOUBLE) / CAST(w AS DOUBLE) AS clustering_coeff
+FROM tri, wed
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph.
+
+    The engine counts triangles over the DEGREE-ORDERED orientation:
+    each undirected edge points from its lower-(degree, id) endpoint to
+    the higher one, so every triangle has exactly one vertex with two
+    out-edges and is enumerated exactly once from it. That bounds the
+    wedge join to O(m^1.5) regardless of skew — a hub of degree 100k
+    contributes no wedges from its in-edges — which is THE difference
+    between a triangle count that finishes at 100 TB and one that
+    doesn't. The oracle deliberately uses the naive u<v three-way join
+    instead: two independent enumeration strategies must agree on the
+    exact count, so the optimization itself is hash-checked. The
+    clustering coefficient (3T/W) divides two exact longs — one
+    deterministic double.
+    """
+    e = _edges(spark, sf_dir).cache()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge low → high in (degree, id) order
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # the two out-neighbors of the triangle's apex, canonicalized u<v,
+    # must be an edge of the ORIGINAL undirected set
+    wedges = (
+        o1.join(o2, F.col("o1.s") == F.col("o2.s"))
+        .filter(F.col("o1.t") < F.col("o2.t"))
+        .select(F.col("o1.t").alias("u"), F.col("o2.t").alias("v"))
+    )
+    tri = wedges.join(e, ["u", "v"], "left_semi").count()
+    # driver-side scalars: three tiny aggregates feeding one literal row
+    n_edges = e.count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"),
+    ).collect()[0]
+    e.unpersist()  # every aggregate above already materialized
+    return spark.createDataFrame(
+        [
+            (
+                n_edges,
+                stats["n_nodes"],
+                stats["w"],
+                tri,
+                3.0 * float(tri) / float(stats["w"]),
+            )
+        ],
+        "n_edges BIGINT, n_nodes BIGINT, n_wedges BIGINT, "
+        "n_triangles BIGINT, clustering_coeff DOUBLE",
+    )
+
+
+@register(
+    "graph_degree_hist",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+)
+SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS degree_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_degree,
+       CAST(MAX(d) AS BIGINT) AS max_degree
+FROM deg
+GROUP BY 1
+""",
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph — the
+    first diagnostic run on any new graph (is it power-law? where do
+    the hubs start?), and the input to choosing the triangle-count
+    orientation and join-skew strategy above. Two aggregations, both
+    map-combining; the log2 bucket keeps the output O(log max-degree)
+    rows at any scale.
+    """
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )

@@ -39,6 +39,7 @@ _MODULES = (
     "operators.xmatch",
     "operators.bucketing",
     "operators.warehouse",
+    "operators.graph",
     "functions.scalar",
     "streaming.queries",
     "pipeline.dedup",

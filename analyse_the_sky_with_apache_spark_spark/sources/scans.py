@@ -524,3 +524,51 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
     )
     return df.select("r_regionkey", "r_name", "r_tier", "v")
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+SELECT 'region_' || CAST(r_regionkey AS VARCHAR) || '.txt' AS fname,
+       CAST(length(CAST(r_regionkey AS VARCHAR) || '|' || r_name || chr(10))
+            AS BIGINT) AS n_bytes,
+       md5(CAST(r_regionkey AS VARCHAR) || '|' || r_name || chr(10))
+         AS checksum
+FROM region
+""",
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion — Spark's ``binaryFile`` source, one
+    row per file with an opaque BINARY payload column.
+
+    This is the front door for multimodal data (images/audio/video
+    arrive as files, not rows): the source yields (path, length,
+    content) without interpreting bytes; downstream Arrow kernels do
+    the decode (mm_binary_features). The staged files carry bytes
+    derived from the ``region`` view, so the oracle recomputes every
+    file's name, size, and md5 from SQL alone — verifying the bytes
+    survived disk → listing → binary column intact, with no file I/O
+    on the oracle side. At 100 TB the listing distributes across
+    executors, ``pathGlobFilter``/``modifiedAfter`` prune files inside
+    the listing, and ``spark.sql.files.maxPartitionBytes`` packs small
+    media files into shared tasks.
+    """
+    base = os.path.join(_SCRATCH, "blob_stage")
+    rows = sorted(
+        load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect()
+    )
+    os.makedirs(base, exist_ok=True)
+    for r in rows:
+        payload = f"{r['r_regionkey']}|{r['r_name']}\n".encode()
+        path = os.path.join(base, f"region_{r['r_regionkey']}.txt")
+        if not (os.path.exists(path) and os.path.getsize(path) == len(payload)):
+            with open(path, "wb") as f:
+                f.write(payload)
+    df = spark.read.format("binaryFile").load(f"{base}/*.txt")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.decode(F.col("content"), "UTF-8")).alias("checksum"),
+    )
