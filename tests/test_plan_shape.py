@@ -359,3 +359,56 @@ def test_dynamic_partition_pruning_fires(spark):
     df = queries()["join_dpp"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def test_q4_semi_join_with_date_residual(spark):
+    """Q4's correlated EXISTS must plan as one hash semi-join whose
+    non-equi date term rides as a join residual — no nested loop, no
+    re-executed subquery."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q4_order_priority"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan or "left_semi" in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    """Q19's OR-of-conjunctions references both sides — it must stay a
+    residual on the broadcast hash join keyed on partkey, never force a
+    nested loop."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q19_disjunctive"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22's NOT EXISTS must decorrelate to an anti join, and the scalar
+    average must arrive via a 1-row broadcast (nested-loop against ONE
+    row is the intended cheap plan — assert the anti side is hashed)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q22_dormant_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan or "left_anti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_bitmap_broadcasts(spark):
+    """The bloom word-bitmap must reach the probe via a broadcast hash
+    join (map-side filtering) — if it ever shuffles the fact table to
+    meet the bitmap, the prefilter is pointless."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["join_bloom_prefilter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Degree-ordered triangle enumeration must stay hash-join based —
+    any CartesianProduct here means the orientation broke."""
+    from analyse_the_sky_with_apache_spark_spark.operators.graph import _edges
+
+    e = _edges(spark, SF_DIR)
+    assert "CartesianProduct" not in _plan(e)
