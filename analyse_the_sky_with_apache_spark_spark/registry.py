@@ -188,6 +188,26 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "lightcurve_structure_function",
     "ts_interarrival_hist",
     "xmatch_completeness",
+    # round-4 additions (await the round-5 window)
+    "q4_order_priority",
+    "q12_late_lines",
+    "q14_promo_revenue",
+    "q19_disjunctive",
+    "q22_dormant_customers",
+    "text_contamination",
+    "corpus_shuffle",
+    "emb_bit_hamming",
+    "join_bloom_prefilter",
+    "agg_salted_twophase",
+    "zorder_layout",
+    "ts_ewma",
+    "ts_cross_corr",
+    "snapshot_diff",
+    "compaction_plan",
+    "agg_countmin",
+    "scan_binaryfile",
+    "graph_triangles",
+    "graph_degree_hist",
 )
 
 

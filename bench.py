@@ -55,6 +55,9 @@ EXTENDED = (
     # round-3 additions (regression reference: BENCH_r03)
     "q18_large_orders",     # composite workload: semi-join + top-k
     "ts_ohlc_downsample",   # single-agg OHLC downsample over events
+    # round-4 additions (regression reference: BENCH_r04)
+    "join_bloom_prefilter", # bloom bitmap prefilter before exact semi-join
+    "graph_degree_hist",    # co-purchase graph degree distribution
 )
 
 
