@@ -186,3 +186,72 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+#: PageRank damping and fixed iteration count (deterministic plan).
+_PR_DAMP = 0.85
+_PR_ITERS = 10
+
+
+@register("graph_pagerank")  # rows-only: float power iteration
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the international trade graph (customer nation →
+    supplier nation, weighted by line count) — the canonical ITERATIVE
+    DataFrame kernel alongside kmeans_lloyd and the label-propagation
+    connected components.
+
+    Ten fixed power iterations: contributions = edges ⋈ ranks on the
+    source key, re-aggregated on the destination, blended with the
+    teleport term. Each iteration is one broadcast join + one tiny
+    aggregation (25 nodes); ``localCheckpoint`` truncates lineage so
+    the plan never grows with the iteration count — the same pattern
+    that runs billion-node graphs, where the join becomes a shuffle
+    co-partitioned on the node key across iterations. Every fixture
+    nation has outbound trade, so no dangling-mass correction is needed
+    (asserted in tests); rows-only because float power iteration has no
+    SQL-exact twin — tests/test_scale_patterns.py checks the result
+    against a driver-side numpy power iteration to 1e-9 instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = trans.select(F.col("src").alias("node")).union(
+        trans.select("dst")
+    ).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            trans.join(pr, trans.src == pr.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("pr")).alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - _PR_DAMP) / n)
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.orderBy(F.col("pr").desc(), "node")

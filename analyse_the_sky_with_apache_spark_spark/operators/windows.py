@@ -1075,3 +1075,92 @@ def ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_changepoint",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+         ROW_NUMBER() OVER w AS k,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id, ts, n, n * run - k * tot AS cusum
+  FROM x WHERE k < n
+),
+best AS (
+  SELECT user_id,
+         MIN(struct_pack(neg := -ABS(cusum), ts := ts)) AS b,
+         MAX(n) AS n
+  FROM c GROUP BY user_id
+)
+SELECT user_id, b.ts AS cp_ts, -b.neg AS cusum_scaled,
+       CAST(-b.neg AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+         AS magnitude,
+       n AS n_events
+FROM best
+""",
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean-shift change-point detection: the CUSUM argmax.
+
+    The classic scan statistic ``CUSUM_k = Σ_{i≤k}(v_i − mean)`` peaks
+    at the most likely mean-shift point. Computed division-free in
+    exact integers — ``n·run_k − k·total`` on the 1e-6 scaled grid —
+    so both engines agree to the bit (the same rational-arithmetic
+    trick as anomaly_zscore). Two windows over the same user-key
+    shuffle (running sum + totals), then the argmax per user is ONE
+    lexicographic struct-min (−|cusum|, ts): map-side combinable, no
+    rank window, earliest-timestamp tie-break. Magnitude rescales by
+    n·10⁶ only at the end — one deterministic double.
+
+    At 100 TB: one shuffle on the entity key, state per row is two
+    longs; the per-user reduce carries one struct. Overflow bound:
+    |n·run| < n²·max|v|·10⁶ — safe to ~4·10⁹ rows per user at |v|≤10³
+    (dsum_wide posture past that).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("long")
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(wk).cast("long").alias("k"),
+        F.sum(v).over(wk.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.sum(v).over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    c = x.filter(F.col("k") < F.col("n")).select(
+        "user_id",
+        "ts",
+        "n",
+        (F.col("n") * F.col("run") - F.col("k") * F.col("tot")).alias("cusum"),
+    )
+    best = c.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.abs(F.col("cusum"))).alias("neg"), F.col("ts").alias("ts")
+            )
+        ).alias("b"),
+        F.max("n").alias("n"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.ts").alias("cp_ts"),
+        (-F.col("b.neg")).alias("cusum_scaled"),
+        (
+            (-F.col("b.neg")).cast("double")
+            / (F.col("n").cast("double") * 1_000_000.0)
+        ).alias("magnitude"),
+        F.col("n").alias("n_events"),
+    )

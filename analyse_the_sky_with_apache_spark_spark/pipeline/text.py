@@ -483,3 +483,66 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+#: boilerplate-detection chunk width (words, non-overlapping, aligned).
+_BP_W = 4
+
+
+@register(
+    "text_boilerplate",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         array_to_string(a[{_BP_W} * i + 1 : {_BP_W} * i + {_BP_W}], ' ')
+           AS chunk
+  FROM ws, LATERAL unnest(generate_series(0, len(a) // {_BP_W} - 1)) t(i)
+)
+SELECT chunk,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS example_doc
+FROM ch
+GROUP BY chunk
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: aligned word-chunks recurring across
+    documents — the C4/RefinedWeb cleaning step that strips navigation
+    text, cookie banners, and license headers before training.
+
+    Each document splits into non-overlapping aligned 4-word chunks
+    (cheaper than the sliding shingles of the contamination check —
+    boilerplate repeats VERBATIM, so alignment suffices); a chunk seen
+    in ≥ 2 distinct documents is flagged with its document frequency.
+    One explode + one aggregation: the distinct-doc count rides the
+    same groupBy as the occurrence count. At 100 TB the chunk stream is
+    ~n_words/4 rows — map-side fan-out, one shuffle on the chunk hash;
+    the flagged set is tiny and broadcasts back into the scrub pass
+    (subtract flagged chunks from documents — regexp_replace or an
+    anti-join on chunk position).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) div {_BP_W} - 1),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), {_BP_W} * i + 1, {_BP_W})))"
+            )
+        ).alias("chunk"),
+    )
+    return (
+        ch.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -208,6 +208,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "scan_binaryfile",
     "graph_triangles",
     "graph_degree_hist",
+    "ts_changepoint",
+    "text_boilerplate",
+    "graph_pagerank",
 )
 
 

@@ -137,3 +137,49 @@ def test_countmin_estimate_bounds(spark):
         assert est <= true_cnt + eps_n, (
             f"key {key}: est {est} exceeds true {true_cnt} + eN {eps_n:.0f}"
         )
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    """Ten DataFrame power iterations must match a driver-side numpy
+    power iteration on the same transition matrix to 1e-9, the ranks
+    must sum to ~1 (no dangling-mass leak — every nation has outbound
+    trade), and all ranks must be positive."""
+    import numpy as np
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.operators.graph import (
+        _PR_DAMP,
+        _PR_ITERS,
+    )
+
+    rows = registry.queries()["graph_pagerank"](spark, SF_DIR).collect()
+    got = {r["node"]: r["pr"] for r in rows}
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    s = load_table(spark, SF_DIR, "supplier")
+    ew = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    nodes = sorted({r["src"] for r in ew} | {r["dst"] for r in ew})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    t = np.zeros((n, n))
+    for r in ew:
+        t[idx[r["src"]], idx[r["dst"]]] = r["w"]
+    assert (t.sum(axis=1) > 0).all(), "dangling nation (no outbound trade)"
+    t /= t.sum(axis=1, keepdims=True)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        pr = (1.0 - _PR_DAMP) / n + _PR_DAMP * (t.T @ pr)
+
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v, i in idx.items():
+        assert got[v] > 0
+        assert abs(got[v] - pr[i]) < 1e-9, f"node {v}: {got[v]} vs {pr[i]}"
