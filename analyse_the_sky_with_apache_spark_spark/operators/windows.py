@@ -1164,3 +1164,64 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("magnitude"),
         F.col("n").alias("n_events"),
     )
+
+
+#: trailing window width (days) for rolling active users.
+_DAU_WINDOW = 7
+
+
+@register(
+    "win_rolling_dau",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+fan AS (
+  SELECT user_id, day + i::INT AS obs_day
+  FROM ud, LATERAL unnest(generate_series(0, {_DAU_WINDOW - 1})) t(i)
+),
+days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS obs_day
+         FROM events)
+SELECT f.obs_day,
+       CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS active_users
+FROM fan f JOIN days d ON d.obs_day = f.obs_day
+GROUP BY f.obs_day
+""",
+)
+def win_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the classic DISTINCT-over-
+    sliding-window problem that frame-based windows cannot express
+    (COUNT(DISTINCT) OVER a RANGE frame is unsupported everywhere,
+    and for good reason: naive per-frame dedup re-scans each window).
+
+    The scalable rewrite: dedupe once to (user, day) pairs, fan each
+    pair out to the ≤7 observation days it keeps the user active for
+    (map-side explode — ×7 on the already-deduped pairs, not the raw
+    events), and count distinct users per observation day. Raw events
+    collapse FIRST, so the fan-out input is bounded by users × days
+    regardless of event volume; observation days are restricted to
+    days that actually occur (no trailing ghost days past the stream's
+    end). At 100 TB: one dedup shuffle + one distinct-count shuffle —
+    swap the exact distinct for HLL sketches per day
+    (agg_approx_distinct) when user cardinality makes exact counting
+    the bottleneck.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_DAU_WINDOW - 1}),"
+                f" i -> date_add(day, i))"
+            )
+        ).alias("obs_day"),
+    )
+    days = ev.select(day.alias("obs_day")).distinct()
+    return (
+        fan.join(F.broadcast(days), "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

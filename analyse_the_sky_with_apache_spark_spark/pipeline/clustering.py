@@ -242,3 +242,57 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: regression design: predict l_extendedprice from these features.
+_LR_FEATURES = ("l_quantity", "l_discount", "l_tax")
+
+
+@register("ml_linreg_normal")  # rows-only: float matrix solve
+def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by distributed normal equations — the
+    one-pass GLM fit: accumulate X'X and X'y as plain aggregates, solve
+    the (d+1)×(d+1) system on the driver.
+
+    The whole fact table reduces to d(d+1)/2 + d + 1 = 14 sums here
+    (intercept included) in ONE map-combining aggregation — the same
+    sufficient-statistics posture as emb_pca's covariance and
+    lightcurve_trend's five-sum line fit, generalized to d features.
+    At 100 TB the reduce stage carries 14 doubles total; the driver
+    solve is O(d³) on a 4×4 matrix. This is exactly how MLlib's
+    "normal" solver fits linear/ridge models; ridge = add λ to the
+    X'X diagonal before solving, streaming = keep the sums as
+    running state. Rows-only (float accumulation order is engine-
+    internal); tests/test_scale_patterns.py pins the coefficients
+    against numpy lstsq on the collected design matrix to 1e-6
+    relative.
+    """
+    import numpy as np  # noqa: PLC0415 — driver-side solve only
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["__one__", *_LR_FEATURES]
+    x = li.select(
+        F.lit(1.0).alias("__one__"),
+        *[F.col(c).cast("double").alias(c) for c in _LR_FEATURES],
+        F.col("l_extendedprice").cast("double").alias("__y__"),
+    )
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}_{b}"))
+        aggs.append(F.sum(F.col(a) * F.col("__y__")).alias(f"xy_{a}"))
+    row = x.agg(*aggs).collect()[0]
+
+    d = len(cols)
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for i, a in enumerate(cols):
+        for j in range(i, d):
+            xtx[i, j] = xtx[j, i] = row[f"xx_{a}_{cols[j]}"]
+        xty[i] = row[f"xy_{a}"]
+    beta = np.linalg.solve(xtx, xty)
+    names = ["intercept", *_LR_FEATURES]
+    return spark.createDataFrame(
+        [(n, float(b)) for n, b in zip(names, beta)],
+        "feature STRING, coefficient DOUBLE",
+    )

@@ -211,6 +211,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ts_changepoint",
     "text_boilerplate",
     "graph_pagerank",
+    "win_rolling_dau",
+    "ml_linreg_normal",
 )
 
 

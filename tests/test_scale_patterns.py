@@ -183,3 +183,32 @@ def test_pagerank_matches_numpy_reference(spark):
     for v, i in idx.items():
         assert got[v] > 0
         assert abs(got[v] - pr[i]) < 1e-9, f"node {v}: {got[v]} vs {pr[i]}"
+
+
+def test_linreg_matches_numpy_lstsq(spark):
+    """The distributed normal-equation fit must match numpy lstsq on the
+    same design matrix to 1e-6 relative."""
+    import numpy as np
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.pipeline.clustering import (
+        _LR_FEATURES,
+    )
+
+    got = {
+        r["feature"]: r["coefficient"]
+        for r in registry.queries()["ml_linreg_normal"](spark, SF_DIR).collect()
+    }
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(*_LR_FEATURES, "l_extendedprice")
+        .collect()
+    )
+    x = np.array(
+        [[1.0, *[r[c] for c in _LR_FEATURES]] for r in li]
+    )
+    y = np.array([r["l_extendedprice"] for r in li])
+    ref, *_ = np.linalg.lstsq(x, y, rcond=None)
+    names = ["intercept", *_LR_FEATURES]
+    for n, r in zip(names, ref):
+        assert abs(got[n] - r) <= 1e-6 * max(1.0, abs(r)), (n, got[n], r)
