@@ -662,3 +662,71 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 4),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT MAX(c.ts) FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = p.user_id AND c.ts <= p.ts) AS prev_ts,
+         (SELECT MIN(c.ts) FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = p.user_id AND c.ts >= p.ts) AS next_ts
+  FROM p
+)
+SELECT event_id, user_id, ts,
+       CASE
+         WHEN prev_ts IS NULL THEN next_ts
+         WHEN next_ts IS NULL THEN prev_ts
+         WHEN epoch_us(ts) - epoch_us(prev_ts)
+              <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+         ELSE next_ts
+       END AS nearest_click_ts
+FROM b
+""",
+)
+def join_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of: for each purchase, the click by the same
+    user minimizing |Δt| in EITHER direction (tie → the earlier,
+    backward match — pandas ``merge_asof(direction='nearest')``
+    semantics).
+
+    Composed from the two directional kernels (backward + forward
+    union-window rewrites, one key shuffle each) and a microsecond-exact
+    CASE pick; NULL sides fall back to the other direction. The oracle
+    states the same semantics as two correlated extremum subqueries —
+    set-oriented vs stream-oriented formulations checking each other.
+    At 100 TB this stays two sort-merge-shaped passes over the same
+    key partitioning (exchange reuse), never a range join.
+    """
+    from .asof import asof_join, asof_join_forward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    back = asof_join(
+        purchases, clicks, on="user_id", right_values={"prev_ts": "ts"}
+    )
+    both = asof_join_forward(
+        back, clicks, on="user_id", right_values={"next_ts": "ts"}
+    )
+    prev_us = F.unix_micros(F.col("prev_ts"))
+    next_us = F.unix_micros(F.col("next_ts"))
+    ts_us = F.unix_micros(F.col("ts"))
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(ts_us - prev_us <= next_us - ts_us, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return both.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
+    )

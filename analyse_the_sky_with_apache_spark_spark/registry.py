@@ -213,6 +213,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "graph_pagerank",
     "win_rolling_dau",
     "ml_linreg_normal",
+    "join_asof_nearest",
 )
 
 
