@@ -214,6 +214,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "win_rolling_dau",
     "ml_linreg_normal",
     "join_asof_nearest",
+    "graph_components_twostar",
 )
 
 
