@@ -278,7 +278,8 @@ SELECT COUNT(*) AS n_rows,
               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
               CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
                    AS VARCHAR)
-            ), 1, 12)) AS BIGINT)) AS BIGINT) AS content_checksum
+            ), 1, 12)) AS BIGINT))
+            % 4611686018427387904 AS BIGINT) AS content_checksum
 FROM orders
 """,
 )
@@ -286,13 +287,17 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive table content checksum — the migration /
     replication validator: serialize each row canonically (exact cents
     for doubles — float formatting is engine-specific), hash it, and
-    SUM a 48-bit slice of the digest (addition commutes, so any
-    partitioning or row order yields the same checksum, and 15 000
-    48-bit terms stay far below 2⁶³). Two tables agree iff (n_rows,
-    checksum) agree, up to astronomically unlikely collisions. This is
-    the engine's own oracle-gate idea turned into a first-class
-    operator: at 100 TB the checksum is one scan + a 1-row aggregate,
-    the cheapest possible cross-system consistency proof.
+    SUM a 48-bit slice of the digest modulo 2⁶² (addition commutes, so
+    any partitioning or row order yields the same checksum). The sum
+    accumulates in DECIMAL(38,0) — exact to ~10³⁸, i.e. ~10²³ rows of
+    48-bit terms — because a long accumulator overflows past ~32 000
+    rows × 2⁴⁸ (the sf0.1 lesson: DuckDB's HUGEINT kept going while a
+    BIGINT cast blew up; under ANSI mode Spark's long sum would have
+    thrown instead). Two tables agree iff (n_rows, checksum) agree, up
+    to astronomically unlikely collisions. This is the engine's own
+    oracle-gate idea turned into a first-class operator: at 100 TB the
+    checksum is one scan + a 1-row aggregate, the cheapest possible
+    cross-system consistency proof.
     """
     o = load_table(spark, sf_dir, "orders")
     row_ser = F.concat_ws(
@@ -306,5 +311,7 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     h48 = F.conv(F.substring(F.md5(row_ser), 1, 12), 16, 10).cast("long")
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h48).alias("content_checksum"),
+        (F.sum(h48.cast("decimal(38,0)")) % F.lit(1 << 62))
+        .cast("long")
+        .alias("content_checksum"),
     )

@@ -510,20 +510,32 @@ _EMB_OUTLIER_COS = 0.35
 @register(
     "emb_outliers",
     oracle=f"""
-WITH cent AS (
-  SELECT label, i, AVG(v) AS c
-  FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
-               unnest(range(1, 65)) AS i
-        FROM embeddings)
-  GROUP BY label, i
-), cvec AS (
-  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+WITH q AS (
+  SELECT vec_id, label, i,
+         CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) t(i)
+),
+cent AS (
+  SELECT label, i, CAST(SUM(v) AS BIGINT) AS c
+  FROM q GROUP BY label, i
+),
+nb AS (
+  SELECT label, CAST(SUM(c * c) AS BIGINT) AS nb FROM cent GROUP BY label
+),
+per_row AS (
+  SELECT q.vec_id, q.label,
+         CAST(SUM(q.v * cent.c) AS BIGINT) AS dot,
+         CAST(SUM(q.v * q.v) AS BIGINT) AS na
+  FROM q JOIN cent ON cent.label = q.label AND cent.i = q.i
+  GROUP BY q.vec_id, q.label
 )
-SELECT e.vec_id, e.label,
-       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6)
-         AS cos_to_centroid
-FROM embeddings e JOIN cvec c ON e.label = c.label
-WHERE list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+SELECT p.vec_id, p.label,
+       ROUND(CAST(p.dot AS DOUBLE)
+             / (SQRT(CAST(p.na AS DOUBLE)) * SQRT(CAST(nb.nb AS DOUBLE))),
+             6) AS cos_to_centroid
+FROM per_row p JOIN nb ON nb.label = p.label
+WHERE CAST(p.dot AS DOUBLE)
+      / (SQRT(CAST(p.na AS DOUBLE)) * SQRT(CAST(nb.nb AS DOUBLE)))
         < {_EMB_OUTLIER_COS}
 """,
 )
@@ -532,46 +544,55 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine below threshold) — the embedding-space mislabel/garbage
     detector a pipeline runs before training on labeled vectors
     (`anomaly_zscore`'s geometric sibling). One posexplode aggregation
-    builds the per-(label, dim) centroid means, re-assembled with an
-    ordered collect; the distance is a relational zip_with dot product
-    against each row's own-label centroid (broadcast join — #labels
-    rows), so the data-sized side streams through one scan. Same
-    centroid kernel as `sim_centroid_classify`, pointed inward at the
-    label's own members instead of classifying unlabeled rows.
+    builds the centroid, re-assembled with an ordered collect; the
+    distance is a relational zip_with dot product against each row's
+    own-label centroid (broadcast join — #labels rows), so the
+    data-sized side streams through one scan. Same centroid kernel as
+    `sim_centroid_classify`, pointed inward at the label's own members.
+
+    Exactness (the sf0.1 lesson — a float AVG centroid differed from
+    the oracle's in the last ulp and flipped one rounded value at the
+    1e-6 boundary): components quantize to the 1e-6 grid as longs, and
+    the "centroid" is the per-dim SUM of quantized members — cosine is
+    scale-invariant, so the unnormalized sum vector gives the same
+    angle with NO division anywhere. dot and both norms are exact
+    BIGINT sums; the one float expression (dot/√na·√nb) is identical
+    text in both engines → bit-identical cosines. Overflow bound:
+    |c| ≤ group_size·10⁶·max|v| must stay < ~3·10⁹ for c² to fit a
+    long — thousands of members at unit-normish components; switch c²
+    to DECIMAL past that.
     """
     em = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT))"
+    )
     cent = (
-        em.select("label", F.posexplode("embedding").alias("i", "v"))
+        em.select("label", F.posexplode(qv).alias("i", "v"))
         .groupBy("label", "i")
-        .agg(F.avg("v").alias("c"))
+        .agg(F.sum("v").alias("c"))
         .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("i", "c"))
-            ).alias("ic")
-        )
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
         .select(
-            "label", F.expr("transform(ic, x -> x.c)").alias("cv")
+            "label",
+            F.expr("transform(ic, x -> x.c)").alias("cv"),
+            F.expr(
+                "aggregate(transform(ic, x -> x.c * x.c), 0L, (a, x) -> a + x)"
+            ).alias("nb"),
         )
     )
     dot = (
-        "aggregate(zip_with(embedding, cv, (a, b) -> a * b), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        "aggregate(zip_with(qe, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
     )
-    norm = (
-        "SQRT(aggregate(transform(embedding, a -> a * a), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) * "
-        "SQRT(aggregate(transform(cv, b -> b * b), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    na = "aggregate(transform(qe, a -> a * a), 0L, (acc, x) -> acc + x)"
+    cos = F.expr(
+        f"CAST(({dot}) AS DOUBLE)"
+        f" / (SQRT(CAST(({na}) AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))"
     )
-    cos = F.expr(f"({dot}) / ({norm})")
     return (
-        em.join(F.broadcast(cent), "label")
-        .select(
-            "vec_id",
-            "label",
-            cos.alias("raw_cos"),
-        )
+        em.select("vec_id", "label", qv.alias("qe"))
+        .join(F.broadcast(cent), "label")
+        .select("vec_id", "label", cos.alias("raw_cos"))
         .where(F.col("raw_cos") < _EMB_OUTLIER_COS)
         .select(
             "vec_id", "label", F.round("raw_cos", 6).alias("cos_to_centroid")
