@@ -51,6 +51,7 @@ _MODULES = (
     "pipeline.corpus",
     "pipeline.quality",
     "workloads",
+    "workloads2",
 )
 
 _loaded = False
@@ -215,6 +216,19 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ml_linreg_normal",
     "join_asof_nearest",
     "graph_components_twostar",
+    # round-5 additions (await the round-5+ windows)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
 )
 
 
