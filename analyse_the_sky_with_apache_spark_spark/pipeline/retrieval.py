@@ -1,0 +1,356 @@
+"""Retrieval & corpus-hygiene operators: BM25 ranking, an inverted
+index, Gopher-style repetition metrics, and a prefix-filtered set
+similarity join (the PPJoin-family scale rung above the plain
+all-shingles join in ``dedup.py``).
+
+These complete the training-data story: tfidf/pmi (text.py) score
+terms, these rank DOCUMENTS for a query, materialize the index that
+makes such ranking cheap at serving time, flag degenerate repetitive
+docs (the classic LLM-corpus quality cut of Rae et al.'s Gopher rules),
+and find near-duplicate token SETS with a candidate space far below the
+all-pairs or all-tokens joins.
+
+Determinism: every ratio is a division of exact integer counts (both
+engines produce the identical double); the one libm-dependent value
+(BM25's ln) is floor-scaled to integer micro-units per term so the
+per-document SUM is an exact long, then divided once — following the
+text_tfidf precedent but removing even the ordered-float-sum hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+#: BM25 free parameters (the standard Robertson defaults).
+_K1, _B = 1.2, 0.75
+_BM25_TERMS = ("spark", "scan", "merge")
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE word IN ('spark', 'scan', 'merge') GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words
+  WHERE word IN ('spark', 'scan', 'merge') GROUP BY word
+)
+SELECT doc_id,
+       CAST(SUM(CAST(FLOOR(
+         ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         * (tf * ({_K1} + 1.0))
+         / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+         * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS bm25
+FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 50
+""",
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed term query, fully relational:
+    tokenize → (tf per doc, df per term, doc length, corpus avgdl) →
+    per-term score → per-doc sum → top-50.
+
+    Scale shape: the WHERE word IN (...) prunes the exploded token
+    stream to query terms BEFORE any aggregation, so tf is tiny; df and
+    the length/avgdl stats are one aggregation each over the token
+    stream; stats broadcast as a 1-row cross join. The expensive object
+    — the full postings — is never materialized here (that is
+    ``text_inverted_index``); a 100-TB corpus ranks a query by reading
+    the index instead, but the scoring expression is identical.
+
+    Determinism: ln() is libm-dependent (Java vs DuckDB may differ in
+    the last ulp), so each per-term score is floor-scaled to integer
+    micro-units and the per-doc SUM runs on exact longs — no
+    ordered-float-sum hazard — then one final division. Top-50 is
+    tie-broken by doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    q = words.filter(F.col("word").isin(*_BM25_TERMS))
+    tf = q.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = q.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_K1)
+            * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    micro = F.floor(term_score * F.lit(1e6) + F.lit(0.5))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.sum(micro).cast("double") / F.lit(1e6)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+)
+SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0') || ':'
+                  || CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY word
+""",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → (document frequency, collection
+    frequency, sorted posting list of doc:tf pairs). The batch-layer
+    artifact that makes BM25/boolean retrieval an index lookup instead
+    of a corpus scan.
+
+    One explode + two aggregations, both keyed by term — at 100 TB the
+    token stream shuffles once on (doc, term) for tf and once on term
+    for the posting assembly; hot terms (stopword-class df) are the
+    skew hazard, handled by AQE skew splitting during the shuffle and
+    bounded in memory because a posting LIST for a stopword should be
+    range-partitioned at write time anyway (the doc_id sort key makes
+    the list splittable). Postings serialize as zero-padded doc:tf
+    strings so the driver-hashable column is flat AND lexicographic
+    order equals numeric order (the round-1 nested-column lesson).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    entry = F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(":"),
+        F.col("tf").cast("string"),
+    )
+    return tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(F.array_sort(F.collect_list(entry)), ",").alias("postings"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+tok_stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_distinct
+  FROM pos GROUP BY doc_id
+),
+big AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bg_counts AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+),
+bg_stats AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+  FROM bg_counts GROUP BY doc_id
+)
+SELECT t.doc_id, n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(top_bigram AS DOUBLE) / n_bigrams AS top_bigram_frac
+FROM tok_stats t JOIN bg_stats b ON t.doc_id = b.doc_id
+WHERE n_tokens >= 10
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: distinct-token
+    ratio and the share of all bigrams taken by the single most
+    repeated bigram — the degenerate-text signals (keyboard mash,
+    boilerplate loops, template spam) the classic LLM-corpus quality
+    rules cut on (Rae et al. 2021's repetition filters, re-expressed
+    relationally; the fixture docs are single-line so the line-dup
+    variant of the rule is vacuous here and the n-gram form is the
+    operative one).
+
+    Plan: ONE posexplode of the token array feeds both the token stats
+    and, self-joined on (doc, position+1), the bigram stream — at scale
+    the bigram construction is better done with a window lead() per
+    document partition, but the fixture arrays are short; both forms
+    shuffle once on doc_id. All outputs are ratios of exact integer
+    counts — no float hazards.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    tok_stats = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        pos.withColumn("nxt", F.lead("w").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("bg"))
+    )
+    bg_counts = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id")
+        .filter(F.col("n_tokens") >= 10)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+            (F.col("top_bigram").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+@register(
+    "join_set_similarity",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+freq AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
+ranked AS (
+  SELECT t.doc_id, t.w,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.w)
+           AS rarity_rank,
+         sz
+  FROM toks t JOIN freq f ON t.w = f.w JOIN sizes s ON t.doc_id = s.doc_id
+),
+prefix AS (
+  SELECT doc_id, w FROM ranked
+  WHERE rarity_rank <= sz - ((9 * sz + 9) // 10) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+overlap AS (
+  SELECT c.a, c.b, COUNT(*) AS ov
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.a
+  JOIN toks tb ON tb.doc_id = c.b AND tb.w = ta.w
+  GROUP BY c.a, c.b
+)
+SELECT o.a, o.b, ov, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov) AS jaccard
+FROM overlap o
+JOIN sizes sa ON sa.doc_id = o.a
+JOIN sizes sb ON sb.doc_id = o.b
+WHERE 10 * ov >= 9 * (sa.sz + sb.sz - ov)
+""",
+)
+def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the SSJoin/PPJoin
+    family, Chaudhuri et al. 2006 / Xiao et al. 2008): all document
+    pairs whose token-SET Jaccard ≥ 9/10, without enumerating all pairs
+    AND without joining on every shared token.
+
+    The prefix principle: order each set by global token rarity; two
+    sets with Jaccard ≥ t MUST share a token within each other's first
+    ``|s| - ceil(t·|s|) + 1`` rarest tokens. Joining only on prefix
+    tokens shrinks the candidate space doubly — fewer join keys per
+    doc, and the kept keys are the RAREST, so each key's bucket is
+    small (the hot-shingle skew of the all-shingles join in
+    dedup_ngram_jaccard simply never enters the candidate join). This
+    is the designed 100-TB rung: candidate generation shuffles
+    |prefix| ≈ 0.4·|set| keys per doc on keys chosen to be
+    low-frequency, then exact verification joins only the candidates.
+
+    Exactness: the prefix length uses pure integer math
+    (``ceil(9s/10) = (9s+9) div 10``), rarity is totally ordered by
+    (df, token), and the Jaccard threshold is the cross-multiplied
+    integer inequality ``10·ov ≥ 9·(sa+sb−ov)`` — no float enters any
+    membership decision; the reported jaccard is one exact-operand
+    division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("doc_id").orderBy("df", "w")
+    ranked = (
+        toks.join(F.broadcast(freq), "w")
+        .join(sizes, "doc_id")
+        .withColumn("rarity_rank", F.row_number().over(rank_w))
+    )
+    prefix_len = F.col("sz") - F.expr("(9 * sz + 9) div 10") + F.lit(1)
+    prefix = ranked.filter(F.col("rarity_rank") <= prefix_len).select("doc_id", "w")
+    pa = prefix.select(F.col("doc_id").alias("a"), "w")
+    pb = prefix.select(F.col("doc_id").alias("b"), "w")
+    cand = (
+        pa.join(pb, "w")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("a"), "w")
+    tb = toks.select(F.col("doc_id").alias("b"), "w")
+    overlap = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("size_b"))
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("ov")
+    return (
+        overlap.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.lit(10) * F.col("ov") >= F.lit(9) * union_sz)
+        .select(
+            "a",
+            "b",
+            "ov",
+            "size_a",
+            "size_b",
+            (F.col("ov").cast("double") / union_sz).alias("jaccard"),
+        )
+    )

@@ -50,6 +50,7 @@ _MODULES = (
     "pipeline.clustering",
     "pipeline.corpus",
     "pipeline.quality",
+    "pipeline.retrieval",
     "workloads",
     "workloads2",
 )
@@ -229,6 +230,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "q17_small_quantity",
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
+    "text_bm25",
+    "text_inverted_index",
+    "text_repetition",
+    "join_set_similarity",
 )
 
 
