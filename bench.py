@@ -58,6 +58,11 @@ EXTENDED = (
     # round-4 additions (regression reference: BENCH_r04)
     "join_bloom_prefilter", # bloom bitmap prefilter before exact semi-join
     "graph_degree_hist",    # co-purchase graph degree distribution
+    # round-5 additions (regression reference: BENCH_r05)
+    "q6_forecast_revenue",  # the pure-pushdown scan benchmark
+    "q21_waiting_suppliers",# double-EXISTS collapsed to one aggregate
+    "join_set_similarity",  # prefix-filtered Jaccard set join
+    "text_bm25",            # BM25 ranking over documents
 )
 
 

@@ -412,3 +412,91 @@ def test_triangle_count_no_cartesian(spark):
 
     e = _edges(spark, SF_DIR)
     assert "CartesianProduct" not in _plan(e)
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown benchmark: all three filters must reach the
+    parquet reader (PushedFilters), and the plan must be scan → partial
+    agg → final agg with no join and no row-shuffling exchange."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q6_forecast_revenue"](spark, SF_DIR))
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_q2_argmin_join_hash_based(spark):
+    """Q2's decorrelated argmin (equality join on the per-part MIN) must
+    stay hash-join based with broadcast dims and a top-k that never
+    globally sorts."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_argmax_without_global_window(spark):
+    """Q15's scalar MAX must ride a 1-row broadcast (nested-loop on a
+    single row is fine), NEVER a global window that would single-
+    partition the supplier aggregate."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q15_top_supplier"](spark, SF_DIR))
+    assert "Window" not in plan
+
+
+def test_q21_scans_lineitem_once(spark):
+    """The Q21 decorrelation claim: the double EXISTS collapses into ONE
+    per-order aggregate, so lineitem appears as exactly one FileScan —
+    the textbook form re-scans it twice more."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q21_waiting_suppliers"](spark, SF_DIR))
+    scans = [line for line in plan.splitlines() if "lineitem.parquet" in line]
+    assert len(scans) == 1, plan
+
+
+def test_q13_keeps_outer_join(spark):
+    """Q13's priority exclusion lives in the JOIN condition; the plan
+    must keep the LEFT OUTER join (a WHERE would quietly make it inner
+    and drop zero-order customers)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q13_customer_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in plan
+
+
+def test_q16_not_in_is_anti_join(spark):
+    """Q16's NOT IN on the non-null supplier key must plan as a
+    broadcast LEFT ANTI join — no correlated subquery execution."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["q16_supplier_cnt"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_similarity_hash_joins_only(spark):
+    """Prefix-filtered set-similarity join: candidate generation and
+    verification are equi-joins on token/pair keys — any cartesian or
+    nested loop means the prefix filter degenerated to all-pairs."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["join_set_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_stats_broadcast(spark):
+    """BM25's corpus stats (avgdl, N) are one row — they must reach the
+    scoring join as a broadcast, never a shuffle."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["text_bm25"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
