@@ -366,3 +366,89 @@ def graph_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node_id"), F.coalesce(F.col("nmin"), F.col("node_id"))
         ).alias("component"),
     )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+cand AS (
+  SELECT a.nbr AS x, b.nbr AS y, COUNT(*) AS cn
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY a.nbr, b.nbr
+),
+nonedge AS (
+  SELECT c.x, c.y, c.cn FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.x AND e.v = c.y)
+)
+SELECT n.x, n.y, n.cn, dx.d AS deg_x, dy.d AS deg_y,
+       CAST(n.cn AS DOUBLE) / (dx.d + dy.d - n.cn) AS jaccard
+FROM nonedge n
+JOIN deg dx ON dx.node = n.x
+JOIN deg dy ON dy.node = n.y
+ORDER BY n.cn DESC, n.x, n.y
+LIMIT 50
+""",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor counting: for part pairs NOT
+    yet co-purchased, how many shared co-purchase neighbors they have
+    (plus neighbor-set Jaccard) — the classic similarity signal for
+    recommendations, over the same co-purchase graph as the triangle /
+    degree / PageRank kernels.
+
+    Plan: wedges enumerate through a self-join of the adjacency on the
+    CENTER node (every candidate pair materializes through a shared
+    neighbor, never an all-pairs product), one aggregate collapses
+    wedge multiplicity into the CN count, known edges drop via an anti
+    join, degrees broadcast. At 100 TB the wedge fan-out is bounded by
+    Σ d(node)² — cap it by excluding hub nodes above a degree
+    threshold before the self-join (their wedges carry negligible
+    per-pair evidence anyway), exactly as the triangle kernel orients
+    by degree. Ranking is on exact integers with (x, y) tie-breaks;
+    the jaccard column is one exact-operand division.
+    """
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("x"), F.col("b.nbr").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cand.join(
+        e, (cand.x == e.u) & (cand.y == e.v), "left_anti"
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("deg_x"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("deg_y"))
+    return (
+        nonedge.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "cn",
+            "deg_x",
+            "deg_y",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("cn").desc(), "x", "y")
+        .limit(50)
+    )

@@ -252,3 +252,70 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_max"),
         )
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars > 0
+),
+keys AS (
+  SELECT doc_id, n_chars,
+         ( (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) ) AS u_int
+  FROM u
+)
+SELECT doc_id, n_chars,
+       CAST(FLOOR(ln((u_int + 0.5) / 65536.0) / n_chars * 1000000000000.0)
+            AS BIGINT) AS es_key
+FROM keys
+ORDER BY es_key DESC, doc_id
+LIMIT 100
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme (keys u^(1/w), equivalently ranked
+    by ln(u)/w) with the uniform u derived from an md5 content hash
+    instead of an RNG — the same 100 documents are chosen on every
+    engine, every run, every partitioning, with inclusion probability
+    proportional to weight (n_chars here; any positive quality score in
+    a corpus pipeline).
+
+    Why this matters at 100 TB: weighted reservoir sampling is the
+    standard way to build a quality-weighted training subset in ONE
+    pass; the hash-uniform variant additionally makes the sample
+    REPRODUCIBLE (audits and incremental re-runs see the same subset)
+    and embarrassingly parallel — each row computes its key map-side,
+    and the global top-k is TakeOrderedAndProject (per-partition heaps,
+    never a full sort).
+
+    Determinism discipline: u comes from 16 bits of the md5 (hex chars
+    mapped through strpos — portable with no hex-to-int builtin), is
+    offset to (0,1) so ln() never sees 0, and the libm-dependent
+    ``ln(u)/w`` is floor-gridded at 1e-12 before the ORDER BY — both
+    engines rank identical BIGINTs with a doc_id tie-break.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    digits = "0123456789abcdef"
+    u_int = sum(
+        (
+            (F.expr(f"instr('{digits}', substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1))") - 1)
+            * (16 ** (3 - i))
+        )
+        for i in range(4)
+    )
+    es_key = F.floor(
+        F.log((u_int + F.lit(0.5)) / F.lit(65536.0))
+        / F.col("n_chars")
+        * F.lit(1e12)
+    ).cast("long")
+    return (
+        d.select("doc_id", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+    )

@@ -414,3 +414,102 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id", "lang")
     )
+
+
+@register(
+    "corpus_quality_pipeline",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_distinct,
+         CAST(SUM(length(w)) AS BIGINT) AS sum_len
+  FROM pos GROUP BY doc_id
+),
+big AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+bgs AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         MAX(c) AS top_bigram
+  FROM bgc GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, n_tokens, n_distinct,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len
+FROM documents d
+JOIN st  ON st.doc_id = d.doc_id
+JOIN bgs ON bgs.doc_id = d.doc_id
+WHERE d.lang = 'en'
+  AND n_tokens >= 20 AND n_tokens <= 1000
+  AND 5 * n_distinct >= n_tokens
+  AND 5 * top_bigram <= n_bigrams
+  AND sum_len >= 3 * n_tokens AND sum_len <= 10 * n_tokens
+""",
+)
+def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher-style quality gate in ONE plan: English
+    documents surviving ALL of — length bounds (20–1000 tokens),
+    distinct-token ratio ≥ 0.2, most-repeated-bigram share ≤ 0.2, and
+    mean word length in [3, 10]. This is the filter chain an LLM corpus
+    actually runs before dedup (Rae et al. 2021 rules C4/Gopher-style),
+    proven here as one composition rather than N separate scans.
+
+    Plan shape: ONE posexplode of the token stream feeds both the
+    token-stat aggregate and (via the position self-join) the bigram
+    stats; everything re-joins on doc_id — at 100 TB that is two
+    doc_id-partitioned aggregates and a 3-way doc_id join whose
+    exchanges AQE coalesces, versus the naive five-pass pipeline that
+    re-tokenizes per rule. Every cut is an INTEGER inequality
+    (cross-multiplied ratios) so row membership is engine-exact; the
+    reported ratios are exact-operand divisions for the survivors
+    only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "w"))
+    st = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.sum(F.length("w")).alias("sum_len"),
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        pos.withColumn("nxt", F.lead("w").over(wlead))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "nxt").alias("bg"))
+    )
+    bgc = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bgs = bgc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    return (
+        d.filter(F.col("lang") == "en")
+        .join(st, "doc_id")
+        .join(bgs, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 1000)
+            & (F.lit(5) * F.col("n_distinct") >= F.col("n_tokens"))
+            & (F.lit(5) * F.col("top_bigram") <= F.col("n_bigrams"))
+            & (F.col("sum_len") >= F.lit(3) * F.col("n_tokens"))
+            & (F.col("sum_len") <= F.lit(10) * F.col("n_tokens"))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+            (F.col("sum_len").cast("double") / F.col("n_tokens")).alias(
+                "mean_word_len"
+            ),
+        )
+    )

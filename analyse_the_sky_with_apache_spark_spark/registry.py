@@ -234,6 +234,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "text_inverted_index",
     "text_repetition",
     "join_set_similarity",
+    "sample_weighted",
+    "graph_common_neighbors",
+    "corpus_quality_pipeline",
+    "stream_topk_windowed",
 )
 
 

@@ -363,3 +363,51 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hours",
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+SELECT day, event_type, n, rk FROM ranked WHERE rk <= 3
+""",
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 event types per 1-day tumbling window,
+    computed over a REAL streaming execution. The streaming stage
+    maintains only the per-(window, type) counts — cheap keyed state,
+    watermark-boundable; the rank is applied to the emitted result
+    table, which is the production pattern too (Structured Streaming
+    does not support ranking windows inside the stream; you rank in
+    the sink or a follow-up batch over the emitted micro-batch —
+    ~|windows|×|types| rows, trivially small regardless of input
+    scale).
+
+    Determinism: counts are exact integers and the rank is fully
+    tie-broken (n DESC, event_type), so top-3 membership is stable.
+    """
+    from pyspark.sql import Window
+
+    src = stage_events(spark, sf_dir)
+    agg = src.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    res = run_stream(spark, agg, mode="complete", name="topk")
+    wr = Window.partitionBy("day").orderBy(F.col("n").desc(), "event_type")
+    return (
+        res.select(
+            F.col("w.start").cast("date").alias("day"), "event_type", "n"
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 3)
+    )
