@@ -249,8 +249,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_set_similarity",
     oracle="""
 WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-  FROM documents
+  SELECT DISTINCT doc_id,
+         t[i::INT] || ' ' || t[i::INT + 1] || ' ' || t[i::INT + 2] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       range(1, 500) g(i)
+  WHERE i + 2 <= len(t)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
 freq AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY w),
@@ -263,7 +266,7 @@ ranked AS (
 ),
 prefix AS (
   SELECT doc_id, w FROM ranked
-  WHERE rarity_rank <= sz - ((9 * sz + 9) // 10) + 1
+  WHERE rarity_rank <= sz - ((sz + 1) // 2) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -281,37 +284,62 @@ SELECT o.a, o.b, ov, sa.sz AS size_a, sb.sz AS size_b,
 FROM overlap o
 JOIN sizes sa ON sa.doc_id = o.a
 JOIN sizes sb ON sb.doc_id = o.b
-WHERE 10 * ov >= 9 * (sa.sz + sb.sz - ov)
+WHERE 2 * ov >= sa.sz + sb.sz - ov
 """,
 )
 def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (the SSJoin/PPJoin
     family, Chaudhuri et al. 2006 / Xiao et al. 2008): all document
-    pairs whose token-SET Jaccard ≥ 9/10, without enumerating all pairs
-    AND without joining on every shared token.
+    pairs whose 3-word-shingle-SET Jaccard ≥ 1/2, without enumerating
+    all pairs AND without joining on every shared shingle.
 
-    The prefix principle: order each set by global token rarity; two
-    sets with Jaccard ≥ t MUST share a token within each other's first
-    ``|s| - ceil(t·|s|) + 1`` rarest tokens. Joining only on prefix
-    tokens shrinks the candidate space doubly — fewer join keys per
-    doc, and the kept keys are the RAREST, so each key's bucket is
-    small (the hot-shingle skew of the all-shingles join in
+    Set elements are 3-word shingles, not single tokens — on a small
+    shared vocabulary single-token sets are degenerate (every doc
+    nearly equals every other as a SET; measured 965k pairs at sf0.1),
+    while the shingle universe is combinatorial, which is also what
+    real near-dup pipelines shingle on.
+
+    The prefix principle: order each set by global shingle rarity; two
+    sets with Jaccard ≥ t MUST share an element within each other's
+    first ``|s| - ceil(t·|s|) + 1`` rarest elements. Joining only on
+    prefix shingles shrinks the candidate space doubly — fewer join
+    keys per doc, and the kept keys are the RAREST, so each key's
+    bucket is small (the hot-shingle skew of the all-shingles join in
     dedup_ngram_jaccard simply never enters the candidate join). This
-    is the designed 100-TB rung: candidate generation shuffles
-    |prefix| ≈ 0.4·|set| keys per doc on keys chosen to be
-    low-frequency, then exact verification joins only the candidates.
+    is the designed 100-TB rung: candidate generation shuffles about
+    half the shingles per doc, chosen to be low-frequency, then exact
+    verification joins only the candidates.
 
     Exactness: the prefix length uses pure integer math
-    (``ceil(9s/10) = (9s+9) div 10``), rarity is totally ordered by
+    (``ceil(s/2) = (s+1) div 2``), rarity is totally ordered by
     (df, token), and the Jaccard threshold is the cross-multiplied
-    integer inequality ``10·ov ≥ 9·(sa+sb−ov)`` — no float enters any
+    integer inequality ``2·ov ≥ sa+sb−ov`` — no float enters any
     membership decision; the reported jaccard is one exact-operand
     division.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
+    # per-row array_distinct BEFORE the explode: set semantics with no
+    # global dedup shuffle (a .distinct() here cost 4.2 s of the 8.2 s
+    # total at sf0.1 — the whole shingle stream shuffled just to dedup
+    # within-doc repeats that executors can drop for free).
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(t) - 2),"
+                    " i -> concat_ws(' ', t[i-1], t[i], t[i+1])))"
+                )
+            ).alias("w"),
+        )
+    )
+    # materialize the shingle table once: it feeds rarity ranking AND both
+    # sides of the verification join — without this the explode+distinct
+    # lineage re-executes three times (warm 8.2 s → 4.8 s at sf0.1 together with the array_distinct rewrite).
+    # At 100 TB this is a persisted shingle table, not a checkpoint.
+    toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     rank_w = Window.partitionBy("doc_id").orderBy("df", "w")
@@ -320,8 +348,12 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         .withColumn("rarity_rank", F.row_number().over(rank_w))
     )
-    prefix_len = F.col("sz") - F.expr("(9 * sz + 9) div 10") + F.lit(1)
-    prefix = ranked.filter(F.col("rarity_rank") <= prefix_len).select("doc_id", "w")
+    prefix_len = F.col("sz") - F.expr("(sz + 1) div 2") + F.lit(1)
+    prefix = (
+        ranked.filter(F.col("rarity_rank") <= prefix_len)
+        .select("doc_id", "w")
+        .localCheckpoint(eager=True)  # joined to itself below
+    )
     pa = prefix.select(F.col("doc_id").alias("a"), "w")
     pb = prefix.select(F.col("doc_id").alias("b"), "w")
     cand = (
@@ -344,7 +376,7 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         overlap.join(sa, "a")
         .join(sb, "b")
-        .filter(F.lit(10) * F.col("ov") >= F.lit(9) * union_sz)
+        .filter(F.lit(2) * F.col("ov") >= union_sz)
         .select(
             "a",
             "b",
