@@ -473,3 +473,100 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cn").desc(), "x", "y")
         .limit(50)
     )
+
+
+#: BFS depth bound for graph_bfs_hops.
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+seeds AS (
+  SELECT DISTINCT node FROM adj
+  JOIN part ON p_partkey = node
+  WHERE p_size = 50
+),
+reach AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT adj.nbr AS node, reach.hop + 1 AS hop
+  FROM reach JOIN adj ON adj.node = reach.node
+  WHERE reach.hop < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+FROM reach GROUP BY node
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ 4) from the seed set
+    (size-50 parts) over the strong co-purchase graph — the iterative
+    graph primitive under "what is reachable from / how close to X",
+    checked against DuckDB's recursive CTE as an independent
+    implementation of the same fixpoint.
+
+    Spark side: frontier expansion. Each round joins the CURRENT
+    frontier (only the newly discovered nodes, not everything reached)
+    against the adjacency, anti-joins the visited set, and tags
+    survivors with the round number — exactly hop-k nodes enter at
+    round k, so no min-label re-convergence is needed (contrast
+    `dedup_connected_components`, whose labels must iterate to
+    fixpoint). ``localCheckpoint`` truncates lineage per round; the
+    driver never sees data, only the loop counter. At 100 TB the
+    frontier join shuffles |frontier| × avg-degree rows per round and
+    the visited set stays partitioned by node — the standard
+    Pregel-without-Pregel shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a0, b0 = li.alias("a"), li.alias("b")
+    e = (
+        a0.join(
+            b0,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 50)
+    seeds = (
+        adj.select("node")
+        .distinct()
+        .join(p, F.col("node") == p.p_partkey, "left_semi")
+    )
+    visited = seeds.select("node", F.lit(0).alias("hops")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("hops").cast("long").alias("hops"))

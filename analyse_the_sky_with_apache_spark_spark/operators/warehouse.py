@@ -733,3 +733,84 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy(
         F.col("j").cast("long").alias("j"), "cell"
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type, value
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT user_id, ts, event_type, value,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click
+  FROM ev
+)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS purchases,
+       CAST(SUM(CASE WHEN last_click IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(last_click)
+                          <= 604800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS attributed,
+       CAST(SUM(CASE WHEN last_click IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(last_click)
+                          <= 604800000000
+                     THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 1000000.0
+         AS attributed_value
+FROM w
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: for every purchase, was there
+    a click by the same user within the preceding 7 days, and how much
+    purchase value does that channel get credit for, per day — the
+    marketing-analytics workhorse next to `funnel_steps`.
+
+    ONE window pass does the matching: a running MAX(click ts) over
+    the user's (ts, event_id)-ordered history with a `1 PRECEDING`
+    upper frame bound (a same-timestamp click never attributes its own
+    purchase; the event_id tie-break makes the frame identical in both
+    engines). No self-join of purchases against clicks — the classic
+    formulation is a per-purchase correlated top-1 lookup; the window
+    form shuffles each user's events once and carries one timestamp of
+    state. Attributed value accumulates in exact micro-units.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    attributed = F.col("last_click").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("last_click") <= 604_800_000_000
+    )
+    return (
+        ev.withColumn("last_click", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(attributed.cast("long")).alias("attributed"),
+            (
+                F.sum(
+                    F.when(
+                        attributed,
+                        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("attributed_value"),
+        )
+    )

@@ -1166,3 +1166,137 @@ def xmatch_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("completeness"),
         )
     )
+
+
+#: variability pipeline: shortlist size and its period grid (days).
+_VAR_TOP = 20
+_VAR_PERIODS_D = (3, 5, 7, 11)
+
+
+@register(
+    "sky_variability_pipeline",
+    oracle=f"""
+WITH med AS (
+  SELECT user_id, ROUND(quantile_cont(value, 0.5), 6) AS med, COUNT(*) AS n
+  FROM events GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id,
+         ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m ON e.user_id = m.user_id
+  GROUP BY e.user_id
+),
+cand AS (
+  SELECT m.user_id, m.n, m.med, d.mad
+  FROM med m JOIN mad d ON m.user_id = d.user_id
+  WHERE m.n >= 30 AND d.mad > 0
+  ORDER BY d.mad DESC, m.user_id
+  LIMIT {_VAR_TOP}
+),
+e AS (
+  SELECT c.user_id, epoch_us(ts) AS t_us,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS cv, p.p_us
+  FROM events ev JOIN cand c ON ev.user_id = c.user_id,
+       (SELECT UNNEST([{", ".join(str(p * _DAY_US) for p in _VAR_PERIODS_D)}])
+          AS p_us) p
+),
+b AS (
+  SELECT user_id, p_us, (t_us % p_us) * {_SCAN_NBINS} // p_us AS phase_bin,
+         COUNT(*) AS n_b, CAST(SUM(cv) AS BIGINT) AS a_b
+  FROM e GROUP BY 1, 2, 3
+),
+prof AS (
+  SELECT user_id, p_us,
+         MAX(CAST(a_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS hi,
+         MIN(CAST(a_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS lo
+  FROM b GROUP BY 1, 2
+),
+best AS (
+  SELECT user_id, p_us, (hi - lo) / 100.0 AS amp,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY (hi - lo) DESC, p_us) AS rnk
+  FROM prof
+)
+SELECT c.user_id, c.n, c.med, c.mad,
+       b.p_us // {_DAY_US} AS period_days, b.amp
+FROM cand c JOIN best b ON b.user_id = c.user_id AND b.rnk = 1
+""",
+)
+def sky_variability_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed variable-object pipeline — the query an astronomy
+    user actually runs end-to-end: (1) robust per-series statistics
+    (median + MAD, the `lightcurve_sigma_clip` kernel), (2) shortlist
+    the {20} most variable well-sampled series (n ≥ 30, MAD > 0,
+    ranked by MAD), (3) period-search ONLY the shortlist
+    (`period_scan_kernel` shape over a 4-period grid) and report each
+    candidate's best-supported period and folded amplitude.
+
+    The composition order IS the scale design: the expensive ×periods
+    fan-out runs after the shortlist semi-join, so it touches 20
+    series, not the whole catalog — shortlist-then-refine is how every
+    real survey pipeline stages its compute (cheap robust stats on
+    everything, expensive period fits on candidates). All stages key on
+    the series id, so the exchanges reuse one partitioning; the
+    shortlist is 20 rows and broadcasts into the refine join.
+
+    Determinism: medians are 6-dp-rounded interpolated quantiles (the
+    sigma-clip precedent), the shortlist ORDER BY is fully tie-broken,
+    bin sums are exact cent-longs, and each amplitude is max/min over
+    identical per-bin divisions — rank ties resolve by period.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mad = (
+        ev.join(med, "user_id")
+        .select("user_id", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .groupBy("user_id")
+        .agg(F.round(F.expr("percentile(ad, 0.5D)"), 6).alias("mad"))
+    )
+    cand = (
+        med.join(mad, "user_id")
+        .filter((F.col("n") >= 30) & (F.col("mad") > 0))
+        .orderBy(F.col("mad").desc(), "user_id")
+        .limit(_VAR_TOP)
+    )
+    e = (
+        ev.join(F.broadcast(cand.select("user_id")), "user_id", "left_semi")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.round(F.col("value") * 100.0).cast("long").alias("cv"),
+            F.explode(
+                F.array(*[F.lit(p * _DAY_US) for p in _VAR_PERIODS_D])
+            ).alias("p_us"),
+        )
+    )
+    per_bin = (
+        e.withColumn(
+            "phase_bin", F.expr(f"(t_us % p_us) * {_SCAN_NBINS} div p_us")
+        )
+        .groupBy("user_id", "p_us", "phase_bin")
+        .agg(F.count(F.lit(1)).alias("n_b"), F.sum("cv").alias("a_b"))
+    )
+    from pyspark.sql import Window
+
+    bin_mean = F.col("a_b").cast("double") / F.col("n_b").cast("double")
+    prof = per_bin.groupBy("user_id", "p_us").agg(
+        F.max(bin_mean).alias("hi"), F.min(bin_mean).alias("lo")
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        (F.col("hi") - F.col("lo")).desc(), "p_us"
+    )
+    best = (
+        prof.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            (F.col("p_us") / F.lit(_DAY_US)).cast("long").alias("period_days"),
+            ((F.col("hi") - F.col("lo")) / F.lit(100.0)).alias("amp"),
+        )
+    )
+    return cand.join(best, "user_id").select(
+        "user_id", "n", "med", "mad", "period_days", "amp"
+    )

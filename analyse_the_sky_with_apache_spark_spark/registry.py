@@ -238,6 +238,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "graph_common_neighbors",
     "corpus_quality_pipeline",
     "stream_topk_windowed",
+    "attribution_last_touch",
+    "graph_bfs_hops",
+    "sky_variability_pipeline",
 )
 
 
