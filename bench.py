@@ -63,6 +63,7 @@ EXTENDED = (
     "q21_waiting_suppliers",# double-EXISTS collapsed to one aggregate
     "join_set_similarity",  # prefix-filtered Jaccard set join
     "text_bm25",            # BM25 ranking over documents
+    "sky_variability_pipeline",  # shortlist-then-refine variability search
 )
 
 
