@@ -241,6 +241,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "attribution_last_touch",
     "graph_bfs_hops",
     "sky_variability_pipeline",
+    "stream_stream_left_join",
 )
 
 

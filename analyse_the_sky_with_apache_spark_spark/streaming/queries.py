@@ -411,3 +411,55 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register("stream_stream_left_join")  # rows-only: tail outer rows are
+# withheld by the watermark (see docstring); pytest pins the invariants.
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view, with its purchase
+    within 30 minutes when one exists, NULL otherwise — the
+    "unconverted impressions" stream.
+
+    Outer results can only be EMITTED once the watermark proves no
+    matching purchase can still arrive (v_ts + 30 min + 1 h delay), so
+    views near the end of a finite replay are withheld: the stream's
+    null rows are a strict subset of the batch left join's, with the
+    deficit confined to the final watermark+interval horizon — the
+    correct streaming semantics, asserted row-for-row in
+    tests/test_streaming.py (matched pairs must agree EXACTLY with the
+    batch inner join; withheld views must all sit within 90 minutes of
+    stream end). State stays bounded exactly as in
+    ``stream_stream_join``: each side buffers watermark + interval.
+    """
+    src = stage_events(spark, sf_dir, n_files=3)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    buys = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        F.col("v_ts").alias("view_ts"),
+    )
+    return run_stream(spark, joined, mode="append", name="ssleft")

@@ -161,3 +161,60 @@ def test_chained_agg_matches_batch_on_finalized_days(spark):
     assert all(d < max_batch_day for _, d in got), (
         "tail day leaked before its watermark finalized"
     )
+
+
+def test_stream_left_join_withholds_only_tail(spark):
+    """LEFT OUTER stream-stream join semantics: matched pairs equal the
+    batch inner join EXACTLY; unmatched views are a subset of the batch
+    left join's, and every withheld view sits inside the final
+    watermark+interval horizon (90 min) where the stream cannot yet
+    prove no match will arrive."""
+    from pyspark.sql import functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    res = queries()["stream_stream_left_join"](spark, SF_DIR)
+    stream_matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in res.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    stream_nulls = {
+        r["view_id"]
+        for r in res.filter(F.col("purchase_id").isNull()).collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    batch = v.join(b, cond, "left_outer")
+    batch_matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in batch.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    batch_null_rows = batch.filter(F.col("purchase_id").isNull()).collect()
+    batch_nulls = {r["view_id"] for r in batch_null_rows}
+
+    assert stream_matched == batch_matched
+    assert stream_nulls <= batch_nulls
+
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    null_ts = {r["view_id"]: r["v_ts"] for r in batch_null_rows}
+    withheld = batch_nulls - stream_nulls
+    for vid in withheld:
+        assert (hi - null_ts[vid]).total_seconds() <= 90 * 60, (
+            f"view {vid} withheld but outside the 90-min tail horizon"
+        )
