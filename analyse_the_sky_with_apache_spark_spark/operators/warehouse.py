@@ -814,3 +814,136 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "gdpr_delete_audit",
+    oracle="""
+WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del)
+)
+SELECT 'customer' AS table_name,
+       CAST(SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM del)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_purge,
+       CAST(SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM del)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_keep
+FROM customer
+UNION ALL
+SELECT 'orders',
+       CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM del)
+                     THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM del_orders)
+                     THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+""",
+)
+def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit: given a deletion list (customers
+    flagged for erasure), how many rows each table would purge vs keep
+    — INCLUDING the cascade (lineitem rows reached only through the
+    deleted customers' orders). The dry-run every GDPR/CCPA purge
+    pipeline executes before the destructive MERGE DELETE.
+
+    Plan: the deletion list broadcasts everywhere; each fact is scanned
+    ONCE with the membership test as a conditional-sum pair (never a
+    purge-side and keep-side scan each); the cascade derives the doomed
+    order list as a semi-join aggregate that itself broadcasts into
+    lineitem. At 100 TB the output stays 3 rows however large the
+    tables — and the same joins, flipped to anti, ARE the purge.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delete = c.filter(F.col("c_acctbal") < 0.0).select("c_custkey")
+
+    def audit(df: DataFrame, key, del_keys: DataFrame, name: str) -> DataFrame:
+        dk = del_keys.withColumnRenamed(del_keys.columns[0], "__del_key")
+        flagged = df.join(
+            F.broadcast(dk), key == F.col("__del_key"), "left"
+        ).select(F.col("__del_key").isNotNull().cast("long").alias("doomed"))
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.sum("doomed").alias("n_purge"),
+            F.sum(F.lit(1) - F.col("doomed")).alias("n_keep"),
+        ).select("table_name", "n_purge", "n_keep")
+
+    del_orders = o.join(
+        F.broadcast(delete), o.o_custkey == delete.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    return (
+        audit(c, F.col("c_custkey"), delete, "customer")
+        .unionAll(audit(o, F.col("o_custkey"), delete, "orders"))
+        .unionAll(audit(li, F.col("l_orderkey"), del_orders, "lineitem"))
+    )
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE event_type WHEN 'error' THEN 'D'
+                         WHEN 'signup' THEN 'I'
+                         ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT user_id, op, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM log
+)
+SELECT user_id, value AS latest_value, n_changes
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""",
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: collapse a change-data-capture stream
+    (insert/update/delete ops per key, here derived from the event
+    log) to the latest surviving state — last write wins by (ts,
+    event_id); keys whose LAST op is a delete vanish from the
+    snapshot. This is the read-side half of every CDC-fed lakehouse
+    table (`merge_upsert` is the write-side half; `scd2_history`
+    keeps the trail instead of compacting it).
+
+    One window over the key partitioning does everything: latest-row
+    rank and change count share the same shuffle. At 100 TB compaction
+    runs per partition of the changelog and only the rn=1 rows ever
+    leave the exchange (WindowGroupLimit prunes below it).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            "n_changes",
+        )
+    )

@@ -1225,3 +1225,89 @@ def win_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "path_common_sequences",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+tri AS (
+  SELECT event_type || '>' || LEAD(event_type, 1) OVER s
+                   || '>' || LEAD(event_type, 2) OVER s AS path,
+         LEAD(event_type, 2) OVER s AS third
+  FROM y
+  WINDOW s AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n
+FROM tri WHERE third IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 20
+""",
+)
+def path_common_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the 20 most common 3-step event-type
+    sequences WITHIN a session (30-minute gap sessionization) — the
+    discovery complement to `funnel_steps`, which counts a path you
+    already hypothesized; this surfaces the paths users actually take.
+
+    One user-key shuffle carries all three windows (sessionize lag,
+    running session id, and the two in-session leads share the
+    partitioning; the lead frames just refine the ordering key with
+    sid). Trigrams materialize map-side after the windows; the final
+    count is a tiny path-keyed aggregate and the top-20 is
+    TakeOrderedAndProject. Session boundaries cut paths exactly: the
+    leads partition BY (user, sid), so a trigram never spans two
+    sessions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    y = ev.select(
+        "user_id", "ts", "event_id", "event_type", new_s.alias("new_s")
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = y.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(ws),
+            F.lead("event_type", 2).over(ws),
+        ).alias("path"),
+        F.lead("event_type", 2).over(ws).alias("third"),
+    )
+    return (
+        tri.filter(F.col("third").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

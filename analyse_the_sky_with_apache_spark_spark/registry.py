@@ -242,6 +242,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "graph_bfs_hops",
     "sky_variability_pipeline",
     "stream_stream_left_join",
+    "scan_xml",
+    "gdpr_delete_audit",
+    "cdc_apply_changelog",
+    "path_common_sequences",
 )
 
 

@@ -572,3 +572,32 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.decode(F.col("content"), "UTF-8")).alias("checksum"),
     )
+
+
+@register(
+    "scan_xml",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4 native `xml` source, no external package):
+    declared schema + rowTag, no inference pass. The fixture set is
+    parquet-only, so the query materializes an XML copy of ``nation``
+    first and then exercises the real XML reader path. At scale the
+    reader splits by row tag within files like the JSON-lines reader;
+    schema is always declared — XML inference is an extra full pass
+    plus type guessing.
+    """
+    path = os.path.join(_SCRATCH, "nation_xml")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").format("xml").option(
+        "rowTag", "nation"
+    ).save(path)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+    )
