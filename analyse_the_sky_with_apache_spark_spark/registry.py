@@ -246,6 +246,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "gdpr_delete_audit",
     "cdc_apply_changelog",
     "path_common_sequences",
+    "stream_checkpoint_resume",
 )
 
 

@@ -15,6 +15,8 @@ watermarks.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -463,3 +465,82 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_ts").alias("view_ts"),
     )
     return run_stream(spark, joined, mode="append", name="ssleft")
+
+
+@register(
+    "stream_checkpoint_resume",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type <> 'error'
+""",
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once recovery: a streaming query is run over HALF the
+    input, terminated, the rest of the input arrives, and the query is
+    RESTARTED from its checkpoint into the same file sink. The returned
+    table is the sink's final contents — the oracle is a plain batch
+    SELECT, so the driver's row-count + value-hash check IS the
+    exactly-once proof: a lost offset shows up as missing rows, a
+    replayed offset as duplicates, and either breaks the hash.
+
+    What the checkpoint holds: the offset log (which source files each
+    micro-batch consumed) and the sink's transaction log (which batch
+    ids committed) — on restart Spark replays only uncommitted batches
+    over only unconsumed files. This is the recovery contract a 100-TB
+    deployment leans on across executor loss, job restarts and code
+    redeploys; nothing here is test-only except the file placement.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+    # under the process checkpoint root → removed by replay's atexit hook
+    root = checkpoint_dir("resume")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+
+    ranked = ev.withColumn(
+        "__chunk", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    staged = []
+    for i in range(4):
+        tmp = os.path.join(root, f"build{i}")
+        ranked.filter(F.col("__chunk") == i + 1).drop("__chunk").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        staged.append((os.path.join(tmp, part), f"{i:04d}.parquet"))
+
+    def run_pass() -> None:
+        stream = (
+            spark.readStream.schema(ev.drop("__chunk").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: first half arrives, stream runs to completion, "crashes"
+    for path, name in staged[:2]:
+        shutil.copyfile(path, os.path.join(src, name))
+    run_pass()
+    # phase 2: rest arrives; SAME checkpoint + sink → resume, not replay
+    for path, name in staged[2:]:
+        shutil.copyfile(path, os.path.join(src, name))
+    run_pass()
+    return spark.read.parquet(sink)
