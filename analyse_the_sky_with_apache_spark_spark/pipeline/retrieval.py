@@ -386,3 +386,84 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ov").cast("double") / union_sz).alias("jaccard"),
         )
     )
+
+
+@register(
+    "text_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bi_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+uni_c AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT w) AS v FROM pos)
+SELECT d.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(FLOOR(
+         -ln((c12 + 1.0) / (c1 + v)) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 / COUNT(*) AS cross_entropy
+FROM big d
+JOIN bi_c  ON d.w1 = bi_c.w1 AND d.w2 = bi_c.w2
+JOIN uni_c ON d.w1 = uni_c.w1
+CROSS JOIN vocab
+GROUP BY d.doc_id
+""",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity scoring — the CCNet-style corpus
+    quality signal: train an add-one-smoothed bigram model on the
+    corpus itself, then score every document's cross-entropy under it
+    (high = unnatural/degenerate text, the cut LLM pipelines make
+    after the rule-based Gopher gate).
+
+    Fully relational LM training AND scoring: bigram/unigram counts
+    are two aggregations, the model joins back to each document's
+    bigram occurrences (the join IS the inference), and vocab size
+    rides a 1-row broadcast. At 100 TB the model tables are
+    term-keyed aggregates a fraction of corpus size; scoring shuffles
+    the bigram stream once on w1/w2 — or broadcast the model when the
+    vocabulary fits, making inference map-side.
+
+    Determinism: each -ln(p) is floor-gridded to micro-nats, so the
+    per-doc sum is an exact long and the division by the (integer)
+    bigram count is one identical double op — no ordered-float-sum
+    hazard on top of libm's ln.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("i")
+    big = (
+        pos.withColumn("w2", F.lead("w").over(wlead))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    bi_c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_c = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = pos.agg(F.countDistinct("w").alias("v"))
+    neg_ln_p = -F.log(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    micro = F.floor(neg_ln_p * F.lit(1e6) + F.lit(0.5))
+    return (
+        big.join(F.broadcast(bi_c), ["w1", "w2"])
+        .join(F.broadcast(uni_c), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(micro).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            ).alias("cross_entropy"),
+        )
+    )

@@ -247,6 +247,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "cdc_apply_changelog",
     "path_common_sequences",
     "stream_checkpoint_resume",
+    "stream_pyds_source",
+    "text_perplexity",
 )
 
 

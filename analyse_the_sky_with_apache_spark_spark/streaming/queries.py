@@ -544,3 +544,82 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copyfile(path, os.path.join(src, name))
     run_pass()
     return spark.read.parquet(sink)
+
+
+def _make_tickgen_source():
+    """Factory for the deterministic streaming Python DataSource."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TickReader(SimpleDataSourceStreamReader):
+        """Emits ticks [v, v+chunk) per read; offset = next tick."""
+
+        _CHUNK = 1000
+        _TOTAL = 1000
+
+        def initialOffset(self):
+            return {"v": 0}
+
+        def read(self, start):
+            lo = start["v"]
+            hi = min(lo + self._CHUNK, self._TOTAL)
+            rows = [(i, (i * 37) % 101) for i in range(lo, hi)]
+            return iter(rows), {"v": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [(i, (i * 37) % 101) for i in range(start["v"], end["v"])]
+            )
+
+    class TickSource(DataSource):
+        """Deterministic synthetic tick stream (tick, v)."""
+
+        @classmethod
+        def name(cls):
+            return "tickgen"
+
+        def schema(self):
+            return "tick BIGINT, v BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return TickReader()
+
+    return TickSource
+
+
+_TICKGEN_REGISTERED: set[int] = set()
+
+
+@register(
+    "stream_pyds_source",
+    oracle="""
+SELECT i // 100 AS bucket, COUNT(*) AS n,
+       CAST(SUM((i * 37) % 101) AS BIGINT) AS sum_v
+FROM range(0, 1000) t(i)
+GROUP BY 1
+""",
+)
+def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A STREAMING source written in pure Python (Spark 4
+    ``SimpleDataSourceStreamReader``) feeding a streaming aggregation —
+    the extensibility door for streams Spark lacks natively (instrument
+    feeds, poll-based APIs, survey alert brokers), mirroring what
+    ``scan_pyds`` proves for batch sources.
+
+    The reader owns the OFFSET CONTRACT: ``initialOffset`` → ``read``
+    returns (rows, next offset) per micro-batch, and
+    ``readBetweenOffsets`` makes any committed range re-readable for
+    recovery — the same replayability Kafka offsets give; the engine
+    checkpoints these offsets exactly as in `stream_checkpoint_resume`.
+    The demo stream is integer-deterministic, so the per-bucket
+    streaming aggregation is hash-verified against DuckDB ``range()``
+    — registration, offset bookkeeping, the Python worker row path and
+    the stateful agg all sit inside the driver's own gate.
+    """
+    if id(spark) not in _TICKGEN_REGISTERED:
+        spark.dataSource.register(_make_tickgen_source())
+        _TICKGEN_REGISTERED.add(id(spark))
+    stream = spark.readStream.format("tickgen").load()
+    agg = stream.groupBy(
+        F.expr("tick div 100").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    return run_stream(spark, agg, mode="complete", name="pyds_stream")
