@@ -730,3 +730,44 @@ def join_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_click_ts")
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+oc AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1)
+SELECT CAST(SUM(lc.c * oc.c) AS BIGINT) AS est_join_rows,
+       CAST(MAX(lc.c * oc.c) AS BIGINT) AS hottest_key_rows,
+       COUNT(*) AS n_join_keys
+FROM lc JOIN oc ON lc.k = oc.k
+""",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size computation WITHOUT running the join: for an equi-join,
+    |A ⋈ B| = Σ_k cA(k)·cB(k) over the shared keys — computed from two
+    key-count aggregates whose join carries one row per DISTINCT key,
+    never the output rows themselves. The hottest-key product is the
+    skew diagnostic (how bad the worst reducer would be), and at 100 TB
+    this is the dry-run you execute BEFORE a fact⋈fact join to decide
+    between plain shuffle, skew salting, or rethinking the query —
+    exact where a sampled estimate can be 100× off on skew, at the
+    cost of one aggregation per side.
+
+    (For an inner equi-join the formula is exact, not an estimate —
+    the name keeps the planning-stage role visible.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("lc")
+    )
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("oc")
+    )
+    prod = F.col("lc") * F.col("oc")
+    return lc.join(oc, "k").agg(
+        F.sum(prod).alias("est_join_rows"),
+        F.max(prod).alias("hottest_key_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+    )

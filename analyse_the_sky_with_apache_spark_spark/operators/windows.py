@@ -1311,3 +1311,59 @@ def path_common_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+WITH cum AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bal
+  FROM events
+),
+peaks AS (
+  SELECT user_id, bal,
+         MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cum
+)
+SELECT user_id,
+       CAST(MAX(peak - bal) AS DOUBLE) / 1000000.0 AS max_drawdown,
+       CAST(MAX(peak) AS DOUBLE) / 1000000.0 AS max_peak
+FROM peaks
+GROUP BY user_id
+""",
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: the largest peak-to-trough fall of
+    the running balance (cumulative value) — the canonical
+    risk/monitoring statistic that is famously awkward in SQL because
+    it nests a running max inside a running sum.
+
+    Two stacked windows over ONE (user, ts, event_id) ordering — the
+    cumulative balance and its running peak share the same sort and
+    partitioning, so Spark plans a single exchange + sort and evaluates
+    both frames in one pass; the final per-user aggregate rides the
+    same key. Exactness: the balance accumulates in micro-units
+    (longs), so running sums, running maxes and the drawdown difference
+    are all integer arithmetic — both engines agree to the bit, with
+    the one double division at the very end.
+    """
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bal = F.sum(micro).over(run).alias("bal")
+    cum = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", bal
+    )
+    peaks = cum.select(
+        "user_id", "bal", F.max("bal").over(run).alias("peak")
+    )
+    return peaks.groupBy("user_id").agg(
+        (F.max(F.col("peak") - F.col("bal")).cast("double") / F.lit(1e6)).alias(
+            "max_drawdown"
+        ),
+        (F.max("peak").cast("double") / F.lit(1e6)).alias("max_peak"),
+    )

@@ -249,6 +249,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "stream_checkpoint_resume",
     "stream_pyds_source",
     "text_perplexity",
+    "ts_max_drawdown",
+    "join_cardinality_estimate",
 )
 
 
