@@ -898,3 +898,104 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("pp").cast("double") / 10000.0).alias("sum_price"),
         )
     )
+
+
+@register(
+    "agg_incremental_maintenance",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {dsum_sql('l_extendedprice', 'revenue', 2)}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, made explicit: the standing
+    per-flag revenue rollup is NOT recomputed when new data lands —
+    the materialized base aggregate combines with the delta's aggregate
+    (counts add; exact scaled-long sums add), and the result provably
+    equals the full recompute because the oracle IS the full recompute
+    over base ∪ delta.
+
+    The algebra that makes this valid is the same one Spark's own
+    partial→final HashAggregate relies on: COUNT and scaled-long SUM
+    are commutative monoids, so `agg(base ⊎ delta) = agg(base) ⊕
+    agg(delta)` in ANY grouping. (A float SUM would NOT qualify —
+    different combine order, different ulps — which is exactly why the
+    engine's money sums are longs.) At 100 TB this is how a standing
+    dashboard absorbs a day's partition: touch the delta, combine
+    |groups| rows — the base fact table is never re-scanned; the demo
+    splits lineitem 90/10 by hash to play base and delta.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+    is_delta = F.abs(F.hash("l_orderkey", "l_linenumber")) % 10 == 0
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    base = partial(li.filter(~is_delta))
+    delta = partial(li.filter(is_delta))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+@register("agg_hll_overlap")  # rows-only: sketch estimates are
+# engine-specific; tests/test_aggregations.py bounds the error vs exact.
+def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: how many users
+    both clicked AND viewed, via inclusion–exclusion over HLL sketches
+    (|A∩B| = est(A) + est(B) − est(A∪B)). The marketing/identity
+    question that exact COUNT(DISTINCT) answers with a full shuffle of
+    both audiences — the sketch version answers it from two
+    kilobyte-sized summaries that a 100-TB deployment keeps
+    pre-aggregated per segment and merges in milliseconds, at ~1%
+    standard error (lgConfigK=14).
+
+    The union sketch comes from ``hll_union_agg`` over the per-segment
+    sketches — NOT from re-scanning the union of events — which is the
+    whole point: set algebra on summaries. Intersection error compounds
+    (it is a difference of three estimates), so the pytest bounds it
+    against the exact overlap.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    segs = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    ests = segs.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("est")
+    )
+    union_est = segs.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False))
+        .cast("long")
+        .alias("est_union")
+    )
+    wide = (
+        ests.groupBy()
+        .pivot("event_type", ["click", "view"])
+        .agg(F.first("est"))
+        .withColumnRenamed("click", "est_click")
+        .withColumnRenamed("view", "est_view")
+    )
+    return wide.crossJoin(union_est).select(
+        "est_click",
+        "est_view",
+        "est_union",
+        (
+            F.col("est_click") + F.col("est_view") - F.col("est_union")
+        ).alias("est_intersection"),
+    )

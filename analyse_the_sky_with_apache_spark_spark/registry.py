@@ -251,6 +251,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "text_perplexity",
     "ts_max_drawdown",
     "join_cardinality_estimate",
+    "agg_incremental_maintenance",
+    "agg_hll_overlap",
 )
 
 
