@@ -296,3 +296,151 @@ def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, float(b)) for n, b in zip(names, beta)],
         "feature STRING, coefficient DOUBLE",
     )
+
+
+#: grid-density clustering: cell edge (centi-degrees) and max CC rounds.
+_GRID_CELL = 1200
+_GRID_MAX_ITERS = 12
+
+
+@register(
+    "cluster_grid_density",
+    oracle=f"""
+WITH RECURSIVE cat AS (
+  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6)) AS BIGINT)
+           % 18000 - 9000 AS dec_c
+  FROM customer
+),
+cells AS (
+  SELECT ra_c // {_GRID_CELL} AS x, (dec_c + 9000) // {_GRID_CELL} AS y,
+         COUNT(*) AS n
+  FROM cat GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_pts FROM cells),
+core AS (
+  SELECT x, y, n FROM cells, tot WHERE n * n_cells >= 2 * n_pts
+),
+edges AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y
+  FROM core a JOIN core b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+   AND NOT (a.x = b.x AND a.y = b.y)
+),
+reach AS (
+  SELECT x, y, x * 100 + y AS anchor FROM core
+  UNION
+  SELECT e.bx, e.b_y, r.anchor
+  FROM reach r JOIN edges e ON e.ax = r.x AND e.ay = r.y
+),
+labeled AS (
+  SELECT x, y, MIN(anchor) AS cluster_id FROM reach GROUP BY x, y
+)
+SELECT cluster_id, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points
+FROM labeled JOIN core USING (x, y)
+GROUP BY cluster_id
+""",
+)
+def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering — the distributed DBSCAN approximation:
+    bucket the synthetic sky catalog into fixed cells, mark cells at
+    ≥ 2× the mean occupied-cell density as CORE (an adaptive,
+    cross-multiplied integer threshold, so the same query is
+    meaningful at every scale factor), connect 8-adjacent core cells
+    into clusters, and report each cluster's cell and point counts.
+
+    This is how density clustering actually scales: point-level DBSCAN
+    needs an ε-neighbor graph over n points (the n² trap the xmatch
+    kernels exist to avoid); the grid form aggregates points ONCE into
+    cells (map-side partials, shuffle = #occupied cells), and all the
+    graph work — adjacency (8 neighbor offsets as an equi-join on
+    shifted keys), connected components (min-label iteration, bounded
+    by the cluster diameter in cells) — happens in CELL space, which is
+    thousands of times smaller than the data. DuckDB's recursive-CTE
+    transitive closure is the independent fixpoint check
+    (`graph_bfs_hops` precedent).
+
+    Determinism: cell ids and the core cut are pure integer arithmetic;
+    cluster ids are the component-minimum cell label.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    hex6 = lambda off: F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), off, 6), 16, 10
+    ).cast("long")
+    cat = c.select(
+        (hex6(1) % 36000).alias("ra_c"),
+        (hex6(7) % 18000 - 9000).alias("dec_c"),
+    )
+    cells = (
+        cat.groupBy(
+            (F.col("ra_c") / _GRID_CELL).cast("long").alias("x"),
+            ((F.col("dec_c") + 9000) / _GRID_CELL).cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n_cells_tot"),
+        F.sum("n").alias("n_pts"),
+    )
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * F.col("n_cells_tot") >= 2 * F.col("n_pts"))
+        .select("x", "y", "n")
+        .localCheckpoint(eager=True)
+    )
+    a, b = core.alias("a"), core.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.x") - F.col("b.x")) <= 1)
+        & (F.abs(F.col("a.y") - F.col("b.y")) <= 1)
+        & ~((F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y"))),
+    ).select(
+        F.col("a.x").alias("ax"),
+        F.col("a.y").alias("ay"),
+        F.col("b.x").alias("bx"),
+        F.col("b.y").alias("by"),
+    ).localCheckpoint(eager=True)
+    labels = core.select(
+        "x", "y", (F.col("x") * 100 + F.col("y")).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(_GRID_MAX_ITERS):
+        neigh = (
+            edges.join(
+                labels,
+                (edges.bx == labels.x) & (edges.by == labels.y),
+            )
+            .groupBy("ax", "ay")
+            .agg(F.min("cluster_id").alias("ncid"))
+        )
+        new_labels = (
+            labels.join(
+                neigh,
+                (labels.x == neigh.ax) & (labels.y == neigh.ay),
+                "left",
+            )
+            .select(
+                "x",
+                "y",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("ncid"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["x", "y"])
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.join(core, ["x", "y"])
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_points"))
+    )

@@ -253,6 +253,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_cardinality_estimate",
     "agg_incremental_maintenance",
     "agg_hll_overlap",
+    "cluster_grid_density",
 )
 
 
