@@ -315,3 +315,131 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_checksum"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       COUNT(*) AS n_checked
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(SUM(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+""",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for every foreign-key edge (orders→customer,
+    lineitem→{orders, part, supplier}) — the check a lakehouse runs
+    after every load, because parquet enforces no constraints and a
+    broken FK silently turns inner joins into row loss downstream.
+
+    Each edge is ONE left join whose probe side is scanned once, with
+    the orphan test as a conditional sum (never a separate anti-join
+    pass per edge); dimension sides broadcast. A 100-TB deployment
+    runs exactly this plan per edge and alerts on n_orphans > 0; the
+    fixture's clean 0s are still hash-verified values, and n_checked
+    pins that the whole table was audited.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def edge(probe, key, dim, dim_key, name):
+        j = probe.join(F.broadcast(dim), key == dim_key, "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.sum(dim_key.isNull().cast("long")).alias("n_orphans"),
+            F.count(F.lit(1)).alias("n_checked"),
+        ).select("fk", "n_orphans", "n_checked")
+
+    return (
+        edge(o, F.col("o_custkey"), c, F.col("c_custkey"),
+             "orders.o_custkey->customer")
+        .unionAll(edge(li, F.col("l_orderkey"), o.select("o_orderkey"),
+                       F.col("o_orderkey"), "lineitem.l_orderkey->orders"))
+        .unionAll(edge(li, F.col("l_partkey"), p, F.col("p_partkey"),
+                       "lineitem.l_partkey->part"))
+        .unionAll(edge(li, F.col("l_suppkey"), s, F.col("s_suppkey"),
+                       "lineitem.l_suppkey->supplier"))
+    )
+
+
+@register(
+    "emb_drift_monitor",
+    oracle="""
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+         CAST(embedding[i::INT] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t(i)
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CASE WHEN half = 0 THEN
+                CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+              AS DOUBLE) / 1000000.0
+           / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN
+                CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)
+              AS DOUBLE) / 1000000.0
+           / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+  FROM ex GROUP BY label, dim
+)
+SELECT label,
+       CAST(SUM(CAST(FLOOR((ca - cb) * (ca - cb) * 1000000000.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 1000000000.0 AS drift_sq
+FROM cent GROUP BY label
+""",
+)
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitoring: per label, the squared distance
+    between the class centroid of two snapshot halves (vec_id parity
+    plays old-batch vs new-batch) — the production check that an
+    upstream encoder or data shift hasn't moved the embedding space
+    (retrieval indexes and classifiers silently rot when it does).
+
+    ONE pass computes both centroids: the halves are conditional
+    scaled-long sums inside the same (label, dim) aggregation — never
+    two scans or a self-join of snapshots. The per-dim squared
+    difference is computed from exact-derived doubles and floor-gridded
+    to nano-units so the 64-term sum is an exact long (no ordered
+    float accumulation). At 100 TB the shuffle carries
+    |labels| × 64 partial rows; everything else is map-side.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    micro = F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5))
+    half0 = F.when(F.col("half") == 0, micro).otherwise(F.lit(0))
+    half1 = F.when(F.col("half") == 1, micro).otherwise(F.lit(0))
+    cnt0 = F.sum((F.col("half") == 0).cast("long"))
+    cnt1 = F.sum((F.col("half") == 1).cast("long"))
+    cent = ex.groupBy("label", "dim").agg(
+        (F.sum(half0).cast("double") / F.lit(1e6) / cnt0).alias("ca"),
+        (F.sum(half1).cast("double") / F.lit(1e6) / cnt1).alias("cb"),
+    )
+    diff_sq = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    nano = F.floor(diff_sq * F.lit(1e9) + F.lit(0.5))
+    return cent.groupBy("label").agg(
+        (F.sum(nano).cast("double") / F.lit(1e9)).alias("drift_sq")
+    )

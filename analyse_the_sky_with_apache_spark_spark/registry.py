@@ -254,6 +254,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_incremental_maintenance",
     "agg_hll_overlap",
     "cluster_grid_density",
+    "dq_referential_integrity",
+    "emb_drift_monitor",
 )
 
 
