@@ -26,6 +26,8 @@ hazard at the eps cutoff (SURVEY.md §5.3 hazard 2).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1299,4 +1301,97 @@ def sky_variability_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cand.join(best, "user_id").select(
         "user_id", "n", "med", "mad", "period_days", "amp"
+    )
+
+
+#: spectral scan: candidate periods (days) for the DFT power probe.
+_DFT_PERIODS_D = (3, 5, 7, 11)
+
+
+@register(
+    "ts_spectral_power",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS cv
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, day_idx - MIN(day_idx) OVER (PARTITION BY event_type)
+           AS t, CAST(cv AS DOUBLE) / 100.0 AS v
+  FROM daily
+),
+terms AS (
+  SELECT event_type, p.period_d,
+         CAST(FLOOR(v * cos(2 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS c_term,
+         CAST(FLOOR(v * sin(2 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS s_term
+  FROM base,
+       (SELECT UNNEST([{", ".join(str(p) for p in _DFT_PERIODS_D)}])
+          AS period_d) p
+)
+SELECT event_type, period_d,
+       CAST(SUM(c_term) AS DOUBLE) / 1000000.0 AS re_part,
+       CAST(SUM(s_term) AS DOUBLE) / 1000000.0 AS im_part,
+       COUNT(*) AS n_days
+FROM terms GROUP BY event_type, period_d
+""",
+)
+def ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fourier probe at candidate periods: the real and
+    imaginary projections of each event type's daily-revenue series
+    onto 3/5/7/11-day harmonics — the frequency-domain complement to
+    `lightcurve_period_scan`'s phase folding (folding finds sharp
+    periodic structure; the DFT coefficient measures sinusoidal power
+    and is the textbook periodogram building block).
+
+    Scale shape: the series first DOWNSAMPLES to daily exact-cent
+    totals (map-side partials; the shuffle carries days, not events),
+    then the ×periods fan-out and the cos/sin projections run over the
+    daily rows only. Re/Im accumulate as floor-gridded micro-unit
+    longs — cos/sin are libm-dependent, so each term is gridded BEFORE
+    the sum, leaving no ordered-float accumulation; power |X|² is one
+    downstream arithmetic step the caller applies (kept split here so
+    the hash pins both projections).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.date_trunc("day", F.col("ts")))
+                / F.lit(86_400_000_000)
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            ).alias("cv")
+        )
+    )
+    from pyspark.sql import Window
+
+    wmin = Window.partitionBy("event_type")
+    base = daily.select(
+        "event_type",
+        (F.col("day_idx") - F.min("day_idx").over(wmin)).alias("t"),
+        (F.col("cv").cast("double") / F.lit(100.0)).alias("v"),
+    )
+    terms = base.select(
+        "event_type",
+        "v",
+        "t",
+        F.explode(
+            F.array(*[F.lit(p) for p in _DFT_PERIODS_D])
+        ).alias("period_d"),
+    )
+    angle = 2 * math.pi * F.col("t") / F.col("period_d")
+    c_term = F.floor(F.col("v") * F.cos(angle) * F.lit(1e6) + F.lit(0.5))
+    s_term = F.floor(F.col("v") * F.sin(angle) * F.lit(1e6) + F.lit(0.5))
+    return terms.groupBy("event_type", "period_d").agg(
+        (F.sum(c_term).cast("double") / F.lit(1e6)).alias("re_part"),
+        (F.sum(s_term).cast("double") / F.lit(1e6)).alias("im_part"),
+        F.count(F.lit(1)).alias("n_days"),
     )

@@ -256,6 +256,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "cluster_grid_density",
     "dq_referential_integrity",
     "emb_drift_monitor",
+    "ts_spectral_power",
 )
 
 
