@@ -685,3 +685,55 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt.alias("roundtrip"),
         (rt == F.col("c_name")).alias("match"),
     )
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+WITH pairs AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS a,
+         epoch_us(l_shipdate) // 86400000000 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+bd AS (
+  SELECT ((b + 3) // 7) * 5 + LEAST((b + 3) % 7, 5)
+       - (((a + 3) // 7) * 5 + LEAST((a + 3) % 7, 5)) AS business_days
+  FROM pairs
+)
+SELECT business_days, COUNT(*) AS n
+FROM bd GROUP BY business_days
+""",
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day lead time between order and ship dates, as a
+    histogram — calendar arithmetic done with PURE integer math on
+    epoch days, deliberately avoiding each engine's dayofweek()
+    (Spark counts 1=Sunday, DuckDB 0=Sunday; relying on either is a
+    portability bug this operator exists to sidestep).
+
+    The closed form: anchor epoch day −3 (1969-12-29, a Monday), then
+    weekdays-before-day-n is ``(n+3) div 7 * 5 + min((n+3) mod 7, 5)``
+    — full weeks contribute 5, the partial week contributes its
+    weekday prefix — and the lead time is the difference of two such
+    prefix sums. Zero UDFs, zero calendar tables, codegen'd longs all
+    the way; the only shuffle is the orderkey join it rides and the
+    tiny histogram aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def wd_prefix(day_col):
+        m = day_col + F.lit(3)
+        return (
+            F.floor(m / F.lit(7)) * F.lit(5)
+            + F.least(m % F.lit(7), F.lit(5))
+        )
+
+    a = F.floor(F.unix_micros("o_orderdate") / F.lit(86_400_000_000))
+    b = F.floor(F.unix_micros("l_shipdate") / F.lit(86_400_000_000))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select((wd_prefix(b) - wd_prefix(a)).cast("long").alias("business_days"))
+        .groupBy("business_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -257,6 +257,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dq_referential_integrity",
     "emb_drift_monitor",
     "ts_spectral_power",
+    "fn_business_days",
 )
 
 
