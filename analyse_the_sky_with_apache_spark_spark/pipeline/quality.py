@@ -443,3 +443,102 @@ def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.groupBy("label").agg(
         (F.sum(nano).cast("double") / F.lit(1e9)).alias("drift_sq")
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+WITH eq AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS at_risk
+FROM eq
+""",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): every equivalence class with its size,
+    flagging classes below k=5 — records in those classes are
+    re-identifiable by joining the "anonymized" release against any
+    external table carrying the same quasi-identifiers, which is the
+    attack k-anonymity measures. The release gate a privacy review
+    runs before sharing a dataset; the fix (suppress or generalize the
+    flagged classes) is a filter/replace on exactly these rows.
+
+    One hash aggregation on the quasi-identifier tuple — group count
+    partials combine map-side, so the audit costs one |classes|-row
+    shuffle at any data size; the k threshold is an integer compare.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            F.when(F.col("class_size") < 5, 1).otherwise(0).alias("at_risk"),
+        )
+    )
+
+
+@register(
+    "slo_burn_rate",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+rolled AS (
+  SELECT hour, n, n_err,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_6h,
+         CAST(SUM(n_err) OVER w AS BIGINT) AS err_6h
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour, n, n_err,
+       CAST(err_6h AS DOUBLE) / n_6h AS rate_6h,
+       CASE WHEN err_6h * 5 > n_6h THEN 1 ELSE 0 END AS burn_alert
+FROM rolled
+""",
+)
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate monitoring (the SRE multiwindow alert shape): per
+    hour, the error count and the rolling 6-hour error rate, alerting
+    when the 6-hour rate exceeds 20% — i.e. the error budget is
+    burning faster than the availability target tolerates.
+
+    Scale: the raw stream collapses to HOURLY partials first (map-side
+    combine; the shuffle carries hours, not events), and the rolling
+    window runs over that tiny series — a global time-ordered window
+    over hours is fine at any data volume because there are only 8 760
+    of them a year. The alert cut is the cross-multiplied integer
+    inequality `5·err > n`, so membership never touches a float.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_err"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-5, Window.currentRow)
+    rolled = hourly.select(
+        "hour",
+        "n",
+        "n_err",
+        F.sum("n").over(w).alias("n_6h"),
+        F.sum("n_err").over(w).alias("err_6h"),
+    )
+    return rolled.select(
+        "hour",
+        "n",
+        "n_err",
+        (F.col("err_6h").cast("double") / F.col("n_6h")).alias("rate_6h"),
+        F.when(F.col("err_6h") * 5 > F.col("n_6h"), 1).otherwise(0).alias(
+            "burn_alert"
+        ),
+    )

@@ -259,6 +259,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ts_spectral_power",
     "fn_business_days",
     "sim_mmr_diversify",
+    "privacy_k_anonymity",
+    "slo_burn_rate",
 )
 
 
