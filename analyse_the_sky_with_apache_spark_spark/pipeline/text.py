@@ -546,3 +546,62 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN w IN ('fast', 'big') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN w IN ('slow', 'small', 'dup') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_neg
+  FROM words GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_pos, n_neg,
+       CASE WHEN n_pos + n_neg = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n_pos - n_neg AS DOUBLE) / (n_pos + n_neg) END
+         AS polarity
+FROM scored
+""",
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the classic large-scale shape —
+    cf. "Large Scale Sentiment Analysis on Twitter with Spark",
+    EDBT 2016, PAPERS.md): count positive- and negative-lexicon hits
+    per document in one pass and report polarity
+    ``(pos − neg)/(pos + neg)`` — the zero-model baseline every
+    sentiment pipeline starts from, and at corpus scale often all you
+    need for trend monitoring.
+
+    Both lexicon counts are conditional sums inside ONE hash aggregate
+    over the exploded token stream (never a scan per lexicon); a real
+    lexicon with thousands of entries broadcasts as a join against the
+    token stream instead of inlining IN-lists — same plan shape. The
+    polarity is an exact integer ratio with the empty-denominator case
+    pinned to 0.0 in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    pos = F.col("w").isin("fast", "big")
+    neg = F.col("w").isin("slow", "small", "dup")
+    scored = words.groupBy("doc_id", "lang").agg(
+        F.sum(pos.cast("long")).alias("n_pos"),
+        F.sum(neg.cast("long")).alias("n_neg"),
+    )
+    tot = F.col("n_pos") + F.col("n_neg")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.when(tot == 0, F.lit(0.0))
+        .otherwise((F.col("n_pos") - F.col("n_neg")).cast("double") / tot)
+        .alias("polarity"),
+    )

@@ -261,6 +261,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sim_mmr_diversify",
     "privacy_k_anonymity",
     "slo_burn_rate",
+    "text_sentiment_lexicon",
 )
 
 
