@@ -321,3 +321,45 @@ def test_in_subquery_agrees(spark, duck, where_o, where_l, anti):
         f" WHERE ({where_o}) AND o_orderkey {neg}IN"
         f" (SELECT l_orderkey FROM lineitem WHERE {where_l})",
     )
+
+
+_cust_pred = st.builds(
+    lambda op, v: f"c_custkey {op} {v}",
+    st.sampled_from(_CMP_OPS),
+    st.integers(min_value=0, max_value=1500),
+)
+
+
+@_SETTINGS
+@given(where=_predicates, cond=_num_pred)
+def test_conditional_aggregation_agrees(spark, duck, where, cond):
+    """Conditional aggregation (SUM/COUNT over CASE) under random
+    predicates — the filtered-aggregate shape q8/q12 lean on, checked
+    for agreement on integer ground."""
+    _run_both(
+        spark,
+        duck,
+        f"SELECT l_returnflag,"
+        f" CAST(SUM(CASE WHEN ({cond}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f"   AS n_cond,"
+        f" COUNT(*) AS n"
+        f" FROM lineitem WHERE ({where}) GROUP BY l_returnflag",
+    )
+
+
+@_SETTINGS
+@given(where_l=_predicates, where_o=_orders_pred, where_c=_cust_pred)
+def test_three_way_join_agrees(spark, duck, where_l, where_o, where_c):
+    """Random predicates pushed through a 3-level join chain
+    (lineitem⋈orders⋈customer) must not change the agreed row multiset
+    — exercises pushdown + join reordering against DuckDB's planner."""
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT c_nationkey, COUNT(*) AS n"
+        f" FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        f" JOIN customer ON o_custkey = c_custkey"
+        f" WHERE ({where_l}) AND ({where_o}) AND ({where_c})"
+        f" GROUP BY c_nationkey",
+        tables=("lineitem", "orders", "customer"),
+    )
