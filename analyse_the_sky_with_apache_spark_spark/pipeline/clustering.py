@@ -444,3 +444,56 @@ def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_points"))
     )
+
+
+def _suff_terms():
+    """(name, sql_expr, scale) for every normal-equation sufficient
+    statistic over features (1, l_quantity, l_discount, l_tax) and
+    target l_extendedprice — xx pairs at 1e6 (products ≤ 2.5e3), xy at
+    1e4 (products ≤ ~5.5e6): both keep the sf0.1 long sums far from
+    2^63."""
+    cols = {"one": "1.0", "qty": "l_quantity", "disc": "l_discount",
+            "tax": "l_tax"}
+    names = list(cols)
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            out.append(
+                (f"xx_{a}_{b}", f"({cols[a]}) * ({cols[b]})", 1_000_000.0)
+            )
+        out.append((f"xy_{a}", f"({cols[a]}) * l_extendedprice", 10_000.0))
+    return out
+
+
+@register(
+    "ml_linreg_suffstats",
+    oracle="SELECT "
+    + ", ".join(
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {s} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {s} AS {name}"
+        for name, expr, s in _suff_terms()
+    )
+    + " FROM lineitem",
+)
+def ml_linreg_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of `ml_linreg_normal`, hash-verified: all
+    14 normal-equation sufficient statistics (X'X upper triangle and
+    X'y, intercept included) as exact scaled-long sums in ONE
+    map-combining aggregation. `ml_linreg_normal` stays rows-only
+    because its driver-side 4×4 solve has no SQL twin; this key pins
+    the part that actually touches data — at 100 TB the solve is O(1),
+    so a green row here IS the regression's distributed correctness.
+    Per-term scales keep the largest sf0.1 accumulations (~3e16) well
+    inside the long range (functions/exact.py bound).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        (
+            F.sum(
+                F.floor(F.expr(expr) * F.lit(s) + F.lit(0.5))
+            ).cast("double")
+            / F.lit(s)
+        ).alias(name)
+        for name, expr, s in _suff_terms()
+    ]
+    return li.agg(*aggs)

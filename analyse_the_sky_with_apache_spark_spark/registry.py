@@ -262,6 +262,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "privacy_k_anonymity",
     "slo_burn_rate",
     "text_sentiment_lexicon",
+    "ml_linreg_suffstats",
 )
 
 
