@@ -570,3 +570,117 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited.select("node", F.col("hops").cast("long").alias("hops"))
+
+
+#: integer PageRank: per-node rank in micro-units, 5 iterations.
+_PR_SCALE, _PR_ITERS = 1_000_000, 5
+
+
+def _pr_oracle() -> str:
+    """Five unrolled integer-PageRank iterations as chained CTEs."""
+    base = 15 * _PR_SCALE // 100
+    ctes = [
+        """e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM deg)""".format(
+            scale=_PR_SCALE
+        )
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            """r{k} AS (
+  SELECT d.node,
+         {base} + (85 * COALESCE(inc.s, 0)) // 100 AS rank
+  FROM deg d LEFT JOIN (
+    SELECT a.nbr AS node, CAST(SUM(r.rank // g.d) AS BIGINT) AS s
+    FROM adj a
+    JOIN r{p} r ON r.node = a.node
+    JOIN deg g ON g.node = a.node
+    GROUP BY a.nbr
+  ) inc ON inc.node = d.node
+)""".format(k=k, p=k - 1, base=base)
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+    )
+
+
+@register("graph_pagerank_exact", oracle=_pr_oracle())
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in EXACT integer arithmetic, hash-verified — the
+    upgrade path for `graph_pagerank` (rows-only because float rank
+    mass accumulates in engine-internal order): ranks live in
+    micro-units, each node's outgoing contribution is an integer
+    division by its degree, and the damping step is integer
+    multiply-divide — every iteration is bit-identical in any engine,
+    at any partitioning, so five rounds later the top-20 hash-matches
+    DuckDB's unrolled-CTE evaluation of the same recurrence.
+
+    The integer recurrence drops sub-microunit rank mass at each
+    division (deliberately — determinism is worth 1e-6 of rank), so it
+    is PageRank up to that quantization. Plan per round: one
+    contribution join keyed on the edge source + one nbr-keyed
+    aggregate + one left join back to the node set — the standard
+    Pregel-free shape with `localCheckpoint` lineage truncation
+    (`dedup_connected_components` precedent).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a0, b0 = li.alias("a"), li.alias("b")
+    e = (
+        a0.join(
+            b0,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(
+        "node", F.lit(_PR_SCALE).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    base = 15 * _PR_SCALE // 100
+    for _ in range(_PR_ITERS):
+        inc = (
+            adj.join(ranks, "node")
+            .join(deg, "node")
+            .select("nbr", F.expr("rank div d").alias("contrib"))
+            .groupBy("nbr")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(inc, deg.node == inc.nbr, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)

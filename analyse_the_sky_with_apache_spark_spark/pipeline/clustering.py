@@ -497,3 +497,91 @@ def ml_linreg_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, expr, s in _suff_terms()
     ]
     return li.agg(*aggs)
+
+
+#: integer-gridded assignment: (a-b)^2 floor-gridded to nano-units per
+#: dimension, accumulated as exact longs inside the lambda — argmin by
+#: (d2n, cluster) via lexicographic struct min, engine-exact.
+_ASSIGN_EXACT_EXPR = """
+array_min(transform(C, c -> struct(
+  aggregate(zip_with(vec, c.cvec,
+                     (a, b) -> CAST(FLOOR((a - b) * (a - b) * 1000000000.0
+                                          + 0.5) AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2n,
+  c.cluster AS cluster)))
+"""
+
+
+@register(
+    "kmeans_one_round",
+    oracle=f"""
+WITH seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster,
+         embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {_K}
+),
+dist AS (
+  SELECT p.vec_id, s.cluster,
+         SUM(CAST(FLOOR(
+           (CAST(p.embedding[i::INT] AS DOUBLE)
+            - CAST(s.cvec[i::INT] AS DOUBLE))
+           * (CAST(p.embedding[i::INT] AS DOUBLE)
+              - CAST(s.cvec[i::INT] AS DOUBLE))
+           * 1000000000.0 + 0.5) AS BIGINT)) AS d2n
+  FROM embeddings p, seeds s, range(1, 65) t(i)
+  GROUP BY p.vec_id, s.cluster
+),
+best AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2n, cluster) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT b.cluster, i - 1 AS dim, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(p.embedding[i::INT] AS DOUBLE) * 1000000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS centroid
+FROM best b JOIN embeddings p ON p.vec_id = b.vec_id, range(1, 65) t(i)
+GROUP BY b.cluster, i
+""",
+)
+def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd iteration, made engine-exact and hash-verified — the
+    kernel `kmeans_lloyd` repeats: deterministic seeds (the k lowest
+    vec_ids), nearest-centroid assignment with per-dimension squared
+    differences floor-gridded to nano-units (the distance accumulates
+    as an exact long inside the lambda, so the argmin and its
+    (distance, cluster) tie-break are identical in both engines), then
+    the centroid update as micro-gridded means per (cluster, dim).
+
+    Why this key exists: the full iterative fit stays rows-only (float
+    centroid drift across rounds is engine-internal), but everything
+    the CLUSTER actually executes — the narrow literal-broadcast
+    assignment projection and the (cluster, dim)-keyed update
+    aggregation — is this round, and a green hash row here verifies it
+    end-to-end. Same division as ml_linreg_suffstats: hash the
+    distributed kernel, pytest the driver-side iteration.
+    """
+    pts = _load_points(spark, sf_dir)
+    seeds = _init_centroids(pts, _K)
+    assigned = (
+        pts.withColumn("C", _centroid_literal(seeds))
+        .withColumn("best", F.expr(_ASSIGN_EXACT_EXPR))
+        .select("vec_id", "vec", F.col("best.cluster").alias("cluster"))
+    )
+    ex = assigned.select(
+        "cluster", F.posexplode("vec").alias("dim", "v")
+    )
+    return ex.groupBy(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dim").cast("long").alias("dim"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+    )

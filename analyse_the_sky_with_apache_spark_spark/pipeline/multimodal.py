@@ -292,3 +292,87 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("dim_min"),
         F.max("v").alias("dim_max"),
     )
+
+
+@register(
+    "emb_pca_covariance",
+    oracle="""
+WITH m1 AS (
+  SELECT i - 1 AS d,
+         SUM(CAST(FLOOR(CAST(embedding[i::INT] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS s1,
+         COUNT(*) AS n
+  FROM embeddings, range(1, 65) t(i) GROUP BY i
+),
+m2 AS (
+  SELECT a.i - 1 AS di, b.i - 1 AS dj,
+         SUM(CAST(FLOOR(CAST(e.embedding[a.i::INT] AS DOUBLE)
+                        * CAST(e.embedding[b.i::INT] AS DOUBLE)
+                        * 100000000.0 + 0.5) AS BIGINT)) AS s2
+  FROM embeddings e, range(1, 65) a(i), range(1, 65) b(i)
+  WHERE a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT di, dj,
+       CAST(s2 AS DOUBLE) / 100000000.0 / ma.n
+       - (CAST(ma.s1 AS DOUBLE) / 1000000.0 / ma.n)
+         * (CAST(mb.s1 AS DOUBLE) / 1000000.0 / mb.n) AS cov
+FROM m2
+JOIN m1 ma ON ma.d = di
+JOIN m1 mb ON mb.d = dj
+""",
+)
+def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of `emb_pca`, hash-verified: the full
+    64×64 covariance upper triangle from one pass of exact
+    scaled-long first and second moments (products gridded at 1e-8,
+    values at 1e-6), combined into covariances by identical double
+    arithmetic in both engines. `emb_pca` itself stays rows-only —
+    its eigendecomposition is a driver-side numpy step with no SQL
+    twin — but everything data-sized in a PCA IS this covariance
+    accumulation; same verification split as `ml_linreg_suffstats`
+    and `kmeans_one_round`.
+
+    Plan: one posexplode, a per-vector dim×dim self-join (the fan-out
+    is 64²/2 per vector, map-side), one (di, dj)-keyed aggregation —
+    the shuffle carries 2 080 partial rows per mapper regardless of
+    corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    ).select("vec_id", "d", F.col("v").cast("double").alias("v"))
+    a = ex.select("vec_id", F.col("d").alias("di"), F.col("v").alias("va"))
+    b = ex.select("vec_id", F.col("d").alias("dj"), F.col("v").alias("vb"))
+    pairs = a.join(b, "vec_id").filter(F.col("di") <= F.col("dj"))
+    m2 = pairs.groupBy(
+        F.col("di").cast("long").alias("di"),
+        F.col("dj").cast("long").alias("dj"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("va") * F.col("vb") * F.lit(1e8) + F.lit(0.5))
+        ).alias("s2")
+    )
+    m1 = ex.groupBy(F.col("d").cast("long").alias("d")).agg(
+        F.sum(F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5))).alias("s1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ma = m1.select(
+        F.col("d").alias("di"), F.col("s1").alias("s1a"), F.col("n").alias("na")
+    )
+    mb = m1.select(
+        F.col("d").alias("dj"), F.col("s1").alias("s1b"), F.col("n").alias("nb")
+    )
+    return (
+        m2.join(F.broadcast(ma), "di")
+        .join(F.broadcast(mb), "dj")
+        .select(
+            "di",
+            "dj",
+            (
+                F.col("s2").cast("double") / F.lit(1e8) / F.col("na")
+                - (F.col("s1a").cast("double") / F.lit(1e6) / F.col("na"))
+                * (F.col("s1b").cast("double") / F.lit(1e6) / F.col("nb"))
+            ).alias("cov"),
+        )
+    )

@@ -263,6 +263,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "slo_burn_rate",
     "text_sentiment_lexicon",
     "ml_linreg_suffstats",
+    "kmeans_one_round",
+    "emb_pca_covariance",
+    "graph_pagerank_exact",
 )
 
 
