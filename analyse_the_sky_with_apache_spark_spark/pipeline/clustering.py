@@ -320,7 +320,10 @@ cells AS (
 ),
 tot AS (SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_pts FROM cells),
 core AS (
-  SELECT x, y, n FROM cells, tot WHERE n * n_cells >= 2 * n_pts
+  SELECT x, y, n FROM cells, tot
+  WHERE n * n_cells > n_pts
+    AND (n * n_cells - n_pts) * (n * n_cells - n_pts)
+        >= 4 * n_pts * n_cells
 ),
 edges AS (
   SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y
@@ -344,10 +347,13 @@ GROUP BY cluster_id
 )
 def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-density clustering — the distributed DBSCAN approximation:
-    bucket the synthetic sky catalog into fixed cells, mark cells at
-    ≥ 2× the mean occupied-cell density as CORE (an adaptive,
-    cross-multiplied integer threshold, so the same query is
-    meaningful at every scale factor), connect 8-adjacent core cells
+    bucket the synthetic sky catalog into fixed cells, mark cells more
+    than 2 Poisson sigmas above the mean occupied-cell density as CORE
+    (``n > λ + 2√λ`` in the cross-multiplied integer form
+    ``(n·C − P)² ≥ 4·P·C`` with ``n·C > P`` — a FIXED multiple of the
+    mean empties as λ grows since fluctuations scale as √λ; the
+    sigma-relative cut stays meaningful at every scale factor),
+    connect 8-adjacent core cells
     into clusters, and report each cluster's cell and point counts.
 
     This is how density clustering actually scales: point-level DBSCAN
@@ -383,9 +389,13 @@ def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells_tot"),
         F.sum("n").alias("n_pts"),
     )
+    excess = F.col("n") * F.col("n_cells_tot") - F.col("n_pts")
     core = (
         cells.crossJoin(F.broadcast(tot))
-        .filter(F.col("n") * F.col("n_cells_tot") >= 2 * F.col("n_pts"))
+        .filter(
+            (excess > 0)
+            & (excess * excess >= 4 * F.col("n_pts") * F.col("n_cells_tot"))
+        )
         .select("x", "y", "n")
         .localCheckpoint(eager=True)
     )

@@ -816,3 +816,74 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_variants").cast("long").alias("n_variants"),
         )
     )
+
+
+def _dedup_eval_oracle() -> str:
+    """Stitch the two REGISTERED oracles (exact-Jaccard truth, MinHash
+    candidates) into one evaluation query — built from the live ORACLE
+    registry so the eval can never drift from what the component keys
+    actually compute."""
+    from ..registry import ORACLE
+
+    truth = ORACLE["dedup_ngram_jaccard"].strip()
+    cand = ORACLE["dedup_minhash_sql"].strip()
+    return f"""
+WITH truth AS ({truth}),
+cand AS ({cand}),
+tp AS (
+  SELECT COUNT(*) AS n_tp
+  FROM truth t JOIN cand c ON t.ia = c.ia AND t.ib = c.ib
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_cand,
+       n_tp,
+       CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n_tp AS DOUBLE) / (SELECT COUNT(*) FROM cand) END
+         AS precision,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n_tp AS DOUBLE) / (SELECT COUNT(*) FROM truth) END
+         AS recall
+FROM tp
+"""
+
+
+@register("dedup_minhash_eval", oracle=_dedup_eval_oracle())
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The completeness critic for near-dup detection, itself
+    hash-verified: run the exact character-shingle Jaccard join (the
+    TRUTH set, ≥ 0.9) and the MinHash-LSH banded candidates side by
+    side and report candidate-count, truth-count, true positives,
+    precision and recall as one row of exact ratios.
+
+    Every dedup system quotes a recall number; this one's is computed
+    by the engine being graded AND cross-checked cell-by-cell against
+    DuckDB running the composed SQL of the same two registered oracles
+    (stitched programmatically from the live registry, so the eval can
+    never drift from the component definitions). At 100 TB you run
+    this on a sampled stratum — both component plans are the bucketed
+    joins already documented; the evaluation adds one (ia, ib) hash
+    join and a scalar aggregate. Note MinHash's banded candidates at
+    this b/r geometry include sub-threshold pairs (precision < 1 by
+    design — they are killed by the verify stage downstream), while
+    recall at Jaccard ≥ 0.9 should be near 1: P(candidate) =
+    1−(1−s²)⁴ ≥ 0.9996 at s = 0.9.
+    """
+    truth = jaccard_pairs(spark, sf_dir, _JACCARD_MIN).select("ia", "ib")
+    cand = dedup_minhash_sql(spark, sf_dir).select("ia", "ib")
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_tp = truth.join(cand, ["ia", "ib"]).count()
+    row = [
+        (
+            n_truth,
+            n_cand,
+            n_tp,
+            (float(n_tp) / n_cand) if n_cand else 0.0,
+            (float(n_tp) / n_truth) if n_truth else 0.0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_truth BIGINT, n_cand BIGINT, n_tp BIGINT,"
+        " precision DOUBLE, recall DOUBLE",
+    )

@@ -266,6 +266,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "kmeans_one_round",
     "emb_pca_covariance",
     "graph_pagerank_exact",
+    "dedup_minhash_eval",
 )
 
 

@@ -277,17 +277,21 @@ WITH pv AS (
          SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS val_c
   FROM lineitem GROUP BY l_partkey
 ),
-tot AS (SELECT SUM(val_c) AS tot_c FROM pv)
+tot AS (SELECT SUM(val_c) AS tot_c, COUNT(*) AS n_parts FROM pv)
 SELECT l_partkey, CAST(val_c AS DOUBLE) / 100.0 AS part_value
 FROM pv, tot
-WHERE CAST(val_c AS DOUBLE) > CAST(tot_c AS DOUBLE) * CAST(0.0005 AS DOUBLE)
+WHERE 2 * val_c * n_parts > 3 * tot_c
 """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
     the GLOBAL total — the scalar-subquery-in-HAVING pattern. The
     fixtures carry no partsupp, so value is total extended price traded
-    per part from lineitem. Both the per-part values and the global
+    per part from lineitem, and the threshold is ADAPTIVE — parts above
+    1.5× the average part value — because a fixed fraction of the global
+    total empties as the part universe grows (0 rows at sf0.1 with the
+    original 0.05% cut); the adaptive cut is the integer inequality
+    ``2·val·n_parts > 3·total``, scale-free and exact. Both the per-part values and the global
     total come from the same exact cent-long partials — the total is
     the sum of the per-part longs (integer addition, exact in any
     order), so re-aggregating the agg is free and bit-stable; the
@@ -304,13 +308,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val_c")
         )
     )
-    tot = pv.agg(F.sum("val_c").alias("tot_c"))
+    tot = pv.agg(
+        F.sum("val_c").alias("tot_c"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(
-            F.col("val_c").cast("double")
-            > F.col("tot_c").cast("double") * F.lit(0.0005)
-        )
+        .filter(2 * F.col("val_c") * F.col("n_parts") > 3 * F.col("tot_c"))
         .select(
             "l_partkey",
             (F.col("val_c").cast("double") / F.lit(100.0)).alias("part_value"),
