@@ -947,3 +947,79 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click
+  FROM ev
+),
+lags AS (
+  SELECT (epoch_us(ts) - epoch_us(last_click)) // 1000000 AS lag_s
+  FROM w
+  WHERE event_type = 'purchase' AND last_click IS NOT NULL
+    AND epoch_us(ts) - epoch_us(last_click) <= 604800000000
+)
+SELECT COUNT(*) AS n_conversions,
+       CAST(quantile_disc(lag_s, 0.25) AS BIGINT) AS p25_s,
+       CAST(quantile_disc(lag_s, 0.5) AS BIGINT) AS p50_s,
+       CAST(quantile_disc(lag_s, 0.75) AS BIGINT) AS p75_s,
+       CAST(MAX(lag_s) AS BIGINT) AS max_s
+FROM lags
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every attributed conversion
+    (click → purchase within 7 days, the `attribution_last_touch`
+    matching), the quartiles of the click-to-purchase delay — the
+    latency histogram that tells you whether the funnel converts in
+    minutes or days, which drives attribution-window and retargeting
+    choices.
+
+    The matching is the same single running-MAX window pass; the lag
+    quantiles are DISCRETE (exact order statistics on integer seconds
+    — `percentile_approx`-free and engine-exact, the
+    `agg_percentile_disc` discipline), so the whole five-number
+    summary hash-matches. At 100 TB the lags stream shuffles once for
+    the global exact quantile; swap in the sketch for a
+    one-partial-per-mapper plan when exactness stops mattering.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    lag_us = F.unix_micros("ts") - F.unix_micros("last_click")
+    lags = (
+        ev.withColumn("last_click", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+            & (lag_us <= 604_800_000_000)
+        )
+        .select(F.floor(lag_us / F.lit(1_000_000)).alias("lag_s"))
+    )
+    q = lambda p: F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY lag_s)")
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        q(0.25).cast("long").alias("p25_s"),
+        q(0.5).cast("long").alias("p50_s"),
+        q(0.75).cast("long").alias("p75_s"),
+        F.max("lag_s").cast("long").alias("max_s"),
+    )

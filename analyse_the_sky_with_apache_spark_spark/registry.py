@@ -267,6 +267,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "emb_pca_covariance",
     "graph_pagerank_exact",
     "dedup_minhash_eval",
+    "funnel_time_to_convert",
 )
 
 
