@@ -500,3 +500,55 @@ def test_bm25_stats_broadcast(spark):
     plan = _plan(queries()["text_bm25"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_window_no_self_join(spark):
+    """Last-touch attribution must be ONE window pass — a Join node
+    would mean the per-purchase correlated-lookup formulation crept
+    back in."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["attribution_last_touch"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_drawdown_single_sort(spark):
+    """Max drawdown stacks two running frames on ONE ordering — exactly
+    one Sort (within the user-key exchange) may appear."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["ts_max_drawdown"](spark, SF_DIR))
+    sorts = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith(("Sort", "* Sort", ": * Sort"))
+        or "+- * Sort" in line
+        or "+- Sort" in line
+    ]
+    assert len({s.split("(")[-1] for s in sorts if "Sort (" in s}) <= 2, plan
+    assert "Join" not in plan
+
+
+def test_gdpr_audit_broadcasts_delete_list(spark):
+    """The deletion list must reach every fact via broadcast joins —
+    a shuffled membership test would defeat the single-scan audit."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["gdpr_delete_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cardinality_estimate_never_materializes_join(spark):
+    """join_cardinality_estimate's plan must aggregate BEFORE the join:
+    both inputs to the final join are HashAggregates over distinct
+    keys, and no row-level fact-fact join node exists (the estimate is
+    the point — the join output never materializes)."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    df = queries()["join_cardinality_estimate"](spark, SF_DIR)
+    plan = _plan(df)
+    # exactly one join (key-counts ⋈ key-counts), over aggregates
+    assert plan.count("Join") >= 1
+    assert "HashAggregate" in plan
