@@ -1367,3 +1367,69 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.max("peak").cast("double") / F.lit(1e6)).alias("max_peak"),
     )
+
+
+@register(
+    "ts_state_transitions",
+    oracle="""
+WITH st AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value > CAST(50.0 AS DOUBLE) THEN 1 ELSE 0 END AS hot
+  FROM events
+),
+edges AS (
+  SELECT user_id, ts, hot,
+         LAG(hot) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_hot
+  FROM st
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_hot IS NOT NULL AND hot <> prev_hot
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN hot = 1 AND (prev_hot IS NULL OR prev_hot = 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rising,
+       MIN(CASE WHEN hot = 1 AND (prev_hot IS NULL OR prev_hot = 0)
+                THEN ts END) AS first_alert_ts
+FROM edges
+GROUP BY user_id
+HAVING SUM(CASE WHEN prev_hot IS NOT NULL AND hot <> prev_hot
+               THEN 1 ELSE 0 END) > 0
+""",
+)
+def ts_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert edge detection with flap statistics: threshold each series
+    into a boolean state, emit only the TRANSITIONS (lag-compare per
+    key) — the debounce every alerting pipeline needs, because paging
+    on level rather than edge re-fires the same incident every
+    evaluation tick. Reports per series the transition count (flap
+    indicator), rising-edge count, and first alert time.
+
+    One lag window and one aggregate on the same key partitioning —
+    a single shuffle; the threshold state is an integer so every
+    comparison and conditional count is engine-exact. At 100 TB the
+    same two-stage shape runs per device/monitor key; a high
+    n_transitions is itself the signal to hysteresis the threshold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("hot"),
+    ).withColumn("prev_hot", F.lag("hot").over(w))
+    is_edge = F.col("prev_hot").isNotNull() & (
+        F.col("hot") != F.col("prev_hot")
+    )
+    rising = (F.col("hot") == 1) & (
+        F.col("prev_hot").isNull() | (F.col("prev_hot") == 0)
+    )
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.sum(is_edge.cast("long")).alias("n_transitions"),
+            F.sum(rising.cast("long")).alias("n_rising"),
+            F.min(F.when(rising, F.col("ts"))).alias("first_alert_ts"),
+        )
+        .filter(F.col("n_transitions") > 0)
+    )

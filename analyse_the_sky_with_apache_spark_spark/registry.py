@@ -268,6 +268,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "graph_pagerank_exact",
     "dedup_minhash_eval",
     "funnel_time_to_convert",
+    "ts_state_transitions",
 )
 
 
