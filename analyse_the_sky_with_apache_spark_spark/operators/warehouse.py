@@ -1023,3 +1023,144 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.75).cast("long").alias("p75_s"),
         F.max("lag_s").cast("long").alias("max_s"),
     )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS session_start, COUNT(*) AS n_events
+  FROM y GROUP BY user_id, sid
+)
+SELECT CAST(date_trunc('day', session_start) AS DATE) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS bounce_rate
+FROM sess
+GROUP BY 1
+""",
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (30-minute gap) that
+    contain exactly one event — the canonical engagement KPI, sitting
+    on top of the same sessionization kernel as `sessionize_batch` /
+    `path_common_sequences`.
+
+    One user-key shuffle does the sessionization (lag + running sum
+    share the ordering), the per-session rollup rides the same key,
+    and the daily rollup is a tiny date-keyed aggregate; bounce
+    classification is an integer equality, the rate an exact count
+    ratio.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = (
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                >= 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    y = ev.select("user_id", "ts", "event_id", new_s.alias("new_s")).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = y.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = (F.col("n_events") == 1).cast("long")
+    return (
+        sess.groupBy(F.col("session_start").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(bounce).alias("n_bounces"),
+            (F.sum(bounce).cast("double") / F.count(F.lit(1))).alias(
+                "bounce_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "dq_uniqueness_audit",
+    oracle="""
+SELECT 'customer.c_custkey' AS key_col,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_custkey) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+FROM customer
+UNION ALL
+SELECT 'orders.o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem.(l_orderkey,l_linenumber)', COUNT(*),
+       COUNT(DISTINCT l_orderkey * 16 + l_linenumber),
+       CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+FROM events
+""",
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: rows vs distinct keys per declared
+    key (including the composite lineitem key, packed into one long so
+    the distinct runs on a single column) — with
+    `dq_referential_integrity` this completes the constraint checks
+    parquet can't enforce; duplicate keys are how double-loads and
+    at-least-once ingestion manifest.
+
+    One COUNT(DISTINCT) aggregation per table — Spark's two-level
+    distinct expansion keyed on the key column; the composite pack is
+    exact (l_linenumber < 16).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(df, key_col, name):
+        return df.agg(
+            F.lit(name).alias("key_col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key_col).alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(key_col)).alias("n_dup_rows"),
+        ).select("key_col", "n_rows", "n_distinct", "n_dup_rows")
+
+    return (
+        audit(c, F.col("c_custkey"), "customer.c_custkey")
+        .unionAll(audit(o, F.col("o_orderkey"), "orders.o_orderkey"))
+        .unionAll(
+            audit(
+                li,
+                F.col("l_orderkey") * 16 + F.col("l_linenumber"),
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+        .unionAll(audit(ev, F.col("event_id"), "events.event_id"))
+    )

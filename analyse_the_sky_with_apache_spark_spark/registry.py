@@ -269,6 +269,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dedup_minhash_eval",
     "funnel_time_to_convert",
     "ts_state_transitions",
+    "session_bounce_rate",
+    "dq_uniqueness_audit",
 )
 
 
