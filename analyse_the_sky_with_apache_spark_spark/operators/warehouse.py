@@ -1164,3 +1164,80 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(audit(ev, F.col("event_id"), "events.event_id"))
     )
+
+
+@register(
+    "attribution_linear",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id AS cid, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+buys AS (
+  SELECT user_id, event_id AS bid, ts AS bts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id, c.cid, c.cts, b.bid
+  FROM clicks c JOIN buys b
+    ON c.user_id = b.user_id
+   AND c.cts < b.bts
+   AND epoch_us(b.bts) - epoch_us(c.cts) <= 604800000000
+),
+per_buy AS (SELECT bid, COUNT(*) AS n FROM pairs GROUP BY bid),
+credit AS (
+  SELECT p.user_id, p.cts, 1000000 // nb.n AS credit_micro
+  FROM pairs p JOIN per_buy nb ON p.bid = nb.bid
+)
+SELECT CAST(date_trunc('day', cts) AS DATE) AS day,
+       COUNT(*) AS n_credited_clicks,
+       CAST(SUM(credit_micro) AS DOUBLE) / 1000000.0 AS linear_credit
+FROM credit
+GROUP BY 1
+""",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the counterpart to
+    `attribution_last_touch`: each purchase splits one unit of credit
+    equally across ALL of that user's clicks in the prior 7 days, and
+    the report rolls credit up by CLICK day (which channel-day earned
+    it). Last-touch over-rewards the final touch; linear is the other
+    standard model, and needs the full click↔purchase pairing, not
+    just a running max.
+
+    The pairing is a user-keyed equi join with the time window as a
+    residual predicate — each user's events co-locate in one hash
+    bucket, so the quadratic blow-up is bounded per user (add a
+    time-bucket to the key for power users at 100 TB). Credit splits
+    as integer micro-units (``1000000 div n``) so the per-day sums are
+    exact longs — the deliberate sub-ppm rounding loss per purchase is
+    the price of engine-exact totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("bid"),
+        F.col("ts").alias("bts"),
+    )
+    pairs = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("cts") < F.col("bts"))
+        & (
+            F.unix_micros("bts") - F.unix_micros("cts")
+            <= 604_800_000_000
+        ),
+    ).select("user_id", "cid", "cts", "bid")
+    per_buy = pairs.groupBy("bid").agg(F.count(F.lit(1)).alias("n"))
+    credit = pairs.join(per_buy, "bid").select(
+        "cts", F.expr("1000000 div n").alias("credit_micro")
+    )
+    return credit.groupBy(F.col("cts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        (F.sum("credit_micro").cast("double") / F.lit(1e6)).alias(
+            "linear_credit"
+        ),
+    )

@@ -271,6 +271,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ts_state_transitions",
     "session_bounce_rate",
     "dq_uniqueness_audit",
+    "attribution_linear",
 )
 
 
