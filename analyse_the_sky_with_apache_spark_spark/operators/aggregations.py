@@ -999,3 +999,57 @@ def agg_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_click") + F.col("est_view") - F.col("est_union")
         ).alias("est_intersection"),
     )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dow_0,
+       CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow_1,
+       CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow_2,
+       CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow_3,
+       CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow_4,
+       CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow_5,
+       CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6
+FROM d GROUP BY event_type
+""",
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the DataFrameStatFunctions
+    door (the API a data scientist reaches for before a chi-square
+    test): event type × weekday counts. The weekday derives from pure
+    integer epoch-day arithmetic (the `fn_business_days` portability
+    rule — engine dayofweek() conventions differ), and crosstab's
+    pivoted output is renamed/cast to a stable schema.
+
+    crosstab plans exactly like the equivalent pivot: one hash
+    aggregation on (type, dow) then a tiny driver-side pivot of the
+    distinct column values — safe ONLY when the pivoted domain is
+    bounded (7 here); an unbounded second column is the classic
+    crosstab scale trap, which is why the engine's general tool is
+    `agg_pivot` with an explicit value list.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (
+            (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) + 4) % 7
+        ).cast("string").alias("dow"),
+    )
+    ct = d.stat.crosstab("event_type", "dow")
+    out = ct.withColumnRenamed("event_type_dow", "event_type")
+    for i in range(7):
+        out = (
+            out.withColumnRenamed(str(i), f"dow_{i}")
+            if str(i) in out.columns
+            else out.withColumn(f"dow_{i}", F.lit(0))
+        )
+    return out.select(
+        "event_type", *[F.col(f"dow_{i}").cast("long").alias(f"dow_{i}") for i in range(7)]
+    )

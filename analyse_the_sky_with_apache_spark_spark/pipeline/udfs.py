@@ -384,3 +384,50 @@ def udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@register(
+    "api_pandas_on_spark",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) — the THIRD user
+    API next to DataFrame and SQL, for teams porting pandas code: a
+    groupby-aggregate written in pandas idiom (``df.groupby(...)
+    .agg(...)``) that lowers to the SAME Catalyst plan as the native
+    DataFrame form, proven by hash-matching the same oracle.
+
+    The money sum pre-scales to exact cent-longs BEFORE entering the
+    pandas-API groupby (the engine-wide determinism rule applies to
+    every API door), and ``to_spark()`` hands back the logical plan —
+    no materialization, no driver round-trip; at 100 TB the pandas
+    facade costs nothing at execution time because there is no
+    pandas at execution time.
+    """
+    import pyspark.pandas as pso
+
+    psdf = pso.read_parquet(f"{sf_dir}/orders.parquet")
+    # floor via the column's spark accessor to stay engine-exact
+    from pyspark.sql import functions as SF
+
+    psdf["cents"] = psdf["o_totalprice"].spark.transform(
+        lambda c: SF.floor(c * SF.lit(100.0) + SF.lit(0.5))
+    )
+    out = (
+        psdf.groupby("o_orderpriority")
+        .agg(n=("o_orderkey", "count"), cents_sum=("cents", "sum"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        (F.col("cents_sum").cast("double") / F.lit(100.0)).alias("total"),
+    )

@@ -272,6 +272,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "session_bounce_rate",
     "dq_uniqueness_audit",
     "attribution_linear",
+    "api_pandas_on_spark",
+    "stat_crosstab",
 )
 
 
