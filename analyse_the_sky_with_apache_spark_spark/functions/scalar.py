@@ -737,3 +737,97 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("business_days")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sql_named_params",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > CAST(100000.0 AS DOUBLE)
+GROUP BY o_orderpriority
+""",
+)
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers, Spark 3.4+): the
+    injection-safe way to template queries — ``:threshold`` binds as a
+    typed literal at ANALYSIS time, so the bound value participates in
+    constant folding and predicate pushdown exactly like an inline
+    literal (check the scan's PushedFilters), while the query text
+    stays static and cacheable. The oracle inlines the same constant;
+    matching hashes prove binding ≡ inlining.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :threshold
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 100000.0},
+    )
+
+
+@register(
+    "sql_lateral_alias",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+            AS BIGINT) AS net_cents,
+       CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+            AS BIGINT) * 2 AS doubled
+FROM lineitem
+WHERE l_quantity < CAST(3.0 AS DOUBLE)
+""",
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+ / DuckDB parity): a SELECT
+    item referencing an alias defined EARLIER IN THE SAME SELECT —
+    ``net_cents`` is defined once and reused by ``doubled``, instead
+    of repeating the expression or nesting a subquery. Catalyst
+    inlines the alias during analysis, so the plan is identical to
+    the written-out form (no extra Project); the oracle writes the
+    expression out twice and the hashes agree.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                    AS BIGINT) AS net_cents,
+               net_cents * 2 AS doubled
+        FROM lineitem
+        WHERE l_quantity < CAST(3.0 AS DOUBLE)
+        """
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_qty
+FROM lineitem
+GROUP BY ALL
+""",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+ and DuckDB share the extension):
+    group by every non-aggregate SELECT item — the analyst-ergonomics
+    form that eliminates the stale-GROUP-BY-list bug when projections
+    change. Both engines resolve it to the identical explicit grouping
+    (the oracle literally uses GROUP BY ALL on the DuckDB side too),
+    and the plan is byte-for-byte the explicit-list plan.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

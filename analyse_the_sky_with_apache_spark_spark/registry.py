@@ -274,6 +274,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "attribution_linear",
     "api_pandas_on_spark",
     "stat_crosstab",
+    "sql_named_params",
+    "sql_lateral_alias",
+    "sql_group_by_all",
 )
 
 
