@@ -831,3 +831,43 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY revenue DESC, l_returnflag
+LIMIT 3
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's ``|>`` operator chain, from the
+    GoogleSQL pipes proposal): the query reads top-to-bottom in
+    execution order — FROM |> WHERE |> AGGREGATE |> ORDER BY |> LIMIT —
+    instead of the inside-out SELECT nesting. Each pipe stage lowers to
+    the identical logical operator the classic form produces (the
+    oracle is the classic form; matching hashes prove it), so the
+    ergonomics are free: same pushdown, same partial aggregation, same
+    TakeOrderedAndProject.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 100.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100.0 AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue
+        |> ORDER BY revenue DESC, l_returnflag
+        |> LIMIT 3
+        """
+    )

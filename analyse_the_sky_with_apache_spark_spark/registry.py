@@ -277,6 +277,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sql_named_params",
     "sql_lateral_alias",
     "sql_group_by_all",
+    "sql_pipe_syntax",
 )
 
 
