@@ -278,6 +278,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sql_lateral_alias",
     "sql_group_by_all",
     "sql_pipe_syntax",
+    "scan_log_regexp",
 )
 
 

@@ -601,3 +601,60 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "nation")
         .load(path)
     )
+
+
+@register(
+    "scan_log_regexp",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(value_str AS DOUBLE) AS value
+FROM (
+  SELECT CAST(regexp_extract(line, '^ev=(\\d+) user=(\\d+) type=(\\w+) value=([0-9.]+)$', 1) AS BIGINT) AS event_id,
+         CAST(regexp_extract(line, '^ev=(\\d+) user=(\\d+) type=(\\w+) value=([0-9.]+)$', 2) AS BIGINT) AS user_id,
+         regexp_extract(line, '^ev=(\\d+) user=(\\d+) type=(\\w+) value=([0-9.]+)$', 3) AS event_type,
+         regexp_extract(line, '^ev=(\\d+) user=(\\d+) type=(\\w+) value=([0-9.]+)$', 4) AS value_str
+  FROM (
+    SELECT 'ev=' || CAST(event_id AS VARCHAR) || ' user='
+           || CAST(user_id AS VARCHAR) || ' type=' || event_type
+           || ' value=' || CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                                AS VARCHAR)
+           AS line
+    FROM events
+  )
+)
+""",
+)
+def scan_log_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-line ingestion: stage the events as key=value text lines (a
+    real text file on disk, read back through ``spark.read.text``),
+    then parse them into typed columns with one regexp — the
+    unstructured-log ETL front door. Four ``regexp_extract`` calls
+    share one pattern; Catalyst's common-subexpression handling plus
+    the single-pass Java regex keep it scan-bound, and nothing
+    shuffles. The staged value is pre-scaled to integer cents so the
+    text round-trip is exact (float-to-string formatting differs
+    between engines; integer strings do not — the oracle therefore
+    parses the same synthesized lines, never touching a float
+    rendering).
+    """
+    path = os.path.join(_SCRATCH, "events_log")
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("ev="), F.col("event_id").cast("string"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" type="), F.col("event_type"),
+        F.lit(" value="),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").cast("string"),
+    )
+    ev.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
+        path
+    )
+    pat = r"^ev=(\d+) user=(\d+) type=(\w+) value=([0-9.]+)$"
+    raw = spark.read.text(path)
+    return raw.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("event_id"),
+        F.regexp_extract("value", pat, 2).cast("long").alias("user_id"),
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.regexp_extract("value", pat, 4).cast("double").alias("value"),
+    )
