@@ -1053,3 +1053,82 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", *[F.col(f"dow_{i}").cast("long").alias(f"dow_{i}") for i in range(7)]
     )
+
+
+@register(
+    "bitmap_funnel_users",
+    oracle="""
+WITH bits AS (
+  SELECT event_type, user_id // 62 AS word_idx,
+         CAST(BIT_OR(1::BIGINT << CAST(user_id % 62 AS INT)) AS BIGINT)
+           AS word
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT word_idx,
+         CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN word END), 0)
+              AS BIGINT) AS w_click,
+         CAST(COALESCE(MAX(CASE WHEN event_type = 'view' THEN word END), 0)
+              AS BIGINT) AS w_view,
+         CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN word END),
+                       0) AS BIGINT) AS w_buy
+  FROM bits GROUP BY word_idx
+)
+SELECT CAST(SUM(bit_count(w_click)) AS BIGINT) AS n_click,
+       CAST(SUM(bit_count(w_click & w_view)) AS BIGINT) AS n_click_view,
+       CAST(SUM(bit_count(w_click & w_view & w_buy)) AS BIGINT)
+         AS n_full_funnel
+FROM wide
+""",
+)
+def bitmap_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience funnel via BITMAPS — the ClickHouse-style trick in pure
+    relational Spark: pack each event type's user set into 62-bit words
+    (word = user div 62, bit = user mod 62, OR-aggregated — 62 not 64
+    because a SIGNED BIGINT shift of 1<<63 overflows in ANSI engines;
+    wasting two bits per word keeps every shift in-range everywhere), then set
+    intersection is bitwise AND and audience size is bit_count — the
+    click → click∧view → click∧view∧purchase funnel computed WITHOUT
+    any COUNT(DISTINCT) expansion or multi-step semi-joins.
+
+    Scale math: 1e9 users compress to ~16M words per segment (125 MB);
+    the per-type bitmap build is one word-keyed aggregation with
+    map-side OR-combine, the funnel itself touches only the word
+    tables. This beats exact distinct-intersection at any scale where
+    the user id space is dense, and unlike `agg_hll_overlap` it is
+    EXACT — bit_or/bit_count are integers, hence hash-checked.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    bits = ev.groupBy(
+        "event_type", F.expr("user_id div 62").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(user_id % 62 AS INT)))"
+        ).alias("word")
+    )
+    word_of = lambda t: F.coalesce(
+        F.max(F.when(F.col("event_type") == t, F.col("word"))), F.lit(0)
+    ).cast("long")
+    wide = bits.groupBy("word_idx").agg(
+        word_of("click").alias("w_click"),
+        word_of("view").alias("w_view"),
+        word_of("purchase").alias("w_buy"),
+    )
+    return wide.agg(
+        F.sum(F.bit_count("w_click")).alias("n_click"),
+        F.sum(
+            F.bit_count(F.col("w_click").bitwiseAND(F.col("w_view")))
+        ).alias("n_click_view"),
+        F.sum(
+            F.bit_count(
+                F.col("w_click")
+                .bitwiseAND(F.col("w_view"))
+                .bitwiseAND(F.col("w_buy"))
+            )
+        ).alias("n_full_funnel"),
+    )

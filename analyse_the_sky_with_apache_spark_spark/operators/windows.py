@@ -1433,3 +1433,67 @@ def ts_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_transitions") > 0)
     )
+
+
+@register(
+    "ts_running_vwap",
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS pv_micro
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, day,
+         CAST(SUM(pv_micro) OVER w AS BIGINT) AS run_pv,
+         CAST(COUNT(*) OVER w AS BIGINT) AS run_n
+  FROM t
+  WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, ts, day,
+       CAST(run_pv AS DOUBLE) / 1000000.0 / run_n AS anchored_avg,
+       run_n
+FROM r
+""",
+)
+def ts_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored running average (the VWAP shape): for each purchase,
+    the running mean of purchase value since the day's open, per user —
+    the intraday benchmark every execution-quality and spend-pacing
+    system recomputes continuously. Anchoring = the window PARTITIONS
+    by (user, day), so the running state resets at each session open
+    with no conditional logic.
+
+    One exchange+sort on (user, day) carries both running aggregates;
+    numerators accumulate as exact micro-unit longs and each row's
+    average is one division of exact operands — the running sequence is
+    engine-identical at every prefix, not just the final row.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    t = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).alias("pv_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "user_id",
+        "ts",
+        "day",
+        (
+            F.sum("pv_micro").over(w).cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).over(w)
+        ).alias("anchored_avg"),
+        F.count(F.lit(1)).over(w).alias("run_n"),
+    )

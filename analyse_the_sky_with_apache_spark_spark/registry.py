@@ -279,6 +279,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sql_group_by_all",
     "sql_pipe_syntax",
     "scan_log_regexp",
+    "ts_running_vwap",
+    "bitmap_funnel_users",
 )
 
 
