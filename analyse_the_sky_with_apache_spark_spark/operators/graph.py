@@ -684,3 +684,97 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+#: k-core peeling: the core order and the bounded number of peel rounds.
+_KCORE_K, _KCORE_ROUNDS = 2, 6
+
+
+def _kcore_oracle() -> str:
+    """Bounded k-core peel as unrolled CTE rounds (pagerank precedent)."""
+    ctes = [
+        """e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+n0 AS (SELECT u AS node FROM e UNION SELECT v FROM e)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            """n{i} AS (
+  SELECT node FROM n{p}
+  WHERE (SELECT COUNT(*) FROM e
+         JOIN n{p} x ON x.node = e.u
+         JOIN n{p} y ON y.node = e.v
+         WHERE e.u = n{p}.node OR e.v = n{p}.node) >= {k}
+)""".format(i=i, p=i - 1, k=_KCORE_K)
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node FROM n{_KCORE_ROUNDS} ORDER BY node"
+    )
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=2, bounded rounds): iteratively drop nodes
+    with fewer than k surviving neighbors — the standard dense-region
+    extractor (spam rings, co-purchase communities, graph
+    sparsification all start at the 2-core, which strips every
+    tree-like tendril). Both engines run EXACTLY the same bounded
+    number of peel rounds over the strong co-purchase graph, so the
+    surviving node set is deterministic by construction; the fixture
+    graph converges within the bound (asserted in tests — one more
+    round changes nothing).
+
+    Plan per round: recompute surviving degrees with one edge⋈nodes
+    join + aggregate, filter — the same Pregel-free shape as BFS/CC,
+    lineage truncated per round. At 100 TB exact k-core uses the same
+    loop to fixpoint; the peel is monotone, so each round strictly
+    shrinks the node set and the loop count is bounded by the
+    degeneracy ordering depth.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a0, b0 = li.alias("a"), li.alias("b")
+    e = (
+        a0.join(
+            b0,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        live_e = (
+            e.join(nodes, e.u == nodes.node, "left_semi")
+            .join(nodes, F.col("v") == nodes.node, "left_semi")
+        )
+        deg = (
+            live_e.select(F.col("u").alias("node"))
+            .unionAll(live_e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nodes = (
+            nodes.join(deg, "node", "left")
+            .filter(F.coalesce(F.col("d"), F.lit(0)) >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return nodes.orderBy("node")

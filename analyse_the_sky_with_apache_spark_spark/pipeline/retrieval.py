@@ -467,3 +467,86 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH freq AS (
+  SELECT w, COUNT(*) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY w
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r, f FROM freq
+),
+g AS (
+  SELECT CAST(FLOOR(ln(r) * 1000000.0 + 0.5) AS BIGINT) AS xm,
+         CAST(FLOOR(ln(f) * 1000000.0 + 0.5) AS BIGINT) AS ym
+  FROM ranked
+),
+s AS (
+  SELECT COUNT(*) AS n, CAST(SUM(xm) AS BIGINT) AS sx,
+         CAST(SUM(ym) AS BIGINT) AS sy,
+         CAST(SUM(xm * ym) AS BIGINT) AS sxy,
+         CAST(SUM(xm * xm) AS BIGINT) AS sxx
+  FROM g
+)
+SELECT n AS n_types,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+       / CAST(n AS DOUBLE) / 1000000.0 AS intercept_ln
+FROM s
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the slope of
+    log-frequency vs log-rank (natural text sits near −1; synthetic or
+    templated corpora deviate hard — a cheap corpus-health fingerprint
+    next to `text_perplexity`). Closed-form least squares from five
+    exact sums, the `lightcurve_trend` discipline: both logs
+    floor-grid to micro-units so every sum and cross-product is an
+    exact long, and the slope/intercept are identical double
+    expressions over exact operands.
+
+    Plan: one token aggregation (the tf table every text op shares),
+    one rank window over the VOCABULARY (types, not tokens — small by
+    Heaps' law), one five-sum aggregate. Nothing data-sized shuffles
+    twice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = freq.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("f").desc(), "w"))
+    )
+    g = ranked.select(
+        F.floor(F.log("r") * F.lit(1e6) + F.lit(0.5)).alias("xm"),
+        F.floor(F.log("f") * F.lit(1e6) + F.lit(0.5)).alias("ym"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("xm") * F.col("ym")).alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_types"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n").cast("double")
+            / F.lit(1e6)
+        ).alias("intercept_ln"),
+    )

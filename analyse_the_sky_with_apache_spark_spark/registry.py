@@ -281,6 +281,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "scan_log_regexp",
     "ts_running_vwap",
     "bitmap_funnel_users",
+    "text_zipf_fit",
+    "graph_kcore",
 )
 
 

@@ -348,3 +348,41 @@ def test_mmr_diversifies_against_plain_topk(spark):
     rel_sorted = sorted(norm, key=lambda v: (-(norm[v] @ sum(norm.values()) / len(norm)), v))
     plain = rel_sorted[:_MMR_K]
     assert mean_pairwise(mmr_ids) < mean_pairwise(plain) + 1e-9
+
+
+def test_kcore_converged_within_bound(spark):
+    """graph_kcore's docstring claim: the bounded peel reaches the true
+    2-core on the fixture graph — every surviving node must have ≥ 2
+    surviving neighbors (one more round would change nothing)."""
+    from pyspark.sql import functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    nodes = queries()["graph_kcore"](spark, SF_DIR)
+    survivors = {r["node"] for r in nodes.collect()}
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        .collect()
+    )
+    from collections import Counter
+
+    deg = Counter()
+    for r in e:
+        if r["u"] in survivors and r["v"] in survivors:
+            deg[r["u"]] += 1
+            deg[r["v"]] += 1
+    assert all(deg[n] >= 2 for n in survivors), "peel not converged"
