@@ -1,0 +1,81 @@
+"""Whole-registry plan sweep: no registered query may plan a
+CartesianProduct — the single worst scale failure (all-pairs blowup) —
+and any BroadcastNestedLoopJoin must come from a deliberate 1-row /
+tiny-literal broadcast (the scalar cross-join pattern), which we bound
+by whitelisting the keys that use it on purpose.
+
+This is the blanket form of the per-key plan-shape tests: a new
+operator CANNOT ship with an accidental cartesian, because this sweep
+fails the moment it is registered. Streaming replays and ops that
+execute work at plan-build time are skipped (their DataFrame is a
+memory-sink result, not a logical plan worth sweeping).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from analyse_the_sky_with_apache_spark_spark import registry
+from analyse_the_sky_with_apache_spark_spark.plans.checks import plan_of
+from tests.conftest import SF_DIR
+
+registry.load_all_modules()
+
+#: keys whose query function executes the pipeline eagerly (streaming
+#: replay, iterative driver loops, staged sinks) — their returned frame
+#: is a result table; the interesting plans were already executed.
+_EAGER_PREFIXES = ("stream_",)
+_EAGER_KEYS = {
+    "dedup_connected_components", "graph_components_twostar",
+    "graph_bfs_hops", "graph_pagerank", "graph_pagerank_exact",
+    "graph_kcore", "kmeans_lloyd", "cluster_grid_density",
+    "sim_mmr_diversify", "ml_linreg_normal", "dedup_minhash_eval",
+    "sink_parquet", "sink_partitioned", "sink_sorted_clustered",
+    "zorder_layout", "scan_csv", "scan_json", "scan_xml", "scan_orc",
+    "scan_text", "scan_log_regexp", "scan_binaryfile",
+    "scan_csv_permissive", "scan_merge_schema", "scan_partition_pruned",
+    "snapshot_diff", "compaction_plan", "emb_pca", "ann_ivf",
+    "ann_ivf_pq", "corpus_shuffle", "table_checksum",
+    "api_pandas_on_spark", "join_bucketed", "join_dpp", "cache_reuse",
+}
+
+#: deliberate nested-loop users: 1-row scalar broadcasts (argmax/global
+#: aggregates), tiny literal domains, or documented theta demos.
+_BNL_ALLOWED = {
+    "join_theta_range", "join_cross", "q11_important_parts",
+    "q15_top_supplier", "q22_dormant_customers", "subquery_trio",
+    "text_bm25", "xmatch_completeness", "agg_median_exact",
+    "agg_percentile_disc", "funnel_time_to_convert", "skyline_pareto",
+    "dq_rules_report", "profile_table", "lightcurve_structure_function",
+    "text_word_pmi", "text_tfidf", "text_perplexity", "text_zipf_fit",
+    "sessionize_batch", "win_pareto_abc", "emb_outliers",
+    "dedup_corpus_survivors", "corpus_mix_sample", "text_contamination",
+    "ts_cross_corr", "ml_linreg_suffstats", "emb_drift_monitor",
+    "sample_weighted", "join_set_similarity", "corpus_quality_pipeline",
+    "xmatch_neighbor_density", "text_inverted_index",
+    # 1-row scalar broadcasts
+    "agg_hll_overlap", "ts_seasonal_index",
+    # deliberate signature-scan product: 1% query side broadcasts as
+    # 16-byte signatures against the candidate scan (the binary-ANN
+    # design — the product IS the linear scan of compressed codes)
+    "emb_bit_hamming",
+}
+
+_KEYS = sorted(
+    k
+    for k in registry.queries()
+    if not k.startswith(_EAGER_PREFIXES) and k not in _EAGER_KEYS
+)
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_no_cartesian_anywhere(spark, key):
+    df = registry.queries()[key](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, f"{key} plans a cartesian"
+    if "BroadcastNestedLoopJoin" in plan and key not in _BNL_ALLOWED:
+        pytest.fail(
+            f"{key} plans BroadcastNestedLoopJoin but is not in the "
+            f"deliberate-BNL whitelist — either fix the join or "
+            f"document why the nested loop is bounded"
+        )
