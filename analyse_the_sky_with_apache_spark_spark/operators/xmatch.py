@@ -1395,3 +1395,76 @@ def ts_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(s_term).cast("double") / F.lit(1e6)).alias("im_part"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+#: positional error (radians) for the probabilistic match weight.
+_LR_SIGMA = 0.005
+
+
+def _lr_oracle() -> str:
+    """Stitch the registered xmatch_sphere oracle into the likelihood
+    query (dedup_minhash_eval precedent — the weight op can never drift
+    from the pair kernel it scores)."""
+    from ..registry import ORACLE
+
+    pairs = ORACLE["xmatch_sphere"].strip()
+    s2 = 2.0 * _LR_SIGMA * _LR_SIGMA
+    return f"""
+WITH pairs AS ({pairs}),
+n AS (SELECT COUNT(*) AS n_obj FROM customer)
+SELECT ia, ib, dist_rad,
+       CAST(FLOOR(exp(-(dist_rad * dist_rad) / {s2})
+                  * 1000000000000.0 + 0.5) AS BIGINT) AS w_pico,
+       CAST(CAST(FLOOR(exp(-(dist_rad * dist_rad) / {s2})
+                       * 1000000000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+       / 1000000000000.0
+       / ({s2} * pi() * (CAST(n_obj AS DOUBLE) / (4.0 * pi()))) AS lr
+FROM pairs, n
+"""
+
+
+@register("xmatch_likelihood_ratio", oracle=_lr_oracle())
+def xmatch_likelihood_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic cross-match weighting (the Budavári–Szalay
+    Bayesian-crossmatch shape): each geometric pair gets a likelihood
+    ratio — a Gaussian positional-error kernel exp(−d²/2σ²) over the
+    chance-alignment density (uniform sky rate n/4π) — so downstream
+    consumers can threshold on MATCH CONFIDENCE instead of raw
+    distance, which is how modern survey crossmatches (and
+    entity-resolution scorers generally) actually decide.
+
+    Riding the same binned pair kernel as `xmatch_sphere` — the oracle
+    is stitched from that key's registered SQL, so the scorer can never
+    drift from the pair search. The Gaussian (libm exp) floor-grids to
+    pico-units before the one shared division; the catalog size enters
+    as a 1-row broadcast.
+    """
+    pairs = xmatch_sphere(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    n = c.agg(F.count(F.lit(1)).alias("n_obj"))
+    s2 = 2.0 * _LR_SIGMA * _LR_SIGMA
+    w_pico = F.floor(
+        F.exp(-(F.col("dist_rad") * F.col("dist_rad")) / F.lit(s2))
+        * F.lit(1e12)
+        + F.lit(0.5)
+    )
+    import math as _m
+
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "ia",
+            "ib",
+            "dist_rad",
+            w_pico.cast("long").alias("w_pico"),
+            (
+                w_pico.cast("double")
+                / F.lit(1e12)
+                / (
+                    F.lit(s2)
+                    * F.lit(_m.pi)
+                    * (F.col("n_obj").cast("double") / F.lit(4.0 * _m.pi))
+                )
+            ).alias("lr"),
+        )
+    )

@@ -283,6 +283,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "bitmap_funnel_users",
     "text_zipf_fit",
     "graph_kcore",
+    "xmatch_likelihood_ratio",
 )
 
 

@@ -54,7 +54,7 @@ _BNL_ALLOWED = {
     "sample_weighted", "join_set_similarity", "corpus_quality_pipeline",
     "xmatch_neighbor_density", "text_inverted_index",
     # 1-row scalar broadcasts
-    "agg_hll_overlap", "ts_seasonal_index",
+    "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     # deliberate signature-scan product: 1% query side broadcasts as
     # 16-byte signatures against the candidate scan (the binary-ANN
     # design — the product IS the linear scan of compressed codes)
