@@ -1241,3 +1241,105 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "linear_credit"
         ),
     )
+
+
+@register(
+    "basket_apriori_triples",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+fp AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT t.x, t.y, t.z, COUNT(*) AS support
+FROM (
+  SELECT a.l_orderkey, a.l_partkey AS x, b.l_partkey AS y,
+         c.l_partkey AS z
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  JOIN items c ON a.l_orderkey = c.l_orderkey
+              AND b.l_partkey < c.l_partkey
+) t
+WHERE EXISTS (SELECT 1 FROM fp WHERE fp.x = t.x AND fp.y = t.y)
+  AND EXISTS (SELECT 1 FROM fp WHERE fp.x = t.x AND fp.y = t.z)
+  AND EXISTS (SELECT 1 FROM fp WHERE fp.x = t.y AND fp.y = t.z)
+GROUP BY t.x, t.y, t.z
+HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+""",
+)
+def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent triples with the A-PRIORI prune (Agrawal–Srikant): a
+    triple can only be frequent if all three of its pairs are, so the
+    enumerated (order, x, y, z) stream is filtered against the
+    frequent-pair set BEFORE the counting aggregate — the downward-
+    closure step that keeps level-3 candidate space proportional to
+    the frequent level-2 output instead of basket-size-cubed.
+
+    Plan: the triple fan-out is keyed on the order id (bounded by
+    basket size³ per order, never global), the three pair-membership
+    checks are LEFT SEMI joins against the broadcast frequent-pair
+    table, and the final count groups the survivors. At 100 TB the
+    frequent-pair table is the thing that must stay broadcastable —
+    when it doesn't, bucket both sides by the leading item (the
+    standard FP-growth handoff point).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    fp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= _BASKET_MIN_SUPPORT)
+        .select("x", "y")
+    )
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+            F.col("c.l_partkey").alias("z"),
+        )
+    )
+    fp_xy = fp
+    fp_xz = fp.select(F.col("x").alias("fx"), F.col("y").alias("fz"))
+    fp_yz = fp.select(F.col("x").alias("gy"), F.col("y").alias("gz"))
+    pruned = (
+        triples.join(F.broadcast(fp_xy), ["x", "y"], "left_semi")
+        .join(
+            F.broadcast(fp_xz),
+            (F.col("x") == F.col("fx")) & (F.col("z") == F.col("fz")),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(fp_yz),
+            (F.col("y") == F.col("gy")) & (F.col("z") == F.col("gz")),
+            "left_semi",
+        )
+    )
+    return (
+        pruned.groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )

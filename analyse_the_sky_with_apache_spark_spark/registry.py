@@ -284,6 +284,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "text_zipf_fit",
     "graph_kcore",
     "xmatch_likelihood_ratio",
+    "basket_apriori_triples",
 )
 
 
