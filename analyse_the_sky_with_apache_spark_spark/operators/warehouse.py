@@ -1287,7 +1287,12 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, and the final count groups the survivors. At 100 TB the
     frequent-pair table is the thing that must stay broadcastable —
     when it doesn't, bucket both sides by the leading item (the
-    standard FP-growth handoff point).
+    standard FP-growth handoff point). Note the result THINS as the
+    part universe grows at fixed basket size (support-2 triples exist
+    at sf0.01, none survive at sf0.1) — that long-tail sparsity is
+    exactly why the a-priori prune exists; an empty level-3 is a
+    correct answer, not a degenerate threshold (contrast the q11
+    lesson, where the cut itself was scale-dependent).
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
