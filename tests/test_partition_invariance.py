@@ -35,6 +35,12 @@ _KEYS = (
     "dedup_minhash_sql",
     "join_set_similarity",
     "ts_max_drawdown",
+    # integer-exact iterative/bitwise kernels — their WHOLE claim is
+    # partitioning-independence
+    "graph_pagerank_exact",
+    "kmeans_one_round",
+    "bitmap_funnel_users",
+    "text_zipf_fit",
 )
 
 registry.load_all_modules()
