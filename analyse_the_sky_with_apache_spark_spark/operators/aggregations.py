@@ -1132,3 +1132,55 @@ def bitmap_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "agg_restatement",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {dsum_sql('l_extendedprice', 'revenue', 2)}
+FROM lineitem
+WHERE NOT (l_returnflag = 'R' AND l_quantity < CAST(2.0 AS DOUBLE))
+GROUP BY l_returnflag
+""",
+)
+def agg_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate RESTATEMENT via retraction deltas: corrections arrive
+    as negative rows (here: void every returned line with quantity
+    < 2), and the standing rollup absorbs them by ADDING the
+    retraction aggregate — counts carry −1s, exact cent sums carry
+    negated cents — never by re-scanning the base. The subtraction
+    half of `agg_incremental_maintenance`'s monoid algebra: together
+    they make the materialized rollup maintainable under both
+    late-arriving data AND corrections, which is the full contract a
+    streaming-lakehouse continuous aggregate needs. The oracle is the
+    clean recompute over the corrected row set; the engine path is
+    base ⊕ retractions, and the hash match proves the algebra.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+    void = (F.col("l_returnflag") == "R") & (F.col("l_quantity") < 2.0)
+
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+    )
+    retract = (
+        li.filter(void)
+        .groupBy("l_returnflag")
+        .agg(
+            (-F.count(F.lit(1))).alias("n"),
+            (-F.sum(cents)).alias("cents"),
+        )
+    )
+    merged = (
+        base.unionByName(retract)
+        .groupBy("l_returnflag")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+    )

@@ -285,6 +285,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "graph_kcore",
     "xmatch_likelihood_ratio",
     "basket_apriori_triples",
+    "agg_restatement",
 )
 
 
