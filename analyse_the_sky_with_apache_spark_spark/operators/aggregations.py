@@ -1184,3 +1184,69 @@ def agg_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
     )
+
+
+@register(
+    "time_rollup_cascade",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT 'day' AS grain, CAST(day AS VARCHAR) AS bucket, n,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue
+FROM daily
+UNION ALL
+SELECT 'month', strftime(day, '%Y-%m'), CAST(SUM(n) AS BIGINT),
+       CAST(SUM(cents) AS DOUBLE) / 100.0
+FROM daily GROUP BY 2
+UNION ALL
+SELECT 'year', strftime(day, '%Y'), CAST(SUM(n) AS BIGINT),
+       CAST(SUM(cents) AS DOUBLE) / 100.0
+FROM daily GROUP BY 2
+""",
+)
+def time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup, data touched ONCE: the daily
+    aggregate is the only data-sized pass; month and year re-aggregate
+    the DAILY PARTIALS (exact cent-longs — integer re-aggregation is
+    free and exact), exactly how a hypertable continuous-aggregate
+    cascade maintains coarser materializations from finer ones (the
+    temporal sibling of `sky_pixel_rollup`'s spatial quadtree).
+
+    At 100 TB the daily layer is the stored artifact; month/year
+    refresh by re-rolling ≤366 rows per year per group — never the
+    fact table. Bucket labels are strings so the three grains share
+    one schema.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        ).alias("cents"),
+    )
+    def level(df, grain, bucket_col):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            bucket_col.alias("bucket"),
+            F.col("n"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+
+    monthly = daily.groupBy(
+        F.date_format("day", "yyyy-MM").alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    yearly = daily.groupBy(
+        F.date_format("day", "yyyy").alias("b")
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    return (
+        level(daily, "day", F.col("day").cast("string"))
+        .unionAll(level(monthly, "month", F.col("b")))
+        .unionAll(level(yearly, "year", F.col("b")))
+    )

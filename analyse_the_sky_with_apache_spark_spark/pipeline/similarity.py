@@ -762,3 +762,71 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rank, int(vid), float(rels[vid])) for rank, vid in enumerate(selected)
     ]
     return spark.createDataFrame(rows, "rank INT, vec_id BIGINT, rel DOUBLE")
+
+
+#: per-query retrieval: query sample stride and neighbors returned.
+_PQ_STRIDE, _PQ_K = 100, 3
+
+
+@register(
+    "sim_knn_per_query",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id % {_PQ_STRIDE} = 0
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings
+  WHERE vec_id % {_PQ_STRIDE} <> 0
+),
+d AS (
+  SELECT q_id, cand_id,
+         round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 6)
+           AS cos
+  FROM q, c
+)
+SELECT q_id, cand_id, cos, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+  FROM d
+) WHERE rnk <= {_PQ_K}
+""",
+)
+def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-QUERY top-k retrieval — the serving shape (`sim_knn_cosine`
+    finds the globally closest pairs; a retrieval system answers "the
+    3 nearest for EACH query"). The query sample broadcasts against
+    the candidate scan, cosine evaluates relationally on normalized
+    vectors, and WindowGroupLimit prunes to k per query below the
+    exchange — per-partition top-k heaps, so the shuffle carries
+    #queries × k rows per mapper, not the scored universe.
+
+    Ordering is on the 6-dp-rounded cosine with cand_id tie-breaks
+    (the `sim_knn_cosine` precedent). At 100 TB the broadcast side is
+    the query BATCH (bounded by construction); the candidate side
+    streams map-side — this is exactly the brute-force rung the
+    LSH/IVF keys replace when the candidate set stops fitting a scan
+    budget.
+    """
+    norm = normalized_embeddings(spark, sf_dir)
+    q = norm.filter(F.col("vec_id") % _PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("nvec").alias("q_vec")
+    )
+    c = norm.filter(F.col("vec_id") % _PQ_STRIDE != 0).select(
+        F.col("vec_id").alias("cand_id"), F.col("nvec").alias("c_vec")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("q_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("q_id", "cand_id", F.round(dot, 6).alias("cos"))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("q_id", "cand_id", "cos", "rnk")
+    )

@@ -286,6 +286,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "xmatch_likelihood_ratio",
     "basket_apriori_triples",
     "agg_restatement",
+    "time_rollup_cascade",
+    "sim_knn_per_query",
 )
 
 

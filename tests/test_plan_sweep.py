@@ -59,6 +59,8 @@ _BNL_ALLOWED = {
     # 16-byte signatures against the candidate scan (the binary-ANN
     # design — the product IS the linear scan of compressed codes)
     "emb_bit_hamming",
+    # query-batch × candidate scan: the deliberate per-query brute rung
+    "sim_knn_per_query",
 }
 
 _KEYS = sorted(
