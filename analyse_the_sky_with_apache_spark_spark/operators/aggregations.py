@@ -1250,3 +1250,78 @@ def time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(level(monthly, "month", F.col("b")))
         .unionAll(level(yearly, "year", F.col("b")))
     )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s1,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 10000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * l_quantity
+                             * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * l_quantity
+                             * l_quantity * 10000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(s1 AS DOUBLE) / 10000.0 / n AS mean,
+       CAST(s2 AS DOUBLE) / 10000.0 / n
+         - (CAST(s1 AS DOUBLE) / 10000.0 / n)
+           * (CAST(s1 AS DOUBLE) / 10000.0 / n) AS m2,
+       CAST(s3 AS DOUBLE) / 10000.0 / n AS raw3,
+       CAST(s4 AS DOUBLE) / 10000.0 / n AS raw4
+FROM s
+""",
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments WITHOUT the built-ins: per group, the
+    mean, variance (population) and the 3rd/4th raw moments from four
+    exact scaled-long power sums in ONE aggregation. The built-in
+    ``skewness``/``kurtosis`` are deliberately avoided in the oracle
+    path — engines disagree on sample-vs-population conventions and
+    accumulate in floats — while raw power sums are monoid longs:
+    mergeable (the `agg_incremental_maintenance` algebra extends to
+    them), partition-invariant, and the caller composes any central
+    moment downstream with one double expression. This is how a
+    distributed stats library actually keeps moment state.
+
+    Long-range check: quantity⁴ ≤ 6.25e6 at grid 1e4 → ~6e10/row;
+    exabyte-class row counts before 2⁶³ matters (functions/exact.py
+    bound).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+
+    def psum(p, name):
+        expr = q
+        for _ in range(p - 1):
+            expr = expr * q
+        return F.sum(
+            F.floor(expr * F.lit(1e4) + F.lit(0.5))
+        ).alias(name)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        psum(1, "s1"),
+        psum(2, "s2"),
+        psum(3, "s3"),
+        psum(4, "s4"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(1e4) / F.col("n")
+    return s.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean"),
+        (
+            F.col("s2").cast("double") / F.lit(1e4) / F.col("n")
+            - mean * mean
+        ).alias("m2"),
+        (F.col("s3").cast("double") / F.lit(1e4) / F.col("n")).alias("raw3"),
+        (F.col("s4").cast("double") / F.lit(1e4) / F.col("n")).alias("raw4"),
+    )

@@ -771,3 +771,56 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(prod).alias("hottest_key_rows"),
         F.count(F.lit(1)).alias("n_join_keys"),
     )
+
+
+@register(
+    "join_multi_exists_flags",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT') AS INT)
+         AS has_urgent,
+       CAST(EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F') AS INT) AS has_finished,
+       CAST(EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > CAST(300000.0 AS DOUBLE)) AS INT)
+         AS has_big_ticket
+FROM customer c
+""",
+)
+def join_multi_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EXISTS enrichment: one row per customer with three
+    independent existence FLAGS (urgent order? finished order?
+    big-ticket order?) — the segmentation-feature build every CRM/ML
+    feature store runs, where each flag written as a separate EXISTS
+    would correlate-rescan the fact three times.
+
+    Decorrelation: ONE pass over orders computes all three flags as
+    conditional MAX aggregates per customer, then a single left join
+    (missing customers coalesce to 0) — the fact is scanned once
+    regardless of flag count, and adding a fourth flag is one more
+    conditional aggregate, not another join. The oracle keeps the
+    triple-EXISTS form; DuckDB decorrelates it its own way, and the
+    hash match proves the flag semantics agree.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    flags = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("f_urgent"),
+        F.max((F.col("o_orderstatus") == "F").cast("int")).alias("f_finished"),
+        F.max((F.col("o_totalprice") > 300000.0).cast("int")).alias("f_big"),
+    )
+    return (
+        c.join(flags, c.c_custkey == F.col("k"), "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("f_urgent"), F.lit(0)).alias("has_urgent"),
+            F.coalesce(F.col("f_finished"), F.lit(0)).alias("has_finished"),
+            F.coalesce(F.col("f_big"), F.lit(0)).alias("has_big_ticket"),
+        )
+    )

@@ -288,6 +288,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_restatement",
     "time_rollup_cascade",
     "sim_knn_per_query",
+    "agg_higher_moments",
+    "join_multi_exists_flags",
 )
 
 
