@@ -871,3 +871,44 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 3
         """
     )
+
+
+@register(
+    "sql_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_quantity >= CAST(25.0 AS DOUBLE)) AS n_big,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            FILTER (WHERE l_discount > CAST(0.05 AS DOUBLE)) AS BIGINT)
+         AS cents_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 aggregate FILTER clause (Spark 3.0+ and DuckDB both
+    speak it): per-aggregate predicates without CASE WHEN wrapping —
+    the readable form of conditional aggregation, lowering to the
+    identical conditional-sum plan (`q12_late_lines`' CASE form and
+    this compile to the same expressions; the oracle uses FILTER
+    verbatim on the DuckDB side).
+
+    The FILTERed SUM's NULL-on-empty semantics (vs CASE's 0) is the
+    behavioral difference worth pinning — both engines agree, and the
+    hash check would catch an engine that coalesced differently.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity >= CAST(25.0 AS DOUBLE))
+                 AS n_big,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_discount > CAST(0.05 AS DOUBLE)) AS BIGINT)
+                 AS cents_discounted
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -1497,3 +1497,62 @@ def ts_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("anchored_avg"),
         F.count(F.lit(1)).over(w).alias("run_n"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n AS DOUBLE) / t.n_from AS p_transition
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user behavior:
+    P(next event type | current type), estimated from per-user
+    event sequences — the model behind next-action prediction,
+    anomaly scoring on behavioral logs (improbable transitions), and
+    the `path_common_sequences` paths' generative summary.
+
+    One lead window on the user key builds the transition stream; the
+    pair counts and the per-source totals are two tiny type-keyed
+    aggregates (the matrix is |types|² regardless of data size), and
+    each probability is one exact count ratio. At 100 TB the ONLY
+    data-sized cost is the user-key window shuffle every sequence op
+    shares.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_from")).alias(
+                "p_transition"
+            ),
+        )
+    )

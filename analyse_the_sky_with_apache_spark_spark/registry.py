@@ -290,6 +290,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sim_knn_per_query",
     "agg_higher_moments",
     "join_multi_exists_flags",
+    "event_transition_matrix",
+    "sql_filter_clause",
 )
 
 
