@@ -1,0 +1,415 @@
+"""Distributed statistics / classical-ML training operators.
+
+The model-training side of a data pipeline that never leaves SQL:
+Naive-Bayes token likelihoods, one logistic-regression IRLS step's
+sufficient statistics, a Pearson correlation matrix, a chi-squared
+independence test, and a two-sample Kolmogorov-Smirnov statistic. Each
+is a pure aggregation plan whose float core is made hash-deterministic
+by the repo's integer-grid discipline (SURVEY.md §5.3): transcendental
+per-row terms are floored onto a fixed grid BEFORE any sum, so the
+aggregation itself is exact long arithmetic; scale-free doubles (corr,
+KS) are computed by the identical IEEE expression tree in both engines
+from those exact longs.
+
+Scale notes ride each docstring; the common shape is "sums are monoid
+longs → mergeable, partition-invariant, AQE-friendly" — the same
+algebra `agg_higher_moments` and `ml_linreg_suffstats` use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "ml_naive_bayes_train",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+c AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
+t AS (SELECT lang, COUNT(*) AS tot FROM toks GROUP BY lang),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM toks)
+SELECT c.lang, c.w AS token, c.c AS c,
+       CAST(CAST(FLOOR(ln((c.c + 1.0) / (t.tot + v.v)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS DOUBLE) / 1000000.0 AS loglik
+FROM c JOIN t USING (lang) CROSS JOIN v
+WHERE c.c >= 5
+""",
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes training as three aggregations: per
+    (class, token) counts, per-class token totals, and the global
+    vocabulary size — the add-one-smoothed log-likelihood
+    ln((c+1)/(tot+V)) is then one expression per model row. Training a
+    count-based classifier IS a groupBy; there is no iterative phase.
+
+    The model is token-keyed (a fraction of corpus size), the class
+    totals broadcast, and the vocab scalar rides a 1-row cross join —
+    at 100 TB the only data-sized pass is the token explode, which
+    shares its shuffle key with every other text_* aggregate. The ln
+    is floored onto a 1e-6 grid per MODEL ROW (not per token
+    occurrence), so the hash-checked output is exact; c >= 5 bounds
+    the emitted model to informative features (the same min-count cut
+    production NB trainers apply).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    t = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    v = toks.agg(F.countDistinct("w").alias("v"))
+    loglik = (
+        F.floor(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.col("v")))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        c.join(F.broadcast(t), "lang")
+        .crossJoin(F.broadcast(v))
+        .where(F.col("c") >= 5)
+        .select("lang", F.col("w").alias("token"), "c", loglik.alias("loglik"))
+    )
+
+
+#: fixed logistic coefficients for the IRLS step (a mid-training
+#: iterate; any β works — the point is the sufficient-stat algebra).
+_LR_B0, _LR_B1, _LR_B2 = -1.0, 0.02, 3.0
+
+
+@register(
+    "ml_logreg_irls_stats",
+    oracle="""
+WITH r AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS x1g,
+         CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT) AS x2g,
+         1.0 / (1.0 + exp(-(-1.0 + 0.02 * l_quantity + 3.0 * l_discount)))
+           AS p
+  FROM lineitem
+),
+g AS (
+  SELECT y, x1g, x2g,
+         CAST(FLOOR(p * (1.0 - p) * 10000.0 + 0.5) AS BIGINT) AS wg,
+         CAST(FLOOR((y - p) * 1000000.0 + 0.5) AS BIGINT) AS rg
+  FROM r
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(wg) AS BIGINT) AS h00,
+       CAST(SUM(x1g * wg) AS BIGINT) AS h01,
+       CAST(SUM(x2g * wg) AS BIGINT) AS h02,
+       CAST(SUM(x1g * x1g * wg) AS BIGINT) AS h11,
+       CAST(SUM(x1g * x2g * wg) AS BIGINT) AS h12,
+       CAST(SUM(x2g * x2g * wg) AS BIGINT) AS h22,
+       CAST(SUM(rg) AS BIGINT) AS g0,
+       CAST(SUM(x1g * rg) AS BIGINT) AS g1,
+       CAST(SUM(x2g * rg) AS BIGINT) AS g2
+FROM g
+""",
+)
+def ml_logreg_irls_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of one logistic-regression Newton/IRLS
+    step: at the current coefficients β (fixed literals here), each row
+    contributes weight w = p(1-p) and residual y-p; the step solves
+    H·δ = g where H = Xᵀ·diag(w)·X and g = Xᵀ(y-p). This operator
+    computes ALL ten sufficient statistics (the 3×3 symmetric Hessian,
+    the 3-gradient, n) in ONE map-side-combinable aggregation — the
+    O(d³) solve is a driver-side triviality on a 3×3, exactly how
+    Spark MLlib's own L-BFGS/IRLS treeAggregates per-partition Gram
+    matrices (`ml_linreg_suffstats` is the identity-link sibling).
+
+    Determinism: the sigmoid is per-row floored — w onto a 1e-4 grid,
+    the residual onto 1e-6 — so every SUM is exact long arithmetic
+    (engines' exp() agree far beyond grid resolution; a boundary hit
+    would need an exact half-ulp tie). Magnitude bound: x1g≤5e3,
+    wg≤2.5e3 → h11 ≤ 6.25e10/row, safe past 10⁸ rows per partition-
+    tree; at larger scale drop the w grid to 1e3. One shuffle of ONE
+    10-long row per partition; nothing else moves.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+    z = (
+        F.lit(_LR_B0)
+        + F.lit(_LR_B1) * F.col("l_quantity")
+        + F.lit(_LR_B2) * F.col("l_discount")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    g = li.select(
+        y.alias("y"),
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x1g"),
+        F.floor(F.col("l_discount") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("x2g"),
+        F.floor(p * (F.lit(1.0) - p) * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("wg"),
+        F.floor((y - p) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("rg"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wg").alias("h00"),
+        F.sum(F.col("x1g") * F.col("wg")).alias("h01"),
+        F.sum(F.col("x2g") * F.col("wg")).alias("h02"),
+        F.sum(F.col("x1g") * F.col("x1g") * F.col("wg")).alias("h11"),
+        F.sum(F.col("x1g") * F.col("x2g") * F.col("wg")).alias("h12"),
+        F.sum(F.col("x2g") * F.col("x2g") * F.col("wg")).alias("h22"),
+        F.sum("rg").alias("g0"),
+        F.sum(F.col("x1g") * F.col("rg")).alias("g1"),
+        F.sum(F.col("x2g") * F.col("rg")).alias("g2"),
+    )
+
+
+@register(
+    "stat_corr_matrix",
+    oracle="""
+WITH g AS (
+  SELECT CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS p,
+         CAST(FLOOR(l_discount * 10000.0 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(d) AS BIGINT) AS sd,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(p * p) AS BIGINT) AS spp,
+         CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(SUM(q * p) AS BIGINT) AS sqp,
+         CAST(SUM(q * d) AS BIGINT) AS sqd,
+         CAST(SUM(p * d) AS BIGINT) AS spd
+  FROM g
+)
+SELECT 'l_quantity' AS var_x, 'l_extendedprice' AS var_y,
+       (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp)
+       / (sqrt(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+          * sqrt(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp))
+         AS corr
+FROM s
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       (CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd)
+       / (sqrt(CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+          * sqrt(CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))
+FROM s
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       (CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd)
+       / (sqrt(CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+          * sqrt(CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))
+FROM s
+""",
+)
+def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three lineitem
+    measures from ONE aggregation pass: all 9 cross/square sums plus n
+    in a single map-side-combinable agg (how DataFrameStatFunctions'
+    `corr` would look if it batched all pairs), then each coefficient
+    is a closed-form double expression over the exact longs. Pearson
+    is scale-invariant, so the integer grids (quantity 1e-2, price
+    whole units, discount 1e-4) need no descaling — they cancel.
+
+    Determinism: the sums are exact long monoids (partition-invariant);
+    the final doubles come from the IDENTICAL expression tree in both
+    engines over identical integers, and sqrt/± are correctly-rounded
+    IEEE ops. Magnitude bound: p² ≤ ~1.2e10/row → safe to ~7×10⁸ rows
+    of 2⁶³ headroom at sf-growth; past that, center on a first-pass
+    mean or widen to DECIMAL(38). One 10-long row shuffles; the long
+    form (3 rows) is driver-side arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("p"),
+        F.floor(F.col("l_discount") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("d"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy) - F.col(sx).cast("double") * F.col(sy)
+        den = F.sqrt(
+            n * F.col(sxx) - F.col(sx).cast("double") * F.col(sx)
+        ) * F.sqrt(n * F.col(syy) - F.col(sy).cast("double") * F.col(sy))
+        return num / den
+
+    pairs = (
+        ("l_quantity", "l_extendedprice", corr("sqp", "sq", "sp", "sqq", "spp")),
+        ("l_quantity", "l_discount", corr("sqd", "sq", "sd", "sqq", "sdd")),
+        ("l_extendedprice", "l_discount", corr("spd", "sp", "sd", "spp", "sdd")),
+    )
+    out = None
+    for vx, vy, c in pairs:
+        row = s.select(
+            F.lit(vx).alias("var_x"), F.lit(vy).alias("var_y"), c.alias("corr")
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@register(
+    "stat_chi2_independence",
+    oracle="""
+WITH obs AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS o
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+rt AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY rf),
+ct AS (SELECT ls, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY ls),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT CAST(FLOOR(
+           (o - CAST(r AS DOUBLE) * c / n)
+           * (o - CAST(r AS DOUBLE) * c / n)
+           / (CAST(r AS DOUBLE) * c / n) * 1000000.0 + 0.5) AS BIGINT)
+         AS chi_g
+  FROM obs JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN n
+),
+dims AS (
+  SELECT (COUNT(DISTINCT rf) - 1) * (COUNT(DISTINCT ls) - 1) AS dof
+  FROM obs
+)
+SELECT (SELECT n FROM n) AS n, dof,
+       CAST(CAST(SUM(chi_g) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2
+FROM cells CROSS JOIN dims
+GROUP BY dof
+""",
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence on the returnflag×linestatus
+    contingency table: the table is one groupBy, the marginals are
+    re-aggregations of those CELLS (never the fact table — the same
+    partials-reuse trick as `time_rollup_cascade`), and each cell's
+    (O-E)²/E lands on a 1e-6 grid before the final sum so the
+    statistic hash-matches despite being a sum of doubles.
+
+    At 100 TB: one data-sized aggregation; everything after operates
+    on R×C rows. Marginals broadcast back onto the cells.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("rf").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("ls").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(rt), "rf")
+        .join(F.broadcast(ct), "ls")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.floor(
+                (F.col("o") - e) * (F.col("o") - e) / e * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi_g"),
+        )
+    )
+    dims = obs.agg(
+        ((F.countDistinct("rf") - 1) * (F.countDistinct("ls") - 1)).alias(
+            "dof"
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .groupBy("n", "dof")
+        .agg((F.sum("chi_g").cast("double") / F.lit(1e6)).alias("chi2"))
+    )
+
+
+@register(
+    "stat_ks_test",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+  FROM orders
+),
+g AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(SUM(1 - a) AS BIGINT) AS cb
+  FROM s GROUP BY v
+),
+c AS (
+  SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cua,
+         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cub
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM g
+)
+SELECT na, nb,
+       MAX(ABS(CAST(cua AS DOUBLE) / na - CAST(cub AS DOUBLE) / nb)) AS ks_d
+FROM c CROSS JOIN t
+GROUP BY na, nb
+""",
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (urgent vs non-urgent
+    order value distributions): group to per-distinct-value counts
+    first (the natural binning — prices are exact cents), cumulative-
+    sum both samples' ECDFs in one window, and D = MAX of the ECDF
+    gap. MAX over doubles is order-insensitive, and each gap comes
+    from the identical division tree over exact longs, so the stat
+    hash-matches without any grid.
+
+    The ECDF window is deliberately run over the per-VALUE aggregate
+    (|distinct values| rows, not |orders|); it is still a global-order
+    window — the documented 100-TB form caps the domain by pre-binning
+    values onto a fixed grid (KS on a 1e4-cell histogram bounds D's
+    error by the bin mass) exactly like `ts_interarrival_hist`'s
+    log-grid. The two totals ride a 1-row cross join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("a"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum(F.lit(1) - F.col("a")).alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("ca").over(w).alias("cua"), F.sum("cb").over(w).alias("cub")
+    )
+    t = g.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    gap = F.abs(
+        F.col("cua").cast("double") / F.col("na")
+        - F.col("cub").cast("double") / F.col("nb")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(F.max(gap).alias("ks_d"))
+    )

@@ -51,6 +51,7 @@ _MODULES = (
     "pipeline.corpus",
     "pipeline.quality",
     "pipeline.retrieval",
+    "pipeline.stats",
     "workloads",
     "workloads2",
 )
@@ -294,6 +295,12 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sql_filter_clause",
     "bitmap_audience_jaccard",
     "events_heatmap",
+    # round-3 (this session) additions
+    "ml_naive_bayes_train",
+    "ml_logreg_irls_stats",
+    "stat_corr_matrix",
+    "stat_chi2_independence",
+    "stat_ks_test",
 )
 
 
