@@ -9,7 +9,7 @@ value-hash is engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1444,5 +1444,72 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "error").cast("long")).alias(
                 "n_errors"
             ),
+        )
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS v,
+         CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+  SELECT rf, v, w,
+         CAST(SUM(w) OVER (PARTITION BY rf ORDER BY v) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY rf) AS BIGINT) AS tot
+  FROM g
+)
+SELECT rf AS l_returnflag, MIN(v) AS w_median, CAST(MIN(tot) AS BIGINT)
+         AS total_weight
+FROM c WHERE 2 * cum >= tot GROUP BY rf
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted price) per group — the
+    robust location statistic `percentile` can't express (its weights
+    are implicit row counts): collapse to per-distinct-value exact
+    weight longs first, cumulative-sum them in value order per group,
+    and the weighted median is the FIRST value whose cumulative weight
+    reaches half the total. The answer is a raw input value (no
+    arithmetic on it), so it hash-matches with no grid; the weights
+    are exact cent-longs and the half-total test `2·cum ≥ tot` is pure
+    integer comparison.
+
+    One data-sized aggregation to the (group, value) level, then a
+    per-GROUP window over the collapsed table (|distinct values| rows,
+    each partition one group — the same bounded-window shape as
+    `agg_median_exact`). Mergeable and partition-invariant throughout.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("w")
+    )
+    wc = Window.partitionBy("rf").orderBy("v")
+    wt = Window.partitionBy("rf")
+    c = g.select(
+        "rf",
+        "v",
+        F.sum("w").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.min("v").alias("w_median"),
+            F.min("tot").alias("total_weight"),
         )
     )

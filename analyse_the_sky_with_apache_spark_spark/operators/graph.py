@@ -14,7 +14,7 @@ Iterative label propagation lives in pipeline/dedup.py
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -778,3 +778,87 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return nodes.orderBy("node")
+
+
+_LPA_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+c1 AS (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN l0 l ON l.node = a.nb
+  GROUP BY a.node, l.lbl
+),
+l1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN l1 l ON l.node = a.nb
+  GROUP BY a.node, l.lbl
+),
+l2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c2
+  ) WHERE rn = 1
+)
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM l2 GROUP BY lbl
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA), two
+    unrolled rounds: every node starts as its own label, then each
+    round adopts the most frequent label among its neighbors with a
+    TOTAL tie-break (count DESC, label ASC) — the tie-break is what
+    makes synchronous LPA deterministic and therefore hash-checkable
+    (vanilla LPA breaks ties randomly; GraphFrames' own LPA documents
+    the same determinism caveat).
+
+    Each round is one join (labels onto the adjacency list, label side
+    partitioned by node — the same key every round, so AQE reuses the
+    exchange) + one count aggregate + one per-node top-1 window, all
+    keyed on node: K rounds = K passes over the EDGE list, never more,
+    which is the textbook Pregel compilation of LPA onto joins. The
+    emitted result is the community histogram (label, size, min member)
+    — stable under any round count and orders of magnitude smaller
+    than the assignment itself.
+    """
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(2):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("nb"), "lbl"), "nb"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
+    )

@@ -513,3 +513,67 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_kl_divergence",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+sw AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM sw GROUP BY source),
+cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY w),
+ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot FROM cw),
+terms AS (
+  SELECT sw.source,
+         CAST(FLOOR(
+           (CAST(sw.c AS DOUBLE) / st.tot)
+           * ln((CAST(sw.c AS DOUBLE) / st.tot)
+                / (CAST(cw.cc AS DOUBLE) / ct.ctot))
+           * 1000000000000.0 + 0.5) AS BIGINT) AS term_g
+  FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct
+)
+SELECT source,
+       CAST(CAST(SUM(term_g) AS BIGINT) AS DOUBLE) / 1000000000000.0
+         AS kl_nats
+FROM terms GROUP BY source
+""",
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift fingerprint: per-source KL divergence between each
+    source's token distribution and the whole-corpus distribution,
+    KL(P_src ‖ P_corpus) = Σ_w p ln(p/q) — the standard drift check
+    before mixing a new crawl source into a training corpus (a source
+    whose KL jumps is distributionally off-mixture; the embedding-space
+    sibling is `emb_drift_monitor`).
+
+    Every distribution is a ratio of exact token counts; only the
+    per-TERM p·ln(p/q) is float, floored onto a 1e-12 grid before the
+    per-source sum (the perplexity/NB discipline — sums stay exact
+    longs). No smoothing is needed: the sum ranges over words PRESENT
+    in the source, and q > 0 for any corpus word by construction. The
+    term table is (source × vocab)-sized — a fraction of the token
+    stream; the corpus marginals broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("tot"))
+    cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+    ct = cw.agg(F.sum("cc").alias("ctot"))
+    p = F.col("c").cast("double") / F.col("tot")
+    q = F.col("cc").cast("double") / F.col("ctot")
+    term_g = F.floor(p * F.log(p / q) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        sw.join(F.broadcast(st), "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(ct))
+        .select("source", term_g.alias("term_g"))
+        .groupBy("source")
+        .agg(
+            (F.sum("term_g").cast("double") / F.lit(1e12)).alias("kl_nats")
+        )
+    )

@@ -301,6 +301,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "stat_corr_matrix",
     "stat_chi2_independence",
     "stat_ks_test",
+    "graph_label_propagation",
+    "dedup_sorted_neighborhood",
+    "corpus_kl_divergence",
+    "agg_weighted_median",
 )
 
 
