@@ -1556,3 +1556,69 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ts_order_gaps",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS DATE) AS prev_d
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, d - prev_d AS gap_days
+  FROM o WHERE prev_d IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(SUM(CASE WHEN gap_days > 180 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_gaps
+FROM g GROUP BY o_custkey
+HAVING COUNT(*) + 1 >= 8
+""",
+)
+def ts_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap detection per entity: consecutive-event deltas
+    via one `lag` window keyed on the entity, then per-entity gap
+    statistics (max gap, count of dormancy gaps > 180 days) for
+    entities with enough history. The churn-risk primitive — the
+    per-gap dual of `win_streaks`' consecutive-activity islands and
+    the per-entity refinement of `ts_interarrival_hist`'s global
+    histogram.
+
+    Date ties within a customer are broken by order key, so the lag
+    sequence — and therefore every gap — is a total order in both
+    engines. One shuffle on the entity key shared by the window and
+    the aggregate (the window's partition IS the groupBy key, so AQE
+    plans a single exchange); day arithmetic is exact integer
+    date-diff. HAVING prunes to established customers only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("d"), F.col("o_orderkey")
+    )
+    t = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    ).select(
+        "o_custkey", "d", F.lag("d").over(w).alias("prev_d")
+    )
+    g = t.where(F.col("prev_d").isNotNull()).select(
+        "o_custkey", F.datediff("d", "prev_d").alias("gap_days")
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_orders"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+            F.sum(
+                F.when(F.col("gap_days") > 180, 1).otherwise(0)
+            ).alias("n_long_gaps"),
+        )
+        .where(F.col("n_orders") >= 8)
+    )

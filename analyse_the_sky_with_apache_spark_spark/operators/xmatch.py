@@ -1468,3 +1468,121 @@ def xmatch_likelihood_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
+
+
+#: point-in-polygon test region: an irregular convex pentagon in the
+#: DOUBLED integer coordinate space (x = 2·cents(value), y =
+#: 2·100·(event_id mod 500)). Vertices sit on odd coordinates while
+#: every data point is even, so no point ever lies exactly on an edge
+#: — the strict ray-casting inequalities are boundary-safe.
+_PIP_POLY = (
+    (20001, 10001),
+    (80001, 20001),
+    (90001, 60001),
+    (50001, 90001),
+    (10001, 70001),
+)
+
+
+def _pip_edges_sql() -> str:
+    vals = ", ".join(
+        f"({x1}, {y1}, {x2}, {y2})"
+        for (x1, y1), (x2, y2) in zip(
+            _PIP_POLY, _PIP_POLY[1:] + _PIP_POLY[:1]
+        )
+    )
+    return f"(VALUES {vals}) AS edges(x1, y1, x2, y2)"
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id,
+         2 * CAST(ROUND(value * 100.0) AS BIGINT) AS px,
+         200 * (event_id % 500) AS py
+  FROM events
+),
+hits AS (
+  SELECT p.event_id,
+         CAST(SUM(CASE WHEN (y1 > py) != (y2 > py)
+                        AND CAST(px AS DOUBLE)
+                            < x1 + CAST(py - y1 AS DOUBLE) * (x2 - x1)
+                                   / (y2 - y1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+  FROM pts p CROSS JOIN {_pip_edges_sql()}
+  GROUP BY p.event_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(crossings % 2) AS BIGINT) AS n_inside,
+       CAST(SUM(CASE WHEN crossings % 2 = 1 THEN event_id ELSE 0 END)
+            AS BIGINT) AS inside_id_sum
+FROM hits
+""",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment by ray casting — the geospatial
+    primitive behind geofencing and footprint filters, as a pure
+    relational plan: the polygon's edge list is a 5-row literal that
+    BROADCASTS onto the point stream (a narrow ×E fan-out, E = edge
+    count), each (point, edge) row contributes one odd/even crossing
+    test against a rightward ray, and the parity of the per-point sum
+    decides containment. No geometry library: the crossing test is
+    arithmetic, exactly how a SQL engine without GEOMETRY types runs
+    geofencing at scale.
+
+    Robustness without an epsilon: both axes are doubled exact
+    integers (even for data, odd for vertices), so a point can never
+    sit ON an edge and the strict inequalities are decisive; the one
+    division produces the identical IEEE double in both engines from
+    identical integer inputs. Scale: the fan-out is map-side (edges
+    broadcast), the parity reduce keys on the point id — one shuffle
+    of E·n small rows, or zero shuffles with the crossing sum folded
+    into a single aggregate expression per point when E is literal (as
+    here). For million-edge polygons the edge side stops being a
+    literal and the bin-then-join grid of `xmatch_binned` takes over
+    (points and edges share a cell id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.lit(2) * F.round(F.col("value") * 100.0).cast("long")).alias("px"),
+        (F.lit(200) * (F.col("event_id") % 500)).alias("py"),
+    )
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in zip(
+                _PIP_POLY, _PIP_POLY[1:] + _PIP_POLY[:1]
+            )
+        ]
+    )
+    e = pts.select(
+        "event_id", "px", "py", F.explode(edges).alias("ed")
+    ).select("event_id", "px", "py", "ed.*")
+    crossing = F.when(
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & (
+            F.col("px").cast("double")
+            < F.col("x1")
+            + (F.col("py") - F.col("y1")).cast("double")
+            * (F.col("x2") - F.col("x1"))
+            / (F.col("y2") - F.col("y1"))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    hits = e.groupBy("event_id").agg(F.sum(crossing).alias("crossings"))
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.col("crossings") % 2).alias("n_inside"),
+        F.sum(
+            F.when(F.col("crossings") % 2 == 1, F.col("event_id")).otherwise(
+                F.lit(0)
+            )
+        ).alias("inside_id_sum"),
+    )

@@ -542,3 +542,72 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burn_alert"
         ),
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+mad AS (
+  SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (user_id)
+  GROUP BY e.user_id
+)
+SELECT e.event_id, e.user_id, e.value,
+       ROUND(abs(e.value - m.med) / (1.4826 * d.mad), 4) AS rob_z
+FROM events e
+JOIN med m USING (user_id)
+JOIN mad d USING (user_id)
+WHERE m.n >= 30 AND d.mad > 0
+  AND abs(e.value - m.med) / (1.4826 * d.mad) > 3.0
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags by median absolute deviation — the
+    breakdown-resistant sibling of `anomaly_zscore` (a mean/stddev
+    z-score is itself dragged by the outliers it hunts; the median/MAD
+    pair has a 50% breakdown point). Two grouped exact quantiles
+    (per-entity median, then median of absolute deviations), joined
+    back; a row is anomalous when |v - med| exceeds 3 consistency-
+    scaled MADs (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD estimate σ under
+    normality).
+
+    Both engines use the same continuous-quantile interpolation
+    (`percentile` ↔ `quantile_cont` — the `agg_median_exact` parity),
+    the accept test runs on the UNROUNDED identical expression in both
+    engines (no boundary flips), and only the reported score is
+    4dp-rounded. Per-entity quantile buffers are bounded by entity
+    cardinality (the `agg_median_exact` scale note: huge groups move
+    to the sketch rung). Three passes keyed on the same entity column
+    — one exchange, reused.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5D)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mad = (
+        ev.join(med.select("user_id", "med"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+        )
+    )
+    j = (
+        ev.join(F.broadcast(med), "user_id")
+        .join(F.broadcast(mad), "user_id")
+        .where((F.col("n") >= 30) & (F.col("mad") > 0))
+    )
+    score = F.abs(F.col("value") - F.col("med")) / (
+        F.lit(1.4826) * F.col("mad")
+    )
+    return j.where(score > 3.0).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(score, 4).alias("rob_z"),
+    )

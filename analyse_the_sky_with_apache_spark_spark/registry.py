@@ -305,6 +305,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "corpus_kl_divergence",
     "agg_weighted_median",
+    "geo_point_in_polygon",
+    "ts_order_gaps",
+    "anomaly_mad",
+    "join_salted_skew",
 )
 
 
