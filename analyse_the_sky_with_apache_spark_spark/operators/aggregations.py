@@ -1513,3 +1513,130 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+t AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT c.user_id, MIN(t.n_types) AS n_types,
+       CAST(CAST(SUM(CAST(FLOOR(
+         -(CAST(c.c AS DOUBLE) / t.tot)
+           * ln(CAST(c.c AS DOUBLE) / t.tot) * 1000000000.0 + 0.5)
+         AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000000.0 AS entropy_nats
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id
+HAVING MIN(t.tot) >= 20
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity statistic (0 = monomaniac, ln(k) = uniform over k types)
+    that segments explorers from single-purpose users; the same
+    aggregation algebra scores column skew in profiling and class
+    balance in label audits.
+
+    Entropy = -Σ p ln p over the per-user type distribution: counts
+    collapse first (the data-sized pass), every p is a ratio of exact
+    longs, and each -p·ln p term lands on a 1e-9 grid BEFORE the
+    per-user sum (the `corpus_kl_divergence` discipline), so the
+    emitted double is exact. Users with fewer than 20 events are
+    pruned (entropy of a handful of draws is noise). Both aggregations
+    key on user_id — one exchange, reused.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("tot")
+    term_g = F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("n_types").alias("n_types"),
+            (F.sum(term_g).cast("double") / F.lit(1e9)).alias(
+                "entropy_nats"
+            ),
+            F.min("tot").alias("_tot"),
+        )
+        .where(F.col("_tot") >= 20)
+        .drop("_tot")
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag AS rf,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+),
+w AS (
+  SELECT l.l_returnflag AS rf,
+         CAST(FLOOR(LEAST(GREATEST(l.l_extendedprice, q.p05), q.p95)
+                    * 100.0 + 0.5) AS BIGINT) AS wc
+  FROM lineitem l JOIN q ON l.l_returnflag = q.rf
+)
+SELECT rf AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(CAST(SUM(wc) AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 4)
+         AS winsorized_mean
+FROM w GROUP BY rf
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — the robust location estimate that
+    CLAMPS (rather than drops) the tails at the group's own p05/p95
+    before averaging: resistant to fat tails yet using every row's
+    vote, the standard treatment for revenue-per-user style metrics
+    where a few whales wreck the mean (`agg_weighted_median` and
+    `anomaly_mad` are the neighboring robust-stats rungs).
+
+    Two passes sharing one group key: exact grouped quantiles (the
+    `agg_median_exact` interpolation parity), broadcast back, then
+    clamp + exact cent-floored long sum — the clamped value is either
+    a raw cent-exact price or the interpolated fence, and flooring to
+    the cent grid BEFORE summing keeps the aggregation integer-exact
+    in both engines. At 100 TB the fences come from the sketch rung
+    (`agg_approx_percentile`) instead; the clamp-and-sum pass is
+    unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.expr("percentile(l_extendedprice, 0.05D)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95D)").alias("p95"),
+    )
+    w = li.join(
+        F.broadcast(q), li.l_returnflag == q.rf
+    ).select(
+        "rf",
+        F.floor(
+            F.least(
+                F.greatest(F.col("l_extendedprice"), F.col("p05")),
+                F.col("p95"),
+            )
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wc"),
+    )
+    return w.groupBy(F.col("rf").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("wc").cast("double") / F.lit(100.0) / F.count(F.lit(1)), 4
+        ).alias("winsorized_mean"),
+    )

@@ -1622,3 +1622,100 @@ def ts_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_orders") >= 8)
     )
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.month,
+         CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.month = b.month AND b.d > a.d
+),
+g AS (
+  SELECT month, slope, COUNT(*) AS c FROM slopes GROUP BY month, slope
+),
+cum AS (
+  SELECT month, slope,
+         CAST(SUM(c) OVER (PARTITION BY month ORDER BY slope)
+              AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY month) AS BIGINT) AS n_pairs
+  FROM g
+)
+SELECT month, MIN(n_pairs) AS n_pairs, MIN(slope) / 100.0 AS ts_slope
+FROM cum WHERE 2 * cum >= n_pairs GROUP BY month
+""",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per month: the slope estimate is the
+    MEDIAN of all pairwise day-to-day slopes of the daily-revenue
+    series — with a 29% breakdown point it shrugs off the spike days
+    that drag `lightcurve_trend`'s least-squares slope (the OLS rung
+    of the same ladder; `anomaly_mad` is the location-scale analogue).
+
+    The quadratic pair enumeration is SAFE by construction: it runs on
+    the per-month DAILY aggregate (≤ 31 rows per group → ≤ 465 pairs),
+    never on raw orders — the collapse-then-self-join shape that makes
+    robust estimators feasible at 100 TB (the series length is bounded
+    by the calendar, not the data). Slopes are exact-cent differences
+    over integer day gaps (identical doubles both engines); the median
+    is the DISCRETE lower median via the `agg_weighted_median`
+    cumulative-count selection — the chosen slope is one of those
+    exact doubles, so no interpolation or rounding can straddle a
+    half-ulp boundary (the continuous `percentile` parity broke here
+    at 4dp: measured one grid-boundary mismatch at sf0.01).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.dayofmonth(F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.month") == F.col("b.month"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.month").alias("month"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+    )
+    g = slopes.groupBy("month", "slope").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("month").orderBy("slope").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("month")
+    cum = g.select(
+        "month",
+        "slope",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("n_pairs"),
+    )
+    return (
+        cum.where(F.lit(2) * F.col("cum") >= F.col("n_pairs"))
+        .groupBy("month")
+        .agg(
+            F.min("n_pairs").alias("n_pairs"),
+            (F.min("slope") / F.lit(100.0)).alias("ts_slope"),
+        )
+    )

@@ -611,3 +611,62 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(score, 4).alias("rob_z"),
     )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+WITH rel AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END AS balance_band
+  FROM customer
+),
+eq AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT balance_band) AS BIGINT) AS l_distinct
+  FROM rel GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+       CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS at_risk
+FROM eq
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a class can
+    be large (k-anonymous) yet have every member share the SAME
+    sensitive value, so membership alone discloses it (homogeneity
+    attack). Per quasi-identifier class (nation, segment), count the
+    DISTINCT sensitive values (banded account balance) and flag
+    classes with fewer than l = 3 — the release gate that runs
+    alongside `privacy_k_anonymity` on the same grouping.
+
+    Same single-aggregation shape as the k-audit (the distinct count
+    adds one Expand pass over the class key); the sensitive banding is
+    a deterministic CASE on exact comparisons, and every output column
+    is integer. Generalizing the fix: suppress flagged classes or
+    coarsen the band edges until l holds.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    eq = (
+        c.select("c_nationkey", "c_mktsegment", band.alias("balance_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("balance_band").alias("l_distinct"),
+        )
+    )
+    return eq.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_distinct",
+        F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("at_risk"),
+    )

@@ -309,6 +309,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ts_order_gaps",
     "anomaly_mad",
     "join_salted_skew",
+    "privacy_l_diversity",
+    "agg_entropy",
+    "ts_theil_sen",
+    "agg_winsorized_mean",
 )
 
 
