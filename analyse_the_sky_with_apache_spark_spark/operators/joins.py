@@ -824,65 +824,3 @@ def join_multi_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("f_big"), F.lit(0)).alias("has_big_ticket"),
         )
     )
-
-
-#: salt fan-out for the manually-salted skew join.
-_SALT_R = 8
-
-
-@register(
-    "join_salted_skew",
-    oracle="""
-SELECT o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-            AS BIGINT) AS revenue_cents
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-""",
-)
-def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manually SALTED equi-join — the skew-mitigation pattern spelled
-    out as a plan (what AQE's skew-join split does adaptively, written
-    explicitly for engines/pipelines where a hot key must be handled
-    deterministically): the probe side appends a salt in 0..R-1 derived
-    from a row-local column, the build side replicates each row R times
-    via a literal-range explode, and the join key becomes (key, salt) —
-    a hot key's rows now spread across R reducers instead of one.
-    The result is IDENTICAL to the unsalted join (the oracle runs the
-    plain join): salting changes the partitioning algebra, never the
-    semantics.
-
-    Cost model: R× replication of the BUILD side (keep it the smaller
-    input) buys a 1/R cut in the hottest reducer's row count; pick
-    R ≈ hot-partition-bytes / target-partition-bytes. The aggregate
-    then re-keys on the group column — at 100 TB the salt also carries
-    into a two-phase aggregation (`agg_salted_twophase` is the agg-side
-    sibling).
-    """
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", F.pmod(F.col("l_linenumber"), F.lit(_SALT_R))
-    )
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .withColumn(
-            "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_R)]))
-        )
-    )
-    return (
-        li.join(
-            o,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (li["salt"] == o["salt"]),
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(
-                F.floor(
-                    F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
-                ).cast("long")
-            ).alias("revenue_cents"),
-        )
-    )

@@ -308,7 +308,6 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "geo_point_in_polygon",
     "ts_order_gaps",
     "anomaly_mad",
-    "join_salted_skew",
     "privacy_l_diversity",
     "agg_entropy",
     "ts_theil_sen",
