@@ -1348,3 +1348,111 @@ def basket_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
     )
+
+
+@register(
+    "basket_rules_confidence",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+sup1 AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items
+  GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS s_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, s_ab, sa.s AS s_ant,
+         sb.s AS s_con
+  FROM pairs JOIN sup1 sa ON sa.l_partkey = pa
+             JOIN sup1 sb ON sb.l_partkey = pb
+  UNION ALL
+  SELECT pb, pa, s_ab, sb.s, sa.s
+  FROM pairs JOIN sup1 sa ON sa.l_partkey = pa
+             JOIN sup1 sb ON sb.l_partkey = pb
+)
+SELECT antecedent, consequent, s_ab AS support,
+       CAST(s_ab AS DOUBLE) / s_ant AS confidence,
+       CAST(s_ab AS DOUBLE) * n / (CAST(s_ant AS DOUBLE) * s_con) AS lift
+FROM rules CROSS JOIN nb
+WHERE 2 * s_ab >= s_ant
+""",
+)
+def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the frequent pairs: every surviving pair
+    yields the two directed rules a→b and b→a with confidence
+    P(b|a) = s(a,b)/s(a) and lift P(a,b)/(P(a)P(b)) — the metric layer
+    the a-priori ladder exists for (`basket_item_pairs` mines the
+    pairs, `basket_apriori_triples` the next level). Rules are kept
+    when confidence ≥ 0.5, expressed as the INTEGER test 2·s_ab ≥
+    s_ant so the cut can't sit on a float boundary.
+
+    Plan: pair support re-derived by the bounded per-order self-join,
+    single-item supports as one aggregate (broadcast back onto the
+    pair table — item supports are dimension-sized), the basket count
+    a 1-row broadcast. Confidence/lift are exact-integer ratios —
+    identical doubles both engines. At 100 TB the single-item support
+    table also feeds the a-priori prefilter so rare items never enter
+    the pair join (the `basket_item_pairs` scale note).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    sup1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = sup1.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa"))
+    sb = sup1.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb"))
+    base = pairs.join(sa, "pa").join(sb, "pb")
+    fwd = base.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "s_ab",
+        F.col("sa").alias("s_ant"),
+        F.col("sb").alias("s_con"),
+    )
+    rev = base.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "s_ab",
+        F.col("sb").alias("s_ant"),
+        F.col("sa").alias("s_con"),
+    )
+    rules = fwd.unionAll(rev)
+    return (
+        rules.crossJoin(F.broadcast(nb))
+        .where(F.lit(2) * F.col("s_ab") >= F.col("s_ant"))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("support"),
+            (F.col("s_ab").cast("double") / F.col("s_ant")).alias(
+                "confidence"
+            ),
+            (
+                F.col("s_ab").cast("double")
+                * F.col("n")
+                / (F.col("s_ant").cast("double") * F.col("s_con"))
+            ).alias("lift"),
+        )
+    )

@@ -1719,3 +1719,132 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("slope") / F.lit(100.0)).alias("ts_slope"),
         )
     )
+
+
+#: max session duration for the capped sessionizer (2 h in µs).
+_SESSION_CAP_US = 7_200_000_000
+
+
+@register(
+    "sessionize_capped",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gid
+  FROM x
+),
+z AS (
+  SELECT user_id, ts, gid,
+         (epoch_us(ts)
+          - MIN(epoch_us(ts)) OVER (PARTITION BY user_id, gid))
+         // {_SESSION_CAP_US} AS sub
+  FROM y
+)
+SELECT user_id, gid, CAST(sub AS BIGINT) AS sub,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM z GROUP BY user_id, gid, sub
+""",
+)
+def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH a 30-min inactivity gap and a 2-hour
+    maximum duration — the production variant of `sessionize_batch`
+    (analytics stacks cap sessions so a forgotten-open tab can't form
+    a week-long session). Gap sessions form exactly as in the batch
+    sessionizer; each is then sub-split by flooring the offset from
+    its own first event onto the cap grid — the standard one-pass
+    bucketing semantics (a split can land mid-activity; the exact
+    re-seeding variant is inherently sequential and belongs to
+    `stream_stateful`'s per-key ordered iterator at scale).
+
+    The whole pipeline shares ONE user-key shuffle: lag window, running
+    sum, per-(user, session) min, and the final rollup all partition by
+    user. Offsets are exact integer µs arithmetic end to end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us >= 1_800_000_000), 1).otherwise(0),
+    )
+    g = flagged.withColumn(
+        "gid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "gid")
+    z = g.withColumn(
+        "off_us",
+        F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(ws),
+    ).withColumn("sub", F.expr(f"off_us div {_SESSION_CAP_US}"))
+    return z.groupBy("user_id", "gid", "sub").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+WITH m AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y') AS year,
+         strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT year, month, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(cents AS DOUBLE)
+         / CAST(SUM(cents) OVER (PARTITION BY year) AS BIGINT)
+         AS share_of_year
+FROM m
+""",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total within a reporting group (Oracle's
+    RATIO_TO_REPORT, BigQuery's `x / SUM(x) OVER (...)`): monthly
+    revenue as a fraction of its year. The defining OLAP composition —
+    aggregate to the report grain FIRST (the only data-sized pass),
+    then a window over the tiny aggregate computes the denominator;
+    the ratio divides one exact cent-long by another, so both engines
+    emit the identical double.
+
+    At 100 TB the window input is |months|, not |orders| — the
+    collapse-then-window shape every share/percent-of-total metric
+    should take (windowing raw facts would shuffle the world for a
+    12-row denominator).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy").alias(
+            "year"
+        ),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    wy = Window.partitionBy("year")
+    return m.select(
+        "year",
+        "month",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("cents").cast("double") / F.sum("cents").over(wy)
+        ).alias("share_of_year"),
+    )

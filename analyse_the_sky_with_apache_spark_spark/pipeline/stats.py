@@ -413,3 +413,192 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(F.max(gap).alias("ks_d"))
     )
+
+
+@register(
+    "stat_mann_whitney",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+  FROM orders
+),
+g AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM s GROUP BY v
+),
+r AS (
+  SELECT v, ca, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS below
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(c - ca) AS BIGINT) AS nb,
+         CAST(SUM(ca * (2 * below + c + 1)) AS BIGINT) AS ra2,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS ties3
+  FROM r
+)
+SELECT na, nb,
+       (CAST(ra2 AS DOUBLE) - na * (na + 1.0)) / 2.0 AS u_a,
+       ((CAST(ra2 AS DOUBLE) - na * (na + 1.0)) / 2.0
+        - CAST(na AS DOUBLE) * nb / 2.0)
+       / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+              * ((na + nb + 1.0)
+                 - CAST(ties3 AS DOUBLE)
+                   / ((na + nb) * (na + nb - 1.0)))) AS z
+FROM t
+""",
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (urgent vs non-urgent order
+    values) — the nonparametric mean-shift test that pairs with
+    `stat_ks_test`'s shape test: rank the pooled sample, sum sample
+    A's ranks, U = R_A - n_a(n_a+1)/2, normal-approximate with the
+    tie-corrected variance.
+
+    The entire rank computation collapses to per-distinct-value counts
+    (ties share the midrank): with `below` = count of strictly smaller
+    values, the DOUBLED rank-sum Σ c_a·(2·below + c + 1) is exact long
+    arithmetic — no per-row ranking, no float until the final closed-
+    form z (identical IEEE tree both engines). The cumulative window
+    again runs over |distinct values| rows; the tie-correction term
+    Σ(t³-t) rides the same aggregate. The 100-TB form pre-bins values
+    exactly like the KS note.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("a"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.count(F.lit(1)).alias("c")
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "v",
+        "ca",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+    )
+    t = r.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).alias("nb"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("below") + F.col("c") + 1)
+        ).alias("ra2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties3"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u_a = (F.col("ra2").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    var = (
+        na.cast("double")
+        * nb
+        / F.lit(12.0)
+        * (
+            (na + nb + F.lit(1.0))
+            - F.col("ties3").cast("double")
+            / ((na + nb) * (na + nb - F.lit(1.0)))
+        )
+    )
+    z = (u_a - na.cast("double") * nb / F.lit(2.0)) / F.sqrt(var)
+    return t.select("na", "nb", u_a.alias("u_a"), z.alias("z"))
+
+
+@register(
+    "stat_welch_ttest",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+           AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+              AS BIGINT) AS s1,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                  * CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT MAX(CASE WHEN grp = 'a' THEN n END) AS n1,
+         MAX(CASE WHEN grp = 'b' THEN n END) AS n2,
+         MAX(CASE WHEN grp = 'a' THEN s1 END) AS a1,
+         MAX(CASE WHEN grp = 'b' THEN s1 END) AS b1,
+         MAX(CASE WHEN grp = 'a' THEN s2 END) AS a2,
+         MAX(CASE WHEN grp = 'b' THEN s2 END) AS b2
+  FROM g
+)
+SELECT n1, n2,
+       CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n2 AS mean_diff,
+       (CAST(a1 AS DOUBLE) / n1 - CAST(b1 AS DOUBLE) / n2)
+       / sqrt((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n1)
+                / (n1 - 1.0) / n1
+              + (CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n2)
+                / (n2 - 1.0) / n2) AS t_stat
+FROM w
+""",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for the same A/B split —
+    the parametric rung next to `stat_mann_whitney`: group means and
+    sample variances come from exact cent-long (n, Σx, Σx²) triples
+    (the `agg_higher_moments` monoid — WHOLE-UNIT grid: the cent grid
+    squares past 2⁶³ on this column), t = Δmean/√(v₁/n₁ + v₂/n₂) is
+    one closed-form double expression over the exact longs.
+
+    ONE pass over the data computing both groups' triples in a single
+    aggregation; the 2-row pivot and the t formula are driver-
+    trivial. Mergeable, partition-invariant, and the A/B test
+    harness every experimentation platform runs at 100 TB — the
+    sufficient stats per (experiment, arm) are a tiny keyed aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+    g = o.groupBy(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+        .otherwise("b")
+        .alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "a", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "b", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "a", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("grp") == "b", F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("grp") == "a", F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("grp") == "b", F.col("s2"))).alias("b2"),
+    )
+    mean_diff = (
+        F.col("a1").cast("double") / F.col("n1")
+        - F.col("b1").cast("double") / F.col("n2")
+    )
+    va = (
+        (
+            F.col("a2").cast("double")
+            - F.col("a1").cast("double") * F.col("a1") / F.col("n1")
+        )
+        / (F.col("n1") - F.lit(1.0))
+        / F.col("n1")
+    )
+    vb = (
+        (
+            F.col("b2").cast("double")
+            - F.col("b1").cast("double") * F.col("b1") / F.col("n2")
+        )
+        / (F.col("n2") - F.lit(1.0))
+        / F.col("n2")
+    )
+    t_stat = mean_diff / F.sqrt(va + vb)
+    return w.select(
+        "n1", "n2", mean_diff.alias("mean_diff"), t_stat.alias("t_stat")
+    )

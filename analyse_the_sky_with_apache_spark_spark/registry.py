@@ -312,6 +312,11 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "agg_entropy",
     "ts_theil_sen",
     "agg_winsorized_mean",
+    "sessionize_capped",
+    "win_ratio_to_report",
+    "stat_mann_whitney",
+    "stat_welch_ttest",
+    "basket_rules_confidence",
 )
 
 
