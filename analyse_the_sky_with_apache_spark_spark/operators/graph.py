@@ -862,3 +862,127 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
     )
+
+
+_MODULARITY_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+c1 AS (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN l0 l ON l.node = a.nb
+  GROUP BY a.node, l.lbl
+),
+l1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c1
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN l1 l ON l.node = a.nb
+  GROUP BY a.node, l.lbl
+),
+l2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_intra, la.lbl AS lbl
+  FROM e JOIN l2 la ON la.node = e.u JOIN l2 lb ON lb.node = e.v
+  WHERE la.lbl = lb.lbl GROUP BY la.lbl
+),
+deg AS (
+  SELECT l2.lbl, CAST(COUNT(*) AS BIGINT) AS d_c
+  FROM adj JOIN l2 ON l2.node = adj.node GROUP BY l2.lbl
+),
+terms AS (
+  SELECT d.lbl,
+         CAST(FLOOR((CAST(COALESCE(i.n_intra, 0) AS DOUBLE) / m.m
+                     - (CAST(d.d_c AS DOUBLE) / (2 * m.m))
+                       * (CAST(d.d_c AS DOUBLE) / (2 * m.m)))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS term_g
+  FROM deg d LEFT JOIN intra i ON i.lbl = d.lbl CROSS JOIN m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(CAST(SUM(term_g) AS BIGINT) AS DOUBLE) / 1000000000000.0
+         AS modularity
+FROM terms
+"""
+
+
+@register("graph_modularity", oracle=_MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the `graph_label_propagation` partition:
+    Q = Σ_c [e_c/m − (d_c/2m)²] — the objective Louvain climbs,
+    computed here as the QUALITY GATE for the LPA communities (a
+    partition with Q ≈ 0 is no better than random; the score is what
+    tells you whether to keep iterating). Shares the label pipeline
+    verbatim, then three integer aggregates: intra-community edge
+    counts (labels joined onto both edge endpoints), community degree
+    sums, total edges — each per-community term lands on a 1e-12 grid
+    before the final sum (the `corpus_kl_divergence` discipline).
+
+    Everything after the LPA rounds is community-keyed (|communities|
+    rows); the label join onto edges is the only data-sized pass and
+    reuses the node partitioning the rounds already built.
+    """
+    e = _edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(2):
+        cnt = (
+            adj.join(labels.select(F.col("node").alias("nb"), "lbl"), "nb")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    la = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lb = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        e.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("n_intra"))
+    )
+    deg = (
+        adj.join(labels, "node")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    frac = F.coalesce(F.col("n_intra"), F.lit(0)).cast("double") / F.col("m")
+    half = F.col("d_c").cast("double") / (F.lit(2) * F.col("m"))
+    term_g = F.floor(
+        (frac - half * half) * F.lit(1e12) + F.lit(0.5)
+    ).cast("long")
+    terms = (
+        deg.join(intra, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(term_g.alias("term_g"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        (F.sum("term_g").cast("double") / F.lit(1e12)).alias("modularity"),
+    )

@@ -670,3 +670,84 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         F.when(F.col("l_distinct") < 3, 1).otherwise(0).alias("at_risk"),
     )
+
+
+@register(
+    "dq_volume_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER tw AS BIGINT) AS s1,
+         CAST(SUM(c * c) OVER tw AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER tw AS BIGINT) AS n
+  FROM daily
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, c, n AS n_ref,
+       ROUND((c - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                    / (n - 1.0)), 4) AS vol_z
+FROM w
+WHERE n >= 5
+  AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) > 0
+  AND abs((c - CAST(s1 AS DOUBLE) / n)
+          / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (n - 1.0))) > 2.0
+""",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly monitor: each day's event count scored
+    against the TRAILING week's mean/std (the current day excluded
+    from its own reference — the standard leave-one-out monitoring
+    window), flagging |z| > 2 days. This is the pipeline-health dual
+    of `anomaly_zscore`'s per-entity outliers: a day with doubled or
+    halved volume means an upstream feed broke, regardless of whether
+    any single record is anomalous.
+
+    The rolling moment sums ride ONE window over the collapsed daily
+    table (|days| rows — nothing data-sized is windowed); mean/std are
+    closed-form doubles over the exact integer (n, Σc, Σc²) triple per
+    row, the accept test runs on the unrounded shared expression, and
+    only the reported z is 4dp-rounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tw = Window.orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "day",
+        "c",
+        F.sum("c").over(tw).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - F.lit(1.0))
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        w.where(
+            (F.col("n") >= 5)
+            & (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                > 0
+            )
+            & (F.abs(z) > 2.0)
+        )
+        .select(
+            "day",
+            "c",
+            F.col("n").alias("n_ref"),
+            F.round(z, 4).alias("vol_z"),
+        )
+    )

@@ -830,3 +830,126 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_K)
         .select("q_id", "cand_id", "cos", "rnk")
     )
+
+
+#: Matryoshka evaluation parameters: query batch, truncated prefix
+#: dims, and the top-k compared between truncated and full ranking.
+_MRL_QUERIES = 100
+_MRL_PREFIX = 16
+_MRL_K = 3
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id AS q, b.vec_id AS m,
+         CAST(SUM(CASE WHEN a.i <= {_MRL_PREFIX}
+                       THEN (a.g - b.g) * (a.g - b.g) ELSE 0 END)
+              AS BIGINT) AS d16,
+         CAST(SUM((a.g - b.g) * (a.g - b.g)) AS BIGINT) AS d64
+  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {_MRL_QUERIES}
+  GROUP BY a.vec_id, b.vec_id
+),
+t16 AS (
+  SELECT q, m FROM (
+    SELECT q, m, ROW_NUMBER() OVER (PARTITION BY q ORDER BY d16, m) AS rn
+    FROM pair) WHERE rn <= {_MRL_K}
+),
+t64 AS (
+  SELECT q, m FROM (
+    SELECT q, m, ROW_NUMBER() OVER (PARTITION BY q ORDER BY d64, m) AS rn
+    FROM pair) WHERE rn <= {_MRL_K}
+),
+hits AS (
+  SELECT t64.q, CAST(COUNT(t16.m) AS BIGINT) AS n_hits
+  FROM t64 LEFT JOIN t16 ON t64.q = t16.q AND t64.m = t16.m
+  GROUP BY t64.q
+)
+SELECT n_hits, CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM hits GROUP BY n_hits
+""",
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: how much nearest-neighbor
+    structure survives keeping only the first 16 of 64 embedding
+    dimensions — the measurement behind MRL-style dimension-adaptive
+    retrieval (truncate at serving time, keep the index 4× smaller,
+    re-rank the shortlist at full precision). For a bounded query
+    batch, rank all members by truncated-prefix distance AND by
+    full-dimension distance, and report the distribution of top-3
+    overlap counts.
+
+    Hash-exact float-free core: components land on a 1e-6 integer
+    grid, both distances are exact integer squared-Euclidean sums, and
+    every ranking is totally tie-broken (distance, then id) — the
+    whole evaluation is verifiable arithmetic, unlike a float-cosine
+    eval where BLAS summation order decides ties. The Spark side keeps
+    vectors as arrays (zip_with + aggregate — no dimension explode)
+    and broadcasts the query batch against the member scan: the
+    product IS the linear scan, the `sim_knn_per_query` serving shape.
+    At 100 TB the member side is the IVF/LSH-pruned candidate list,
+    not the full collection.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("g"),
+    )
+    q = e.where(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("g").alias("qg")
+    )
+    m = e.select(F.col("vec_id").alias("m"), F.col("g").alias("mg"))
+    zero = F.lit(0).cast("long")
+    d64 = F.aggregate(
+        F.zip_with("qg", "mg", lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    d16 = F.aggregate(
+        F.zip_with(
+            F.slice("qg", 1, _MRL_PREFIX),
+            F.slice("mg", 1, _MRL_PREFIX),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    pair = (
+        F.broadcast(q)
+        .join(m, F.col("q") != F.col("m"))
+        .select("q", "m", d16.alias("d16"), d64.alias("d64"))
+    )
+    w16 = Window.partitionBy("q").orderBy("d16", "m")
+    w64 = Window.partitionBy("q").orderBy("d64", "m")
+    t16 = (
+        pair.withColumn("rn", F.row_number().over(w16))
+        .where(F.col("rn") <= _MRL_K)
+        .select("q", "m")
+    )
+    t64 = (
+        pair.withColumn("rn", F.row_number().over(w64))
+        .where(F.col("rn") <= _MRL_K)
+        .select("q", "m")
+    )
+    hits = (
+        t64.join(
+            t16.withColumn("hit", F.lit(1)), ["q", "m"], "left"
+        )
+        .groupBy("q")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    return hits.groupBy("n_hits").agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )

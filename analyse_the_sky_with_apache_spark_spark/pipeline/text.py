@@ -605,3 +605,100 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("n_pos") - F.col("n_neg")).cast("double") / tot)
         .alias("polarity"),
     )
+
+
+#: shingle width for the cross-document duplication profile.
+_SPAN_NGRAM = 8
+
+
+@register(
+    "text_dup_shingle_fraction",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         md5(string_agg(b.w, ' ' ORDER BY b.i)) AS shingle
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + {_SPAN_NGRAM} - 1
+  GROUP BY a.doc_id, a.i
+  HAVING COUNT(*) = {_SPAN_NGRAM}
+),
+docs_per AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sh GROUP BY shingle
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_fraction
+FROM sh JOIN docs_per d USING (shingle)
+GROUP BY sh.doc_id
+""",
+)
+def text_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplication profile: the fraction of a
+    document's distinct 8-gram shingles that appear in at least one
+    OTHER document — the Lee-et-al-style "how much of this text exists
+    elsewhere" signal that decides between dropping a whole near-dup
+    (`dedup_ngram_jaccard` pairs) and span-level surgery: a doc at 0.9
+    is a copy; one at 0.2 shares boilerplate (`text_boilerplate` finds
+    which spans).
+
+    Shingles hash to md5 so the global frequency table is a compact
+    term-keyed aggregate; the per-doc fraction is a ratio of exact
+    counts. Spark builds shingles with a single transform over the
+    token array (no positional self-join — the array is already
+    ordered); the oracle rebuilds them via the positional join, so two
+    independent shingle constructions must agree through the hash.
+    At 100 TB both passes key on the shingle hash — the same shuffle
+    the MinHash ladder already pays.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.when(
+                        n >= _SPAN_NGRAM,
+                        F.sequence(F.lit(1), n - F.lit(_SPAN_NGRAM - 1)),
+                    ).otherwise(F.expr("array()").cast("array<int>")),
+                    lambda i: F.md5(
+                        F.array_join(
+                            F.slice("t", i, _SPAN_NGRAM), " "
+                        )
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    docs_per = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        sh.join(docs_per, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, 1).otherwise(0)
+            ).alias("n_dup"),
+            (
+                F.sum(
+                    F.when(F.col("n_docs") > 1, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_fraction"),
+        )
+    )

@@ -317,6 +317,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "stat_mann_whitney",
     "stat_welch_ttest",
     "basket_rules_confidence",
+    "emb_matryoshka_recall",
+    "graph_modularity",
+    "dq_volume_anomaly",
+    "text_dup_shingle_fraction",
 )
 
 

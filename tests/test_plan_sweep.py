@@ -56,7 +56,10 @@ _BNL_ALLOWED = {
     # 1-row scalar broadcasts
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
-    "corpus_kl_divergence", "basket_rules_confidence",
+    "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
+    # bounded query batch broadcasts against the member scan (the
+    # sim_knn_per_query serving shape; exact-integer distances)
+    "emb_matryoshka_recall",
     # deliberate signature-scan product: 1% query side broadcasts as
     # 16-byte signatures against the candidate scan (the binary-ANN
     # design — the product IS the linear scan of compressed codes)
