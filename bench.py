@@ -64,6 +64,12 @@ EXTENDED = (
     "join_set_similarity",  # prefix-filtered Jaccard set join
     "text_bm25",            # BM25 ranking over documents
     "sky_variability_pipeline",  # shortlist-then-refine variability search
+    # round-6 additions (regression reference: BENCH_r03)
+    "ml_logreg_irls_stats", # one-agg IRLS sufficient statistics
+    "stat_mann_whitney",    # rank-sum test over collapsed value counts
+    "graph_label_propagation",  # 2-round deterministic LPA communities
+    "text_dup_shingle_fraction",  # cross-doc 8-gram duplication profile
+    "emb_matryoshka_recall",  # truncated-dim ANN recall eval
 )
 
 
