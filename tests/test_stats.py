@@ -345,3 +345,166 @@ def test_mad_flags_planted_outlier(spark):
     out = j.where((F.col("n") >= 30) & (F.col("mad") > 0) & (score > 3.0))
     got = [r["event_id"] for r in out.collect()]
     assert got == [99]
+
+
+def test_mann_whitney_symmetric_sample_z_near_zero(spark):
+    """Two identical planted samples: U equals its null mean na*nb/2
+    and z = 0 exactly (the doubled-midrank algebra has no float)."""
+    df = spark.createDataFrame(
+        [(float(v), a) for v in range(50) for a in (0, 1)], "v double, a int"
+    )
+    g = df.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "ca", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    t = r.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).alias("nb"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("below") + F.col("c") + 1)
+        ).alias("ra2"),
+    ).collect()[0]
+    u_a = (t["ra2"] - t["na"] * (t["na"] + 1)) / 2.0
+    assert u_a == t["na"] * t["nb"] / 2.0
+
+
+def test_welch_t_bounds(spark):
+    row = _Q["stat_welch_ttest"](spark, SF_DIR).collect()[0]
+    assert row["n1"] > 1 and row["n2"] > 1
+    assert math.isfinite(row["t_stat"])
+
+
+def test_sessionize_capped_no_session_exceeds_cap_plus_gap(spark):
+    """Every emitted session spans < cap + one gap (a sub-session's
+    last event sits within the cap window of its bucket start plus at
+    most one sub-gap span), and session event counts sum to the table
+    count for users present."""
+    rows = _Q["sessionize_capped"](spark, SF_DIR).collect()
+    assert rows
+    cap_us = 7_200_000_000
+    for r in rows:
+        span = (r["session_end"] - r["session_start"]).total_seconds() * 1e6
+        assert span < cap_us, r
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()[0][0]
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_ratio_to_report_sums_to_one(spark):
+    rows = _Q["win_ratio_to_report"](spark, SF_DIR).collect()
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r["year"], 0.0)
+        by_year[r["year"]] += r["share_of_year"]
+    for y, s in by_year.items():
+        assert abs(s - 1.0) < 1e-9, (y, s)
+
+
+def test_basket_rules_metrics_valid(spark):
+    rows = _Q["basket_rules_confidence"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0.5 <= r["confidence"] <= 1.0
+        assert r["lift"] > 0
+        assert r["antecedent"] != r["consequent"]
+
+
+def test_matryoshka_self_consistency(spark):
+    """Recall histogram counts exactly the query batch, and hits are
+    in 0..3. Full-vs-full ranking overlap is 3 by construction — the
+    16-dim ranking can only lose recall, so mean hits <= 3."""
+    rows = _Q["emb_matryoshka_recall"](spark, SF_DIR).collect()
+    n = sum(r["n_queries"] for r in rows)
+    assert n == 100
+    assert all(0 <= r["n_hits"] <= 3 for r in rows)
+
+
+def test_modularity_two_cliques_high(spark):
+    """Two disconnected 5-cliques labeled by LPA: modularity of the
+    2-community partition is exactly 1/2 (no inter-community edges,
+    equal degree mass)."""
+    edges = [
+        (a, b)
+        for grp in (range(1, 6), range(11, 16))
+        for a in grp
+        for b in grp
+        if a < b
+    ]
+    e = spark.createDataFrame(edges, "u long, v long")
+    m = len(edges)
+    # perfect partition: community = clique
+    import collections
+
+    deg = collections.Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    comms = {1: [n for n in deg if n < 10], 2: [n for n in deg if n > 10]}
+    q = 0.0
+    for nodes in comms.values():
+        intra = sum(1 for u, v in edges if u in nodes and v in nodes)
+        d_c = sum(deg[n] for n in nodes)
+        q += intra / m - (d_c / (2 * m)) ** 2
+    assert abs(q - 0.5) < 1e-12
+
+
+def test_volume_anomaly_planted_spike(spark):
+    """A flat daily series with one 10x day: exactly that day flags."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    base = datetime.date(2024, 1, 1)
+    daily = [
+        (base + datetime.timedelta(days=i),
+         (1000 + (i % 3)) if i != 20 else 10000)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(daily, "day date, c long")
+    tw = Window.orderBy("day").rowsBetween(-7, -1)
+    w = df.select(
+        "day",
+        "c",
+        F.sum("c").over(tw).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    ) / (F.col("n") - F.lit(1.0))
+    z = (F.col("c") - mean) / F.sqrt(var)
+    flagged = [
+        r["day"]
+        for r in w.where(
+            (F.col("n") >= 5)
+            & (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                )
+                > 0
+            )
+            & (F.abs(z) > 2.0)
+        ).collect()
+    ]
+    assert base + datetime.timedelta(days=20) in flagged
+    # the spike also perturbs the NEXT few days' reference window, so
+    # allow trailing flags but nothing before the spike
+    assert all(d >= base + datetime.timedelta(days=20) for d in flagged)
+
+
+def test_dup_shingle_fraction_bounds(spark):
+    rows = _Q["text_dup_shingle_fraction"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_dup"] <= r["n_shingles"]
