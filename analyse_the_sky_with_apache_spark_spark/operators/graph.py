@@ -986,3 +986,89 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_communities"),
         (F.sum("term_g").cast("double") / F.lit(1e12)).alias("modularity"),
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+ends AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.d, du.d
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM ends
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS assortativity
+FROM s
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — Newman's r: the Pearson correlation of
+    the degrees at the two ends of every edge (positive: hubs link to
+    hubs, the social-network signature; negative: hub-and-spoke, the
+    internet/dependency-graph signature). Diagnostic sibling of
+    `graph_degree_hist`: the histogram says how skewed the degrees
+    are, assortativity says how they WIRE.
+
+    Each undirected edge contributes both orientations (the standard
+    symmetrized estimator), degrees join onto the edge list from the
+    one degree aggregate, and the correlation reuses the
+    `stat_corr_matrix` algebra verbatim: five exact integer sums in
+    one pass, one closed-form double. Degree products are bounded by
+    max-degree² per row — BIGINT-safe far beyond any real graph's
+    edge count.
+    """
+    e = _edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    j = e.join(du, "u").join(dv, "v")
+    ends = j.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionAll(j.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.select(
+        (F.col("n") / F.lit(2)).cast("long").alias("n_edges"),
+        (num / den).alias("assortativity"),
+    )

@@ -1848,3 +1848,92 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.sum("cents").over(wy)
         ).alias("share_of_year"),
     )
+
+
+#: autocorrelation lags for the daily-revenue ACF.
+_ACF_LAGS = 7
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+lagk AS (
+  SELECT l.lag, a.cents AS x, b.cents AS y
+  FROM generate_series(1, {_ACF_LAGS}) AS l(lag)
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+),
+s AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM lagk GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS acf
+FROM s
+""",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..7 — the seasonality diagnostic read before fitting any forecast
+    (a weekly cycle shows as a lag-7 peak; `ts_seasonal_index`
+    quantifies the cycle this detects, `ts_cross_corr` is the
+    two-series sibling). Daily revenue collapses to exact whole-unit longs (a cent
+    grid's squared sums would pass 2^63). Implemented as the lagged-pairs Pearson
+    estimator: the daily aggregate self-joins at each lag offset
+    (exact DATE arithmetic), and each lag's correlation comes from the
+    `stat_corr_matrix` exact-long algebra.
+
+    The self-join runs on the |days|-row collapsed series ×7 lags —
+    calendar-bounded like `ts_theil_sen`, never data-sized. The lag
+    dimension is a tiny literal range cross-joined in (generator
+    fan-out in Spark), so ONE join computes all lags: the join key is
+    (day + lag), a plain equi-join after the fan-out.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    a = daily.select(
+        "day",
+        F.col("cents").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_LAGS))
+        ).alias("lag"),
+    ).withColumn("target_day", F.date_add("day", F.col("lag")))
+    b = daily.select(
+        F.col("day").alias("target_day"), F.col("cents").alias("y")
+    )
+    lagk = a.join(b, "target_day")
+    s = lagk.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        (num / den).alias("acf"),
+    )

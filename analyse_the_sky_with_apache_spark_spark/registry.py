@@ -321,6 +321,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "graph_modularity",
     "dq_volume_anomaly",
     "text_dup_shingle_fraction",
+    "graph_assortativity",
+    "ts_autocorrelation",
 )
 
 
