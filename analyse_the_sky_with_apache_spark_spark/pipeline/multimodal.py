@@ -376,3 +376,163 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+#: audio chunking grid: 5-second windows, 4-second stride (1 s overlap).
+_AUD_WIN_MS = 5000
+_AUD_STRIDE_MS = 4000
+
+
+@register(
+    "mm_audio_chunks",
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id, 1000 + (doc_id * 61) % 120000 AS dur_ms FROM documents
+),
+chunks AS (
+  SELECT doc_id, dur_ms,
+         CAST(unnest(generate_series(
+           0, CAST(GREATEST(dur_ms - {_AUD_WIN_MS}, 0) AS BIGINT),
+           {_AUD_STRIDE_MS})) AS BIGINT) AS start_ms
+  FROM assets
+)
+SELECT doc_id, start_ms,
+       CAST(LEAST(start_ms + {_AUD_WIN_MS}, dur_ms) AS BIGINT) AS end_ms,
+       CAST(dur_ms AS BIGINT) AS dur_ms
+FROM chunks
+""",
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking with OVERLAP — the ASR/audio-embedding front
+    door: each asset fans out into 5-second windows at a 4-second
+    stride (1 s overlap so no utterance is cut at every boundary), the
+    final window clamped to the asset's duration. The chunk GRID is
+    pure relational arithmetic on duration metadata (deterministic
+    id-derived fake, the `mm_media_metadata` convention — the real
+    decoder plugs in at `_decode_image_stub`'s seam); the fan-out is
+    an executor-side `sequence`+`explode` generator, sibling of
+    `mm_frame_sample`'s frame grid and `text_chunk`'s token windows.
+
+    Zero shuffles: scan → narrow generator → project. At 100 TB chunk
+    boundaries ship to the Arrow decode kernel WITH the binary column
+    so each executor slices payload bytes locally — offsets move, not
+    audio.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") * 61) % 120000).alias("dur_ms"),
+    )
+    chunks = assets.select(
+        "doc_id",
+        "dur_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(
+                    F.col("dur_ms") - _AUD_WIN_MS, F.lit(0)
+                ).cast("long"),
+                F.lit(_AUD_STRIDE_MS).cast("long"),
+            )
+        ).alias("start_ms"),
+    )
+    return chunks.select(
+        "doc_id",
+        "start_ms",
+        F.least(
+            F.col("start_ms") + _AUD_WIN_MS, F.col("dur_ms").cast("long")
+        ).alias("end_ms"),
+        F.col("dur_ms").cast("long").alias("dur_ms"),
+    )
+
+
+#: image tiling grid: 256-px tiles at a 224-px stride (32-px overlap).
+_TILE = 256
+_TILE_STRIDE = 224
+
+
+@register(
+    "mm_image_tiles",
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id,
+         64 + (doc_id * 37) % 1920 AS w,
+         64 + (doc_id * 53) % 1080 AS h
+  FROM documents
+),
+xs AS (
+  SELECT doc_id, w, h,
+         CAST(unnest(generate_series(
+           0, CAST(GREATEST(w - {_TILE}, 0) AS BIGINT),
+           {_TILE_STRIDE})) AS BIGINT) AS tx
+  FROM assets
+),
+tiles AS (
+  SELECT doc_id, w, h, tx,
+         CAST(unnest(generate_series(
+           0, CAST(GREATEST(h - {_TILE}, 0) AS BIGINT),
+           {_TILE_STRIDE})) AS BIGINT) AS ty
+  FROM xs
+)
+SELECT doc_id, tx, ty,
+       CAST(LEAST({_TILE}, w - tx) AS BIGINT) AS tile_w,
+       CAST(LEAST({_TILE}, h - ty) AS BIGINT) AS tile_h
+FROM tiles
+""",
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tiling fan-out — the ViT/detection preprocessing grid:
+    each image (dimensions from the deterministic fake-decode
+    metadata) expands into 256-px tiles at a 224-px stride (32-px
+    overlap), edge tiles clamped to the image bounds. Two chained
+    generators (x grid, then y grid per x) keep the 2D fan-out
+    executor-side with zero shuffles — the 2D sibling of
+    `mm_audio_chunks`' 1D windows.
+
+    Tile COUNT scales as ceil(w/s)·ceil(h/s) per asset — the plan's
+    row count is metadata-derived and knowable before launch (the
+    `join_cardinality_estimate` pre-flight applies); the decode kernel
+    receives (payload, tx, ty, tile_w, tile_h) and crops locally.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        (F.lit(64) + (F.col("doc_id") * 37) % 1920).alias("w"),
+        (F.lit(64) + (F.col("doc_id") * 53) % 1080).alias("h"),
+    )
+    xs = assets.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col("w") - _TILE, F.lit(0)).cast("long"),
+                F.lit(_TILE_STRIDE).cast("long"),
+            )
+        ).alias("tx"),
+    )
+    tiles = xs.select(
+        "doc_id",
+        "w",
+        "h",
+        "tx",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col("h") - _TILE, F.lit(0)).cast("long"),
+                F.lit(_TILE_STRIDE).cast("long"),
+            )
+        ).alias("ty"),
+    )
+    return tiles.select(
+        "doc_id",
+        "tx",
+        "ty",
+        F.least(F.lit(_TILE).cast("long"), F.col("w") - F.col("tx")).alias(
+            "tile_w"
+        ),
+        F.least(F.lit(_TILE).cast("long"), F.col("h") - F.col("ty")).alias(
+            "tile_h"
+        ),
+    )

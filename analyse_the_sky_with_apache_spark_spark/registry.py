@@ -323,6 +323,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "text_dup_shingle_fraction",
     "graph_assortativity",
     "ts_autocorrelation",
+    "mm_audio_chunks",
+    "mm_image_tiles",
 )
 
 
