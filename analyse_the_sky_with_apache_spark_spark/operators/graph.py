@@ -838,7 +838,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     — stable under any round count and orders of magnitude smaller
     than the assignment itself.
     """
-    e = _edges(spark, sf_dir)
+    # materialize the edge self-join ONCE (localCheckpoint truncates
+    # lineage — without it every round re-derives the lineitem
+    # self-join: 12 parquet scans observed in the un-checkpointed plan)
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     )
@@ -938,7 +941,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); the label join onto edges is the only data-sized pass and
     reuses the node partitioning the rounds already built.
     """
-    e = _edges(spark, sf_dir)
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     )
