@@ -391,9 +391,12 @@ WITH assets AS (
 ),
 chunks AS (
   SELECT doc_id, dur_ms,
-         CAST(unnest(generate_series(
-           0, CAST(GREATEST(dur_ms - {_AUD_WIN_MS}, 0) AS BIGINT),
-           {_AUD_STRIDE_MS})) AS BIGINT) AS start_ms
+         CAST(unnest(list_distinct(list_append(
+           generate_series(
+             0, CAST(GREATEST(dur_ms - {_AUD_WIN_MS}, 0) AS BIGINT),
+             {_AUD_STRIDE_MS}),
+           CAST(GREATEST(dur_ms - {_AUD_WIN_MS}, 0) AS BIGINT))))
+           AS BIGINT) AS start_ms
   FROM assets
 )
 SELECT doc_id, start_ms,
@@ -405,8 +408,10 @@ FROM chunks
 def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio chunking with OVERLAP — the ASR/audio-embedding front
     door: each asset fans out into 5-second windows at a 4-second
-    stride (1 s overlap so no utterance is cut at every boundary), the
-    final window clamped to the asset's duration. The chunk GRID is
+    stride (1 s overlap so no utterance is cut at every boundary), a
+    final FLUSH window anchored at duration-minus-window guarantees
+    gap-free coverage when the duration is not a stride multiple
+    (dedup'd when it is), windows clamped to the duration. The chunk GRID is
     pure relational arithmetic on duration metadata (deterministic
     id-derived fake, the `mm_media_metadata` convention — the real
     decoder plugs in at `_decode_image_stub`'s seam); the fan-out is
@@ -423,16 +428,20 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.lit(1000) + (F.col("doc_id") * 61) % 120000).alias("dur_ms"),
     )
+    last = F.greatest(F.col("dur_ms") - _AUD_WIN_MS, F.lit(0)).cast("long")
     chunks = assets.select(
         "doc_id",
         "dur_ms",
         F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.greatest(
-                    F.col("dur_ms") - _AUD_WIN_MS, F.lit(0)
-                ).cast("long"),
-                F.lit(_AUD_STRIDE_MS).cast("long"),
+            F.array_distinct(
+                F.concat(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        last,
+                        F.lit(_AUD_STRIDE_MS).cast("long"),
+                    ),
+                    F.array(last),
+                )
             )
         ).alias("start_ms"),
     )
@@ -462,16 +471,18 @@ WITH assets AS (
 ),
 xs AS (
   SELECT doc_id, w, h,
-         CAST(unnest(generate_series(
-           0, CAST(GREATEST(w - {_TILE}, 0) AS BIGINT),
-           {_TILE_STRIDE})) AS BIGINT) AS tx
+         CAST(unnest(list_distinct(list_append(
+           generate_series(0, CAST(GREATEST(w - {_TILE}, 0) AS BIGINT),
+                           {_TILE_STRIDE}),
+           CAST(GREATEST(w - {_TILE}, 0) AS BIGINT)))) AS BIGINT) AS tx
   FROM assets
 ),
 tiles AS (
   SELECT doc_id, w, h, tx,
-         CAST(unnest(generate_series(
-           0, CAST(GREATEST(h - {_TILE}, 0) AS BIGINT),
-           {_TILE_STRIDE})) AS BIGINT) AS ty
+         CAST(unnest(list_distinct(list_append(
+           generate_series(0, CAST(GREATEST(h - {_TILE}, 0) AS BIGINT),
+                           {_TILE_STRIDE}),
+           CAST(GREATEST(h - {_TILE}, 0) AS BIGINT)))) AS BIGINT) AS ty
   FROM xs
 )
 SELECT doc_id, tx, ty,
@@ -484,7 +495,8 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image tiling fan-out — the ViT/detection preprocessing grid:
     each image (dimensions from the deterministic fake-decode
     metadata) expands into 256-px tiles at a 224-px stride (32-px
-    overlap), edge tiles clamped to the image bounds. Two chained
+    overlap), a flush tile anchored at extent-minus-tile on each axis
+    guarantees full coverage for non-stride-multiple extents. Two chained
     generators (x grid, then y grid per x) keep the 2D fan-out
     executor-side with zero shuffles — the 2D sibling of
     `mm_audio_chunks`' 1D windows.
@@ -500,15 +512,22 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(64) + (F.col("doc_id") * 37) % 1920).alias("w"),
         (F.lit(64) + (F.col("doc_id") * 53) % 1080).alias("h"),
     )
+    lastx = F.greatest(F.col("w") - _TILE, F.lit(0)).cast("long")
+    lasty = F.greatest(F.col("h") - _TILE, F.lit(0)).cast("long")
     xs = assets.select(
         "doc_id",
         "w",
         "h",
         F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.greatest(F.col("w") - _TILE, F.lit(0)).cast("long"),
-                F.lit(_TILE_STRIDE).cast("long"),
+            F.array_distinct(
+                F.concat(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        lastx,
+                        F.lit(_TILE_STRIDE).cast("long"),
+                    ),
+                    F.array(lastx),
+                )
             )
         ).alias("tx"),
     )
@@ -518,10 +537,15 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         "tx",
         F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.greatest(F.col("h") - _TILE, F.lit(0)).cast("long"),
-                F.lit(_TILE_STRIDE).cast("long"),
+            F.array_distinct(
+                F.concat(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        lasty,
+                        F.lit(_TILE_STRIDE).cast("long"),
+                    ),
+                    F.array(lasty),
+                )
             )
         ).alias("ty"),
     )
