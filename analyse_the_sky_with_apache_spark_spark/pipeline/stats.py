@@ -602,3 +602,315 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "n1", "n2", mean_diff.alias("mean_diff"), t_stat.alias("t_stat")
     )
+
+
+@register(
+    "ml_auc_roc",
+    oracle="""
+WITH s AS (
+  SELECT o_totalprice AS score,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+g AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS cp,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM s GROUP BY score
+),
+r AS (
+  SELECT cp, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS below
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS np,
+         CAST(SUM(c - cp) AS BIGINT) AS nn,
+         CAST(SUM(cp * (2 * below + c + 1)) AS BIGINT) AS rp2
+  FROM r
+)
+SELECT np AS n_pos, nn AS n_neg,
+       ((CAST(rp2 AS DOUBLE) - np * (np + 1.0)) / 2.0)
+       / (CAST(np AS DOUBLE) * nn) AS auc
+FROM t
+""",
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a score column against a binary label WITHOUT
+    enumerating thresholds: AUC = U/(n₊·n₋) — the probability a random
+    positive outranks a random negative — computed by the exact
+    rank-sum identity (`stat_mann_whitney`'s midrank algebra wearing
+    its ML-evaluation hat; ties get 0.5 credit automatically via the
+    midrank). This is how AUC is evaluated at 100 TB: one collapse to
+    per-distinct-score counts, one cumulative window over the
+    collapsed aggregate, one closed-form division of exact longs — no
+    per-threshold scan, no sort of raw rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("y").alias("cp"), F.count(F.lit(1)).alias("c")
+    )
+    wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "cp", "c", F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below")
+    )
+    t = r.agg(
+        F.sum("cp").alias("np"),
+        F.sum(F.col("c") - F.col("cp")).alias("nn"),
+        F.sum(
+            F.col("cp") * (F.lit(2) * F.col("below") + F.col("c") + 1)
+        ).alias("rp2"),
+    )
+    auc = (
+        (F.col("rp2").cast("double") - F.col("np") * (F.col("np") + F.lit(1.0)))
+        / F.lit(2.0)
+    ) / (F.col("np").cast("double") * F.col("nn"))
+    return t.select(
+        F.col("np").alias("n_pos"), F.col("nn").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+#: decision-stump candidate thresholds are the feature's distinct
+#: values; the split test is `feature <= v`.
+@register(
+    "ml_decision_stump",
+    oracle="""
+WITH s AS (
+  SELECT l_quantity AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+g AS (
+  SELECT x, CAST(SUM(y) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM s GROUP BY x
+),
+cum AS (
+  SELECT x,
+         CAST(SUM(p) OVER (ORDER BY x) AS BIGINT) AS lp,
+         CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS lc,
+         CAST(SUM(p) OVER () AS BIGINT) AS tp,
+         CAST(SUM(c) OVER () AS BIGINT) AS tc
+  FROM g
+),
+splits AS (
+  SELECT x AS threshold, lc AS n_left, tc - lc AS n_right,
+         CAST(FLOOR((
+           (CAST(lc AS DOUBLE) / tc)
+             * (1.0 - (CAST(lp AS DOUBLE) / lc) * (CAST(lp AS DOUBLE) / lc)
+                    - (1.0 - CAST(lp AS DOUBLE) / lc)
+                      * (1.0 - CAST(lp AS DOUBLE) / lc))
+           + (CAST(tc - lc AS DOUBLE) / tc)
+             * (1.0 - (CAST(tp - lp AS DOUBLE) / (tc - lc))
+                      * (CAST(tp - lp AS DOUBLE) / (tc - lc))
+                    - (1.0 - CAST(tp - lp AS DOUBLE) / (tc - lc))
+                      * (1.0 - CAST(tp - lp AS DOUBLE) / (tc - lc)))
+         ) * 1000000000000.0 + 0.5) AS BIGINT) AS gini_g
+  FROM cum WHERE lc > 0 AND tc - lc > 0
+)
+SELECT threshold, n_left, n_right,
+       CAST(gini_g AS DOUBLE) / 1000000000000.0 AS gini
+FROM splits
+ORDER BY gini_g, threshold
+LIMIT 1
+""",
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree (stump) relationally: every
+    distinct feature value is a candidate `x <= v` split, and ONE
+    cumulative window over the per-value (positives, count) aggregate
+    yields both children's class counts for every candidate at once —
+    the weighted-Gini argmin is then a top-1 selection. This is
+    exactly how distributed tree learners (XGBoost's exact mode,
+    Spark MLlib trees) evaluate split candidates: histogram → prefix
+    sums → impurity scan, never a per-candidate pass over the data.
+
+    The Gini expression is closed-form over exact longs, floored onto
+    a 1e-12 grid so the argmin (ORDER BY the GRIDDED integer, then
+    threshold) cannot flip on a float ulp; ties break toward the
+    smaller threshold in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_quantity").alias("x"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = s.groupBy("x").agg(
+        F.sum("y").alias("p"), F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = g.select(
+        "x",
+        F.sum("p").over(wc).alias("lp"),
+        F.sum("c").over(wc).alias("lc"),
+        F.sum("p").over(wt).alias("tp"),
+        F.sum("c").over(wt).alias("tc"),
+    )
+    lp, lc = F.col("lp").cast("double"), F.col("lc")
+    tp, tc = F.col("tp").cast("double"), F.col("tc")
+    rp = tp - lp
+    rc = (tc - lc).cast("double")
+    pl = lp / lc
+    pr = rp / rc
+    gini = (lc.cast("double") / tc) * (
+        F.lit(1.0) - pl * pl - (F.lit(1.0) - pl) * (F.lit(1.0) - pl)
+    ) + (rc / tc) * (
+        F.lit(1.0) - pr * pr - (F.lit(1.0) - pr) * (F.lit(1.0) - pr)
+    )
+    gini_g = F.floor(gini * F.lit(1e12) + F.lit(0.5)).cast("long")
+    splits = cum.where(
+        (F.col("lc") > 0) & (F.col("tc") - F.col("lc") > 0)
+    ).select(
+        F.col("x").alias("threshold"),
+        F.col("lc").alias("n_left"),
+        (F.col("tc") - F.col("lc")).alias("n_right"),
+        gini_g.alias("gini_g"),
+    )
+    return (
+        splits.orderBy("gini_g", "threshold")
+        .limit(1)
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
+            (F.col("gini_g").cast("double") / F.lit(1e12)).alias("gini"),
+        )
+    )
+
+
+#: classifier operating point for the confusion matrix.
+_CONF_THRESHOLD = 250000.0
+
+
+@register(
+    "ml_confusion_matrix",
+    oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN o_totalprice > {_CONF_THRESHOLD} THEN 1 ELSE 0 END
+           AS yhat,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+m AS (
+  SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+         CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+         CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+         CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+  FROM s
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+       CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+       2.0 * tp / (2.0 * tp + fp + fn) AS f1
+FROM m
+""",
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at a fixed operating
+    point — the evaluation companion to `ml_auc_roc` (AUC ranks the
+    score; this scores ONE threshold): all four cells come from a
+    single aggregation of indicator products (no joins, no
+    conditionals beyond the two CASE columns), and the metrics are
+    exact-integer ratios. The F1 uses the joinless 2tp/(2tp+fp+fn)
+    identity so no intermediate precision/recall float feeds another
+    division. Per-(experiment, model, threshold) at scale this is one
+    tiny keyed aggregate — the eval-harness shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.when(F.col("o_totalprice") > _CONF_THRESHOLD, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("yhat"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    m = s.agg(
+        F.sum(F.col("y") * F.col("yhat")).alias("tp"),
+        F.sum((F.lit(1) - F.col("y")) * F.col("yhat")).alias("fp"),
+        F.sum(F.col("y") * (F.lit(1) - F.col("yhat"))).alias("fn"),
+        F.sum(
+            (F.lit(1) - F.col("y")) * (F.lit(1) - F.col("yhat"))
+        ).alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias(
+            "recall"
+        ),
+        (
+            F.lit(2.0)
+            * F.col("tp")
+            / (F.lit(2.0) * F.col("tp") + F.col("fp") + F.col("fn"))
+        ).alias("f1"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+WITH s AS (
+  SELECT CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT) AS bin,
+         o_totalprice AS score,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(score + 0.5) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) AS mean_score,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+FROM s GROUP BY bin
+HAVING COUNT(*) >= 50
+""",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration table: scores bucketed onto a fixed
+    grid, each bin reporting its mean (whole-unit-exact) score and the
+    observed positive rate — the x/y pairs of a calibration plot, and
+    the input to expected-calibration-error. Fixed-width binning (not
+    quantile) keeps the operator a single hash aggregation with a
+    deterministic bin id at any scale; sparse bins are pruned at a
+    row-count threshold. Ratios of exact longs throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.floor(F.col("o_totalprice") / F.lit(60000.0)).cast("long").alias(
+            "bin"
+        ),
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    return (
+        s.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("score") + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_score"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+                "pos_rate"
+            ),
+        )
+        .where(F.col("n") >= 50)
+    )

@@ -325,6 +325,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ts_autocorrelation",
     "mm_audio_chunks",
     "mm_image_tiles",
+    "ml_auc_roc",
+    "ml_decision_stump",
+    "ml_confusion_matrix",
+    "ml_calibration_bins",
 )
 
 

@@ -586,3 +586,71 @@ def test_image_tiles_cover_image(spark):
         for t in tiles:
             assert 0 < t["tile_w"] <= 256
             assert 0 < t["tile_h"] <= 256
+
+
+def test_auc_equals_sklearn_free_formula(spark):
+    """AUC from the rank-sum identity must equal the direct
+    pair-counting definition on the fixture (computed via numpy)."""
+    import duckdb
+
+    row = _Q["ml_auc_roc"](spark, SF_DIR).collect()[0]
+    score, y = (
+        duckdb.sql(
+            f"""SELECT o_totalprice,
+                   CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END
+            FROM '{SF_DIR}/orders.parquet'"""
+        )
+        .fetchnumpy()
+        .values()
+    )
+    pos = np.sort(score[y == 1])
+    neg = np.sort(score[y == 0])
+    # pair counting via searchsorted: wins + 0.5*ties
+    wins = np.searchsorted(neg, pos, side="left").sum()
+    ties = (
+        np.searchsorted(neg, pos, side="right")
+        - np.searchsorted(neg, pos, side="left")
+    ).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row["auc"] - want) < 1e-12
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+
+
+def test_decision_stump_beats_trivial_split(spark):
+    """The chosen split's weighted Gini must be <= the parent node's
+    Gini (a valid split never increases impurity)."""
+    import duckdb
+
+    row = _Q["ml_decision_stump"](spark, SF_DIR).collect()[0]
+    p, n = duckdb.sql(
+        f"""SELECT SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END),
+                   COUNT(*) FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchall()[0]
+    pr = p / n
+    parent_gini = 1 - pr * pr - (1 - pr) * (1 - pr)
+    assert row["gini"] <= parent_gini + 1e-12
+    assert row["n_left"] + row["n_right"] == n
+
+
+def test_confusion_matrix_consistency(spark):
+    row = _Q["ml_confusion_matrix"](spark, SF_DIR).collect()[0]
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] > 0
+    assert 0 <= row["precision"] <= 1
+    assert 0 <= row["recall"] <= 1
+    # F1 is the harmonic mean of precision and recall
+    want = (
+        2 * row["precision"] * row["recall"]
+        / (row["precision"] + row["recall"])
+    )
+    assert abs(row["f1"] - want) < 1e-12
+
+
+def test_calibration_bins_partition_rows(spark):
+    import duckdb
+
+    rows = _Q["ml_calibration_bins"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        lo, hi = r["bin"] * 60000.0, (r["bin"] + 1) * 60000.0
+        assert lo <= r["mean_score"] < hi + 1.0
