@@ -914,3 +914,229 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n") >= 50)
     )
+
+
+#: NDCG evaluation: query batch size, cutoff, integer-grid components.
+_NDCG_QUERIES = 50
+_NDCG_K = 10
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id AS q, MIN(a.label) AS ql, b.vec_id AS m,
+         MIN(b.label) AS ml,
+         CAST(SUM((a.g - b.g) * (a.g - b.g)) AS BIGINT) AS dist
+  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {_NDCG_QUERIES}
+  GROUP BY a.vec_id, b.vec_id
+),
+ranked AS (
+  SELECT q, ql, ml,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, m) AS rn
+  FROM pair
+),
+dcg AS (
+  SELECT q,
+         CAST(SUM(CASE WHEN ml = ql AND rn <= {_NDCG_K}
+           THEN CAST(FLOOR(1000000000.0 / ln(rn + 1.0) + 0.5) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_g,
+         CAST(SUM(CASE WHEN ml = ql THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rel,
+         CAST(SUM(CASE WHEN ml = ql AND rn <= {_NDCG_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits_at_k
+  FROM ranked GROUP BY q
+),
+ideal AS (
+  SELECT q, dcg_g, hits_at_k,
+         CAST(SUM(CAST(FLOOR(1000000000.0 / ln(r + 1.0) + 0.5) AS BIGINT))
+              AS BIGINT) AS idcg_g
+  FROM dcg
+  JOIN (SELECT CAST(unnest(generate_series(1, {_NDCG_K})) AS BIGINT)
+          AS r) ON r <= LEAST(n_rel, {_NDCG_K})
+  GROUP BY q, dcg_g, hits_at_k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CAST(FLOOR(CAST(dcg_g AS DOUBLE) / idcg_g * 1000000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_ndcg,
+       CAST(SUM(hits_at_k) AS DOUBLE) / ({_NDCG_K} * COUNT(*))
+         AS precision_at_k
+FROM ideal
+""",
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 and precision@10 of
+    nearest-neighbor search against label relevance (a result is
+    relevant iff it shares the query's class label) — the eval-harness
+    operator that grades every ANN rung (`sim_knn_*`, `ann_ivf*`,
+    `emb_matryoshka_recall`) on the SAME labeled fixture. Rankings use
+    exact integer squared-Euclidean distances with total tie-breaks
+    (the `emb_matryoshka_recall` discipline), the per-rank discount
+    1/ln(r+1) lands on a 1e-9 grid, each query's NDCG ratio on 1e-6 —
+    the mean is exact-integer arithmetic end to end.
+
+    The ideal-DCG joins each query against a literal 1..k rank table
+    capped by its relevant count — no second ranking pass. Queries are
+    a bounded broadcast batch against the member scan (serving shape);
+    at 100 TB the member side is the index-pruned candidate list.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("g"),
+    )
+    q = e.where(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("label").alias("ql"),
+        F.col("g").alias("qg"),
+    )
+    m = e.select(
+        F.col("vec_id").alias("m"), F.col("label").alias("ml"),
+        F.col("g").alias("mg"),
+    )
+    zero = F.lit(0).cast("long")
+    dist = F.aggregate(
+        F.zip_with("qg", "mg", lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    pair = (
+        F.broadcast(q)
+        .join(m, F.col("q") != F.col("m"))
+        .select("q", "ql", "m", "ml", dist.alias("dist"))
+    )
+    w = Window.partitionBy("q").orderBy("dist", "m")
+    ranked = pair.withColumn("rn", F.row_number().over(w))
+    disc = F.floor(
+        F.lit(1e9) / F.log(F.col("rn") + F.lit(1.0)) + F.lit(0.5)
+    ).cast("long")
+    rel = F.col("ml") == F.col("ql")
+    dcg = ranked.groupBy("q").agg(
+        F.sum(
+            F.when(rel & (F.col("rn") <= _NDCG_K), disc).otherwise(zero)
+        ).alias("dcg_g"),
+        F.sum(rel.cast("long")).alias("n_rel"),
+        F.sum(
+            (rel & (F.col("rn") <= _NDCG_K)).cast("long")
+        ).alias("hits_at_k"),
+    )
+    ranks = F.explode(F.sequence(F.lit(1), F.lit(_NDCG_K))).alias("r")
+    ideal = (
+        dcg.select("q", "dcg_g", "hits_at_k", "n_rel", ranks)
+        .where(F.col("r") <= F.least(F.col("n_rel"), F.lit(_NDCG_K)))
+        .groupBy("q", "dcg_g", "hits_at_k")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(1e9) / F.log(F.col("r") + F.lit(1.0)) + F.lit(0.5)
+                ).cast("long")
+            ).alias("idcg_g")
+        )
+    )
+    ndcg_g = F.floor(
+        F.col("dcg_g").cast("double") / F.col("idcg_g") * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return ideal.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum(ndcg_g).cast("double") / F.lit(1e6) / F.count(F.lit(1))
+        ).alias("mean_ndcg"),
+        (
+            F.sum("hits_at_k").cast("double")
+            / (F.lit(_NDCG_K) * F.count(F.lit(1)))
+        ).alias("precision_at_k"),
+    )
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+v AS (
+  SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY cents
+),
+cum AS (
+  SELECT cents, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS below
+  FROM v
+),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(cents * c) AS BIGINT) AS tot,
+         CAST(SUM(cents * c * (2 * below + c + 1)) AS HUGEINT) AS wsum
+  FROM cum
+)
+SELECT n,
+       (CAST(wsum AS DOUBLE) / (CAST(n AS DOUBLE) * tot))
+         - (n + 1.0) / n AS gini
+FROM s
+""",
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the order-value distribution — the
+    inequality/concentration metric (0 = equal, →1 = one whale):
+    G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values,
+    computed WITHOUT materializing per-row ranks: collapse to
+    per-distinct-value counts, then Σᵢ i·xᵢ for a run of c equal
+    values starting above `below` others is x·c·(2·below+c+1)/2 in
+    closed form — the `stat_mann_whitney` midrank trick applied to a
+    weighted rank-sum.
+
+    The doubled weighted sum can exceed 2⁶³ on this column (cents ×
+    count × rank), so BOTH engines accumulate it in wide exact
+    integers — HUGEINT in the oracle, DECIMAL(38,0) in the engine
+    (the `dsum_wide` fallback of functions/exact.py) — and convert
+    the identical exact integer to double once at the end (round-to-
+    nearest of the same value in both engines). Each per-row product
+    stays under 2⁶³, only the accumulator widens. One collapse + one
+    cumulative window over |distinct values| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    v = g.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = v.select(
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+    )
+    s = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cents") * F.col("c")).alias("tot"),
+        F.sum(
+            (
+                F.col("cents")
+                * F.col("c")
+                * (F.lit(2) * F.col("below") + F.col("c") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("wsum"),
+    )
+    gini = (
+        F.col("wsum").cast("double")
+        / (F.col("n").cast("double") * F.col("tot"))
+    ) - (F.col("n") + F.lit(1.0)) / F.col("n")
+    return s.select("n", gini.alias("gini"))

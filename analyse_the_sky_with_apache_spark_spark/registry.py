@@ -329,6 +329,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ml_decision_stump",
     "ml_confusion_matrix",
     "ml_calibration_bins",
+    "ml_ndcg_at_k",
+    "agg_gini_coefficient",
 )
 
 

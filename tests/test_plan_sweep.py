@@ -59,7 +59,7 @@ _BNL_ALLOWED = {
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
-    "emb_matryoshka_recall",
+    "emb_matryoshka_recall", "ml_ndcg_at_k",
     # deliberate signature-scan product: 1% query side broadcasts as
     # 16-byte signatures against the candidate scan (the binary-ANN
     # design — the product IS the linear scan of compressed codes)

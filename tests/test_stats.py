@@ -654,3 +654,33 @@ def test_calibration_bins_partition_rows(spark):
         assert 0.0 <= r["pos_rate"] <= 1.0
         lo, hi = r["bin"] * 60000.0, (r["bin"] + 1) * 60000.0
         assert lo <= r["mean_score"] < hi + 1.0
+
+
+def test_ndcg_bounds(spark):
+    row = _Q["ml_ndcg_at_k"](spark, SF_DIR).collect()[0]
+    assert row["n_queries"] == 50
+    assert 0.0 <= row["mean_ndcg"] <= 1.0
+    assert 0.0 <= row["precision_at_k"] <= 1.0
+
+
+def test_gini_matches_numpy(spark):
+    """Gini from the closed-form weighted rank-sum equals the direct
+    sorted-rank formula computed in numpy on the gridded cents."""
+    import duckdb
+
+    row = _Q["agg_gini_coefficient"](spark, SF_DIR).collect()[0]
+    (cents,) = (
+        duckdb.sql(
+            f"""SELECT CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT)
+            FROM '{SF_DIR}/orders.parquet'"""
+        )
+        .fetchnumpy()
+        .values()
+    )
+    x = np.sort(cents.astype(np.float64))
+    n = len(x)
+    want = (2 * np.sum((np.arange(1, n + 1)) * x)) / (n * x.sum()) - (
+        n + 1
+    ) / n
+    assert abs(row["gini"] - want) < 1e-9
+    assert 0.0 <= row["gini"] <= 1.0
