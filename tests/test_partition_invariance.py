@@ -41,6 +41,16 @@ _KEYS = (
     "kmeans_one_round",
     "bitmap_funnel_users",
     "text_zipf_fit",
+    # round-6 integer-grid statistics kernels: transcendental per-row
+    # terms floored before summation, discrete medians, doubled
+    # midranks — all claimed partition-invariant
+    "stat_corr_matrix",
+    "ml_logreg_irls_stats",
+    "stat_mann_whitney",
+    "ts_theil_sen",
+    "ml_decision_stump",
+    "agg_gini_coefficient",
+    "graph_label_propagation",
 )
 
 registry.load_all_modules()
