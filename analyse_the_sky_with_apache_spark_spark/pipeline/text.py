@@ -702,3 +702,84 @@ def text_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en + s_es + s_de + s_fr = 0 THEN 'unknown'
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS pred_lang
+  FROM scored
+),
+m AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, pred_lang
+),
+tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM m GROUP BY lang)
+SELECT m.lang, m.pred_lang, m.n,
+       CAST(m.n AS DOUBLE) / tot.t AS class_rate
+FROM m JOIN tot USING (lang)
+""",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion matrix of the heuristic language
+    identifier against the gold `lang` label — the eval loop every
+    langid gate needs before its threshold is trusted (`text_langid`
+    predicts; this measures): one aggregation over the scored
+    predictions plus the per-class rate (recall on the diagonal,
+    confusion rates off it). Composes the EXACT same stopword-score
+    CASE as the predictor, so the eval can never drift from the model
+    it grades; counts and rates are exact-integer arithmetic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        _lang_score_spark("en").alias("s_en"),
+        _lang_score_spark("es").alias("s_es"),
+        _lang_score_spark("de").alias("s_de"),
+        _lang_score_spark("fr").alias("s_fr"),
+    )
+    total = (
+        F.col("s_en") + F.col("s_es") + F.col("s_de") + F.col("s_fr")
+    )
+    pred = scored.select(
+        "lang",
+        F.when(total == 0, "unknown")
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr")),
+            "es",
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+        .alias("pred_lang"),
+    )
+    m = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = m.groupBy("lang").agg(F.sum("n").alias("t"))
+    return m.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("t")).alias("class_rate"),
+    )

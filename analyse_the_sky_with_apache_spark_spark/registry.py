@@ -331,6 +331,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ml_calibration_bins",
     "ml_ndcg_at_k",
     "agg_gini_coefficient",
+    "text_langid_confusion",
+    "graph_local_clustering",
+    "scan_parquet_footer_stats",
 )
 
 

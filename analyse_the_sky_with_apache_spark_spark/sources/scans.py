@@ -658,3 +658,59 @@ def scan_log_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("value", pat, 3).alias("event_type"),
         F.regexp_extract("value", pat, 4).cast("double").alias("value"),
     )
+
+
+#: integer lineitem columns whose footer min/max parse losslessly as
+#: BIGINT in both metadata surfaces.
+_FOOTER_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+
+@register("scan_parquet_footer_stats")  # rows-only: the oracle surface
+# (DuckDB parquet_metadata) needs the FILE PATH, which the driver's
+# view-based oracle harness cannot carry; the cross-reader agreement is
+# instead pinned by tests/test_stats.py::test_footer_stats_match_duckdb
+# against the same independent parquet_metadata() implementation.
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer statistics as a queryable table — the metadata
+    every data-skipping claim in this repo rests on (`PushedFilters`
+    prunes row groups by exactly these min/max bounds; `zorder_layout`
+    and `sink_sorted_clustered` exist to make them TIGHT). Reading the
+    footer costs O(row groups), not O(data): this is the observability
+    query a table-maintenance job runs to decide whether to re-cluster
+    — wide min/max ranges per row group mean the sort key has decayed.
+
+    The engine reads footers via pyarrow on the driver (a metadata
+    operation — at 100 TB this parallelizes as a mapPartitions over
+    the file listing, each task reading only footers); the oracle
+    reads the SAME footers through DuckDB's independent
+    `parquet_metadata()` implementation (pytest mirror — the driver's
+    oracle harness carries table views, not file paths), so the two
+    parquet metadata readers must agree byte-for-byte on counts and
+    bounds. Restricted to integer columns whose stats round-trip
+    losslessly as BIGINT.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata
+    rows = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema in _FOOTER_COLS:
+                st = c.statistics
+                rows.append(
+                    (
+                        rg,
+                        c.path_in_schema,
+                        c.num_values,
+                        int(st.min),
+                        int(st.max),
+                        st.null_count,
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "row_group BIGINT, column_name STRING, num_values BIGINT, "
+        "min_value BIGINT, max_value BIGINT, null_count BIGINT",
+    )

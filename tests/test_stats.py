@@ -684,3 +684,54 @@ def test_gini_matches_numpy(spark):
     ) / n
     assert abs(row["gini"] - want) < 1e-9
     assert 0.0 <= row["gini"] <= 1.0
+
+
+def test_footer_stats_match_duckdb(spark):
+    """pyarrow footer stats must agree with DuckDB's independent
+    parquet_metadata() reader on every (row group, column) cell —
+    the rows-only oracle for scan_parquet_footer_stats."""
+    import duckdb
+
+    got = {
+        (r["row_group"], r["column_name"]): (
+            r["num_values"], r["min_value"], r["max_value"],
+            r["null_count"],
+        )
+        for r in _Q["scan_parquet_footer_stats"](spark, SF_DIR).collect()
+    }
+    want = {
+        (rg, col): (nv, int(mn), int(mx), nc)
+        for rg, col, nv, mn, mx, nc in duckdb.sql(
+            f"""SELECT row_group_id, path_in_schema, num_values,
+                   stats_min_value, stats_max_value, stats_null_count
+            FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
+            WHERE path_in_schema IN
+              ('l_orderkey','l_partkey','l_suppkey','l_linenumber')"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_langid_confusion_rates_partition(spark):
+    """Per-language confusion rates sum to 1 and counts are positive.
+    (Diagonal dominance is NOT asserted: the synthetic corpus draws an
+    English-ish vocabulary for every lang label, so non-en rows
+    legitimately confuse toward 'en'/'unknown' — the matrix measuring
+    exactly that is the operator's point.)"""
+    rows = _Q["text_langid_confusion"](spark, SF_DIR).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        assert r["n"] > 0
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["class_rate"]
+    for lang, total in by_lang.items():
+        assert abs(total - 1.0) < 1e-9, (lang, total)
+
+
+def test_local_clustering_bucket_range(spark):
+    rows = _Q["graph_local_clustering"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["cc_bucket"] <= 20
+        assert r["min_degree"] >= 2
