@@ -1937,3 +1937,93 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (num / den).alias("acf"),
     )
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, units,
+         CAST(SUM(units) OVER tw AS BIGINT) AS s1,
+         CAST(SUM(units * units) OVER tw AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER tw AS BIGINT) AS n
+  FROM daily
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT day, units, n,
+       ROUND(CAST(s1 AS DOUBLE) / n, 4) AS sma,
+       ROUND(CAST(s1 AS DOUBLE) / n
+             - 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1.0)),
+             4) AS lower_band,
+       ROUND(CAST(s1 AS DOUBLE) / n
+             + 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1.0)),
+             4) AS upper_band,
+       CASE WHEN units > CAST(s1 AS DOUBLE) / n
+                 + 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1.0))
+            THEN 1
+            WHEN units < CAST(s1 AS DOUBLE) / n
+                 - 2.0 * sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1.0))
+            THEN -1 ELSE 0 END AS band_break
+FROM w WHERE n = 20
+""",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily-revenue series: 20-day simple
+    moving average ± 2 rolling standard deviations, with the ±1/0
+    band-break signal — the volatility envelope every monitoring and
+    trading stack draws (`ts_ewma` is the recency-weighted sibling;
+    `dq_volume_anomaly` applies the same rolling-moment algebra to
+    row counts with a leave-one-out window).
+
+    The rolling (n, Σx, Σx²) triple rides ONE window over the
+    collapsed daily aggregate; mean/σ are closed-form doubles over
+    exact longs, reported 4dp-rounded while the break signal compares
+    the UNROUNDED shared expressions (no boundary flip). Warm-up rows
+    (n < 20) are excluded so every band is a full-window statistic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+        ).alias("units")
+    )
+    tw = Window.orderBy("day").rowsBetween(-19, 0)
+    w = daily.select(
+        "day",
+        "units",
+        F.sum("units").over(tw).alias("s1"),
+        F.sum(F.col("units") * F.col("units")).over(tw).alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    sma = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - F.lit(1.0))
+    )
+    upper = sma + F.lit(2.0) * sd
+    lower = sma - F.lit(2.0) * sd
+    return w.where(F.col("n") == 20).select(
+        "day",
+        "units",
+        "n",
+        F.round(sma, 4).alias("sma"),
+        F.round(lower, 4).alias("lower_band"),
+        F.round(upper, 4).alias("upper_band"),
+        F.when(F.col("units") > upper, 1)
+        .when(F.col("units") < lower, -1)
+        .otherwise(0)
+        .alias("band_break"),
+    )

@@ -751,3 +751,49 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("vol_z"),
         )
     )
+
+
+@register(
+    "dq_partition_skew",
+    oracle="""
+WITH p AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS part_key,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       CAST(MIN(n_rows) AS BIGINT) AS min_rows,
+       CAST(MAX(n_rows) AS BIGINT) AS max_rows,
+       CAST(MAX(n_rows) AS DOUBLE) * COUNT(*) / SUM(n_rows)
+         AS skew_factor
+FROM p
+""",
+)
+def dq_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout skew audit: row counts per would-be partition
+    key (order month), summarized as max/mean skew factor — the
+    pre-flight a 100-TB pipeline runs BEFORE `sink_partitioned`
+    commits to a layout (a skew factor of 8 means the largest
+    partition is 8× the average: one straggler task per downstream
+    stage, the problem `agg_salted_twophase`/`join_skew_salted` then
+    have to fix at read time). Two tiny aggregations; the skew factor
+    is a ratio of exact longs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    p = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "part_key"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return p.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.min("n_rows").alias("min_rows"),
+        F.max("n_rows").alias("max_rows"),
+        (
+            F.max("n_rows").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("n_rows")
+        ).alias("skew_factor"),
+    )

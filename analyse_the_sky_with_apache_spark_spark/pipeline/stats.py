@@ -1140,3 +1140,80 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n").cast("double") * F.col("tot"))
     ) - (F.col("n") + F.lit(1.0)) / F.col("n")
     return s.select("n", gini.alias("gini"))
+
+
+@register(
+    "stat_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                  * CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS s2
+  FROM orders GROUP BY o_orderpriority
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(s1) AS BIGINT) AS s1_tot,
+         CAST(SUM(s2) AS BIGINT) AS s2_tot,
+         CAST(SUM(CAST(FLOOR(CAST(s1 AS DOUBLE) * s1 / n + 0.5)
+                       AS BIGINT)) AS BIGINT) AS group_sq_g
+  FROM g
+)
+SELECT k, n_tot,
+       (CAST(group_sq_g AS DOUBLE)
+        - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot) / (k - 1)
+       / ((CAST(s2_tot AS DOUBLE) - CAST(group_sq_g AS DOUBLE))
+          / (n_tot - k)) AS f_stat
+FROM t
+""",
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across the five order priorities —
+    the k-group generalization of `stat_welch_ttest`: between-group
+    mean square over within-group mean square, entirely from each
+    group's exact (n, Σx, Σx²) triple. SSB = Σ(S_g²/n_g) − S²/N and
+    SSW = ΣΣx² − Σ(S_g²/n_g) are closed-form doubles over the exact
+    longs (whole-unit grid — the Welch overflow note applies).
+
+    One data-sized aggregation producing k triples; the F assembly is
+    a second aggregate over k rows, with each group's S_g²/n_g term
+    FLOORED to a whole unit before the cross-group sum (measured:
+    the un-gridded 5-double sum differed between engines at the
+    1e-11 level purely from summation order — the chi-squared cell
+    discipline applies to ANY cross-group float sum, even a 5-term
+    one). The whole-unit truncation perturbs F by < 1e-13 relative.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    units = F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(units).alias("s1"),
+        F.sum(units * units).alias("s2"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum("s1").alias("s1_tot"),
+        F.sum("s2").alias("s2_tot"),
+        F.sum(
+            F.floor(
+                F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("group_sq_g"),
+    )
+    group_sq = F.col("group_sq_g").cast("double")
+    ssb = (
+        group_sq
+        - F.col("s1_tot").cast("double") * F.col("s1_tot") / F.col("n_tot")
+    )
+    ssw = F.col("s2_tot").cast("double") - group_sq
+    f_stat = (ssb / (F.col("k") - F.lit(1))) / (
+        ssw / (F.col("n_tot") - F.col("k"))
+    )
+    return t.select("k", "n_tot", f_stat.alias("f_stat"))

@@ -334,6 +334,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "text_langid_confusion",
     "graph_local_clustering",
     "scan_parquet_footer_stats",
+    "stat_anova_oneway",
+    "ts_bollinger_bands",
+    "dq_partition_skew",
 )
 
 

@@ -735,3 +735,49 @@ def test_local_clustering_bucket_range(spark):
     for r in rows:
         assert 0 <= r["cc_bucket"] <= 20
         assert r["min_degree"] >= 2
+
+
+def test_anova_f_matches_scipy_free(spark):
+    """F from the sufficient-stat assembly matches the direct
+    computation on the gridded values (numpy, no scipy needed)."""
+    import duckdb
+
+    row = _Q["stat_anova_oneway"](spark, SF_DIR).collect()[0]
+    data = duckdb.sql(
+        f"""SELECT o_orderpriority,
+               CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchall()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for g, v in data:
+        groups[g].append(v)
+    xs = [np.array(v, dtype=np.float64) for v in groups.values()]
+    n_tot = sum(len(x) for x in xs)
+    k = len(xs)
+    grand = sum(x.sum() for x in xs) / n_tot
+    ssb = sum(len(x) * (x.mean() - grand) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    want = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    assert abs(row["f_stat"] - want) / want < 1e-9
+    assert row["k"] == k and row["n_tot"] == n_tot
+
+
+def test_bollinger_bands_contain_sma(spark):
+    rows = _Q["ts_bollinger_bands"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["lower_band"] <= r["sma"] <= r["upper_band"]
+        assert r["n"] == 20
+        if r["band_break"] == 1:
+            assert r["units"] > r["upper_band"] - 1e-3
+        if r["band_break"] == -1:
+            assert r["units"] < r["lower_band"] + 1e-3
+
+
+def test_partition_skew_consistency(spark):
+    row = _Q["dq_partition_skew"](spark, SF_DIR).collect()[0]
+    assert row["min_rows"] <= row["max_rows"]
+    assert row["skew_factor"] >= 1.0
+    assert row["n_partitions"] > 0
