@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1586,3 +1586,159 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("inside_id_sum"),
     )
+
+
+#: calibration band: ±100.00 between the two "magnitude" columns —
+#: wide enough that every populated cell holds a usable calibrator
+#: sample at sf0.01 (the match band _EPS_CENTS is for identity
+#: cross-match; calibration pairs tolerate a coarser association).
+_PHOT_EPS = 10000
+
+@register(
+    "xmatch_photometric_offset",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c_cents,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) // {_PHOT_EPS} AS cell
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_cents
+  FROM supplier
+),
+pairs AS (
+  SELECT c.cell, c.c_cents - s.s_cents AS d
+  FROM c JOIN s
+    ON CAST(ROUND(s.s_cents) AS BIGINT) // {_PHOT_EPS}
+       BETWEEN c.cell - 1 AND c.cell + 1
+   AND abs(c.c_cents - s.s_cents) <= {_PHOT_EPS}
+),
+g AS (SELECT cell, d, COUNT(*) AS n FROM pairs GROUP BY cell, d),
+cum AS (
+  SELECT cell, d,
+         CAST(SUM(n) OVER (PARTITION BY cell ORDER BY d) AS BIGINT)
+           AS cum,
+         CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS tot
+  FROM g
+)
+SELECT cell, MIN(tot) AS n_pairs, MIN(d) AS offset_cents
+FROM cum WHERE 2 * cum >= tot GROUP BY cell
+HAVING MIN(tot) >= 5
+""",
+)
+def xmatch_photometric_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Photometric zero-point calibration between two catalogs: for
+    every matched pair (the `xmatch_binned` band-join kernel), the
+    magnitude difference, then the per-CELL MEDIAN offset — the robust
+    statistic survey pipelines fit to tie a new epoch's photometry to
+    the reference catalog (mean offsets are wrecked by exactly the
+    blended/variable sources a cross-match always contains; the median
+    is the standard choice). Cells with < 5 matched pairs are dropped
+    — too few calibrators.
+
+    Reuses the bin-then-equi-join candidate structure (the supplier
+    side probes its 3 neighboring cells via the BETWEEN on the cell
+    id), differences are exact integer cents, and the median is the
+    DISCRETE cumulative-count selection (`agg_weighted_median`) — the
+    reported offset IS one of the observed differences, no
+    interpolation. One shuffle to the (cell, diff) aggregate; the
+    median window runs per cell over collapsed counts.
+    """
+    eps = _PHOT_EPS
+    c = load_table(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents")
+    ).withColumn("cell", F.expr(f"c_cents div {eps}"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents")
+    ).withColumn(
+        "s_cell",
+        F.explode(
+            F.array(
+                F.expr(f"s_cents div {eps} - 1"),
+                F.expr(f"s_cents div {eps}"),
+                F.expr(f"s_cents div {eps} + 1"),
+            )
+        ),
+    )
+    pairs = (
+        c.join(s, c.cell == s.s_cell)
+        .where(F.abs(F.col("c_cents") - F.col("s_cents")) <= eps)
+        .select("cell", (F.col("c_cents") - F.col("s_cents")).alias("d"))
+    )
+    g = pairs.groupBy("cell", "d").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("cell").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("cell")
+    cum = g.select(
+        "cell",
+        "d",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return (
+        cum.where(F.lit(2) * F.col("cum") >= F.col("tot"))
+        .groupBy("cell")
+        .agg(
+            F.min("tot").alias("n_pairs"),
+            F.min("d").alias("offset_cents"),
+        )
+        .where(F.col("n_pairs") >= 5)
+    )
+
+
+@register(
+    "sky_lognlogs",
+    oracle="""
+WITH m AS (
+  SELECT CAST(FLOOR(c_acctbal / 500.0) AS BIGINT) AS mag_bin
+  FROM customer WHERE c_acctbal > 0
+),
+h AS (SELECT mag_bin, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY mag_bin),
+c AS (
+  SELECT mag_bin, n,
+         CAST(SUM(n) OVER (ORDER BY mag_bin) AS BIGINT) AS n_brighter
+  FROM h
+)
+SELECT mag_bin, n, n_brighter,
+       CAST(CAST(FLOOR(log10(CAST(n_brighter AS DOUBLE)) * 1000000.0
+                       + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS log_n_cum
+FROM c
+""",
+)
+def sky_lognlogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source counts vs limiting magnitude — the log N(<m) / log S
+    diagram, astronomy's oldest statistical test (its slope separates
+    Euclidean source populations from evolving ones, and a roll-off
+    reveals the survey's completeness limit — the companion to
+    `xmatch_completeness`): histogram the flux proxy into magnitude
+    bins, cumulative-sum to counts-brighter-than, take log₁₀ on a
+    1e-6 grid.
+
+    One hash aggregation (shuffle carries occupied bins only, the
+    `density_map_2d` property), one cumulative window over the
+    |bins|-row histogram, exact integers until the single gridded
+    log. The engine's N(<m) curve hash-matches DuckDB's bin for bin.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    m = cu.where(F.col("c_acctbal") > 0).select(
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).cast("long").alias(
+            "mag_bin"
+        )
+    )
+    h = m.groupBy("mag_bin").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.orderBy("mag_bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "mag_bin", "n", F.sum("n").over(wc).alias("n_brighter")
+    )
+    log_n = (
+        F.floor(
+            F.log10(F.col("n_brighter").cast("double")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return c.select("mag_bin", "n", "n_brighter", log_n.alias("log_n_cum"))

@@ -337,6 +337,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "stat_anova_oneway",
     "ts_bollinger_bands",
     "dq_partition_skew",
+    "xmatch_photometric_offset",
+    "sky_lognlogs",
 )
 
 
