@@ -781,3 +781,35 @@ def test_partition_skew_consistency(spark):
     assert row["min_rows"] <= row["max_rows"]
     assert row["skew_factor"] >= 1.0
     assert row["n_partitions"] > 0
+
+
+def test_lognlogs_monotone(spark):
+    """Cumulative source counts are non-decreasing in magnitude and
+    the last bin equals the total positive-flux source count."""
+    import duckdb
+
+    rows = sorted(
+        _Q["sky_lognlogs"](spark, SF_DIR).collect(),
+        key=lambda r: r["mag_bin"],
+    )
+    assert rows
+    prev = 0
+    for r in rows:
+        assert r["n_brighter"] >= prev
+        prev = r["n_brighter"]
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/customer.parquet' "
+        f"WHERE c_acctbal > 0"
+    ).fetchall()[0][0]
+    assert rows[-1]["n_brighter"] == total
+
+
+def test_photometric_offset_is_a_pair_difference(spark):
+    """Every reported offset must be an actually-observed pairwise
+    difference within the calibration band (discrete median)."""
+    rows = _Q["xmatch_photometric_offset"](spark, SF_DIR).collect()
+    if not rows:  # sf-dependent population; sf0.001 may be sparse
+        return
+    for r in rows:
+        assert abs(r["offset_cents"]) <= 10000
+        assert r["n_pairs"] >= 5
