@@ -1217,3 +1217,150 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw / (F.col("n_tot") - F.col("k"))
     )
     return t.select("k", "n_tot", f_stat.alias("f_stat"))
+
+
+#: feature-hashing dimensionality (the "hashing trick" bucket count).
+_FH_DIM = 256
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 50
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(w), 2, 8) AS BIGINT)
+              % {_FH_DIM} AS BIGINT) AS bucket,
+         CASE WHEN substr(md5(w), 1, 1) IN ('8','9','a','b','c','d',
+                                            'e','f')
+              THEN -1 ELSE 1 END AS sign
+  FROM toks
+)
+SELECT doc_id, bucket,
+       CAST(SUM(sign) AS BIGINT) AS feature_value,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed GROUP BY doc_id, bucket
+HAVING SUM(sign) != 0
+""",
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al.): vocabulary-free sparse
+    feature vectors — each token maps to one of 256 buckets by a hash
+    of its text, with a second hash BIT deciding ±1 sign (the signed
+    variant that makes collisions cancel in expectation instead of
+    biasing upward). No vocabulary table, no fitting pass, identical
+    features on any data split — why streaming/online learners use it.
+
+    Cross-engine determinism comes from md5 (the `dedup_minhash_sql`
+    parity): hex chars 2-9 parse as a 32-bit bucket index, the first
+    hex digit's high bit is the sign. One explode + one hash aggregate
+    keyed (doc, bucket) — the output is the sparse CSR content,
+    bounded by min(doc tokens, 256) rows per document. Zero-sum
+    buckets (exact collision cancellation) drop, matching sparse
+    semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 50
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    h = F.md5("w")
+    bucket = (
+        F.conv(F.substring(h, 2, 8), 16, 10).cast("long") % _FH_DIM
+    ).alias("bucket")
+    sign = (
+        F.when(
+            F.substring(h, 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(1))
+        .alias("sign")
+    )
+    hashed = toks.select("doc_id", bucket, sign)
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").alias("feature_value"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .where(F.col("feature_value") != 0)
+    )
+
+
+#: target-encoding smoothing strength (pseudo-observations of the
+#: global prior blended into each category mean).
+_TE_SMOOTH = 20
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment AS category,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM s GROUP BY category
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(pos) AS BIGINT)
+           AS pos_tot
+  FROM g
+)
+SELECT category, n, pos,
+       CAST(pos AS DOUBLE) / n AS raw_rate,
+       (pos + {_TE_SMOOTH}.0 * pos_tot / n_tot) / (n + {_TE_SMOOTH})
+         AS encoded
+FROM g CROSS JOIN t
+""",
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature: each
+    category's urgent-order rate shrunk toward the global prior by
+    m = 20 pseudo-observations — the additive-smoothing estimator
+    (n·rate + m·prior)/(n + m) that keeps rare categories from
+    memorizing their few labels (the leakage vector naive target
+    encoding is infamous for; at training time the same formula runs
+    per CV fold). The encoding table IS the model artifact: category-
+    keyed, joined back onto features at serving time.
+
+    One fact-sized join+aggregate (customer dimension broadcast), a
+    1-row global prior broadcast back, and every reported number is a
+    ratio of exact longs — the identical IEEE tree in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    s = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("category"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = s.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot")
+    )
+    prior = F.col("pos_tot").cast("double") / F.col("n_tot")
+    return g.crossJoin(F.broadcast(t)).select(
+        "category",
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n")).alias("raw_rate"),
+        (
+            (F.col("pos") + F.lit(float(_TE_SMOOTH)) * prior)
+            / (F.col("n") + F.lit(_TE_SMOOTH))
+        ).alias("encoded"),
+    )

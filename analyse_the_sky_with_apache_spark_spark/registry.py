@@ -339,6 +339,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "dq_partition_skew",
     "xmatch_photometric_offset",
     "sky_lognlogs",
+    "ml_feature_hashing",
+    "ml_target_encoding",
 )
 
 

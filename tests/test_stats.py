@@ -813,3 +813,26 @@ def test_photometric_offset_is_a_pair_difference(spark):
     for r in rows:
         assert abs(r["offset_cents"]) <= 10000
         assert r["n_pairs"] >= 5
+
+
+def test_feature_hashing_sparsity_and_signs(spark):
+    rows = _Q["ml_feature_hashing"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] < 256
+        assert abs(r["feature_value"]) <= r["n_tokens"]
+        assert r["feature_value"] != 0
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    """Every smoothed encoding lies strictly between the raw category
+    rate and the global prior (the defining shrinkage property),
+    unless raw == prior."""
+    rows = _Q["ml_target_encoding"](spark, SF_DIR).collect()
+    assert rows
+    n_tot = sum(r["n"] for r in rows)
+    pos_tot = sum(r["pos"] for r in rows)
+    prior = pos_tot / n_tot
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], prior))
+        assert lo - 1e-12 <= r["encoded"] <= hi + 1e-12
