@@ -341,6 +341,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "sky_lognlogs",
     "ml_feature_hashing",
     "ml_target_encoding",
+    "scan_nested_pruning",
 )
 
 

@@ -714,3 +714,57 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_group BIGINT, column_name STRING, num_values BIGINT, "
         "min_value BIGINT, max_value BIGINT, null_count BIGINT",
     )
+
+
+@register(
+    "scan_nested_pruning",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice AS price,
+       CAST(o_orderdate AS DATE) AS order_day
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning: a parquet file whose payload is a STRUCT
+    column (`detail: {price, priority, dates: {order_day}}` — the
+    shape event logs and API dumps actually have) is read selecting
+    only the needed LEAF fields, and Spark's nestedSchemaPruning pushes
+    the projection INTO the reader — `ReadSchema` requests just the
+    referenced leaves (the unread `customer`/`status` siblings never
+    appear in the request), not the whole struct (the columnar win that makes
+    nested layouts viable at 100 TB: parquet stores each leaf as its
+    own column chain, so unread siblings cost zero I/O). The filter on
+    a nested leaf also reaches the reader as a pushed predicate.
+
+    The round trip writes the nested file from `orders`, reads it back
+    through the pruned projection, and the oracle re-derives the same
+    three columns from the FLAT source — so the nest/prune/unnest
+    cycle is value-verified, while tests/test_plan_shape.py pins the
+    pruned `ReadSchema` so the optimization itself cannot silently
+    regress.
+    """
+    path = os.path.join(_SCRATCH, "orders_nested")
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").alias("customer"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_orderdate").cast("date").alias("order_day")
+            ).alias("dates"),
+        ).alias("detail"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.where(
+        F.col("detail.priority") == "1-URGENT"
+    ).select(
+        "o_orderkey",
+        F.col("detail.price").alias("price"),
+        F.col("detail.dates.order_day").alias("order_day"),
+    )

@@ -552,3 +552,22 @@ def test_cardinality_estimate_never_materializes_join(spark):
     # exactly one join (key-counts ⋈ key-counts), over aggregates
     assert plan.count("Join") >= 1
     assert "HashAggregate" in plan
+
+
+def test_nested_pruning_reads_only_referenced_leaves(spark):
+    """scan_nested_pruning's ReadSchema must request ONLY the
+    referenced struct leaves — the unread customer/status siblings
+    never appear — and the nested-leaf filter must push to the
+    reader."""
+    from analyse_the_sky_with_apache_spark_spark.plans.checks import plan_of
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    df = queries()["scan_nested_pruning"](spark, SF_DIR)
+    plan = plan_of(df, "formatted")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    assert "price" in schema_line and "order_day" in schema_line
+    assert "customer" not in schema_line
+    assert "status" not in schema_line
+    assert "PushedFilters: [IsNotNull(detail.priority)" in plan
