@@ -1456,3 +1456,128 @@ def basket_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "retention_decay_fit",
+    oracle="""
+WITH act AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 604800.0) AS BIGINT)
+           AS week
+  FROM events
+  GROUP BY 1, 2 HAVING COUNT(*) >= 12
+),
+first_w AS (
+  SELECT user_id, MIN(week) AS w0 FROM act GROUP BY user_id
+),
+ret AS (
+  SELECT a.week - f.w0 AS offset_w,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM act a JOIN first_w f USING (user_id)
+  GROUP BY a.week - f.w0
+),
+base AS (SELECT CAST(n_active AS BIGINT) AS n0 FROM ret WHERE offset_w = 0),
+pts AS (
+  SELECT offset_w AS x,
+         CAST(FLOOR(ln(CAST(n_active AS DOUBLE) / n0) * 1000000000.0
+                    + 0.5) AS BIGINT) AS yg
+  FROM ret CROSS JOIN base
+  WHERE offset_w >= 1 AND n_active > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yg) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * yg) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       / 1000000000.0 AS decay_rate,
+       CASE WHEN sxy * n = sx * sy THEN NULL
+            ELSE -0.6931471805599453
+                 / ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                    / (CAST(n AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx)
+                    / 1000000000.0) END AS half_life_weeks
+FROM s
+""",
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: pooled weekly retention
+    (users with a SUBSTANTIAL week — ≥ 12 events — at week-offset o,
+    as a fraction of the week-0 base; the engagement threshold is what
+    makes the fixture's always-on users show churn) is log-linearized and the decay rate fit by closed-form
+    OLS — the model layer on top of `retention_cohorts`' triangle
+    (the triangle shows the curve; this compresses it to the two
+    numbers a growth team quotes: decay rate and half-life,
+    -ln2/rate, with ln 2 as a shared literal so no engine evaluates
+    it).
+
+    Everything is the established algebra: the activity distinct and
+    first-week aggregation share the user key, per-offset log rates
+    land on a 1e-9 grid, and the OLS slope is the exact-long
+    `stat_corr_matrix` form. The fit runs over |offsets| points —
+    driver-scale after one data-sized pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.groupBy(
+            "user_id",
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                / F.lit(604800.0)
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .where(F.col("n_ev") >= 12)
+        .select("user_id", "week")
+    )
+    first_w = act.groupBy("user_id").agg(F.min("week").alias("w0"))
+    ret = (
+        act.join(first_w, "user_id")
+        .groupBy((F.col("week") - F.col("w0")).alias("offset_w"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    base = ret.where(F.col("offset_w") == 0).select(
+        F.col("n_active").alias("n0")
+    )
+    pts = (
+        ret.crossJoin(F.broadcast(base))
+        .where((F.col("offset_w") >= 1) & (F.col("n_active") > 0))
+        .select(
+            F.col("offset_w").alias("x"),
+            F.floor(
+                F.log(F.col("n_active").cast("double") / F.col("n0"))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("yg"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yg").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yg")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (
+        (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        / F.lit(1e9)
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        slope.alias("decay_rate"),
+        F.when(
+            F.col("sxy") * F.col("n") != F.col("sx") * F.col("sy"),
+            F.lit(-0.6931471805599453) / slope,
+        ).alias("half_life_weeks"),
+    )

@@ -2027,3 +2027,82 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("band_break"),
     )
+
+
+@register(
+    "ts_hampel_filter",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS units
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, units,
+         list(units) OVER (ORDER BY day
+           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS win
+  FROM daily
+),
+m AS (
+  SELECT day, units, win, list_sort(win)[6] AS med
+  FROM w WHERE len(win) = 11
+),
+d AS (
+  SELECT day, units, med,
+         list_sort(list_transform(win, v -> abs(v - med)))[6] AS mad
+  FROM m
+)
+SELECT day, units, CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+       CASE WHEN abs(units - med) > 3.0 * 1.4826 * mad
+            THEN 1 ELSE 0 END AS is_outlier
+FROM d WHERE mad > 0
+""",
+)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter on the daily event-count series: each
+    interior day is scored against the MEDIAN and MAD of its own
+    centered 11-day window — the rolling-robust despiker (where
+    `ts_bollinger_bands`' mean/σ envelope is dragged by the very
+    spikes it should flag, the window median/MAD pair has a 50%
+    breakdown inside every window; `anomaly_mad` is the per-entity
+    global form).
+
+    EXACT by construction: the window is materialized as an 11-long
+    integer list, the median of 11 values is the 6th sorted ELEMENT
+    (odd count — no interpolation anywhere), the deviations are
+    integer absolute differences, and their median again an element.
+    Engines independently sort an 11-list per row; only the final
+    3·1.4826·MAD comparison is float, on identical exact operands.
+    Scale: the window list rides the |days|-row daily collapse, 11
+    longs per row — a bounded-frame cost, never data-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("units")
+    )
+    w = Window.orderBy("day").rowsBetween(-5, 5)
+    lst = daily.select(
+        "day", "units", F.collect_list("units").over(w).alias("win")
+    ).where(F.size("win") == 11)
+    m = lst.withColumn(
+        "med", F.sort_array("win").getItem(5)
+    )
+    d = m.withColumn(
+        "mad",
+        F.sort_array(
+            F.transform("win", lambda v: F.abs(v - F.col("med")))
+        ).getItem(5),
+    )
+    return d.where(F.col("mad") > 0).select(
+        "day",
+        "units",
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        F.when(
+            F.abs(F.col("units") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_outlier"),
+    )

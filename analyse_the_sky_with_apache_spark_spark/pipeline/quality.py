@@ -797,3 +797,98 @@ def dq_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_rows")
         ).alias("skew_factor"),
     )
+
+
+#: t-closeness threshold: classes whose ordered-EMD to the global
+#: sensitive distribution exceeds this leak attribute information.
+_T_CLOSE = 0.2
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+WITH rel AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 0
+              WHEN c_acctbal < 5000 THEN 1
+              ELSE 2 END AS band
+  FROM customer
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c0,
+         CAST(SUM(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM rel GROUP BY c_nationkey, c_mktsegment
+),
+gl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         CAST(SUM(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS g0,
+         CAST(SUM(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS g1
+  FROM rel
+)
+SELECT c_nationkey, c_mktsegment, n,
+       (abs(CAST(c0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
+        + abs(CAST(c1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn)) / 2.0
+         AS t_emd,
+       CASE WHEN (abs(CAST(c0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
+                  + abs(CAST(c1 AS DOUBLE) / n
+                        - CAST(g1 AS DOUBLE) / gn)) / 2.0 > {_T_CLOSE}
+            THEN 1 ELSE 0 END AS at_risk
+FROM cls CROSS JOIN gl
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymization ladder
+    (`privacy_k_anonymity` counts class sizes, `privacy_l_diversity`
+    counts distinct sensitive values; t-closeness bounds how much a
+    class's sensitive DISTRIBUTION deviates from the global one — a
+    class can be large AND diverse yet still 90% 'debt', leaking
+    near-certain inference). For the ordered 3-band balance attribute
+    the Earth-Mover's Distance reduces to the mean absolute gap of
+    the cumulative distributions over the m-1 interior cuts.
+
+    Cumulative band counts come from the same single aggregation as
+    the class sizes (CASE sums — no second pass), the global
+    distribution is a 1-row broadcast, and every EMD term is a ratio
+    of exact longs through the identical IEEE tree. Classes with
+    t > 0.2 flag for suppression/generalization.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    rel = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    cls = rel.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("band") <= 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("band") <= 1, 1).otherwise(0)).alias("c1"),
+    )
+    glob = rel.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(F.when(F.col("band") <= 0, 1).otherwise(0)).alias("g0"),
+        F.sum(F.when(F.col("band") <= 1, 1).otherwise(0)).alias("g1"),
+    )
+    emd = (
+        F.abs(
+            F.col("c0").cast("double") / F.col("n")
+            - F.col("g0").cast("double") / F.col("gn")
+        )
+        + F.abs(
+            F.col("c1").cast("double") / F.col("n")
+            - F.col("g1").cast("double") / F.col("gn")
+        )
+    ) / F.lit(2.0)
+    return cls.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        emd.alias("t_emd"),
+        F.when(emd > _T_CLOSE, 1).otherwise(0).alias("at_risk"),
+    )

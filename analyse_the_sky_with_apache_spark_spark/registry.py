@@ -342,6 +342,9 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ml_feature_hashing",
     "ml_target_encoding",
     "scan_nested_pruning",
+    "ts_hampel_filter",
+    "privacy_t_closeness",
+    "retention_decay_fit",
 )
 
 

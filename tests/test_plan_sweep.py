@@ -57,7 +57,7 @@ _BNL_ALLOWED = {
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
-    "ml_target_encoding",
+    "ml_target_encoding", "privacy_t_closeness", "retention_decay_fit",
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
     "emb_matryoshka_recall", "ml_ndcg_at_k",

