@@ -2106,3 +2106,145 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_outlier"),
     )
+
+
+@register(
+    "ts_decompose_residuals",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM orders GROUP BY 1
+),
+trend AS (
+  SELECT day, units,
+         CAST(SUM(units) OVER (ORDER BY day
+           ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS BIGINT) AS ts,
+         CAST(COUNT(*) OVER (ORDER BY day
+           ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING) AS BIGINT) AS tn
+  FROM daily
+),
+detr AS (
+  SELECT day, units, CAST(ts AS DOUBLE) / tn AS trend,
+         dayofweek(day) AS dow,
+         units - CAST(ts AS DOUBLE) / tn AS resid1
+  FROM trend WHERE tn = 29
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(CAST(FLOOR(resid1 * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sg,
+         CAST(COUNT(*) AS BIGINT) AS sn
+  FROM detr GROUP BY dow
+),
+resid AS (
+  SELECT d.day, d.units, d.trend,
+         CAST(s.sg AS DOUBLE) / 100.0 / s.sn AS seasonal,
+         d.resid1 - CAST(s.sg AS DOUBLE) / 100.0 / s.sn AS resid
+  FROM detr d JOIN seas s USING (dow)
+),
+sigma AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(resid * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS r1,
+         CAST(SUM(CAST(FLOOR(resid * resid * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS r2
+  FROM resid
+)
+SELECT day, units, ROUND(trend, 4) AS trend, ROUND(seasonal, 4)
+         AS seasonal, ROUND(resid, 4) AS resid
+FROM resid CROSS JOIN sigma
+WHERE abs(resid - CAST(r1 AS DOUBLE) / 100.0 / n)
+      > 3.0 * sqrt((CAST(r2 AS DOUBLE) / 100.0
+                    - (CAST(r1 AS DOUBLE) / 100.0)
+                      * (CAST(r1 AS DOUBLE) / 100.0) / n) / (n - 1.0))
+""",
+)
+def ts_decompose_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition with residual outliers — the composed
+    time-series pipeline: TREND = centered 29-day moving average,
+    SEASONAL = mean detrended value per weekday, RESIDUAL = what's
+    left, and the emitted rows are the days whose residual exceeds 3
+    residual-σ — anomalies that survive explanation by trend AND
+    weekly cycle (the composition `dq_volume_anomaly` skips and a raw
+    z-score can't do: a holiday spike is seasonal, not anomalous).
+
+    Every stage runs on the |days|-row daily collapse: one centered
+    window, one weekday aggregate (broadcast back), one global moment
+    pair for the residual σ. Per-stage gridding (detrended values and
+    residual moments floored at 1e-2) keeps every cross-engine sum
+    exact — the chain stays hash-checkable through THREE stacked
+    float-producing stages; reported columns are 4dp-rounded while
+    the outlier cut compares unrounded shared expressions.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+        ).alias("units")
+    )
+    tw = Window.orderBy("day").rowsBetween(-14, 14)
+    trend = daily.select(
+        "day",
+        "units",
+        F.sum("units").over(tw).alias("ts"),
+        F.count(F.lit(1)).over(tw).alias("tn"),
+    )
+    detr = trend.where(F.col("tn") == 29).select(
+        "day",
+        "units",
+        (F.col("ts").cast("double") / F.col("tn")).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+        (
+            F.col("units") - F.col("ts").cast("double") / F.col("tn")
+        ).alias("resid1"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.sum(
+            F.floor(F.col("resid1") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("sg"),
+        F.count(F.lit(1)).alias("sn"),
+    )
+    seasonal = F.col("sg").cast("double") / F.lit(100.0) / F.col("sn")
+    resid = detr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "units",
+        "trend",
+        seasonal.alias("seasonal"),
+        (F.col("resid1") - seasonal).alias("resid"),
+    )
+    sigma = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("resid") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        ).alias("r1"),
+        F.sum(
+            F.floor(
+                F.col("resid") * F.col("resid") * F.lit(100.0) + F.lit(0.5)
+            ).cast("long")
+        ).alias("r2"),
+    )
+    mean_r = F.col("r1").cast("double") / F.lit(100.0) / F.col("n")
+    sd_r = F.sqrt(
+        (
+            F.col("r2").cast("double") / F.lit(100.0)
+            - (F.col("r1").cast("double") / F.lit(100.0))
+            * (F.col("r1").cast("double") / F.lit(100.0))
+            / F.col("n")
+        )
+        / (F.col("n") - F.lit(1.0))
+    )
+    return (
+        resid.crossJoin(F.broadcast(sigma))
+        .where(F.abs(F.col("resid") - mean_r) > F.lit(3.0) * sd_r)
+        .select(
+            "day",
+            "units",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("resid", 4).alias("resid"),
+        )
+    )

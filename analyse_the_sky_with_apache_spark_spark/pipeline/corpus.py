@@ -577,3 +577,82 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term_g").cast("double") / F.lit(1e12)).alias("kl_nats")
         )
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(text) AS h
+  FROM documents
+),
+dups AS (
+  SELECT h, COUNT(*) AS c FROM base GROUP BY h
+),
+q AS (
+  SELECT b.doc_id, b.lang, b.n_chars, b.n_tokens,
+         CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN b.n_chars BETWEEN 50 AND 5000 AND b.n_tokens >= 10
+              THEN 1 ELSE 0 END AS passes_quality
+  FROM base b JOIN dups d USING (h)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(is_dup) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(passes_quality) AS BIGINT) AS n_quality_pass,
+       CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate,
+       CAST(SUM(passes_quality) AS DOUBLE) / COUNT(*) AS quality_rate
+FROM q GROUP BY lang
+""",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the per-language summary table an LLM data
+    release publishes: document/token/char counts, exact-duplicate
+    rate, and rule-based quality pass rate, in ONE composed query (the
+    report that `text_stats`, `dedup_exact` and `text_quality`
+    individually feed, joined into the publishable artifact). The
+    numbers a consumer checks before training on the corpus.
+
+    One data-sized pass computes per-doc features + content hash; the
+    duplicate flag joins the hash-keyed count table back (the
+    `dedup_exact` shuffle); everything after is language-keyed. All
+    counts exact, rates exact-operand ratios.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    dups = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    q = base.join(dups, "h").select(
+        "lang",
+        "n_chars",
+        "n_tokens",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+        F.when(
+            F.col("n_chars").between(50, 5000) & (F.col("n_tokens") >= 10),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("is_dup").alias("n_exact_dups"),
+        F.sum("passes_quality").alias("n_quality_pass"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias(
+            "dup_rate"
+        ),
+        (
+            F.sum("passes_quality").cast("double") / F.count(F.lit(1))
+        ).alias("quality_rate"),
+    )

@@ -345,6 +345,8 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "ts_hampel_filter",
     "privacy_t_closeness",
     "retention_decay_fit",
+    "ts_decompose_residuals",
+    "corpus_dataset_card",
 )
 
 

