@@ -10,7 +10,7 @@ Every ordered query fully tie-breaks its keys (SURVEY.md §5.3 hazard 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -318,4 +318,50 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars", es_key.alias("es_key"))
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(100)
+    )
+
+
+#: systematic sampling interval: every k-th record in key order.
+_SYS_K = 20
+
+
+@register(
+    "sample_systematic",
+    oracle=f"""
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM r WHERE rn % {_SYS_K} = 1
+""",
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling: every k-th record in a defined total order
+    — the survey-methodology rung next to `sample_hash` (content-hash
+    Bernoulli) and `sample_stratified`: when the sort key spreads a
+    latent trend (time, id sequence), a 1-in-k grid inherits
+    stratification over that trend for free, with EXACTLY ⌈n/k⌉ rows
+    (hash sampling only hits the rate in expectation — audits that
+    need a fixed count use this).
+
+    The caveat is also classic — a periodicity in the data that
+    divides k biases the sample — which is why the key and k are
+    explicit in the plan. The global ROW_NUMBER runs over the sort
+    order; at 100 TB the same grid comes shuffle-free from
+    `zorder_layout`-style range partitioning + per-partition offsets
+    (documented; the fixture-scale window is the readable form).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") % _SYS_K == 1)
+        .drop("rn")
     )

@@ -1581,3 +1581,68 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-0.6931471805599453) / slope,
         ).alias("half_life_weeks"),
     )
+
+
+@register(
+    "events_stickiness_dau_mau",
+    oracle="""
+WITH dau AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+         CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+),
+mau AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT month, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM dau GROUP BY month
+)
+SELECT d.month, d.n_days, mau.mau,
+       CAST(d.dau_sum AS DOUBLE) / d.n_days AS avg_dau,
+       CAST(d.dau_sum AS DOUBLE) / d.n_days / mau.mau AS stickiness
+FROM d JOIN mau USING (month)
+""",
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio product
+    teams quote (1.0 = every monthly user shows up daily; ~0.2 is a
+    weekly-habit product): average daily distinct users over monthly
+    distinct users. Two distinct-count aggregations at different
+    grains over the same scan (day-level first, month-level
+    independently — NOT a re-aggregate, since distinct users don't
+    sum across days; that non-mergeability is exactly why the metric
+    needs both passes, or an `agg_hll_sketch` rollup at 100 TB where
+    two exact distinct passes are too dear).
+
+    All counts exact; the ratio is an exact-operand division. The
+    month key is formatted identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    month = F.date_format(F.col("ts").cast("date"), "yyyy-MM")
+    dau = ev.groupBy(
+        month.alias("month"), F.col("ts").cast("date").alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(month.alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    d = dau.groupBy("month").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    return d.join(mau, "month").select(
+        "month",
+        "n_days",
+        "mau",
+        (F.col("dau_sum").cast("double") / F.col("n_days")).alias(
+            "avg_dau"
+        ),
+        (
+            F.col("dau_sum").cast("double")
+            / F.col("n_days")
+            / F.col("mau")
+        ).alias("stickiness"),
+    )

@@ -2248,3 +2248,73 @@ def ts_decompose_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("resid", 4).alias("resid"),
         )
     )
+
+
+@register(
+    "ts_forecast_eval_naive",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS units
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT a.day, a.units AS actual, f.units AS forecast
+  FROM daily a JOIN daily f ON f.day = a.day - 7
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(abs(actual - forecast)) AS BIGINT) AS sae,
+         CAST(SUM(actual - forecast) AS BIGINT) AS sbias,
+         CAST(SUM(actual) AS BIGINT) AS sa
+  FROM j
+)
+SELECT n AS n_days,
+       CAST(sae AS DOUBLE) / n AS mae,
+       CAST(sae AS DOUBLE) / sa AS wape,
+       CAST(sbias AS DOUBLE) / sa AS bias
+FROM s
+""",
+)
+def ts_forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation of the seasonal-naive baseline
+    (forecast(d) = actual(d-7)) — the harness every forecasting
+    pipeline needs BEFORE any model ships, because a model that can't
+    beat last-week's value on MAE/WAPE is worse than free. WAPE
+    (Σ|err|/Σactual) is the scale-free industry default; the signed
+    bias ratio catches systematic over/under-forecasting that absolute
+    metrics hide.
+
+    The forecast column is a self-equi-join of the daily collapse at
+    the 7-day offset (exact DATE arithmetic — the `ts_autocorrelation`
+    shape), all three metrics are ratios of exact long sums, and the
+    whole evaluation touches |days| rows after one data-sized
+    aggregation. Swap the join's right side for a model's prediction
+    table and the same plan scores any forecaster.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+        ).alias("units")
+    )
+    a = daily.alias("a")
+    f = daily.select(
+        F.date_add("day", 7).alias("day"), F.col("units").alias("forecast")
+    ).alias("f")
+    j = a.join(f, "day").select(
+        F.col("units").alias("actual"), "forecast"
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast"))).alias("sae"),
+        F.sum(F.col("actual") - F.col("forecast")).alias("sbias"),
+        F.sum("actual").alias("sa"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        (F.col("sae").cast("double") / F.col("n")).alias("mae"),
+        (F.col("sae").cast("double") / F.col("sa")).alias("wape"),
+        (F.col("sbias").cast("double") / F.col("sa")).alias("bias"),
+    )

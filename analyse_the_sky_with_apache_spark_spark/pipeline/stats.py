@@ -1364,3 +1364,88 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + F.lit(_TE_SMOOTH))
         ).alias("encoded"),
     )
+
+
+@register(
+    "stat_ratio_delta_method",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+)
+SELECT n AS n_users,
+       CAST(sy AS DOUBLE) / sx AS ratio,
+       sqrt(
+         ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1.0)
+          - 2.0 * (CAST(sy AS DOUBLE) / sx)
+            * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / (n - 1.0))
+          + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+            * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               / (n - 1.0)))
+         / n) / (CAST(sx AS DOUBLE) / n) AS ratio_se
+FROM s
+""",
+)
+def stat_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of a RATIO metric by the delta method — the
+    experimentation-platform staple for per-user ratio metrics
+    (purchases-per-event here; sessions-per-user, revenue-per-session
+    in general): the naive binomial SE is WRONG because both numerator
+    and denominator vary per user and correlate. The delta-method SE
+    uses var(Y), var(X), cov(X,Y) of the PER-USER totals:
+    SE(ΣY/ΣX) ≈ √[(var_y − 2r·cov + r²·var_x)/n] / mean_x.
+
+    One pass to per-user (x, y) pairs, one pass to the five moment
+    sums (the `stat_corr_matrix` algebra — exact longs), one
+    closed-form double. An A/B harness computes this per (experiment,
+    arm) as a tiny keyed aggregate; without it, ratio-metric
+    "significance" is overstated whenever heavy users dominate both
+    sides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    r = F.col("sy").cast("double") / F.col("sx")
+    var_y = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    ) / (n - F.lit(1.0))
+    var_x = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / n
+    ) / (n - F.lit(1.0))
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / n
+    ) / (n - F.lit(1.0))
+    se = F.sqrt(
+        (var_y - F.lit(2.0) * r * cov + r * r * var_x) / n
+    ) / (F.col("sx").cast("double") / n)
+    return s.select(
+        F.col("n").alias("n_users"), r.alias("ratio"), se.alias("ratio_se")
+    )

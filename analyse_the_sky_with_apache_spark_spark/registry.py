@@ -347,6 +347,10 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "retention_decay_fit",
     "ts_decompose_residuals",
     "corpus_dataset_card",
+    "ts_forecast_eval_naive",
+    "stat_ratio_delta_method",
+    "sample_systematic",
+    "events_stickiness_dau_mau",
 )
 
 

@@ -893,3 +893,58 @@ def test_dataset_card_rates_and_totals(spark):
         assert 0.0 <= r["dup_rate"] <= 1.0
         assert 0.0 <= r["quality_rate"] <= 1.0
         assert r["n_exact_dups"] <= r["n_docs"]
+
+
+def test_forecast_eval_identities(spark):
+    row = _Q["ts_forecast_eval_naive"](spark, SF_DIR).collect()[0]
+    assert row["n_days"] > 0
+    assert row["mae"] >= 0 and row["wape"] >= 0
+    assert abs(row["bias"]) <= row["wape"] + 1e-12
+
+
+def test_ratio_delta_method_matches_numpy(spark):
+    """Delta-method SE must match the direct moment computation."""
+    import duckdb
+
+    row = _Q["stat_ratio_delta_method"](spark, SF_DIR).collect()[0]
+    x, y = (
+        duckdb.sql(
+            f"""SELECT COUNT(*),
+                   SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+            FROM '{SF_DIR}/events.parquet' GROUP BY user_id"""
+        )
+        .fetchnumpy()
+        .values()
+    )
+    x = x.astype(float); y = y.astype(float)
+    n = len(x)
+    r = y.sum() / x.sum()
+    se = (
+        (y.var(ddof=1) - 2 * r * np.cov(x, y, ddof=1)[0, 1]
+         + r * r * x.var(ddof=1)) / n
+    ) ** 0.5 / x.mean()
+    assert abs(row["ratio"] - r) < 1e-12
+    assert abs(row["ratio_se"] - se) / se < 1e-9
+    assert row["n_users"] == n
+
+
+def test_systematic_sample_exact_count_and_grid(spark):
+    import duckdb
+
+    rows = _Q["sample_systematic"](spark, SF_DIR).collect()
+    total = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()[0][0]
+    import math
+
+    assert len(rows) == math.ceil(total / 20)
+    keys = sorted(r["o_orderkey"] for r in rows)
+    assert len(set(keys)) == len(keys)
+
+
+def test_stickiness_bounds(spark):
+    rows = _Q["events_stickiness_dau_mau"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["avg_dau"] <= r["mau"]
