@@ -1449,3 +1449,98 @@ def stat_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").alias("n_users"), r.alias("ratio"), se.alias("ratio_se")
     )
+
+
+@register(
+    "ml_psi_drift",
+    oracle="""
+WITH base AS (
+  SELECT CAST(FLOOR(o_totalprice / 60000.0) AS BIGINT) AS bin,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '2022-01-01'
+              THEN 'ref' ELSE 'cur' END AS period
+  FROM orders
+),
+c AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM base GROUP BY bin
+),
+t AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM c
+),
+terms AS (
+  SELECT CAST(FLOOR(
+           ((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 0.5)
+            - (CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 0.5))
+           * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (t_cur + 0.5))
+                / ((CAST(n_ref AS DOUBLE) + 0.5) / (t_ref + 0.5)))
+           * 1000000000.0 + 0.5) AS BIGINT) AS term_g
+  FROM c CROSS JOIN t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(CAST(SUM(term_g) AS BIGINT) AS DOUBLE) / 1000000000.0 AS psi
+FROM terms
+""",
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    reference period vs current — THE tabular feature-drift gate
+    model-monitoring stacks run per feature per day (PSI < 0.1 stable,
+    0.1–0.25 investigate, > 0.25 retrain; `emb_drift_monitor` is the
+    embedding-space sibling, `corpus_kl_divergence` the one-sided
+    divergence): PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), the
+    SYMMETRIZED KL that penalizes drift in either direction.
+
+    Both periods bin in ONE aggregation (CASE sums — the
+    `privacy_t_closeness` shape), +0.5 additive smoothing keeps
+    empty-bin logs finite in both engines identically, and each bin's
+    term is floored onto a 1e-9 grid before the final sum (the
+    KL/entropy discipline). At 100 TB this is one map-combining pass
+    per (feature, day) — the whole drift dashboard is a handful of
+    tiny keyed aggregates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.floor(F.col("o_totalprice") / F.lit(60000.0)).cast("long").alias(
+            "bin"
+        ),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit("2022-01-01").cast("date"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    c = base.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur").cast("double") + F.lit(0.5)) / (
+        F.col("t_cur") + F.lit(0.5)
+    )
+    p_ref = (F.col("n_ref").cast("double") + F.lit(0.5)) / (
+        F.col("t_ref") + F.lit(0.5)
+    )
+    term_g = F.floor(
+        (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(term_g.alias("term_g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            (F.sum("term_g").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )

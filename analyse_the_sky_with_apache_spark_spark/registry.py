@@ -351,6 +351,7 @@ _POST_WINDOW_NEW: tuple[str, ...] = (
     "stat_ratio_delta_method",
     "sample_systematic",
     "events_stickiness_dau_mau",
+    "ml_psi_drift",
 )
 
 

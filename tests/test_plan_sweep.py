@@ -58,7 +58,7 @@ _BNL_ALLOWED = {
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
     "ml_target_encoding", "privacy_t_closeness", "retention_decay_fit",
-    "ts_decompose_residuals",
+    "ts_decompose_residuals", "ml_psi_drift",
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
     "emb_matryoshka_recall", "ml_ndcg_at_k",

@@ -948,3 +948,11 @@ def test_stickiness_bounds(spark):
     for r in rows:
         assert 0.0 < r["stickiness"] <= 1.0
         assert r["avg_dau"] <= r["mau"]
+
+
+def test_psi_nonnegative_and_split_sane(spark):
+    """PSI is a symmetrized divergence: every term (p-q)ln(p/q) >= 0,
+    so the sum is non-negative; identical periods give ~0."""
+    row = _Q["ml_psi_drift"](spark, SF_DIR).collect()[0]
+    assert row["psi"] >= 0.0
+    assert row["n_bins"] > 0
