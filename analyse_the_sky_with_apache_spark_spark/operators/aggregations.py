@@ -1579,11 +1579,18 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_winsorized_mean",
     oracle="""
-WITH q AS (
-  SELECT l_returnflag AS rf,
-         quantile_cont(l_extendedprice, 0.05) AS p05,
-         quantile_cont(l_extendedprice, 0.95) AS p95
-  FROM lineitem GROUP BY l_returnflag
+WITH r AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS px,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+q AS (
+  SELECT rf,
+         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN px END) AS p05,
+         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN px END) AS p95
+  FROM r GROUP BY rf
 ),
 w AS (
   SELECT l.l_returnflag AS rf,
@@ -1605,19 +1612,32 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     where a few whales wreck the mean (`agg_weighted_median` and
     `anomaly_mad` are the neighboring robust-stats rungs).
 
-    Two passes sharing one group key: exact grouped quantiles (the
-    `agg_median_exact` interpolation parity), broadcast back, then
-    clamp + exact cent-floored long sum — the clamped value is either
-    a raw cent-exact price or the interpolated fence, and flooring to
-    the cent grid BEFORE summing keeps the aggregation integer-exact
-    in both engines. At 100 TB the fences come from the sketch rung
-    (`agg_approx_percentile`) instead; the clamp-and-sum pass is
-    unchanged.
+    The fences are DISCRETE (nearest-rank, ``ceil(q*n)`` with pure
+    integer rank math): each fence is an actual data element, so no
+    cross-engine interpolated-quantile float parity is load-bearing —
+    the `ts_theil_sen` lesson applied preemptively. Clamp + exact
+    cent-floored long sum keeps the aggregation integer-exact in both
+    engines. The rank pass partitions by the 3-value group key (same
+    sort class as the exact-percentile it replaces); at 100 TB the
+    fences come from the sketch rung (`agg_approx_percentile`) and the
+    clamp-and-sum pass is unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
-        F.expr("percentile(l_extendedprice, 0.05D)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95D)").alias("p95"),
+    w_rk = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_n = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("px"),
+        F.row_number().over(w_rk).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    lo = (F.col("n") * 5 + 99) / F.lit(100)
+    hi = (F.col("n") * 95 + 99) / F.lit(100)
+    q = r.groupBy("rf").agg(
+        F.max(F.when(F.col("rn") == lo.cast("long"), F.col("px"))).alias("p05"),
+        F.max(F.when(F.col("rn") == hi.cast("long"), F.col("px"))).alias("p95"),
     )
     w = li.join(
         F.broadcast(q), li.l_returnflag == q.rf

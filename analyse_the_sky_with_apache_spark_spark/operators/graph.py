@@ -780,7 +780,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.orderBy("node")
 
 
-_LPA_ORACLE = """
+#: Shared 2-round deterministic-LPA CTE chain (ends at the final label
+#: assignment ``l2``); both `graph_label_propagation`'s and
+#: `graph_modularity`'s oracles are built from THIS string so a future
+#: tie-break tweak cannot decouple the quality gate from the partition
+#: it scores (ADVICE round 3).
+_LPA_CTE = """
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a
@@ -812,11 +817,44 @@ l2 AS (
            ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
     FROM c2
   ) WHERE rn = 1
-)
+)"""
+
+_LPA_ORACLE = _LPA_CTE + """
 SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size,
        CAST(MIN(node) AS BIGINT) AS min_node
 FROM l2 GROUP BY lbl
 """
+
+
+def _lpa_labels(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared 2-round synchronous-LPA kernel: returns (adj, labels).
+
+    Every node starts as its own label; each round adopts the most
+    frequent neighbor label with a TOTAL tie-break (count DESC, label
+    ASC) — the Spark twin of ``_LPA_CTE``, kept in one place for the
+    same decoupling reason. The per-round top-1 pick is a ``max_by``
+    over the ordering struct ``(c, -lbl)`` — a hash aggregate with
+    map-side partials, replacing the earlier row_number window (which
+    sorted every (node, lbl) group on every round: 2 full sorts gone).
+    """
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        cnt = (
+            adj.join(labels.select(F.col("node").alias("nb"), "lbl"), "nb")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = cnt.groupBy("node").agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("lbl")
+        )
+    return adj, labels
 
 
 @register("graph_label_propagation", oracle=_LPA_ORACLE)
@@ -831,8 +869,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each round is one join (labels onto the adjacency list, label side
     partitioned by node — the same key every round, so AQE reuses the
-    exchange) + one count aggregate + one per-node top-1 window, all
-    keyed on node: K rounds = K passes over the EDGE list, never more,
+    exchange) + one count aggregate + one per-node ``max_by`` top-1
+    pick (hash aggregate, no sort — see ``_lpa_labels``), all keyed on
+    node: K rounds = K passes over the EDGE list, never more,
     which is the textbook Pregel compilation of LPA onto joins. The
     emitted result is the community histogram (label, size, min member)
     — stable under any round count and orders of magnitude smaller
@@ -842,64 +881,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage — without it every round re-derives the lineitem
     # self-join: 12 parquet scans observed in the un-checkpointed plan)
     e = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-    )
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
-    for _ in range(2):
-        cnt = (
-            adj.join(
-                labels.select(F.col("node").alias("nb"), "lbl"), "nb"
-            )
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
-        )
+    _, labels = _lpa_labels(e)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
     )
 
 
-_MODULARITY_ORACLE = """
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-                 AND a.l_partkey < b.l_partkey
-),
-adj AS (SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
-l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
-c1 AS (
-  SELECT a.node, l.lbl, COUNT(*) AS c
-  FROM adj a JOIN l0 l ON l.node = a.nb
-  GROUP BY a.node, l.lbl
-),
-l1 AS (
-  SELECT node, lbl FROM (
-    SELECT node, lbl,
-           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-    FROM c1
-  ) WHERE rn = 1
-),
-c2 AS (
-  SELECT a.node, l.lbl, COUNT(*) AS c
-  FROM adj a JOIN l1 l ON l.node = a.nb
-  GROUP BY a.node, l.lbl
-),
-l2 AS (
-  SELECT node, lbl FROM (
-    SELECT node, lbl,
-           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
-    FROM c2
-  ) WHERE rn = 1
-),
+_MODULARITY_ORACLE = _LPA_CTE + """,
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
 intra AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_intra, la.lbl AS lbl
@@ -942,24 +930,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the node partitioning the rounds already built.
     """
     e = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-    )
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
-    for _ in range(2):
-        cnt = (
-            adj.join(labels.select(F.col("node").alias("nb"), "lbl"), "nb")
-            .groupBy("node", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
-        )
+    adj, labels = _lpa_labels(e)
     m = e.agg(F.count(F.lit(1)).alias("m"))
     la = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lb = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))

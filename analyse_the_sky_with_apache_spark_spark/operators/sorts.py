@@ -100,16 +100,71 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified")  # rows-only: sampleBy seeds are Spark-specific
+#: per-stratum 1-in-k grid: view 1/10, click 1/3, everything rare kept.
+_STRAT_K = {"view": 10, "click": 3}
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT event_id, event_type, user_id
+FROM r
+WHERE (rn - 1) % (CASE event_type WHEN 'view' THEN 10
+                                  WHEN 'click' THEN 3 ELSE 1 END) = 0
+""",
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``): per-stratum fractions.
+    """Stratified sampling, deterministic systematic variant: per-stratum
+    1-in-k grids over a defined order (every 10th 'view', every 3rd
+    'click', all rare classes kept).
 
     Downsample dominant classes while keeping rare ones — the
-    class-rebalancing step of a training-data pipeline (e.g. keep all
-    'error' events, 10% of 'view's). Per-stratum Bernoulli coin flips
-    map-side: no shuffle, no stratum materialization. Fractions-realized
-    bounds are asserted in tests/test_pipeline.py; no cross-engine
-    oracle since the RNG stream is Spark's.
+    class-rebalancing step of a training-data pipeline. The systematic
+    kernel (`sample_systematic` per stratum) replaces seeded Bernoulli
+    coin flips so the sample is reproducible across engines and runs —
+    audits get EXACTLY ⌈n_s/k_s⌉ rows per stratum, not a rate hit only
+    in expectation. The rank window partitions by stratum; at 100 TB a
+    dominant stratum's sort is replaced by range partitioning +
+    per-partition offsets (the `zorder_layout` trick), or by the seeded
+    map-side variant (`sample_stratified_seeded`) when run-to-run
+    reproducibility isn't required.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    k = F.coalesce(
+        *[
+            F.when(F.col("event_type") == s, F.lit(kk))
+            for s, kk in _STRAT_K.items()
+        ],
+        F.lit(1),
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where((F.col("rn") - 1) % k == 0)
+        .drop("rn")
+    )
+
+
+@register("sample_stratified_seeded")  # rows-only: sampleBy RNG is Spark's
+def sample_stratified_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum Bernoulli fractions.
+
+    The map-side, shuffle-free sibling of `sample_stratified`: per-row
+    coin flips keyed by Spark's seeded RNG stream — no stratum
+    materialization, no window, the right rung when the sample only
+    needs to hit the rate in expectation. Fractions-realized bounds are
+    asserted in tests/test_pipeline.py; no cross-engine oracle since
+    the RNG stream is Spark-specific.
     """
     ev = load_table(spark, sf_dir, "events")
     fractions = {"view": 0.1, "click": 0.3, "purchase": 1.0, "error": 1.0, "signup": 1.0}

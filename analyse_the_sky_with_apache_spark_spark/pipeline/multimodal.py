@@ -131,12 +131,27 @@ def _media_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register("mm_media_metadata")  # rows-only: fake-decode is engine-internal
+@register(
+    "mm_media_metadata",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(64 + (doc_id * 37) % 1920 AS INTEGER) AS width,
+       CAST(64 + (doc_id * 53) % 1080 AS INTEGER) AS height,
+       CAST(1 + (doc_id * 7) % 300 AS INTEGER) AS n_frames,
+       CAST(((doc_id * 7) % 300) // 2 AS INTEGER) AS sampled_frame
+FROM documents
+""",
+)
 def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode / frame-sample plumbing for image/audio/video columns:
     binary payload + metadata struct in, typed per-asset features out,
     Arrow-batched. The decode kernel is a deterministic stub (see
-    _decode_image_stub for the real-library seam)."""
+    _decode_image_stub for the real-library seam); since the fake is
+    pure integer arithmetic on ``doc_id``, the whole Arrow round-trip
+    (schema, batching, mapInPandas plumbing) is hash-checked against a
+    DuckDB twin of the same arithmetic."""
     d = load_table(spark, sf_dir, "documents")
     assets = d.select(
         "doc_id",

@@ -351,14 +351,21 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = F.col("sz") - F.expr("(sz + 1) div 2") + F.lit(1)
     prefix = (
         ranked.filter(F.col("rarity_rank") <= prefix_len)
-        .select("doc_id", "w")
+        .select("doc_id", "w", "sz")
         .localCheckpoint(eager=True)  # joined to itself below
     )
-    pa = prefix.select(F.col("doc_id").alias("a"), "w")
-    pb = prefix.select(F.col("doc_id").alias("b"), "w")
+    pa = prefix.select(F.col("doc_id").alias("a"), "w", F.col("sz").alias("sza"))
+    pb = prefix.select(F.col("doc_id").alias("b"), "w", F.col("sz").alias("szb"))
+    # PPJoin length filter: J ≥ 1/2 forces the set sizes within 2× of
+    # each other (t·|a| ≤ |b| ≤ |a|/t) — cross-multiplied to the exact
+    # integer test 2·min ≥ max, it discards size-mismatched candidates
+    # BEFORE the dedup shuffle and the verification join ever see them.
     cand = (
         pa.join(pb, "w")
-        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.lit(2) * F.least("sza", "szb") >= F.greatest("sza", "szb"))
+        )
         .select("a", "b")
         .distinct()
     )

@@ -37,15 +37,45 @@ _TOP_K = 20
 #:  full embedding-matrix broadcast for process lifetime.
 _REF_BC: dict = {}
 
+#: Exact-kernel ceiling (SCALE.md "Similarity"): the broadcast reference
+#: matrix must fit comfortably in every executor. 2M × 64-dim float64
+#: ≈ 1 GiB — past either bound the right tool is the ANN rung
+#: (`ann_ivf` / `sim_knn_lsh`), not a bigger broadcast.
+_REF_MAX_ROWS = 2_000_000
+_REF_MAX_BYTES = 1 << 30
 
-def _reference_broadcast(spark: SparkSession, sf_dir: str, e: DataFrame):
+
+class BroadcastCeilingError(RuntimeError):
+    """Reference side exceeds the exact-kernel broadcast ceiling."""
+
+
+def _reference_broadcast(
+    spark: SparkSession,
+    sf_dir: str,
+    e: DataFrame,
+    max_rows: int = _REF_MAX_ROWS,
+    max_bytes: int = _REF_MAX_BYTES,
+):
     per_session = _REF_BC.setdefault(spark, {})
     bc = per_session.get(sf_dir)
     if bc is not None:
         return bc
+    n = e.count()
+    if n > max_rows:
+        raise BroadcastCeilingError(
+            f"exact-kNN reference side has {n} rows > ceiling {max_rows}; "
+            "the broadcast kernel is the exact rung only — switch to "
+            "ann_ivf (centroid-partitioned) or sim_knn_lsh (bucketed) "
+            "for collections past the ceiling"
+        )
     rows = e.collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if mat.nbytes > max_bytes:
+        raise BroadcastCeilingError(
+            f"exact-kNN reference matrix is {mat.nbytes} bytes > ceiling "
+            f"{max_bytes}; switch to ann_ivf or sim_knn_lsh"
+        )
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)

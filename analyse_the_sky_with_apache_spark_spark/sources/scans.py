@@ -699,14 +699,18 @@ def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = g.column(ci)
             if c.path_in_schema in _FOOTER_COLS:
                 st = c.statistics
+                # stats are OPTIONAL in the parquet spec (writers can
+                # disable them per column) — report absent bounds as
+                # NULL rather than crashing the maintenance query.
+                has_mm = st is not None and st.has_min_max
                 rows.append(
                     (
                         rg,
                         c.path_in_schema,
                         c.num_values,
-                        int(st.min),
-                        int(st.max),
-                        st.null_count,
+                        int(st.min) if has_mm else None,
+                        int(st.max) if has_mm else None,
+                        st.null_count if st is not None else None,
                     )
                 )
     return spark.createDataFrame(

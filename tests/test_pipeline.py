@@ -170,13 +170,40 @@ def test_hash_native_and_sample_deterministic(spark):
     assert 0.05 * n_total < n_sample < 0.15 * n_total
 
 
-def test_sample_stratified_fractions(spark):
+def test_sample_stratified_exact_counts(spark):
+    """The systematic variant yields EXACTLY ceil(n_s/k_s) rows per stratum."""
+    import math
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    sampled = {
+        r["event_type"]: r["count"]
+        for r in queries()["sample_stratified"](spark, SF_DIR)
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    totals = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    ks = {"view": 10, "click": 3}
+    for et, n in totals.items():
+        k = ks.get(et, 1)
+        assert sampled[et] == math.ceil(n / k), (et, sampled[et], n, k)
+
+
+def test_sample_stratified_seeded_fractions(spark):
     """sampleBy must roughly honor per-stratum fractions and never upsample."""
     from analyse_the_sky_with_apache_spark_spark.catalog import load_table
     from analyse_the_sky_with_apache_spark_spark.registry import queries
 
     sampled = (
-        queries()["sample_stratified"](spark, SF_DIR)
+        queries()["sample_stratified_seeded"](spark, SF_DIR)
         .groupBy("event_type")
         .count()
         .collect()
@@ -386,3 +413,21 @@ def test_kcore_converged_within_bound(spark):
             deg[r["u"]] += 1
             deg[r["v"]] += 1
     assert all(deg[n] >= 2 for n in survivors), "peel not converged"
+
+
+def test_broadcast_ceiling_guard_trips(spark):
+    """A lowered row/byte bound must trip BroadcastCeilingError with a
+    pointer to the ANN rungs, BEFORE any data-sized collect happens."""
+    import pytest
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline import similarity as S
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    S._REF_BC.pop(spark, None)  # defeat the per-session cache
+    with pytest.raises(S.BroadcastCeilingError, match="ann_ivf"):
+        S._reference_broadcast(spark, SF_DIR + "#rowcap", e, max_rows=10)
+    with pytest.raises(S.BroadcastCeilingError, match="sim_knn_lsh"):
+        S._reference_broadcast(spark, SF_DIR + "#bytecap", e, max_bytes=1024)
+    # the real bounds still admit the fixture-scale matrix
+    bc = S._reference_broadcast(spark, SF_DIR, e)
+    assert bc.value[1].shape[0] > 0

@@ -88,3 +88,77 @@ def test_no_cartesian_anywhere(spark, key):
             f"deliberate-BNL whitelist — either fix the join or "
             f"document why the nested loop is bounded"
         )
+
+
+#: keys that deliberately plan a GLOBAL-ORDER Window (unpartitioned
+#: ``Window.orderBy``): WindowExec funnels all input rows to ONE
+#: partition, so this is only viable on collapsed inputs — per-day/
+#: per-group aggregates, bounded shortlists, |distinct-values|-sized
+#: relations — and each key's docstring documents the 100-TB
+#: alternative (range partitioning + per-partition offsets, two-phase
+#: rank, etc.). A NEW operator may not join this list by accident
+#: (ADVICE round 3): update it only after checking the window's input
+#: is collapsed or the fixture-scale assumption is documented.
+_GLOBAL_WINDOW_ALLOWED = {
+    "agg_gini_coefficient", "corpus_group_sample",
+    "dedup_corpus_survivors", "dedup_sorted_neighborhood",
+    "dq_volume_anomaly", "emb_bit_hamming", "emb_matryoshka_recall",
+    "interval_open_count", "join_lateral_topk", "ml_auc_roc",
+    "ml_decision_stump", "rfm_segmentation", "sample_systematic",
+    "sim_centroid_classify", "sim_knn_per_query", "sky_lognlogs",
+    "sky_variability_pipeline", "skyline_pareto", "slo_burn_rate",
+    "stat_ks_test", "stat_mann_whitney", "text_zipf_fit",
+    "ts_bollinger_bands", "ts_decompose_residuals", "ts_hampel_filter",
+    "win_pareto_abc", "win_rank_topk", "win_running_distinct",
+}
+
+
+def _global_order_windows(plan: str) -> int:
+    """Count Window nodes whose spec is [exprs], [orderSpec] — i.e. an
+    ordered window with an EMPTY partition clause. Partition-only
+    windows (no order) also print two groups but their second group
+    carries no ASC/DESC sort direction."""
+    import re
+
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(?:GroupLimit)? (\[.*)$", line.strip())
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    cur = ""
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    continue
+            if depth >= 1:
+                cur += ch
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            n += 1
+    return n
+
+
+@pytest.mark.parametrize("key", _KEYS)
+def test_global_order_windows_are_deliberate(spark, key):
+    df = registry.queries()[key](spark, SF_DIR)
+    n = _global_order_windows(plan_of(df, "simple"))
+    if n and key not in _GLOBAL_WINDOW_ALLOWED:
+        pytest.fail(
+            f"{key} plans {n} global-order Window(s) but is not in the "
+            f"deliberate allowlist — an unpartitioned ordered window "
+            f"funnels every row to one task; partition it, switch to a "
+            f"two-phase rank, or document the collapsed-input assumption "
+            f"and add the key here"
+        )
+    if not n and key in _GLOBAL_WINDOW_ALLOWED:
+        pytest.fail(
+            f"{key} no longer plans a global-order Window — drop it from "
+            f"_GLOBAL_WINDOW_ALLOWED to keep the inventory exact"
+        )

@@ -1,10 +1,13 @@
 """Driver-visibility ordering contract.
 
-The rounds 1–2 drivers produced CORRECTNESS rows for exactly the first
+The rounds 1–3 drivers produced CORRECTNESS rows for exactly the first
 50 keys of ``queries()`` in dict insertion order, so insertion order
 decides which operators get externally verified each round. These tests
-pin the round-3 window: every key with no row in CORRECTNESS_r01∪r02
-(plus operators new this round) must occupy the first 50 slots.
+pin the round-4 window: 50 oracle-carrying keys, none of which already
+has a green hash row from an earlier round (re-sampling a key that was
+previously ``no_oracle`` is allowed — that's how a rows-only→oracle
+promotion gets its driver-recorded hash row), with every dark family
+from VERDICT.md round-3 task 1 represented.
 """
 
 from __future__ import annotations
@@ -15,19 +18,34 @@ import os
 from analyse_the_sky_with_apache_spark_spark import registry
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROUNDS = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json")
+
+#: families VERDICT.md round-3 task 1 requires in the round-4 window.
+_TARGET_FAMILIES = (
+    "operators.windows",
+    "operators.aggregations",
+    "operators.warehouse",
+    "pipeline.stats",
+    "workloads",
+)
 
 
-def _driver_checked() -> set[str]:
-    """Keys with any CORRECTNESS row so far (green or rows-only)."""
+def _hash_green() -> set[str]:
+    """Keys that already have a driver-recorded hash match."""
     seen: set[str] = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in _ROUNDS:
         with open(os.path.join(_REPO, fname)) as f:
             rows = json.load(f)
-        seen.update(
-            k
-            for k, v in rows.items()
-            if v.get("hash_match") or v.get("err") == "no_oracle"
-        )
+        seen.update(k for k, v in rows.items() if v.get("hash_match"))
+    return seen
+
+
+def _sampled() -> set[str]:
+    """Keys with any CORRECTNESS row so far (green or rows-only)."""
+    seen: set[str] = set()
+    for fname in _ROUNDS:
+        with open(os.path.join(_REPO, fname)) as f:
+            seen.update(json.load(f).keys())
     return seen
 
 
@@ -46,24 +64,34 @@ def test_every_priority_key_exists():
     assert not missing, f"priority names unknown keys: {missing}"
 
 
-def test_window_prefers_unchecked_keys():
-    """The 50-slot window must not waste slots on keys that already have
-    a green (or by-design rows-only) row from an earlier round."""
-    window = list(registry.queries())[:50]
-    wasted = [k for k in window if k in _driver_checked()]
-    assert not wasted, f"already-checked keys occupying the window: {wasted}"
+def test_window_is_all_oracle():
+    """Every round-4 window key carries an oracle, so CORRECTNESS_r04
+    should be 50 hash rows and 0 ``no_oracle`` rows."""
+    osql = set(registry.oracle_sql())
+    missing = [k for k in registry._PRIORITY if k not in osql]
+    assert not missing, f"window keys without an oracle: {missing}"
 
 
-def test_every_unchecked_key_is_in_the_window():
-    """Dual of the above: after this round every registry key must have
-    been externally verified at least once, so no never-checked key may
-    sit past slot 50."""
-    keys = list(registry.queries())
-    allowed = set(registry._POST_WINDOW_NEW)
-    stranded = [
-        k for k in keys[50:] if k not in _driver_checked() and k not in allowed
-    ]
-    assert not stranded, f"unchecked keys stranded past the window: {stranded}"
+def test_window_wastes_no_slot_on_green_keys():
+    """No window slot may re-sample a key that already has a
+    driver-recorded hash match from rounds 1–3."""
+    wasted = [k for k in registry._PRIORITY if k in _hash_green()]
+    assert not wasted, f"already-green keys occupying the window: {wasted}"
+
+
+def test_window_covers_the_dark_families():
+    """VERDICT round-3 task 1: windows/aggregations/warehouse/stats/
+    workloads families must be represented among the never-sampled
+    window keys."""
+    qs = registry.queries()
+    sampled = _sampled()
+    fresh_mods = {
+        qs[k].__module__.split("analyse_the_sky_with_apache_spark_spark.")[-1]
+        for k in registry._PRIORITY
+        if k not in sampled
+    }
+    missing = [f for f in _TARGET_FAMILIES if f not in fresh_mods]
+    assert not missing, f"dark families absent from the window: {missing}"
 
 
 def test_oracle_dict_order_matches_queries():

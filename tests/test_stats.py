@@ -712,6 +712,18 @@ def test_footer_stats_match_duckdb(spark):
     assert got == want
 
 
+def test_footer_stats_tolerate_missing_statistics(spark, tmp_path):
+    """A parquet file written WITHOUT column statistics must yield NULL
+    bounds, not an AttributeError (stats are optional per the spec)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"), write_statistics=False)
+    rows = _Q["scan_parquet_footer_stats"](spark, str(tmp_path)).collect()
+    assert rows, "row-group rows must still be emitted"
+    assert all(r["min_value"] is None and r["max_value"] is None for r in rows)
+
+
 def test_langid_confusion_rates_partition(spark):
     """Per-language confusion rates sum to 1 and counts are positive.
     (Diagonal dominance is NOT asserted: the synthetic corpus draws an

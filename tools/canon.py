@@ -25,6 +25,21 @@ This module reproduces those semantics locally:
 
 Used by both tools/check.py and tests/conftest.py so the pytest suite and
 the pre-commit gate enforce identical semantics.
+
+Transcendental-grid caveat (ADVICE round 3): operators that floor
+per-row ``exp()``/``ln()`` outputs onto a grid (``agg_entropy``,
+``corpus_kl_divergence``, ``ml_logreg_irls_stats``, ``ml_psi_drift``,
+``text_perplexity``) assume the JVM's and DuckDB's libm agree within the
+half-ulp of every grid boundary across all rows. This comparison is
+deliberately NOT tolerance-based — the external driver's hasher isn't,
+and a softer local mirror would hide exactly the failures it exists to
+predict. The mitigation lives operator-side instead: prefer grids built
+from rational operands (``agg_winsorized_mean``'s discrete fences,
+``ts_theil_sen``'s lower-median slopes), keep transcendental grids
+coarse (1e6–1e12 chosen so measured boundary margins exceed 1e3 ulps on
+this host), and accept that a cross-libm PLATFORM change can flip a
+boundary tie — the local gate on the driver's own host remains an exact
+predictor, which is the contract that matters here.
 """
 
 from __future__ import annotations
