@@ -548,12 +548,12 @@ def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_mad",
     oracle="""
 WITH med AS (
-  SELECT user_id, quantile_cont(value, 0.5) AS med,
+  SELECT user_id, quantile_disc(value, 0.5) AS med,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY user_id
 ),
 mad AS (
-  SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  SELECT e.user_id, quantile_disc(abs(e.value - m.med), 0.5) AS mad
   FROM events e JOIN med m USING (user_id)
   GROUP BY e.user_id
 )
@@ -576,25 +576,31 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled MADs (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD estimate σ under
     normality).
 
-    Both engines use the same continuous-quantile interpolation
-    (`percentile` ↔ `quantile_cont` — the `agg_median_exact` parity),
-    the accept test runs on the UNROUNDED identical expression in both
-    engines (no boundary flips), and only the reported score is
-    4dp-rounded. Per-entity quantile buffers are bounded by entity
-    cardinality (the `agg_median_exact` scale note: huge groups move
-    to the sketch rung). Three passes keyed on the same entity column
-    — one exchange, reused.
+    Both medians are DISCRETE (`percentile_disc` ↔ `quantile_disc`,
+    the proven `agg_percentile_disc` pairing): each is an actual datum
+    (or an exact |difference| of two data), so no interpolated-quantile
+    float parity underlies the unrounded ``> 3.0`` accept test — both
+    engines divide and compare bit-identical doubles (ADVICE round 3;
+    for an odd-sized sample the discrete and continuous medians
+    coincide anyway, and MAD's breakdown properties are unchanged).
+    Only the reported score is 4dp-rounded. Per-entity quantile buffers
+    are bounded by entity cardinality (the `agg_median_exact` scale
+    note: huge groups move to the sketch rung). Three passes keyed on
+    the same entity column — one exchange, reused.
     """
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5D)").alias("med"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("med"),
         F.count(F.lit(1)).alias("n"),
     )
     mad = (
         ev.join(med.select("user_id", "med"), "user_id")
         .groupBy("user_id")
         .agg(
-            F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))"
+            ).alias("mad")
         )
     )
     j = (
