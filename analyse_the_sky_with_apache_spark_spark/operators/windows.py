@@ -2318,3 +2318,56 @@ def ts_forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sae").cast("double") / F.col("sa")).alias("wape"),
         (F.col("sbias").cast("double") / F.col("sa")).alias("bias"),
     )
+
+
+@register(
+    "win_decile_spend",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MIN(cents) AS BIGINT) AS floor_cents
+FROM tiled GROUP BY decile
+""",
+)
+def win_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles via ``ntile(10)`` — the equal-population
+    banding every marketing/LTV report starts from (decile 1 = top
+    spenders; `win_pareto_abc` is the cumulative-share sibling, `rfm`
+    the multi-dimension one). ntile is only deterministic under a
+    TOTAL order, so the window orders by (cents DESC, custkey) — both
+    engines then agree on the exact bucket split including the
+    remainder rows (first deciles get one extra when n % 10 ≠ 0).
+
+    The window runs over the COLLAPSED per-customer aggregate
+    (|customers| rows, cents-exact longs), not raw orders — at 100 TB
+    that's still a global-order window over a big relation, so the
+    scale path replaces ntile with rank()·10/n arithmetic on a
+    range-partitioned sort (same buckets, no single-task window);
+    fixture scale keeps the readable form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").alias("total_cents"),
+            F.min("cents").alias("floor_cents"),
+        )
+    )

@@ -431,9 +431,44 @@ def min_label_propagation(
 _MH_K, _MH_B, _MH_R = 8, 4, 2
 
 
-@register(
-    "dedup_minhash_sql",
-    oracle=f"""
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, key) LSH band table — shared signature kernel for
+    `dedup_minhash_sql` (self-join) and `dedup_incremental_minhash`
+    (new-batch vs corpus join). k=8 min-hash functions as 8-hex-char
+    slices of two salted md5s, all minima from ONE hash aggregation;
+    band keys are plain concats of min pairs. Mirrors the
+    ``_MH_BANDS_SQL`` oracle CTE exactly."""
+    sh = shingle_bag(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.col("s"), F.lit(":0"))).alias("h0"),
+        F.md5(F.concat(F.col("s"), F.lit(":1"))).alias("h1"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col(f"h{i // 4}"), 8 * (i % 4) + 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(_MH_K)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"mh{2*j}"), F.col(f"mh{2*j+1}"))
+                    for j in range(_MH_B)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
+#: oracle twin of ``minhash_bands`` — the shared CTE chain ending at
+#: ``bands(doc_id, band, key)``; both minhash oracles are built from
+#: THIS string so the signature definitions cannot drift apart.
+_MH_BANDS_SQL = f"""
 WITH sh AS (
   SELECT doc_id, substr(text, i::INT, {_SHINGLE}) AS s
   FROM documents, range(1, 1000) t(i)
@@ -456,7 +491,12 @@ bands AS (
   UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
   UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
   UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig
-)
+)"""
+
+
+@register(
+    "dedup_minhash_sql",
+    oracle=_MH_BANDS_SQL + """
 SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_shared_bands
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -485,37 +525,10 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase hex in Spark and DuckDB), which is what makes this rung
     hash-checkable.
     """
-    # bag (not set) shingles: min() is duplicate-insensitive, and the
-    # DISTINCT would cost a full shuffle of the shingle stream.
-    sh = shingle_bag(spark, sf_dir)
-    hashed = sh.select(
-        "doc_id",
-        F.md5(F.concat(F.col("s"), F.lit(":0"))).alias("h0"),
-        F.md5(F.concat(F.col("s"), F.lit(":1"))).alias("h1"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.col(f"h{i // 4}"), 8 * (i % 4) + 1, 8)
-            ).alias(f"mh{i}")
-            for i in range(_MH_K)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat(F.col(f"mh{2*j}"), F.col(f"mh{2*j+1}"))
-                    for j in range(_MH_B)
-                ]
-            )
-        ).alias("band", "key"),
-    )
     # materialize the band table once: a self-join re-executes the whole
     # signature lineage on BOTH sides otherwise (no exchange reuse across
     # the broadcast boundary). 4 rows/doc — trivially small at any scale.
-    bands = bands.localCheckpoint(eager=True)
+    bands = minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -974,5 +987,159 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
             "edit_dist",
+        )
+    )
+
+
+#: incremental-ingest split: docs with doc_id % 10 == 7 play the "new
+#: batch" (a ~10% daily ingest); the rest are the standing corpus.
+_INC_MOD, _INC_NEW = 10, 7
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_MH_BANDS_SQL + f""",
+hits AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+         COUNT(*) AS n_shared_bands
+  FROM bands n
+  JOIN bands c ON c.band = n.band AND c.key = n.key
+  WHERE n.doc_id % {_INC_MOD} = {_INC_NEW}
+    AND c.doc_id % {_INC_MOD} <> {_INC_NEW}
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT new_id, corpus_id, n_shared_bands,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY n_shared_bands DESC, corpus_id)
+           AS rn
+  FROM hits
+)
+SELECT new_id, corpus_id AS dup_of, n_shared_bands
+FROM best WHERE rn = 1
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the production ingest shape none
+    of the batch rungs cover: a new batch of documents is checked
+    against the standing corpus's MinHash index, emitting each new doc's
+    best corpus match (most shared bands, tie → lowest corpus id). New
+    docs with no band collision pass clean — they don't appear.
+
+    The asymmetry is the point: the corpus band table is a PERSISTED
+    index at 100 TB (built once, appended per ingest — here both sides
+    derive from one `minhash_bands` pass split by the ingest predicate),
+    so a daily batch costs |batch| signature builds plus an equi-join
+    of the batch's 4·|batch| band keys against the index — never a
+    corpus self-join, and never recomputing corpus signatures. The
+    band join shuffles only band keys (uniform md5 slices — no skew);
+    the per-new-doc argmax is a ``max_by``-class top-1 (here a
+    row_number over the per-new-doc candidate set, bounded by band
+    collisions). Same 8-slice salted-md5 signature kernel and
+    ``_MH_BANDS_SQL`` oracle CTE as `dedup_minhash_sql`, so the two
+    rungs cannot drift apart.
+    """
+    bands = minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+    is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
+    new_b = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    corpus_b = bands.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), "band", "key"
+    )
+    hits = (
+        new_b.join(corpus_b, ["band", "key"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("n_shared_bands").desc(), "corpus_id"
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("dup_of"), "n_shared_bands")
+    )
+
+
+@register(
+    "dedup_survivor_policy",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id, n_chars,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+         )), ' ')) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, h,
+         ROW_NUMBER() OVER (PARTITION BY h
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS n_variants
+  FROM norm
+),
+surv AS (SELECT h, doc_id AS survivor FROM ranked WHERE rn = 1)
+SELECT r.doc_id AS dropped, s.survivor, r.h,
+       CAST(r.n_variants AS BIGINT) AS n_variants
+FROM ranked r JOIN surv s ON s.h = r.h
+WHERE r.rn > 1
+""",
+)
+def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based survivor selection — dedup that keeps the BEST
+    variant, not the first: within each WORD-SET cluster (md5 of
+    the sorted distinct lowercase token set — the bag-of-words-invariant
+    canonical form that catches shuffled/re-wrapped boilerplate the
+    `dedup_normalized` whitespace hash misses) the survivor is the
+    longest raw text (most complete variant), tie-broken by lowest
+    doc_id, and
+    the output is the DROP LIST (dropped → survivor mapping) an
+    auditable pipeline must emit alongside the survivors.
+
+    Same single-shuffle window-keeper idiom as `dedup_exact`, plus one
+    cluster-keyed self-join to attach each dropped row's survivor —
+    both keyed on the canonical hash, so the exchange is reused. Any
+    quality policy (source rank, fetch recency, quality score) slots
+    into the ORDER BY without changing the plan; at 100 TB the policy
+    column rides the same shuffle for free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.split(
+                        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                        " ",
+                    )
+                )
+            ),
+            " ",
+        )
+    )
+    w = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "n_chars",
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("n_variants"),
+    )
+    surv = ranked.where(F.col("rn") == 1).select(
+        "h", F.col("doc_id").alias("survivor")
+    )
+    return (
+        ranked.where(F.col("rn") > 1)
+        .join(surv, "h")
+        .select(
+            F.col("doc_id").alias("dropped"),
+            "survivor",
+            "h",
+            F.col("n_variants").cast("long").alias("n_variants"),
         )
     )

@@ -983,3 +983,87 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("n_hits").agg(
         F.count(F.lit(1)).alias("n_queries")
     )
+
+
+_KNN_GRAPH_K = 3
+
+
+@register(
+    "emb_knn_graph",
+    oracle=f"""
+WITH p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qa, qb, cos,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+  FROM p
+),
+k AS (SELECT qa, qb, cos FROM r WHERE rn <= {_KNN_GRAPH_K})
+SELECT a.qa AS ia, a.qb AS ib, a.cos AS cos
+FROM k a JOIN k b ON b.qa = a.qb AND b.qb = a.qa
+WHERE a.qa < a.qb
+""",
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN graph construction (k=3): the edge set where each
+    endpoint ranks the other in its own top-k by cosine — the standard
+    sparsification that graph clustering / UMAP-style embedding methods
+    start from (mutuality prunes hub-induced one-way edges, which is
+    what makes the graph balanced enough to cluster).
+
+    Per-node top-k runs through the broadcast exact kernel (one BLAS
+    gemm per Arrow batch against the `_reference_broadcast` matrix,
+    same ceiling + ANN-rung handoff as `sim_knn_cosine`); ranking uses
+    the 6dp-ROUNDED cosine with a partner-id tie-break in BOTH engines,
+    so rank decisions are deterministic. Mutuality is then a self-join
+    of the k·n edge list on the reversed pair — k·n rows, never n².
+    At 100 TB the kernel swaps for `ann_ivf`'s probed top-k and the
+    mutual join is unchanged (it only ever sees k rows per node).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc = _reference_broadcast(spark, sf_dir, e)
+
+    def node_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+            sims = np.round(q_mat @ all_mat.T, 6)
+            out_n, out_p, out_c = [], [], []
+            for qi, qid in enumerate(q_ids):
+                mask = all_ids != qid
+                cand_ids = all_ids[mask]
+                cand = sims[qi, mask]
+                # rank by (cos DESC, id ASC) on the ROUNDED value —
+                # lexsort's last key is primary
+                order = np.lexsort((cand_ids, -cand))[:_KNN_GRAPH_K]
+                out_n.append(np.full(len(order), qid, dtype=np.int64))
+                out_p.append(cand_ids[order])
+                out_c.append(cand[order])
+            if out_n:
+                yield pd.DataFrame(
+                    {
+                        "node": np.concatenate(out_n),
+                        "nbr": np.concatenate(out_p),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    knn = e.mapInPandas(
+        node_topk, "node BIGINT, nbr BIGINT, cos DOUBLE"
+    ).localCheckpoint(eager=True)  # self-joined below; k·n rows
+    rev = knn.select(
+        F.col("node").alias("nbr"), F.col("nbr").alias("node")
+    )
+    return (
+        knn.join(rev, ["node", "nbr"])
+        .where(F.col("node") < F.col("nbr"))
+        .select(
+            F.col("node").alias("ia"), F.col("nbr").alias("ib"), "cos"
+        )
+    )

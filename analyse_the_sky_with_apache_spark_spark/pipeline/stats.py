@@ -1544,3 +1544,193 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term_g").cast("double") / F.lit(1e9)).alias("psi"),
         )
     )
+
+
+@register(
+    "stat_spearman_corr",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag AS rf,
+         2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+           AS ry
+  FROM lineitem
+),
+s AS (
+  SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY rf
+)
+SELECT rf AS l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS spearman_rho
+FROM s
+""",
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group — the robust, monotone-
+    invariant sibling of `stat_corr_matrix`'s Pearson: Pearson computed
+    over AVERAGE ranks (the standard tie treatment). The trick that
+    keeps it hash-exact: work with DOUBLED average ranks,
+    ``2·minrank + ties − 1`` — an INTEGER (correlation is invariant to
+    the 2× scaling), so all six sufficient sums are exact long monoid
+    aggregates and the final ρ is one identical IEEE expression from
+    exact operands in both engines.
+
+    Plan: two rank windows partitioned by the group key (+ a per-value
+    tie count each), then one hash aggregate. At 100 TB the per-group
+    sort is the cost — for bounded-domain columns (quantity: 50 values)
+    the same doubled-average-ranks come shuffle-free from a per-value
+    count grid (the `stat_mann_whitney` collapse); the sufficient sums
+    themselves stay int64-safe to ~10⁶ rows/group and switch to the
+    DECIMAL(38) lane past that (documented, same plan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wqt = Window.partitionBy("l_returnflag", "l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    r = li.select(
+        F.col("l_returnflag").alias("rf"),
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("rx"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1).alias("ry"),
+    )
+    s = r.groupBy("rf").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.select(
+        F.col("rf").alias("l_returnflag"),
+        "n",
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "stat_kendall_tau",
+    oracle="""
+WITH cells AS (
+  SELECT l_quantity AS x, CAST(ROUND(l_discount * 100) AS INT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nc,
+    CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nd
+  FROM cells a JOIN cells b ON b.x > a.x
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) / 2 AS tie_xy
+  FROM cells
+),
+tx AS (
+  SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) / 2 AS tie_x
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) / 2 AS tie_y
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY y)
+)
+SELECT n, nc, nd,
+       ROUND((CAST(nc AS DOUBLE) - nd)
+             / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tie_x)
+                    * (CAST(n AS DOUBLE) * (n - 1) / 2 - tie_y)),
+             6) AS kendall_tau_b
+FROM cd CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
+""",
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between quantity and discount — the concordance-based
+    rank correlation, computed the ONLY way it scales: both columns have
+    bounded domains (50 quantities × 11 discount cents), so collapse to
+    the |domain-x|·|domain-y| contingency grid FIRST, then count
+    concordant/discordant PAIRS OF CELLS (weight = c_a·c_b) instead of
+    pairs of rows — O(cells²) work that is independent of row count,
+    the same collapse `stat_mann_whitney` and `stat_ks_test` ride.
+    Tie corrections (τ-b) come from the same grid's row/column margins.
+
+    Everything before the final formula is exact long arithmetic
+    (counts, products of counts, exact triangular numbers); the τ-b
+    ratio is one identical IEEE expression from those exact operands.
+    The cell-pair join is a broadcast of a few-hundred-row grid — no
+    shuffle grows with data; only the initial grid groupBy scans rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cells = cells.localCheckpoint(eager=True)  # grid feeds 4 consumers
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(F.broadcast(b), F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.y") > F.col("a.y"), F.col("a.c") * F.col("b.c")
+                ).otherwise(F.lit(0))
+            ).alias("nc"),
+            F.sum(
+                F.when(
+                    F.col("b.y") < F.col("a.y"), F.col("a.c") * F.col("b.c")
+                ).otherwise(F.lit(0))
+            ).alias("nd"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        (F.sum(F.col("c") * (F.col("c") - 1)) / 2).cast("long").alias("tie_xy"),
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(
+            (F.sum(F.col("cx") * (F.col("cx") - 1)) / 2)
+            .cast("long")
+            .alias("tie_x")
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(
+            (F.sum(F.col("cy") * (F.col("cy") - 1)) / 2)
+            .cast("long")
+            .alias("tie_y")
+        )
+    )
+    nd_ = F.col("n").cast("double")
+    half = nd_ * (F.col("n") - 1) / 2
+    return (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n",
+            "nc",
+            "nd",
+            F.round(
+                (F.col("nc").cast("double") - F.col("nd"))
+                / F.sqrt((half - F.col("tie_x")) * (half - F.col("tie_y"))),
+                6,
+            ).alias("kendall_tau_b"),
+        )
+    )

@@ -783,3 +783,76 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("t")).alias("class_rate"),
     )
+
+
+@register(
+    "text_ngram_lm",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+big AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+SELECT w1, w2, c12, c1, ROUND(c12 * 1.0 / c1, 6) AS p_cond
+FROM c12 JOIN c1 USING (w1)
+ORDER BY c12 DESC, w1, w2
+LIMIT 50
+""",
+)
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model training counts — the count tables behind
+    every classic LM / next-token statistic: per bigram (w1, w2) the
+    joint count, the left-context count, and the MLE conditional
+    P(w2|w1) = c12/c1; top-50 bigrams with a total tie-break. (The
+    smoothed variant just adds constants to the same two counts —
+    `text_perplexity` applies exactly that add-one form at scoring
+    time.)
+
+    Spark-first shape: bigrams come from ONE array expression per doc
+    (`transform` pairing each token with its successor) — no positional
+    self-join, no UDF — then two hash aggregates: (w1,w2) counts and a
+    w1 re-aggregate (c1 = Σ_w2 c12, an identity that saves a second
+    pass over the token stream). At 100 TB both aggregates combine
+    map-side and shuffle only distinct bigrams (vocab², not corpus
+    size); the conditional is a ratio of exact ints so the hash is
+    engine-independent. The final top-50 is a TakeOrderedAndProject,
+    never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    big = (
+        d.select(t.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12") * 1.0 / F.col("c1"), 6).alias("p_cond"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(50)
+    )

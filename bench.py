@@ -70,6 +70,9 @@ EXTENDED = (
     "graph_label_propagation",  # 2-round deterministic LPA communities
     "text_dup_shingle_fraction",  # cross-doc 8-gram duplication profile
     "emb_matryoshka_recall",  # truncated-dim ANN recall eval
+    # round-7 additions (regression reference: BENCH_r04)
+    "dedup_incremental_minhash",  # new-batch vs corpus-index band join
+    "emb_knn_graph",        # mutual top-3 cosine graph via gemm kernel
 )
 
 

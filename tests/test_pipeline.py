@@ -431,3 +431,60 @@ def test_broadcast_ceiling_guard_trips(spark):
     # the real bounds still admit the fixture-scale matrix
     bc = S._reference_broadcast(spark, SF_DIR, e)
     assert bc.value[1].shape[0] > 0
+
+
+def test_incremental_minhash_finds_cross_split_exact_dups(spark):
+    """A new-batch doc whose text is IDENTICAL to a corpus doc has an
+    identical signature -> all 4 bands collide -> it MUST be flagged
+    with dup_of set and n_shared_bands == 4."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    text_of = {r["doc_id"]: r["text"] for r in docs}
+    is_new = lambda d: d % 10 == 7  # noqa: E731 — mirrors _INC_MOD/_INC_NEW
+    expected = {
+        d
+        for d, t in text_of.items()
+        if is_new(d)
+        and any(not is_new(c) and text_of[c] == t for c in text_of)
+        and len(t) >= 8  # shorter docs have no shingles/signature
+    }
+    got = {
+        r["new_id"]: r["n_shared_bands"]
+        for r in queries()["dedup_incremental_minhash"](spark, SF_DIR).collect()
+    }
+    for d in expected:
+        assert got.get(d) == 4, f"new doc {d} (exact corpus dup) not flagged"
+
+
+def test_knn_graph_edges_are_mutual_top3(spark):
+    """Every emitted edge must appear in BOTH endpoints' exact top-3
+    (computed independently in numpy on rounded cosines)."""
+    ids, mat = _normalized_matrix(spark)
+    sims = np.round(mat @ mat.T, 6)
+    np.fill_diagonal(sims, -2.0)
+    top3 = {}
+    for qi, qid in enumerate(ids):
+        order = np.lexsort((ids, -sims[qi]))
+        top3[qid] = set(ids[o] for o in order[:3] if ids[o] != qid)
+    edges = queries()["emb_knn_graph"](spark, SF_DIR).collect()
+    assert edges, "mutual-kNN graph should be non-empty on the fixture"
+    for r in edges:
+        ia, ib = r["ia"], r["ib"]
+        assert ib in top3[ia] and ia in top3[ib], (ia, ib)
+
+
+def test_spearman_matches_numpy(spark):
+    """spearman_rho must equal a direct numpy average-rank computation."""
+    import pandas as pd
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    got = {
+        r["l_returnflag"]: r["spearman_rho"]
+        for r in queries()["stat_spearman_corr"](spark, SF_DIR).collect()
+    }
+    for rf, g in li.groupby("l_returnflag"):
+        rx = pd.Series(g["l_quantity"]).rank(method="average")
+        ry = pd.Series(g["l_extendedprice"]).rank(method="average")
+        want = float(np.corrcoef(rx, ry)[0, 1])
+        assert abs(got[rf] - want) < 1e-6, (rf, got[rf], want)

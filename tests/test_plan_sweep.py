@@ -68,6 +68,9 @@ _BNL_ALLOWED = {
     "emb_bit_hamming",
     # query-batch × candidate scan: the deliberate per-query brute rung
     "sim_knn_per_query",
+    # contingency-grid cell-pair scan + 1-row margin broadcasts (work is
+    # |domain|², independent of row count)
+    "stat_kendall_tau",
 }
 
 _KEYS = sorted(
@@ -100,16 +103,13 @@ def test_no_cartesian_anywhere(spark, key):
 #: (ADVICE round 3): update it only after checking the window's input
 #: is collapsed or the fixture-scale assumption is documented.
 _GLOBAL_WINDOW_ALLOWED = {
-    "agg_gini_coefficient", "corpus_group_sample",
-    "dedup_corpus_survivors", "dedup_sorted_neighborhood",
-    "dq_volume_anomaly", "emb_bit_hamming", "emb_matryoshka_recall",
-    "interval_open_count", "join_lateral_topk", "ml_auc_roc",
+    "agg_gini_coefficient", "dedup_sorted_neighborhood",
+    "dq_volume_anomaly", "interval_open_count", "ml_auc_roc",
     "ml_decision_stump", "rfm_segmentation", "sample_systematic",
-    "sim_centroid_classify", "sim_knn_per_query", "sky_lognlogs",
-    "sky_variability_pipeline", "skyline_pareto", "slo_burn_rate",
+    "sky_lognlogs", "skyline_pareto", "slo_burn_rate",
     "stat_ks_test", "stat_mann_whitney", "text_zipf_fit",
     "ts_bollinger_bands", "ts_decompose_residuals", "ts_hampel_filter",
-    "win_pareto_abc", "win_rank_topk", "win_running_distinct",
+    "win_pareto_abc", "win_running_distinct", "win_decile_spend",
 }
 
 
@@ -117,12 +117,17 @@ def _global_order_windows(plan: str) -> int:
     """Count Window nodes whose spec is [exprs], [orderSpec] — i.e. an
     ordered window with an EMPTY partition clause. Partition-only
     windows (no order) also print two groups but their second group
-    carries no ASC/DESC sort direction."""
+    carries no ASC/DESC sort direction. WindowGroupLimit nodes are
+    skipped: they print [partition], [order] (two groups even when
+    partitioned) and always accompany a Window node that IS
+    classified."""
     import re
 
     n = 0
     for line in plan.splitlines():
-        m = re.search(r"\bWindow(?:GroupLimit)? (\[.*)$", line.strip())
+        if "WindowGroupLimit" in line:
+            continue
+        m = re.search(r"\bWindow (\[.*)$", line.strip())
         if not m:
             continue
         groups, depth, cur = [], 0, ""
