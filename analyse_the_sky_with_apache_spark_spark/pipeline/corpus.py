@@ -656,3 +656,66 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("passes_quality").cast("double") / F.count(F.lit(1))
         ).alias("quality_rate"),
     )
+
+
+@register(
+    "corpus_split_leakage",
+    oracle=r"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+              THEN 'val' ELSE 'test' END AS split,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+  FROM documents
+),
+clusters AS (
+  SELECT h, COUNT(DISTINCT split) AS ns FROM assigned GROUP BY h
+)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_docs
+FROM assigned a JOIN clusters c ON c.h = a.h
+GROUP BY a.split
+""",
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assignment + WHOLE-DOCUMENT leakage audit —
+    the famous dedup-before-split bug: if a (near-)duplicate cluster
+    spans two splits, the eval set leaks into training. Split is a
+    deterministic content-independent hash of the doc key (first md5
+    hex digit: 12/16 train, 2/16 val, 2/16 test — the stable-split
+    idiom that keeps membership fixed as the corpus grows; md5 is
+    engine-portable, unlike seeded RNG). Leakage clusters the corpus
+    on the `dedup_normalized` canonical hash and counts, per split,
+    the docs whose cluster touches ANOTHER split. `text_contamination`
+    is the n-gram-level sibling; this is the doc-level gate.
+
+    Plan: one scan → split+hash projection, one aggregate on the
+    cluster hash (COUNT(DISTINCT split) over ≤3 values), one join back
+    keyed on the same hash (exchange reused), one 3-group aggregate.
+    At 100 TB everything shuffles on the uniform 128-bit hash — no
+    skew, no data-sized broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit < "c", "train").when(digit < "e", "val").otherwise("test")
+    )
+    h = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    assigned = d.select(split.alias("split"), h.alias("h"))
+    clusters = assigned.groupBy("h").agg(
+        F.count_distinct("split").alias("ns")
+    )
+    return (
+        assigned.join(clusters, "h")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias(
+                "n_leaked_docs"
+            ),
+        )
+    )

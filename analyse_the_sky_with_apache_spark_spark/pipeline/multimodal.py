@@ -15,7 +15,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -574,4 +574,66 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(_TILE).cast("long"), F.col("h") - F.col("ty")).alias(
             "tile_h"
         ),
+    )
+
+
+#: scene-cut fake-feature geometry: 8 frames per asset, per-frame
+#: feature = (doc_id*7919 + idx*104729) % 1000, cut when |Δfeat| > 500.
+_SCENE_FRAMES, _SCENE_THRESH = 8, 500
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, g.i AS frame_idx,
+         (doc_id * 7919 + g.i * 104729) % 1000 AS feat
+  FROM documents, range(0, {_SCENE_FRAMES}) g(i)
+),
+d AS (
+  SELECT doc_id, frame_idx, feat,
+         feat - LAG(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+           AS delta
+  FROM frames
+)
+SELECT doc_id, frame_idx, CAST(abs(delta) AS BIGINT) AS jump
+FROM d WHERE abs(delta) > {_SCENE_THRESH}
+""",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection plumbing: per-frame features →
+    frame-over-frame delta → threshold — the shot-segmentation pass a
+    video training pipeline runs before sampling clips (cut frames
+    bound the clips `mm_frame_sample`-style extraction should respect).
+    The per-frame feature is a deterministic integer fake (a real
+    color-histogram/embedding extractor plugs in at the
+    `_decode_image_stub` seam); the frame grid, the per-video ordered
+    LAG window, and the threshold filter are the real Spark shapes.
+
+    Plan: scan → `sequence`+`explode` frame generator (executor-side,
+    no shuffle) → one window partitioned by asset (high-cardinality
+    key — scales) → filter. At 100 TB frames arrive FROM the decode
+    kernel with the same (asset, idx) key, so the lag window's
+    partitioning is the decode output's natural clustering: one
+    exchange keyed on asset, reused by any downstream per-clip stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SCENE_FRAMES - 1))).alias(
+            "frame_idx"
+        ),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (
+            (F.col("doc_id") * 7919 + F.col("frame_idx") * 104729) % 1000
+        ).alias("feat"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.col("feat") - F.lag("feat").over(w)
+    return (
+        frames.withColumn("delta", delta)
+        .where(F.abs("delta") > _SCENE_THRESH)
+        .select("doc_id", "frame_idx", F.abs("delta").alias("jump"))
     )
