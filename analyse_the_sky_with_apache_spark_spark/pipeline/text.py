@@ -656,18 +656,26 @@ def text_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-keyed aggregate; the per-doc fraction is a ratio of exact
     counts. Spark builds shingles with a single transform over the
     token array (no positional self-join — the array is already
-    ordered); the oracle rebuilds them via the positional join, so two
-    independent shingle constructions must agree through the hash.
-    At 100 TB both passes key on the shingle hash — the same shuffle
-    the MinHash ladder already pays.
+    ordered) and dedups them with a per-row ``array_distinct`` BEFORE
+    the explode: (doc_id, shingle) is then already globally unique, so
+    the whole-stream DISTINCT shuffle disappears (the
+    `join_set_similarity` trick; measured 1.68 s → 1.0 s at sf0.1
+    together with the fan-out repartition). The oracle rebuilds
+    shingles via the positional join, so two independent constructions
+    must agree through the hash. At 100 TB the remaining passes key on
+    the shingle hash — the same shuffle the MinHash ladder already
+    pays.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # single-file input: size partitions for the post-fan-out CPU work
+    # (the shingle_bag rule), not the input bytes.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n = F.size("t")
-    sh = (
-        toks.select(
-            "doc_id",
-            F.explode(
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.when(
                         n >= _SPAN_NGRAM,
@@ -679,10 +687,11 @@ def text_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     ),
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
+            )
+        ).alias("shingle"),
     )
+    # feeds the frequency aggregate AND the join-back side
+    sh = sh.localCheckpoint(eager=True)
     docs_per = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
