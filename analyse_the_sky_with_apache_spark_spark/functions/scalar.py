@@ -912,3 +912,57 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, 1 AS depth,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS path_cents
+  FROM customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, ch.depth + 1,
+         ch.path_cents + CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+  FROM customer c JOIN chain ch ON c.c_custkey // 2 = ch.node
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(path_cents) AS BIGINT) AS total_path_cents
+FROM chain GROUP BY depth
+""",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0 ``WITH RECURSIVE``) — the hierarchical
+    walk SQL surface: treat customers as an implicit binary org-tree
+    (parent = ``custkey div 2``, rooted at 1) and roll root-to-node
+    path sums down level by level, reporting per-depth node counts and
+    exact cents path totals.
+
+    The engine executes each recursion level as one self-join of the
+    frontier against the child scan — K levels = K joins, exactly the
+    manual Pregel unrolling `graph_bfs_hops` does by hand, but
+    DECLARED: the fixpoint machinery (frontier, termination on empty
+    delta, level limit `spark.sql.cteRecursionLevelLimit`) is the
+    engine's. Depth is log₂(|customers|) (~11–18 at any realistic
+    scale) so the plan stays shallow; each level shuffles only on the
+    parent key. All arithmetic is exact cents longs, so the recursion
+    is hash-checkable against DuckDB's independent WITH RECURSIVE
+    implementation — two fixpoint engines must agree exactly.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, 1 AS depth,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS path_cents
+          FROM customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, ch.depth + 1,
+                 ch.path_cents + CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+          FROM customer c JOIN chain ch ON c.c_custkey div 2 = ch.node
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               SUM(path_cents) AS total_path_cents
+        FROM chain GROUP BY depth
+        """
+    )

@@ -431,3 +431,38 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("cents_sum").cast("double") / F.lit(100.0)).alias("total"),
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) * 3
+         - CAST(ROUND(o_totalprice * 100) AS BIGINT) // 7 AS score
+FROM orders
+""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (``udf(..., useArrow=True)``,
+    Spark 3.5+/4): same ``def``-style ergonomics as the classic pickled
+    row-at-a-time UDF, but arguments arrive as Arrow-backed pandas
+    batches — the middle rung between `udf_python` (row pickling,
+    ~10–100× slower) and `udf_pandas_scalar` (explicit pandas_udf
+    typing). The kernel is exact integer arithmetic on cents
+    (floor-division tie-broken the same way in both engines), so even
+    this Python-side path is hash-checked.
+
+    At 100 TB the guidance ordering stands: built-in expression >
+    arrow-optimized/pandas UDF > pickled UDF — this key exists so the
+    middle rung's wiring (Arrow batch size, schema inference, null
+    passthrough) is exercised and benchmarked against its SQL twin.
+    """
+    import pandas as pd
+
+    @F.udf("long", useArrow=True)
+    def score(cents: pd.Series) -> pd.Series:
+        return cents * 3 - cents // 7
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select("o_orderkey", score(cents).alias("score"))
