@@ -42,6 +42,14 @@ _ORDER_SENSITIVE = (
     "join_bloom_prefilter",
     "corpus_shuffle",
     "emb_bit_hamming",
+    # round-7 additions: rounded-cosine rank ties, survivor-policy
+    # window keeper, ntile under total order, tie-broken LIMIT 50,
+    # partial-top-k gemm merge
+    "emb_knn_graph",
+    "dedup_survivor_policy",
+    "win_decile_spend",
+    "text_ngram_lm",
+    "emb_matryoshka_recall",
 )
 
 

@@ -51,6 +51,13 @@ _KEYS = (
     "ml_decision_stump",
     "agg_gini_coefficient",
     "graph_label_propagation",
+    # round-7 additions: banded incremental join + per-new-doc argmax,
+    # gemm-kernel mutual ranks, doubled-average-rank sums, broadcast
+    # contingency-grid pair scan
+    "dedup_incremental_minhash",
+    "emb_knn_graph",
+    "stat_spearman_corr",
+    "stat_kendall_tau",
 )
 
 registry.load_all_modules()
