@@ -1646,3 +1646,95 @@ def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("mau")
         ).alias("stickiness"),
     )
+
+
+#: interval-merge geometry: each order holds its customer "active" for
+#: 30 days; overlapping/touching windows coalesce into activity islands.
+_MERGE_SPAN_DAYS = 30
+
+
+@register(
+    "interval_merge",
+    oracle=f"""
+WITH iv AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + {_MERGE_SPAN_DAYS} AS e
+  FROM orders
+),
+flagged AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN s <= MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT o_custkey, s, e,
+         CAST(SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS island_id
+  FROM flagged
+)
+SELECT o_custkey, island_id,
+       MIN(s) AS island_start, MAX(e) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM islands GROUP BY o_custkey, island_id
+""",
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands MERGE): collapse each
+    customer's overlapping 30-day activity windows into maximal
+    contiguous islands — the classic normalization behind "continuous
+    subscription periods", uptime stitching, and session coverage
+    (`interval_open_count` is the sweep-COUNTING sibling; this one
+    rewrites the intervals themselves).
+
+    The standard two-window derivation: an interval starts a new island
+    iff it begins after the running max end of all earlier intervals
+    (strictly — touching windows merge); the island id is then the
+    running sum of those flags, and one grouped aggregate emits each
+    island's span. Both windows share the (custkey, start, end) sort —
+    one exchange, one sort, island count exact. Dates stay dates (no
+    float anywhere). At 100 TB the partition key is the entity — high
+    cardinality, the shape that scales; the NULL first-row case falls
+    out of the frame (empty running max ⇒ new_island = 1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), _MERGE_SPAN_DAYS).alias(
+            "e"
+        ),
+    )
+    prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(F.col("s") <= F.max("e").over(prev), 0).otherwise(1).alias(
+            "new_island"
+        ),
+    )
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.sum("new_island").over(run).alias("island_id"),
+    )
+    return islands.groupBy("o_custkey", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -2371,3 +2371,84 @@ def win_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cents").alias("floor_cents"),
         )
     )
+
+
+@register(
+    "ts_cusum_alarm",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT CAST(SUM(x) AS BIGINT) // COUNT(*) AS mu,
+         CAST(SUM(x) AS BIGINT) // (2 * COUNT(*)) AS k
+  FROM daily
+),
+dev AS (
+  SELECT day, x, x - p.mu - p.k AS d FROM daily CROSS JOIN p
+),
+cum AS (
+  SELECT day, x,
+         CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c
+  FROM dev
+),
+s AS (
+  SELECT day, x,
+         c - LEAST(CAST(MIN(c) OVER (ORDER BY day ROWS UNBOUNDED
+                                     PRECEDING) AS BIGINT), 0) AS cusum
+  FROM cum
+)
+SELECT s.day, s.x, s.cusum,
+       CASE WHEN s.cusum > 3 * p.mu THEN 1 ELSE 0 END AS alarm
+FROM s CROSS JOIN p
+""",
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarm on the daily event-count series —
+    the sequential change detector (Page's test) monitoring pipelines
+    run where a z-score on single days misses slow drifts: the
+    statistic S_t = max(0, S_{t−1} + (x_t − μ − k)) accumulates small
+    persistent excesses until they cross the decision interval.
+
+    The recursion never executes as a recursion: the classic identity
+    S_t = C_t − min(0, min_{i≤t} C_i) (C = plain cumulative sum of
+    deviations) turns it into two stacked running windows over ONE
+    ordering — the `ts_max_drawdown` plan shape exactly. All operands
+    are exact longs (integer floor mean μ and slack k = μ/2 from the
+    same counts; threshold 3μ), so both engines agree to the bit. The
+    windows are global-order but run over the COLLAPSED per-day series
+    (|days| rows — the `sample_systematic` fixture-scale note); per
+    (metric, entity) monitored series the same windows partition by
+    the series key and scale out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    p = daily.agg(
+        (F.sum("x") / F.count(F.lit(1))).cast("long").alias("mu"),
+        (F.sum("x") / (2 * F.count(F.lit(1)))).cast("long").alias("k"),
+    )
+    dev = daily.crossJoin(F.broadcast(p)).select(
+        "day", "x", "mu", (F.col("x") - F.col("mu") - F.col("k")).alias("d")
+    )
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dev.select("day", "x", "mu", F.sum("d").over(run).alias("c"))
+    s = cum.select(
+        "day",
+        "x",
+        "mu",
+        (F.col("c") - F.least(F.min("c").over(run), F.lit(0).cast("long"))).alias(
+            "cusum"
+        ),
+    )
+    return s.select(
+        "day",
+        "x",
+        "cusum",
+        F.when(F.col("cusum") > 3 * F.col("mu"), 1).otherwise(0).alias("alarm"),
+    )

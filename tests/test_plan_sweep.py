@@ -59,6 +59,7 @@ _BNL_ALLOWED = {
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
     "ml_target_encoding", "privacy_t_closeness", "retention_decay_fit",
     "ts_decompose_residuals", "ml_psi_drift",
+    "ts_cusum_alarm",
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
     "emb_matryoshka_recall", "ml_ndcg_at_k",
@@ -108,8 +109,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ml_decision_stump", "rfm_segmentation", "sample_systematic",
     "sky_lognlogs", "skyline_pareto", "slo_burn_rate",
     "stat_ks_test", "stat_mann_whitney", "text_zipf_fit",
-    "ts_bollinger_bands", "ts_decompose_residuals", "ts_hampel_filter",
-    "win_pareto_abc", "win_running_distinct", "win_decile_spend",
+    "ts_bollinger_bands", "ts_cusum_alarm", "ts_decompose_residuals",
+    "ts_hampel_filter", "win_pareto_abc", "win_running_distinct",
+    "win_decile_spend",
 }
 
 
