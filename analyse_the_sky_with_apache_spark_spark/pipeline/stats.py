@@ -1588,9 +1588,9 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie count each), then one hash aggregate. At 100 TB the per-group
     sort is the cost — for bounded-domain columns (quantity: 50 values)
     the same doubled-average-ranks come shuffle-free from a per-value
-    count grid (the `stat_mann_whitney` collapse); the sufficient sums
-    themselves stay int64-safe to ~10⁶ rows/group and switch to the
-    DECIMAL(38) lane past that (documented, same plan).
+    count grid (the `stat_mann_whitney` collapse); the three product sums run in
+    the DECIMAL(38,0) lane (int64 overflows past ~10⁶ rows/group —
+    hit in the tools/scaleup.py 10× stress run), same plan.
     """
     li = load_table(spark, sf_dir, "lineitem")
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
@@ -1602,13 +1602,19 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("rx"),
         (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1).alias("ry"),
     )
+    # the three product sums exceed int64 past ~10⁶ rows/group (rank
+    # products reach (2n)²·n ≈ 10²⁰ at sf1 — caught by the tools/
+    # scaleup.py 10× stress run), so they accumulate in DECIMAL(38,0):
+    # still exact, still a map-side-combinable monoid, and the final
+    # ratio casts to double either way. sx/sy stay longs (≤ 2n²).
+    d38 = "decimal(38,0)"
     s = r.groupBy("rf").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(d38)).alias("syy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(d38)).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
