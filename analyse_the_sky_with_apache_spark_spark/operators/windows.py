@@ -2216,15 +2216,20 @@ def ts_decompose_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.alias("seasonal"),
         (F.col("resid1") - seasonal).alias("resid"),
     )
+    # the squared-residual moment exceeds int64 once daily volumes pass
+    # ~10⁸ (resid² ≈ 10¹⁶ × |days| — caught by the tools/scaleup.py 10×
+    # stress run): accumulate both moments in DECIMAL(38,0); per-row
+    # grid cells stay long-safe far past that.
+    d38 = "decimal(38,0)"
     sigma = resid.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.floor(F.col("resid") * F.lit(100.0) + F.lit(0.5)).cast("long")
+            F.floor(F.col("resid") * F.lit(100.0) + F.lit(0.5)).cast(d38)
         ).alias("r1"),
         F.sum(
             F.floor(
                 F.col("resid") * F.col("resid") * F.lit(100.0) + F.lit(0.5)
-            ).cast("long")
+            ).cast(d38)
         ).alias("r2"),
     )
     mean_r = F.col("r1").cast("double") / F.lit(100.0) / F.col("n")
