@@ -1998,11 +1998,15 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("units")
     )
     tw = Window.orderBy("day").rowsBetween(-19, 0)
+    # units² overflows int64 once daily volume passes ~3·10⁹ (caught by
+    # the tools/scaleup.py 100× stress run): square and sum in
+    # DECIMAL(38,0) — exact, and the σ formula casts to double anyway.
+    u38 = F.col("units").cast("decimal(38,0)")
     w = daily.select(
         "day",
         "units",
         F.sum("units").over(tw).alias("s1"),
-        F.sum(F.col("units") * F.col("units")).over(tw).alias("s2"),
+        F.sum(u38 * F.col("units")).over(tw).alias("s2"),
         F.count(F.lit(1)).over(tw).alias("n"),
     )
     sma = F.col("s1").cast("double") / F.col("n")

@@ -26,6 +26,7 @@ _SF1 = os.path.join(_REPO, ".scale", "sf1")
 _KEYS = (
     "stat_spearman_corr",
     "ts_decompose_residuals",
+    "ts_bollinger_bands",
     "ts_forecast_eval_naive",
     "agg_group_basic",
     "ts_max_drawdown",
@@ -46,5 +47,7 @@ def sf1_dir():
 
 @pytest.mark.parametrize("key", _KEYS)
 def test_runs_at_10x(spark, sf1_dir, key):
-    n = queries()[key](spark, sf1_dir).count()
-    assert n > 0, f"{key} returned no rows at the 10× fixture"
+    # collect(), NOT count(): count() lets Catalyst prune the very
+    # aggregate expressions whose overflow this test exists to catch.
+    rows = queries()[key](spark, sf1_dir).collect()
+    assert rows, f"{key} returned no rows at the 10× fixture"
