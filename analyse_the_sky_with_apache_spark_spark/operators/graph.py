@@ -1155,3 +1155,81 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_degree"),
         F.max("d").alias("max_degree"),
     )
+
+
+@register(
+    "graph_louvain_move",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT u AS node, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+best AS (
+  SELECT a.node, dn.d AS d_i, a.nb, dj.d AS d_j,
+         ROW_NUMBER() OVER (PARTITION BY a.node ORDER BY dj.d, a.nb) AS rn
+  FROM adj a
+  JOIN deg dn ON dn.node = a.node
+  JOIN deg dj ON dj.node = a.nb
+),
+moved AS (
+  SELECT b.node,
+         CASE WHEN 2 * m.m - b.d_i * b.d_j > 0 THEN b.nb ELSE b.node END
+           AS community
+  FROM best b CROSS JOIN m
+  WHERE b.rn = 1
+)
+SELECT community, CAST(COUNT(*) AS BIGINT) AS size,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM moved GROUP BY community
+""",
+)
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain MOVE PHASE from the singleton partition —
+    the greedy modularity-ascent step underneath every Louvain
+    implementation: each node evaluates joining a neighbor's community
+    and takes the best positive-gain move. From singletons the gain of
+    moving i next to j is ΔQ ∝ 2m − d_i·d_j (unweighted), so BOTH
+    decisions are pure integer comparisons: the best neighbor is
+    argmin (d_j, j) — gain is decreasing in the neighbor's degree —
+    and the move is accepted iff 2m − d_i·d_j > 0. No float enters any
+    decision, which is what makes a greedy community move hash-exact
+    (`graph_label_propagation` is the frequency-vote sibling;
+    `graph_modularity` scores the resulting partitions).
+
+    Plan: degree aggregate, one adjacency⋈degree join, a per-node
+    top-1 (rank over bounded neighbor lists), one integer filter — all
+    keyed on node, shuffles linear in edges. Further Louvain rounds
+    repeat the same shape with community-aggregated degrees; the
+    first-phase kernel here is the one that touches data-sized input.
+    """
+    e = _edges_cached(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    dn = deg.select(F.col("node"), F.col("d").alias("d_i"))
+    dj = deg.select(F.col("node").alias("nb"), F.col("d").alias("d_j"))
+    w = Window.partitionBy("node").orderBy("d_j", "nb")
+    best = (
+        adj.join(dn, "node")
+        .join(dj, "nb")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    moved = best.crossJoin(F.broadcast(m)).select(
+        "node",
+        F.when(
+            2 * F.col("m") - F.col("d_i") * F.col("d_j") > 0, F.col("nb")
+        )
+        .otherwise(F.col("node"))
+        .alias("community"),
+    )
+    return moved.groupBy("community").agg(
+        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
+    )

@@ -719,3 +719,50 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "corpus_curriculum_order",
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         NTILE(4) OVER (ORDER BY n_chars DESC, doc_id) AS quality_bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, quality_bucket,
+       ROW_NUMBER() OVER (ORDER BY quality_bucket, shuffle_key, doc_id)
+         AS curriculum_pos
+FROM scored
+""",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: bucket documents into quality
+    quartiles (proxy: length, the `text_quality` family supplies the
+    real score), then lay out the corpus best-bucket-first with a
+    DETERMINISTIC within-bucket shuffle (md5 of the doc key — the
+    `corpus_shuffle` epoch trick) so each quality phase is internally
+    unordered but the whole layout is reproducible across engines and
+    runs.
+
+    Both windows are global-order at fixture scale (readable form); at
+    100 TB the same layout comes from `repartitionByRange` on
+    (bucket, shuffle_key) + per-partition offsets — the
+    `zorder_layout`/`sample_systematic` rewrite — and the curriculum
+    position is consumed as a sort key by the sequence packer
+    (`doc_pack_sequences`), not materialized globally.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wq = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(wq).alias("quality_bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    wp = Window.orderBy("quality_bucket", "shuffle_key", "doc_id")
+    return scored.select(
+        "doc_id",
+        "quality_bucket",
+        F.row_number().over(wp).alias("curriculum_pos"),
+    )

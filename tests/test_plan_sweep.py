@@ -57,6 +57,7 @@ _BNL_ALLOWED = {
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
+    "graph_louvain_move",
     "ml_target_encoding", "privacy_t_closeness", "retention_decay_fit",
     "ts_decompose_residuals", "ml_psi_drift",
     "ts_cusum_alarm",
@@ -111,7 +112,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "stat_ks_test", "stat_mann_whitney", "text_zipf_fit",
     "ts_bollinger_bands", "ts_cusum_alarm", "ts_decompose_residuals",
     "ts_hampel_filter", "win_pareto_abc", "win_running_distinct",
-    "win_decile_spend",
+    "win_decile_spend", "corpus_curriculum_order",
 }
 
 
