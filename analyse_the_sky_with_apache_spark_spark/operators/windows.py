@@ -1919,13 +1919,19 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("target_day"), F.col("cents").alias("y")
     )
     lagk = a.join(b, "target_day")
+    # the three product sums pass int64 once daily volume nears 10⁹
+    # (x² ≈ 10¹⁸ × |days| — caught by the tools/scaleup.py 10× stress
+    # run): square and accumulate in DECIMAL(38,0); the Pearson formula
+    # casts to double regardless.
+    x38 = F.col("x").cast("decimal(38,0)")
+    y38 = F.col("y").cast("decimal(38,0)")
     s = lagk.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(x38 * F.col("x")).alias("sxx"),
+        F.sum(y38 * F.col("y")).alias("syy"),
+        F.sum(x38 * F.col("y")).alias("sxy"),
     )
     n = F.col("n").cast("double")
     num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
