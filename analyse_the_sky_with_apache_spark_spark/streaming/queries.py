@@ -623,3 +623,79 @@ def stream_pyds_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("tick div 100").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
     return run_stream(spark, agg, mode="complete", name="pyds_stream")
+
+
+@register(
+    "stream_upsert_sink",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (upsert) sink via ``foreachBatch`` — the
+    warehouse-maintenance shape `merge_upsert` runs CONTINUOUSLY: each
+    micro-batch collapses to latest-per-key and merges latest-wins into
+    a persistent key-value table, so the table always holds every
+    user's most recent event. 4 time-ordered replay batches; the final
+    table must equal the batch latest-per-key query regardless of how
+    the stream was chunked (the associativity that makes latest-wins
+    merge safe to run incrementally).
+
+    Each merge generation writes to a FRESH directory and the pointer
+    swaps after the write — the read-modify-write never overwrites the
+    data it is reading (the poor man's snapshot isolation a real table
+    format provides natively; at 100 TB this is a MERGE INTO against
+    Delta/Iceberg with the same per-batch latest-per-key collapse, and
+    the target stays |keys|-sized, not |events|-sized).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    src = stage_events(spark, sf_dir, n_files=4)
+    root = tempfile.mkdtemp(prefix="upsert_")
+    state: dict[str, str] = {}
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.select("user_id", "event_id", "value", "ts")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        merged = latest_per_key(df)
+        cur = state.get("path")
+        if cur is not None:
+            target = spark.read.parquet(cur)
+            merged = latest_per_key(target.unionByName(merged))
+        nxt = os.path.join(root, f"gen_{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir("upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state["path"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+    out = final.localCheckpoint(eager=True)  # outlive the tempdir
+    shutil.rmtree(root, ignore_errors=True)
+    return out
