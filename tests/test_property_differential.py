@@ -363,3 +363,51 @@ def test_three_way_join_agrees(spark, duck, where_l, where_o, where_c):
         f" GROUP BY c_nationkey",
         tables=("lineitem", "orders", "customer"),
     )
+
+
+# --- window fragments --------------------------------------------------
+# Every ordering is made TOTAL by appending the (l_orderkey,
+# l_linenumber) key, so rank/row_number/frame semantics are the only
+# thing under test — not tie resolution (§5.3).
+
+_win_part = st.sampled_from(
+    ["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]
+)
+_win_order = st.builds(
+    lambda c, d: f"{c} {d}, l_orderkey, l_linenumber",
+    st.sampled_from(("l_quantity", "l_suppkey", "l_shipdate")),
+    st.sampled_from(("ASC", "DESC")),
+)
+_win_fn = st.one_of(
+    st.just("ROW_NUMBER()"),
+    st.just("RANK()"),
+    st.just("DENSE_RANK()"),
+    st.builds(
+        lambda k: (
+            f"SUM(CAST(l_quantity AS BIGINT)) OVER_FRAME"
+            f" ROWS BETWEEN {k} PRECEDING AND CURRENT ROW"
+        ),
+        st.integers(min_value=0, max_value=5),
+    ),
+    st.builds(
+        lambda o: f"LAG(l_orderkey, {o})",
+        st.integers(min_value=1, max_value=3),
+    ),
+)
+
+
+@_SETTINGS
+@given(part=_win_part, order=_win_order, fn=_win_fn, where=_predicates)
+def test_window_fragment_agrees(spark, duck, part, order, fn, where):
+    spec = f"PARTITION BY {part} ORDER BY {order}"
+    if "OVER_FRAME" in fn:
+        head, frame = fn.split(" OVER_FRAME ")
+        expr = f"{head} OVER ({spec} {frame})"
+    else:
+        expr = f"{fn} OVER ({spec})"
+    _run_both(
+        spark,
+        duck,
+        f"SELECT l_orderkey, l_linenumber, {expr} AS w"
+        f" FROM lineitem WHERE {where}",
+    )
