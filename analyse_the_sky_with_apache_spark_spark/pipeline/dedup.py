@@ -465,6 +465,25 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session → {sf_dir → eagerly-materialized band table}. Both minhash
+#: rungs (self-join dedup, incremental ingest) start from the same
+#: signature build — the dominant cost (2 md5 per shingle); at 100 TB
+#: this is the persisted LSH index, the cache is its in-session form.
+_BANDS_CACHE: dict = {}
+
+
+def minhash_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_confs
+
+    ensure_confs(spark)  # cache hits skip load_table's conf re-apply
+    per_session = _BANDS_CACHE.setdefault(spark, {})
+    df = per_session.get(sf_dir)
+    if df is None:
+        df = minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+        per_session[sf_dir] = df
+    return df
+
+
 #: oracle twin of ``minhash_bands`` — the shared CTE chain ending at
 #: ``bands(doc_id, band, key)``; both minhash oracles are built from
 #: THIS string so the signature definitions cannot drift apart.
@@ -525,10 +544,10 @@ def dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase hex in Spark and DuckDB), which is what makes this rung
     hash-checkable.
     """
-    # materialize the band table once: a self-join re-executes the whole
-    # signature lineage on BOTH sides otherwise (no exchange reuse across
-    # the broadcast boundary). 4 rows/doc — trivially small at any scale.
-    bands = minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+    # materialized band table (shared with the incremental rung): a
+    # self-join re-executes the whole signature lineage on BOTH sides
+    # otherwise. 4 rows/doc — trivially small at any scale.
+    bands = minhash_bands_cached(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1039,7 +1058,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_MH_BANDS_SQL`` oracle CTE as `dedup_minhash_sql`, so the two
     rungs cannot drift apart.
     """
-    bands = minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+    bands = minhash_bands_cached(spark, sf_dir)
     is_new = (F.col("doc_id") % _INC_MOD) == _INC_NEW
     new_b = bands.filter(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "key"
