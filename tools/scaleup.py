@@ -8,13 +8,19 @@ copy through unshifted, so per-replica join selectivities and group
 cardinalities match the source — groups simply get K× bigger, which is
 exactly the shape a real scale-up has.
 
-Usage:  python tools/scaleup.py [src_dir] [dst_dir] [K]
+Usage:  python tools/scaleup.py [src_dir] [dst_dir] [K] [--perturb]
         (defaults: /root/testdata/sf0.1 → .scale/sf1, K=10)
 
 The output is a THROWAWAY perf fixture (dedup/similarity queries will
 legitimately find K× duplicates in it — content is replicated, only
 keys shift); use it with bench.py via SPARK_GRAFT_SF_DIR to measure
 scaling ratios, not semantic output.
+
+``--perturb`` additionally mutates content per replica — a replica tag
+appended to each document's text (n_chars adjusted) and a shifted
+first embedding component — so the PAIR-SPACE families (dedup,
+similarity, set-similarity joins) see realistic near-dup density
+instead of K coincident copies of everything.
 """
 
 from __future__ import annotations
@@ -43,14 +49,30 @@ _SHIFTS: dict[str, list[tuple[str, str]]] = {
 _COPY = ("nation", "region")
 
 
+#: --perturb: per-replica content mutations keyed by replica index r.
+_PERTURB = {
+    "documents": {
+        "text": "CASE WHEN r.r = 0 THEN text"
+        " ELSE text || ' replica' || CAST(r.r AS VARCHAR) END",
+        "n_chars": "CASE WHEN r.r = 0 THEN n_chars"
+        " ELSE n_chars + 8 + len(CAST(r.r AS VARCHAR)) END",
+    },
+    "embeddings": {
+        "embedding": "[embedding[1] + r.r * 0.01] || embedding[2:len(embedding)]",
+    },
+}
+
+
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    perturb = "--perturb" in sys.argv
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dst = args[1] if len(args) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale",
         "sf1",
     )
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    k = int(args[2]) if len(args) > 2 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -75,6 +97,8 @@ def main() -> int:
             f"SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 0"
         ).df().columns
         shifted = {c: f"{c} + r.r * {counts[ot]}" for c, ot in shifts}
+        if perturb:
+            shifted.update(_PERTURB.get(t, {}))
         proj = ", ".join(shifted.get(c, c) + f" AS {c}" for c in cols)
         con.execute(
             f"COPY (SELECT {proj} "
