@@ -766,3 +766,71 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_bucket",
         F.row_number().over(wp).alias("curriculum_pos"),
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         range(1, 1000) r(i)
+    WHERE i <= len(t) - 2)
+),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 4) AS novelty
+FROM sh JOIN firsts f USING (s)
+GROUP BY 1
+""",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before it
+    (corpus order = doc_id): the fraction of a doc's distinct 3-word
+    shingles whose FIRST corpus occurrence is this doc. The declining
+    novelty curve is the standard diminishing-returns diagnostic for
+    crawl scheduling and dataset mixing ("how much new text does source
+    X still add?"), and a near-zero novelty row is a near-dup flag that
+    catches containment cases pairwise Jaccard misses.
+
+    Plan: distinct shingles per doc (array_distinct before explode — no
+    global dedup shuffle), one groupBy(shingle) for the global first-
+    occurrence (min combines map-side), then a shingle-keyed join back
+    and a per-doc count. Two shuffles total, both on uniform keys (the
+    shingle join could carry md5(s) instead of text at width; kept
+    readable here). At 100 TB "first occurrence" is a streaming-ingest
+    concept: the firsts table is the persisted state and each new batch
+    anti-joins it — `dedup_incremental_minhash`'s ingest pattern with
+    min(doc_id) as the tie-break, so backfill replays converge to the
+    same answer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(split(text,' ')) - 2),"
+                " i -> concat_ws(' ', split(text,' ')[i-1],"
+                " split(text,' ')[i], split(text,' ')[i+1])))"
+            )
+        ).alias("s"),
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("novelty"),
+        )
+    )

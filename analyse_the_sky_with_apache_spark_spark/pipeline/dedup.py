@@ -93,34 +93,86 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 seeds are Spark-specific
+@register(
+    "dedup_simhash",
+    oracle="""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+sums AS (
+  SELECT doc_id, t.p,
+         SUM(2 * (((strpos('0123456789abcdef',
+                           substr(md5(w), (t.p // 4)::INT + 1, 1)) - 1)
+                   >> (t.p % 4)::INT) & 1) - 1) AS s
+  FROM words, range(0, 64) t(p)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, (p // 16)::INT AS band,
+         SUM(CASE WHEN s > 0 THEN (1::BIGINT << (p % 16)::INT)
+             ELSE 0::BIGINT END) AS val
+  FROM sums GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.val = b.val
+             AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT p.ia, p.ib,
+         CAST(SUM(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+  FROM pairs p
+  JOIN bands x ON x.doc_id = p.ia
+  JOIN bands y ON y.doc_id = p.ib AND y.band = x.band
+  GROUP BY 1, 2
+)
+SELECT ia, ib, hamming FROM ham WHERE hamming <= 3
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprint + banded candidate join —
     entirely built-in expressions (no UDF, no MLlib).
 
-    fingerprint: per doc, hash each word (xxhash64); for each of 64 bit
+    fingerprint: per doc, hash each distinct word; for each of 64 bit
     positions take the sign of Σ(±1) across word-hashes. Bits are packed
     directly into 4×16-bit band values (packing one 64-bit BIGINT would
     overflow the sign bit under ANSI mode). Candidates equi-join on
     (band_idx, band_value) — fingerprints within hamming ≤ 3 share ≥1 of
     4 bands by pigeonhole, so the join space is buckets, not n². Verify
     candidates with Σ bit_count(band_a XOR band_b) ≤ 3.
+
+    The word hash is bit p of md5(w)'s first 16 hex chars (bit ``p%4``
+    of hex digit ``p div 4``) — md5 renders identical lowercase hex in
+    Spark and DuckDB, which is what promotes this rung from rows-only
+    to oracle-hash-checked (the earlier xxhash64 fingerprint had
+    Spark-private seeds; same promotion trick as `dedup_minhash_sql`).
+    One digest per word, not 64: the word array folds through a single
+    ``aggregate`` whose accumulator is the 64-vector of bit sums and
+    whose ``finish`` lambda packs the four band values, so the md5 array
+    is never re-evaluated per bit position (a two-step select would be
+    projection-collapsed back into 64 inline copies).
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fp = d.select(
         "doc_id",
         F.expr(
             """
-            transform(sequence(0, 3), b ->
-              aggregate(
-                transform(sequence(0, 15), j ->
-                  CASE WHEN aggregate(
-                         transform(array_distinct(split(text, ' ')),
-                                   w -> CAST(shiftright(xxhash64(w),
-                                             b * 16 + j) & 1L AS INT)),
-                         0, (a, v) -> a + 2 * v - 1) > 0
-                       THEN shiftleft(1L, j) ELSE 0L END),
-                0L, (acc, bit) -> acc + bit))
+            aggregate(
+              transform(array_distinct(split(text, ' ')), w -> md5(w)),
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63), (a, p) ->
+                a + 2 * (shiftright(
+                           CAST(conv(substr(h, p div 4 + 1, 1), 16, 10)
+                                AS INT),
+                           p % 4) & 1) - 1),
+              acc -> transform(sequence(0, 3), b ->
+                aggregate(
+                  transform(sequence(0, 15), j ->
+                    CASE WHEN acc[b * 16 + j] > 0
+                         THEN shiftleft(1L, j) ELSE 0L END),
+                  0L, (x, y) -> x + y)))
             """
         ).alias("bands"),
     )
@@ -141,7 +193,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "aggregate(zip_with(a.bands, b.bands, "
                 "(x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)"
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .distinct()
     )
@@ -1160,5 +1212,119 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor",
             "h",
             F.col("n_variants").cast("long").alias("n_variants"),
+        )
+    )
+
+
+_SPAN_K = 24
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, md5(substr(text, i::INT, {_SPAN_K})) AS h
+  FROM documents, range(1, 1000) t(i)
+  WHERE i <= n_chars - {_SPAN_K - 1}
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) > 1),
+p AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM g JOIN dup USING (h)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + {_SPAN_K}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM p
+),
+spans AS (
+  SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY 1, 2
+)
+SELECT d.doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       ROUND(SUM(e - s + 1) * 1.0 / ANY_VALUE(d.n_chars), 4) AS dup_frac
+FROM spans JOIN documents d USING (doc_id)
+GROUP BY 1
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup audit (the ExactSubstr treatment of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every character position whose {_SPAN_K}-gram recurs
+    ANYWHERE in the corpus, merge overlapping positions into maximal
+    duplicated SPANS per document, and report span count / duplicated
+    chars / duplicated fraction — the per-document evidence a cut-the-
+    span pipeline acts on (document-level dedup misses partial overlap:
+    boilerplate headers, quoted replies, licence blocks).
+
+    Plan: position-explode each doc into (doc_id, pos, md5(gram)) — the
+    digest travels, never the gram text, so the shuffle row is ~40
+    bytes regardless of gram width; count per digest (map-side combine;
+    a recurring gram's count is its corpus frequency); semi-join
+    occurrences to the >1 digests; then a per-document window merges
+    positions into islands (two adjacent dup positions belong to one
+    span iff pos ≤ prev + {_SPAN_K}). The window partitions by doc_id —
+    document-sized state, never corpus-sized. At 100 TB the digest
+    count table is the big intermediate: it is uniform (md5) so the
+    groupBy doesn't skew, and a min-frequency guard (count ≤ some cap)
+    would drop stop-gram floods the way dedup_ngram_jaccard documents;
+    suffix automata (the paper's single-node tool) don't distribute,
+    which is exactly why the positional-shingle compilation is the
+    Spark-first form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.filter(F.col("n_chars") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars") - _SPAN_K + 1)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.expr(f"substr(text, pos, {_SPAN_K})")).alias("h"),
+        )
+    )
+    g = g.localCheckpoint(eager=True)  # feeds the count AND the probe side
+    dup = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter("c > 1")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    p = (
+        g.join(dup.select("h"), "h")
+        .select("doc_id", "pos", F.lag("pos").over(w).alias("prev"))
+        .select(
+            "doc_id",
+            "pos",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("pos") > F.col("prev") + _SPAN_K),
+                    1,
+                ).otherwise(0)
+            )
+            .over(w)
+            .alias("grp"),
+        )
+    )
+    spans = p.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + _SPAN_K - 1).alias("e")
+    )
+    return (
+        spans.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+            F.round(
+                F.sum(F.col("e") - F.col("s") + 1)
+                / F.first("n_chars").cast("double"),
+                4,
+            ).alias("dup_frac"),
         )
     )

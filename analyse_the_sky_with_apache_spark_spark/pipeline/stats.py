@@ -1740,3 +1740,159 @@ def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kendall_tau_b"),
         )
     )
+
+
+#: Poisson(1) inverse-CDF thresholds on a 16-bit integer uniform:
+#: T_k = ceil(P(X<=k) * 65536), so ``w = #{k : u16 >= T_k}`` draws
+#: Poisson(1) (k=0..6; the >6 tail truncates to w=7; grid distortion of
+#: the pmf is <= 2^-16 per class). Integer thresholds, integer uniform:
+#: NO float literal or libm call enters the draw, so cross-engine
+#: parity is exact by construction (the ADVICE round-3 transcendental-
+#: grid hazard class is structurally absent here).
+import math as _math
+
+_POIS_T16 = [
+    _math.ceil(
+        sum(_math.exp(-1.0) / _math.factorial(j) for j in range(k + 1))
+        * 65536
+    )
+    for k in range(7)
+]
+_BOOT_B = 32  # replicas: 4 salted md5 digests x 8 16-bit slices
+
+
+def _boot_w(u16: str) -> str:
+    """Poisson(1) inverse CDF of 16-bit uniform ``u16`` as the
+    comparison sum ``w = Σ_k (u16 ≥ T_k)`` — branch-free and narrow."""
+    arms = " + ".join(f"CAST({u16} >= {t} AS INT)" for t in _POIS_T16)
+    return f"({arms})"
+
+
+#: row key for the bootstrap draws — the FULL unique lineitem key
+#: (FIXTURES.md: (l_orderkey, l_linenumber) alone duplicates in the
+#: round-4 fixtures, and duplicate keys would draw correlated weights).
+_BOOT_KEY_SPARK = (
+    "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING), "
+    "':', CAST(l_partkey AS STRING), ':', CAST(l_suppkey AS STRING))"
+)
+_BOOT_KEY_DUCK = (
+    "l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR || ':' || "
+    "l_partkey::VARCHAR || ':' || l_suppkey::VARCHAR"
+)
+
+_BOOT_ORACLE = f"""
+WITH u AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         s.s * 8 + i.i AS b,
+         ('0x' || substr(md5({_BOOT_KEY_DUCK} || ':' || s.s::VARCHAR),
+                         4 * i.i::INT + 1, 4))::BIGINT AS u16
+  FROM lineitem, range(0, 4) s(s), range(0, 8) i(i)
+),
+rep AS (
+  SELECT b,
+         CAST(SUM({_boot_w("u16")}) AS BIGINT) AS sw,
+         CAST(SUM({_boot_w("u16")} * cents) AS BIGINT) AS swc
+  FROM u GROUP BY b
+),
+means AS (
+  SELECT list_sort(list(ROUND(swc / sw / 100.0, 4))) AS ms FROM rep
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sc
+  FROM lineitem
+)
+SELECT n,
+       ROUND(sc / n / 100.0, 4) AS est_mean,
+       ms[2] AS ci_lo,
+       ms[31] AS ci_hi
+FROM tot, means
+"""
+
+
+@register("stat_bootstrap_ci", oracle=_BOOT_ORACLE)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean — the
+    resampling scheme that actually distributes (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    instead of drawing B resamples WITH replacement (which needs global
+    coordination), every row independently contributes a
+    Poisson(1)-distributed integer weight to each of B=32 replicas.
+    One pass over the data, no shuffle of data rows, embarrassingly
+    mergeable — the canonical 100-TB uncertainty estimate.
+
+    Determinism across engines: the weight is the Poisson inverse-CDF
+    of a 16-bit integer uniform sliced from a salted md5 of the row key
+    (8 replicas per digest × 4 salts — all 128 digest bits used),
+    compared against PRECOMPUTED integer thresholds — no seed, no RNG,
+    no float literal, so Spark and DuckDB draw bit-identical weights
+    and the draw is reproducible under retries/speculation. The
+    statistic is exact long arithmetic (cent-floored prices, integer
+    weights); each replica mean is one double division of two exact
+    longs; the CI is the [2nd, 31st] order statistic of the 32 replica
+    means (93.75% coverage).
+
+    Plan-shape lesson (measured at sf0.1, worth recording because it
+    generalizes): one Generate fans each row to its 4 digests — md5
+    runs exactly once per digest — then the 8 slice-weights are FLAT
+    narrow expressions and groupBy(s) is a 17-wide aggregate over 4
+    groups (map-side combined; the shuffle is 4 rows/task). 0.1 s warm.
+    Rejected forms: 65 flat aggregates inlining the digest into every
+    comparison arm (42 s — project-level CSE does not share md5
+    subtrees at that width), 64 conditional sums over one Generate
+    (104 s — a 66-wide aggregate drops the stage out of JIT-able
+    codegen), and a second posexplode to fully-skinny (row, b, u16)
+    rows (8 s — 19M-row Generate bookkeeping swamps the cheap math).
+    Stay wide enough to amortize per-row overhead, narrow enough that
+    codegen still JITs: 17 aggregates yes, 66 no.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+    ).alias("cents")
+    dgs = F.array(
+        *[
+            F.md5(F.expr(f"concat({_BOOT_KEY_SPARK}, ':', '{s}')"))
+            for s in range(4)
+        ]
+    )
+    ex1 = li.select(cents, F.posexplode(dgs).alias("s", "dg"))
+    proj = ex1.select(
+        "cents",
+        "s",
+        *[
+            F.expr(
+                _boot_w(f"CAST(conv(substr(dg, {4 * i + 1}, 4), 16, 10) AS INT)")
+            ).alias(f"w{i}")
+            for i in range(8)
+        ],
+    )
+    aggs = []
+    for i in range(8):
+        aggs.append(F.sum(f"w{i}").alias(f"sw{i}"))
+        aggs.append(F.sum(F.col(f"w{i}") * F.col("cents")).alias(f"swc{i}"))
+    rep = proj.groupBy("s").agg(*aggs)
+    per_s_means = F.array(
+        *[
+            F.round(
+                F.col(f"swc{i}").cast("double")
+                / F.col(f"sw{i}").cast("double")
+                / 100.0,
+                4,
+            )
+            for i in range(8)
+        ]
+    )
+    means = rep.select(per_s_means.alias("m8")).agg(
+        F.sort_array(F.flatten(F.collect_list("m8"))).alias("ms")
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc"))
+    return tot.crossJoin(means).select(
+        "n",
+        F.round(
+            F.col("sc").cast("double") / F.col("n").cast("double") / 100.0, 4
+        ).alias("est_mean"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", 31).alias("ci_hi"),
+    )

@@ -76,6 +76,7 @@ _PRIORITY = (
     # rows-only → oracle promotions (re-sampled for the green hash row)
     "mm_media_metadata",
     "sample_stratified",
+    "dedup_simhash",  # round-4: md5 bit-planes replaced xxhash64 — portable
     # aggregations (largest dark family after windows)
     "agg_median_exact",
     "agg_grouping_id",
@@ -128,7 +129,6 @@ _PRIORITY = (
     "q5_local_supplier",
     "q18_large_orders",
     "q10_returned_items",
-    "q4_order_priority",
 )
 
 #: The remaining never-driver-sampled keys simply wait in insertion

@@ -61,6 +61,7 @@ _BNL_ALLOWED = {
     "ml_target_encoding", "privacy_t_closeness", "retention_decay_fit",
     "ts_decompose_residuals", "ml_psi_drift",
     "ts_cusum_alarm",
+    "stat_bootstrap_ci",  # 1-row totals × 1-row sorted-means array
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
     "emb_matryoshka_recall", "ml_ndcg_at_k",

@@ -367,14 +367,17 @@ def test_three_way_join_agrees(spark, duck, where_l, where_o, where_c):
 
 # --- window fragments --------------------------------------------------
 # Every ordering is made TOTAL by appending the (l_orderkey,
-# l_linenumber) key, so rank/row_number/frame semantics are the only
-# thing under test — not tie resolution (§5.3).
+# l_linenumber, l_partkey, l_suppkey) key — (l_orderkey, l_linenumber)
+# alone is NOT unique in the round-4 fixtures (11785 dup pairs at
+# sf0.01; fuzzer-found via a frame-SUM whose summand wasn't in the sort
+# key) — so rank/row_number/frame semantics are the only thing under
+# test, not tie resolution (§5.3).
 
 _win_part = st.sampled_from(
     ["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]
 )
 _win_order = st.builds(
-    lambda c, d: f"{c} {d}, l_orderkey, l_linenumber",
+    lambda c, d: f"{c} {d}, l_orderkey, l_linenumber, l_partkey, l_suppkey",
     st.sampled_from(("l_quantity", "l_suppkey", "l_shipdate")),
     st.sampled_from(("ASC", "DESC")),
 )
