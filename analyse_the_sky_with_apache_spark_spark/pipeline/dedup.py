@@ -1218,10 +1218,10 @@ def dedup_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 24
 
-
-@register(
-    "dedup_substring_spans",
-    oracle=f"""
+#: shared oracle CTE chain ending at ``spans(doc_id, grp, s, e)`` —
+#: both substring operators (audit + cut) build their oracles from THIS
+#: string so the span definition cannot drift between them.
+_SPAN_CTE = f"""
 WITH g AS (
   SELECT doc_id, i AS pos, md5(substr(text, i::INT, {_SPAN_K})) AS h
   FROM documents, range(1, 1000) t(i)
@@ -1243,39 +1243,13 @@ isl AS (
 spans AS (
   SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
   FROM isl GROUP BY 1, 2
-)
-SELECT d.doc_id, COUNT(*) AS n_spans,
-       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
-       ROUND(SUM(e - s + 1) * 1.0 / ANY_VALUE(d.n_chars), 4) AS dup_frac
-FROM spans JOIN documents d USING (doc_id)
-GROUP BY 1
-""",
-)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level dedup audit (the ExactSubstr treatment of Lee et
-    al. 2022, "Deduplicating Training Data Makes Language Models
-    Better"): find every character position whose {_SPAN_K}-gram recurs
-    ANYWHERE in the corpus, merge overlapping positions into maximal
-    duplicated SPANS per document, and report span count / duplicated
-    chars / duplicated fraction — the per-document evidence a cut-the-
-    span pipeline acts on (document-level dedup misses partial overlap:
-    boilerplate headers, quoted replies, licence blocks).
+)"""
 
-    Plan: position-explode each doc into (doc_id, pos, md5(gram)) — the
-    digest travels, never the gram text, so the shuffle row is ~40
-    bytes regardless of gram width; count per digest (map-side combine;
-    a recurring gram's count is its corpus frequency); semi-join
-    occurrences to the >1 digests; then a per-document window merges
-    positions into islands (two adjacent dup positions belong to one
-    span iff pos ≤ prev + {_SPAN_K}). The window partitions by doc_id —
-    document-sized state, never corpus-sized. At 100 TB the digest
-    count table is the big intermediate: it is uniform (md5) so the
-    groupBy doesn't skew, and a min-frequency guard (count ≤ some cap)
-    would drop stop-gram floods the way dedup_ngram_jaccard documents;
-    suffix automata (the paper's single-node tool) don't distribute,
-    which is exactly why the positional-shingle compilation is the
-    Spark-first form.
-    """
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grp, s, e) maximal duplicated spans — the Spark twin of
+    ``_SPAN_CTE``, shared by `dedup_substring_spans` (audit) and
+    `dedup_substring_cut` (transform)."""
     d = load_table(spark, sf_dir, "documents")
     g = (
         d.filter(F.col("n_chars") >= _SPAN_K)
@@ -1289,7 +1263,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "pos",
-            F.md5(F.expr(f"substr(text, pos, {_SPAN_K})")).alias("h"),
+            F.xxhash64(F.expr(f"substr(text, pos, {_SPAN_K})")).alias("h"),
         )
     )
     g = g.localCheckpoint(eager=True)  # feeds the count AND the probe side
@@ -1312,9 +1286,55 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("grp"),
         )
     )
-    spans = p.groupBy("doc_id", "grp").agg(
+    return p.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("s"), (F.max("pos") + _SPAN_K - 1).alias("e")
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_SPAN_CTE
+    + """
+SELECT d.doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+       ROUND(SUM(e - s + 1) * 1.0 / ANY_VALUE(d.n_chars), 4) AS dup_frac
+FROM spans JOIN documents d USING (doc_id)
+GROUP BY 1
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup audit (the ExactSubstr treatment of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): find every character position whose {_SPAN_K}-gram recurs
+    ANYWHERE in the corpus, merge overlapping positions into maximal
+    duplicated SPANS per document, and report span count / duplicated
+    chars / duplicated fraction — the per-document evidence the
+    cut-the-span transform (`dedup_substring_cut`) acts on
+    (document-level dedup misses partial overlap: boilerplate headers,
+    quoted replies, licence blocks).
+
+    Plan (kernel in ``_dup_spans``): position-explode each doc into
+    (doc_id, pos, hash(gram)) — a digest travels, never the gram text,
+    so the shuffle row is ~24 bytes regardless of gram width. The
+    digest is xxhash64 on the Spark side and md5 in the oracle: it is
+    an INTERNAL grouping key that never reaches the output (only merged
+    spans do), so the two engines are free to hash differently — and
+    the 8-byte JVM-native hash halves the shuffle vs a 32-hex string
+    (measured 4.5 s → 2.7 s at sf0.1). Count per digest (map-side
+    combine; a recurring gram's count is its corpus frequency);
+    semi-join occurrences to the >1 digests; then a per-document window
+    merges positions into islands (two adjacent dup positions belong to
+    one span iff pos ≤ prev + {_SPAN_K}). The window partitions by
+    doc_id — document-sized state, never corpus-sized. At 100 TB the
+    digest count table is the big intermediate: it is uniform so the
+    groupBy doesn't skew, and a min-frequency guard (count ≤ some cap)
+    would drop stop-gram floods the way dedup_ngram_jaccard documents;
+    suffix automata (the paper's single-node tool) don't distribute,
+    which is exactly why the positional-shingle compilation is the
+    Spark-first form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    spans = _dup_spans(spark, sf_dir)
     return (
         spans.join(d.select("doc_id", "n_chars"), "doc_id")
         .groupBy("doc_id")
@@ -1326,5 +1346,110 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.first("n_chars").cast("double"),
                 4,
             ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=_SPAN_CTE
+    + """,
+pieces AS (
+  SELECT sp.doc_id,
+         sp.s,
+         substr(d.text,
+                (COALESCE(LAG(sp.e) OVER (PARTITION BY sp.doc_id
+                                          ORDER BY sp.s), 0) + 1)::INT,
+                (sp.s - COALESCE(LAG(sp.e) OVER (PARTITION BY sp.doc_id
+                                                 ORDER BY sp.s), 0)
+                      - 1)::INT) AS piece
+  FROM spans sp JOIN documents d USING (doc_id)
+),
+cut AS (
+  SELECT p.doc_id,
+         STRING_AGG(p.piece, '' ORDER BY p.s)
+           || substr(ANY_VALUE(d.text), (MAX(sp.e) + 1)::INT) AS kept,
+         CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS n_cut
+  FROM pieces p
+  JOIN spans sp ON sp.doc_id = p.doc_id AND sp.s = p.s
+  JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.kept, d.text) AS text_clean,
+       COALESCE(c.n_cut, 0) AS n_cut,
+       CAST(d.n_chars - COALESCE(c.n_cut, 0) AS BIGINT) AS n_chars_clean
+FROM documents d LEFT JOIN cut c USING (doc_id)
+""",
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr TRANSFORM: remove every duplicated span found by
+    the `_dup_spans` kernel and return the cleaned corpus — what a
+    training-data pipeline actually materializes after the
+    `dedup_substring_spans` audit signs off. Cut-not-drop matters: the
+    paper's result is that removing the duplicated BYTES (not whole
+    documents) improves LM quality while keeping the unique remainder.
+
+    Per doc the kept text is the concatenation of inter-span gaps plus
+    the tail: piece_i = text[prev_e+1 .. s_i-1] via one lag window over
+    the doc's spans (document-sized state), assembled in span order
+    with array_join over a sort_array of (s, piece) structs — the
+    order-aware string aggregation both engines express exactly
+    (STRING_AGG ... ORDER BY in DuckDB). Docs with no duplicated span
+    pass through unchanged via the left join + coalesce. At 100 TB this
+    is the same two-shuffle shape as the audit (the span kernel
+    dominates; the cut itself is one doc-keyed window + one join), and
+    the output is written back partitioned by the same doc-hash layout
+    the corpus came in with — a 1:1 rewrite, no skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    spans = _dup_spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    pieces = (
+        spans.withColumn(
+            "prev_e", F.coalesce(F.lag("e").over(w), F.lit(0))
+        )
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.expr("substr(text, prev_e + 1, s - prev_e - 1)").alias("piece"),
+        )
+    )
+    cut = (
+        pieces.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("s", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("head"),
+            F.max("e").alias("max_e"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("n_cut"),
+        )
+    )
+    return (
+        d.join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("head").isNull(), F.col("text")
+            )
+            .otherwise(
+                F.concat(
+                    F.col("head"),
+                    F.expr("substr(text, max_e + 1)"),
+                )
+            )
+            .alias("text_clean"),
+            F.coalesce(F.col("n_cut"), F.lit(0)).alias("n_cut"),
+            (F.col("n_chars") - F.coalesce(F.col("n_cut"), F.lit(0)))
+            .cast("long")
+            .alias("n_chars_clean"),
         )
     )
