@@ -811,13 +811,19 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     same answer.
     """
     d = load_table(spark, sf_dir, "documents")
+    # split once per doc (an inline `split(text)[i-1]` inside the
+    # lambda re-tokenizes the document per shingle — measured 9.4 s vs
+    # 1.3 s at sf0.1), and hash the shingle to a long at birth: `s` is
+    # an internal key (first-occurrence groupBy + join-back) that never
+    # reaches the output, the join_set_similarity trick.
     sh = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, size(split(text,' ')) - 2),"
-                " i -> concat_ws(' ', split(text,' ')[i-1],"
-                " split(text,' ')[i], split(text,' ')[i+1])))"
+                "array_distinct(transform(sequence(1, size(t) - 2),"
+                " i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1]))))"
             )
         ).alias("s"),
     )

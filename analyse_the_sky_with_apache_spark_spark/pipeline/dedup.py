@@ -1251,8 +1251,12 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_SPAN_CTE``, shared by `dedup_substring_spans` (audit) and
     `dedup_substring_cut` (transform)."""
     d = load_table(spark, sf_dir, "documents")
+    # the fixture is one parquet file -> one input split; fan the docs
+    # out BEFORE the position explode or the whole gram/digest build
+    # runs in a single task (same note as stat_bootstrap_ci).
     g = (
-        d.filter(F.col("n_chars") >= _SPAN_K)
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.col("n_chars") >= _SPAN_K)
         .select(
             "doc_id",
             F.explode(

@@ -1833,21 +1833,27 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs; the CI is the [2nd, 31st] order statistic of the 32 replica
     means (93.75% coverage).
 
-    Plan-shape lesson (measured at sf0.1, worth recording because it
-    generalizes): one Generate fans each row to its 4 digests — md5
+    Plan-shape lessons (all timings fresh-DataFrame at sf0.1 —
+    re-collecting the SAME DataFrame reuses AQE's materialized shuffle
+    stages and reads ~0.1 s for every variant, a trap when
+    benchmarking): one Generate fans each row to its 4 digests — md5
     runs exactly once per digest — then the 8 slice-weights are FLAT
     narrow expressions and groupBy(s) is a 17-wide aggregate over 4
-    groups (map-side combined; the shuffle is 4 rows/task). 0.1 s warm.
+    groups (map-side combined; the shuffle is 4 rows/task): ~2 s.
     Rejected forms: 65 flat aggregates inlining the digest into every
     comparison arm (42 s — project-level CSE does not share md5
     subtrees at that width), 64 conditional sums over one Generate
-    (104 s — a 66-wide aggregate drops the stage out of JIT-able
-    codegen), and a second posexplode to fully-skinny (row, b, u16)
-    rows (8 s — 19M-row Generate bookkeeping swamps the cheap math).
-    Stay wide enough to amortize per-row overhead, narrow enough that
-    codegen still JITs: 17 aggregates yes, 66 no.
+    (104 s — the 66-wide aggregate of guarded branches defeats both
+    CSE and JIT budgets), and a second posexplode to fully-skinny
+    (row, b, u16) rows (8 s — 19M-row Generate bookkeeping swamps the
+    cheap math). Stay wide enough to amortize per-row overhead, narrow
+    enough that codegen still JITs — and fan the input out first (see
+    the repartition note below).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_extendedprice",
+    )
     cents = F.expr(
         "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
     ).alias("cents")
@@ -1857,7 +1863,14 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(4)
         ]
     )
-    ex1 = li.select(cents, F.posexplode(dgs).alias("s", "dg"))
+    # the bench fixture is ONE parquet file -> one input split; without
+    # this explicit fan-out the md5/conv projection (the op's entire
+    # cost) runs in a single task (measured 7.9 s single-task vs 0.9 s
+    # repartitioned at sf0.1). At 100 TB the scan arrives pre-split and
+    # this becomes a no-op-sized shuffle of the 5 key columns.
+    ex1 = li.repartition(spark.sparkContext.defaultParallelism).select(
+        cents, F.posexplode(dgs).alias("s", "dg")
+    )
     proj = ex1.select(
         "cents",
         "s",

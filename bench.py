@@ -73,6 +73,10 @@ EXTENDED = (
     # round-7 additions (regression reference: BENCH_r04)
     "dedup_incremental_minhash",  # new-batch vs corpus-index band join
     "emb_knn_graph",        # mutual top-3 cosine graph via gemm kernel
+    # round-8 additions (regression reference: BENCH_r04)
+    "dedup_substring_spans",  # ExactSubstr duplicated-span audit
+    "stat_bootstrap_ci",    # deterministic Poisson bootstrap CI
+    "corpus_ngram_novelty", # first-occurrence novelty per doc
 )
 
 
