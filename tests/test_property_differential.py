@@ -414,3 +414,62 @@ def test_window_fragment_agrees(spark, duck, part, order, fn, where):
         f"SELECT l_orderkey, l_linenumber, {expr} AS w"
         f" FROM lineitem WHERE {where}",
     )
+
+
+@_SETTINGS
+@given(where=_predicates, outer=st.integers(min_value=0, max_value=3000))
+def test_correlated_scalar_subquery_agrees(spark, duck, where, outer):
+    """Correlated scalar subqueries (MAX per outer row) decorrelate to
+    the same left-join+aggregate both engines compute; NULL for outer
+    rows with no matching inner rows rides along, exercising the
+    decorrelation + 3VL seam the q17/q20 workloads lean on."""
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT o_orderkey,"
+        f" (SELECT MAX(l_linenumber) FROM lineitem l"
+        f"   WHERE l.l_orderkey = o.o_orderkey AND ({where})) AS mx"
+        f" FROM orders o WHERE o_orderkey < {outer}",
+    )
+
+
+@_SETTINGS
+@given(
+    where=_predicates,
+    use_distinct_from=st.booleans(),
+    v=st.integers(min_value=1, max_value=7),
+)
+def test_outer_join_null_semantics_agree(spark, duck, where, use_distinct_from, v):
+    """LEFT JOIN manufactures NULLs (FIXTURES.md quirk 2), then a
+    NULL-sensitive predicate over the nullable side: IS [NOT] DISTINCT
+    FROM vs COALESCE must agree — the three-valued-logic ground both
+    engines share."""
+    pred = (
+        f"l.l_linenumber IS DISTINCT FROM {v}"
+        if use_distinct_from
+        else f"COALESCE(l.l_linenumber, -1) <> {v}"
+    )
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT o.o_orderkey, l.l_linenumber"
+        f" FROM orders o LEFT JOIN"
+        f" (SELECT * FROM lineitem WHERE {where}) l"
+        f" ON o.o_orderkey = l.l_orderkey"
+        f" WHERE {pred} AND o.o_orderkey < 2000",
+    )
+
+
+@_SETTINGS
+@given(where=_predicates, mod=st.integers(min_value=2, max_value=9))
+def test_distinct_on_expression_agrees(spark, duck, where, mod):
+    """SELECT DISTINCT over computed expressions (modular bucketing +
+    string concat) — distinct-on-expression dedups the same multiset in
+    both engines on exact integer/string ground."""
+    _run_both(
+        spark,
+        duck,
+        f"SELECT DISTINCT l_linenumber % {mod} AS bucket,"
+        f" concat(l_returnflag, '|', l_linestatus) AS tag"
+        f" FROM lineitem WHERE {where}",
+    )
