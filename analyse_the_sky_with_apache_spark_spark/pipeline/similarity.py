@@ -1102,3 +1102,78 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("ia"), F.col("nbr").alias("ib"), "cos"
         )
     )
+
+
+@register("ann_recall_eval")  # rows-only: scores both engine-side rungs
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF rung against exact brute-force ground truth,
+    computed IN-ENGINE — the eval every ANN deployment runs before
+    trusting an index, expressed as one Spark job so it scales with the
+    collection instead of a driver-side notebook loop.
+
+    Ground truth for the same 20 probe queries `ann_ivf` serves: the
+    query vectors re-enter the plan as driver-side literals (20×64
+    doubles — the same bounded-codebook pattern as the IVF centroids),
+    so exact scoring is a NARROW projection over the collection (no
+    join, no broadcast-nested-loop; the plan-sweep gate stays clean),
+    then a per-query top-3 window. Recall = |IVF∩exact| / 3 via an
+    inner join on (q_id, m_id) — counting matches needs no float
+    comparison, so the eval is deterministic even though both rankings
+    use float kernels. At 100 TB the exact pass is the expensive one
+    (full collection scan per eval) — which is exactly why it's run
+    once per index build on a fixed probe set, precisely what this
+    operator encodes.
+    """
+    norm = normalized_embeddings(spark, sf_dir)
+    q_rows = (
+        norm.filter(F.col("vec_id") < 20)
+        .select("vec_id", "nvec")
+        .collect()
+    )  # bounded: 20 probe vectors, re-entering as literals
+    q_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("q_id"),
+                F.array(*[F.lit(float(v)) for v in r["nvec"]]).alias("qv"),
+            )
+            for r in sorted(q_rows, key=lambda r: r["vec_id"])
+        ]
+    )
+    scored = (
+        norm.withColumn("Q", q_lit)
+        .select(
+            F.col("vec_id").alias("m_id"),
+            F.explode(
+                F.expr(
+                    "transform(Q, q -> struct(q.q_id AS q_id, "
+                    "aggregate(zip_with(nvec, q.qv, (a, b) -> a * b), "
+                    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS cos))"
+                )
+            ).alias("s"),
+        )
+        .select("m_id", F.col("s.q_id").alias("q_id"), F.col("s.cos").alias("cos"))
+        .filter(F.col("q_id") != F.col("m_id"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "m_id")
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "m_id")
+    )
+    ivf = ann_ivf(spark, sf_dir).select("q_id", "m_id")
+    hits = (
+        exact.join(ivf, ["q_id", "m_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) / F.col("k")).alias("recall_at_3"),
+        )
+        .orderBy("q_id")
+    )

@@ -50,6 +50,9 @@ _ORDER_SENSITIVE = (
     "win_decile_spend",
     "text_ngram_lm",
     "emb_matryoshka_recall",
+    # round-8 additions: float-cos rank ties inside both rungs of the
+    # recall eval
+    "ann_recall_eval",
 )
 
 
