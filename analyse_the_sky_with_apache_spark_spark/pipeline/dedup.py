@@ -148,25 +148,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB, which is what promotes this rung from rows-only
     to oracle-hash-checked (the earlier xxhash64 fingerprint had
     Spark-private seeds; same promotion trick as `dedup_minhash_sql`).
-    One digest per word, not 64: the word array folds through a single
-    ``aggregate`` whose accumulator is the 64-vector of bit sums and
-    whose ``finish`` lambda packs the four band values, so the md5 array
-    is never re-evaluated per bit position (a two-step select would be
-    projection-collapsed back into 64 inline copies).
+    One digest per word, not 64: words map to md5 hex ONCE, the hex maps
+    to its 16 digit values ONCE (nested transforms — the digest and the
+    conv/substr work are per-word, never per-bit), and only then does the
+    fold add ±1 into the 64 bit sums, so the per-bit lambda is pure
+    integer shift/mask (measured 19 s → 2.9 s warm at sf0.1 vs the
+    per-bit conv(substr) form, fresh plan each run). The accumulator packs the four band values in
+    the ``finish`` lambda (a two-step select would be
+    projection-collapsed back into 64 inline copies). The projection is
+    fanned out across executors first — the single-row-group fixture
+    scan otherwise serializes the whole fingerprint stage into one task
+    (SCALE.md round-8 single-split lesson); at 100 TB the scan arrives
+    pre-split and the exchange is a no-op-cost hash spread.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     fp = d.select(
         "doc_id",
         F.expr(
             """
             aggregate(
-              transform(array_distinct(split(text, ' ')), w -> md5(w)),
+              transform(
+                transform(array_distinct(split(text, ' ')), w -> md5(w)),
+                m -> transform(sequence(0, 15), i ->
+                       CAST(conv(substr(m, i + 1, 1), 16, 10) AS INT))),
               array_repeat(0, 64),
               (acc, h) -> zip_with(acc, sequence(0, 63), (a, p) ->
-                a + 2 * (shiftright(
-                           CAST(conv(substr(h, p div 4 + 1, 1), 16, 10)
-                                AS INT),
-                           p % 4) & 1) - 1),
+                a + 2 * (shiftright(h[p div 4], p % 4) & 1) - 1),
               acc -> transform(sequence(0, 3), b ->
                 aggregate(
                   transform(sequence(0, 15), j ->
@@ -274,8 +282,24 @@ def shingle_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct shingles per document (set semantics — what Jaccard
-    needs; MinHash uses the bag form, min() is duplicate-insensitive)."""
-    return shingle_bag(spark, sf_dir).distinct()
+    needs; MinHash uses the bag form, min() is duplicate-insensitive).
+
+    Shingles are hashed to 64-bit longs AT BIRTH: every consumer
+    (jaccard_pairs, dedup_containment, the CC edge build) only ever
+    counts intersections and joins on equality, never reads the shingle
+    text, so an 8-byte fixed-width key replaces the string through the
+    distinct AND the candidate self-join — the same rewrite that took
+    join_set_similarity 3.9 s → 2.3 s. Two distinct shingles colliding
+    would perturb one intersection count by 1; at 2^-64 per pair that's
+    ~10^-11 even for a billion-shingle corpus (and the oracle gate,
+    which compares against string-keyed SQL, re-proves absence on every
+    run). minhash_bands does NOT route through this — its md5(shingle)
+    signature must see the text to mirror its oracle CTE."""
+    return (
+        shingle_bag(spark, sf_dir)
+        .select("doc_id", F.xxhash64("s").alias("s"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(spark: SparkSession, sf_dir: str, jmin: float) -> DataFrame:
