@@ -67,13 +67,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture caveat: the synthetic corpus draws from a tiny shared
     vocabulary, so a large fraction of ALL doc pairs genuinely exceed
     0.7 jaccard — any correct near-dup finder returns O(n²) pairs on it
-    (measured 4.7M pairs / ~500 s at sf0.1). That is corpus pathology,
-    not operator cost: on natural text the candidate count tracks true
-    duplicates. Use sf0.01 for quick runs.
+    (measured 4.7M pairs at sf0.1; ~420 s before the fan-out below,
+    ~100 s after). That is corpus pathology, not operator cost: on
+    natural text the candidate count tracks true duplicates. Use sf0.01
+    for quick runs.
+
+    The input is fanned out before the ML pipeline (single-split lesson,
+    SCALE.md round-8): Tokenizer/HashingTF/MinHashLSH are narrow
+    transforms, so on a one-row-group fixture file the entire
+    tokenize+hash+signature build otherwise runs in ONE task (measured
+    4× at sf0.01, repartition vs not). No result ordering: the key is
+    rows-only (LSH hashes are Spark-private), and a global sort of the
+    O(n²)-pathology pair set is pure cost.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
     tf = HashingTF(
         inputCol="words", outputCol="features", numFeatures=1 << 18, binary=True
@@ -89,7 +99,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("ib"),
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
-        .orderBy("ia", "ib")
     )
 
 
