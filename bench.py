@@ -77,6 +77,9 @@ EXTENDED = (
     "dedup_substring_spans",  # ExactSubstr duplicated-span audit
     "stat_bootstrap_ci",    # deterministic Poisson bootstrap CI
     "corpus_ngram_novelty", # first-occurrence novelty per doc
+    # round-9 additions (regression reference: BENCH_r04)
+    "dedup_simhash",        # md5 bit-plane fingerprint + pigeonhole bands
+    "scan_txn_log_snapshot",# log-replay snapshot scan (txn-log format)
 )
 
 
