@@ -517,3 +517,31 @@ def test_grouping_hierarchy_agrees(spark, duck, where, keys, form):
         assert all(r[ncol : 2 * ncol] == tuple([1] * ncol) for r in drows)
         return
     _run_both(spark, duck, sql)
+
+
+@_SETTINGS
+@given(
+    where=_predicates,
+    form=st.sampled_from(("EXISTS", "NOT EXISTS", "IN", "NOT IN")),
+    cap=st.integers(min_value=0, max_value=3000),
+)
+def test_subquery_membership_agrees(spark, duck, where, form, cap):
+    """EXISTS / NOT EXISTS / IN / NOT IN membership subqueries over a
+    generated inner predicate: both engines decorrelate to semi/anti
+    joins. The fixture has no NULLs (FIXTURES.md quirk 2), so NOT IN's
+    NULL-poisoning trapdoor stays shut and the anti-join ground is
+    exact."""
+    # correlation must stay CONJUNCTIVE: under an OR Spark (correctly)
+    # refuses to decorrelate, so the generated predicate is parenthesized
+    # as one unit before the correlation term is attached.
+    inner = f"SELECT l_orderkey FROM lineitem l WHERE ({where})"
+    if form in ("EXISTS", "NOT EXISTS"):
+        pred = f"{form} ({inner} AND l.l_orderkey = o.o_orderkey)"
+    else:
+        pred = f"o.o_orderkey {form} ({inner})"
+    _run_both_tables(
+        spark,
+        duck,
+        f"SELECT o.o_orderkey, o.o_orderpriority FROM orders o"
+        f" WHERE {pred} AND o.o_orderkey < {cap}",
+    )
