@@ -797,7 +797,11 @@ def _txn_log_build(spark: SparkSession, sf_dir: str) -> str:
     """Build the demo table once per (process, sf): version 0 ingests
     orders as 4 bucket files; version 1 is a logical DELETE of the
     finished ('F') orders in bucket 3, committed as rewrite-new +
-    remove-old. Returns the table root."""
+    remove-old; version 2 is a COMPACTION (OPTIMIZE) commit — the 4
+    surviving files rewritten as 2 range-clustered files, logged with
+    per-file min/max key stats and ``dataChange: false`` (layout-only:
+    incremental consumers must not reprocess it). Returns the table
+    root."""
     root = _txn_roots.get(sf_dir)
     if root:
         return root
@@ -827,7 +831,41 @@ def _txn_log_build(spark: SparkSession, sf_dir: str) -> str:
         {"action": "remove", "path": os.path.join(data, "bucket_3_v0")},
         {"action": "add", "path": rewrite},
     ]
-    for ver, actions in enumerate((v0, v1)):
+    # v2 — compaction: surviving rows range-split at the deterministic
+    # pivot (min+max)//2, one sorted file per half, tight stats recorded
+    # in the commit itself so readers can skip files without touching
+    # any parquet footer.
+    surviving = o.filter(
+        (F.pmod("o_orderkey", F.lit(_TXN_BUCKETS)) != 3)
+        | (F.col("o_orderstatus") != "F")
+    )
+    lo_hi = surviving.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    pivot = (lo_hi["lo"] + lo_hi["hi"]) // 2
+    v2 = [{"action": "remove", "path": a["path"]} for a in (v0[:3] + [v1[1]])]
+    for idx, half in enumerate(
+        (
+            surviving.filter(F.col("o_orderkey") <= pivot),
+            surviving.filter(F.col("o_orderkey") > pivot),
+        )
+    ):
+        p = os.path.join(data, f"compact_{idx}_v2")
+        half.coalesce(1).sortWithinPartitions("o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(p)
+        st = half.agg(
+            F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+        ).collect()[0]
+        v2.append(
+            {
+                "action": "add",
+                "path": p,
+                "dataChange": False,
+                "stats": {"o_orderkey": [st["mn"], st["mx"]]},
+            }
+        )
+    for ver, actions in enumerate((v0, v1, v2)):
         with open(os.path.join(logd, f"{ver:08d}.json"), "w") as f:
             for a in actions:
                 f.write(json.dumps(a) + "\n")
@@ -835,12 +873,13 @@ def _txn_log_build(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def _txn_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
-    """Replay the log through `version`, scan the active files."""
+def _txn_active(root: str, version: int) -> list[dict]:
+    """Replay the log through `version`; return the active add-actions
+    (path + whatever stats the committing writer recorded)."""
     import json
 
     logd = os.path.join(root, "_log")
-    active: set[str] = set()
+    active: dict[str, dict] = {}
     for name in sorted(os.listdir(logd)):
         ver = int(name.split(".")[0])
         if ver > version:
@@ -848,10 +887,18 @@ def _txn_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
         with open(os.path.join(logd, name)) as f:
             for line in f:
                 a = json.loads(line)
-                (active.add if a["action"] == "add" else active.discard)(
-                    a["path"]
-                )
-    return spark.read.parquet(*sorted(active))
+                if a["action"] == "add":
+                    active[a["path"]] = a
+                else:
+                    active.pop(a["path"], None)
+    return [active[p] for p in sorted(active)]
+
+
+def _txn_snapshot(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Replay the log through `version`, scan the active files."""
+    return spark.read.parquet(
+        *[a["path"] for a in _txn_active(root, version)]
+    )
 
 
 @register(
@@ -917,7 +964,13 @@ def scan_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to the commit's add-set, the log pinpoints it without
     any directory diffing, and pairing the add-set with the same
     commit's remove-set upgrades the read to a row-level changefeed
-    (new-file minus removed-file = net change)."""
+    (new-file minus removed-file = net change).
+
+    Commits whose adds are flagged ``dataChange: false`` (the version-2
+    compaction) are SKIPPED: they rewrite bytes, not rows, and an
+    incremental consumer that reprocessed them would double-count the
+    entire table after every OPTIMIZE — the exact reason the flag
+    exists in production log formats."""
     import json
 
     root = _txn_log_build(spark, sf_dir)
@@ -930,6 +983,99 @@ def scan_txn_log_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             added += [
                 a["path"]
                 for a in map(json.loads, f)
-                if a["action"] == "add"
+                if a["action"] == "add" and a.get("dataChange", True)
             ]
     return spark.read.parquet(*sorted(added))
+
+
+@register(
+    "txn_log_compact",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE (o_orderkey % 4 <> 3) OR (o_orderstatus <> 'F')
+), b AS (
+  SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS pv FROM s
+)
+SELECT CASE WHEN o_orderkey <= pv THEN 0 ELSE 1 END AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS key_min, MAX(o_orderkey) AS key_max,
+       {dsum_sql('o_totalprice', 'total', 2)}
+FROM s, b GROUP BY 1
+""",
+)
+def txn_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-compaction file inventory: each version-2 compacted file
+    read back individually (per-file row count, key bounds, exact price
+    total), hash-verified against the relational derivation of what a
+    content-preserving range-split compaction MUST have produced.
+
+    This is the OPTIMIZE half of the small-file problem: streaming and
+    incremental ingest commit thousands of small files per hour, and at
+    100 TB an uncompacted table makes every scan pay per-file open
+    latency and every driver pay O(files) planning. Compaction here is
+    a pure log transaction — rewrite survivors range-clustered, commit
+    remove-old + add-new atomically — so concurrent readers replaying
+    any log prefix still see exactly one complete file set, and the
+    range clustering is what gives the stats-pruned scan
+    (`scan_txn_log_pruned`) disjoint per-file key bounds to skip on."""
+    root = _txn_log_build(spark, sf_dir)
+    per_file = []
+    for idx, a in enumerate(_txn_active(root, 10**9)):
+        per_file.append(
+            spark.read.parquet(a["path"]).select(
+                F.lit(idx).alias("file_id"), "o_orderkey", "o_totalprice"
+            )
+        )
+    df = per_file[0]
+    for other in per_file[1:]:
+        df = df.unionAll(other)
+    return df.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("key_min"),
+        F.max("o_orderkey").alias("key_max"),
+        dsum(F.col("o_totalprice"), "total", 2),
+    )
+
+
+#: predicate for the stats-pruned demo scan — keys ≤ 1000 land entirely
+#: in compacted file 0 at every fixture SF (file 0 spans [min, (min+max)//2]
+#: and max(o_orderkey) ≥ 6000 even at sf0.001).
+_TXN_PRUNE_KEY_MAX = 1000
+
+
+@register(
+    "scan_txn_log_pruned",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey <= 1000
+  AND ((o_orderkey % 4 <> 3) OR (o_orderstatus <> 'F'))
+""",
+)
+def scan_txn_log_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping from LOG-RECORDED stats: the predicate
+    ``o_orderkey <= 1000`` is intersected with each active file's
+    [min, max] key range from its add-action BEFORE any file is opened
+    — only compacted file 0 survives (asserted in tests), file 1 is
+    never read. Files whose commit recorded no stats are kept
+    (conservative, correct), and the predicate is re-applied to the
+    scanned rows, so pruning can only skip work, never change results.
+
+    At 100 TB this is the first pruning tier: the log replay already
+    sits on the driver, so thousands of files drop out with ZERO
+    storage round trips — unlike parquet-footer stats, which cost one
+    open per file on object storage (`scan_parquet_footer_stats`), and
+    unlike directory partitioning, which only prunes on the partition
+    key. Tier order: log stats → partition dirs → footer row-groups →
+    page indexes."""
+    root = _txn_log_build(spark, sf_dir)
+    keep = []
+    for a in _txn_active(root, 10**9):
+        st = (a.get("stats") or {}).get("o_orderkey")
+        if st is None or st[0] <= _TXN_PRUNE_KEY_MAX:
+            keep.append(a["path"])
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("o_orderkey") <= _TXN_PRUNE_KEY_MAX)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
