@@ -816,13 +816,17 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.3 s at sf0.1), and hash the shingle to a long at birth: `s` is
     # an internal key (first-occurrence groupBy + join-back) that never
     # reaches the output, the join_set_similarity trick.
+    # size(t) >= 3 guard: a <3-token doc would make sequence(1, size-2)
+    # descend ([1,0,-1] → ANSI INVALID_ARRAY_INDEX); the 999 cap mirrors
+    # the oracle's range(1, 1000) so both sides enumerate the same
+    # positions on >1022-char docs (join_set_similarity's guard pair).
     sh = d.select(
         "doc_id", F.split("text", " ").alias("t")
-    ).select(
+    ).filter(F.size("t") >= 3).select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, size(t) - 2),"
+                "array_distinct(transform(sequence(1, least(size(t) - 2, 999)),"
                 " i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1]))))"
             )
         ).alias("s"),

@@ -1292,8 +1292,14 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= _SPAN_K)
         .select(
             "doc_id",
+            # cap at 999 to mirror the oracle's range(1, 1000): both
+            # sides enumerate identical gram positions even on docs
+            # longer than 999 + K - 1 chars.
             F.explode(
-                F.sequence(F.lit(1), F.col("n_chars") - _SPAN_K + 1)
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.col("n_chars") - _SPAN_K + 1, F.lit(999)),
+                )
             ).alias("pos"),
             "text",
         )

@@ -336,9 +336,13 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 3)
         .select(
             "doc_id",
+            # cap positions at 499 to mirror the oracle's range(1, 500)
+            # — same asymmetry class as _dup_spans/corpus_ngram_novelty
+            # (ADVICE round 4): both sides must enumerate identical
+            # shingle positions on >501-token docs.
             F.explode(
                 F.expr(
-                    "array_distinct(transform(sequence(1, size(t) - 2),"
+                    "array_distinct(transform(sequence(1, least(size(t) - 2, 499)),"
                     " i -> xxhash64(concat_ws(' ', t[i-1], t[i], t[i+1]))))"
                 )
             ).alias("w"),

@@ -1072,7 +1072,10 @@ def scan_txn_log_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = []
     for a in _txn_active(root, 10**9):
         st = (a.get("stats") or {}).get("o_orderkey")
-        if st is None or st[0] <= _TXN_PRUNE_KEY_MAX:
+        # st[0] can be None when a compaction wrote an empty half and
+        # recorded [null, null] stats — treat like missing stats (keep
+        # the file; the re-applied predicate keeps results correct).
+        if st is None or st[0] is None or st[0] <= _TXN_PRUNE_KEY_MAX:
             keep.append(a["path"])
     return (
         spark.read.parquet(*keep)

@@ -1,32 +1,41 @@
 """Driver-visibility ordering contract.
 
-The rounds 1–3 drivers produced CORRECTNESS rows for exactly the first
+The rounds 1–4 drivers produced CORRECTNESS rows for exactly the first
 50 keys of ``queries()`` in dict insertion order, so insertion order
 decides which operators get externally verified each round. These tests
-pin the round-4 window: 50 oracle-carrying keys, none of which already
+pin the round-5 window: 50 oracle-carrying keys, none of which already
 has a green hash row from an earlier round (re-sampling a key that was
 previously ``no_oracle`` is allowed — that's how a rows-only→oracle
 promotion gets its driver-recorded hash row), with every dark family
-from VERDICT.md round-3 task 1 represented.
+still ≥10 keys deep after r01–r04 represented.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
 from analyse_the_sky_with_apache_spark_spark import registry
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROUNDS = ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json")
+_ROUNDS = tuple(
+    sorted(os.path.basename(p) for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+)
 
-#: families VERDICT.md round-3 task 1 requires in the round-4 window.
+#: darkest families after r01–r04 (tools/driver_gap.py) — each must be
+#: represented among the never-sampled round-5 window keys.
 _TARGET_FAMILIES = (
+    "sources.scans",
     "operators.windows",
-    "operators.aggregations",
-    "operators.warehouse",
+    "operators.xmatch",
+    "operators.graph",
     "pipeline.stats",
-    "workloads",
+    "workloads2",
+    "operators.warehouse",
+    "pipeline.dedup",
+    "pipeline.quality",
+    "functions.scalar",
 )
 
 

@@ -31,7 +31,12 @@ def main() -> int:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            # noop sink, not count(): count() lets Spark prune output
+            # columns, under-measuring operators whose cost is in the
+            # final projection (e.g. dedup_substring_cut's text_clean
+            # assembly). The noop format materializes every column
+            # JVM-side with zero write cost.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             times[name] = -1.0
