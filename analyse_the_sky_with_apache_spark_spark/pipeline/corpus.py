@@ -819,7 +819,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(t) >= 3 guard: a <3-token doc would make sequence(1, size-2)
     # descend ([1,0,-1] → ANSI INVALID_ARRAY_INDEX); the 999 cap mirrors
     # the oracle's range(1, 1000) so both sides enumerate the same
-    # positions on >1022-char docs (join_set_similarity's guard pair).
+    # positions on >1001-token docs (join_set_similarity's guard pair).
     sh = d.select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 3).select(

@@ -160,15 +160,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     One digest per word, not 64: words map to md5 hex ONCE, the hex maps
     to its 16 digit values ONCE (nested transforms — the digest and the
     conv/substr work are per-word, never per-bit), and only then does the
-    fold add ±1 into the 64 bit sums, so the per-bit lambda is pure
-    integer shift/mask (measured 19 s → 2.9 s warm at sf0.1 vs the
-    per-bit conv(substr) form, fresh plan each run). The accumulator packs the four band values in
-    the ``finish`` lambda (a two-step select would be
-    projection-collapsed back into 64 inline copies). The projection is
-    fanned out across executors first — the single-row-group fixture
-    scan otherwise serializes the whole fingerprint stage into one task
-    (SCALE.md round-8 single-split lesson); at 100 TB the scan arrives
-    pre-split and the exchange is a no-op-cost hash spread.
+    fold accumulate into the bit counters (measured 19 s → 2.9 s warm at
+    sf0.1 vs the per-bit conv(substr) form, fresh plan each run).
+
+    SWAR fold (VERDICT r5 task 5): the 64 bit counters are packed as
+    4×16-bit unsigned lanes in 16 BIGINTs — long ``k`` holds the four
+    positions of hex digit ``k`` — plus a 17th slot counting words, so
+    the per-word merge is a 17-wide ``zip_with`` of plain adds instead
+    of a 64-wide shift/mask lambda (the rebuilt-accumulator allocation
+    per word shrinks ~4×). Counting set bits instead of summing ±1 keeps
+    every lane monotonically increasing (no borrow between lanes):
+    Σ(±1) = 2·count − n, so ``sign(Σ) > 0 ⟺ 2·count > n`` reproduces
+    the oracle's sign rule exactly, ties-to-zero included. Lane capacity
+    caps exact behavior at 65 535 distinct words per document — far past
+    this corpus (≤1022-char docs); at 100 TB feed book-length docs
+    through ``text_chunk``/``chunk_dedup_pipeline`` first, which is the
+    right near-dup granularity for them anyway. The ``finish`` lambda
+    unpacks lanes and packs the four band values in one pass (a two-step
+    select would be projection-collapsed back into 64 inline copies).
+    The projection is fanned out across executors first — the
+    single-row-group fixture scan otherwise serializes the whole
+    fingerprint stage into one task (SCALE.md round-8 single-split
+    lesson); at 100 TB the scan arrives pre-split and the exchange is a
+    no-op-cost hash spread.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -179,15 +193,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggregate(
               transform(
                 transform(array_distinct(split(text, ' ')), w -> md5(w)),
-                m -> transform(sequence(0, 15), i ->
-                       CAST(conv(substr(m, i + 1, 1), 16, 10) AS INT))),
-              array_repeat(0, 64),
-              (acc, h) -> zip_with(acc, sequence(0, 63), (a, p) ->
-                a + 2 * (shiftright(h[p div 4], p % 4) & 1) - 1),
+                m -> concat(
+                  transform(
+                    transform(sequence(0, 15), i ->
+                      CAST(conv(substr(m, i + 1, 1), 16, 10) AS BIGINT)),
+                    d -> (d & 1)
+                         + shiftleft(shiftright(d, 1) & 1, 16)
+                         + shiftleft(shiftright(d, 2) & 1, 32)
+                         + shiftleft(shiftright(d, 3) & 1, 48)),
+                  array(1L))),
+              array_repeat(0L, 17),
+              (acc, h) -> zip_with(acc, h, (a, x) -> a + x),
               acc -> transform(sequence(0, 3), b ->
                 aggregate(
                   transform(sequence(0, 15), j ->
-                    CASE WHEN acc[b * 16 + j] > 0
+                    CASE WHEN 2 * (shiftright(acc[(b * 16 + j) div 4],
+                                              16 * ((b * 16 + j) % 4))
+                                   & 65535) > acc[16]
                          THEN shiftleft(1L, j) ELSE 0L END),
                   0L, (x, y) -> x + y)))
             """

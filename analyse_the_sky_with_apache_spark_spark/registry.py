@@ -60,85 +60,115 @@ _loaded = False
 
 #: Driver-visibility ordering. The driver produces CORRECTNESS rows for
 #: exactly the first 50 keys of ``queries()`` in dict insertion order
-#: (confirmed again in round 4: CORRECTNESS_r04 == the round-4
-#: ``_PRIORITY`` window, 50/50 hash-green), so insertion order is the
-#: lever that decides which keys get a driver row. Round-5 window: 50
-#: never-sampled oracle-checked keys spread across the darkest families
-#: after r01∪…∪r04 (sources.scans, operators.windows, operators.xmatch,
-#: operators.graph, pipeline.stats, workloads2, operators.warehouse,
-#: pipeline.dedup, pipeline.quality, functions.scalar), plus
-#: ``corpus_ngram_novelty`` re-aimed after this round's ANSI guard fix
-#: (ADVICE.md round-4 item 1). Every key in the window carries an
-#: oracle, so CORRECTNESS_r05 should be 50 hash rows / 0 ``no_oracle``.
+#: (confirmed in rounds 4 AND 5: CORRECTNESS_r0N == that round's
+#: ``_PRIORITY`` window, 50/50 hash-green each time), so insertion order
+#: is the lever that decides which keys get a driver row.
+#:
+#: After r01∪…∪r05, 135 oracle-backed keys had never been driver-sampled.
+#: ``_ROTATION`` below is the committed retirement schedule (VERDICT r5
+#: task 2): three pages drawn round-robin across families in descending
+#: never-sampled count, so every page touches every dark family. Each
+#: round's rotation is now a one-line edit: advance ``_PRIORITY`` to the
+#: next page (padding the final short page with rows-only→oracle
+#: promotions or fresh keys as they land). Every page-1 key carries an
+#: oracle, so CORRECTNESS_r06 should be 50 hash rows / 0 ``no_oracle``.
 #: Already-sampled keys go last; they keep local regression coverage
-#: (tests/test_oracle_differential.py).
-_PRIORITY = (
-    # sources / table-format scans
-    "scan_csv_permissive",
-    "scan_partition_pruned",
-    "join_dpp",
-    "scan_merge_schema",
-    "scan_nested_pruning",
-    "scan_txn_log_snapshot",
-    "scan_txn_log_pruned",
-    # windows / time-series
-    "ts_autocorrelation",
-    "ts_bollinger_bands",
-    "ts_cusum_alarm",
-    "sessionize_capped",
-    "event_transition_matrix",
-    "ts_theil_sen",
-    "win_decile_spend",
-    # astronomy / spherical cross-match
-    "sky_pixel_rollup",
-    "lightcurve_trend",
-    "xmatch_epoch",
-    "lightcurve_sigma_clip",
-    "sky_lognlogs",
-    "geo_point_in_polygon",
-    # graph
-    "graph_degree_hist",
-    "graph_triangles",
-    "graph_pagerank_exact",
-    "graph_label_propagation",
-    "graph_kcore",
-    # distributed statistics / ML eval
-    "stat_mann_whitney",
-    "stat_spearman_corr",
-    "stat_kendall_tau",
-    "stat_anova_oneway",
-    "ml_ndcg_at_k",
-    "stat_bootstrap_ci",
-    # TPC-H planner shapes
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    # warehouse / event analytics
-    "agg_countmin",
-    "interval_merge",
-    "attribution_last_touch",
-    "funnel_time_to_convert",
-    # dedup ladder
-    "dedup_substring_spans",
-    "dedup_incremental_minhash",
-    "dedup_normalized",
-    # data quality / privacy
-    "anomaly_mad",
-    "privacy_k_anonymity",
-    "table_checksum",
-    # SQL surface
-    "sql_recursive_cte",
-    "fn_try_arith",
-    "sql_group_by_all",
-    # corpus analytics (re-aimed after the ANSI <3-token guard fix)
-    "corpus_ngram_novelty",
+#: (tests/test_oracle_differential.py and tools/check.py's full gate).
+
+#: Page 2 — round-7 window (50 never-sampled oracle keys).
+_ROTATION_R7 = (
+    "graph_bfs_hops", "join_null_safe", "attribution_linear",
+    "xmatch_completeness", "text_boilerplate", "q13_customer_distribution",
+    "ts_order_gaps", "text_repetition", "scan_log_regexp",
+    "sim_knn_per_query", "q14_promo_revenue", "mm_image_tiles",
+    "api_pandas_on_spark", "stream_pyds_source", "sample_systematic",
+    "kmeans_one_round", "agg_restatement", "corpus_quality_pipeline",
+    "semantic_dedup_pipeline", "slo_burn_rate", "ml_calibration_bins",
+    "sql_named_params", "graph_modularity", "join_bloom_prefilter",
+    "basket_apriori_triples", "sky_variability_pipeline",
+    "text_sentiment_lexicon", "q15_top_supplier", "ts_hampel_filter",
+    "join_set_similarity", "scan_txn_log_time_travel",
+    "emb_matryoshka_recall", "q19_disjunctive", "mm_scene_cuts",
+    "udf_arrow_optimized", "stream_upsert_sink", "time_rollup_cascade",
+    "corpus_kl_divergence", "dedup_minhash_eval", "privacy_l_diversity",
+    "ml_feature_hashing", "sql_lateral_alias", "graph_assortativity",
+    "join_asof_nearest", "basket_rules_confidence", "ts_spectral_power",
+    "text_dup_shingle_fraction", "q16_supplier_cnt",
+    "ts_decompose_residuals", "text_perplexity",
 )
 
-#: The remaining never-driver-sampled keys simply wait in insertion
-#: order past slot 50; ``tools/driver_gap.py`` reports the gap and
-#: feeds the next round's window selection.
+#: Page 3 — round-8 window (the final 35 never-sampled oracle keys;
+#: pad to 50 with promotions / new keys when rotating).
+_ROTATION_R8 = (
+    "scan_txn_log_incremental", "emb_knn_graph", "q22_dormant_customers",
+    "agg_higher_moments", "corpus_dataset_card",
+    "dedup_sorted_neighborhood", "dq_volume_anomaly", "ml_target_encoding",
+    "sql_pipe_syntax", "graph_local_clustering",
+    "join_cardinality_estimate", "retention_decay_fit",
+    "xmatch_likelihood_ratio", "text_langid_confusion",
+    "q17_small_quantity", "ts_forecast_eval_naive", "text_zipf_fit",
+    "txn_log_compact", "bitmap_audience_jaccard", "corpus_split_leakage",
+    "dedup_survivor_policy", "dq_partition_skew",
+    "stat_ratio_delta_method", "sql_filter_clause", "graph_louvain_move",
+    "join_multi_exists_flags", "events_stickiness_dau_mau",
+    "xmatch_photometric_offset", "text_ngram_lm", "q20_promo_suppliers",
+    "events_heatmap", "corpus_curriculum_order", "dedup_substring_cut",
+    "privacy_t_closeness", "ml_psi_drift",
+)
+
+#: Page 1 — the LIVE round-6 window.
+_PRIORITY = (
+    "agg_incremental_maintenance",  # operators.aggregations
+    "corpus_group_sample",  # pipeline.corpus
+    "dedup_fuzzy_levenshtein",  # pipeline.dedup
+    "dq_rules_report",  # pipeline.quality
+    "ml_naive_bayes_train",  # pipeline.stats
+    "fn_collation",  # functions.scalar
+    "graph_components_twostar",  # operators.graph
+    "join_asof_tolerance",  # operators.joins
+    "compaction_plan",  # operators.warehouse
+    "xmatch_neighbor_density",  # operators.xmatch
+    "chunk_dedup_pipeline",  # pipeline.text
+    "q7_volume_shipping",  # workloads2
+    "path_common_sequences",  # operators.windows
+    "text_bm25",  # pipeline.retrieval
+    "scan_binaryfile",  # sources.scans
+    "emb_outliers",  # pipeline.similarity
+    "q4_order_priority",  # workloads
+    "emb_pca_covariance",  # pipeline.multimodal
+    "udtf_analyze",  # pipeline.udfs
+    "stream_topk_windowed",  # streaming.queries
+    "zorder_layout",  # operators.sorts
+    "cluster_grid_density",  # pipeline.clustering
+    "stat_crosstab",  # operators.aggregations
+    "text_contamination",  # pipeline.corpus
+    "dedup_containment",  # pipeline.dedup
+    "dq_referential_integrity",  # pipeline.quality
+    "ml_logreg_irls_stats",  # pipeline.stats
+    "fn_crypto",  # functions.scalar
+    "graph_common_neighbors",  # operators.graph
+    "join_lateral_topk",  # operators.joins
+    "session_bounce_rate",  # operators.warehouse
+    "lightcurve_structure_function",  # operators.xmatch
+    "text_word_pmi",  # pipeline.text
+    "q11_important_parts",  # workloads2
+    "ts_state_transitions",  # operators.windows
+    "text_inverted_index",  # pipeline.retrieval
+    "scan_xml",  # sources.scans
+    "emb_bit_hamming",  # pipeline.similarity
+    "q12_late_lines",  # workloads
+    "mm_audio_chunks",  # pipeline.multimodal
+    "udf_sql",  # pipeline.udfs
+    "stream_checkpoint_resume",  # streaming.queries
+    "sample_weighted",  # operators.sorts
+    "ml_linreg_suffstats",  # pipeline.clustering
+    "bitmap_funnel_users",  # operators.aggregations
+    "corpus_shuffle",  # pipeline.corpus
+    "corpus_dedup_pipeline",  # pipeline.dedup
+    "emb_drift_monitor",  # pipeline.quality
+    "ml_decision_stump",  # pipeline.stats
+    "fn_business_days",  # functions.scalar
+)
 
 
 

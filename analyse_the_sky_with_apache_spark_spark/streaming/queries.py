@@ -712,3 +712,6 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in a protobuf-equipped deployment the StatefulProcessor port is
 # mechanical: ValueState("agg") + MapState("types") replacing the single
 # state tuple, same single-batch-replay oracle.
+# The gap is now an EXECUTABLE probe (tests/test_tws_probe.py): it pins
+# the ImportError today and runs a real ValueState counter end-to-end
+# the moment the environment gains google.protobuf.

@@ -1,13 +1,20 @@
 """Driver-visibility ordering contract.
 
-The rounds 1–4 drivers produced CORRECTNESS rows for exactly the first
+The rounds 1–5 drivers produced CORRECTNESS rows for exactly the first
 50 keys of ``queries()`` in dict insertion order, so insertion order
 decides which operators get externally verified each round. These tests
-pin the round-5 window: 50 oracle-carrying keys, none of which already
-has a green hash row from an earlier round (re-sampling a key that was
-previously ``no_oracle`` is allowed — that's how a rows-only→oracle
-promotion gets its driver-recorded hash row), with every dark family
-still ≥10 keys deep after r01–r04 represented.
+pin the live rotation page (``registry._PRIORITY``): 50 oracle-carrying
+keys, none of which already has a green hash row from a *previous*
+round, with every dark family represented.
+
+Round-boundary hygiene (ADVICE r5 / VERDICT r5 defect 1): the repo
+workflow commits round-N results BEFORE rotating ``_PRIORITY`` to the
+round-N+1 page, so for a short interval a CORRECTNESS file exists whose
+rows are exactly the current window's own results. Counting that file
+made ``test_window_wastes_no_slot_on_green_keys`` go stale at every
+round close. Fix: a CORRECTNESS file whose key set equals the current
+``_PRIORITY`` window is the in-flight round's own output and is
+excluded from the "already sampled/green" baseline.
 """
 
 from __future__ import annotations
@@ -18,43 +25,58 @@ import os
 
 from analyse_the_sky_with_apache_spark_spark import registry
 
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_ROUNDS = tuple(
-    sorted(os.path.basename(p) for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
-)
 
-#: darkest families after r01–r04 (tools/driver_gap.py) — each must be
-#: represented among the never-sampled round-5 window keys.
+def _round_files() -> list[str]:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
+def _prior_rows() -> list[dict]:
+    """Per-round row dicts, excluding the in-flight round's own file
+    (identified by its key set matching the current window)."""
+    window = set(registry._PRIORITY)
+    out = []
+    for path in _round_files():
+        with open(path) as f:
+            rows = json.load(f)
+        if set(rows) == window:
+            continue  # the current window's own results — not "prior"
+        out.append(rows)
+    return out
+
+
+#: darkest families after r01–r05 (tools/driver_gap.py) — each must be
+#: represented among the never-sampled window keys. The round-6 page is
+#: drawn round-robin over ALL families, so this is a floor, not a spec.
 _TARGET_FAMILIES = (
     "sources.scans",
+    "operators.aggregations",
     "operators.windows",
     "operators.xmatch",
     "operators.graph",
     "pipeline.stats",
-    "workloads2",
+    "pipeline.corpus",
     "operators.warehouse",
     "pipeline.dedup",
     "pipeline.quality",
     "functions.scalar",
+    "workloads2",
 )
 
 
 def _hash_green() -> set[str]:
-    """Keys that already have a driver-recorded hash match."""
+    """Keys with a driver-recorded hash match from a prior round."""
     seen: set[str] = set()
-    for fname in _ROUNDS:
-        with open(os.path.join(_REPO, fname)) as f:
-            rows = json.load(f)
+    for rows in _prior_rows():
         seen.update(k for k, v in rows.items() if v.get("hash_match"))
     return seen
 
 
 def _sampled() -> set[str]:
-    """Keys with any CORRECTNESS row so far (green or rows-only)."""
+    """Keys with any prior-round CORRECTNESS row (green or rows-only)."""
     seen: set[str] = set()
-    for fname in _ROUNDS:
-        with open(os.path.join(_REPO, fname)) as f:
-            seen.update(json.load(f).keys())
+    for rows in _prior_rows():
+        seen.update(rows.keys())
     return seen
 
 
@@ -73,9 +95,24 @@ def test_every_priority_key_exists():
     assert not missing, f"priority names unknown keys: {missing}"
 
 
+def test_rotation_pages_exist_and_are_disjoint():
+    """The committed retirement schedule (VERDICT r5 task 2): pages must
+    name real oracle-backed keys and never overlap the live window."""
+    keys = set(registry.queries())
+    osql = set(registry.oracle_sql())
+    live = set(registry._PRIORITY)
+    for page in (registry._ROTATION_R7, registry._ROTATION_R8):
+        missing = [k for k in page if k not in keys]
+        assert not missing, f"rotation page names unknown keys: {missing}"
+        no_oracle = [k for k in page if k not in osql]
+        assert not no_oracle, f"rotation page keys without oracle: {no_oracle}"
+        assert not (set(page) & live), "rotation page overlaps live window"
+    assert not (set(registry._ROTATION_R7) & set(registry._ROTATION_R8))
+
+
 def test_window_is_all_oracle():
-    """Every round-4 window key carries an oracle, so CORRECTNESS_r04
-    should be 50 hash rows and 0 ``no_oracle`` rows."""
+    """Every live-window key carries an oracle, so the round's
+    CORRECTNESS file should be 50 hash rows and 0 ``no_oracle`` rows."""
     osql = set(registry.oracle_sql())
     missing = [k for k in registry._PRIORITY if k not in osql]
     assert not missing, f"window keys without an oracle: {missing}"
@@ -83,15 +120,13 @@ def test_window_is_all_oracle():
 
 def test_window_wastes_no_slot_on_green_keys():
     """No window slot may re-sample a key that already has a
-    driver-recorded hash match from rounds 1–3."""
+    driver-recorded hash match from a PRIOR round (the in-flight
+    round's own file is excluded — see module docstring)."""
     wasted = [k for k in registry._PRIORITY if k in _hash_green()]
     assert not wasted, f"already-green keys occupying the window: {wasted}"
 
 
 def test_window_covers_the_dark_families():
-    """VERDICT round-3 task 1: windows/aggregations/warehouse/stats/
-    workloads families must be represented among the never-sampled
-    window keys."""
     qs = registry.queries()
     sampled = _sampled()
     fresh_mods = {
@@ -107,3 +142,15 @@ def test_oracle_dict_order_matches_queries():
     q = list(registry.queries())
     o = list(registry.oracle_sql())
     assert o == [k for k in q if k in set(o)]
+
+
+def test_readme_headline_counts_match_registry():
+    """README.md's headline counts are generated claims (VERDICT r5
+    defect 2) — they must track the live registry exactly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as f:
+        head = f.read(2000)
+    n_q, n_o = len(registry.queries()), len(registry.oracle_sql())
+    assert f"{n_q} registered operators, {n_o} of them hash-verified" in head, (
+        f"README headline stale: registry is {n_q} registered / {n_o} oracle-checked"
+    )
