@@ -215,16 +215,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("bands"),
     )
+    # Materialize fingerprints once — the self-join below would otherwise
+    # recompute the fold on BOTH sides (same checkpointed-band-table move
+    # as dedup_minhash_sql; doc_id + 4 longs, tiny at any scale).
+    fp = fp.localCheckpoint(eager=True)
     exploded = fp.select(
         "doc_id", "bands", F.posexplode("bands").alias("band", "val")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
+    # First-matching-band rule replaces DISTINCT: a pair sharing k bands
+    # appears k times in the banded join; keeping only the row whose band
+    # is the pair's FIRST shared band emits each pair exactly once, so no
+    # global dedup shuffle over the candidate set is needed (both full
+    # band arrays ride along, so the check is a 4-wide zip_with).
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.expr(
+                "array_position(zip_with(a.bands, b.bands, (x, y) -> x = y),"
+                " true) = a.band + 1"
+            )
         )
         .select(
             F.col("a.doc_id").alias("ia"),
@@ -234,7 +249,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)"
             ).cast("long").alias("hamming"),
         )
-        .distinct()
     )
     return cand.filter(F.col("hamming") <= 3).orderBy("ia", "ib")
 

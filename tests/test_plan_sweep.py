@@ -54,6 +54,7 @@ _BNL_ALLOWED = {
     "sample_weighted", "join_set_similarity", "corpus_quality_pipeline",
     "xmatch_neighbor_density", "text_inverted_index",
     # 1-row scalar broadcasts
+    "agg_distinct",  # per-column partial-distinct subplans × 1-row joins
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
