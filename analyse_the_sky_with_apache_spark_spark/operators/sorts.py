@@ -155,22 +155,64 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified_seeded")  # rows-only: sampleBy RNG is Spark's
-def sample_stratified_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``): per-stratum Bernoulli fractions.
+#: per-stratum Bernoulli keep-fractions for sample_stratified_seeded.
+_STRATA_FRACTIONS = {
+    "view": 0.1, "click": 0.3, "purchase": 1.0, "error": 1.0, "signup": 1.0
+}
+_STRATA_SEED = 7
 
-    The map-side, shuffle-free sibling of `sample_stratified`: per-row
-    coin flips keyed by Spark's seeded RNG stream — no stratum
-    materialization, no window, the right rung when the sample only
-    needs to hit the rate in expectation. Fractions-realized bounds are
-    asserted in tests/test_pipeline.py; no cross-engine oracle since
-    the RNG stream is Spark-specific.
+
+def _hex_threshold(f: float) -> str:
+    """8-hex-char threshold for fraction ``f`` of 32-bit hash space.
+
+    Fixed-length lowercase hex compares lexicographically exactly like
+    the integer it encodes, so ``substr(md5(..),1,8) < threshold`` is a
+    deterministic Bernoulli(f) gate in ANY engine that renders md5 as
+    lowercase hex. f >= 1 returns 'g', which every hex string sorts
+    below (keep-all)."""
+    return "g" if f >= 1.0 else format(int(f * 2**32), "08x")
+
+
+@register(
+    "sample_stratified_seeded",
+    oracle="SELECT event_id, event_type, user_id FROM events WHERE "
+    "substr(md5(event_id::VARCHAR || ':" + str(_STRATA_SEED) + "'), 1, 8) < "
+    "CASE event_type "
+    + " ".join(
+        f"WHEN '{et}' THEN '{_hex_threshold(f)}'"
+        for et, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    + " ELSE 'g' END",
+)
+def sample_stratified_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified seeded sampling: per-stratum Bernoulli keep-fractions
+    via a deterministic md5 coin flip — the map-side, shuffle-free
+    sibling of `sample_stratified` (no stratum materialization, no
+    window), and reproducible across engines AND across runs.
+
+    ``sampleBy`` compiles to this exact plan shape (a per-row filter
+    with per-stratum thresholds) but keys its coins to Spark's private
+    RNG stream, which no oracle can replay. Hashing a stable row key
+    with the seed instead (``md5(event_id || ':seed')``, first 8 hex
+    chars vs a per-stratum threshold — lexicographic compare on
+    fixed-length lowercase hex IS numeric compare) gives the same
+    Bernoulli semantics with a portable coin, which is what promotes
+    this key from rows-only to oracle-hash-checked (the
+    `dedup_minhash_sql` md5-portability move; VERDICT r5 task 6).
+    Hash-keyed sampling is also the production-correct choice at 100 TB:
+    the decision for a row never depends on partitioning, task retries,
+    or row order, so re-runs and incremental loads sample consistently.
+    Realized-rate bounds are asserted in tests/test_pipeline.py.
     """
     ev = load_table(spark, sf_dir, "events")
-    fractions = {"view": 0.1, "click": 0.3, "purchase": 1.0, "error": 1.0, "signup": 1.0}
-    return ev.sampleBy("event_type", fractions, seed=7).select(
-        "event_id", "event_type", "user_id"
+    coin = F.substring(
+        F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{_STRATA_SEED}"))),
+        1, 8,
     )
+    thr = F.lit("g")
+    for et, f in sorted(_STRATA_FRACTIONS.items()):
+        thr = F.when(F.col("event_type") == et, F.lit(_hex_threshold(f))).otherwise(thr)
+    return ev.filter(coin < thr).select("event_id", "event_type", "user_id")
 
 
 @register(
