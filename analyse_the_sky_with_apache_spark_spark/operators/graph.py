@@ -1233,3 +1233,98 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moved.groupBy("community").agg(
         F.count(F.lit(1)).alias("size"), F.min("node").alias("min_node")
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+wedge AS (
+  SELECT a.node AS c, a.nbr AS x, b.nbr AS y
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+),
+score AS (
+  SELECT w.x, w.y,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(FLOOR(1e12 / LN(CAST(deg.d AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_micro
+  FROM wedge w JOIN deg ON deg.node = w.c
+  GROUP BY w.x, w.y
+)
+SELECT s.x, s.y, s.cn, s.aa_micro
+FROM score s
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.x AND e.v = s.y)
+ORDER BY s.aa_micro DESC, s.x, s.y
+LIMIT 50
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the strong co-purchase graph:
+    for part pairs NOT yet co-purchased, Σ 1/ln(deg(w)) across shared
+    neighbors w — common-neighbor counting (`graph_common_neighbors`)
+    with hub discounting, the standard refinement: a shared neighbor
+    that co-occurs with everything carries little evidence, and the
+    1/ln(deg) weight prices that in.
+
+    Same wedge plan as the CN kernel (candidate pairs enumerate only
+    through shared centers — never an all-pairs product; the strong-
+    edge threshold is the wedge-budget lever at scale), with one extra
+    broadcast-sized join: each wedge picks up its CENTER's degree, so
+    the weight rides the existing wedge stream — no second pass. Every
+    center in a wedge has degree ≥ 2, so ln(d) ≥ ln 2 and the weight
+    is finite by construction. The per-wedge 1/ln term is the only
+    float; it floors onto the 1e-12 grid BEFORE the per-pair sum
+    (ts_spectral_power discipline), so the ranking aggregate, the
+    anti-join of known edges, and the (aa, x, y) tie-broken top-50 all
+    run on exact longs.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a0, b0 = li.alias("a"), li.alias("b")
+    e = (
+        a0.join(
+            b0,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = a.join(
+        b,
+        (F.col("a.node") == F.col("b.node")) & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(
+        F.col("a.node").alias("c"), F.col("a.nbr").alias("x"), F.col("b.nbr").alias("y")
+    )
+    term = F.floor(F.lit(1e12) / F.log(F.col("d").cast("double"))).cast("long")
+    score = (
+        wedge.join(deg, wedge.c == deg.node)
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(term).cast("long").alias("aa_micro"),
+        )
+    )
+    nonedge = score.join(e, (score.x == e.u) & (score.y == e.v), "left_anti")
+    return (
+        nonedge.select("x", "y", "cn", "aa_micro")
+        .orderBy(F.col("aa_micro").desc(), "x", "y")
+        .limit(50)
+    )

@@ -844,3 +844,80 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "corpus_domain_mix_weights",
+    oracle="""
+WITH tok AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM tok),
+temp AS (
+  SELECT lang, source, tokens, t,
+         CAST(FLOOR(1e12 * SQRT(CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE)))
+              AS BIGINT) AS ti
+  FROM tok CROSS JOIN tot
+),
+norm AS (SELECT CAST(SUM(ti) AS BIGINT) AS s FROM temp)
+SELECT lang, source, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+       ROUND(CAST(ti AS DOUBLE) / CAST(s AS DOUBLE), 6) AS weight,
+       ROUND((CAST(ti AS DOUBLE) * CAST(t AS DOUBLE))
+             / (CAST(s AS DOUBLE) * CAST(tokens AS DOUBLE)), 6) AS oversample
+FROM temp CROSS JOIN norm
+ORDER BY lang, source
+""",
+)
+def corpus_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-(lang, source) domain token
+    shares → temperature-smoothed sampling weights w_i ∝ p_i^0.5 and
+    the oversampling factor each domain needs to hit its weight — the
+    unigram-LM / multilingual-sampling smoothing (α = 1/2) that keeps
+    head domains from drowning the tail without flattening the mix,
+    and the number a mixture-building epoch planner actually consumes
+    (`corpus_mix_sample` then realizes such rates deterministically).
+
+    Exactness: token counts aggregate as longs; p_i^0.5 is SQRT —
+    IEEE-754 correctly rounded everywhere, unlike libm pow/exp — of an
+    exact-operand division, floored onto the 1e-12 grid per domain
+    BEFORE normalization, so the normalizer Σtᵢ is an exact long and
+    every output ratio divides exact operands (then rounds for
+    display). Plan: one token aggregation (map-side combinable), two
+    1-row global sums broadcast back via the scalar cross-join pattern
+    — the domain table is |lang × source|-sized, so everything after
+    the first aggregate is effectively free at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").cast("long").alias("t"))
+    temp = tok.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "tokens", "t",
+        F.floor(
+            F.lit(1e12)
+            * F.sqrt(F.col("tokens").cast("double") / F.col("t").cast("double"))
+        ).cast("long").alias("ti"),
+    )
+    norm = temp.agg(F.sum("ti").cast("long").alias("s"))
+    return (
+        temp.crossJoin(F.broadcast(norm))
+        .select(
+            "lang", "source", "tokens",
+            F.round(
+                F.col("tokens").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("ti").cast("double") / F.col("s").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                (F.col("ti").cast("double") * F.col("t").cast("double"))
+                / (F.col("s").cast("double") * F.col("tokens").cast("double")),
+                6,
+            ).alias("oversample"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1909,3 +1909,211 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", 31).alias("ci_hi"),
     )
+
+
+@register(
+    "stat_benjamini_hochberg",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS g, value AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events
+),
+gv AS (
+  SELECT g, v, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(1 - a) AS BIGINT) AS cb
+  FROM s GROUP BY g, v
+),
+c AS (
+  SELECT g,
+         CAST(SUM(ca) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cua,
+         CAST(SUM(cb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cub
+  FROM gv
+),
+t AS (
+  SELECT g, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+  FROM gv GROUP BY g
+),
+d AS (
+  SELECT c.g, t.na, t.nb,
+         MAX(ABS(cua * t.nb - cub * t.na)) AS dnum
+  FROM c JOIN t ON c.g = t.g
+  GROUP BY c.g, t.na, t.nb
+),
+p AS (
+  SELECT g, na, nb,
+         ROUND(CAST(dnum AS DOUBLE) /
+               (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_d,
+         CAST(FLOOR(LEAST(
+           1.0,
+           2.0 * EXP(-2.0
+             * (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             * (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+         ) * 1e12) AS BIGINT) AS p_micro
+  FROM d
+),
+r AS (
+  SELECT g, na, nb, ks_d, p_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_micro, g) AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+)
+SELECT g AS event_type, na, nb, ks_d, p_micro, rnk,
+       rnk <= COALESCE(MAX(CASE WHEN p_micro * m <= rnk * 50000000000
+                           THEN rnk END) OVER (), 0) AS rejected
+FROM r
+""",
+)
+def stat_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing-corrected drift screen: per event type, a
+    two-sample KS test of ``value`` between user-id-parity arms (the
+    A/B split every experimentation platform runs), then a
+    Benjamini–Hochberg step-up over the family of event types at
+    q = 0.05 — the FDR control that keeps a thousand-metric screen from
+    alarming on 5% of healthy metrics.
+
+    Exactness ladder: the KS distance max runs over EXACT integers
+    (|cua·nb − cub·na|, the cross-multiplied CDF gap — no float enters
+    the argmax; overflow bound na·nb < 2⁶³ holds to ~3·10⁹ rows per
+    arm per group, past which the DECIMAL(38,0) lane applies as in
+    stat_spearman_corr); the one-term Kolmogorov tail
+    p = 2·exp(−2·D²·n_eff) is the single libm call, floored onto the
+    1e-12 grid (perplexity/NB discipline), and every BH comparison is
+    then integer: p_micro·m ≤ rank·q·1e12 cross-multiplied, so the
+    step-up threshold never touches a float. Both final windows
+    (rank by p, family max) run over |event types| rows — collapsed
+    input, the documented global-window exemption. Per-group CDF
+    windows are PARTITIONED BY group. The whole plan is two hash
+    aggregations + two partitioned windows + one 5-row window: at
+    100 TB the value-level aggregate carries |group × distinct value|
+    rows, everything after is per-group scalars.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.col("value").alias("v"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("a"),
+    )
+    gv = s.groupBy("g", "v").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(1 - F.col("a")).cast("long").alias("cb"),
+    )
+    wc = Window.partitionBy("g").orderBy("v")
+    c = gv.select(
+        "g",
+        F.sum("ca").over(wc).cast("long").alias("cua"),
+        F.sum("cb").over(wc).cast("long").alias("cub"),
+    )
+    t = gv.groupBy("g").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    d = (
+        c.join(t, "g")
+        .groupBy("g", "na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("cua") * F.col("nb") - F.col("cub") * F.col("na"))
+            ).alias("dnum")
+        )
+    )
+    dd = F.col("dnum").cast("double")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    ks = dd / (nad * nbd)
+    p_raw = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * ks * ks * (nad * nbd / (nad + nbd))),
+    )
+    p = d.select(
+        "g", "na", "nb",
+        F.round(ks, 6).alias("ks_d"),
+        F.floor(p_raw * F.lit(1e12)).cast("long").alias("p_micro"),
+    )
+    wr = Window.orderBy("p_micro", "g")
+    r = p.select(
+        "g", "na", "nb", "ks_d", "p_micro",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    wall = Window.partitionBy()
+    imax = F.coalesce(
+        F.max(
+            F.when(
+                F.col("p_micro") * F.col("m") <= F.col("rnk") * F.lit(50000000000),
+                F.col("rnk"),
+            )
+        ).over(wall),
+        F.lit(0).cast("long"),
+    )
+    return r.select(
+        F.col("g").alias("event_type"), "na", "nb", "ks_d", "p_micro", "rnk",
+        (F.col("rnk") <= imax).alias("rejected"),
+    )
+
+
+@register(
+    "stat_wilson_ci",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 75.0 THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, s,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+       ROUND(
+         ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+          - (1.96 / (2.0 * CAST(n AS DOUBLE)))
+            * SQRT(4.0 * CAST(s AS DOUBLE)
+                   * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 1.96 * 1.96))
+         / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       ROUND(
+         ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+          + (1.96 / (2.0 * CAST(n AS DOUBLE)))
+            * SQRT(4.0 * CAST(s AS DOUBLE)
+                   * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   + 1.96 * 1.96))
+         / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM c
+""",
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for per-segment conversion rates (success
+    = event value > 75): the binomial CI that stays inside [0, 1] and
+    behaves at small n and extreme p̂, where the naive Wald interval
+    collapses — the per-metric uncertainty a large-scale A/B readout
+    attaches to every proportion before anyone compares arms (the
+    multiplicity layer on top is `stat_benjamini_hochberg`).
+
+    One map-side-combinable counting aggregate per segment is the
+    entire distributed plan — at 100 TB this is scan bandwidth plus a
+    |segments|-row shuffle, nothing else. The interval arithmetic runs
+    on per-group scalars: exact-long counts, exact-operand divisions,
+    and SQRT (IEEE correctly rounded, not libm), with the expression
+    tree mirrored operation-for-operation in the oracle so both
+    engines round the same doubles (the √(4s(1−p̂)+z²) form keeps one
+    sqrt and no pow). Rounded to 1e-6 for display.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 75.0, 1).otherwise(0)).cast("long").alias("s"),
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    p_hat = sd / nd
+    z2 = F.lit(1.96) * F.lit(1.96)
+    root = F.sqrt(F.lit(4.0) * sd * (F.lit(1.0) - sd / nd) + F.lit(1.96) * F.lit(1.96))
+    denom = F.lit(1.0) + (F.lit(1.96) * F.lit(1.96)) / nd
+    half = F.lit(1.96) / (F.lit(2.0) * nd)
+    center = (sd / nd) + z2 / (F.lit(2.0) * nd)
+    return c.select(
+        "event_type", "n", "s",
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round((center - half * root) / denom, 6).alias("ci_lo"),
+        F.round((center + half * root) / denom, 6).alias("ci_hi"),
+    )

@@ -865,3 +865,87 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+#: aligned line width (words) and position cap for text_line_dedup —
+#: the cap mirrors the oracle's range(0, 200) so both engines enumerate
+#: identical line positions (join_set_similarity guard-pair convention).
+_LD_W = 8
+_LD_CAP = 200
+
+@register(
+    "text_line_dedup",
+    oracle=f"""
+WITH ln AS (
+  SELECT doc_id, t.i::BIGINT AS pos,
+         array_to_string(list_slice(string_split(text, ' '),
+                                    {_LD_W} * t.i + 1, {_LD_W} * t.i + {_LD_W}), ' ') AS line
+  FROM documents, range(0, {_LD_CAP}) t(i)
+  WHERE t.i < len(string_split(text, ' ')) // {_LD_W}
+),
+rn AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS r
+  FROM ln
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE r = 1), '') AS text_clean,
+       COUNT(*) FILTER (WHERE r = 1) AS n_kept,
+       COUNT(*) FILTER (WHERE r > 1) AS n_dropped
+FROM rn
+GROUP BY doc_id
+""",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-line removal — the CCNet/RefinedWeb cleaning
+    transform that strips lines already seen ANYWHERE earlier in the
+    corpus (navigation text, cookie banners, degenerate repetition),
+    keeping each line's global first occurrence by (doc_id, position).
+    `text_boilerplate` FLAGS recurring chunks; this key applies the cut
+    and returns the cleaned documents — the same audit→transform
+    pairing as dedup_substring_spans → dedup_substring_cut.
+
+    Documents split into aligned 8-word lines (``_LD_W``; the fixture
+    has no newlines — on real text the splitter is ``split(text,
+    '\\n')`` and the plan is unchanged). First occurrence = row_number
+    1 over a window PARTITIONED BY LINE — state per line, not global,
+    so the window shuffles |lines| rows by line hash exactly like the
+    groupBy a dedup would use; at 100 TB hot boilerplate lines are the
+    skew risk and salt-by-prefix applies unchanged. Reassembly sorts
+    each survivor's (pos, line) pairs inside one per-doc aggregate —
+    no second window. Docs shorter than one line carry no lines and
+    are excluded by both engines; a doc whose every line is someone
+    else's duplicate survives with text_clean = ''.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.filter(
+        F.size(F.split("text", " ")) >= _LD_W
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, least(size(split(text, ' ')) div {_LD_W},"
+                f" {_LD_CAP}) - 1),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), {_LD_W} * i + 1, {_LD_W})))"
+            )
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    flagged = lines.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "line",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN keep THEN struct(pos, line) END)), s -> s.line)"
+                ),
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+    )

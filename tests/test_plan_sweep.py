@@ -55,6 +55,7 @@ _BNL_ALLOWED = {
     "xmatch_neighbor_density", "text_inverted_index",
     # 1-row scalar broadcasts
     "agg_distinct",  # per-column partial-distinct subplans × 1-row joins
+    "corpus_domain_mix_weights",  # 2 global-sum scalars re-broadcast
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
@@ -115,6 +116,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ts_bollinger_bands", "ts_cusum_alarm", "ts_decompose_residuals",
     "ts_hampel_filter", "win_pareto_abc", "win_running_distinct",
     "win_decile_spend", "corpus_curriculum_order",
+    # BH rank + family-max windows run over |event types| rows (the
+    # per-group KS windows are partitioned; only the 5-row step-up is
+    # global)
+    "stat_benjamini_hochberg",
 }
 
 
