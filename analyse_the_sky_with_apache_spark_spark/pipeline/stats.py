@@ -2117,3 +2117,175 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half * root) / denom, 6).alias("ci_lo"),
         F.round((center + half * root) / denom, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "ml_average_precision",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS k,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) AS BIGINT) AS cum_rel
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN rel = 1 THEN
+           CAST(FLOOR(1e12 * CAST(cum_rel AS DOUBLE) / CAST(k AS DOUBLE))
+                AS BIGINT) ELSE 0 END) AS BIGINT) AS terms,
+         CAST(SUM(rel) AS BIGINT) AS n_rel
+  FROM ranked GROUP BY user_id
+),
+ap AS (
+  SELECT user_id, terms // n_rel AS ap_micro
+  FROM per_user WHERE n_rel > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(ap_micro) AS BIGINT) AS sum_ap_micro,
+       ROUND(CAST(SUM(ap_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12,
+             6) AS map
+FROM ap
+""",
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision over per-user ranked recommendations
+    (rank = event value desc, relevant = purchase) — the
+    order-sensitive ranking metric that `ml_auc_roc` (pairwise) and
+    `ml_ndcg_at_k` (graded, top-k) don't cover: AP integrates
+    precision exactly at each relevant hit, so it rewards putting
+    relevant items EARLY, not just above irrelevant ones.
+
+    Exactness: precision@k = cum_rel/k is an exact-operand division
+    floored onto the 1e-12 grid per relevant hit BEFORE any sum; each
+    user's AP then divides two exact longs with INTEGER division
+    (``terms // n_rel``), so the corpus-level mean sums longs — no
+    float accumulates across rows anywhere, which is what makes the
+    metric partition-order-independent (a MAP that averages rounded
+    doubles is not). Windows are PARTITIONED BY USER (ties broken by
+    event_id): per-user state only, the distributed-ranking-eval shape
+    — at 100 TB the shuffle carries (user, k) rows and nothing is
+    global until the final 1-row aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rel = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    ranked = ev.select(
+        "user_id",
+        rel.alias("rel"),
+        F.row_number().over(w).alias("k"),
+        F.sum(rel).over(w).cast("long").alias("cum_rel"),
+    )
+    term = F.floor(
+        F.lit(1e12) * F.col("cum_rel").cast("double") / F.col("k").cast("double")
+    ).cast("long")
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("rel") == 1, term).otherwise(0)).cast("long").alias("terms"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    ap = per_user.filter(F.col("n_rel") > 0).select(
+        "user_id", F.expr("terms div n_rel").alias("ap_micro")
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("ap_micro").cast("long").alias("sum_ap_micro"),
+        F.round(
+            F.sum("ap_micro").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(1e12),
+            6,
+        ).alias("map"),
+    )
+
+
+@register(
+    "stat_effect_sizes",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0
+              THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s0,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+                   * CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+                   * CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS q0
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n1, n0,
+       ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0, 6) AS mean_diff,
+       ROUND(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0)
+             / SQRT((((CAST(q1 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n1 AS DOUBLE))
+                      + (CAST(q0 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                           / CAST(n0 AS DOUBLE)))
+                     / CAST(n1 + n0 - 2 AS DOUBLE)) / 10000.0), 6) AS cohens_d,
+       ROUND((((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0)
+              / SQRT((((CAST(q1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(n1 AS DOUBLE))
+                       + (CAST(q0 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                            / CAST(n0 AS DOUBLE)))
+                      / CAST(n1 + n0 - 2 AS DOUBLE)) / 10000.0))
+             * (1.0 - 3.0 / (4.0 * CAST(n1 + n0 - 2 AS DOUBLE) - 1.0)), 6)
+         AS hedges_g
+FROM c
+""",
+)
+def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes per segment between user-id-parity
+    arms: Cohen's d (pooled-SD mean difference) and the Hedges g
+    small-sample correction — the magnitude readout an A/B platform
+    reports NEXT TO its p-values (`stat_benjamini_hochberg` says
+    "significant"; this says "by how much"), because at 100-TB sample
+    sizes everything is significant and only effect size ranks what
+    matters.
+
+    The cents lane keeps the distributed pass exact: values are
+    2-decimal by fixture contract, so sums and sums-of-squares
+    accumulate as exact cent-longs (q fits int64 to ~6·10¹⁴ rows per
+    group; past that the DECIMAL(38,0) lane). The per-group scalar
+    math mirrors the oracle operation-for-operation — exact-operand
+    divisions, one SQRT (IEEE correctly rounded), s² computed in
+    double (exact: cent sums stay under 2⁵³ to ~10¹² rows/group) —
+    then rounds to 1e-6. One counting aggregate is the whole
+    distributed plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm1 = F.col("user_id") % 2 == 0
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(arm1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~arm1, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(arm1, cents).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(~arm1, cents).otherwise(0)).cast("long").alias("s0"),
+        F.sum(F.when(arm1, cents * cents).otherwise(0)).cast("long").alias("q1"),
+        F.sum(F.when(~arm1, cents * cents).otherwise(0)).cast("long").alias("q0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1d, s0d = F.col("s1").cast("double"), F.col("s0").cast("double")
+    q1d, q0d = F.col("q1").cast("double"), F.col("q0").cast("double")
+    dfd = (F.col("n1") + F.col("n0") - 2).cast("double")
+    mean_diff = (s1d / n1d - s0d / n0d) / F.lit(100.0)
+    sp2 = ((q1d - s1d * s1d / n1d) + (q0d - s0d * s0d / n0d)) / dfd / F.lit(10000.0)
+    d = mean_diff / F.sqrt(sp2)
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * dfd - F.lit(1.0)))
+    return c.select(
+        "event_type", "n1", "n0",
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+    )

@@ -114,6 +114,12 @@ _ROTATION_R8 = (
     "xmatch_photometric_offset", "text_ngram_lm", "q20_promo_suppliers",
     "events_heatmap", "corpus_curriculum_order", "dedup_substring_cut",
     "privacy_t_closeness", "ml_psi_drift",
+    # round-6 additions + the rows-only→oracle promotion, padding the
+    # short final page (none has ever been driver-sampled)
+    "text_line_dedup", "stat_benjamini_hochberg", "graph_adamic_adar",
+    "corpus_domain_mix_weights", "stat_wilson_ci",
+    "sample_stratified_seeded",
+    "mv_join_maintenance", "ml_average_precision", "stat_effect_sizes",
 )
 
 #: Page 1 — the LIVE round-6 window.

@@ -80,6 +80,9 @@ EXTENDED = (
     # round-9 additions (regression reference: BENCH_r04)
     "dedup_simhash",        # md5 bit-plane fingerprint + pigeonhole bands
     "scan_txn_log_snapshot",# log-replay snapshot scan (txn-log format)
+    # driver-round-6 additions (regression reference: BENCH_r06)
+    "text_line_dedup",      # corpus-wide repeated-line cut
+    "graph_adamic_adar",    # hub-discounted link prediction
 )
 
 

@@ -56,6 +56,7 @@ _BNL_ALLOWED = {
     # 1-row scalar broadcasts
     "agg_distinct",  # per-column partial-distinct subplans × 1-row joins
     "corpus_domain_mix_weights",  # 2 global-sum scalars re-broadcast
+    "mv_join_maintenance",  # audit row: 1-row full_v × 1-row old_v
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
