@@ -303,6 +303,17 @@ def test_retention_no_distinct_expand(spark):
     assert "Expand" not in plan
 
 
+def test_agg_distinct_no_expand(spark):
+    """agg_distinct plans per-column partial-distinct subplans combined
+    by 1-row broadcast joins (BASELINE.md driver-round-6 re-pin) — the
+    4× Expand plan must not reappear."""
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    plan = _plan(queries()["agg_distinct"](spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_q3_topk_and_broadcast(spark):
     """Q3 shape: top-10 must be TakeOrderedAndProject (no global sort of
     the aggregate) and the filtered customer dim must broadcast."""
