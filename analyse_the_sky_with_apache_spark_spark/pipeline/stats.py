@@ -2289,3 +2289,82 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("cohens_d"),
         F.round(g, 6).alias("hedges_g"),
     )
+
+
+#: decision thresholds for ml_pr_curve (event value units).
+_PR_THRESHOLDS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+@register(
+    "ml_pr_curve",
+    oracle="""
+WITH t(thr) AS (SELECT UNNEST([10, 20, 30, 40, 50, 60, 70, 80, 90])),
+c AS (
+  SELECT thr,
+         CAST(SUM(CASE WHEN value > thr
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN value > thr
+              AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN value <= thr
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM events CROSS JOIN t GROUP BY thr
+)
+SELECT CAST(thr AS BIGINT) AS threshold, tp, fp, fn,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+       ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+       ROUND(2.0 * CAST(tp AS DOUBLE)
+             / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1
+FROM c ORDER BY threshold
+""",
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve at fixed decision thresholds (score =
+    event value, positive = purchase): the operating-point table a
+    model report prints next to its scalar metrics — `ml_auc_roc`
+    integrates over ALL thresholds, `ml_average_precision` over the
+    ranking; this answers "what do I get at the threshold I'll
+    actually deploy".
+
+    Plan: ONE pass over events with 27 conditional counting sums (3
+    counters × 9 thresholds — map-side combinable longs), unpivoted to
+    9 rows afterward with ``stack`` — no 9× row explosion before the
+    shuffle, no second scan (the oracle's CROSS JOIN form is the
+    readable equivalent; the engine keeps the blowup OUT of the
+    distributed pass, which at 100 TB is the difference between one
+    table scan and nine). Counts are exact longs; precision/recall/F1
+    divide exact operands and round to 1e-6. TN is derivable
+    (n − tp − fp − fn) and omitted, as in every PR table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.col("event_type") == "purchase"
+    aggs = []
+    for t in _PR_THRESHOLDS:
+        hi = F.col("value") > float(t)
+        aggs += [
+            F.sum(F.when(hi & pos, 1).otherwise(0)).cast("long").alias(f"tp_{t}"),
+            F.sum(F.when(hi & ~pos, 1).otherwise(0)).cast("long").alias(f"fp_{t}"),
+            F.sum(F.when(~hi & pos, 1).otherwise(0)).cast("long").alias(f"fn_{t}"),
+        ]
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"{t}L, tp_{t}, fp_{t}, fn_{t}" for t in _PR_THRESHOLDS
+    )
+    rows = wide.select(
+        F.expr(
+            f"stack({len(_PR_THRESHOLDS)}, {stack})"
+        ).alias("threshold", "tp", "fp", "fn")
+    )
+    return rows.select(
+        "threshold", "tp", "fp", "fn",
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"), 6
+        ).alias("recall_"),
+        F.round(
+            F.lit(2.0) * F.col("tp").cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")

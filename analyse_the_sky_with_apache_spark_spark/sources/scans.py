@@ -1082,3 +1082,97 @@ def scan_txn_log_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= _TXN_PRUNE_KEY_MAX)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
+
+
+#: versions of time travel VACUUM must preserve (files removed at or
+#: before latest − retain are reclaimable).
+_TXN_VACUUM_RETAIN = 1
+
+
+@register(
+    "txn_log_vacuum",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey % 4 AS bucket, o_orderstatus FROM orders
+)
+SELECT * FROM (
+  SELECT 'bucket_0_v0' AS file, CAST(2 AS BIGINT) AS removed_in_version,
+         CAST((SELECT COUNT(*) FROM b WHERE bucket = 0) AS BIGINT) AS n_rows,
+         FALSE AS eligible
+  UNION ALL
+  SELECT 'bucket_1_v0', 2,
+         CAST((SELECT COUNT(*) FROM b WHERE bucket = 1) AS BIGINT), FALSE
+  UNION ALL
+  SELECT 'bucket_2_v0', 2,
+         CAST((SELECT COUNT(*) FROM b WHERE bucket = 2) AS BIGINT), FALSE
+  UNION ALL
+  SELECT 'bucket_3_v0', 1,
+         CAST((SELECT COUNT(*) FROM b WHERE bucket = 3) AS BIGINT), TRUE
+  UNION ALL
+  SELECT 'bucket_3_v1', 2,
+         CAST((SELECT COUNT(*) FROM b
+               WHERE bucket = 3 AND o_orderstatus <> 'F') AS BIGINT), FALSE
+) ORDER BY file
+""",
+)
+def txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM dry-run over the transaction log: every file some commit
+    REMOVED, the version that removed it, its row count, and whether
+    the retention policy (keep files referenced by the last
+    ``_TXN_VACUUM_RETAIN`` versions, so time travel that far back still
+    works) lets it be deleted — the maintenance audit every log-format
+    table needs before reclaiming storage, and the missing fourth verb
+    after snapshot/time-travel/compact in this table-format family.
+
+    The ENGINE derives everything from the log alone: one replay
+    collects remove-actions with their versions (driver-side metadata,
+    like every log scan here), then ONE distributed parquet read over
+    all removed files counts rows grouped by file via
+    ``input_file_name()`` — no per-file job. The ORACLE re-derives the
+    same rows from the relational truth the fixture encodes (which
+    bucket residues each file held), so the hash certifies the log
+    replay against an independent statement of what the files must
+    contain. At 100 TB the replay is O(log); the counting scan is
+    optional evidence (a real VACUUM trusts sizes from the commit) and
+    parallelizes over exactly the files being reclaimed.
+    """
+    import json as _json
+
+    root = _txn_log_build(spark, sf_dir)
+    logd = os.path.join(root, "_log")
+    removed: dict[str, int] = {}
+    latest = 0
+    for name in sorted(os.listdir(logd)):
+        ver = int(name.split(".")[0])
+        latest = max(latest, ver)
+        with open(os.path.join(logd, name)) as f:
+            for line in f:
+                a = _json.loads(line)
+                if a["action"] == "remove":
+                    removed[a["path"]] = ver
+    horizon = latest - _TXN_VACUUM_RETAIN
+    paths = sorted(removed)
+    counts = (
+        spark.read.parquet(*paths)
+        .select(F.input_file_name().alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # map part files back to their table file (directory) name
+    base = F.regexp_extract("part", r".*/(bucket_[0-9]+_v[0-9]+)/", 1)
+    per_file = counts.groupBy(base.alias("file")).agg(
+        F.sum("n").cast("long").alias("n_rows")
+    )
+    meta = spark.createDataFrame(
+        [
+            (os.path.basename(p), removed[p], removed[p] <= horizon)
+            for p in paths
+        ],
+        "file STRING, removed_in_version BIGINT, eligible BOOLEAN",
+    )
+    return (
+        meta.join(per_file, "file")
+        .select("file", "removed_in_version", "n_rows", "eligible")
+        .orderBy("file")
+    )
+
