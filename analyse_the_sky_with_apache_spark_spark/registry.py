@@ -120,7 +120,7 @@ _ROTATION_R8 = (
     "corpus_domain_mix_weights", "stat_wilson_ci",
     "sample_stratified_seeded",
     "mv_join_maintenance", "ml_average_precision", "stat_effect_sizes",
-    "txn_log_vacuum", "ml_pr_curve",
+    "txn_log_vacuum", "ml_pr_curve", "sink_pyds",
 )
 
 #: Page 1 — the LIVE round-6 window.

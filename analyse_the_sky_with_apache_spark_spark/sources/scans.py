@@ -1176,3 +1176,122 @@ def txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("file")
     )
 
+
+
+def _make_jsonl_sink_source():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class JsonlCommit(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlWriter(DataSourceWriter):
+        """Per-partition writer: one JSON-lines part file per task,
+        committed via task→driver commit messages (the two-phase
+        protocol every exactly-once sink implements)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json as _j
+            import os as _os
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            part = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            n = 0
+            with open(part + ".tmp", "w") as f:
+                for row in iterator:
+                    f.write(_j.dumps(row.asDict()) + "\n")
+                    n += 1
+            return JsonlCommit(part, n)
+
+        def commit(self, messages):
+            import os as _os
+
+            for m in messages:
+                _os.replace(m.path + ".tmp", m.path)
+
+        def abort(self, messages):
+            import os as _os
+
+            for m in messages:
+                try:
+                    _os.remove(m.path + ".tmp")
+                except FileNotFoundError:
+                    pass
+
+    class JsonlSinkSource(DataSource):
+        """JSON-lines sink via the Python DataSource writer API."""
+
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSinkSource
+
+
+_PYDS_SINK_REGISTERED: set[int] = set()
+
+
+@register(
+    "sink_pyds",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource writer API (Spark 4) — the
+    write-side twin of `scan_pyds` and the extensibility door for
+    destinations Spark lacks natively (feature stores, vector DBs,
+    labeling queues). A pure-Python ``DataSourceWriter`` writes one
+    JSON-lines part per task into a temp-then-rename two-phase commit:
+    tasks stage ``.tmp`` files and return commit messages; the DRIVER's
+    ``commit()`` makes them visible atomically (``abort()`` removes
+    strays) — the task-commit protocol every exactly-once sink
+    implements, here in ~30 lines of Python.
+
+    Verification closes the loop through the sink: orders flow OUT
+    through the custom writer, back IN via ``spark.read.json`` over
+    the committed parts, and aggregate to per-priority counts and
+    exact-cent sums — hash-equal to aggregating the source directly
+    (the oracle), so the sink provably lost and duplicated nothing.
+    At 100 TB each task streams its partition; the only driver-side
+    work is the O(tasks) commit-message pass, same as any file sink.
+    """
+    src = _make_jsonl_sink_source()
+    key = id(spark)
+    if key not in _PYDS_SINK_REGISTERED:
+        spark.dataSource.register(src)
+        _PYDS_SINK_REGISTERED.add(key)
+    path = os.path.join(
+        _SCRATCH, "pyds_sink_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        os.remove(os.path.join(path, old))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.format("jsonlsink").option("path", path).mode("append").save()
+    back = spark.read.json(os.path.join(path, "*.jsonl"))
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+

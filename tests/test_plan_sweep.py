@@ -30,7 +30,7 @@ _EAGER_KEYS = {
     "graph_bfs_hops", "graph_pagerank", "graph_pagerank_exact",
     "graph_kcore", "kmeans_lloyd", "cluster_grid_density",
     "sim_mmr_diversify", "ml_linreg_normal", "dedup_minhash_eval",
-    "sink_parquet", "sink_partitioned", "sink_sorted_clustered",
+    "sink_parquet", "sink_partitioned", "sink_sorted_clustered", "sink_pyds",
     "zorder_layout", "scan_csv", "scan_json", "scan_xml", "scan_orc",
     "scan_text", "scan_log_regexp", "scan_binaryfile",
     "scan_csv_permissive", "scan_merge_schema", "scan_partition_pruned",
