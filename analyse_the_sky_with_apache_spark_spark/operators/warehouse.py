@@ -1827,3 +1827,77 @@ def mv_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t1.unionAll(t2).unionAll(t3).unionAll(audit).orderBy("term")
+
+
+@register(
+    "funnel_unordered",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+c AS (
+  SELECT GREATEST(tv, tc, tp) - LEAST(tv, tc, tp) AS span_us
+  FROM p WHERE tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_completed,
+       CAST(SUM(CASE WHEN span_us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_24h,
+       ROUND(CAST(CAST(SUM(span_us) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 60000000.0, 4) AS avg_span_min
+FROM c
+""",
+)
+def funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered set-completion funnel: a user converts when they have
+    done ALL of {view, click, purchase}, in ANY order — the
+    checklist-completion metric (onboarding steps, feature adoption)
+    that `funnel_steps`' strictly-ordered semantics can't express,
+    with completion span = latest-first-touch − earliest-first-touch.
+
+    One conditional-MIN aggregate per user is the whole distributed
+    plan (map-side combinable; the per-step first-touch micros ride a
+    single groupBy — no per-step join, no window), then a 1-row rollup
+    counts completers, 24-hour completers, and the mean span. Spans
+    are exact integer microseconds (`unix_micros`/`epoch_us`, the
+    ts_order_gaps convention, immune to the events NTZ pitfall); the
+    mean divides two exact longs. The total-users scalar rides back
+    via a 1-row broadcast cross join.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    us = F.unix_micros(F.col("ts"))
+    p = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+    )
+    total = p.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    c = p.filter(
+        F.col("tv").isNotNull() & F.col("tc").isNotNull() & F.col("tp").isNotNull()
+    ).select(
+        (
+            F.greatest("tv", "tc", "tp") - F.least("tv", "tc", "tp")
+        ).alias("span_us")
+    )
+    agg = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_completed"),
+        F.sum(F.when(F.col("span_us") <= 86_400_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_24h"),
+        F.round(
+            F.sum("span_us").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double") / F.lit(60000000.0),
+            4,
+        ).alias("avg_span_min"),
+    )
+    return F.broadcast(total).crossJoin(agg).select(
+        "n_users", "n_completed", "n_within_24h", "avg_span_min"
+    )

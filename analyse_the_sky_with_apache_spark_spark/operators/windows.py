@@ -2467,3 +2467,131 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         F.when(F.col("cusum") > 3 * F.col("mu"), 1).otherwise(0).alias("alarm"),
     )
+
+
+#: ts_granger_lite — the float tail is built ONCE as SQL text and used
+#: verbatim by BOTH engines (Spark F.expr and the DuckDB oracle), so
+#: the IEEE operation tree is identical by construction.
+_G_CYY = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n2 AS DOUBLE))"
+_G_CYL = "(CAST(syl AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sl AS DOUBLE)/CAST(n2 AS DOUBLE))"
+_G_CYX = "(CAST(syx AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n2 AS DOUBLE))"
+_G_CLL = "(CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE)*CAST(sl AS DOUBLE)/CAST(n2 AS DOUBLE))"
+_G_CXX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n2 AS DOUBLE))"
+_G_CLX = "(CAST(slx AS DOUBLE) - CAST(sl AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n2 AS DOUBLE))"
+_G_RSS_A = f"({_G_CYY} - {_G_CYL}*{_G_CYL}/{_G_CLL})"
+_G_DET = f"({_G_CLL}*{_G_CXX} - {_G_CLX}*{_G_CLX})"
+_G_B = f"(({_G_CYL}*{_G_CXX} - {_G_CYX}*{_G_CLX})/{_G_DET})"
+_G_C = f"(({_G_CYX}*{_G_CLL} - {_G_CYL}*{_G_CLX})/{_G_DET})"
+_G_RSS_B = f"({_G_CYY} - {_G_B}*{_G_CYL} - {_G_C}*{_G_CYX})"
+_G_F = f"(({_G_RSS_A} - {_G_RSS_B}) * (CAST(n2 AS DOUBLE) - 3.0) / {_G_RSS_B})"
+
+
+@register(
+    "ts_granger_lite",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+pu AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+s AS (
+  SELECT COALESCE(v.d, pu.d) AS d, COALESCE(y, 0) AS y, COALESCE(x, 0) AS x
+  FROM v FULL OUTER JOIN pu ON v.d = pu.d
+),
+lagd AS (
+  SELECT y, LAG(y) OVER (ORDER BY d) AS l, LAG(x) OVER (ORDER BY d) AS xl
+  FROM s
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(l) AS BIGINT) AS sl,
+         CAST(SUM(xl) AS BIGINT) AS sx,
+         CAST(SUM(y * l) AS BIGINT) AS syl,
+         CAST(SUM(y * xl) AS BIGINT) AS syx,
+         CAST(SUM(l * xl) AS BIGINT) AS slx,
+         CAST(SUM(l * l) AS BIGINT) AS sll,
+         CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagd WHERE l IS NOT NULL
+)
+SELECT n2,
+       ROUND({_G_RSS_A}, 6) AS rss_restricted,
+       ROUND({_G_RSS_B}, 6) AS rss_full,
+       ROUND({_G_F}, 6) AS f_stat,
+       ROUND({_G_F}, 6) > 4.0 AS x_helps_predict_y
+FROM t
+""",
+)
+def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen (lag-1, lite): does yesterday's VIEW
+    volume improve today's PURCHASE-volume forecast beyond purchases'
+    own history? Restricted model y_t ~ y_{t-1} vs full model
+    y_t ~ y_{t-1} + x_{t-1}, compared by the F statistic
+    (ΔRSS)·(n−3)/RSS_full — the classic leading-indicator test a
+    metrics warehouse runs across candidate driver/outcome pairs
+    (lag-1 keeps the demo closed-form; more lags = more suffstat
+    columns, same plan).
+
+    Distributed work is two daily counting aggregates + one full outer
+    day-align join; the lag window then runs over |days| rows — a
+    collapsed input, the documented global-window exemption (at
+    100 TB: thousands of rows, after the billions aggregated away).
+    Both OLS solutions come CLOSED-FORM from one 10-column
+    sufficient-statistics row (the ml_linreg_suffstats normal-equation
+    move): every sum is an exact long (day-count products overflow
+    only past ~3·10⁹ events/day), and the entire float tail — centered
+    moments, 2×2 determinant solve, RSS, F — is ONE SQL expression
+    string shared verbatim by the Spark plan and the DuckDB oracle
+    (module constants above), so both engines execute the identical
+    IEEE operation tree and the hash certifies the algebra, not a
+    rounding accident. The F > 4.0 decision compares the ROUNDED
+    statistic, engine-consistent by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("d")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    s = (
+        v.join(pu, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("y", F.lit(0)).alias("y"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    )
+    w = Window.orderBy("d")
+    lagd = s.select(
+        "y",
+        F.lag("y").over(w).alias("l"),
+        F.lag("x").over(w).alias("xl"),
+    ).filter(F.col("l").isNotNull())
+    t = lagd.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("l")).cast("long").alias("syl"),
+        F.sum(F.col("y") * F.col("xl")).cast("long").alias("syx"),
+        F.sum(F.col("l") * F.col("xl")).cast("long").alias("slx"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("sll"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return t.select(
+        "n2",
+        F.expr(f"ROUND({_G_RSS_A}, 6)").alias("rss_restricted"),
+        F.expr(f"ROUND({_G_RSS_B}, 6)").alias("rss_full"),
+        F.expr(f"ROUND({_G_F}, 6)").alias("f_stat"),
+        F.expr(f"ROUND({_G_F}, 6) > 4.0").alias("x_helps_predict_y"),
+    )

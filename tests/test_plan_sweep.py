@@ -57,6 +57,7 @@ _BNL_ALLOWED = {
     "agg_distinct",  # per-column partial-distinct subplans × 1-row joins
     "corpus_domain_mix_weights",  # 2 global-sum scalars re-broadcast
     "mv_join_maintenance",  # audit row: 1-row full_v × 1-row old_v
+    "funnel_unordered",  # 1-row totals × 1-row completion rollup
     "agg_hll_overlap", "ts_seasonal_index", "xmatch_likelihood_ratio",
     "ml_naive_bayes_train", "stat_chi2_independence", "stat_ks_test",
     "corpus_kl_divergence", "basket_rules_confidence", "graph_modularity",
@@ -121,6 +122,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # per-group KS windows are partitioned; only the 5-row step-up is
     # global)
     "stat_benjamini_hochberg",
+    # lag window over the daily-counts table (|days| rows, collapsed)
+    "ts_granger_lite",
 }
 
 
