@@ -715,3 +715,56 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The gap is now an EXECUTABLE probe (tests/test_tws_probe.py): it pins
 # the ImportError today and runs a real ValueState counter end-to-end
 # the moment the environment gains google.protobuf.
+
+
+@register("stream_join_then_agg")  # rows-only: append emission is
+# watermark-dependent (finalized windows only) — pinned by pytest
+def stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN feeding a windowed AGGREGATION in one
+    streaming plan — the second multiple-stateful-operator shape
+    (Spark 3.4+) next to `stream_chained_agg`'s agg→agg: conversions
+    (view→purchase within 30 min per user) joined in state, then
+    rolled into hourly conversion counts in a SECOND state store, one
+    query end-to-end (the pre-3.4 workaround was a sink between the
+    join and the agg, paying a full persistence round-trip).
+
+    The join's event-time watermark propagates through to the window
+    aggregate, so both stores stay bounded: the join buffers watermark
+    + interval per side, the agg holds only unfinalized hour windows.
+    Append mode emits a window once the watermark passes its end —
+    the still-open tail hours are withheld, which is why this key is
+    rows-only: tests/test_streaming.py pins every emitted hour against
+    the batch join+rollup and the withholding itself.
+    """
+    src = stage_events(spark, sf_dir, n_files=3)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    buys = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    conversions = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    hourly = conversions.groupBy(
+        F.window("b_ts", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_conversions"))
+    res = run_stream(spark, hourly, mode="append", name="join_agg")
+    return res.select(
+        F.col("w.start").alias("hour_start"),
+        F.col("n_conversions").cast("long").alias("n_conversions"),
+    )

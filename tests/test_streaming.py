@@ -218,3 +218,53 @@ def test_stream_left_join_withholds_only_tail(spark):
         assert (hi - null_ts[vid]).total_seconds() <= 90 * 60, (
             f"view {vid} withheld but outside the 90-min tail horizon"
         )
+
+
+def test_join_then_agg_matches_batch_on_finalized_hours(spark):
+    """join→agg multiple-stateful chain: every emitted hour must equal
+    the batch join+rollup, and the stream must withhold the tail hours
+    the watermark has not finalized."""
+    from pyspark.sql import functions as F
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.registry import queries
+
+    got = {
+        r["hour_start"]: r["n_conversions"]
+        for r in queries()["stream_join_then_agg"](spark, SF_DIR).collect()
+    }
+    assert got, "join→agg chain emitted nothing"
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("v_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("b_ts")
+    )
+    conv = a.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") > F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    batch = {
+        r["h"]: r["n"]
+        for r in conv.groupBy(F.date_trunc("hour", "b_ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for h, n in got.items():
+        assert batch[h] == n, f"mismatch at {h}: stream {n} vs batch {batch[h]}"
+    # withholding: any batch hour the stream did NOT emit must still be
+    # inside the final watermark horizon (global max ts − 1 h delay),
+    # where the stream cannot yet prove the window is complete. With
+    # sparse conversions every window may finalize — then got == batch.
+    import datetime
+
+    horizon = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    for h in batch:
+        if h not in got:
+            assert h + datetime.timedelta(hours=1) > horizon, (
+                f"finalized hour {h} missing from the stream output"
+            )
