@@ -966,3 +966,51 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY depth
         """
     )
+
+
+@register(
+    "sql_variables",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+WHERE o_totalprice > 250000.0
+GROUP BY o_orderpriority
+""",
+)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4: DECLARE / SET VARIABLE /
+    EXECUTE IMMEDIATE): the parameterization surface for SQL-first
+    pipelines — thresholds and run dates live in session state instead
+    of string-formatted literals, so the same statement text deploys
+    across environments and audits cleanly.
+
+    The demo DECLAREs a price floor with a default, overrides it via
+    ``EXECUTE IMMEDIATE ... USING`` (the injection-safe bind path) and
+    a plain ``SET VARIABLE``, then filters through the variable.
+    Variables resolve at ANALYSIS time to constants, so Catalyst still
+    pushes ``o_totalprice > 250000.0`` into the parquet scan — session
+    state costs nothing at 100 TB. The oracle inlines the final value,
+    certifying the variable chain resolved to exactly that constant.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 100000.0"
+    )
+    # bind-parameter override (EXECUTE IMMEDIATE ... USING)
+    spark.sql(
+        "EXECUTE IMMEDIATE 'SET VARIABLE price_floor = ?' USING 200000.0"
+    )
+    # plain override — last writer wins
+    spark.sql("SET VARIABLE price_floor = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+        FROM orders
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority
+        """
+    )

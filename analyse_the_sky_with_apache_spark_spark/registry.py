@@ -121,7 +121,7 @@ _ROTATION_R8 = (
     "sample_stratified_seeded",
     "mv_join_maintenance", "ml_average_precision", "stat_effect_sizes",
     "txn_log_vacuum", "ml_pr_curve", "sink_pyds",
-    "funnel_unordered", "ts_granger_lite",
+    "funnel_unordered", "ts_granger_lite", "sql_variables",
 )
 
 #: Page 1 — the LIVE round-6 window.
