@@ -1676,3 +1676,102 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wc").cast("double") / F.lit(100.0) / F.count(F.lit(1)), 4
         ).alias("winsorized_mean"),
     )
+
+
+_HIST_BUCKETS = 20
+
+
+@register(
+    "agg_histogram_equiwidth",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+bounds AS (
+  SELECT CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+  FROM cents
+),
+bucketed AS (
+  SELECT CAST(FLOOR((v - lo) * {_HIST_BUCKETS}.0 / (hi - lo + 1))
+              AS BIGINT) AS bucket,
+         v, lo, hi
+  FROM cents CROSS JOIN bounds
+)
+SELECT bucket,
+       CAST(lo + CAST(FLOOR(bucket * (hi - lo + 1)
+                            / {_HIST_BUCKETS}.0) AS BIGINT)
+            AS DOUBLE) / 100.0 AS bucket_lo,
+       CAST(lo + CAST(FLOOR((bucket + 1) * (hi - lo + 1)
+                            / {_HIST_BUCKETS}.0) AS BIGINT)
+            AS DOUBLE) / 100.0 AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(v) AS DOUBLE) / 100.0 AS sum_value
+FROM bucketed
+GROUP BY bucket, lo, hi
+ORDER BY bucket
+""",
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value in 20 buckets —
+    the profiling/BI primitive Spark has no single operator for. Two
+    passes: a min/max aggregate whose 1-row result broadcasts back
+    onto the scan, then one hash aggregate on the computed bucket id.
+    Bucketing is EXACT integer arithmetic on cents
+    (``(v−lo)·B / (hi−lo+1)``, floor division) so the same row lands in
+    the same bucket in both engines — no floating-point bin edges until
+    the display columns. Only occupied buckets are emitted (empty bins
+    are display concerns, not aggregation results).
+
+    At 100 TB both passes are map-side-combinable single-shuffle
+    aggregations over ≤B groups; the bounds row rides a 1-row
+    broadcast. The same two-pass shape serves any numeric column.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    cents = od.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    )
+    bounds = cents.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width_n = F.col("hi") - F.col("lo") + F.lit(1)
+    b = F.lit(_HIST_BUCKETS)
+    bucketed = cents.crossJoin(F.broadcast(bounds)).select(
+        F.floor((F.col("v") - F.col("lo")) * b / width_n)
+        .cast("long")
+        .alias("bucket"),
+        "v",
+        "lo",
+        "hi",
+    )
+    return (
+        bucketed.groupBy("bucket", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum("v").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (
+                (
+                    F.col("lo")
+                    + F.floor(F.col("bucket") * (F.col("hi") - F.col("lo") + 1) / b)
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("bucket_lo"),
+            (
+                (
+                    F.col("lo")
+                    + F.floor(
+                        (F.col("bucket") + 1) * (F.col("hi") - F.col("lo") + 1) / b
+                    )
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("bucket_hi"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("bucket")
+    )

@@ -1328,3 +1328,72 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "x", "y")
         .limit(50)
     )
+
+
+@register(
+    "graph_reciprocity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_linenumber < b.l_linenumber
+                 AND a.l_partkey != b.l_partkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mutual
+  FROM e x JOIN e y ON x.u = y.v AND x.v = y.u
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e)
+SELECT total, mutual,
+       CAST(mutual AS DOUBLE) / total AS reciprocity
+FROM t CROSS JOIN m
+""",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity — the fraction of directed edges
+    whose reverse edge also exists. The directed edge set orients each
+    within-order part pair by line number (u precedes v on the order),
+    so unlike the undirected `_edges` table an edge and its reverse
+    are distinct observations that can disagree across orders.
+    Reciprocity = |{(u,v) : (v,u) ∈ E}| / |E| is an exact integer
+    ratio; only the final division is floating point.
+
+    The mutual count is a hash EQUI-join of the edge table with itself
+    on the swapped key pair — no cartesian anywhere; at 100 TB it
+    shuffles on (u,v) exactly like the triangle join, and the two
+    1-row scalars meet in a broadcast. The distinct edge build shares
+    its shuffle shape with the rest of the graph family.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    x, y = e.alias("x"), e.alias("y")
+    mutual = (
+        x.join(
+            y,
+            (F.col("x.u") == F.col("y.v")) & (F.col("x.v") == F.col("y.u")),
+        )
+        .agg(F.count(F.lit(1)).alias("mutual"))
+    )
+    total = e.agg(F.count(F.lit(1)).alias("total"))
+    return total.crossJoin(F.broadcast(mutual)).select(
+        "total",
+        "mutual",
+        (F.col("mutual").cast("double") / F.col("total")).alias(
+            "reciprocity"
+        ),
+    )

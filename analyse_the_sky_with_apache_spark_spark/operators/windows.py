@@ -2595,3 +2595,93 @@ def ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_G_F}, 6)").alias("f_stat"),
         F.expr(f"ROUND({_G_F}, 6) > 4.0").alias("x_helps_predict_y"),
     )
+
+
+@register(
+    "ts_peak_detection",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS r
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+tot AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily
+),
+nbr AS (
+  SELECT d, r,
+         LAG(r) OVER (ORDER BY d) AS pv,
+         LEAD(r) OVER (ORDER BY d) AS nx
+  FROM daily
+)
+SELECT d AS peak_day,
+       CAST(r AS DOUBLE) / 100.0 AS revenue,
+       CAST(pv AS DOUBLE) / 100.0 AS prev_revenue,
+       CAST(nx AS DOUBLE) / 100.0 AS next_revenue
+FROM nbr CROSS JOIN tot
+WHERE pv IS NOT NULL AND nx IS NOT NULL
+  AND r > pv AND r > nx AND r * nd > t
+ORDER BY peak_day
+""",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily revenue series: a day is a
+    peak when it strictly exceeds both calendar neighbors AND the
+    series mean. Revenue is summed in exact cents (longs), and the
+    above-mean test is the cross-multiplied integer comparison
+    ``r·n_days > total`` — no floating-point threshold, so the peak
+    set is bit-identical across engines; doubles appear only in the
+    display columns.
+
+    The lag/lead window runs GLOBAL-ORDER but over the collapsed
+    per-day table (|days| ≈ 2.4k rows after the one data-sized
+    aggregation) — the `ts_granger_lite` assumption. At 100 TB the
+    daily rollup is the only shuffle that sees data; for finer-grained
+    series (per-second) the window would range-partition on coarse
+    time buckets with one-row boundary exchange. The mean scalar rides
+    a 1-row broadcast.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    daily = (
+        od.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("long")
+            ).alias("r")
+        )
+    )
+    tot = daily.agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("nd")
+    )
+    w = Window.orderBy("d")
+    nbr = daily.select(
+        "d",
+        "r",
+        F.lag("r").over(w).alias("pv"),
+        F.lead("r").over(w).alias("nx"),
+    )
+    return (
+        nbr.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("pv").isNotNull()
+            & F.col("nx").isNotNull()
+            & (F.col("r") > F.col("pv"))
+            & (F.col("r") > F.col("nx"))
+            & (F.col("r") * F.col("nd") > F.col("t"))
+        )
+        .select(
+            F.col("d").alias("peak_day"),
+            (F.col("r").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("pv").cast("double") / F.lit(100.0)).alias(
+                "prev_revenue"
+            ),
+            (F.col("nx").cast("double") / F.lit(100.0)).alias(
+                "next_revenue"
+            ),
+        )
+        .orderBy("peak_day")
+    )

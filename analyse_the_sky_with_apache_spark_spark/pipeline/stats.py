@@ -2368,3 +2368,289 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+_MRR_QUERIES = 50
+_MRR_K = 10
+
+
+@register(
+    "ml_mrr",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings
+),
+pair AS (
+  SELECT a.vec_id AS q, MIN(a.label) AS ql, b.vec_id AS m,
+         MIN(b.label) AS ml,
+         CAST(SUM((a.g - b.g) * (a.g - b.g)) AS BIGINT) AS dist
+  FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {_MRR_QUERIES}
+  GROUP BY a.vec_id, b.vec_id
+),
+ranked AS (
+  SELECT q, ql, ml,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, m) AS rn
+  FROM pair
+),
+firsts AS (
+  SELECT q,
+         MIN(CASE WHEN ml = ql AND rn <= {_MRR_K} THEN rn END) AS first_rel
+  FROM ranked GROUP BY q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_rel IS NOT NULL
+             THEN CAST(FLOOR(1000000000.0 / first_rel + 0.5) AS BIGINT)
+             ELSE 0 END) AS DOUBLE) / 1000000000.0 / COUNT(*) AS mrr,
+       CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS hit_rate_at_k
+FROM firsts
+""",
+)
+def ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank @10 of nearest-neighbor retrieval against
+    label relevance — the companion metric to `ml_ndcg_at_k` on the
+    SAME exact-integer ranking (squared-Euclidean grid distances,
+    total tie-break on member id), so the two evals are comparable
+    row-for-row. Per query the only statistic is the rank of the FIRST
+    relevant hit within k; 1/rank lands on a 1e-9 grid before the
+    mean, making the aggregate exact long arithmetic. Queries with no
+    relevant result in the top k contribute 0 (standard MRR@k).
+
+    The query side is a bounded broadcast batch (serving shape) against
+    the member scan — the deliberate per-query brute rung, same as
+    `ml_ndcg_at_k`; at 100 TB the member side is the index-pruned
+    candidate list, and the groupBy(q) min() is a tiny hash aggregate
+    over |queries|×|candidates| ranked rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("g"),
+    )
+    q = e.where(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("q"), F.col("label").alias("ql"),
+        F.col("g").alias("qg"),
+    )
+    m = e.select(
+        F.col("vec_id").alias("m"), F.col("label").alias("ml"),
+        F.col("g").alias("mg"),
+    )
+    zero = F.lit(0).cast("long")
+    dist = F.aggregate(
+        F.zip_with("qg", "mg", lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    pair = (
+        F.broadcast(q)
+        .join(m, F.col("q") != F.col("m"))
+        .select("q", "ql", "m", "ml", dist.alias("dist"))
+    )
+    w = Window.partitionBy("q").orderBy("dist", "m")
+    ranked = pair.withColumn("rn", F.row_number().over(w))
+    rel_in_k = (F.col("ml") == F.col("ql")) & (F.col("rn") <= _MRR_K)
+    firsts = ranked.groupBy("q").agg(
+        F.min(F.when(rel_in_k, F.col("rn"))).alias("first_rel")
+    )
+    hit = F.col("first_rel").isNotNull()
+    rr_g = F.when(
+        hit,
+        F.floor(
+            F.lit(1e9) / F.col("first_rel") + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(zero)
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            F.sum(rr_g).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("mrr"),
+        (
+            F.sum(hit.cast("long")).cast("double") / F.count(F.lit(1))
+        ).alias("hit_rate_at_k"),
+    )
+
+
+@register(
+    "stat_cohens_kappa",
+    oracle="""
+WITH rated AS (
+  SELECT l_returnflag AS a,
+         CASE WHEN l_linestatus = 'O' THEN 'N'
+              WHEN l_shipdate < TIMESTAMP '1995-06-17' THEN 'R'
+              ELSE 'A' END AS b
+  FROM lineitem
+),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM rated GROUP BY a, b
+),
+marg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM cells
+),
+prods AS (
+  SELECT CAST(SUM(ra.r * cb.cl) AS BIGINT) AS rc
+  FROM (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY a) ra
+  JOIN (SELECT b, CAST(SUM(c) AS BIGINT) AS cl FROM cells GROUP BY b) cb
+    ON ra.a = cb.b
+)
+SELECT n, diag,
+       CAST(diag AS DOUBLE) / n AS po,
+       CAST(rc AS DOUBLE) / n / n AS pe,
+       CAST(n * diag - rc AS DOUBLE) / CAST(n * n - rc AS DOUBLE)
+         AS kappa
+FROM marg CROSS JOIN prods
+""",
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between the recorded return
+    flag and a deterministic rule-based re-rating of the same lines
+    (the classic label-audit shape: human label vs heuristic
+    re-labeler over one category space {A, N, R}). The whole statistic
+    reduces to three exact integers — n, the diagonal count, and
+    Σ_k row_k·col_k — because κ = (n·diag − Σrc) / (n² − Σrc): the
+    observed/expected-agreement ratio is an EXACT integer ratio, no
+    grid needed; only the final division is floating point, and it is
+    the identical IEEE expression in both engines.
+
+    One data-sized aggregation builds the |A|×|B| contingency cells;
+    marginals re-aggregate those CELLS (the `stat_chi2_independence`
+    partials-reuse trick) and the scalars ride 1-row broadcasts. At
+    100 TB: n² for a 1e11-row table overflows BIGINT — promote the two
+    products to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the plan
+    shape is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rated = li.select(
+        F.col("l_returnflag").alias("a"),
+        F.when(F.col("l_linestatus") == "O", F.lit("N"))
+        .when(
+            F.col("l_shipdate") < F.lit("1995-06-17").cast("timestamp"),
+            F.lit("R"),
+        )
+        .otherwise(F.lit("A"))
+        .alias("b"),
+    )
+    cells = rated.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    marg = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .alias("diag"),
+    )
+    ra = cells.groupBy("a").agg(F.sum("c").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("c").alias("cl"))
+    prods = (
+        ra.join(F.broadcast(cb), F.col("a") == F.col("b"))
+        .agg(F.sum(F.col("r") * F.col("cl")).alias("rc"))
+    )
+    return (
+        marg.crossJoin(F.broadcast(prods))
+        .select(
+            "n",
+            "diag",
+            (F.col("diag").cast("double") / F.col("n")).alias("po"),
+            (
+                F.col("rc").cast("double") / F.col("n") / F.col("n")
+            ).alias("pe"),
+            (
+                (F.col("n") * F.col("diag") - F.col("rc")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("rc")).cast("double")
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS sm, o_orderstatus AS rf,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT sm, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY sm),
+ct AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY rf),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT n,
+         CAST(FLOOR((o - CAST(r AS DOUBLE) * c / n)
+                    * (o - CAST(r AS DOUBLE) * c / n)
+                    / (CAST(r AS DOUBLE) * c / n) * 1000000.0 + 0.5)
+              AS BIGINT) AS chi_g
+  FROM obs JOIN rt USING (sm) JOIN ct USING (rf) CROSS JOIN tot
+),
+dims AS (
+  SELECT CAST(LEAST(COUNT(DISTINCT sm) - 1, COUNT(DISTINCT rf) - 1)
+              AS BIGINT) AS mindim
+  FROM obs
+)
+SELECT n, mindim,
+       CAST(SUM(chi_g) AS DOUBLE) / 1000000.0 AS chi2,
+       sqrt(CAST(SUM(chi_g) AS DOUBLE) / 1000000.0 / (n * mindim))
+         AS cramers_v
+FROM cells CROSS JOIN dims
+GROUP BY n, mindim
+""",
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for the order
+    priority×status contingency table: the chi-squared core reuses the
+    `stat_chi2_independence` recipe (cells → broadcast marginals →
+    per-cell (O−E)²/E on a 1e-6 grid → exact long sum), then
+    V = √(χ²/(n·min(r−1,c−1))) normalizes it onto [0,1]. The √ input
+    is grid-exact, so the double result is deterministic across
+    engines (same IEEE sqrt of the same value).
+
+    At 100 TB: one data-sized groupBy; everything downstream operates
+    on the 5×3 cell table with 1-row scalar broadcasts.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    obs = od.groupBy(
+        F.col("o_orderpriority").alias("sm"),
+        F.col("o_orderstatus").alias("rf"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("sm").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("rf").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(rt), "sm")
+        .join(F.broadcast(ct), "rf")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.floor(
+                (F.col("o") - e) * (F.col("o") - e) / e * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi_g"),
+        )
+    )
+    dims = obs.agg(
+        F.least(
+            F.countDistinct("sm") - 1, F.countDistinct("rf") - 1
+        ).alias("mindim")
+    )
+    chi2 = F.sum("chi_g").cast("double") / F.lit(1e6)
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .groupBy("n", "mindim")
+        .agg(
+            chi2.alias("chi2"),
+            F.sqrt(chi2 / (F.col("n") * F.col("mindim"))).alias(
+                "cramers_v"
+            ),
+        )
+    )

@@ -68,7 +68,10 @@ _BNL_ALLOWED = {
     "stat_bootstrap_ci",  # 1-row totals × 1-row sorted-means array
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
-    "emb_matryoshka_recall", "ml_ndcg_at_k",
+    "emb_matryoshka_recall", "ml_ndcg_at_k", "ml_mrr",
+    # contingency cells × 1-row marginal/total broadcasts (the
+    # stat_chi2_independence scalar shape)
+    "stat_cohens_kappa", "stat_cramers_v",
     # deliberate signature-scan product: 1% query side broadcasts as
     # 16-byte signatures against the candidate scan (the binary-ANN
     # design — the product IS the linear scan of compressed codes)
@@ -78,6 +81,13 @@ _BNL_ALLOWED = {
     # contingency-grid cell-pair scan + 1-row margin broadcasts (work is
     # |domain|², independent of row count)
     "stat_kendall_tau",
+    # 1-row total × 1-row mutual-count broadcast
+    "graph_reciprocity",
+    # 1-row min/max bounds broadcast back onto the scan (two-pass
+    # histogram)
+    "agg_histogram_equiwidth",
+    # 1-row series-mean broadcast onto the collapsed per-day table
+    "ts_peak_detection",
 }
 
 _KEYS = sorted(
@@ -124,6 +134,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "stat_benjamini_hochberg",
     # lag window over the daily-counts table (|days| rows, collapsed)
     "ts_granger_lite",
+    # lag/lead over the same collapsed per-day table
+    "ts_peak_detection",
 }
 
 
