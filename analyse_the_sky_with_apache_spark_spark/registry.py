@@ -124,6 +124,16 @@ _ROTATION_R8 = (
     "funnel_unordered", "ts_granger_lite", "sql_variables",
 )
 
+#: Page 4 — round-9 window seed: keys that landed AFTER the three-page
+#: schedule was computed. Every oracle-backed key must appear in a page,
+#: the live window, or a prior CORRECTNESS file
+#: (tests/test_registry_order.py pins this), so new keys join this page
+#: at birth; pad to 50 with promotions when it becomes the live window.
+_ROTATION_R9 = (
+    "agg_histogram_equiwidth", "graph_reciprocity", "ts_peak_detection",
+    "ml_mrr", "stat_cohens_kappa", "stat_cramers_v", "text_readability",
+)
+
 #: Page 1 — the LIVE round-6 window.
 _PRIORITY = (
     "agg_incremental_maintenance",  # operators.aggregations

@@ -101,13 +101,34 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    for page in (registry._ROTATION_R7, registry._ROTATION_R8):
+    pages = (registry._ROTATION_R7, registry._ROTATION_R8,
+             registry._ROTATION_R9)
+    for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
         no_oracle = [k for k in page if k not in osql]
         assert not no_oracle, f"rotation page keys without oracle: {no_oracle}"
         assert not (set(page) & live), "rotation page overlaps live window"
-    assert not (set(registry._ROTATION_R7) & set(registry._ROTATION_R8))
+    for i in range(len(pages)):
+        for j in range(i + 1, len(pages)):
+            assert not (set(pages[i]) & set(pages[j])), (i, j)
+
+
+def test_every_oracle_key_is_scheduled():
+    """Retirement-schedule completeness: every oracle-backed key is
+    either already driver-sampled, in the live window, or on a future
+    rotation page — so adding a key without scheduling it fails here,
+    and no key can silently stay driver-invisible forever."""
+    osql = set(registry.oracle_sql())
+    covered = (
+        _sampled()
+        | set(registry._PRIORITY)
+        | set(registry._ROTATION_R7)
+        | set(registry._ROTATION_R8)
+        | set(registry._ROTATION_R9)
+    )
+    unscheduled = sorted(osql - covered)
+    assert not unscheduled, f"oracle keys missing from the schedule: {unscheduled}"
 
 
 def test_window_is_all_oracle():
