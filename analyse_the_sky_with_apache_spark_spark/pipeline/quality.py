@@ -898,3 +898,168 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd.alias("t_emd"),
         F.when(emd > _T_CLOSE, 1).otherwise(0).alias("at_risk"),
     )
+
+
+#: dq_freshness staleness threshold (minutes behind the newest event).
+_FRESH_STALE_MIN = 1440
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+WITH hw AS (
+  SELECT MAX(epoch_us(ts)) AS gmax FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+       CAST((gmax - MAX(epoch_us(ts))) // 60000000 AS BIGINT)
+         AS lag_minutes,
+       CAST(SUM(CASE WHEN gmax - epoch_us(ts) < 86400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+       (gmax - MAX(epoch_us(ts))) // 60000000 > """
+    + str(_FRESH_STALE_MIN)
+    + """ AS stale
+FROM events CROSS JOIN hw
+GROUP BY event_type, gmax
+ORDER BY event_type
+""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit — the first data-ops check on any
+    continuously-ingested table: how far behind the newest arrival is
+    each event type, and is it still producing? Lag is computed in
+    integer microseconds against the global high-water mark
+    (`epoch_us` ↔ `unix_micros`, the repo's proven timestamp-parity
+    idiom) and floored to whole minutes, so the staleness verdict is
+    exact integer arithmetic in both engines.
+
+    One map-side-combinable aggregate over |event_type| groups plus a
+    1-row global-max broadcast — at 100 TB the scan is the whole cost,
+    and on a partitioned table the high-water mark comes from
+    partition/footer stats instead (the scan_parquet_footer_stats
+    path), making this a metadata-only query.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    glob = ev.agg(F.max("us").alias("gmax"))
+    lag_min = F.expr("(gmax - max_us) div 60000000")
+    return (
+        ev.crossJoin(F.broadcast(glob))
+        .groupBy("event_type", "gmax")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("us").alias("max_us"),
+            F.sum(
+                F.when(F.col("gmax") - F.col("us") < 86400000000, 1).otherwise(0)
+            ).alias("n_last_day"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("max_us").alias("max_ts_us"),
+            lag_min.alias("lag_minutes"),
+            "n_last_day",
+            (lag_min > _FRESH_STALE_MIN).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: privacy_dp_count: Laplace scale b = 1/epsilon (count sensitivity 1).
+_DP_EPSILON = 0.5
+_DP_SEED = "dp11"
+
+
+def _hex8_int_duckdb(expr: str) -> str:
+    """DuckDB expression for the first-8-hex-chars integer of md5(expr)
+    — digit-by-digit ``strpos`` lookup (the dedup_simhash idiom; DuckDB
+    has no hex→int conv)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "privacy_dp_count",
+    oracle=f"""
+WITH cnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+),
+coin AS (
+  SELECT event_type, n,
+         ({_hex8_int_duckdb(f"event_type || ':{_DP_SEED}'")} + 0.5)
+           / 4294967296.0 AS u
+  FROM cnt
+),
+noise AS (
+  SELECT event_type, n,
+         -(1.0 / {_DP_EPSILON}) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap
+  FROM coin
+)
+SELECT event_type, n,
+       CAST(FLOOR(lap * 1000000.0 + 0.5) AS BIGINT) AS noise_micro,
+       CAST(n + FLOOR(lap * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+         AS n_noisy,
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+FROM noise
+ORDER BY event_type
+""",
+)
+def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private counts via the Laplace mechanism with a
+    SEEDED noise draw: the uniform comes from the first 8 hex chars of
+    ``md5(key:seed)`` (portable lowercase hex in every engine — the
+    sample_stratified_seeded coin, here read as a 32-bit integer:
+    Spark ``conv(hex,16,10)``, DuckDB digit-wise ``strpos``), then the
+    standard inverse-CDF transform −b·sign(u−½)·ln(1−2|u−½|) with
+    b = 1/ε. Seeding makes the release reproducible across engines and
+    runs — the property a privacy AUDIT needs (a production release
+    would draw fresh randomness; the mechanism is identical). The noise
+    lands on a 1e-6 grid before the sum, the adamic_adar ln-grid
+    precedent.
+
+    Per-group noise is O(|groups|) scalar math after one
+    map-side-combinable count — at 100 TB the count dominates and the
+    mechanism is free; sensitivity is 1 per event because each row has
+    one event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_type"), F.lit(f":{_DP_SEED}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    lap = (
+        F.lit(-1.0 / _DP_EPSILON)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    noise_micro = F.floor(lap * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        cnt.select(
+            "event_type",
+            "n",
+            noise_micro.alias("noise_micro"),
+            (
+                F.col("n") + noise_micro.cast("double") / F.lit(1e6)
+            ).alias("n_noisy"),
+            F.lit(float(_DP_EPSILON)).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )

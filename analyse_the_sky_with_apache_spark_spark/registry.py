@@ -132,6 +132,8 @@ _ROTATION_R8 = (
 _ROTATION_R9 = (
     "agg_histogram_equiwidth", "graph_reciprocity", "ts_peak_detection",
     "ml_mrr", "stat_cohens_kappa", "stat_cramers_v", "text_readability",
+    "dq_freshness", "privacy_dp_count", "ml_kfold_assign",
+    "stat_permutation_test", "text_keyword_rake", "udtf_table_partition_by",
 )
 
 #: Page 1 — the LIVE round-6 window.

@@ -83,6 +83,8 @@ EXTENDED = (
     # driver-round-6 additions (regression reference: BENCH_r06)
     "text_line_dedup",      # corpus-wide repeated-line cut
     "graph_adamic_adar",    # hub-discounted link prediction
+    "stat_permutation_test",  # ×200 seeded-coin fan-out, one shuffle
+    "text_keyword_rake",    # stopword-delimited phrase keyword scores
 )
 
 

@@ -88,6 +88,10 @@ _BNL_ALLOWED = {
     "agg_histogram_equiwidth",
     # 1-row series-mean broadcast onto the collapsed per-day table
     "ts_peak_detection",
+    # 1-row high-water-mark broadcast back onto the event scan
+    "dq_freshness",
+    # 1-row observed-statistic broadcast × 200-row permutation stats
+    "stat_permutation_test",
 }
 
 _KEYS = sorted(
