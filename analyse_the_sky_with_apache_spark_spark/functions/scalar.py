@@ -1014,3 +1014,43 @@ def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:param)`` (Spark 4): injection-safe TABLE/COLUMN
+    templating — the parameter binds as an SQL *identifier* at parse
+    time, completing the parameterization story next to
+    `sql_named_params` (which binds *literals*). Multi-tenant
+    pipelines template "same query, different table/column" this way
+    instead of f-string SQL, which is both an injection hole and a
+    plan-cache miss. The bound identifier resolves before analysis, so
+    pushdown/pruning see a plain column reference — the oracle inlines
+    the same identifiers; matching hashes prove binding ≡ inlining.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(IDENTIFIER(:val) * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        ORDER BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": "orders", "grp": "o_orderstatus", "val": "o_totalprice"},
+    )

@@ -462,3 +462,43 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") % _SYS_K == 1)
         .drop("rn")
     )
+
+
+_BOTTOM_K = 500
+
+
+@register(
+    "sample_bottom_k",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)) AS pri
+FROM lineitem
+ORDER BY pri
+LIMIT {_BOTTOM_K}
+""",
+)
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample: every row gets an md5 priority
+    and the k smallest win — the bottom-k-by-hash sample, the shape to
+    reach for when a pipeline needs EXACTLY k rows from a table of
+    unknown size (fraction gates like `sample_hash` return a binomial
+    count, seeded `sample()` isn't portable). The same k rows come back
+    in every engine, on every run, at any partitioning, and appending
+    data only ever swaps members in — bottom-k sketches compose across
+    shards by unioning per-shard bottom-k and re-trimming.
+
+    The plan is TakeOrderedAndProject: each partition keeps a local
+    k-heap, the driver merges 32 heaps — no global sort, no shuffle of
+    the data, O(k) memory per task. At 100 TB that is the ONLY viable
+    exact-k sample; it reads every row once and moves only k·partitions
+    candidates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pri = F.md5(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", pri.alias("pri"))
+        .orderBy("pri")
+        .limit(_BOTTOM_K)
+    )

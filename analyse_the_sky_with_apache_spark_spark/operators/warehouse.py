@@ -1901,3 +1901,109 @@ def funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(total).crossJoin(agg).select(
         "n_users", "n_completed", "n_within_24h", "avg_span_min"
     )
+
+
+#: interval_allen_relations: each order opens a fixed activity window.
+_ALLEN_SPAN_DAYS = 7
+
+
+@register(
+    "interval_allen_relations",
+    oracle=f"""
+WITH iv AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + {_ALLEN_SPAN_DAYS} AS e,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+),
+pairs AS (
+  SELECT s AS s1, e AS e1,
+         LEAD(s) OVER (PARTITION BY o_custkey ORDER BY rn) AS s2,
+         LEAD(e) OVER (PARTITION BY o_custkey ORDER BY rn) AS e2
+  FROM iv
+  QUALIFY s2 IS NOT NULL
+),
+classified AS (
+  SELECT CASE
+           WHEN e1 < s2  THEN 'precedes'
+           WHEN e1 = s2  THEN 'meets'
+           WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+           WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+           WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+           WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+           WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+           WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+           WHEN s1 > s2 AND e1 < e2 THEN 'during'
+           WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+           WHEN s1 > s2 AND s1 < e2 AND e1 > e2 THEN 'overlapped_by'
+           WHEN s1 = e2 THEN 'met_by'
+           ELSE 'preceded_by'
+         END AS relation
+  FROM pairs
+)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
+FROM classified
+GROUP BY relation
+ORDER BY n DESC, relation
+""",
+)
+def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over consecutive per-customer activity
+    windows: each order opens a 7-day interval, and every consecutive
+    pair is classified into one of Allen's 13 temporal relations
+    (precedes/meets/overlaps/starts/during/finishes + inverses +
+    equals) — the vocabulary temporal reasoning, conflict detection
+    and SCD-validity audits are written in, which no engine ships as a
+    built-in. The CASE ladder is evaluated in the same order in both
+    engines over exact DATE comparisons, so classification is
+    bit-deterministic.
+
+    Consecutive pairing is ONE per-customer lead() window — a single
+    shuffle on custkey, no self-join, no range join, no cartesian. At
+    100 TB this is one pass over the sorted-within-partition order
+    stream; the 13-way aggregate is map-side-combinable onto 13 rows.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    wv = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    iv = od.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), _ALLEN_SPAN_DAYS).alias(
+            "e"
+        ),
+        F.row_number().over(wv).alias("rn"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("rn")
+    pairs = iv.select(
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        F.lead("s").over(wl).alias("s2"),
+        F.lead("e").over(wl).alias("e2"),
+    ).where(F.col("s2").isNotNull())
+    s1, e1, s2, e2 = (F.col(c) for c in ("s1", "e1", "s2", "e2"))
+    relation = (
+        F.when(e1 < s2, "precedes")
+        .when(e1 == s2, "meets")
+        .when((s1 == s2) & (e1 == e2), "equals")
+        .when((s1 == s2) & (e1 < e2), "starts")
+        .when((s1 == s2) & (e1 > e2), "started_by")
+        .when((e1 == e2) & (s1 < s2), "finished_by")
+        .when((e1 == e2) & (s1 > s2), "finishes")
+        .when((s1 < s2) & (e1 > e2), "contains")
+        .when((s1 > s2) & (e1 < e2), "during")
+        .when((s1 < s2) & (e1 > s2) & (e1 < e2), "overlaps")
+        .when((s1 > s2) & (s1 < e2) & (e1 > e2), "overlapped_by")
+        .when(s1 == e2, "met_by")
+        .otherwise("preceded_by")
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "relation")
+    )

@@ -2685,3 +2685,178 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_day")
     )
+
+
+#: ts_downsample_lttb: output bucket count.
+_LTTB_B = 60
+
+
+@register(
+    "ts_downsample_lttb",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+numbered AS (
+  SELECT d, x, y,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+bucketed AS (
+  SELECT d, x, y, ((rn - 1) * {_LTTB_B}) // n AS b FROM numbered
+),
+bstats AS (
+  SELECT b, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM bucketed GROUP BY b
+),
+nbr AS (
+  SELECT b,
+         LAG(sx) OVER (ORDER BY b) AS sxp,
+         LAG(sy) OVER (ORDER BY b) AS syp,
+         LAG(c)  OVER (ORDER BY b) AS cp,
+         LEAD(sx) OVER (ORDER BY b) AS sxn,
+         LEAD(sy) OVER (ORDER BY b) AS syn,
+         LEAD(c)  OVER (ORDER BY b) AS cn
+  FROM bstats
+),
+scored AS (
+  SELECT t.b, t.d, t.x, t.y,
+         CASE WHEN n.cp IS NULL OR n.cn IS NULL THEN CAST(0 AS HUGEINT)
+              ELSE abs(
+                CAST(CAST((t.x * n.cp - n.sxp) AS DECIMAL(18, 0))
+                     * CAST((n.syn * n.cp - n.syp * n.cn)
+                            AS DECIMAL(19, 0)) AS HUGEINT)
+                - CAST(CAST((n.sxn * n.cp - n.sxp * n.cn)
+                            AS DECIMAL(18, 0))
+                       * CAST((t.y * n.cp - n.syp) AS DECIMAL(19, 0))
+                       AS HUGEINT))
+         END AS area
+  FROM bucketed t JOIN nbr n ON t.b = n.b
+),
+picked AS (
+  SELECT b, d, y,
+         ROW_NUMBER() OVER (
+           PARTITION BY b
+           ORDER BY CASE WHEN b = 0 THEN x
+                         WHEN b = {_LTTB_B - 1} THEN -x
+                         ELSE 0 END,
+                    area DESC, x
+         ) AS pick
+  FROM scored
+)
+SELECT CAST(b AS BIGINT) AS bucket, d AS day,
+       CAST(y AS DOUBLE) / 100.0 AS revenue
+FROM picked WHERE pick = 1
+ORDER BY bucket
+""",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    of the daily revenue series to 60 points — THE standard shape-
+    preserving series reduction for plotting/monitoring. This is the
+    parallel "LTTB-lite" variant: each middle bucket keeps the point
+    with the largest triangle area against the NEIGHBOR-BUCKET MEANS
+    (classic LTTB anchors on the previously-selected point, a
+    sequential dependency that cannot fan out); the first/last buckets
+    keep the series endpoints. The area argmax is EXACT: means never
+    materialize — the cross product is cleared of denominators
+    (×cp²·cn) and evaluated in wide integer lanes (Spark DECIMAL(38,0),
+    DuckDB HUGEINT — intermediates may differ per engine, only the
+    selected rows must match), so no float tie can pick different rows.
+
+    Scale: the daily rollup is the one data-sized aggregate; every
+    window after it runs on the collapsed ~2.4k-row series (the
+    ts_peak_detection assumption — for per-second series,
+    range-partition the bucketing on coarse time). Bucket stats are B
+    rows; the join back to daily rows is a broadcast.
+    """
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("y")
+    )
+    wn = Window.orderBy("d")
+    numbered = daily.select(
+        "d",
+        "x",
+        "y",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    bucketed = numbered.select(
+        "d", "x", "y", F.expr(f"((rn - 1) * {_LTTB_B}) div n").alias("b")
+    )
+    bstats = bucketed.groupBy("b").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    wb = Window.orderBy("b")
+    nbr = bstats.select(
+        "b",
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lag("c").over(wb).alias("cp"),
+        F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+        F.lead("c").over(wb).alias("cn"),
+    )
+    scored = bucketed.join(F.broadcast(nbr), "b").select(
+        "b",
+        "d",
+        "x",
+        "y",
+        F.when(
+            F.col("cp").isNull() | F.col("cn").isNull(),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        .otherwise(
+            F.abs(
+                (F.col("x") * F.col("cp") - F.col("sxp")).cast("decimal(18,0)")
+                * (F.col("syn") * F.col("cp") - F.col("syp") * F.col("cn")).cast(
+                    "decimal(19,0)"
+                )
+                - (F.col("sxn") * F.col("cp") - F.col("sxp") * F.col("cn")).cast(
+                    "decimal(18,0)"
+                )
+                * (F.col("y") * F.col("cp") - F.col("syp")).cast("decimal(19,0)")
+            )
+        )
+        .alias("area"),
+    )
+    wp = Window.partitionBy("b").orderBy(
+        F.when(F.col("b") == 0, F.col("x"))
+        .when(F.col("b") == _LTTB_B - 1, -F.col("x"))
+        .otherwise(F.lit(0)),
+        F.col("area").desc(),
+        "x",
+    )
+    return (
+        scored.select(
+            "b", "d", "y", F.row_number().over(wp).alias("pick")
+        )
+        .where(F.col("pick") == 1)
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.col("d").alias("day"),
+            (F.col("y").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("bucket")
+    )

@@ -921,3 +921,91 @@ def corpus_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+#: corpus_importance_resample: weight cap (chars) and md5 seed tag.
+_IRS_CAP = 2000
+_IRS_SEED = "irs5"
+
+
+@register(
+    "corpus_importance_resample",
+    oracle=f"""
+WITH weighted AS (
+  SELECT lang,
+         LEAST(n_chars, {_IRS_CAP}) AS w,
+         ({" + ".join(
+             f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)"
+             f" || ':{_IRS_SEED}'), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+             for i in range(8)
+         )}) AS u32
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u32 * {_IRS_CAP} < w * 4294967296
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(FLOOR(CAST(SUM(w) AS DOUBLE) / {_IRS_CAP} / COUNT(*)
+                  * 1000000.0 + 0.5) AS BIGINT) AS expected_micro,
+       CAST(FLOOR(CAST(SUM(CASE WHEN u32 * {_IRS_CAP} < w * 4294967296
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                  * 1000000.0 + 0.5) AS BIGINT) AS realized_micro
+FROM weighted
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling: each document survives with probability
+    proportional to its weight (here length capped at 2000 chars —
+    stand-in for any quality score), decided by a seeded md5 coin so
+    the SAMPLE ITSELF is reproducible across engines, runs and
+    repartitions — the property quality-weighted corpus construction
+    needs (re-runs must regenerate the identical training set). The
+    keep test is pure integer arithmetic (`u32·cap < w·2^32`, max
+    ~8.8e12 — five decimal orders under the long lane), so no
+    float threshold can disagree between engines; the audit compares
+    realized vs expected keep-rate per language on a 1e-6 grid.
+
+    Map-side stateless gate (the sample_stratified_seeded shape) + one
+    aggregate over |lang| groups. At 100 TB the scan is the cost; the
+    coin adds one md5 per row and shuffles nothing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(_IRS_CAP))
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{_IRS_SEED}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = (u32 * _IRS_CAP) < (w.cast("long") * F.lit(4294967296).cast("long"))
+    return (
+        d.select("lang", w.alias("w"), keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.floor(
+                F.sum("w").cast("double")
+                / F.lit(float(_IRS_CAP))
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("expected_micro"),
+            F.floor(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("realized_micro"),
+        )
+        .orderBy("lang")
+    )

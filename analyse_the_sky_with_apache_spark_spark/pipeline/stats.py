@@ -2915,3 +2915,112 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stat_levene",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+meds AS (
+  SELECT grp, quantile_cont(cents, 0.5) * 2.0 AS m2 FROM base GROUP BY grp
+),
+z AS (
+  SELECT b.grp, CAST(abs(2 * b.cents - m.m2) AS BIGINT) AS z2
+  FROM base b JOIN meds m ON b.grp = m.grp
+),
+gs AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(z2) AS BIGINT) AS sj,
+         SUM(CAST(z2 AS DECIMAL(18,0)) * CAST(z2 AS DECIMAL(18,0))) AS qj
+  FROM z GROUP BY grp
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(nj) AS BIGINT) AS n,
+         CAST(SUM(sj) AS BIGINT) AS s,
+         SUM(qj) AS q,
+         SUM(CAST(sj AS DECIMAL(28,0)) * CAST(sj AS DECIMAL(28,0))
+             / CAST(nj AS DECIMAL(18,0))) AS bsum
+  FROM gs
+)
+SELECT k, n,
+       CAST(FLOOR((CAST(n AS DOUBLE) - k) / (k - 1)
+                  * (CAST(bsum AS DOUBLE)
+                     - CAST(s AS DOUBLE) * s / n)
+                  / (CAST(q AS DOUBLE) - CAST(bsum AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS f_stat,
+       (CAST(n AS DOUBLE) - k) / (k - 1)
+         * (CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+         / (CAST(q AS DOUBLE) - CAST(bsum AS DOUBLE)) > 2.37 AS unequal_spread
+FROM tot
+""",
+)
+def stat_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with MEDIAN centers) for equality of
+    spread across order-priority groups — the robust pre-check before
+    any equal-variance assumption (`stat_anova_oneway`,
+    `stat_welch_ttest` siblings). Each value's deviation from its group
+    median stays exact: medians of integer cents are half-integers, so
+    ``z2 = |2·cents − 2·median|`` is an exact integer and the one-way
+    ANOVA on z runs on exact long/decimal sums (Σz², Σz per group,
+    squared-sum/size in DECIMAL lanes); the F statistic is assembled
+    from those exact scalars with correctly-rounded double ops and
+    landed on a 1e-6 grid. 2.37 ≈ F(4,∞) at α=0.05.
+
+    The plan: one grouped exact-median pass (reducer-buffered per
+    group — |priority| groups, the agg_median_exact caveat), a
+    broadcast join of 5 medians back onto the scan, one aggregate.
+    At 100 TB swap the exact median for the two-pass CDF refinement;
+    the z-aggregate shape is unchanged.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    meds = base.groupBy("grp").agg(
+        (F.expr("percentile(cents, 0.5D)") * 2.0).alias("m2")
+    )
+    z = base.join(F.broadcast(meds), "grp").select(
+        "grp",
+        F.abs(F.lit(2) * F.col("cents") - F.col("m2")).cast("long").alias("z2"),
+    )
+    zdec = F.col("z2").cast("decimal(18,0)")
+    gs = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("z2").alias("sj"),
+        F.sum(zdec * zdec).alias("qj"),
+    )
+    tot = gs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum("sj").alias("s"),
+        F.sum("qj").alias("q"),
+        F.sum(
+            F.col("sj").cast("decimal(28,0)")
+            * F.col("sj").cast("decimal(28,0)")
+            / F.col("nj").cast("decimal(18,0)")
+        ).alias("bsum"),
+    )
+    f_raw = (
+        (F.col("n").cast("double") - F.col("k"))
+        / (F.col("k") - 1)
+        * (
+            F.col("bsum").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("q").cast("double") - F.col("bsum").cast("double"))
+    )
+    return tot.select(
+        "k",
+        "n",
+        (F.floor(f_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .cast("double")
+        .alias("f_stat"),
+        (f_raw > F.lit(2.37)).alias("unequal_spread"),
+    )

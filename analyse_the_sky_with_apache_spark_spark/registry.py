@@ -134,6 +134,8 @@ _ROTATION_R9 = (
     "ml_mrr", "stat_cohens_kappa", "stat_cramers_v", "text_readability",
     "dq_freshness", "privacy_dp_count", "ml_kfold_assign",
     "stat_permutation_test", "text_keyword_rake", "udtf_table_partition_by",
+    "sample_bottom_k", "corpus_importance_resample", "ts_downsample_lttb",
+    "sql_identifier_clause", "stat_levene", "interval_allen_relations",
 )
 
 #: Page 1 — the LIVE round-6 window.

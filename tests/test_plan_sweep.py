@@ -140,6 +140,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ts_granger_lite",
     # lag/lead over the same collapsed per-day table
     "ts_peak_detection",
+    # row_number over the collapsed per-day table + lag/lead over the
+    # 60-row bucket-stats table
+    "ts_downsample_lttb",
 }
 
 
