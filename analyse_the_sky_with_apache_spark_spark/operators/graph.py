@@ -1397,3 +1397,85 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocity"
         ),
     )
+
+
+@register(
+    "graph_hits_one_round",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_linenumber < b.l_linenumber
+                 AND a.l_partkey != b.l_partkey
+),
+auth1 AS (
+  SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS auth FROM e GROUP BY v
+),
+hub1 AS (
+  SELECT e.u AS node, CAST(SUM(a.auth) AS BIGINT) AS hub
+  FROM e JOIN auth1 a ON e.v = a.node
+  GROUP BY e.u
+)
+SELECT COALESCE(a.node, h.node) AS node,
+       COALESCE(a.auth, 0) AS auth1,
+       COALESCE(h.hub, 0) AS hub1
+FROM auth1 a FULL OUTER JOIN hub1 h ON a.node = h.node
+ORDER BY hub1 DESC, auth1 DESC, node
+LIMIT 20
+""",
+)
+def graph_hits_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS round (Kleinberg hubs & authorities) over the DIRECTED
+    co-purchase graph (edges oriented by line-number order, the
+    `graph_reciprocity` edge set): from uniform scores, authority¹ =
+    in-degree and hub¹ = Σ authority¹ over successors — both EXACT
+    integers, so the round needs no normalization and no float grid to
+    hash-match; ranking ties break on the node id. `graph_pagerank_exact`
+    is the same one-exact-iteration discipline for the other classic
+    link-analysis recurrence.
+
+    Plan: edge build shuffles on orderkey once (wedge join), then two
+    hash aggregates and one edge⋈auth join — all keyed on node/edge
+    columns with map-side combine; top-20 is TakeOrderedAndProject. At
+    100 TB further HITS rounds are the same join+aggregate template
+    re-keyed by the previous round's scores (scaled-long lanes once
+    normalization enters — the graph_pagerank docstring's rational).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_partkey").alias("u"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_partkey").alias("v"),
+    )
+    e = (
+        a.join(b, "ok")
+        .where((F.col("ln_a") < F.col("ln_b")) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    auth1 = e.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).alias("auth")
+    )
+    hub1 = (
+        e.join(auth1, e.v == auth1.node)
+        .groupBy(F.col("u").alias("hnode"))
+        .agg(F.sum("auth").alias("hub"))
+    )
+    return (
+        auth1.join(hub1, auth1.node == hub1.hnode, "full")
+        .select(
+            F.coalesce(F.col("node"), F.col("hnode")).alias("node"),
+            F.coalesce(F.col("auth"), F.lit(0)).alias("auth1"),
+            F.coalesce(F.col("hub"), F.lit(0)).alias("hub1"),
+        )
+        .orderBy(F.col("hub1").desc(), F.col("auth1").desc(), "node")
+        .limit(20)
+    )

@@ -1532,3 +1532,119 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chars_clean"),
         )
     )
+
+
+@register(
+    "dedup_blocking_multipass",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars, substr(text, 1, 64) AS p64,
+         substr(text, 1, 16) AS p16
+  FROM documents
+),
+block_a AS (
+  SELECT a.doc_id AS x, b.doc_id AS y,
+         a.p64 = b.p64 AND abs(a.n_chars - b.n_chars) <= 8 AS dup
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.n_chars // 50 = b.n_chars // 50
+   AND a.doc_id < b.doc_id
+),
+block_b AS (
+  SELECT a.doc_id AS x, b.doc_id AS y,
+         a.p64 = b.p64 AND abs(a.n_chars - b.n_chars) <= 8 AS dup
+  FROM d a JOIN d b
+    ON a.p16 = b.p16
+   AND a.doc_id < b.doc_id
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM block_a) AS cand_a,
+         (SELECT COUNT(*) FROM block_b) AS cand_b,
+         (SELECT COUNT(*) FROM (SELECT x, y FROM block_a
+                                INTERSECT SELECT x, y FROM block_b) t)
+           AS cand_both,
+         (SELECT COUNT(*) FROM (SELECT x, y FROM block_a WHERE dup
+                                UNION SELECT x, y FROM block_b WHERE dup) t)
+           AS verified
+)
+SELECT CAST(cand_a AS BIGINT) AS cand_a,
+       CAST(cand_b AS BIGINT) AS cand_b,
+       CAST(cand_both AS BIGINT) AS cand_both,
+       CAST(verified AS BIGINT) AS verified_pairs
+FROM stats
+""",
+)
+def dedup_blocking_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking for entity resolution: TWO independent
+    blocking passes — (lang, source, 50-char length band) and
+    (16-char text prefix) — each generate candidate pairs, the union
+    feeds one exact verify (64-char prefix match within an 8-char
+    length tolerance). Multi-pass blocking is THE recall lever of
+    entity resolution at scale: any single key misses pairs that
+    disagree on it, and the pass-overlap count this audit reports is
+    the standard diagnostic for whether the passes are complementary
+    or redundant.
+
+    Every pair comes from an EQUI self-join on a block key (banded,
+    never all-pairs — a.doc_id < b.doc_id canonicalizes); block widths
+    bound the per-block pair budget exactly like the LSH band tables.
+    At 100 TB each pass is one hash shuffle on its block key, and the
+    union/verify runs on the (much smaller) candidate set.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, 64).alias("p64"),
+        F.substring("text", 1, 16).alias("p16"),
+        F.expr("n_chars div 50").alias("band"),
+    )
+
+    def _pairs(df, keys):
+        a = df.select(
+            *[F.col(k).alias(f"k_{k}") for k in keys],
+            F.col("doc_id").alias("x"),
+            F.col("p64").alias("pa"),
+            F.col("n_chars").alias("na"),
+        )
+        b = df.select(
+            *[F.col(k).alias(f"k_{k}") for k in keys],
+            F.col("doc_id").alias("y"),
+            F.col("p64").alias("pb"),
+            F.col("n_chars").alias("nb"),
+        )
+        return (
+            a.join(b, [f"k_{k}" for k in keys])
+            .where(F.col("x") < F.col("y"))
+            .select(
+                "x",
+                "y",
+                (
+                    (F.col("pa") == F.col("pb"))
+                    & (F.abs(F.col("na") - F.col("nb")) <= 8)
+                ).alias("dup"),
+            )
+        )
+
+    pa = _pairs(d, ["lang", "source", "band"])
+    pb = _pairs(d, ["p16"])
+    cand_a = pa.agg(F.count(F.lit(1)).alias("cand_a"))
+    cand_b = pb.agg(F.count(F.lit(1)).alias("cand_b"))
+    both = (
+        pa.select("x", "y")
+        .intersect(pb.select("x", "y"))
+        .agg(F.count(F.lit(1)).alias("cand_both"))
+    )
+    verified = (
+        pa.where("dup")
+        .select("x", "y")
+        .union(pb.where("dup").select("x", "y"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("verified_pairs"))
+    )
+    return (
+        cand_a.crossJoin(F.broadcast(cand_b))
+        .crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(verified))
+    )

@@ -1063,3 +1063,231 @@ def privacy_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS li_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_cents,
+         COALESCE(li.li_cents, 0) AS li_cents,
+         COALESCE(li.n_lines, 0) AS n_lines
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+),
+graded AS (
+  SELECT CASE
+           WHEN n_lines = 0 THEN 'missing_lines'
+           WHEN o_cents = li_cents THEN 'exact'
+           WHEN abs(o_cents - li_cents) * 100 <= o_cents THEN 'within_1pct'
+           ELSE 'mismatch'
+         END AS grade,
+         abs(o_cents - li_cents) AS adiff
+  FROM recon
+)
+SELECT grade,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
+FROM graded
+GROUP BY grade
+ORDER BY grade
+""",
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — does each order header's
+    total match the sum of its line items (extended price net of
+    discount, plus tax)? The classic closing-the-books audit, graded
+    into exact / within-1% / mismatch / missing-lines buckets. Both
+    sides land in exact cents before comparison (per-line product is
+    one identically-ordered double expression, floored once), and the
+    1% tolerance is the cross-multiplied integer test
+    ``|Δ|·100 ≤ total`` — no float thresholds anywhere.
+
+    One map-side-combinable aggregate on l_orderkey, one same-key join
+    against the header scan (co-partitioned — a single shuffle lane
+    each side), and a 4-row grade rollup. At 100 TB this is the
+    cheapest possible two-table audit shape; bucketing both tables on
+    orderkey (`join_bucketed`) removes even those exchanges.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * (F.lit(1.0) + F.col("l_tax"))
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("li_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("o_cents"),
+    )
+    recon = od.join(
+        li, od.o_orderkey == li.l_orderkey, "left"
+    ).select(
+        "o_cents",
+        F.coalesce(F.col("li_cents"), F.lit(0)).alias("li_cents"),
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+    )
+    adiff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    grade = (
+        F.when(F.col("n_lines") == 0, "missing_lines")
+        .when(F.col("o_cents") == F.col("li_cents"), "exact")
+        .when(adiff * 100 <= F.col("o_cents"), "within_1pct")
+        .otherwise("mismatch")
+    )
+    return (
+        recon.select(grade.alias("grade"), adiff.alias("adiff"))
+        .groupBy("grade")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("adiff").alias("total_abs_diff_cents"),
+        )
+        .orderBy("grade")
+    )
+
+
+#: privacy_dp_mean: value clamp (cents) and per-release epsilon split.
+_DPM_CAP_CENTS = 50000
+_DPM_EPS_SUM = 0.25
+_DPM_EPS_CNT = 0.25
+_DPM_SEED = "dpm3"
+
+
+def _dp_lap_duckdb(key_expr: str, tag: str, scale: float) -> str:
+    """DuckDB expression: Laplace(scale) noise from the md5 coin of
+    ``key_expr || tag`` — same inverse-CDF transform as
+    privacy_dp_count, factored for the two draws this key needs."""
+    u = f"({_hex8_int_duckdb(f'{key_expr} || {tag!r}')} + 0.5) / 4294967296.0"
+    return (
+        f"(-{scale} * (CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0 END)"
+        f" * ln(1.0 - 2.0 * abs({u} - 0.5)))"
+    )
+
+
+@register(
+    "privacy_dp_mean",
+    oracle=f"""
+WITH agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(LEAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT),
+                        {_DPM_CAP_CENTS})) AS BIGINT) AS s
+  FROM events GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, n, s,
+         CAST(FLOOR({_dp_lap_duckdb("event_type", f":{_DPM_SEED}:s",
+                                    _DPM_CAP_CENTS / _DPM_EPS_SUM)}
+                    + 0.5) AS BIGINT) AS ns,
+         CAST(FLOOR({_dp_lap_duckdb("event_type", f":{_DPM_SEED}:c",
+                                    1.0 / _DPM_EPS_CNT)}
+                    + 0.5) AS BIGINT) AS nc
+  FROM agg
+)
+SELECT event_type, n,
+       CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+         AS true_mean_micro,
+       CAST(FLOOR(CAST(s + ns AS DOUBLE)
+                  / GREATEST(n + nc, 1) * 1000000.0 + 0.5) AS BIGINT)
+         AS dp_mean_micro,
+       CAST({_DPM_EPS_SUM + _DPM_EPS_CNT} AS DOUBLE) AS epsilon
+FROM noised
+ORDER BY event_type
+""",
+)
+def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEAN via the standard noisy-sum /
+    noisy-count composition: values clamp to [0, cap] (that clamp IS
+    the sensitivity bound — without it one outlier reveals itself),
+    each aggregate gets an independent seeded Laplace draw
+    (ε/2 each, Laplace scale cap/ε for the sum, 1/ε for the count),
+    and the released mean is their ratio. Extends `privacy_dp_count`
+    to the mechanism real DP deployments compose from; the seeded
+    coins make the release auditable across engines and runs. Noise
+    lands on integer cents before the ratio; the ratio's two divisions
+    are correctly-rounded doubles on a 1e-6 grid.
+
+    One map-side-combinable clamp+sum aggregate; noise is O(|groups|)
+    scalar math. At 100 TB the scan dominates and the mechanism is
+    free — the same shape as every production DP aggregation layer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.least(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+                F.lit(_DPM_CAP_CENTS).cast("long"),
+            )
+        ).alias("s"),
+    )
+
+    def _lap(tag: str, scale: float):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_type"),
+                            F.lit(f":{_DPM_SEED}:{tag}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)
+        return (
+            F.lit(-scale)
+            * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+        )
+
+    ns = F.floor(
+        _lap("s", _DPM_CAP_CENTS / _DPM_EPS_SUM) + F.lit(0.5)
+    ).cast("long")
+    nc = F.floor(_lap("c", 1.0 / _DPM_EPS_CNT) + F.lit(0.5)).cast("long")
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            F.floor(
+                F.col("s").cast("double") / F.col("n") * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("true_mean_micro"),
+            F.floor(
+                (F.col("s") + ns).cast("double")
+                / F.greatest(F.col("n") + nc, F.lit(1).cast("long"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dp_mean_micro"),
+            F.lit(float(_DPM_EPS_SUM + _DPM_EPS_CNT)).alias("epsilon"),
+        )
+        .orderBy("event_type")
+    )

@@ -1187,3 +1187,111 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_g").cast("double") / F.lit(1e6)).alias("rake_score"),
         )
     )
+
+
+@register(
+    "text_cdc_chunking",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+           AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN substr(md5(w), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END
+           AS is_cut
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, pos, w,
+         SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM cut
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM chunked GROUP BY doc_id, chunk_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST(FLOOR((1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*))
+                  * 1000000.0 + 0.5) AS BIGINT) AS dup_micro,
+       CAST(FLOOR(CAST(SUM(n_words) AS DOUBLE) / COUNT(*) * 1000000.0
+                  + 0.5) AS BIGINT) AS avg_words_micro
+FROM chunks
+""",
+)
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC idea at word
+    granularity): a token is a cut point when its md5 falls in 1/8 of
+    hash space, so chunk boundaries are determined by CONTENT — insert
+    a sentence and only the chunks that contain it change identity,
+    where `text_chunk`'s fixed stride re-keys every chunk after the
+    edit. That shift-resistance is what makes CDC the storage-dedup
+    standard; the audit measures the cross-corpus duplicate-chunk
+    fraction (exact md5 identity) and the realized mean chunk size
+    (expected 8 words from the 2/16 first-hex-digit gate).
+
+    Chunk assembly orders tokens explicitly (DuckDB ``string_agg …
+    ORDER BY pos``, Spark sort of collected (pos, w) structs) — never
+    relying on shuffle arrival order. Scale: tokenize + cut-flag are
+    map-side; the chunk_id window is per-doc state; the chunk group-by
+    shuffles once on (doc, chunk) and the final distinct-count once on
+    the 16-byte digest. All lanes linear in tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "w",
+        F.when(
+            F.substring(F.md5("w"), 1, 1).isin("0", "1"), 1
+        ).otherwise(0).alias("is_cut"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum("is_cut").over(wc).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, w))),"
+                    " x -> x.w)"
+                ),
+            )
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("h")
+    return chunks.agg(
+        n.alias("n_chunks"),
+        nd.alias("n_distinct"),
+        F.floor(
+            (F.lit(1.0) - nd.cast("double") / n) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dup_micro"),
+        F.floor(
+            F.sum("n_words").cast("double") / n * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_words_micro"),
+    )

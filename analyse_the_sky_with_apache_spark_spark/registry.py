@@ -136,6 +136,8 @@ _ROTATION_R9 = (
     "stat_permutation_test", "text_keyword_rake", "udtf_table_partition_by",
     "sample_bottom_k", "corpus_importance_resample", "ts_downsample_lttb",
     "sql_identifier_clause", "stat_levene", "interval_allen_relations",
+    "text_cdc_chunking", "dq_reconciliation", "dedup_blocking_multipass",
+    "graph_hits_one_round", "privacy_dp_mean", "ml_lift_curve",
 )
 
 #: Page 1 — the LIVE round-6 window.

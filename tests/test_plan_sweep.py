@@ -92,6 +92,8 @@ _BNL_ALLOWED = {
     "dq_freshness",
     # 1-row observed-statistic broadcast × 200-row permutation stats
     "stat_permutation_test",
+    # four 1-row pass/overlap/verify counters meet in broadcasts
+    "dedup_blocking_multipass",
 }
 
 _KEYS = sorted(
@@ -143,6 +145,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # row_number over the collapsed per-day table + lag/lead over the
     # 60-row bucket-stats table
     "ts_downsample_lttb",
+    # cumulative windows over the collapsed score-bin table (|bins|
+    # bounded by score range, constant in row count)
+    "ml_lift_curve",
 }
 
 
