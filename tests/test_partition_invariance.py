@@ -58,6 +58,14 @@ _KEYS = (
     "emb_knn_graph",
     "stat_spearman_corr",
     "stat_kendall_tau",
+    # driver-round-6 batch kernels: seeded-coin fan-out statistics,
+    # wide-integer-lane argmax selection, shuffle-order-independent
+    # chunk assembly (explicit struct sort before concat), and
+    # bin-collapsed decile windows
+    "stat_permutation_test",
+    "ts_downsample_lttb",
+    "text_cdc_chunking",
+    "ml_lift_curve",
 )
 
 registry.load_all_modules()
