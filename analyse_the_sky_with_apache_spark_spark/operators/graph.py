@@ -1479,3 +1479,112 @@ def graph_hits_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("hub1").desc(), F.col("auth1").desc(), "node")
         .limit(20)
     )
+
+
+#: graph_triangles_doulion: edge keep-probability p = _DOUL_NUM/16 via
+#: one hex digit of the seeded edge md5.
+_DOUL_NUM = 5
+_DOUL_SEED = "dl2"
+
+
+@register(
+    "graph_triangles_doulion",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+kept AS (
+  SELECT u, v FROM e
+  WHERE strpos('0123456789abcdef',
+               substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)
+                          || ':{_DOUL_SEED}'), 1, 1)) - 1 < {_DOUL_NUM}
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM kept e1 JOIN kept e2 ON e2.u = e1.v
+               JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+       t AS sampled_triangles,
+       CAST(FLOOR(CAST(t AS DOUBLE) * 4096.0 / {_DOUL_NUM ** 3} + 0.5)
+            AS BIGINT) AS est_triangles
+FROM tri
+""",
+)
+def graph_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis et al. 2009): triangle counting by edge
+    sparsification — keep each edge with probability p, count triangles
+    on the sample, scale by 1/p³. THE technique that takes triangle
+    counting from "finishes at 100 TB" (`graph_triangles`' oriented
+    wedge join, O(m^1.5)) to "finishes fast": the wedge join runs on a
+    p-fraction graph, cutting wedge work by ~p² while the estimator
+    stays unbiased with relative error ~1/√(p³·T). The coin is the
+    seeded edge-md5 hex digit (p = 5/16), so the SAMPLE ITSELF is
+    reproducible across engines/runs — the estimate hash-matches, which
+    a true-random sparsifier never could. Estimate lands via exact
+    integer scaling (t·4096/125, floor+0.5).
+
+    Plan: edge build + one map-side hash gate + the same banded
+    triangle join on the kept subgraph. At 100 TB p becomes the
+    accuracy/cost dial; the gate is free (no shuffle).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("v").cast("string"),
+                        F.lit(f":{_DOUL_SEED}"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < _DOUL_NUM
+    )
+    kept = e.where(coin)
+    e1 = kept.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = kept.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = kept.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_kept))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_kept",
+            F.col("t").alias("sampled_triangles"),
+            F.floor(
+                F.col("t").cast("double")
+                * F.lit(4096.0)
+                / F.lit(float(_DOUL_NUM ** 3))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("est_triangles"),
+        )
+    )

@@ -1742,3 +1742,99 @@ def sky_lognlogs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1e6)
     )
     return c.select("mag_bin", "n", "n_brighter", log_n.alias("log_n_cum"))
+
+
+@register(
+    "xmatch_three_way",
+    oracle="""
+WITH cat AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size,
+         p_partkey % 3 AS cat_id
+  FROM part
+)
+SELECT a.p_partkey AS ia, b.p_partkey AS ib, c.p_partkey AS ic,
+       a.cents - b.cents AS dab_cents,
+       a.cents - c.cents AS dac_cents
+FROM cat a
+JOIN cat b ON b.cat_id = 1
+          AND abs(a.cents - b.cents) <= 25 AND abs(a.size - b.size) <= 1
+JOIN cat c ON c.cat_id = 2
+          AND abs(a.cents - c.cents) <= 25 AND abs(a.size - c.size) <= 1
+WHERE a.cat_id = 0
+ORDER BY ia, ib, ic
+LIMIT 200
+""",
+)
+def xmatch_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-catalog cross-match — the multi-survey astronomy workflow
+    (match optical to infrared to radio): catalog A matches B and C
+    within the same 2-D tolerance, anchored on A's coordinates. Each
+    stage is the `xmatch_2d` plan — home-cell binning on one side, 3×3
+    neighborhood replication on the other, equi-join on the cell id,
+    exact band predicate as the verify — so the chained match is two
+    banded equi-joins, never a cascade of theta joins. Deltas are exact
+    integer cents; the triple list orders and limits deterministically.
+
+    At 100 TB each stage shuffles on the composite cell key and AQE
+    splits hot cells (dense sky regions); stage order follows
+    selectivity (match the rarest catalog first) exactly like a join
+    reorder. The anchor's coordinates ride through stage 2 unchanged,
+    so no re-binning pass is needed between stages.
+    """
+    eps_p, eps_s = 25, 1
+    cat = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+        (F.col("p_partkey") % 3).alias("cat_id"),
+    )
+
+    def _anchor(df, key_out):
+        return df.select(
+            F.col("p_partkey").alias(key_out),
+            F.col("cents").alias(f"{key_out}_cents"),
+            F.col("size").alias(f"{key_out}_size"),
+            F.expr(f"cents div {eps_p}").alias("cx"),
+            F.expr(f"size div {eps_s}").alias("cy"),
+        )
+
+    def _neighbors(df, key_out):
+        return df.select(
+            F.col("p_partkey").alias(key_out),
+            F.col("cents").alias(f"{key_out}_cents"),
+            F.col("size").alias(f"{key_out}_size"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx -> "
+                    f"transform(sequence(-1, 1), dy -> "
+                    f"struct(cents div {eps_p} + dx AS cx, "
+                    f"size div {eps_s} + dy AS cy))))"
+                )
+            ).alias("cell"),
+        ).select(key_out, f"{key_out}_cents", f"{key_out}_size", "cell.cx", "cell.cy")
+
+    a = _anchor(cat.where(F.col("cat_id") == 0), "ia")
+    b = _neighbors(cat.where(F.col("cat_id") == 1), "ib")
+    c = _neighbors(cat.where(F.col("cat_id") == 2), "ic")
+
+    ab = a.join(b, ["cx", "cy"]).filter(
+        (F.abs(F.col("ia_cents") - F.col("ib_cents")) <= eps_p)
+        & (F.abs(F.col("ia_size") - F.col("ib_size")) <= eps_s)
+    )
+    abc = ab.join(c, ["cx", "cy"]).filter(
+        (F.abs(F.col("ia_cents") - F.col("ic_cents")) <= eps_p)
+        & (F.abs(F.col("ia_size") - F.col("ic_size")) <= eps_s)
+    )
+    return (
+        abc.select(
+            "ia",
+            "ib",
+            "ic",
+            (F.col("ia_cents") - F.col("ib_cents")).alias("dab_cents"),
+            (F.col("ia_cents") - F.col("ic_cents")).alias("dac_cents"),
+        )
+        .orderBy("ia", "ib", "ic")
+        .limit(200)
+    )

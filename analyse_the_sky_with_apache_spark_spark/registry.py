@@ -138,6 +138,7 @@ _ROTATION_R9 = (
     "sql_identifier_clause", "stat_levene", "interval_allen_relations",
     "text_cdc_chunking", "dq_reconciliation", "dedup_blocking_multipass",
     "graph_hits_one_round", "privacy_dp_mean", "ml_lift_curve",
+    "xmatch_three_way", "graph_triangles_doulion",
 )
 
 #: Page 1 — the LIVE round-6 window.

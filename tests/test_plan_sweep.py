@@ -94,6 +94,8 @@ _BNL_ALLOWED = {
     "stat_permutation_test",
     # four 1-row pass/overlap/verify counters meet in broadcasts
     "dedup_blocking_multipass",
+    # 1-row edge/kept/triangle counters meet in broadcasts
+    "graph_triangles_doulion",
 }
 
 _KEYS = sorted(
