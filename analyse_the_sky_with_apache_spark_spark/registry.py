@@ -75,8 +75,10 @@ _loaded = False
 #: Already-sampled keys go last; they keep local regression coverage
 #: (tests/test_oracle_differential.py and tools/check.py's full gate).
 
-#: Page 2 — round-7 window (50 never-sampled oracle keys).
-_ROTATION_R7 = (
+#: Page 2 — the LIVE round-7 window (50 never-sampled oracle keys;
+#: rotated in at round-7 open per VERDICT r6 task 1 — the round-6 page
+#: is retired via its CORRECTNESS_r06 rows).
+_PRIORITY = (
     "graph_bfs_hops", "join_null_safe", "attribution_linear",
     "xmatch_completeness", "text_boilerplate", "q13_customer_distribution",
     "ts_order_gaps", "text_repetition", "scan_log_regexp",
@@ -141,8 +143,10 @@ _ROTATION_R9 = (
     "xmatch_three_way", "graph_triangles_doulion",
 )
 
-#: Page 1 — the LIVE round-6 window.
-_PRIORITY = (
+#: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:
+#: 50/50 hash-green). Kept for documentation; no longer scheduled —
+#: these keys are now covered by their driver rows.
+_RETIRED_R6 = (
     "agg_incremental_maintenance",  # operators.aggregations
     "corpus_group_sample",  # pipeline.corpus
     "dedup_fuzzy_levenshtein",  # pipeline.dedup
