@@ -186,6 +186,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # Runtime enforcement of the lane cap (ADVICE r6): past 65 535
+    # distinct words a 16-bit lane would wrap silently and the
+    # fingerprint would be wrong with no signal. assert_true returns
+    # NULL (row kept) under the cap and raises loudly over it; it sits
+    # BEFORE the fold so an oversized document fails fast instead of
+    # paying the md5 fold first.
+    d = d.filter(
+        F.assert_true(
+            F.size(F.array_distinct(F.split("text", " "))) < 65536,
+            F.lit(
+                "dedup_simhash: >65535 distinct words in one document "
+                "(SWAR lane cap) — chunk with text_chunk/"
+                "chunk_dedup_pipeline first"
+            ),
+        ).isNull()
+    )
     fp = d.select(
         "doc_id",
         F.expr(

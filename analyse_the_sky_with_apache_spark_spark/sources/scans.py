@@ -247,9 +247,6 @@ def _make_skygen_source():
     return SkyGenSource
 
 
-_PYDS_REGISTERED: set[int] = set()
-
-
 @register(
     "scan_pyds",
     oracle="""
@@ -273,9 +270,10 @@ def scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole plumb (registration, options, partition planning, Arrow
     return path) is hash-verified.
     """
-    if id(spark) not in _PYDS_REGISTERED:
-        spark.dataSource.register(_make_skygen_source())
-        _PYDS_REGISTERED.add(id(spark))
+    # Registration is idempotent (re-register replaces) and cheap;
+    # id(spark)-keyed memoization can misfire after a session is
+    # garbage-collected and its id reused (ADVICE r6) — so just register.
+    spark.dataSource.register(_make_skygen_source())
     return (
         spark.read.format("skygen")
         .option("n", "1000")
@@ -1170,9 +1168,17 @@ def txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "file STRING, removed_in_version BIGINT, eligible BOOLEAN",
     )
+    # LEFT join + coalesce (ADVICE r6): a removed file whose parquet is
+    # empty yields no count row; it must still appear with n_rows=0,
+    # matching the oracle's relational restatement.
     return (
-        meta.join(per_file, "file")
-        .select("file", "removed_in_version", "n_rows", "eligible")
+        meta.join(per_file, "file", "left")
+        .select(
+            "file",
+            "removed_in_version",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            "eligible",
+        )
         .orderBy("file")
     )
 
@@ -1186,14 +1192,22 @@ def _make_jsonl_sink_source():
     )
 
     class JsonlCommit(WriterCommitMessage):
-        def __init__(self, path: str, n: int):
+        def __init__(self, path: str, tmp: str, n: int):
             self.path = path
+            self.tmp = tmp
             self.n = n
 
     class JsonlWriter(DataSourceWriter):
         """Per-partition writer: one JSON-lines part file per task,
         committed via task→driver commit messages (the two-phase
-        protocol every exactly-once sink implements)."""
+        protocol every exactly-once sink implements).
+
+        Attempt safety (ADVICE r6): the staging name includes the task
+        ATTEMPT id, not just the partition id, so a speculative or
+        retried attempt never clobbers a sibling attempt's in-progress
+        file; ``commit()`` renames exactly the winning attempt's tmp to
+        the final per-partition name, and ``abort()`` removes only the
+        aborting attempt's own tmp."""
 
         def __init__(self, options):
             self.path = options.get("path")
@@ -1203,27 +1217,32 @@ def _make_jsonl_sink_source():
             import os as _os
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            attempt = ctx.taskAttemptId()
             part = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            tmp = f"{part}.attempt-{attempt}.tmp"
             n = 0
-            with open(part + ".tmp", "w") as f:
+            with open(tmp, "w") as f:
                 for row in iterator:
                     f.write(_j.dumps(row.asDict()) + "\n")
                     n += 1
-            return JsonlCommit(part, n)
+            return JsonlCommit(part, tmp, n)
 
         def commit(self, messages):
             import os as _os
 
             for m in messages:
-                _os.replace(m.path + ".tmp", m.path)
+                _os.replace(m.tmp, m.path)
 
         def abort(self, messages):
             import os as _os
 
             for m in messages:
+                if m is None:
+                    continue
                 try:
-                    _os.remove(m.path + ".tmp")
+                    _os.remove(m.tmp)
                 except FileNotFoundError:
                     pass
 
@@ -1238,9 +1257,6 @@ def _make_jsonl_sink_source():
             return JsonlWriter(self.options)
 
     return JsonlSinkSource
-
-
-_PYDS_SINK_REGISTERED: set[int] = set()
 
 
 @register(
@@ -1272,11 +1288,10 @@ def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB each task streams its partition; the only driver-side
     work is the O(tasks) commit-message pass, same as any file sink.
     """
-    src = _make_jsonl_sink_source()
-    key = id(spark)
-    if key not in _PYDS_SINK_REGISTERED:
-        spark.dataSource.register(src)
-        _PYDS_SINK_REGISTERED.add(key)
+    # Register unconditionally (ADVICE r6): re-registration is
+    # idempotent, whereas id(spark)-keyed memoization silently skips
+    # registration when a dead session's id is reused.
+    spark.dataSource.register(_make_jsonl_sink_source())
     path = os.path.join(
         _SCRATCH, "pyds_sink_" + os.path.basename(os.path.normpath(sf_dir))
     )
