@@ -141,6 +141,8 @@ _ROTATION_R9 = (
     "text_cdc_chunking", "dq_reconciliation", "dedup_blocking_multipass",
     "graph_hits_one_round", "privacy_dp_mean", "ml_lift_curve",
     "xmatch_three_way", "graph_triangles_doulion",
+    # round-7 additions
+    "txn_log_conflict_detect", "graph_adamic_adar_capped",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -6,6 +6,8 @@
 - sink_pyds's two-phase commit must be attempt-safe: staging names
   include the task attempt id, commit renames exactly the winning
   attempt's tmp, abort removes only the aborting attempt's own file.
+- mm_media_metadata's fake decode must CONSUME the payload bytes
+  (VERDICT r6 task 6): flipping one byte must change the output.
 """
 
 from __future__ import annotations
@@ -91,3 +93,29 @@ def test_sink_commit_renames_winning_attempt_only(tmp_path):
     assert os.path.exists(part), "abort removed the committed file"
     # aborting an attempt that never staged a file is a no-op
     writer.abort([Msg(part, f"{part}.attempt-9.tmp")])
+
+
+def test_media_metadata_is_payload_derived():
+    """One flipped payload byte must change the decoded metadata —
+    proving the kernel reads the binary column's CONTENT, not a
+    sibling id column (VERDICT r6 task 6)."""
+    from analyse_the_sky_with_apache_spark_spark.pipeline.multimodal import (
+        _media_metadata,
+    )
+
+    def run(payload: bytes) -> dict:
+        pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+        out = next(_media_metadata(iter([pdf])))
+        return out.iloc[0].to_dict()
+
+    a, b = run(b"fake-jpeg-bytes"), run(b"fake-jpeg-byteX")
+    assert a["payload_crc"] != b["payload_crc"]
+    assert a["n_bytes"] == b["n_bytes"] == 15
+    # same-id, different-bytes must NOT collide on the derived fields
+    assert (a["width"], a["height"], a["n_frames"]) != (
+        b["width"], b["height"], b["n_frames"],
+    )
+    # truncation moves the length-structured fields (15 % 3 = 0 image,
+    # 10 % 3 = 1 audio)
+    c = run(b"fake-jpeg-")
+    assert c["n_bytes"] == 10 and c["media_type"] != a["media_type"]

@@ -534,3 +534,29 @@ def test_txn_log_snapshot_vs_time_travel(spark):
         ).count()
         == 0
     )
+
+
+def test_txn_log_conflict_detect_verdicts(spark):
+    """OCC dry-run (VERDICT r6 task 4): a pending delete whose base
+    predates a winning commit that removed its files must be rejected
+    with the losing files named; a blind append and a delete based on
+    the latest snapshot must both be clean."""
+    rows = {
+        r["txn"]: r
+        for r in queries()["txn_log_conflict_detect"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {
+        "append_events", "delete_bucket3", "delete_low", "delete_recent",
+    }
+    # conflicting pair: lost the race to the v2 compaction / v1 rewrite
+    lo = rows["delete_low"]
+    assert not lo["commit_ok"] and lo["n_conflicts"] == 2
+    assert lo["conflicting_files"] == "bucket_0_v0,bucket_1_v0"
+    assert lo["rows_at_risk"] > 0
+    b3 = rows["delete_bucket3"]
+    assert not b3["commit_ok"] and b3["conflicting_files"] == "bucket_3_v0"
+    # non-conflicting pair: blind append; delete based on latest version
+    for txn in ("append_events", "delete_recent"):
+        r = rows[txn]
+        assert r["commit_ok"] and r["n_conflicts"] == 0
+        assert r["conflicting_files"] == "" and r["rows_at_risk"] == 0
