@@ -537,7 +537,18 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")  # rows-only: t-digest sketch is engine-specific
+@register(
+    "agg_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.90) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via ``percentile_approx`` — the sketch
     that replaces :func:`agg_percentile_exact` at 100 TB.
@@ -545,24 +556,36 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact percentiles need a sort (or full value materialization) per
     group; the approx variant keeps a bounded quantile sketch that
     combines map-side and merges across partitions, so the shuffle is
-    one sketch per group regardless of row count. accuracy=10000 bounds
-    rank error at 1/10000. Registered rows-only (each engine's sketch
-    differs); tests/test_approx.py pins the error envelope against the
-    exact values.
+    one sketch per group regardless of row count.
+
+    Promoted rows-only → oracle-checked (VERDICT r6 task 2): the GK
+    sketch's rank error is bounded by n/accuracy, so with accuracy ≥
+    group cardinality the sketch DEGRADES TO EXACT — it returns the
+    discrete lower-rank percentile element, which is precisely DuckDB's
+    ``quantile_disc`` (verified element-equal at sf0.001/0.01/0.1
+    before promotion). accuracy=2e6 covers every fixture SF; at true
+    100-TB group sizes a deployment lowers accuracy and trades this
+    exactness for the bounded-memory guarantee — that regime keeps its
+    dedicated error-envelope pytest (tests/test_approx.py), which runs
+    the same operator shape with the small-accuracy setting.
     """
     li = load_table(spark, sf_dir, "lineitem")
     approx = F.percentile_approx(
         "l_extendedprice",
         F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)),
-        F.lit(10000),
+        F.lit(2_000_000),
     )
-    # serialized to CSV so the result stays hashable (no nested columns
-    # reach the driver's canonicalizer — round-1 lesson)
-    return li.groupBy("l_returnflag").agg(
-        F.array_join(
-            F.transform(approx, lambda x: F.round(x, 2).cast("string")), ","
-        ).alias("approx_p25_p50_p90"),
-        F.count(F.lit(1)).alias("n"),
+    # build the sketch ONCE per group, then unpack — three getItem
+    # aggregates would build three sketches
+    g = li.groupBy("l_returnflag").agg(
+        approx.alias("ap"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("ap").getItem(0).alias("p25"),
+        F.col("ap").getItem(1).alias("p50"),
+        F.col("ap").getItem(2).alias("p90"),
+        "n",
     )
 
 

@@ -212,29 +212,92 @@ def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: PageRank damping and fixed iteration count (deterministic plan).
-_PR_DAMP = 0.85
-_PR_ITERS = 10
+#: Weighted-trade PageRank constants (named apart from the co-purchase
+#: `_PR_SCALE`/`_PR_ITERS` pair below — that later module-level
+#: assignment silently retargeted the old float kernel's iteration
+#: count, a trap these avoid).
+_PRT_SCALE = 10**12
+_PRT_ITERS = 5
+#: damping 0.85 as the exact integer pair 85/100.
+_PRT_DAMP_NUM, _PRT_DAMP_DEN = 85, 100
 
 
-@register("graph_pagerank")  # rows-only: float power iteration
+def _prt_oracle() -> str:
+    """Unrolled integer power iteration over the trade graph — one
+    MATERIALIZED CTE per round (inlining would re-expand the whole
+    edge build per reference)."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2)""",
+        "ow AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM e GROUP BY src)",
+        """nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS MATERIALIZED (
+  SELECT node, CAST({_PRT_SCALE} // nn.n AS BIGINT) AS rank
+  FROM nodes, nn)""",
+    ]
+    for k in range(1, _PRT_ITERS + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT d.node,
+         CAST(({100 - _PRT_DAMP_NUM} * {_PRT_SCALE}) // ({_PRT_DAMP_DEN} * nn.n)
+              + ({_PRT_DAMP_NUM} * COALESCE(inc.s, 0)) // {_PRT_DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes d CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, SUM((r.rank * e.w) // o.ow) AS s
+    FROM e
+    JOIN r{k - 1} r ON r.node = e.src
+    JOIN ow o ON o.src = e.src
+    GROUP BY e.dst
+  ) inc ON inc.dst = d.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, rank FROM r{_PRT_ITERS}
+ORDER BY rank DESC, node
+"""
+    )
+
+
+@register("graph_pagerank", oracle=_prt_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the international trade graph (customer nation →
     supplier nation, weighted by line count) — the canonical ITERATIVE
     DataFrame kernel alongside kmeans_lloyd and the label-propagation
     connected components.
 
-    Ten fixed power iterations: contributions = edges ⋈ ranks on the
-    source key, re-aggregated on the destination, blended with the
-    teleport term. Each iteration is one broadcast join + one tiny
-    aggregation (25 nodes); ``localCheckpoint`` truncates lineage so
-    the plan never grows with the iteration count — the same pattern
-    that runs billion-node graphs, where the join becomes a shuffle
-    co-partitioned on the node key across iterations. Every fixture
-    nation has outbound trade, so no dangling-mass correction is needed
-    (asserted in tests); rows-only because float power iteration has no
-    SQL-exact twin — tests/test_scale_patterns.py checks the result
-    against a driver-side numpy power iteration to 1e-9 instead.
+    Promoted rows-only → oracle-checked (VERDICT r6 task 2) with the
+    `graph_pagerank_exact` integer discipline applied to the WEIGHTED
+    graph: ranks live in 1e-12 micro-units, each edge carries
+    ``(rank·w) div outw`` (the weighted transition, floored — sub-unit
+    mass is deliberately dropped for determinism), and damping is the
+    integer pair 85/100. Every round is bit-identical in any engine at
+    any partitioning, so the full rank vector hash-matches DuckDB's
+    unrolled-CTE evaluation of the same recurrence. Overflow headroom:
+    rank ≤ 1e12 and the heaviest fixture edge weight ≤ ~1e4 keeps
+    rank·w ≤ 1e16 ≪ 2^63 (safe through sf1; a 1e6-weight edge set
+    would move to a 1e9 scale).
+
+    Each iteration is one contribution join on the source key + one
+    destination-keyed aggregation + a left join back to the node set;
+    ``localCheckpoint`` truncates lineage so the plan never grows with
+    the iteration count — the same pattern that runs billion-node
+    graphs, where the join becomes a shuffle co-partitioned on the
+    node key across iterations. Every fixture nation has outbound
+    trade, so no dangling-mass correction is needed (asserted in
+    tests); tests/test_scale_patterns.py re-derives the identical
+    int64 recurrence in numpy and checks exact equality.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -250,35 +313,43 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    trans = (
-        edges.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = (
+        trans.select(F.col("src").alias("node"))
+        .union(trans.select("dst"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = trans.select(F.col("src").alias("node")).union(
-        trans.select("dst")
-    ).distinct().localCheckpoint(eager=True)
     n = nodes.count()
-    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            trans.join(pr, trans.src == pr.node)
+    base = ((100 - _PRT_DAMP_NUM) * _PRT_SCALE) // (_PRT_DAMP_DEN * n)
+    ranks = nodes.select(
+        "node", F.lit(_PRT_SCALE // n).cast("long").alias("rank")
+    )
+    for _ in range(_PRT_ITERS):
+        inc = (
+            trans.join(ranks, trans.src == ranks.node)
+            .select("dst", F.expr("(rank * w) div ow").alias("contrib"))
             .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("pr")).alias("inflow"))
+            .agg(F.sum("contrib").alias("s"))
         )
-        pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+        ranks = (
+            nodes.join(inc, nodes.node == inc.dst, "left")
             .select(
                 "node",
                 (
-                    F.lit((1.0 - _PR_DAMP) / n)
-                    + F.lit(_PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("pr"),
+                    F.lit(base)
+                    + F.expr(
+                        f"({_PRT_DAMP_NUM} * coalesce(s, 0L))"
+                        f" div {_PRT_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    return pr.orderBy(F.col("pr").desc(), "node")
+    return ranks.orderBy(F.col("rank").desc(), "node")
 
 
 #: two-star convergence bound: O(log² n) rounds in theory, ~5 in practice.
@@ -1451,6 +1522,107 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nonedge.select("x", "y", "cn", "aa_micro")
         .orderBy(F.col("aa_micro").desc(), "x", "y")
+        .limit(50)
+    )
+
+
+@register(
+    "graph_jaccard_similarity",
+    oracle="""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+wedge AS (
+  SELECT a.nbr AS x, b.nbr AS y
+  FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr
+),
+cn AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn FROM wedge GROUP BY x, y
+),
+score AS (
+  SELECT cn.x, cn.y, cn.cn,
+         CAST((1000000000000 * cn.cn) // (dx.d + dy.d - cn.cn)
+              AS BIGINT) AS jac_micro
+  FROM cn
+  JOIN deg dx ON dx.node = cn.x
+  JOIN deg dy ON dy.node = cn.y
+)
+SELECT s.x, s.y, s.cn, s.jac_micro
+FROM score s
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.x AND e.v = s.y)
+ORDER BY s.jac_micro DESC, s.x, s.y
+LIMIT 50
+""",
+)
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction — the third rung of the wedge-based
+    ladder (`graph_common_neighbors` counts, `graph_adamic_adar`
+    hub-discounts, Jaccard NORMALIZES: |Γu ∩ Γv| / |Γu ∪ Γv|, so a
+    pair sharing 3 of 4 neighbors outranks a hub pair sharing 3 of
+    400). Same non-edge anti-join and tie-broken top-50 as its
+    siblings.
+
+    |Γu ∪ Γv| = deg(u) + deg(v) − cn needs the ENDPOINT degrees, not
+    the wedge center's: the degree table joins onto the aggregated
+    candidate pairs (|pairs| rows, post-aggregation — strictly less
+    work than the AA kernel's per-wedge degree ride-along), and the
+    score is exact integer: (1e12·cn) div union — no float anywhere,
+    so ordering and the oracle hash are stable at any partitioning.
+    Scale posture identical to the CN kernel: wedges enumerate only
+    through shared centers (`graph_adamic_adar_capped`'s degree cap is
+    the drop-in lever if a hub-heavy graph arrives).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a0, b0 = li.alias("a"), li.alias("b")
+    e = (
+        a0.join(
+            b0,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("x"), F.col("b.nbr").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    dx, dy = deg.alias("dx"), deg.alias("dy")
+    score = (
+        cn.join(dx, cn.x == F.col("dx.node"))
+        .join(dy, cn.y == F.col("dy.node"))
+        .select(
+            "x", "y", "cn",
+            F.expr("(1000000000000L * cn) div (dx.d + dy.d - cn)")
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    nonedge = score.join(e, (score.x == e.u) & (score.y == e.v), "left_anti")
+    return (
+        nonedge.select("x", "y", "cn", "jac_micro")
+        .orderBy(F.col("jac_micro").desc(), "x", "y")
         .limit(50)
     )
 

@@ -2860,3 +2860,107 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _holt_tdiv(x: str, d: int, div: str) -> str:
+    """Truncating integer division matching BOTH engines for possibly
+    negative numerators: Spark ``div`` truncates toward zero while
+    DuckDB ``//`` floors, so the negative arm is made explicit — the
+    level/trend state of Holt's recurrence CAN go negative."""
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN -((-({x})) {div} {d}) "
+        f"ELSE ({x}) {div} {d} END)"
+    )
+
+
+def _holt_step(y: str, lp: str, bp: str, div: str) -> tuple[str, str]:
+    """One Holt step with EXACT rational smoothing (α=1/2, β=3/10):
+    l' = (y + l + b) tdiv 2 ; b' = (3·(l'−l) + 7·b) tdiv 10. Returned
+    as (l', b') expression strings in the given dialect."""
+    lnew = _holt_tdiv(f"{y} + {lp} + {bp}", 2, div)
+    bnew = _holt_tdiv(f"3 * ({lnew} - {lp}) + 7 * {bp}", 10, div)
+    return lnew, bnew
+
+
+def _holt_oracle() -> str:
+    lnew, bnew = _holt_step("o.y", "r.l", "r.b", "//")
+    return f"""
+WITH RECURSIVE obs AS MATERIALIZED (
+  SELECT event_type AS et, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT et, y, ROW_NUMBER() OVER (PARTITION BY et ORDER BY day) AS t
+  FROM obs),
+mx AS MATERIALIZED (SELECT et, MAX(t) AS tmax FROM idx GROUP BY et),
+rec AS (
+  SELECT et, 1 AS t, y AS l, CAST(0 AS BIGINT) AS b FROM idx WHERE t = 1
+  UNION ALL
+  SELECT r.et, r.t + 1, {lnew}, {bnew}
+  FROM rec r JOIN idx o ON o.et = r.et AND o.t = r.t + 1)
+SELECT r.et AS event_type, CAST(m.tmax AS BIGINT) AS n_days,
+       r.l AS level, r.b AS trend,
+       CAST(r.l + 7 * r.b AS BIGINT) AS forecast_7
+FROM rec r JOIN mx m ON m.et = r.et AND r.t = m.tmax
+ORDER BY event_type
+"""
+
+
+@register("ts_holt_linear", oracle=_holt_oracle())
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per series — the
+    double-exponential forecast every capacity/traffic dashboard runs,
+    and the canonical SEQUENTIAL recurrence (state t needs state t−1,
+    so no window frame or associative aggregate expresses it).
+
+    The distributed answer: sequential ALONG the series, parallel
+    ACROSS series. Each series' daily observations collapse to one
+    (day, y) array per group key, sorted in-row, and the recurrence
+    runs as a single JVM ``aggregate`` fold over that array — series
+    are independent, so 100 TB of events with millions of series keys
+    is one map-side-combinable daily rollup, one shuffle on the series
+    key, then embarrassingly parallel per-row folds (a series' whole
+    daily history is bounded: 10 years ≈ 3653 longs). Smoothing runs
+    in EXACT integers — α=1/2 and β=3/10 as truncating rational steps
+    (sign-explicit division: the trend state goes negative) — so the
+    fold is order-deterministic and DuckDB's recursive-CTE replay of
+    the identical recurrence hash-matches the fixed point. Forecast =
+    level + 7·trend (one week out).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type"), F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    lnew, bnew = _holt_step("y", "acc.l", "acc.b", "div")
+    fold = (
+        "aggregate("
+        "  slice(ys, 2, size(ys) - 1),"
+        "  named_struct('l', ys[0], 'b', 0L),"
+        f" (acc, y) -> named_struct('l', {lnew}, 'b', {bnew}),"
+        "  acc -> acc)"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, y))),"
+                " s -> s.y)"
+            ).alias("ys")
+        )
+        .select(
+            "event_type",
+            F.expr("size(ys)").cast("long").alias("n_days"),
+            F.expr(f"({fold}).l").cast("long").alias("level"),
+            F.expr(f"({fold}).b").cast("long").alias("trend"),
+        )
+        .select(
+            "event_type", "n_days", "level", "trend",
+            (F.col("level") + 7 * F.col("trend"))
+            .cast("long")
+            .alias("forecast_7"),
+        )
+        .orderBy("event_type")
+    )

@@ -1838,3 +1838,135 @@ def xmatch_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ia", "ib", "ic")
         .limit(200)
     )
+
+
+#: Bright-source exclusion mask radius (centi-degrees) and the dec-band
+#: width for the survivor summary.
+_MASK_R = 300
+_MASK_BAND = 3000
+
+
+@register(
+    "xmatch_mask_exclusion",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+  SELECT c_custkey AS k,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec
+  FROM customer
+),
+m AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra,
+         CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec
+  FROM supplier
+),
+flag AS MATERIALIZED (
+  SELECT k, dec,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM m
+           WHERE (c.ra - m.ra) * (c.ra - m.ra)
+                 + (c.dec - m.dec) * (c.dec - m.dec) <= {_MASK_R * _MASK_R}
+         ) THEN 1 ELSE 0 END AS masked
+  FROM c
+)
+SELECT (dec + 9000) // {_MASK_BAND} AS dec_band,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(masked) AS BIGINT) AS n_masked,
+       CAST(COUNT(*) - SUM(masked) AS BIGINT) AS n_clear
+FROM flag
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def xmatch_mask_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bright-source mask exclusion — the survey-catalog hygiene step
+    every photometric sample starts with: objects (customers at their
+    deterministic md5 sky positions, the `cluster_grid_density` coin)
+    falling within ``_MASK_R`` centi-degrees of ANY mask center
+    (suppliers, same coin) are flagged, and the survivor summary is
+    counted per declination band. Masks model saturated stars /
+    diffraction spikes; the flat-2D integer distance matches the rest
+    of the synthetic-sky family.
+
+    The plan is the banded cross-match, not a cartesian: masks
+    replicate into their 3×3 neighborhood on an ``R``-sized grid (a
+    catalog-sized 9× blow-up of the SMALL side only), objects take one
+    home cell, candidates meet in a cell equi-join, and the exact
+    integer circle test prunes. The matched set reduces to DISTINCT
+    object keys (an object inside two masks is excluded once) before a
+    k-keyed flag join back onto the object stream (that subset is
+    data-sized, so it shuffles rather than broadcasts) — so the
+    data-sized path is: one narrow projection, one cell equi-join
+    against a broadcast-scale mask table, one distinct on object key,
+    one band aggregate. The oracle brute-forces the same circle
+    predicate with EXISTS — banding must change nothing but cost.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    hex6c = lambda off: F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), off, 6), 16, 10
+    ).cast("long")
+    obj = c.select(
+        F.col("c_custkey").alias("k"),
+        (hex6c(1) % 36000).alias("ra"),
+        (hex6c(7) % 18000 - 9000).alias("dec"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    hex6s = lambda off: F.conv(
+        F.substring(F.md5(F.col("s_suppkey").cast("string")), off, 6), 16, 10
+    ).cast("long")
+    mask = s.select(
+        (hex6s(1) % 36000).alias("m_ra"),
+        (hex6s(7) % 18000 - 9000).alias("m_dec"),
+    )
+    mask9 = mask.select(
+        "m_ra",
+        "m_dec",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(m_ra div {_MASK_R} + dx AS cx, "
+                f"(m_dec + 9000) div {_MASK_R} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("m_ra", "m_dec", "cell.cx", "cell.cy")
+    obj_c = obj.select(
+        "k", "ra", "dec",
+        F.expr(f"ra div {_MASK_R}").alias("cx"),
+        F.expr(f"(dec + 9000) div {_MASK_R}").alias("cy"),
+    )
+    masked = (
+        obj_c.join(F.broadcast(mask9), ["cx", "cy"])
+        .filter(
+            (F.col("ra") - F.col("m_ra")) * (F.col("ra") - F.col("m_ra"))
+            + (F.col("dec") - F.col("m_dec"))
+            * (F.col("dec") - F.col("m_dec"))
+            <= F.lit(_MASK_R * _MASK_R)
+        )
+        .select("k")
+        .distinct()
+        .withColumn("masked", F.lit(1))
+    )
+    # the masked-key set is DATA-sized (objects inside masks), so the
+    # flag join shuffles on k — never broadcast the big side's subset
+    return (
+        obj.join(masked, "k", "left")
+        .groupBy(
+            F.expr(f"(dec + 9000) div {_MASK_BAND}").alias("dec_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.coalesce("masked", F.lit(0))).cast("long").alias("n_masked"),
+        )
+        .select(
+            "dec_band", "n_total", "n_masked",
+            (F.col("n_total") - F.col("n_masked"))
+            .cast("long")
+            .alias("n_clear"),
+        )
+        .orderBy("dec_band")
+    )

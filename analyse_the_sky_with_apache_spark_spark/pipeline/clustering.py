@@ -247,8 +247,103 @@ def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: regression design: predict l_extendedprice from these features.
 _LR_FEATURES = ("l_quantity", "l_discount", "l_tax")
 
+#: Exact integer sufficient statistics for the 4×4 normal equations:
+#: quantity is integer-valued, discount/tax/price are 2-decimal money
+#: → ×100 grids are exact. Sum names double as SQL column names.
+_LR_GRID_SQL = """
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS dc,
+         CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS tc,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yc
+  FROM {tbl}"""
+_LR_SUMS_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS sn,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(dc) AS BIGINT) AS sd,
+         CAST(SUM(tc) AS BIGINT) AS st,
+         CAST(SUM(q * q) AS BIGINT) AS sqq,
+         CAST(SUM(q * dc) AS BIGINT) AS sqd,
+         CAST(SUM(q * tc) AS BIGINT) AS sqt,
+         CAST(SUM(dc * dc) AS BIGINT) AS sdd,
+         CAST(SUM(dc * tc) AS BIGINT) AS sdt,
+         CAST(SUM(tc * tc) AS BIGINT) AS stt,
+         CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(q * yc) AS BIGINT) AS sqy,
+         CAST(SUM(dc * yc) AS BIGINT) AS sdy,
+         CAST(SUM(tc * yc) AS BIGINT) AS sty
+  FROM ({grid})"""
+_LR_SUM_NAMES = (
+    "sn sq sd st sqq sqd sqt sdd sdt stt sy sqy sdy sty".split()
+)
 
-@register("ml_linreg_normal")  # rows-only: float matrix solve
+
+def _lr_cramer_select(sums_ref: str) -> str:
+    """The Cramer's-rule SELECT shared VERBATIM by Spark and DuckDB:
+    both engines evaluate the identical double-precision expression
+    tree over the identical exact-integer sums, so the resulting
+    coefficients are bit-for-bit equal — IEEE 754 is deterministic;
+    only evaluation-order differences could diverge, and sharing the
+    text removes them. Sums stay < 2^53 through sf1 (largest is
+    Σ q·price_cents ≈ 3e15), so the integer→double casts are lossless.
+    """
+
+    def det2(a, b, c, d):
+        return f"({a} * {d} - {b} * {c})"
+
+    def det3(m):
+        return (
+            f"({m[0][0]} * {det2(m[1][1], m[1][2], m[2][1], m[2][2])}"
+            f" - {m[0][1]} * {det2(m[1][0], m[1][2], m[2][0], m[2][2])}"
+            f" + {m[0][2]} * {det2(m[1][0], m[1][1], m[2][0], m[2][1])})"
+        )
+
+    def minor(m, col):
+        return [[m[r][c2] for c2 in range(4) if c2 != col] for r in (1, 2, 3)]
+
+    def det4(m):
+        terms = []
+        for c2 in range(4):
+            sign = "-" if c2 % 2 else "+"
+            terms.append(f"{sign} {m[0][c2]} * {det3(minor(m, c2))}")
+        return "(" + " ".join(terms).lstrip("+ ") + ")"
+
+    a = [
+        ["dn", "dq", "dd", "dt"],
+        ["dq", "dqq", "dqd", "dqt"],
+        ["dd", "dqd", "ddd", "ddt"],
+        ["dt", "dqt", "ddt", "dtt"],
+    ]
+    b = ["dy", "dqy", "ddy", "dty"]
+    det_a = det4(a)
+    casts = ", ".join(
+        f"CAST({s} AS DOUBLE) AS d{s[1:]}" for s in _LR_SUM_NAMES
+    )
+    rows = []
+    for i, feat in enumerate(("intercept", *_LR_FEATURES)):
+        ai = [[b[r] if c2 == i else a[r][c2] for c2 in range(4)]
+              for r in range(4)]
+        rows.append(
+            f"SELECT '{feat}' AS feature,"
+            f" {det4(ai)} / {det_a} AS coefficient FROM d"
+        )
+    body = "\nUNION ALL\n".join(rows)
+    # returned WITHOUT the leading WITH so callers can prepend their own
+    # CTEs (the oracle adds the sums CTE; Spark reads a temp view).
+    return (
+        f"d AS (SELECT {casts} FROM {sums_ref})\n"
+        f"SELECT feature, coefficient FROM ({body}) ORDER BY feature"
+    )
+
+
+@register(
+    "ml_linreg_normal",
+    oracle=(
+        "WITH s AS MATERIALIZED ("
+        + _LR_SUMS_SQL.format(grid=_LR_GRID_SQL.format(tbl="lineitem"))
+        + "),\n"
+        + _lr_cramer_select("s")
+    ),
+)
 def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple linear regression by distributed normal equations — the
     one-pass GLM fit: accumulate X'X and X'y as plain aggregates, solve
@@ -258,44 +353,28 @@ def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (intercept included) in ONE map-combining aggregation — the same
     sufficient-statistics posture as emb_pca's covariance and
     lightcurve_trend's five-sum line fit, generalized to d features.
-    At 100 TB the reduce stage carries 14 doubles total; the driver
-    solve is O(d³) on a 4×4 matrix. This is exactly how MLlib's
-    "normal" solver fits linear/ridge models; ridge = add λ to the
-    X'X diagonal before solving, streaming = keep the sums as
-    running state. Rows-only (float accumulation order is engine-
-    internal); tests/test_scale_patterns.py pins the coefficients
-    against numpy lstsq on the collected design matrix to 1e-6
-    relative.
+    At 100 TB the reduce stage carries 14 values total; the solve is
+    O(d³) on a 4×4 matrix. This is exactly how MLlib's "normal" solver
+    fits linear/ridge models; ridge = add λ to the X'X diagonal before
+    solving, streaming = keep the sums as running state.
+
+    Promoted rows-only → oracle-checked (VERDICT r6 task 2): the
+    features live on exact integer grids (quantity is integer-valued;
+    discount/tax/price are 2-decimal money → ×100), so X'X and X'y are
+    EXACT BIGINTs whose accumulation order cannot matter — and the 4×4
+    solve is Cramer's rule as a generated SQL expression whose TEXT is
+    shared verbatim between Spark (`spark.sql` over the sums temp
+    view) and DuckDB, making the double-precision coefficient
+    arithmetic evaluation-order-identical and the output bit-equal.
+    tests/test_scale_patterns.py still pins the fit against numpy
+    lstsq on the (rescaled) design matrix.
     """
-    import numpy as np  # noqa: PLC0415 — driver-side solve only
-
-    li = load_table(spark, sf_dir, "lineitem")
-    cols = ["__one__", *_LR_FEATURES]
-    x = li.select(
-        F.lit(1.0).alias("__one__"),
-        *[F.col(c).cast("double").alias(c) for c in _LR_FEATURES],
-        F.col("l_extendedprice").cast("double").alias("__y__"),
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lr_lineitem"
     )
-    aggs = []
-    for i, a in enumerate(cols):
-        for b in cols[i:]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}_{b}"))
-        aggs.append(F.sum(F.col(a) * F.col("__y__")).alias(f"xy_{a}"))
-    row = x.agg(*aggs).collect()[0]
-
-    d = len(cols)
-    xtx = np.zeros((d, d))
-    xty = np.zeros(d)
-    for i, a in enumerate(cols):
-        for j in range(i, d):
-            xtx[i, j] = xtx[j, i] = row[f"xx_{a}_{cols[j]}"]
-        xty[i] = row[f"xy_{a}"]
-    beta = np.linalg.solve(xtx, xty)
-    names = ["intercept", *_LR_FEATURES]
-    return spark.createDataFrame(
-        [(n, float(b)) for n, b in zip(names, beta)],
-        "feature STRING, coefficient DOUBLE",
-    )
+    sums_sql = _LR_SUMS_SQL.format(grid=_LR_GRID_SQL.format(tbl="lr_lineitem"))
+    spark.sql(sums_sql).createOrReplaceTempView("lr_sums")
+    return spark.sql("WITH " + _lr_cramer_select("lr_sums"))
 
 
 #: grid-density clustering: cell edge (centi-degrees) and max CC rounds.
@@ -595,3 +674,80 @@ def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("centroid"),
     )
+
+
+def _split_hist_sql(tbl: str) -> str:
+    """Histogram split-finding query, shared VERBATIM by Spark and
+    DuckDB (the `ml_linreg_normal` shared-text discipline): bin counts
+    and label sums are exact BIGINTs; only the final gain score is
+    double, computed from identical expression text on identical ints,
+    so the argmax row is bit-for-bit the same in both engines."""
+    return f"""
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qb,
+         CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS db,
+         CAST(FLOOR(l_tax * 100.0 + 0.5) AS BIGINT) AS tb,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yc
+  FROM {tbl}),
+bins AS (
+  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS BIGINT) AS sy
+  FROM (
+    SELECT 'quantity' AS feature, qb AS bin, yc FROM g
+    UNION ALL SELECT 'discount', db, yc FROM g
+    UNION ALL SELECT 'tax', tb, yc FROM g)
+  GROUP BY feature, bin),
+tot AS (
+  SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sy) AS BIGINT) AS st
+  FROM bins GROUP BY feature),
+cum AS (
+  SELECT feature, bin,
+         CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS nl,
+         CAST(SUM(sy) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS sl
+  FROM bins),
+scored AS (
+  SELECT c.feature, c.bin, c.nl,
+         CAST(c.sl AS DOUBLE) * CAST(c.sl AS DOUBLE) / CAST(c.nl AS DOUBLE)
+         + CAST(t.st - c.sl AS DOUBLE) * CAST(t.st - c.sl AS DOUBLE)
+           / CAST(t.nt - c.nl AS DOUBLE) AS score
+  FROM cum c JOIN tot t ON t.feature = c.feature
+  WHERE c.nl < t.nt),
+best AS (
+  SELECT feature, bin, nl, score,
+         ROW_NUMBER() OVER (PARTITION BY feature
+                            ORDER BY score DESC, bin) AS rn
+  FROM scored)
+SELECT feature, bin AS split_bin, nl AS n_left, score AS gain_score
+FROM best WHERE rn = 1 ORDER BY feature
+"""
+
+
+@register("ml_split_histogram", oracle=_split_hist_sql("lineitem"))
+def ml_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split finding — the kernel inside every
+    modern gradient-boosted-tree trainer (XGBoost ``hist``, LightGBM):
+    instead of sorting each feature (the classic CART O(n log n) per
+    feature per node), bucket feature values into integer bins, reduce
+    (count, Σ label) per bin in ONE map-side-combinable pass, then scan
+    the |bins|-sized cumulative table for the variance-reduction-
+    maximizing threshold. At 100 TB the data-sized work is exactly one
+    grouped aggregation whose key space is |features|×|bins| (here
+    3×≤51) — the shuffle carries bins, never rows, which is precisely
+    why the histogram algorithm wins at scale.
+
+    Gain = SL²/nL + SR²/nR (squared-loss parent term constant across
+    thresholds, so argmax over this child term ≡ argmax variance
+    reduction). Bin stats are exact integers on the money/percent
+    grids; the score is double but computed from shared expression
+    text (`ml_linreg_normal` discipline), so Spark and DuckDB agree on
+    the argmax bit-for-bit — the per-feature winner row hash-matches.
+    One tree level = re-running this with the split filter applied;
+    a full trainer loops it per node over residuals.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "msh_lineitem"
+    )
+    return spark.sql(_split_hist_sql("msh_lineitem"))

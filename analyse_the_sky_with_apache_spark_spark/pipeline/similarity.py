@@ -714,65 +714,140 @@ def emb_bit_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: MMR diversified retrieval: shortlist size, output size, trade-off.
-_MMR_POOL, _MMR_K, _MMR_LAMBDA = 50, 10, 0.7
+#: MMR diversified retrieval: shortlist size, output size, and the
+#: λ=0.7 trade-off expressed as EXACT integer weights 7 / 3 (×10) so
+#: the greedy recurrence has no float in it at all.
+_MMR_POOL, _MMR_K = 50, 10
+_MMR_NUM, _MMR_DEN = 7, 3  # λ·s − (1−λ)·m  ≡  (7·s − 3·m) / 10
+_MMR_GRID = 10_000  # 1e4 keeps dot(item, Σ corpus) < 2^53 at every SF
+_MMR_DIM = 64
 
 
-@register("sim_mmr_diversify")  # rows-only: greedy selection is
-# sequential by definition; tests/test_pipeline.py pins the diversity
-# property and determinism.
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in pure SQL: pool and pairwise sims on the
+    integer grid, then one (selection, accumulated-set) CTE pair per
+    rank — step k orders the remaining pool by 7·rel − 3·max-sim-to-
+    selected with a vec_id tie-break and keeps exactly one row."""
+    grid = (
+        "CAST(FLOOR(CAST(x AS DOUBLE) * {g}.0 + 0.5) AS BIGINT)".format(
+            g=_MMR_GRID
+        )
+    )
+    ctes = [
+        f"""g AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> {grid}) AS e
+  FROM embeddings)""",
+        f"""q AS MATERIALIZED (
+  SELECT i, SUM(e[i]) AS s FROM g, range(1, {_MMR_DIM + 1}) t(i)
+  GROUP BY i)""",
+        """relt AS MATERIALIZED (
+  SELECT g.vec_id, CAST(SUM(g.e[q.i] * q.s) AS BIGINT) AS rel
+  FROM g, q GROUP BY g.vec_id)""",
+        f"""pool AS MATERIALIZED (
+  SELECT g.vec_id, g.e, relt.rel
+  FROM relt JOIN g ON g.vec_id = relt.vec_id
+  ORDER BY relt.rel DESC, g.vec_id LIMIT {_MMR_POOL})""",
+        f"""sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(SUM(a.e[i] * b.e[i]) AS BIGINT) AS sim
+  FROM pool a, pool b, range(1, {_MMR_DIM + 1}) t(i)
+  WHERE a.vec_id <> b.vec_id GROUP BY 1, 2)""",
+        """s1 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(0 AS INTEGER) AS rank
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "a1 AS MATERIALIZED (SELECT vec_id FROM s1)",
+    ]
+    # every step CTE is MATERIALIZED: inlining would expand the
+    # a{k} → s{k} → a{k-1} chain ~3^k-fold (each step references its
+    # predecessor three times) and re-open the parquet per copy.
+    for k in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT p.vec_id, p.rel, CAST({k - 1} AS INTEGER) AS rank
+  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM a{k - 1})
+  ORDER BY {_MMR_NUM} * p.rel - {_MMR_DEN} * (
+      SELECT MAX(m.sim) FROM sims m
+      WHERE m.ia = p.vec_id
+        AND m.ib IN (SELECT vec_id FROM a{k - 1})) DESC, p.vec_id
+  LIMIT 1)"""
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT vec_id FROM a{k - 1} "
+            f"UNION ALL SELECT vec_id FROM s{k})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{k}" for k in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT rank, vec_id, rel FROM ({union}) ORDER BY rank"
+    )
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
 def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking — the RAG/serving pattern
     where plain top-k returns ten near-copies of the same passage: pick
     items that are relevant to the query AND dissimilar to what was
     already picked (score = λ·rel − (1−λ)·max-sim-to-selected).
 
+    Promoted rows-only → oracle-checked (VERDICT r6 task 2) by moving
+    every number in the recurrence onto the exact integer grid:
+    embeddings quantize to 1e-4 units, the query is the corpus SUM
+    vector (same relevance ORDER as the centroid direction — a
+    positive scalar multiple), relevance and pairwise similarity are
+    integer dot products, and λ=0.7 becomes the integer weights
+    7·rel − 3·max_sim. The greedy argmax therefore has no float
+    anywhere, ties break on vec_id, and DuckDB replays the identical
+    selection with one unrolled CTE per rank — bit-for-bit.
+
     Division of labor is the scale design: Spark does the data-sized
-    work — normalize every vector, score relevance against the query
-    (a broadcast literal, narrow projection, no shuffle), and keep a
-    constant-size top-``{pool}`` shortlist via TakeOrderedAndProject.
-    The greedy MMR loop is sequential BY DEFINITION (step i needs the
-    selected set of step i−1), so it runs over the collected shortlist
-    — a bounded, constant-size driver structure like the k-means
-    codebooks (SCALE.md ground rules), not a data path. At 100 TB the
-    shortlist is still 50 rows.
-
-    Deterministic: relevance ties in the shortlist break on vec_id;
-    inside the loop the argmax breaks ties on (score, -vec_id) via
-    python's max over a list ordered by vec_id.
+    work — quantize, score relevance against the broadcast query
+    literal (narrow projection, no shuffle), keep a constant-size
+    top-``_MMR_POOL`` shortlist via TakeOrderedAndProject. The greedy
+    loop is sequential BY DEFINITION (step i needs step i−1's selected
+    set), so it runs over the collected shortlist — a bounded,
+    constant-size driver structure like the k-means codebooks
+    (SCALE.md ground rules), not a data path. At 100 TB the shortlist
+    is still 50 rows.
     """
-    import numpy as np
-
-    norm = normalized_embeddings(spark, sf_dir)
-    # query = the corpus centroid direction, computed relationally
-    q_row = (
-        norm.select(F.posexplode("nvec").alias("i", "v"))
+    g = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            f" * {_MMR_GRID}.0 + 0.5) AS BIGINT))"
+        ).alias("e"),
+    )
+    q_rows = (
+        g.select(F.posexplode("e").alias("i", "v"))
         .groupBy("i")
-        .agg(F.avg("v").alias("c"))
+        .agg(F.sum("v").alias("s"))
         .collect()
     )
-    q = np.zeros(len(q_row))
-    for r in q_row:
-        q[r["i"]] = r["c"]
-    q /= np.linalg.norm(q)
-
+    q = [0] * _MMR_DIM
+    for r in q_rows:
+        q[r["i"]] = r["s"]
     rel = F.aggregate(
         F.zip_with(
-            "nvec",
-            F.array(*[F.lit(float(x)) for x in q]),
+            "e",
+            F.array(*[F.lit(int(x)).cast("long") for x in q]),
             lambda a, b: a * b,
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     pool = (
-        norm.select("vec_id", "nvec", rel.alias("rel"))
+        g.select("vec_id", "e", rel.alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
         .collect()
     )
-    vecs = {r["vec_id"]: np.array(r["nvec"]) for r in pool}
-    rels = {r["vec_id"]: r["rel"] for r in pool}
+    vecs = {r["vec_id"]: list(r["e"]) for r in pool}
+    rels = {r["vec_id"]: int(r["rel"]) for r in pool}
+
+    def dot(a: list[int], b: list[int]) -> int:
+        return sum(x * y for x, y in zip(a, b))
 
     selected: list[int] = []
     while len(selected) < _MMR_K:
@@ -781,17 +856,17 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             if vid in selected:
                 continue
             max_sim = max(
-                (float(vecs[vid] @ vecs[s]) for s in selected), default=0.0
+                (dot(vecs[vid], vecs[s]) for s in selected), default=0
             )
-            score = _MMR_LAMBDA * rels[vid] - (1 - _MMR_LAMBDA) * max_sim
+            score = _MMR_NUM * rels[vid] - _MMR_DEN * max_sim
             if best_score is None or score > best_score:
                 best_id, best_score = vid, score
         selected.append(best_id)
 
     rows = [
-        (rank, int(vid), float(rels[vid])) for rank, vid in enumerate(selected)
+        (rank, int(vid), rels[vid]) for rank, vid in enumerate(selected)
     ]
-    return spark.createDataFrame(rows, "rank INT, vec_id BIGINT, rel DOUBLE")
+    return spark.createDataFrame(rows, "rank INT, vec_id BIGINT, rel BIGINT")
 
 
 #: per-query retrieval: query sample stride and neighbors returned.

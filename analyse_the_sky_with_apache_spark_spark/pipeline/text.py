@@ -1295,3 +1295,184 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_words_micro"),
     )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, source, unnest(t) AS w, generate_subscripts(t, 1) AS i
+  FROM toks
+),
+sh0 AS MATERIALIZED (
+  SELECT a.source, md5(string_agg(b.w, ' ' ORDER BY b.i)) AS shingle
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + {_SPAN_NGRAM} - 1
+  GROUP BY a.doc_id, a.source, a.i
+  HAVING COUNT(*) = {_SPAN_NGRAM}
+),
+sh AS MATERIALIZED (SELECT DISTINCT source, shingle FROM sh0),
+per AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+),
+shared AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, n_shared,
+       CAST((1000000 * n_shared) // (pa.n + pb.n - n_shared) AS BIGINT)
+         AS jac_ppm
+FROM shared
+JOIN per pa ON pa.source = sa
+JOIN per pb ON pb.source = sb
+ORDER BY sa, sb
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix — "which sources syndicate
+    from which": for every source pair, the number of distinct 8-gram
+    shingles both emit and the exact-integer Jaccard (ppm grid) of
+    their shingle sets. This is the corpus-construction view the
+    per-document rungs don't give: `text_dup_shingle_fraction` says a
+    DOC is 40% duplicated; this says source A and source B share a
+    content stream — the signal for collapsing mirrors BEFORE paying
+    per-document dedup on their union.
+
+    Plan: shingles build with the single-transform + per-row
+    array_distinct idiom (no positional self-join, no whole-stream
+    DISTINCT — the `text_dup_shingle_fraction` lesson), reduce to
+    distinct (source, shingle) — the shuffle key is the shingle hash,
+    same as the MinHash ladder — then one self-equi-join on shingle.
+    Pair fan-out per shingle is bounded by C(#sources, 2), and
+    #sources is catalog-sized (thousands at worst), so the join cannot
+    blow up the way doc-pair joins do; the overlap matrix itself is
+    #source² at most — driver-safe. The oracle rebuilds shingles via
+    DuckDB's positional join: two independent constructions must agree
+    through the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.when(
+                        n >= _SPAN_NGRAM,
+                        F.sequence(F.lit(1), n - F.lit(_SPAN_NGRAM - 1)),
+                    ).otherwise(F.expr("array()").cast("array<int>")),
+                    lambda i: F.md5(
+                        F.array_join(F.slice("t", i, _SPAN_NGRAM), " ")
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    ).distinct()
+    per = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    pa, pb = per.alias("pa"), per.alias("pb")
+    return (
+        shared.join(F.broadcast(pa), F.col("sa") == F.col("pa.source"))
+        .join(F.broadcast(pb), F.col("sb") == F.col("pb.source"))
+        .select(
+            "sa", "sb", "n_shared",
+            F.expr("(1000000L * n_shared) div (pa.n + pb.n - n_shared)")
+            .cast("long")
+            .alias("jac_ppm"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+#: OOV profiling vocabulary size (top-K corpus words).
+_OOV_VOCAB_K = 100
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ORDER BY c DESC, w LIMIT {_OOV_VOCAB_K})
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((1000 * SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS oov_permille
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a corpus-derived
+    top-``{_OOV_VOCAB_K}`` vocabulary — the tokenizer-coverage probe a
+    training pipeline runs before committing to a vocab/tokenizer: a
+    document whose tokens are mostly OOV is either another language,
+    code, or noise (and will shatter into byte-fallback pieces at
+    train time, inflating its effective length). Deterministic
+    vocabulary: frequency ties break lexicographically.
+
+    Plan: one token explode feeds BOTH the vocabulary aggregation (a
+    TakeOrderedAndProject top-K — never a full sort of the term
+    frequency table) and the per-document count; the vocab is
+    broadcast back onto the token stream (catalog-sized: K rows), so
+    the only data-sized shuffle is the per-doc aggregation the answer
+    requires. The per-mille rate is exact integer division — no float
+    in the output. At 100 TB the vocab build is term-keyed (same
+    shuffle family as text_ngram_tf) and everything else is narrow.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.expr("(1000L * n_oov) div n_tokens")
+            .cast("long")
+            .alias("oov_permille"),
+        )
+        .orderBy("doc_id")
+    )

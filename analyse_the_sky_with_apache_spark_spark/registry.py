@@ -143,6 +143,15 @@ _ROTATION_R9 = (
     "xmatch_three_way", "graph_triangles_doulion",
     # round-7 additions
     "txn_log_conflict_detect", "graph_adamic_adar_capped",
+    "txn_log_schema_evolution", "graph_jaccard_similarity",
+    "corpus_source_overlap", "text_oov_rate",
+    "xmatch_mask_exclusion", "privacy_dp_histogram",
+    "ts_holt_linear", "ml_split_histogram",
+    # round-7 rows-only→oracle promotions (never driver-sampled, so
+    # they join the schedule at promotion; agg_approx_percentile was
+    # already sampled in a prior round)
+    "graph_pagerank", "sim_mmr_diversify", "ml_linreg_normal",
+    "stream_join_then_agg",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

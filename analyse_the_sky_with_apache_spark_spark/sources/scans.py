@@ -887,8 +887,9 @@ def _txn_active(root: str, version: int) -> list[dict]:
                 a = json.loads(line)
                 if a["action"] == "add":
                     active[a["path"]] = a
-                else:
+                elif a["action"] == "remove":
                     active.pop(a["path"], None)
+                # other actions (e.g. "schema") are metadata-only
     return [active[p] for p in sorted(active)]
 
 
@@ -1181,6 +1182,90 @@ def txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+_txn_schema_roots: dict[str, str] = {}
+
+
+def _txn_schema_build(spark: SparkSession, sf_dir: str) -> str:
+    """Schema-evolution demo table (separate root from the main txn-log
+    table so its log stays frozen for the snapshot/vacuum/conflict
+    keys): version 0 ingests nations of regions 0–1 with the BASE
+    schema (n_nationkey, n_name); version 1 both declares the new
+    nullable column ``name_len BIGINT`` (a metadata-only ``schema``
+    action — no data rewritten, exactly how Delta/Iceberg ADD COLUMN
+    commits) and appends a file for regions 2–4 written with the
+    evolved schema."""
+    root = _txn_schema_roots.get(sf_dir)
+    if root:
+        return root
+    import json
+
+    root = os.path.join(
+        _SCRATCH, "txnschema_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    data, logd = os.path.join(root, "data"), os.path.join(root, "_log")
+    os.makedirs(logd, exist_ok=True)
+    n = load_table(spark, sf_dir, "nation")
+    old = os.path.join(data, "nations_v0")
+    n.filter(F.col("n_regionkey") <= 1).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(old)
+    new = os.path.join(data, "nations_v1")
+    n.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").cast("long").alias("name_len"),
+    ).write.mode("overwrite").parquet(new)
+    v0 = [{"action": "add", "path": old}]
+    v1 = [
+        {"action": "schema", "add_column": "name_len", "type": "BIGINT"},
+        {"action": "add", "path": new},
+    ]
+    for ver, actions in enumerate((v0, v1)):
+        with open(os.path.join(logd, f"{ver:08d}.json"), "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+    _txn_schema_roots[sf_dir] = root
+    return root
+
+
+@register(
+    "txn_log_schema_evolution",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CASE WHEN n_regionkey >= 2
+            THEN CAST(length(n_name) AS BIGINT) END AS name_len
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def txn_log_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN through the transaction log — the schema-evolution
+    verb of the table-format family (snapshot / time travel /
+    incremental / compact / vacuum / OCC-conflict are the others). A
+    commit declares the new nullable column as a METADATA action; no
+    existing file is rewritten. Readers replay the log to get both the
+    active file set AND the current schema, then scan old and new
+    files together: pre-evolution files simply lack the column and
+    surface NULL — Delta/Iceberg's exact contract, reproduced here
+    with Spark's mergeSchema parquet read.
+
+    At 100 TB this is the whole point of logged schema changes: ADD
+    COLUMN is O(1) — one log entry — instead of an O(data) rewrite,
+    and every reader version-skews safely because column presence is
+    resolved per file at scan time. The oracle restates the merged
+    result relationally (region ≤ 1 rows predate the evolution ⇒ NULL
+    name_len), so the hash certifies replay + merge together.
+    """
+    root = _txn_schema_build(spark, sf_dir)
+    paths = [a["path"] for a in _txn_active(root, 10**9)]
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
+    return merged.select(
+        "n_nationkey", "n_name", F.col("name_len").cast("long")
+    ).orderBy("n_nationkey")
 
 
 #: Pending-commit fixtures for the OCC dry-run: (txn, base_version,

@@ -66,6 +66,19 @@ _KEYS = (
     "ts_downsample_lttb",
     "text_cdc_chunking",
     "ml_lift_curve",
+    # round-7 kernels: integer weighted-PageRank recurrence, greedy
+    # integer MMR over a TakeOrdered shortlist, shared-text Cramer
+    # solve on exact sums, shingle-keyed source-overlap join, capped
+    # wedge enumeration
+    "graph_pagerank",
+    "sim_mmr_diversify",
+    "ml_linreg_normal",
+    "corpus_source_overlap",
+    "graph_adamic_adar_capped",
+    # sequential-state fold (sorted in-row array) and histogram split
+    # argmax on shared-text double scores
+    "ts_holt_linear",
+    "ml_split_histogram",
 )
 
 registry.load_all_modules()

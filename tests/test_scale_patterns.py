@@ -139,21 +139,22 @@ def test_countmin_estimate_bounds(spark):
         )
 
 
-def test_pagerank_matches_numpy_reference(spark):
-    """Ten DataFrame power iterations must match a driver-side numpy
-    power iteration on the same transition matrix to 1e-9, the ranks
-    must sum to ~1 (no dangling-mass leak — every nation has outbound
-    trade), and all ranks must be positive."""
-    import numpy as np
-
+def test_pagerank_matches_python_integer_recurrence(spark):
+    """The promoted integer-grid trade PageRank must reproduce a
+    driver-side replay of the IDENTICAL int recurrence exactly — and
+    its total rank mass must stay within the documented floor-loss
+    envelope of the 1e12 scale (every nation has outbound trade, so
+    the only mass loss is integer flooring)."""
     from analyse_the_sky_with_apache_spark_spark.catalog import load_table
     from analyse_the_sky_with_apache_spark_spark.operators.graph import (
-        _PR_DAMP,
-        _PR_ITERS,
+        _PRT_DAMP_DEN,
+        _PRT_DAMP_NUM,
+        _PRT_ITERS,
+        _PRT_SCALE,
     )
 
     rows = registry.queries()["graph_pagerank"](spark, SF_DIR).collect()
-    got = {r["node"]: r["pr"] for r in rows}
+    got = {r["node"]: r["rank"] for r in rows}
 
     li = load_table(spark, SF_DIR, "lineitem")
     o = load_table(spark, SF_DIR, "orders")
@@ -168,26 +169,35 @@ def test_pagerank_matches_numpy_reference(spark):
         .collect()
     )
     nodes = sorted({r["src"] for r in ew} | {r["dst"] for r in ew})
-    idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
-    t = np.zeros((n, n))
+    outw = {}
     for r in ew:
-        t[idx[r["src"]], idx[r["dst"]]] = r["w"]
-    assert (t.sum(axis=1) > 0).all(), "dangling nation (no outbound trade)"
-    t /= t.sum(axis=1, keepdims=True)
-    pr = np.full(n, 1.0 / n)
-    for _ in range(_PR_ITERS):
-        pr = (1.0 - _PR_DAMP) / n + _PR_DAMP * (t.T @ pr)
+        outw[r["src"]] = outw.get(r["src"], 0) + r["w"]
+    assert set(outw) == set(nodes), "dangling nation (no outbound trade)"
 
-    assert abs(sum(got.values()) - 1.0) < 1e-9
-    for v, i in idx.items():
-        assert got[v] > 0
-        assert abs(got[v] - pr[i]) < 1e-9, f"node {v}: {got[v]} vs {pr[i]}"
+    rank = {v: _PRT_SCALE // n for v in nodes}
+    base = ((100 - _PRT_DAMP_NUM) * _PRT_SCALE) // (_PRT_DAMP_DEN * n)
+    for _ in range(_PRT_ITERS):
+        inflow = dict.fromkeys(nodes, 0)
+        for r in ew:
+            inflow[r["dst"]] += (rank[r["src"]] * r["w"]) // outw[r["src"]]
+        rank = {
+            v: base + (_PRT_DAMP_NUM * inflow[v]) // _PRT_DAMP_DEN
+            for v in nodes
+        }
+
+    assert got == rank, "Spark integer recurrence diverged from replay"
+    # floor-loss envelope: each division drops < 1 unit per term
+    total = sum(got.values())
+    assert 0.999 * _PRT_SCALE < total <= _PRT_SCALE
 
 
 def test_linreg_matches_numpy_lstsq(spark):
-    """The distributed normal-equation fit must match numpy lstsq on the
-    same design matrix to 1e-6 relative."""
+    """The promoted integer-grid normal-equation fit must match numpy
+    lstsq on the SAME gridded design matrix (quantity; discount,
+    tax ×100; price in cents) to 1e-6 relative — Cramer's rule on the
+    exact sums and lstsq on the raw matrix agree to float precision on
+    this well-conditioned 4-feature design."""
     import numpy as np
 
     from analyse_the_sky_with_apache_spark_spark.catalog import load_table
@@ -205,9 +215,19 @@ def test_linreg_matches_numpy_lstsq(spark):
         .collect()
     )
     x = np.array(
-        [[1.0, *[r[c] for c in _LR_FEATURES]] for r in li]
+        [
+            [
+                1.0,
+                float(int(r["l_quantity"])),
+                float(int(np.floor(r["l_discount"] * 100.0 + 0.5))),
+                float(int(np.floor(r["l_tax"] * 100.0 + 0.5))),
+            ]
+            for r in li
+        ]
     )
-    y = np.array([r["l_extendedprice"] for r in li])
+    y = np.array(
+        [float(int(np.floor(r["l_extendedprice"] * 100.0 + 0.5))) for r in li]
+    )
     ref, *_ = np.linalg.lstsq(x, y, rcond=None)
     names = ["intercept", *_LR_FEATURES]
     for n, r in zip(names, ref):
