@@ -208,37 +208,167 @@ def pca_top_component(
     return [float(x) for x in v], [float(x) for x in w]
 
 
-@register("emb_pca")  # rows-only: float accumulation is engine-internal
-def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus projected onto its top principal component: per-label
-    count, mean and spread of the PC1 score — the embedding-drift /
-    visualization reduction a training pipeline runs over its corpus.
+#: Integer-grid PCA projection: embedding grid, power-iteration count,
+#: and the renormalization scale that keeps every matvec inside int64.
+_PCA_GRID = 10_000
+_PCA_ITERS = 6
+_PCA_VSCALE = 1_000_000
+_PCA_DIM = 64
 
-    Registered rows-only (like ``kmeans_lloyd``): the eigenvector is a
-    float fixpoint of partition-order-dependent sums, so exact
-    cross-engine hashing doesn't apply; tests pin cosine agreement of
-    the distributed covariance path with numpy's in-memory
-    decomposition instead.
-    """
-    v, _eig = pca_top_component(spark, sf_dir)
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        "label",
-        F.aggregate(
-            F.zip_with(
-                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
-                F.array(*[F.lit(float(x)) for x in v]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("pc1"),
+
+def _pca_tdiv(x: int, d: int) -> int:
+    """Truncate-toward-zero division matching DuckDB's ``//`` (python's
+    ``//`` floors, which differs on negative numerators)."""
+    return -((-x) // d) if x < 0 else x // d
+
+
+def _pca_int_oracle() -> str:
+    grid = f"CAST(FLOOR(CAST(x AS DOUBLE) * {_PCA_GRID}.0 + 0.5) AS BIGINT)"
+    ctes = [
+        f"""g AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> {grid}) AS e
+  FROM embeddings)""",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)",
+        f"d1 AS MATERIALIZED (SELECT i FROM range(1, {_PCA_DIM + 1}) t(i))",
+        """s AS MATERIALIZED (
+  SELECT i, CAST(SUM(e[i]) AS BIGINT) AS s FROM g, d1 GROUP BY i)""",
+        """ee AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(g.e[a.i] * g.e[b.i]) AS BIGINT) AS p
+  FROM g, d1 a, d1 b WHERE a.i <= b.i GROUP BY 1, 2)""",
+        """cfull AS MATERIALIZED (
+  SELECT u.i, u.j, nn.n * u.p - si.s * sj.s AS c
+  FROM (SELECT i, j, p FROM ee
+        UNION ALL SELECT j AS i, i AS j, p FROM ee WHERE i < j) u
+  JOIN s si ON si.i = u.i
+  JOIN s sj ON sj.i = u.j
+  CROSS JOIN nn)""",
+        f"""dv AS MATERIALIZED (
+  SELECT (MAX(ABS(c)) // {_PCA_VSCALE}) + 1 AS d FROM cfull)""",
+        """cn AS MATERIALIZED (
+  SELECT i, j, c // dv.d AS c FROM cfull, dv)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT i, CAST({_PCA_VSCALE} AS BIGINT) AS v FROM d1)""",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+  SELECT cn.i, CAST(SUM(cn.c * v{k - 1}.v) AS BIGINT) AS u
+  FROM cn JOIN v{k - 1} ON v{k - 1}.i = cn.j GROUP BY cn.i)"""
+        )
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT (MAX(ABS(u)) // {_PCA_VSCALE}) + 1 AS d FROM u{k})"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT i, u // m{k}.d AS v FROM u{k}, m{k})"""
+        )
+    ctes.append(
+        f"""proj AS MATERIALIZED (
+  SELECT g.label, g.vec_id,
+         CAST(SUM(g.e[v{_PCA_ITERS}.i] * v{_PCA_ITERS}.v) AS BIGINT) AS pc1
+  FROM g, v{_PCA_ITERS} GROUP BY 1, 2)"""
     )
     return (
-        pts.groupBy("label")
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pc1) AS BIGINT) AS sum_pc1,
+       CAST(MIN(pc1) AS BIGINT) AS min_pc1,
+       CAST(MAX(pc1) AS BIGINT) AS max_pc1
+FROM proj GROUP BY label ORDER BY label
+"""
+    )
+
+
+@register("emb_pca", oracle=_pca_int_oracle())
+def emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projected onto its dominant covariance direction:
+    per-label count, sum and range of the PC1 score — the
+    embedding-drift / visualization reduction a training pipeline runs
+    over its corpus.
+
+    Promoted rows-only → oracle-checked (VERDICT r6 task 2) by making
+    the WHOLE pipeline exact-integer: embeddings quantize to the 1e-4
+    grid, the covariance numerator C = n·Σxᵢxⱼ − ΣxᵢΣxⱼ is exact
+    BIGINT from one distributed pass (2 080 upper cells — the
+    `emb_pca_covariance` shuffle shape), and the dominant direction
+    comes from ``_PCA_ITERS`` integer power-iteration steps with a
+    renormalizing truncating division per step (every matvec stays
+    under 2^63 by construction: entries ≤ 1e6 after each rescale).
+    The recurrence is bit-identical in any engine, so DuckDB's
+    unrolled replay hash-matches, including the projection. The
+    direction is the 6-step iterate, NOT the converged eigenvector
+    (this corpus's spectrum is nearly flat — λ2/λ1 ≈ 0.93 — so exact
+    convergence is slow for EVERY method); `pca_top_component` keeps
+    the numpy-eigensolve variant for tests, and the drift/monitor use
+    case needs a deterministic reduction, not a perfect one.
+
+    Scale: the data-sized work is the moment pass (shuffle = 2 080
+    aggregated cells) and the final projection (narrow, one literal
+    64-vector); the 64×64 power iteration is driver-side integer math
+    — bounded metadata, like the k-means codebook.
+    """
+    g = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            f" * {_PCA_GRID}.0 + 0.5) AS BIGINT))"
+        ).alias("e"),
+    )
+    ex = g.select(F.posexplode("e").alias("i", "v"))
+    s_rows = ex.groupBy("i").agg(F.sum("v").alias("s")).collect()
+    s = [0] * _PCA_DIM
+    for r in s_rows:
+        s[r["i"]] = int(r["s"])
+    n = g.count()
+    pair_expr = F.expr(
+        f"flatten(transform(sequence(0, {_PCA_DIM - 1}), i -> "
+        f"transform(sequence(i, {_PCA_DIM - 1}), j -> "
+        f"struct(i AS i, j AS j, e[i] * e[j] AS p))))"
+    )
+    ee_rows = (
+        g.select(F.explode(pair_expr).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s2"))
+        .collect()
+    )
+    c = [[0] * _PCA_DIM for _ in range(_PCA_DIM)]
+    for r in ee_rows:
+        i, j = r["i"], r["j"]
+        val = n * int(r["s2"]) - s[i] * s[j]
+        c[i][j] = c[j][i] = val
+    div1 = max(abs(x) for row in c for x in row) // _PCA_VSCALE + 1
+    cn = [[_pca_tdiv(x, div1) for x in row] for row in c]
+    v = [_PCA_VSCALE] * _PCA_DIM
+    for _ in range(_PCA_ITERS):
+        u = [
+            sum(cn[i][j] * v[j] for j in range(_PCA_DIM))
+            for i in range(_PCA_DIM)
+        ]
+        m = max(abs(x) for x in u) // _PCA_VSCALE + 1
+        v = [_pca_tdiv(x, m) for x in u]
+    pc1 = F.aggregate(
+        F.zip_with(
+            "e",
+            F.array(*[F.lit(int(x)).cast("long") for x in v]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        g.select("label", pc1.alias("pc1"))
+        .groupBy("label")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("pc1").alias("pc1_mean"),
-            F.stddev_samp("pc1").alias("pc1_sd"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pc1").cast("long").alias("sum_pc1"),
+            F.min("pc1").cast("long").alias("min_pc1"),
+            F.max("pc1").cast("long").alias("max_pc1"),
         )
         .orderBy("label")
     )
