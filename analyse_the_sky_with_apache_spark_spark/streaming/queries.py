@@ -326,8 +326,27 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(spark, joined, mode="append", name="ss_join")
 
 
-@register("stream_chained_agg")  # rows-only: append-mode emission is
-# watermark-dependent (finalized windows only) — pinned by pytest instead
+@register(
+    "stream_chained_agg",
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+daily AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('day', h) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(n) AS BIGINT) AS n_events
+  FROM hourly GROUP BY 1, 2),
+cut AS MATERIALIZED (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT event_type, day, n_hours, n_events
+FROM daily, cut
+WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= cut.wm
+ORDER BY event_type, day
+""",
+)  # promoted r7: append emission == batch double-agg restricted to
+# watermark-finalized days (same horizon rule as stream_join_then_agg)
 def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming aggregations in one query (Spark 3.4+
     multiple-stateful-operator support): an hourly tumbling count rolls
@@ -339,9 +358,14 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     require APPEND output (complete mode trips Spark's global-watermark
     correctness check by design), so the query replays 4 time-ordered
     micro-batches and emits each day as the watermark finalizes it —
-    the still-open tail day is withheld, which is why this key is
-    rows-only: tests/test_streaming.py pins every emitted day against
-    the batch double-aggregation and the withholding itself.
+    the still-open tail day is withheld. Promoted rows-only →
+    oracle-checked (r7): on the in-order replay the emitted set is
+    EXACTLY the batch hourly→daily double-aggregation restricted to
+    days whose window end ≤ the final watermark (max event ts − 1 h) —
+    the `stream_join_then_agg` horizon rule, so the hash certifies the
+    chained-state values AND the append finalization boundary;
+    tests/test_streaming.py keeps the independent batch-differential
+    and withholding pins.
     """
     src = stage_events(spark, sf_dir, n_files=4)
     hourly = (
