@@ -439,22 +439,51 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stream_left_join")  # rows-only: tail outer rows are
-# withheld by the watermark (see docstring); pytest pins the invariants.
+@register(
+    "stream_stream_left_join",
+    oracle="""
+WITH v AS MATERIALIZED (
+  SELECT event_id AS view_id, user_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'),
+b AS MATERIALIZED (
+  SELECT event_id AS purchase_id, user_id AS b_user, ts AS b_ts
+  FROM events WHERE event_type = 'purchase'),
+cut AS MATERIALIZED (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events),
+matched AS MATERIALIZED (
+  SELECT v.view_id, b.purchase_id, v.user_id, v.v_ts
+  FROM v JOIN b ON v.user_id = b.b_user
+              AND b.b_ts > v.v_ts
+              AND b.b_ts <= v.v_ts + INTERVAL 30 MINUTE),
+nulls AS MATERIALIZED (
+  SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id,
+         v.user_id, v.v_ts
+  FROM v, cut
+  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.view_id)
+    AND v.v_ts + INTERVAL 90 MINUTE < cut.wm)
+SELECT view_id, purchase_id, user_id, v_ts AS view_ts FROM matched
+UNION ALL
+SELECT view_id, purchase_id, user_id, v_ts FROM nulls
+ORDER BY view_id, purchase_id
+""",
+)  # promoted r7: matched rows == batch inner join; NULL rows == the
+# no-match views whose 30-min join window the final watermark closed
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join: every view, with its purchase
     within 30 minutes when one exists, NULL otherwise — the
     "unconverted impressions" stream.
 
     Outer results can only be EMITTED once the watermark proves no
-    matching purchase can still arrive (v_ts + 30 min + 1 h delay), so
-    views near the end of a finite replay are withheld: the stream's
-    null rows are a strict subset of the batch left join's, with the
-    deficit confined to the final watermark+interval horizon — the
-    correct streaming semantics, asserted row-for-row in
-    tests/test_streaming.py (matched pairs must agree EXACTLY with the
-    batch inner join; withheld views must all sit within 90 minutes of
-    stream end). State stays bounded exactly as in
+    matching purchase can still arrive, so views near the end of a
+    finite replay are withheld. Promoted rows-only → oracle-checked
+    (r7): the emitted set is exactly the batch inner join PLUS the
+    no-match views with ``v_ts + 90 min < final watermark`` — the
+    empirically pinned eviction horizon (the left state watermark
+    subtracts BOTH the 30-min join interval and the input's own 1-h
+    delay; verified by row-diff at sf0.001 and sf0.01, where the
+    boundary row lands inside the 30-min-only rule but outside this
+    one). tests/test_streaming.py keeps the independent invariant
+    pins (matched pairs == batch inner join; withheld ⊆ tail). State stays bounded exactly as in
     ``stream_stream_join``: each side buffers watermark + interval.
     """
     src = stage_events(spark, sf_dir, n_files=3)
