@@ -152,7 +152,7 @@ _ROTATION_R9 = (
     # already sampled in a prior round)
     "graph_pagerank", "sim_mmr_diversify", "ml_linreg_normal",
     "stream_join_then_agg", "emb_pca", "stream_chained_agg",
-    "kmeans_lloyd", "stream_stream_left_join",
+    "kmeans_lloyd", "stream_stream_left_join", "stream_watermark_late",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -130,15 +130,35 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late")  # rows-only: watermark drops aren't SQL
+@register(
+    "stream_watermark_late",
+    oracle="""
+WITH hourly AS MATERIALIZED (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+cut AS MATERIALIZED (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT window_start, n
+FROM hourly, cut
+WHERE window_start + INTERVAL 1 HOUR <= cut.wm
+ORDER BY window_start
+""",
+)  # promoted r7: append emission == batch hourly counts restricted to
+# watermark-finalized windows (the stream_join_then_agg horizon rule)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour counts under a 1-hour watermark, replayed as 4
     time-ordered micro-batches (append mode).
 
     Finalized windows are emitted as the watermark passes them; windows
     still open when the stream ends stay unflushed — so the output has
-    FEWER rows than the batch equivalent. tests/test_streaming.py pins
-    both that inequality and the drop of a crafted too-late row.
+    FEWER rows than the batch equivalent. Promoted rows-only →
+    oracle-checked (r7): on the in-order replay the emitted set is
+    exactly the batch hourly rollup restricted to windows whose end ≤
+    the final watermark (max event ts − 1 h), so the hash certifies
+    the counts AND the finalization boundary. tests/test_streaming.py
+    keeps the inequality pin and the crafted too-late-row drop — the
+    semantics the oracle can't state.
     """
     src = stage_events(spark, sf_dir, n_files=4)
     agg = (
