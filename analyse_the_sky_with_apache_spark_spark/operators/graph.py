@@ -716,8 +716,10 @@ LIMIT 20
 @register("graph_pagerank_exact", oracle=_pr_oracle())
 def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank in EXACT integer arithmetic, hash-verified — the
-    upgrade path for `graph_pagerank` (rows-only because float rank
-    mass accumulates in engine-internal order): ranks live in
+    template that round 7 folded back into `graph_pagerank` itself
+    (now integer-exact and oracle-checked on the weighted trade
+    graph); this key keeps the unweighted co-purchase variant: ranks
+    live in
     micro-units, each node's outgoing contribution is an integer
     division by its degree, and the damping step is integer
     multiply-divide — every iteration is bit-identical in any engine,

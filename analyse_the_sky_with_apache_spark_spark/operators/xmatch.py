@@ -1970,3 +1970,81 @@ def xmatch_mask_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dec_band")
     )
+
+
+#: BLS transit search: candidate periods (days) and phase bins per fold.
+_BLS_PERIODS_D = (5, 7, 9)
+_BLS_NBINS = 16
+
+
+def _bls_sql(tbl: str, epoch_fn: str, div: str) -> str:
+    """Box-least-squares depth scan, one template for both dialects
+    (only the epoch-micros function name and the integer-division
+    token differ). Bin stats are exact integers; the depth score is
+    double computed from identical expression text on identical ints
+    (`ml_split_histogram` discipline), so the per-series argmax row is
+    bit-for-bit equal in both engines."""
+    day_us = 86400 * 1_000_000
+    vals = ", ".join(f"({p * day_us})" for p in _BLS_PERIODS_D)
+    return f"""
+WITH b AS (
+  SELECT event_type, p.p_us,
+         ({epoch_fn}(ts) % p.p_us) {div} (p.p_us {div} {_BLS_NBINS})
+           AS bin,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS f
+  FROM {tbl}, (VALUES {vals}) AS p(p_us)),
+agg AS (
+  SELECT event_type, p_us, bin,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS s
+  FROM b GROUP BY 1, 2, 3),
+tot AS (
+  SELECT event_type, p_us,
+         CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+  FROM agg GROUP BY 1, 2),
+sc AS (
+  SELECT a.event_type, a.p_us, a.bin, a.n,
+         (CAST(t.st - a.s AS DOUBLE) / CAST(t.nt - a.n AS DOUBLE)
+          - CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / 1000000.0
+           AS depth
+  FROM agg a
+  JOIN tot t ON t.event_type = a.event_type AND t.p_us = a.p_us
+  WHERE a.n < t.nt),
+best AS (
+  SELECT event_type, p_us, bin, n, depth,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY depth DESC, p_us, bin) AS rn
+  FROM sc)
+SELECT event_type,
+       CAST(p_us {div} {day_us} AS BIGINT) AS period_days,
+       CAST(bin AS BIGINT) AS phase_bin,
+       n AS n_in_box, depth
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register(
+    "lightcurve_bls_box",
+    oracle=_bls_sql("events", "epoch_us", "//"),
+)
+def lightcurve_bls_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-least-squares transit depth scan — the exoplanet-search
+    operator over folded light curves: for each series and each
+    candidate period, fold on the exact integer phase grid
+    (`lightcurve_fold`'s bin rule), treat each phase bin as the
+    in-transit box, and score depth = mean(out) − mean(in); report
+    each series' deepest (period, phase) box. A real BLS scans a dense
+    period×duration grid — this is the same computation with the grid
+    as a VALUES literal, so the plan shape is the production one.
+
+    Scale: the data-sized pass is one grouped aggregation whose key
+    space is |series|×|periods|×|bins| — folding a trillion
+    observations shuffles only aggregated bins (the lightcurve_fold
+    argument), and every downstream step runs on the bin table. Depth
+    is double but computed from exact integer (n, Σflux-micro) pairs
+    through SHARED expression text, so the tie-broken argmax row
+    hash-matches DuckDB bit-for-bit (`ml_split_histogram` precedent).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bls_events"
+    )
+    return spark.sql(_bls_sql("bls_events", "unix_micros", "div"))

@@ -856,10 +856,11 @@ def ml_linreg_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED half of `ml_linreg_normal`, hash-verified: all
     14 normal-equation sufficient statistics (X'X upper triangle and
     X'y, intercept included) as exact scaled-long sums in ONE
-    map-combining aggregation. `ml_linreg_normal` stays rows-only
-    because its driver-side 4×4 solve has no SQL twin; this key pins
-    the part that actually touches data — at 100 TB the solve is O(1),
-    so a green row here IS the regression's distributed correctness.
+    map-combining aggregation. Since round 7 `ml_linreg_normal` is
+    ALSO oracle-checked (shared-text Cramer solve on these exact
+    sums); this key still pins the part that actually touches data in
+    isolation — at 100 TB the solve is O(1), so a green row here IS
+    the regression's distributed correctness.
     Per-term scales keep the largest sf0.1 accumulations (~3e16) well
     inside the long range (functions/exact.py bound).
     """
@@ -933,8 +934,9 @@ def kmeans_one_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distance, cluster) tie-break are identical in both engines), then
     the centroid update as micro-gridded means per (cluster, dim).
 
-    Why this key exists: the full iterative fit stays rows-only (float
-    centroid drift across rounds is engine-internal), but everything
+    Why this key exists: it pins ONE canonical round in isolation
+    (since round 7 the full fit `kmeans_lloyd` is also oracle-checked
+    on the integer grid), and everything
     the CLUSTER actually executes — the narrow literal-broadcast
     assignment projection and the (cluster, dim)-keyed update
     aggregation — is this round, and a green hash row here verifies it

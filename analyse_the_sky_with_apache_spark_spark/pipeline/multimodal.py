@@ -373,11 +373,11 @@ def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     64×64 covariance upper triangle from one pass of exact
     scaled-long first and second moments (products gridded at 1e-8,
     values at 1e-6), combined into covariances by identical double
-    arithmetic in both engines. `emb_pca` itself stays rows-only —
-    its eigendecomposition is a driver-side numpy step with no SQL
-    twin — but everything data-sized in a PCA IS this covariance
-    accumulation; same verification split as `ml_linreg_suffstats`
-    and `kmeans_one_round`.
+    arithmetic in both engines. Everything data-sized in a PCA IS this
+    covariance accumulation; since round 7 `emb_pca` itself is ALSO
+    oracle-checked (integer power iteration on the exact covariance
+    numerator), so the family verifies end-to-end; same verification
+    split as `ml_linreg_suffstats` and `kmeans_one_round`.
 
     Plan: one posexplode, a per-vector dim×dim self-join (the fan-out
     is 64²/2 per vector, map-side), one (di, dj)-keyed aggregation —

@@ -1374,6 +1374,11 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).distinct()
+    # materialize the distinct (source, shingle) table once — it feeds
+    # the per-source totals AND both sides of the self-join, and the
+    # shingle explode would otherwise run 3× (the dedup_minhash_sql
+    # checkpointed-band-table move; rows are source + 32-byte digest)
+    sh = sh.localCheckpoint(eager=True)
     per = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

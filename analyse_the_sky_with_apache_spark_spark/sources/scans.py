@@ -1184,6 +1184,70 @@ def txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "txn_log_checkpoint",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE (o_orderkey % 4 <> 3) OR (o_orderstatus <> 'F')
+""",
+)
+def txn_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log CHECKPOINTING — the mechanism that keeps replay O(recent)
+    instead of O(history): a checkpoint file materializes the full
+    active-file set as of version N (here the compaction commit), and
+    a reader seeds its replay from the newest checkpoint ≤ its target
+    version, applying only the log SUFFIX past it. Without this, a
+    table with a million commits pays a million-entry replay per
+    query; with it, replay cost is bounded by checkpoint interval —
+    exactly Delta's `_last_checkpoint` contract, reproduced on the
+    minimal format (checkpoints live in a sibling ``_ckpt/`` dir so
+    the incremental/vacuum readers, which fold every log line, never
+    see them).
+
+    The returned snapshot is read THROUGH the checkpoint path (seed =
+    checkpoint contents, then suffix versions only — asserted to skip
+    the checkpointed prefix) and must hash-equal the relational truth
+    of the latest snapshot — the same oracle `scan_txn_log_snapshot`
+    carries, so checkpointed and full replay provably agree.
+    """
+    import json as _json
+
+    root = _txn_log_build(spark, sf_dir)
+    logd = os.path.join(root, "_log")
+    ckptd = os.path.join(root, "_ckpt")
+    os.makedirs(ckptd, exist_ok=True)
+    ckpt_ver = 2
+    ckpt_path = os.path.join(ckptd, f"{ckpt_ver:08d}.json")
+    if not os.path.exists(ckpt_path):
+        active = _txn_active(root, ckpt_ver)
+        tmp = ckpt_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            for a in active:
+                f.write(_json.dumps(a) + "\n")
+        os.replace(tmp, ckpt_path)
+    # seeded replay: checkpoint contents + ONLY the suffix past it
+    with open(ckpt_path) as f:
+        active_map = {a["path"]: a for a in map(_json.loads, f)}
+    suffix = 0
+    for name in sorted(os.listdir(logd)):
+        ver = int(name.split(".")[0])
+        if ver <= ckpt_ver:
+            continue
+        suffix += 1
+        with open(os.path.join(logd, name)) as f:
+            for line in f:
+                a = _json.loads(line)
+                if a["action"] == "add":
+                    active_map[a["path"]] = a
+                elif a["action"] == "remove":
+                    active_map.pop(a["path"], None)
+    assert suffix == 0, "demo log has no post-checkpoint commits"
+    return spark.read.parquet(*sorted(active_map)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 _txn_schema_roots: dict[str, str] = {}
 
 

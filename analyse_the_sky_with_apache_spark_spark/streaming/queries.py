@@ -3,8 +3,11 @@
 Each query runs a REAL streaming execution (file source → stateful
 operators → memory sink, trigger availableNow) and returns the final
 result table; batch SQL over the same events is the oracle where the
-semantics are batch-expressible. Watermark/dedup/stateful run rows-only
-plus dedicated pytest assertions (tests/test_streaming.py).
+semantics are batch-expressible — since round 7 that includes every
+append-mode key via the watermark-horizon rule (emitted set == batch
+rollup restricted to finalized windows); only foreachBatch's
+side-effect ids stay rows-only, plus dedicated pytest assertions
+(tests/test_streaming.py).
 
 Scale notes: windowed/session aggregation state is partitioned by
 (group key) — high-cardinality keys (user_id) shard state across

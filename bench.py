@@ -85,6 +85,11 @@ EXTENDED = (
     "graph_adamic_adar",    # hub-discounted link prediction
     "stat_permutation_test",  # ×200 seeded-coin fan-out, one shuffle
     "text_keyword_rake",    # stopword-delimited phrase keyword scores
+    # driver-round-7 additions (regression reference: BENCH_r07)
+    "graph_jaccard_similarity",  # wedge-ladder rung, exact-integer score
+    "corpus_source_overlap",     # cross-source shingle overlap matrix
+    "ml_split_histogram",        # GBT histogram split finding
+    "lightcurve_bls_box",        # BLS transit depth scan
 )
 
 

@@ -96,6 +96,10 @@ _BNL_ALLOWED = {
     "dedup_blocking_multipass",
     # 1-row edge/kept/triangle counters meet in broadcasts
     "graph_triangles_doulion",
+    # deliberate tiny-literal product: the 3-row candidate-period VALUES
+    # table fans the scan out per period (the BLS grid); bounded by the
+    # period-grid size, never by data
+    "lightcurve_bls_box",
 }
 
 _KEYS = sorted(
