@@ -147,7 +147,7 @@ _ROTATION_R9 = (
     "corpus_source_overlap", "text_oov_rate",
     "xmatch_mask_exclusion", "privacy_dp_histogram",
     "ts_holt_linear", "ml_split_histogram", "txn_log_checkpoint",
-    "lightcurve_bls_box",
+    "lightcurve_bls_box", "udtf_cogrouped_map", "sink_parquet_bloom",
     # round-7 rows-only→oracle promotions (never driver-sampled, so
     # they join the schedule at promotion; agg_approx_percentile was
     # already sampled in a prior round)

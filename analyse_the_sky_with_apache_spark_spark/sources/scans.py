@@ -1597,3 +1597,60 @@ def sink_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
 
+
+
+@register(
+    "sink_parquet_bloom",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey % 1000 = 7
+""",
+)
+def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER sink — the point-lookup lever for columns
+    whose values are high-NDV and unsorted (customer ids, device ids,
+    content digests), where min/max row-group stats prune nothing: the
+    writer embeds a split-block bloom per row group
+    (``parquet.bloom.filter.enabled#col``), and a reader probing
+    ``col = X`` skips every row group whose bloom says "absent" —
+    paying O(bloom bytes) instead of O(row group) per miss. On a
+    100-TB table of hash-distributed keys this is the difference
+    between touching every row group and touching ~the one that
+    matches; sorted/z-ordered layouts (`sink_sorted_clustered`,
+    `zorder_layout`) solve the same problem when you control layout —
+    blooms work when you don't.
+
+    Verification closes the loop through the sink: orders flow OUT
+    through the bloom-enabled writer, back IN via a predicated scan
+    (bloom consulted by parquet-mr under the pushed filter), and the
+    filtered aggregate must hash-equal the source-side oracle — so the
+    bloom path provably drops and duplicates nothing (a bloom false
+    negative, the one failure a bloom must never have, would break the
+    hash).
+    """
+    path = os.path.join(
+        _SCRATCH, "bloom_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.pmod("o_custkey", F.lit(1000)) == 7
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents"),
+    )
