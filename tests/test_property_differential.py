@@ -366,18 +366,26 @@ def test_three_way_join_agrees(spark, duck, where_l, where_o, where_c):
 
 
 # --- window fragments --------------------------------------------------
-# Every ordering is made TOTAL by appending the (l_orderkey,
-# l_linenumber, l_partkey, l_suppkey) key — (l_orderkey, l_linenumber)
-# alone is NOT unique in the round-4 fixtures (11785 dup pairs at
-# sf0.01; fuzzer-found via a frame-SUM whose summand wasn't in the sort
-# key) — so rank/row_number/frame semantics are the only thing under
-# test, not tie resolution (§5.3).
+# The ordering suffix makes every generated ordering EFFECTIVELY total:
+# no column subset is guaranteed unique in the synthetic fixtures —
+# (l_orderkey, l_linenumber) has 11785 dup pairs at sf0.01, and even
+# (l_orderkey, l_linenumber, l_partkey, l_suppkey) has a dup pair at
+# sf0.001 whose rows differ in l_quantity (both fuzzer-found) — so the
+# suffix also appends every column a generated window function CONSUMES
+# (l_quantity for the frame SUM, plus l_shipdate / l_linestatus /
+# l_extendedprice as discriminators). Rows still tied after that are
+# identical in all consumed and emitted columns, so any tie permutation
+# yields the same output multiset: rank/row_number/frame semantics are
+# the only thing under test, not tie resolution (§5.3).
 
 _win_part = st.sampled_from(
     ["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"]
 )
 _win_order = st.builds(
-    lambda c, d: f"{c} {d}, l_orderkey, l_linenumber, l_partkey, l_suppkey",
+    lambda c, d: (
+        f"{c} {d}, l_orderkey, l_linenumber, l_partkey, l_suppkey,"
+        f" l_quantity, l_shipdate, l_linestatus, l_extendedprice"
+    ),
     st.sampled_from(("l_quantity", "l_suppkey", "l_shipdate")),
     st.sampled_from(("ASC", "DESC")),
 )
