@@ -113,3 +113,42 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
     return li.exceptAll(p)
+
+
+@register(
+    "set_union_byname",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderkey AS key,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         'orders' AS src
+  FROM orders)
+UNION ALL BY NAME
+SELECT * FROM (
+  SELECT c_custkey AS key, c_nationkey AS nation, 'customer' AS src
+  FROM customer)
+""",
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — ``unionByName(allowMissingColumns=True)``
+    (DuckDB: ``UNION ALL BY NAME``): branches with DIFFERENT column sets
+    merge by name, each side's missing columns null-filled. This is the
+    append path when a feed adds or drops columns mid-stream (log-format
+    v1 + v2, backfill + live): positional UNION would silently misalign
+    or reject, by-name union is exact. Still plan concatenation — zero
+    shuffles, and each branch keeps its own pushdown/pruning; at 100 TB
+    the null-fill is a metadata-only projection, not a rewrite.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.lit("orders").alias("src"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nation"),
+        F.lit("customer").alias("src"),
+    )
+    return o.unionByName(c, allowMissingColumns=True)

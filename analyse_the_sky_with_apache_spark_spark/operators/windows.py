@@ -2964,3 +2964,262 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: DTW grid: every series is reduced to this many coarse time buckets
+#: before alignment, so the DP is O(NB^2) per pair regardless of scale.
+_DTW_NB = 24
+#: sentinel for invalid DP neighbors (first row / first column).
+_DTW_BIG = 1 << 60
+
+
+def _dtw_oracle_sql(tbl: str, epoch_fn: str, div: str) -> str:
+    """Dynamic-time-warping distance as a recursive CTE: the DP runs
+    over the LINEAR cell index k (i = k div m, j = k mod m), each step
+    appending one cell to the carried list, so the within-row
+    dependency (D[i][j-1]) and the cross-row ones (D[i-1][j],
+    D[i-1][j-1]) all resolve against the same list. Integer costs on
+    the exact cent grid make the DP bit-exact in any evaluation order —
+    the only reason a sequential algorithm can be hash-compared across
+    engines at all. One template, two dialects (`_bls_sql` discipline);
+    validated cell-for-cell against an independent numpy DP."""
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT MIN({epoch_fn}(ts)) AS mn, MAX({epoch_fn}(ts)) AS mx FROM {tbl}),
+b AS (
+  SELECT event_type,
+         (({epoch_fn}(ts) - bounds.mn) * {_DTW_NB})
+           {div} (bounds.mx - bounds.mn + 1) AS bucket,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS f
+  FROM {tbl}, bounds),
+sb AS (
+  SELECT event_type, bucket, CAST(SUM(f) AS BIGINT) AS cents
+  FROM b GROUP BY 1, 2),
+arr AS (
+  SELECT event_type, list(cents ORDER BY bucket) AS vs FROM sb GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.vs AS va, b.vs AS vb,
+         len(a.vs) AS n, len(b.vs) AS m
+  FROM arr a JOIN arr b ON a.event_type < b.event_type),
+dp AS (
+  SELECT type_a, type_b, va, vb, n, m, 0 AS k,
+         [abs(va[1] - vb[1])] AS cells
+  FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, va, vb, n, m, k + 1,
+         list_append(cells,
+           abs(va[(k + 1) {div} m + 1] - vb[(k + 1) % m + 1])
+           + LEAST(
+               CASE WHEN (k + 1) % m = 0 THEN {_DTW_BIG}
+                    ELSE cells[k + 1] END,
+               CASE WHEN (k + 1) {div} m = 0 THEN {_DTW_BIG}
+                    ELSE cells[k + 1 - m + 1] END,
+               CASE WHEN (k + 1) % m = 0 OR (k + 1) {div} m = 0
+                    THEN {_DTW_BIG}
+                    ELSE cells[k + 1 - m] END))
+  FROM dp WHERE k + 1 < n * m)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+       CAST(cells[n * m] AS BIGINT) AS dtw_cents
+FROM dp WHERE k = n * m - 1 ORDER BY type_a, type_b
+"""
+
+
+def _dtw_kernel(batches):
+    """Arrow-batched DTW: full integer DP per pair in numpy. Costs,
+    cells and the final distance are all int64 (bounded by
+    NB * max-bucket-sum, ~3e11 at the 10x sweep's sf1 — 7 decimal
+    orders inside the type), so the result is exact, not a float
+    approximation."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        out = []
+        for r in pdf.itertuples(index=False):
+            a = np.asarray(r.va, dtype=np.int64)
+            b = np.asarray(r.vb, dtype=np.int64)
+            n, m = len(a), len(b)
+            c = np.abs(a[:, None] - b[None, :])
+            d = np.empty((n, m), dtype=np.int64)
+            d[0, 0] = c[0, 0]
+            for j in range(1, m):
+                d[0, j] = c[0, j] + d[0, j - 1]
+            for i in range(1, n):
+                d[i, 0] = c[i, 0] + d[i - 1, 0]
+                for j in range(1, m):
+                    d[i, j] = c[i, j] + min(
+                        d[i - 1, j], d[i, j - 1], d[i - 1, j - 1]
+                    )
+            out.append(
+                (r.type_a, r.type_b, n, m, int(d[n - 1, m - 1]))
+            )
+        yield pd.DataFrame(
+            out, columns=["type_a", "type_b", "n", "m", "dtw_cents"]
+        )
+
+
+@register(
+    "ts_dtw_distance",
+    oracle=_dtw_oracle_sql("events", "epoch_us", "//"),
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of series —
+    the alignment-tolerant series-similarity operator (a lagged or
+    stretched copy of a signal scores close; Euclidean distance would
+    not). The classic use: cluster metric/sensor/light-curve shapes
+    where phase isn't aligned across series.
+
+    Spark-first decomposition of an inherently sequential algorithm:
+    the DATA-SIZED part (reduce each series to a fixed NB-bucket
+    integer profile) is one grouped aggregation with map-side partials;
+    the SEQUENTIAL part (the O(NB^2) DP) runs in an Arrow-batched
+    pandas kernel over the tiny pair table. At 100 TB the DP input is
+    |series| profiles of NB ints — the kernel cost is independent of
+    row count, and pairs parallelize across executors. The oracle
+    restates the identical DP as a recursive CTE over the linear cell
+    index; integer cent costs make both bit-exact (no float
+    accumulation anywhere).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(
+            f"((unix_micros(ts) - mn) * {_DTW_NB}) div (mx - mn + 1)"
+        ).alias("bucket"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("f"),
+    )
+    sb = b.groupBy("event_type", "bucket").agg(F.sum("f").alias("cents"))
+    arr = (
+        sb.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("bucket", "cents"))).alias(
+                "sc"
+            )
+        )
+        .select(
+            "event_type", F.expr("transform(sc, x -> x.cents)").alias("vs")
+        )
+    )
+    pairs = (
+        arr.alias("a")
+        .join(
+            F.broadcast(arr.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.vs").alias("va"),
+            F.col("b.vs").alias("vb"),
+        )
+    )
+    return pairs.mapInPandas(
+        _dtw_kernel,
+        "type_a STRING, type_b STRING, n BIGINT, m BIGINT, dtw_cents BIGINT",
+    )
+
+
+#: Kalman model constants — process noise Q and measurement noise R.
+#: Written as decimal literals in BOTH the python kernel and the SQL
+#: recursion (parsed to identical doubles), and every SQL constant is
+#: CAST(... AS DOUBLE) because DuckDB otherwise types `1.0` as DECIMAL
+#: and the whole recurrence silently leaves double arithmetic.
+_KALMAN_Q = "0.01"
+_KALMAN_R = "4.0"
+
+
+def _kalman_oracle_sql(tbl: str) -> str:
+    """Scalar Kalman filter as a recursive CTE joined against the
+    row-numbered observation table (state = (x, p) per series; no list
+    carrying). Bit-exact vs the python kernel because every operation
+    is an IEEE-754 double op in the SAME order and shape: pp = p + Q;
+    k = pp / (pp + R); x += k*(z - x); p = (1 - k)*pp — neither engine
+    contracts to FMA or reassociates. Validated exactly equal on all
+    series before registration."""
+    q, r = f"CAST({_KALMAN_Q} AS DOUBLE)", f"CAST({_KALMAN_R} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    gain = f"(r.p + {q}) / ((r.p + {q}) + {r})"
+    return f"""
+WITH RECURSIVE obs AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE) AS z,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM {tbl}),
+rec AS (
+  SELECT event_type, 1 AS k, z AS x, {one} AS p FROM obs WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.k + 1,
+         r.x + ({gain}) * (o.z - r.x),
+         ({one} - {gain}) * (r.p + {q})
+  FROM rec r JOIN obs o ON o.event_type = r.event_type AND o.rn = r.k + 1)
+SELECT r.event_type, CAST(r.k AS BIGINT) AS n, r.x AS x_final, r.p AS p_final
+FROM rec r
+JOIN (SELECT event_type, MAX(k) AS mk FROM rec GROUP BY event_type) m
+  ON m.event_type = r.event_type AND r.k = m.mk
+ORDER BY r.event_type
+"""
+
+
+def _kalman_kernel(key, pdf):
+    """Per-series sequential Kalman pass (grouped pandas). Plain python
+    floats, NOT numpy vector ops: the recurrence is inherently serial
+    and the op-for-op shape must mirror `_kalman_oracle_sql` exactly."""
+    import pandas as pd
+
+    q, r_noise = float(_KALMAN_Q), float(_KALMAN_R)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    zs = [float(v) for v in pdf["z"]]
+    x, p = zs[0], 1.0
+    for z in zs[1:]:
+        pp = p + q
+        kg = pp / (pp + r_noise)
+        x = x + kg * (z - x)
+        p = (1.0 - kg) * pp
+    return pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [len(zs)],
+            "x_final": [x],
+            "p_final": [p],
+        }
+    )
+
+
+@register(
+    "ts_kalman_1d",
+    oracle=_kalman_oracle_sql("events"),
+)
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter per series — the optimal recursive smoother
+    for a noisy level signal, and the archetype of state that windows
+    cannot express: the gain k_t depends on the running covariance,
+    which depends on every prior step, so this is applyInPandas
+    territory (sequential within series, parallel across series), the
+    same decomposition `transformWithState` would use in streaming.
+
+    Scale: one shuffle on the series key, then a single ordered pass
+    per series inside the pandas kernel — identical motion profile to
+    any per-series window. Cross-engine exactness for a FLOAT recursion
+    (normally hopeless) holds here because both sides execute the same
+    IEEE double ops in the same order (no FMA contraction, no
+    reassociation in either engine) — see `_kalman_oracle_sql`; the
+    oracle hash is bit-for-bit, not tolerance-based.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .cast("double")
+        .alias("z"),
+    )
+    return obs.groupBy("event_type").applyInPandas(
+        _kalman_kernel,
+        "event_type STRING, n BIGINT, x_final DOUBLE, p_final DOUBLE",
+    )

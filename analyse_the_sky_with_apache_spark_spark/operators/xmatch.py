@@ -2048,3 +2048,145 @@ def lightcurve_bls_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bls_events"
     )
     return spark.sql(_bls_sql("bls_events", "unix_micros", "div"))
+
+
+#: PDM trial-period grid (integer days) and phase-bin count. Same grid
+#: family as the amplitude scan (`_SCAN_PERIODS_D`): the fixture's true
+#: 7-day activity cycle plus decoys on both sides.
+_PDM_PERIODS_D = (3, 4, 5, 6, 7, 8, 9, 10, 11, 14)
+_PDM_NBINS = 8
+
+
+def _pdm_sql(tbl: str, epoch_fn: str, div: str) -> str:
+    """Stellingwerf phase-dispersion-minimization scan, one template for
+    both dialects (only the epoch-micros function and the integer-
+    division token differ — `_bls_sql` discipline). All bin statistics
+    are exact integers on a DECI-value grid (value*10: f <= ~6e3, so
+    n*ss stays ~2.3e16 at the 10x sweep's sf1 — 400x inside BIGINT;
+    cents would leave only 4x headroom), the per-bin dispersion term
+    ``ss - s*s div n`` is a truncating integer division on positive
+    values (identical in both engines), and theta is ONE double
+    expression over those exact integers, so the per-series argmin row
+    hash-matches bit-for-bit."""
+    day_us = 86400 * 1_000_000
+    vals = ", ".join(f"({p * day_us})" for p in _PDM_PERIODS_D)
+    return f"""
+WITH b AS (
+  SELECT event_type, p.p_us,
+         ({epoch_fn}(ts) % p.p_us) {div} (p.p_us {div} {_PDM_NBINS})
+           AS bin,
+         CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT) AS f
+  FROM {tbl}, (VALUES {vals}) AS p(p_us)),
+agg AS (
+  SELECT event_type, p_us, bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f) AS BIGINT) AS s,
+         CAST(SUM(f * f) AS BIGINT) AS ss
+  FROM b GROUP BY 1, 2, 3),
+pooled AS (
+  SELECT event_type, p_us,
+         CAST(SUM(ss - (s * s) {div} n) AS BIGINT) AS num_pooled,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ss) AS BIGINT) AS sst,
+         CAST(COUNT(*) AS BIGINT) AS nbins
+  FROM agg GROUP BY 1, 2),
+sc AS (
+  SELECT event_type, p_us, nt, nbins,
+         (CAST(num_pooled AS DOUBLE) * CAST(nt - 1 AS DOUBLE))
+           / (CAST(nt - nbins AS DOUBLE)
+              * CAST(sst - (st * st) {div} nt AS DOUBLE)) AS theta
+  FROM pooled
+  WHERE nt > nbins AND sst - (st * st) {div} nt > 0),
+best AS (
+  SELECT event_type, p_us, nt, nbins, theta,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY theta ASC, p_us) AS rn
+  FROM sc)
+SELECT event_type,
+       CAST(p_us {div} {day_us} AS BIGINT) AS period_days,
+       nt AS n_obs, nbins AS nbins_used, theta
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register(
+    "lightcurve_pdm_theta",
+    oracle=_pdm_sql("events", "epoch_us", "//"),
+)
+def lightcurve_pdm_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-dispersion-minimization period search (Stellingwerf 1978)
+    — the variance-ratio complement to the amplitude scan
+    (`lightcurve_period_scan`) and the box scan (`lightcurve_bls_box`):
+    fold each series on every trial period (exact integer phase bins),
+    and score theta = pooled within-bin dispersion / total dispersion.
+    A true period aligns like phases, collapsing within-bin variance
+    (theta << 1); a wrong period leaves theta ~= 1. PDM needs no
+    sinusoid assumption, so it finds non-sinusoidal variables (eclipses,
+    eruptives) that a Fourier scan smears — and it needs no
+    transcendental functions, which is what keeps it oracle-exact.
+
+    Scale: identical shape to BLS — ONE data-sized grouped aggregation
+    whose key space is |series| x |periods| x |bins| with map-side
+    partials, then everything downstream runs on the bin table. A
+    trillion-row log shuffles only aggregated (n, sum-f, sum-f2) bins.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "pdm_events"
+    )
+    return spark.sql(_pdm_sql("pdm_events", "unix_micros", "div"))
+
+
+def _eta_sql(tbl: str) -> str:
+    """Von Neumann variability index, single shared text (no dialect
+    tokens needed: lag window + integer sums parse identically in both
+    engines). Values on the exact cent grid; eta is ONE double
+    expression over exact integer sums (products in double are
+    correctly rounded identically — all operands < 2^53)."""
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS f,
+         LAG(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS fp
+  FROM {tbl}),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f) AS BIGINT) AS sv,
+         CAST(SUM(f * f) AS BIGINT) AS sv2,
+         CAST(SUM(CASE WHEN fp IS NULL THEN 0
+                       ELSE (f - fp) * (f - fp) END) AS BIGINT) AS sd2
+  FROM v GROUP BY 1)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sd2 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sv2 AS DOUBLE)
+            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) AS eta
+FROM s
+WHERE n > 1 ORDER BY event_type
+"""
+
+
+@register(
+    "lightcurve_eta_von_neumann",
+    oracle=_eta_sql("events"),
+)
+def lightcurve_eta_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann eta variability index — the standard first-pass
+    variability classifier for survey light curves: eta = mean
+    successive squared difference / variance. Smooth trends and
+    periodic signals make successive points correlated (eta < 2);
+    pure noise gives eta ~= 2; anti-correlated jitter pushes higher.
+    Cheap enough to compute for every object in a catalog, it is the
+    shortlist filter upstream of the expensive period scans
+    (`lightcurve_pdm_theta`, `lightcurve_bls_box`).
+
+    Scale: one shuffle on the series key; the lag window and the sums
+    both evaluate within each series partition, and the output is one
+    row per series. The only data-sized motion is the partition-by
+    exchange a per-series statistic cannot avoid.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "eta_events"
+    )
+    return spark.sql(_eta_sql("eta_events"))

@@ -1041,3 +1041,108 @@ def ml_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "msh_lineitem"
     )
     return spark.sql(_split_hist_sql("msh_lineitem"))
+
+
+def _gbt_boost_sql(tbl: str, div: str, mat: str) -> str:
+    """Two boosting rounds of histogram stumps, one template for both
+    dialects (tokens: integer-division `div`/`//` and the DuckDB
+    `MATERIALIZED` CTE hint — without it DuckDB inlines each CTE into
+    its ~3 downstream references and the plan explodes ~3^k, the
+    round-7 promotion lesson). Bin stats and leaf means are exact
+    integers (means via truncating integer division — both engines
+    truncate); only the gain score is double, from shared expression
+    text, so the per-round winner rows hash bit-for-bit."""
+
+    def score(sl: str, nl: str, st: str, nt: str) -> str:
+        return (
+            f"CAST({sl} AS DOUBLE) * CAST({sl} AS DOUBLE)"
+            f" / CAST({nl} AS DOUBLE)"
+            f" + CAST({st} - {sl} AS DOUBLE) * CAST({st} - {sl} AS DOUBLE)"
+            f" / CAST({nt} - {nl} AS DOUBLE)"
+        )
+
+    def stump(src: str, b: str, t: str, c: str, s: str, w: str) -> str:
+        """One histogram-stump round over (qb, db, <target>) rows."""
+        return f"""
+{b} AS {mat} (
+  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM (SELECT 'quantity' AS feature, qb AS bin, y FROM {src}
+        UNION ALL SELECT 'discount', db, y FROM {src}) u
+  GROUP BY feature, bin),
+{t} AS {mat} (
+  SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sy) AS BIGINT) AS st
+  FROM {b} GROUP BY feature),
+{c} AS {mat} (
+  SELECT feature, bin,
+         CAST(SUM(n) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS nl,
+         CAST(SUM(sy) OVER (PARTITION BY feature ORDER BY bin)
+              AS BIGINT) AS sl
+  FROM {b}),
+{s} AS {mat} (
+  SELECT c.feature, c.bin, c.nl, c.sl, t.nt, t.st,
+         {score('c.sl', 'c.nl', 't.st', 't.nt')} AS score
+  FROM {c} c JOIN {t} t ON t.feature = c.feature
+  WHERE c.nl < t.nt),
+{w} AS {mat} (
+  SELECT feature, bin AS split_bin, nl, nt,
+         sl {div} nl AS ml, (st - sl) {div} (nt - nl) AS mr, score
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, feature, bin)
+               AS rn
+        FROM {s}) z
+  WHERE rn = 1)"""
+
+    return f"""
+WITH g AS {mat} (
+  SELECT CAST(l_quantity AS BIGINT) AS qb,
+         CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS db,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM {tbl}),
+{stump('g', 'b1', 't1', 'c1', 's1', 'w1')},
+r AS {mat} (
+  SELECT g.qb, g.db,
+         g.y - (CASE WHEN (CASE WHEN w1.feature = 'quantity'
+                                THEN g.qb ELSE g.db END) <= w1.split_bin
+                     THEN w1.ml ELSE w1.mr END) AS y
+  FROM g, w1),
+{stump('r', 'b2', 't2', 'c2', 's2', 'w2')}
+SELECT CAST(1 AS BIGINT) AS round, feature,
+       CAST(split_bin AS BIGINT) AS split_bin, nl AS n_left,
+       ml AS mean_left_cents, mr AS mean_right_cents, score AS gain_score
+FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT), feature, CAST(split_bin AS BIGINT), nl, ml, mr,
+       score
+FROM w2
+ORDER BY round
+"""
+
+
+@register(
+    "ml_gbt_stump_boost",
+    oracle=_gbt_boost_sql("lineitem", "//", "MATERIALIZED"),
+)
+def ml_gbt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient boosting with histogram stumps — the
+    `ml_split_histogram` kernel run as an actual boosting LOOP:
+    round 1 fits the best single split on the raw target, rows are
+    re-labeled with their integer residual (y − leaf mean), and round 2
+    fits the best split on the residuals. On the fixtures round 2
+    genuinely picks a DIFFERENT feature (discount) than round 1
+    (quantity) — the residual really does rotate the gain landscape,
+    which is the whole point of boosting.
+
+    Scale: each round is one map-side-combinable aggregation whose key
+    space is |features|×|bins|; the residual step is a narrow
+    projection against the broadcast 1-row winner. T rounds of
+    boosting = T such passes — at 100 TB the histogram trick is what
+    makes GBT trainable at all, and this is that inner loop verbatim.
+    Leaf means use truncating integer division (identical in both
+    engines) so residuals stay exact integers through every round.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gbt_lineitem"
+    )
+    return spark.sql(_gbt_boost_sql("gbt_lineitem", "div", ""))

@@ -148,6 +148,9 @@ _ROTATION_R9 = (
     "xmatch_mask_exclusion", "privacy_dp_histogram",
     "ts_holt_linear", "ml_split_histogram", "txn_log_checkpoint",
     "lightcurve_bls_box", "udtf_cogrouped_map", "sink_parquet_bloom",
+    "set_union_byname", "scan_file_metadata", "lightcurve_pdm_theta",
+    "lightcurve_eta_von_neumann", "ts_dtw_distance",
+    "scan_deletion_vectors", "ts_kalman_1d", "ml_gbt_stump_boost",
     # round-7 rows-only→oracle promotions (never driver-sampled, so
     # they join the schedule at promotion; agg_approx_percentile was
     # already sampled in a prior round)

@@ -1654,3 +1654,122 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+SELECT o_orderkey % 4 AS bucket,
+       o_orderkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4
+                               ORDER BY o_orderkey) - 1 AS BIGINT) AS row_idx
+FROM orders
+""",
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns (`_metadata.row_index` /
+    `file_path` / `file_size`) — per-row physical provenance without a
+    byte of extra storage. The lineage/debug primitive at 100 TB:
+    "which file and which row produced this record" powers
+    incremental-reprocessing ledgers, bad-file quarantine, and
+    row-level audit joins, and the column is generated at scan time so
+    it costs nothing to read.
+
+    Verification closes the loop through layout: orders flow out
+    partitioned by an integer bucket with a forced in-file sort
+    (repartition(bucket) → one task per bucket; sortWithinPartitions
+    prefix-satisfies the writer's partition sort so row order is
+    preserved verbatim), then the read-back ``row_index`` must equal
+    each key's rank within its bucket — the oracle restates that rank
+    relationally, so a wrong file split, a dropped sort, or a
+    misnumbered row batch all break the hash.
+    """
+    path = os.path.join(
+        _SCRATCH, "fmeta_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.pmod("o_orderkey", F.lit(4)).alias("bucket")
+    )
+    (
+        o.repartition(4, "bucket")
+        .sortWithinPartitions("bucket", "o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "o_orderkey",
+        F.col("_metadata.row_index").cast("long").alias("row_idx"),
+    )
+
+
+@register(
+    "scan_deletion_vectors",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderkey % 4 AS bucket,
+         o_orderkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4
+                                 ORDER BY o_orderkey) - 1 AS BIGINT) AS pos
+  FROM orders) z
+WHERE o_orderkey % 7 <> 3
+""",
+)
+def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors — the Delta/Iceberg-v3
+    mechanism that makes row-level deletes O(deleted rows) instead of
+    O(table): a DELETE writes only a sidecar of (file, row-position)
+    tombstones, and readers subtract them positionally at scan time;
+    base files are never rewritten until compaction. At 100 TB this is
+    the difference between a GDPR delete costing a full-table rewrite
+    and costing a few KB of positions.
+
+    Mechanics here: orders land as one sorted file per bucket (the
+    `scan_file_metadata` layout), the DELETE materializes matching
+    rows' ``_metadata.row_index`` positions into a DV parquet, and the
+    merge-on-read scan is base LEFT ANTI JOIN dv ON (file-bucket, pos)
+    — the DV side broadcasts (tombstones are small by design), so the
+    subtraction costs zero shuffle on the base scan. The read path
+    never sees the delete PREDICATE, only positions; the oracle
+    restates the end state relationally, so a position drift, an
+    off-by-one in row numbering, or a mis-bucketed tombstone all break
+    the hash.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_SCRATCH, "dv_base_" + sf_tag)
+    dv = os.path.join(_SCRATCH, "dv_del_" + sf_tag)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.pmod("o_orderkey", F.lit(4)).alias("bucket")
+    )
+    (
+        o.repartition(4, "bucket")
+        .sortWithinPartitions("bucket", "o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(base)
+    )
+
+    def read_base():
+        return spark.read.parquet(base).select(
+            "o_orderkey",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("_metadata.row_index").cast("long").alias("pos"),
+        )
+
+    # the DELETE command: predicate -> positions, written once
+    (
+        read_base()
+        .filter(F.pmod("o_orderkey", F.lit(7)) == 3)
+        .select("bucket", "pos")
+        .write.mode("overwrite")
+        .parquet(dv)
+    )
+    # the merge-on-read scan: positions only, no predicate
+    tombstones = spark.read.parquet(dv)
+    return (
+        read_base()
+        .join(F.broadcast(tombstones), ["bucket", "pos"], "left_anti")
+        .select("bucket", "o_orderkey", "pos")
+    )

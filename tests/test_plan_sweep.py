@@ -100,6 +100,14 @@ _BNL_ALLOWED = {
     # table fans the scan out per period (the BLS grid); bounded by the
     # period-grid size, never by data
     "lightcurve_bls_box",
+    # same VALUES-grid fan-out, 10-row PDM period grid
+    "lightcurve_pdm_theta",
+    # 1-row global (min, max) epoch bounds broadcast onto the scan to
+    # derive the fixed bucket grid; the pair join itself is broadcast
+    "ts_dtw_distance",
+    # 1-row per-round winner broadcast onto the scan for the residual
+    # projection (the boosting re-label step)
+    "ml_gbt_stump_boost",
 }
 
 _KEYS = sorted(
@@ -154,6 +162,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative windows over the collapsed score-bin table (|bins|
     # bounded by score range, constant in row count)
     "ml_lift_curve",
+    # per-round argmax over the collapsed |features|x|bins| histogram
+    # (~102 rows, constant in row count)
+    "ml_gbt_stump_boost",
 }
 
 

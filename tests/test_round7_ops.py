@@ -94,3 +94,209 @@ def test_holt_forecast_consistency(spark):
     for r in queries()["ts_holt_linear"](spark, SF_DIR).collect():
         assert r["forecast_7"] == r["level"] + 7 * r["trend"]
         assert r["n_days"] > 0
+
+
+# --- round-7 batch 4: by-name union, file metadata, PDM/eta, DTW -------
+
+
+def test_union_byname_null_fills_each_sides_missing_columns(spark):
+    """The orders branch has no `nation`, the customer branch no
+    `cents`: by-name union must null-fill exactly those cells and keep
+    every row from both branches."""
+    df = queries()["set_union_byname"](spark, SF_DIR)
+    assert set(df.columns) == {"key", "cents", "src", "nation"}
+    agg = {
+        r["src"]: r
+        for r in df.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("cents").alias("n_cents"),
+            F.count("nation").alias("n_nation"),
+        )
+        .collect()
+    }
+    assert agg["orders"]["n_cents"] == agg["orders"]["n"]
+    assert agg["orders"]["n_nation"] == 0
+    assert agg["customer"]["n_cents"] == 0
+    assert agg["customer"]["n_nation"] == agg["customer"]["n"]
+
+
+def test_file_metadata_row_index_is_dense_per_file(spark):
+    """`_metadata.row_index` must be a dense 0..n-1 sequence within
+    each written bucket file — a gap or duplicate means the writer
+    split a bucket across files or the reader misnumbered a batch."""
+    df = queries()["scan_file_metadata"](spark, SF_DIR)
+    per = (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("row_idx").alias("lo"),
+            F.max("row_idx").alias("hi"),
+            F.countDistinct("row_idx").alias("nd"),
+        )
+        .collect()
+    )
+    assert len(per) == 4
+    for r in per:
+        assert r["lo"] == 0
+        assert r["hi"] == r["n"] - 1
+        assert r["nd"] == r["n"]
+
+
+def test_pdm_recovers_planted_period(spark):
+    """On a synthetic log with a square-wave value signal of period 5
+    days, the PDM scan's minimum-theta period must be 5 (or its
+    harmonic 10) — and theta there must be far below the decoys."""
+    from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+        _pdm_sql,
+    )
+
+    day_us = 86400 * 1_000_000
+    synth = spark.range(4000).select(
+        F.lit("synth").alias("event_type"),
+        F.timestamp_micros(
+            (F.col("id") * 647 * 60 * 1_000_000)  # ~11h cadence, irregular-ish
+        ).alias("ts"),
+        F.when(
+            ((F.col("id") * 647 * 60 * 1_000_000) % (5 * day_us))
+            < (5 * day_us) // 2,
+            F.lit(10.0),
+        )
+        .otherwise(F.lit(90.0))
+        .alias("value"),
+    )
+    synth.createOrReplaceTempView("pdm_synth")
+    rows = spark.sql(_pdm_sql("pdm_synth", "unix_micros", "div")).collect()
+    assert len(rows) == 1
+    assert rows[0]["period_days"] in (5, 10)
+    assert rows[0]["theta"] < 0.5
+
+
+def test_eta_separates_trend_from_noise(spark):
+    """Von Neumann eta must sit near 2 for i.i.d. noise and far below
+    2 for a smooth monotone trend — the classifier contract."""
+    from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+        _eta_sql,
+    )
+
+    base = spark.range(2000).select(
+        F.timestamp_micros(F.col("id") * 3_600_000_000).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.col("id"),
+    )
+    trend = base.select(
+        F.lit("trend").alias("event_type"),
+        "ts",
+        "event_id",
+        (F.col("id") * 0.05).alias("value"),
+    )
+    noise = base.select(
+        F.lit("noise").alias("event_type"),
+        "ts",
+        "event_id",
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) / 10.0).alias("value"),
+    )
+    trend.unionAll(noise).createOrReplaceTempView("eta_synth")
+    rows = {
+        r["event_type"]: r["eta"]
+        for r in spark.sql(_eta_sql("eta_synth")).collect()
+    }
+    assert rows["trend"] < 0.2
+    assert 1.5 < rows["noise"] < 2.5
+
+
+def test_dtw_kernel_zero_self_distance_and_warp_tolerance():
+    """DTW(a, a) = 0, and a time-shifted impulse aligns at zero cost
+    where pointwise L1 would pay — the warping property itself."""
+    import pandas as pd
+
+    from analyse_the_sky_with_apache_spark_spark.operators.windows import (
+        _dtw_kernel,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "type_a": ["self", "shift", "ramp"],
+            "type_b": ["self2", "shift2", "ramp2"],
+            "va": [[5, 7, 9], [0, 1, 0, 0], [1, 2, 3]],
+            "vb": [[5, 7, 9], [0, 0, 1, 0], [2, 3, 4]],
+        }
+    )
+    out = pd.concat(list(_dtw_kernel([pdf]))).set_index("type_a")
+    assert out.loc["self", "dtw_cents"] == 0
+    assert out.loc["shift", "dtw_cents"] == 0  # warp absorbs the shift
+    # ramp vs ramp+1: warp pays |1-2| and |3-4| at the ends, matches
+    # 2<->2 and 3<->3 for free in the middle
+    assert out.loc["ramp", "dtw_cents"] == 2
+
+
+def test_dtw_distance_outputs_all_unordered_pairs(spark):
+    """One row per unordered series pair, symmetric by construction,
+    with nonnegative integer costs."""
+    rows = queries()["ts_dtw_distance"](spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["dtw_cents"] >= 0
+        assert r["n"] > 0 and r["m"] > 0
+
+
+# --- round-7 batch 5: deletion vectors, Kalman, boosted stumps ---------
+
+
+def test_deletion_vectors_remove_exactly_the_tombstoned_positions(spark):
+    """Survivors must be the base minus exactly the DV positions: no
+    predicate leakage into the read path, no over- or under-delete."""
+    df = queries()["scan_deletion_vectors"](spark, SF_DIR)
+    rows = df.collect()
+    keys = {r["o_orderkey"] for r in rows}
+    assert keys, "empty survivor set"
+    assert all(k % 7 != 3 for k in keys)
+    # positions must still be the ORIGINAL file positions (gaps where
+    # tombstones were), not renumbered
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+    for bucket, ps in by_bucket.items():
+        assert len(ps) == len(set(ps))
+        n_deleted_before_max = max(ps) + 1 - len(ps)
+        assert n_deleted_before_max >= 0
+
+
+def test_kalman_converges_gain_and_tracks_level(spark):
+    """p_final must equal the Riccati fixed point of the (Q, R) model
+    for every series (the gain converges fast), and x_final must sit
+    inside the observed value range."""
+    from analyse_the_sky_with_apache_spark_spark.operators.windows import (
+        _KALMAN_Q,
+        _KALMAN_R,
+    )
+
+    q, r_noise = float(_KALMAN_Q), float(_KALMAN_R)
+    # fixed point of p' = (1-k)(p+q), k = (p+q)/((p+q)+r)
+    p = 1.0
+    for _ in range(200):
+        pp = p + q
+        p = (1.0 - pp / (pp + r_noise)) * pp
+    rows = queries()["ts_kalman_1d"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for row in rows:
+        # sf0.001 series are ~200 steps; the Riccati iterate is within
+        # ~3e-10 of the fixed point there (geometric convergence)
+        assert abs(row["p_final"] - p) < 1e-6
+        assert 0.0 <= row["x_final"] <= 60000.0
+
+
+def test_gbt_round2_fits_residuals_not_raw_target(spark):
+    """The round-2 leaf means must straddle zero (they are residual
+    means) while round-1 leaf means are raw cent levels — and the
+    round-2 gain must be far below round 1's (most variance already
+    captured)."""
+    rows = {r["round"]: r for r in queries()["ml_gbt_stump_boost"](
+        spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2}
+    r1, r2 = rows[1], rows[2]
+    assert r1["mean_left_cents"] > 0 and r1["mean_right_cents"] > 0
+    assert min(r2["mean_left_cents"], r2["mean_right_cents"]) < 0
+    assert max(r2["mean_left_cents"], r2["mean_right_cents"]) > 0
+    assert r2["gain_score"] < r1["gain_score"]
