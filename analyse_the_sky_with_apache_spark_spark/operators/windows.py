@@ -3223,3 +3223,96 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _kalman_kernel,
         "event_type STRING, n BIGINT, x_final DOUBLE, p_final DOUBLE",
     )
+
+
+@register(
+    "ts_sax_symbolize",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+b AS (
+  SELECT event_type,
+         ((epoch_us(ts) - bounds.mn) * {_DTW_NB})
+           // (bounds.mx - bounds.mn + 1) AS bucket,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS f
+  FROM events, bounds),
+paa AS (
+  SELECT event_type, bucket,
+         CAST(SUM(f) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+  FROM b GROUP BY event_type, bucket),
+q AS (
+  SELECT event_type,
+         CAST(quantile_disc(m, 0.25) AS BIGINT) AS q1,
+         CAST(quantile_disc(m, 0.5) AS BIGINT) AS q2,
+         CAST(quantile_disc(m, 0.75) AS BIGINT) AS q3
+  FROM paa GROUP BY event_type),
+sym AS (
+  SELECT p.event_type, p.bucket,
+         CASE WHEN p.m <= q.q1 THEN 'a'
+              WHEN p.m <= q.q2 THEN 'b'
+              WHEN p.m <= q.q3 THEN 'c'
+              ELSE 'd' END AS s
+  FROM paa p JOIN q ON q.event_type = p.event_type)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       string_agg(s, '' ORDER BY bucket) AS sax_word
+FROM sym GROUP BY event_type ORDER BY event_type
+""",
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization — compress each series to a short symbolic
+    word (PAA bucket means -> per-series quartile alphabet 'a'..'d'),
+    the standard front-end for motif discovery, series indexing and
+    cheap similarity (Hamming on words) over millions of series. The
+    discretization here is RANK-based (per-series discrete quartiles)
+    rather than the textbook Gaussian breakpoints: quartiles of 24
+    exact integers are themselves exact integers (`percentile_disc`),
+    so the word is deterministic — no mean/std floats anywhere.
+
+    Scale: the PAA reduction is the only data-sized pass (map-side
+    combinable, |series| x NB keys); quartiles and the word assembly
+    run on the collapsed 24-row-per-series table. Same
+    reduce-first-then-model shape as `ts_dtw_distance`, whose bucket
+    grid this shares — SAX words and DTW run off the same PAA table in
+    a production pipeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(
+            f"((unix_micros(ts) - mn) * {_DTW_NB}) div (mx - mn + 1)"
+        ).alias("bucket"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("f"),
+    )
+    paa = b.groupBy("event_type", "bucket").agg(
+        F.expr("CAST(SUM(f) AS BIGINT) div CAST(COUNT(*) AS BIGINT)").alias(
+            "m"
+        )
+    )
+    q = paa.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY m)"
+        ).alias("q1"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m)").alias("q2"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY m)"
+        ).alias("q3"),
+    )
+    sym = paa.join(q, "event_type").select(
+        "event_type",
+        "bucket",
+        F.when(F.col("m") <= F.col("q1"), F.lit("a"))
+        .when(F.col("m") <= F.col("q2"), F.lit("b"))
+        .when(F.col("m") <= F.col("q3"), F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("s"),
+    )
+    return sym.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr(
+            "listagg(s, '') WITHIN GROUP (ORDER BY bucket)"
+        ).alias("sax_word"),
+    )

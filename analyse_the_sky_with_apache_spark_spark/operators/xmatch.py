@@ -2190,3 +2190,77 @@ def lightcurve_eta_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eta_events"
     )
     return spark.sql(_eta_sql("eta_events"))
+
+
+def _string_length_sql(tbl: str, epoch_fn: str, div: str) -> str:
+    """Dworetsky string-length period scan (L1 variant), one template
+    for both dialects. Phase and magnitude both land on exact integer
+    10000-grids (phase: ``(t mod P)*10^4 div P``; magnitude: min/max-
+    normalized deci-values), every per-step length is
+    ``|dm| + |dphase|`` — pure integers, so the per-(series, period)
+    sum is exact and order-free, unlike the classic sqrt form whose
+    cross-row float summation would be engine-order-dependent. The
+    phase-sort window is fully tie-broken (phase, magnitude, event_id;
+    event_id is unique in the fixtures)."""
+    day_us = 86400 * 1_000_000
+    vals = ", ".join(f"({p * day_us})" for p in _PDM_PERIODS_D)
+    return f"""
+WITH mm AS (
+  SELECT event_type,
+         MIN(CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT)) AS mn,
+         MAX(CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT)) AS mx
+  FROM {tbl} GROUP BY event_type),
+b AS (
+  SELECT e.event_type, p.p_us,
+         ((({epoch_fn}(ts) % p.p_us) * 10000) {div} p.p_us) AS phg,
+         (((CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT) - mm.mn) * 10000)
+            {div} (mm.mx - mm.mn + 1)) AS mg,
+         event_id
+  FROM {tbl} e JOIN mm ON mm.event_type = e.event_type,
+       (VALUES {vals}) AS p(p_us)),
+d AS (
+  SELECT event_type, p_us,
+         ABS(mg - LAG(mg) OVER w) + ABS(phg - LAG(phg) OVER w) AS step
+  FROM b
+  WINDOW w AS (PARTITION BY event_type, p_us
+               ORDER BY phg, mg, event_id)),
+s AS (
+  SELECT event_type, p_us, CAST(SUM(step) AS BIGINT) AS l1_length
+  FROM d WHERE step IS NOT NULL GROUP BY event_type, p_us),
+best AS (
+  SELECT event_type, p_us, l1_length,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY l1_length ASC, p_us) AS rn
+  FROM s)
+SELECT event_type,
+       CAST(p_us {div} {day_us} AS BIGINT) AS period_days,
+       l1_length
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@register(
+    "lightcurve_string_length",
+    oracle=_string_length_sql("events", "epoch_us", "//"),
+)
+def lightcurve_string_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-length period search (Dworetsky 1983, L1 form) — the
+    third member of the period-scan family, orthogonal to both: PDM
+    (`lightcurve_pdm_theta`) bins phases and scores dispersion, BLS
+    (`lightcurve_bls_box`) assumes a box transit; string-length bins
+    NOTHING — it folds, sorts by phase, and sums consecutive jumps in
+    (phase, magnitude), so sparse and irregularly sampled curves that
+    leave phase bins empty still score correctly. The true period
+    minimizes the string length.
+
+    Scale: the x|periods| fan-out flows into per-(series, period) sort
+    windows rather than a hash agg — the one period scan whose cost is
+    a sort, which is exactly its production trade-off: for dense
+    series prefer PDM's aggregation; for sparse series the sort input
+    is small by definition. Everything is exact integers (see
+    `_string_length_sql`), so the argmin row hash-matches.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "strlen_events"
+    )
+    return spark.sql(_string_length_sql("strlen_events", "unix_micros", "div"))

@@ -1393,3 +1393,78 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), hardcoded to 17
+#: significant digits so both engines parse the identical double (no
+#: runtime log10 — transcendentals are not cross-engine-exact, §5.3).
+#: E-notation is load-bearing: a bare decimal literal routes through
+#: DECIMAL in DuckDB and the decimal->double conversion can land an
+#: ulp away from the direct string->double parse.
+_BENFORD_P = (
+    (1, "0.30102999566398120"), (2, "0.17609125905568124"),
+    (3, "0.12493873660829993"), (4, "0.09691001300805642"),
+    (5, "0.07918124604762482"), (6, "0.06694678963061322"),
+    (7, "0.05799194697768673"), (8, "0.05115252244738129"),
+    (9, "0.04575749056067514"),
+)
+
+
+def _benford_sql(tbl: str, mat: str) -> str:
+    """Benford first-digit audit, one template for both dialects (both
+    accept STRING casts and the VALUES table; the only token is the
+    DuckDB MATERIALIZED hint). First digits come from the CENTS
+    integer's decimal string — never from log10 — and the expected
+    count is MATERIALIZED before the chi-square step: with it inlined,
+    DuckDB contracts ``n - nt*pb`` to an FMA (one rounding instead of
+    two) and drifts an ulp from Spark/python — fuzzer-found on digit 3
+    at sf0.01. No cross-row float summation anywhere, so every row
+    hashes bit-for-bit."""
+    vals = ", ".join(f"({d}, {p}e0)" for d, p in _BENFORD_P)
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS STRING), 1, 1)
+              AS BIGINT) AS digit
+  FROM {tbl}
+  WHERE o_totalprice > 0),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+p AS (SELECT * FROM (VALUES {vals}) AS t(digit, pb)),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+ex AS {mat} (
+  SELECT p.digit, COALESCE(c.n, 0) AS n, p.pb,
+         CAST(tot.nt AS DOUBLE) * p.pb AS expected
+  FROM p LEFT JOIN c ON c.digit = p.digit, tot)
+SELECT digit, n, pb AS p_benford, expected,
+       (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+         / expected AS chi2_term
+FROM ex
+ORDER BY digit
+"""
+
+
+@register(
+    "dq_benford_firstdigit",
+    oracle=_benford_sql("orders", "MATERIALIZED"),
+)
+def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud/synthetic-
+    data detector for multiplicative quantities (amounts, populations,
+    fluxes): natural data follows P(d) = log10(1 + 1/d); fabricated or
+    uniformly generated data does not. The output is the per-digit
+    contingency row (observed, expected, chi-square term) a DQ monitor
+    thresholds on. On these synthetic fixtures the test FAILS loudly
+    (uniform totalprice piles digits 1-4) — which is precisely the
+    correct answer, and the per-digit rows show exactly how.
+
+    Scale: one map-side-combinable 9-key aggregation over the scan;
+    the Benford table and grand total are literal/1-row broadcasts.
+    Chi-square terms stay per-row doubles from shared expression text
+    (the engine never sums doubles across rows), so all 9 rows
+    hash-match bit-for-bit.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "benford_orders"
+    )
+    return spark.sql(_benford_sql("benford_orders", ""))

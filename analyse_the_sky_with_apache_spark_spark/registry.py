@@ -151,6 +151,8 @@ _ROTATION_R9 = (
     "set_union_byname", "scan_file_metadata", "lightcurve_pdm_theta",
     "lightcurve_eta_von_neumann", "ts_dtw_distance",
     "scan_deletion_vectors", "ts_kalman_1d", "ml_gbt_stump_boost",
+    "lightcurve_string_length", "dq_benford_firstdigit",
+    "ts_sax_symbolize",
     # round-7 rows-only→oracle promotions (never driver-sampled, so
     # they join the schedule at promotion; agg_approx_percentile was
     # already sampled in a prior round)

@@ -108,6 +108,14 @@ _BNL_ALLOWED = {
     # 1-row per-round winner broadcast onto the scan for the residual
     # projection (the boosting re-label step)
     "ml_gbt_stump_boost",
+    # VALUES period-grid fan-out (the PDM/BLS shape) feeding the
+    # phase-sort windows
+    "lightcurve_string_length",
+    # 9-row Benford VALUES table x 1-row grand-total broadcast
+    "dq_benford_firstdigit",
+    # 1-row epoch-bounds broadcast deriving the PAA bucket grid (the
+    # ts_dtw_distance shape)
+    "ts_sax_symbolize",
 }
 
 _KEYS = sorted(

@@ -300,3 +300,61 @@ def test_gbt_round2_fits_residuals_not_raw_target(spark):
     assert min(r2["mean_left_cents"], r2["mean_right_cents"]) < 0
     assert max(r2["mean_left_cents"], r2["mean_right_cents"]) > 0
     assert r2["gain_score"] < r1["gain_score"]
+
+
+# --- round-7 batch 6: string-length scan, Benford, SAX -----------------
+
+
+def test_string_length_recovers_planted_period(spark):
+    """A clean sawtooth with period 5 days must minimize the L1 string
+    length at 5 (or its harmonic 10): a folded sawtooth at the true
+    period traces one smooth ramp, at wrong periods a scribble."""
+    from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+        _string_length_sql,
+    )
+
+    day_us = 86400 * 1_000_000
+    synth = spark.range(3000).select(
+        F.lit("synth").alias("event_type"),
+        F.timestamp_micros(F.col("id") * 683 * 60 * 1_000_000).alias("ts"),
+        (
+            ((F.col("id") * 683 * 60 * 1_000_000) % (5 * day_us))
+            / (5.0 * day_us)
+            * 100.0
+        ).alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    synth.createOrReplaceTempView("strlen_synth")
+    rows = spark.sql(
+        _string_length_sql("strlen_synth", "unix_micros", "div")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["period_days"] in (5, 10)
+
+
+def test_benford_rows_are_a_valid_contingency_table(spark):
+    """All nine digits present, counts sum to the positive-price row
+    count, expected counts sum to ~the same total, chi2 terms
+    nonnegative — and on the uniform synthetic fixture the statistic
+    must be LARGE (the audit correctly rejects Benford)."""
+    rows = queries()["dq_benford_firstdigit"](spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n_total = sum(r["n"] for r in rows)
+    exp_total = sum(r["expected"] for r in rows)
+    assert abs(exp_total - n_total) < 1e-6 * n_total
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    assert sum(r["chi2_term"] for r in rows) > 21.67  # chi2_(8, 0.995)
+
+
+def test_sax_words_use_balanced_alphabet(spark):
+    """Rank-based quartile coding must emit each symbol for roughly a
+    quarter of the buckets (exactly balanced up to integer ties), and
+    words must differ across series (no degenerate constant coding)."""
+    rows = queries()["ts_sax_symbolize"](spark, SF_DIR).collect()
+    words = {r["event_type"]: r["sax_word"] for r in rows}
+    assert len(set(words.values())) > 1
+    for w in words.values():
+        assert set(w) <= set("abcd")
+        # quartile coding: no symbol may dominate (ties can skew a bit)
+        for sym in "ab":  # a and b are exact-quartile bounded below
+            assert w.count(sym) >= len(w) // 4 - 2
