@@ -3316,3 +3316,45 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(s, '') WITHIN GROUP (ORDER BY bucket)"
         ).alias("sax_word"),
     )
+
+
+def _time_range_sql(tbl: str) -> str:
+    """Trailing time-interval frame, single shared text (both dialects
+    parse ``RANGE BETWEEN INTERVAL 6 HOURS PRECEDING``). RANGE frames
+    include ALL peers of the current timestamp, so ties contribute
+    identically regardless of encounter order — with order-free
+    aggregates (count, exact integer sum) the result is deterministic
+    without any tie-breaking column."""
+    return f"""
+SELECT user_id, event_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_6h
+FROM {tbl}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "win_time_range_frame",
+    oracle=_time_range_sql("events"),
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-INTERVAL range frame — "activity in the trailing 6 hours"
+    computed per event, the window form every ops/fraud/monitoring
+    query wants and the one a ROWS frame cannot express (rows-per-hour
+    varies). Complements `win_range_frame` (numeric range): the frame
+    bound here is calendar time against the ORDER BY timestamp.
+
+    Scale: one shuffle on the entity key, frames evaluate within each
+    sorted partition with a sliding two-pointer over the time bound —
+    cost linear in events per entity, state bounded by the 6-hour
+    span. High-cardinality user partitioning is the shape that scales;
+    the 100-TB caveat is a HOT entity whose 6-hour span exceeds an
+    executor page — cap with sessionize_capped-style splitting.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "wtr_events"
+    )
+    return spark.sql(_time_range_sql("wtr_events"))

@@ -1146,3 +1146,90 @@ def ml_gbt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gbt_lineitem"
     )
     return spark.sql(_gbt_boost_sql("gbt_lineitem", "div", ""))
+
+
+def _isotonic_sql(tbl: str, hex4: str, div: str) -> str:
+    """Isotonic (monotone) regression via the MINIMAX identity
+    fitted(i) = max_{a<=i} min_{b>=i} avg(a..b) — the closed-form twin
+    of pool-adjacent-violators that needs NO sequential pass, so it is
+    expressible as prefix sums + an O(|bins|^2) pair join + two
+    windows, identical in both engines (verified == a reference PAV
+    implementation). Interval averages are single double divisions of
+    exact integer sums; min/max over those doubles are order-free.
+    Tokens: the hex-to-int expression (Spark ``conv``, DuckDB
+    ``'0x'||``) and integer division."""
+    binned = f"""
+WITH raw AS (
+  SELECT (CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) {div} 4000000)
+           + ({hex4} % 7) AS bin,
+         CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END AS y
+  FROM {tbl}),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS s
+  FROM raw GROUP BY bin)"""
+    return binned + _isotonic_core_sql()
+
+
+def _isotonic_core_sql() -> str:
+    """The minimax fit over an existing ``bins(bin, w, s)`` CTE/view —
+    split out so tests can plant synthetic bins directly."""
+    return """,
+pre AS (
+  SELECT bin, w, s,
+         CAST(SUM(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+         CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+  FROM bins),
+pairs AS (
+  SELECT a.bin AS a, b.bin AS b,
+         CAST(b.cs - a.cs + a.s AS DOUBLE)
+           / CAST(b.cw - a.cw + a.w AS DOUBLE) AS avg_ab
+  FROM pre a JOIN pre b ON a.bin <= b.bin),
+rmin AS (
+  SELECT a, b,
+         MIN(avg_ab) OVER (PARTITION BY a ORDER BY b DESC) AS m
+  FROM pairs),
+fit AS (
+  SELECT b AS bin, MAX(m) AS fitted
+  FROM rmin WHERE a <= b GROUP BY b)
+SELECT f.bin, bi.w, bi.s,
+       CAST(bi.s AS DOUBLE) / CAST(bi.w AS DOUBLE) AS raw_rate, f.fitted
+FROM fit f JOIN bins bi ON bi.bin = f.bin
+ORDER BY f.bin
+"""
+
+
+_ISO_HEX_SPARK = (
+    "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+    " AS BIGINT)"
+)
+_ISO_HEX_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=_isotonic_sql("orders", _ISO_HEX_DUCK, "//"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression — the standard score-calibration step after
+    any classifier (monotone map from score to probability, no
+    parametric shape). Scores here are noisy price bins (price signal
+    + md5 jitter) against a threshold label, so the raw per-bin rates
+    genuinely violate monotonicity and the fit genuinely pools them.
+
+    The textbook algorithm (PAV) is a sequential stack — hostile to
+    both SQL and distributed execution. This operator instead computes
+    the identical function through the minimax characterization over a
+    COLLAPSED bin table: the data-sized pass is one |bins|-key
+    aggregation; the O(|bins|^2) pair join and windows run on ~20
+    rows. That is also the right 100-TB shape: calibration always
+    operates on binned sufficient statistics, never raw rows.
+    Verified equal to a reference PAV in tests; oracle-hash bit-exact
+    (single-division doubles, order-free min/max).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "iso_orders"
+    )
+    return spark.sql(_isotonic_sql("iso_orders", _ISO_HEX_SPARK, "div"))

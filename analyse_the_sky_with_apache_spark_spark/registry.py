@@ -152,7 +152,8 @@ _ROTATION_R9 = (
     "lightcurve_eta_von_neumann", "ts_dtw_distance",
     "scan_deletion_vectors", "ts_kalman_1d", "ml_gbt_stump_boost",
     "lightcurve_string_length", "dq_benford_firstdigit",
-    "ts_sax_symbolize",
+    "ts_sax_symbolize", "ml_isotonic_calibration",
+    "win_time_range_frame", "txn_log_partition_evolution",
     # round-7 rows-only→oracle promotions (never driver-sampled, so
     # they join the schedule at promotion; agg_approx_percentile was
     # already sampled in a prior round)

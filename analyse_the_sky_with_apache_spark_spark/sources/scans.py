@@ -1773,3 +1773,93 @@ def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tombstones), ["bucket", "pos"], "left_anti")
         .select("bucket", "o_orderkey", "pos")
     )
+
+
+@register(
+    "txn_log_partition_evolution",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE 2 END AS gen,
+       o_orderkey % 4 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+WHERE o_orderkey % 4 = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def txn_log_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg-style) — the table changes its
+    partitioning scheme mid-life WITHOUT rewriting history: generation
+    1 landed under ``bucket2=key%2``, generation 2 under
+    ``bucket4=key%4``, and one logical read spans both. The reader
+    normalizes every row to the CURRENT spec — gen-2 rows take the
+    bucket from the partition directory; gen-1 rows recompute it from
+    data (old files cannot know the new spec). A filter on the new
+    partition column therefore PRUNES directories on the gen-2 side
+    and degrades to scan+filter on gen-1 — exactly Iceberg's contract,
+    and exactly why compaction eventually rewrites old generations.
+    At 100 TB this is what makes repartitioning a metadata operation
+    instead of a table rewrite.
+
+    Completes the table-format family: schema evolution
+    (`txn_log_schema_evolution`) changes columns, this changes layout;
+    both read old + new in one plan. The oracle restates the end state
+    from the source table, so a dropped generation, a mis-derived
+    bucket, or a broken union breaks the hash.
+    """
+    root = os.path.join(
+        _SCRATCH, "ptev_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    g1 = o.filter(F.pmod("o_orderkey", F.lit(10)) < 7).withColumn(
+        "bucket2", F.pmod("o_orderkey", F.lit(2))
+    )
+    (
+        g1.repartition(2, "bucket2")
+        .write.mode("overwrite")
+        .partitionBy("bucket2")
+        .parquet(os.path.join(root, "gen1"))
+    )
+    g2 = o.filter(F.pmod("o_orderkey", F.lit(10)) >= 7).withColumn(
+        "bucket4", F.pmod("o_orderkey", F.lit(4))
+    )
+    (
+        g2.repartition(4, "bucket4")
+        .write.mode("overwrite")
+        .partitionBy("bucket4")
+        .parquet(os.path.join(root, "gen2"))
+    )
+    cents = (
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    # normalized logical read under the NEW spec
+    r1 = (
+        spark.read.parquet(os.path.join(root, "gen1"))
+        .select(
+            F.lit(1).cast("long").alias("gen"),
+            F.pmod("o_orderkey", F.lit(4)).alias("bucket"),  # derived
+            cents,
+        )
+    )
+    r2 = (
+        spark.read.parquet(os.path.join(root, "gen2"))
+        .select(
+            F.lit(2).cast("long").alias("gen"),
+            F.col("bucket4").cast("long").alias("bucket"),  # partition col
+            cents,
+        )
+    )
+    return (
+        r1.unionByName(r2)
+        .filter(F.col("bucket") == 1)  # prunes gen2 dirs, filters gen1
+        .groupBy("gen", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

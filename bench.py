@@ -90,6 +90,11 @@ EXTENDED = (
     "corpus_source_overlap",     # cross-source shingle overlap matrix
     "ml_split_histogram",        # GBT histogram split finding
     "lightcurve_bls_box",        # BLS transit depth scan
+    # driver-round-7 session additions (regression reference: BENCH_r07)
+    "ts_dtw_distance",           # PAA-reduced integer DTW pair matrix
+    "udtf_cogrouped_map",        # cogrouped pandas reconciliation
+    "ml_gbt_stump_boost",        # two boosting rounds of histogram stumps
+    "lightcurve_pdm_theta",      # PDM variance-ratio period scan
 )
 
 

@@ -116,6 +116,9 @@ _BNL_ALLOWED = {
     # 1-row epoch-bounds broadcast deriving the PAA bucket grid (the
     # ts_dtw_distance shape)
     "ts_sax_symbolize",
+    # a<=b pair join over the collapsed ~20-row bin table (the minimax
+    # isotonic identity is O(|bins|^2) by construction, never row-sized)
+    "ml_isotonic_calibration",
 }
 
 _KEYS = sorted(
@@ -173,6 +176,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # per-round argmax over the collapsed |features|x|bins| histogram
     # (~102 rows, constant in row count)
     "ml_gbt_stump_boost",
+    # prefix-sum windows over the collapsed ~20-row score-bin table
+    "ml_isotonic_calibration",
 }
 
 

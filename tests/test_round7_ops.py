@@ -358,3 +358,84 @@ def test_sax_words_use_balanced_alphabet(spark):
         # quartile coding: no symbol may dominate (ties can skew a bit)
         for sym in "ab":  # a and b are exact-quartile bounded below
             assert w.count(sym) >= len(w) // 4 - 2
+
+
+# --- round-7 batch 7: isotonic, time-range frame, partition evolution --
+
+
+def test_isotonic_fit_matches_reference_pav(spark):
+    """The minimax fit must be nondecreasing and EQUAL (to float
+    tolerance) to a reference pool-adjacent-violators pass over the
+    same bins — the two classic characterizations must coincide."""
+    rows = queries()["ml_isotonic_calibration"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["bin"])
+    fitted = [r["fitted"] for r in rows]
+    assert all(b >= a - 1e-15 for a, b in zip(fitted, fitted[1:]))
+    # reference PAV on (s, w)
+    blocks = []
+    for r in rows:
+        blocks.append([float(r["s"]), float(r["w"]), 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    pav = []
+    for b in blocks:
+        pav += [b[0] / b[1]] * b[2]
+    assert len(pav) == len(fitted)
+    assert all(abs(a - b) < 1e-12 for a, b in zip(fitted, pav))
+    # pooling behavior pinned on a planted violation (the sf0.001
+    # fixture can come out violator-free): bins with rates
+    # 0.2, 0.8, 0.4 must pool the last two to 0.6
+    from analyse_the_sky_with_apache_spark_spark.pipeline.clustering import (
+        _isotonic_core_sql,
+    )
+
+    spark.createDataFrame(
+        [(0, 10, 2), (1, 10, 8), (2, 10, 4)], "bin LONG, w LONG, s LONG"
+    ).createOrReplaceTempView("iso_bins_synth")
+    fit = {
+        r["bin"]: r["fitted"]
+        for r in spark.sql(
+            "WITH bins AS (SELECT bin, w, s FROM iso_bins_synth)"
+            + _isotonic_core_sql()
+        ).collect()
+    }
+    assert abs(fit[0] - 0.2) < 1e-12
+    assert abs(fit[1] - 0.6) < 1e-12  # 0.8 and 0.4 pooled
+    assert abs(fit[2] - 0.6) < 1e-12
+
+
+def test_time_range_frame_counts_match_brute_force(spark):
+    """Spot-check a handful of users: n_6h must equal the brute-force
+    count of that user's events in (ts - 6h, ts]."""
+    import datetime
+
+    df = queries()["win_time_range_frame"](spark, SF_DIR)
+    sample = df.filter(F.col("user_id") < 3).collect()
+    by_user = {}
+    for r in sample:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "no sampled users"
+    six_h = datetime.timedelta(hours=6)
+    for rows in by_user.values():
+        tss = sorted(r["ts"] for r in rows)
+        for r in rows:
+            expect = sum(1 for t in tss if r["ts"] - six_h <= t <= r["ts"])
+            assert r["n_6h"] == expect
+
+
+def test_partition_evolution_both_generations_present_and_pruned(spark):
+    """One logical read must surface BOTH generations normalized to the
+    new spec, restricted to the filtered bucket."""
+    rows = {r["gen"]: r for r in queries()[
+        "txn_log_partition_evolution"](spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["bucket"] == 1
+        assert r["n"] > 0
+    # 70/30 split by construction
+    assert rows[1]["n"] > rows[2]["n"]
