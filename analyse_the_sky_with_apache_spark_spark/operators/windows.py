@@ -3358,3 +3358,86 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wtr_events"
     )
     return spark.sql(_time_range_sql("wtr_events"))
+
+
+#: matrix-profile subsequence length (in PAA buckets) and the trivial-
+#: match exclusion radius.
+_MP_SUBLEN = 4
+_MP_EXCL = 4
+
+
+def _matrix_profile_sql(tbl: str, epoch_fn: str, div: str) -> str:
+    """Matrix profile over the PAA-collapsed series: windows of
+    `_MP_SUBLEN` bucket means via LEAD, all-pairs integer SSD with a
+    +/-`_MP_EXCL` exclusion zone, per-position minimum (tie-broken by
+    neighbor index). Exact integers end to end — distances are sums of
+    four squared differences of bucket means on the cent grid."""
+    leads = ", ".join(
+        f"LEAD(m, {k}) OVER (PARTITION BY event_type ORDER BY bucket)"
+        f" AS m{k}"
+        for k in range(1, _MP_SUBLEN)
+    )
+    ssd = " + ".join(
+        f"(a.m{k} - b.m{k}) * (a.m{k} - b.m{k})"
+        for k in range(_MP_SUBLEN)
+    ).replace("a.m0", "a.m").replace("b.m0", "b.m")
+    return f"""
+WITH bounds AS (
+  SELECT MIN({epoch_fn}(ts)) AS mn, MAX({epoch_fn}(ts)) AS mx FROM {tbl}),
+b AS (
+  SELECT event_type,
+         (({epoch_fn}(ts) - bounds.mn) * {_DTW_NB})
+           {div} (bounds.mx - bounds.mn + 1) AS bucket,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS f
+  FROM {tbl}, bounds),
+paa AS (
+  SELECT event_type, bucket,
+         CAST(SUM(f) AS BIGINT) {div} CAST(COUNT(*) AS BIGINT) AS m
+  FROM b GROUP BY event_type, bucket),
+w AS (
+  SELECT event_type, bucket AS i, m, {leads}
+  FROM paa),
+wt AS (
+  SELECT * FROM w WHERE m{_MP_SUBLEN - 1} IS NOT NULL),
+pairs AS (
+  SELECT a.event_type, a.i,
+         b.i AS j,
+         CAST({ssd} AS BIGINT) AS ssd
+  FROM wt a JOIN wt b
+    ON b.event_type = a.event_type
+   AND (b.i - a.i >= {_MP_EXCL} OR a.i - b.i >= {_MP_EXCL})),
+prof AS (
+  SELECT event_type, i, j, ssd,
+         ROW_NUMBER() OVER (PARTITION BY event_type, i
+                            ORDER BY ssd, j) AS rn
+  FROM pairs)
+SELECT event_type, CAST(i AS BIGINT) AS pos,
+       CAST(j AS BIGINT) AS nn_pos, ssd AS nn_ssd
+FROM prof WHERE rn = 1 ORDER BY event_type, pos
+"""
+
+
+@register(
+    "ts_matrix_profile",
+    oracle=_matrix_profile_sql("events", "epoch_us", "//"),
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile — per-position nearest-neighbor distance among a
+    series' own subsequences, THE primitive behind motif discovery
+    (small profile values = repeated shapes) and discord/anomaly
+    detection (the profile's maximum is the series' most unusual
+    subsequence). Computed over the PAA-collapsed series (the
+    `ts_dtw_distance`/`ts_sax_symbolize` bucket grid), windows of 4
+    bucket means via LEAD, all-pairs exact-integer SSD with a +/-4
+    exclusion zone (a subsequence may not match its own overlap).
+
+    Scale: raw rows collapse to |series| x NB bucket means in the one
+    data-sized pass; the all-pairs stage is O(NB^2) per series on that
+    collapsed table — constant in row count, exactly how production
+    matrix-profile systems run at scale (downsample, profile, refine).
+    Everything integer, so the per-position argmin hash-matches.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "mp_events"
+    )
+    return spark.sql(_matrix_profile_sql("mp_events", "unix_micros", "div"))

@@ -1009,3 +1009,135 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: BPE demo bounds: train merges over the TOP-K word types (by
+#: frequency, fully tie-broken) for result boundedness; 3 merge rounds.
+_BPE_TOP_WORDS = 100
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql(tbl: str) -> str:
+    """Unrolled 3-round BPE merge training for DuckDB. Every CTE is
+    MATERIALIZED (the round-7 inlining lesson); pair counts are exact
+    integers and the per-round winner is fully tie-broken
+    (count DESC, pair), so the three winner rows hash exactly.
+
+    Merge semantics pinned by tests/test_round7_ops.py: leftmost,
+    non-overlapping, resuming AFTER the replacement — both engines'
+    ``replace`` — so a run 'x x x x' merges once per round, not
+    cascade-merged (classic batched-BPE behavior differs; this
+    operator's contract is the replace-scan form).
+    """
+    parts = [
+        f"""
+WITH docs AS MATERIALIZED (SELECT lower(text) AS t FROM {tbl}),
+words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(t, '[a-z]+')) AS w FROM docs) z
+  WHERE length(w) >= 2
+  GROUP BY w ORDER BY freq DESC, w LIMIT {_BPE_TOP_WORDS}),
+s0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, freq
+  FROM words)"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(
+             range(1, len(string_split(seq, ' '))),
+             i -> string_split(seq, ' ')[i] || ' '
+                  || string_split(seq, ' ')[i + 1])) AS pair,
+           freq
+    FROM s{r - 1}) z
+  GROUP BY pair),
+b{r} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT trim(replace(' ' || seq || ' ',
+                      ' ' || b{r}.pair || ' ',
+                      ' ' || replace(b{r}.pair, ' ', '') || ' ')) AS seq,
+         freq
+  FROM s{r - 1}, b{r})""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair AS merged_pair, cnt"
+        f" FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=_bpe_oracle_sql("documents"),
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the byte-pair-encoding merge loop that
+    builds every modern LLM vocabulary: count adjacent symbol pairs
+    over the (word, frequency) table, merge the most frequent pair
+    corpus-wide, repeat. Three rounds unrolled; output = the learned
+    merge table (round, pair, count), which IS a tokenizer's
+    ``merges.txt`` prefix.
+
+    Spark-first shape: each round is ONE map-side-combinable pair
+    aggregation over the word-type table (types, not running text —
+    the standard BPE trick that makes cost independent of corpus
+    length), a 1-row argmax broadcast, and a narrow regexp-free
+    ``replace`` projection. At 100 TB the word-frequency reduction is
+    the only corpus-sized pass; every merge round runs on |vocab| rows.
+    Pair counts are exact integers, winners fully tie-broken, so all
+    rounds hash-match the unrolled DuckDB oracle.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.lower("text").alias("t")
+    )
+    words = (
+        d.select(
+            F.explode(F.expr("regexp_extract_all(t, '[a-z]+', 0)")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(_BPE_TOP_WORDS)
+    )
+    seqs = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "freq"
+    )
+    rounds = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = seqs.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(seq, ' ')) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " i -> concat(element_at(split(seq, ' '), i), ' ',"
+                    " element_at(split(seq, ' '), i + 1))) END"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+        )
+        rounds.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("pair").alias("merged_pair"),
+                "cnt",
+            )
+        )
+        seqs = seqs.crossJoin(F.broadcast(best)).select(
+            F.trim(
+                F.expr(
+                    "replace(' ' || seq || ' ', ' ' || pair || ' ',"
+                    " ' ' || replace(pair, ' ', '') || ' ')"
+                )
+            ).alias("seq"),
+            "freq",
+        )
+    return rounds[0].unionAll(rounds[1]).unionAll(rounds[2])

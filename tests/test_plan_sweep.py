@@ -119,6 +119,16 @@ _BNL_ALLOWED = {
     # a<=b pair join over the collapsed ~20-row bin table (the minimax
     # isotonic identity is O(|bins|^2) by construction, never row-sized)
     "ml_isotonic_calibration",
+    # per-round 1-row winning-pair broadcast onto the |vocab|-row
+    # sequence table (the BPE merge step)
+    "corpus_bpe_merges",
+    # 1-row epoch-bounds broadcast (PAA grid) + exclusion-zone pair
+    # join over the collapsed ~21-windows-per-series table
+    "ts_matrix_profile",
+    # dur >= t reverse-cumulative theta join over the collapsed <=31-row
+    # duration histogram (the risk-set construction)
+    "stat_logrank_test",
+    "ml_kaplan_meier",
 }
 
 _KEYS = sorted(

