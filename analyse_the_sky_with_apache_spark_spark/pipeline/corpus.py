@@ -1017,7 +1017,7 @@ _BPE_TOP_WORDS = 100
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle_sql(tbl: str) -> str:
+def _bpe_train_ctes(tbl: str) -> str:
     """Unrolled 3-round BPE merge training for DuckDB. Every CTE is
     MATERIALIZED (the round-7 inlining lesson); pair counts are exact
     integers and the per-round winner is fully tie-broken
@@ -1060,12 +1060,17 @@ s{r} AS MATERIALIZED (
                       ' ' || replace(b{r}.pair, ' ', '') || ' ')) AS seq,
          freq
   FROM s{r - 1}, b{r})""")
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(tbl: str) -> str:
+    """Training oracle: the merge table itself."""
     sel = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, pair AS merged_pair, cnt"
         f" FROM b{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_train_ctes(tbl) + "\n" + sel
 
 
 @register(
@@ -1141,3 +1146,132 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
         )
     return rounds[0].unionAll(rounds[1]).unionAll(rounds[2])
+
+
+def _bpe_apply_sql(tbl: str) -> str:
+    """Oracle for the APPLY side: rebuild the training chain (b1..b3),
+    then tokenize EVERY word type of the corpus (not just the training
+    top-K) through the three replace-scan merges and roll token counts
+    up per language."""
+    rounds = "".join(
+        f""",
+a{r} AS MATERIALIZED (
+  SELECT a{r - 1}.lang, a{r - 1}.cnt, a{r - 1}.n_chars,
+         trim(replace(' ' || a{r - 1}.seq || ' ',
+                      ' ' || b{r}.pair || ' ',
+                      ' ' || replace(b{r}.pair, ' ', '') || ' ')) AS seq
+  FROM a{r - 1}, b{r})"""
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return _bpe_train_ctes(tbl) + f""",
+wordsall AS MATERIALIZED (
+  SELECT d.lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM {tbl} d2) d
+  WHERE length(w) >= 2 GROUP BY lang, w),
+a0 AS MATERIALIZED (
+  SELECT lang, cnt, CAST(length(w) AS BIGINT) AS n_chars,
+         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+  FROM wordsall){rounds}
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+       CAST(SUM(cnt * n_chars) AS BIGINT) AS tokens_char,
+       CAST(SUM(cnt * len(string_split(seq, ' '))) AS BIGINT)
+         AS tokens_bpe
+FROM a{_BPE_ROUNDS} GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_sql("documents"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — close the tokenizer loop: learn the
+    merge table (`corpus_bpe_merges`), then tokenize the ENTIRE corpus
+    through those merges in order and report per-language token counts
+    before (characters) and after (BPE symbols). tokens_bpe /
+    tokens_char is the compression the learned vocabulary buys — the
+    number a tokenizer-training pipeline actually monitors per
+    language, because a vocab trained on one language under-compresses
+    the others (the fertility-imbalance problem).
+
+    Spark-first: tokenization runs over WORD TYPES per language (group
+    once, tokenize each distinct word once, multiply by its count) —
+    corpus length only enters through the one word-count reduction.
+    Each merge is a broadcast 1-row winner + a narrow replace
+    projection, applied in learned order. Everything integer, so the
+    per-language rollup hash-matches the unrolled oracle.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.lower("text").alias("t")
+    )
+    # training rounds over the top-K word types (same plan as
+    # corpus_bpe_merges) to learn the winners
+    words = (
+        d.select(
+            F.explode(F.expr("regexp_extract_all(t, '[a-z]+', 0)")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(_BPE_TOP_WORDS)
+    )
+    seqs = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "freq"
+    )
+    pair_expr = (
+        "CASE WHEN size(split(seq, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(seq, ' ')) - 1),"
+        " i -> concat(element_at(split(seq, ' '), i), ' ',"
+        " element_at(split(seq, ' '), i + 1))) END"
+    )
+    merge_expr = (
+        "replace(' ' || seq || ' ', ' ' || pair || ' ',"
+        " ' ' || replace(pair, ' ', '') || ' ')"
+    )
+    bests = []
+    for _ in range(_BPE_ROUNDS):
+        best = (
+            seqs.select(F.explode(F.expr(pair_expr)).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+        )
+        bests.append(best)
+        seqs = seqs.crossJoin(F.broadcast(best.select("pair"))).select(
+            F.trim(F.expr(merge_expr)).alias("seq"), "freq"
+        )
+    # apply the learned merges to every word type, per language
+    wordsall = (
+        d.select(
+            "lang",
+            F.explode(F.expr("regexp_extract_all(t, '[a-z]+', 0)")).alias(
+                "w"
+            ),
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = wordsall.select(
+        "lang",
+        "cnt",
+        F.length("w").cast("long").alias("n_chars"),
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"),
+    )
+    for best in bests:
+        a = a.crossJoin(F.broadcast(best.select("pair"))).select(
+            "lang", "cnt", "n_chars", F.trim(F.expr(merge_expr)).alias("seq")
+        )
+    return a.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("cnt") * F.col("n_chars"))
+        .cast("long")
+        .alias("tokens_char"),
+        F.sum(F.col("cnt") * F.size(F.split("seq", " ")))
+        .cast("long")
+        .alias("tokens_bpe"),
+    )

@@ -155,7 +155,7 @@ _ROTATION_R9 = (
     "ts_sax_symbolize", "ml_isotonic_calibration",
     "win_time_range_frame", "txn_log_partition_evolution",
     "corpus_bpe_merges", "ts_matrix_profile",
-    "ml_kaplan_meier", "stat_logrank_test",
+    "ml_kaplan_meier", "stat_logrank_test", "text_bpe_apply",
     # round-7 rows-only→oracle promotions (never driver-sampled, so
     # they join the schedule at promotion; agg_approx_percentile was
     # already sampled in a prior round)

@@ -122,6 +122,9 @@ _BNL_ALLOWED = {
     # per-round 1-row winning-pair broadcast onto the |vocab|-row
     # sequence table (the BPE merge step)
     "corpus_bpe_merges",
+    # same winner broadcasts, applied over the per-language word-type
+    # table
+    "text_bpe_apply",
     # 1-row epoch-bounds broadcast (PAA grid) + exclusion-zone pair
     # join over the collapsed ~21-windows-per-series table
     "ts_matrix_profile",

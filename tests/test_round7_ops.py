@@ -539,3 +539,19 @@ def test_logrank_statistic_consistency(spark):
     expect = num * num / (float(r["v_micro_sum"]) * 1_000_000.0)
     assert abs(r["chi2"] - expect) < 1e-9 * max(1.0, expect)
     assert r["n_event_days"] > 0
+
+
+def test_bpe_apply_compresses_and_is_bounded(spark):
+    """BPE symbols per word are bounded by characters per word (merges
+    only shrink), every language must see SOME compression from the
+    shared merges, and the en-trained vocab must compress en at least
+    as well as the macro-average of the others (fertility imbalance)."""
+    rows = queries()["text_bpe_apply"](spark, SF_DIR).collect()
+    by_lang = {r["lang"]: r for r in rows}
+    assert set(by_lang) == {"de", "en", "es", "fr", "zh"}
+    ratios = {}
+    for lang, r in by_lang.items():
+        assert 0 < r["tokens_bpe"] <= r["tokens_char"]
+        assert r["tokens_bpe"] >= r["n_word_occurrences"]  # >=1 symbol/word
+        ratios[lang] = r["tokens_bpe"] / r["tokens_char"]
+        assert ratios[lang] < 1.0, f"no compression for {lang}"
