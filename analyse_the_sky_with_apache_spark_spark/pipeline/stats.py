@@ -3406,3 +3406,151 @@ def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lr_events"
     )
     return spark.sql(_logrank_sql("lr_events", "unix_micros", "div", ""))
+
+
+def _cmh_sql(tbl: str, div: str, mat: str) -> str:
+    """Cochran-Mantel-Haenszel test, one shared template. Per-stratum
+    2x2 cells are exact integers; the hypergeometric expectation and
+    variance land on a 1e6 grid via chained truncating divisions (the
+    `stat_logrank_test` ladder — keeps the 4-factor variance numerator
+    inside BIGINT at the 10x sweep); the continuity-correction-free
+    chi-square is ONE double expression over the exact grid sums."""
+    return f"""
+WITH cells AS {mat} (
+  SELECT o_orderpriority AS stratum,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0
+                        AND o_totalprice > 150000.0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS m1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {tbl} GROUP BY o_orderpriority),
+terms AS {mat} (
+  SELECT stratum, a, n1, m1, n,
+         (1000000 * n1 * m1) {div} n AS e_micro,
+         CASE WHEN n > 1 THEN
+           (((((1000000 * n1 * (n - n1)) {div} n) * m1) {div} n)
+             * (n - m1)) {div} (n - 1)
+         ELSE 0 END AS v_micro
+  FROM cells),
+s AS {mat} (
+  SELECT CAST(SUM(a) AS BIGINT) AS a_sum,
+         CAST(SUM(e_micro) AS BIGINT) AS e_micro_sum,
+         CAST(SUM(v_micro) AS BIGINT) AS v_micro_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_strata
+  FROM terms)
+SELECT a_sum, e_micro_sum, v_micro_sum, n_strata,
+       (CAST(a_sum * 1000000 - e_micro_sum AS DOUBLE)
+        * CAST(a_sum * 1000000 - e_micro_sum AS DOUBLE))
+         / (CAST(v_micro_sum AS DOUBLE) * CAST(1000000 AS DOUBLE))
+         AS chi2
+FROM s
+"""
+
+
+@register(
+    "stat_cmh_test",
+    oracle=_cmh_sql("orders", "//", "MATERIALIZED"),
+)
+def stat_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test — "is exposure associated with
+    outcome AFTER controlling for the stratifying variable?" The
+    stratified guard against Simpson's paradox: a pooled 2x2 table can
+    show an association that every stratum contradicts; CMH sums each
+    stratum's observed-minus-expected under its own margins, so
+    confounding through the stratum variable cancels. The A/B-testing
+    form: treatment effect controlled for cohort/segment.
+
+    One map-side-combinable aggregation builds all per-stratum 2x2
+    cells in a single pass (conditional sums, zero extra shuffles —
+    the `agg_cond` shape); expectation/variance land on the
+    `stat_logrank_test` integer grid so the single-row statistic
+    hash-matches bit-for-bit.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "cmh_orders"
+    )
+    return spark.sql(_cmh_sql("cmh_orders", "div", ""))
+
+
+#: generalized-ESD rounds (outliers removed one per round).
+_ESD_ROUNDS = 3
+
+
+def _esd_sql(tbl: str, epoch_fn: str, div: str, mat: str) -> str:
+    """Generalized ESD (Rosner) outlier rounds, unrolled. Each round's
+    candidate is the argmax of |n*x - sum(x)| — an EXACT integer
+    comparison (no mean, no float), tie-broken by user_id — and its
+    studentized R^2 is one double expression over exact integer sums
+    (the squared deviation is cast to DOUBLE before squaring: n*x can
+    reach ~5.6e10 at the 10x sweep, whose square overflows BIGINT but
+    is exact in double; likewise n*sxx and sx*sx reach ~3e21 at sf1,
+    so the variance denominator multiplies in DOUBLE — identically
+    rounded in both engines from identical text). Every round's survivor set is MATERIALIZED."""
+    parts = [
+        f"""
+WITH d0 AS {mat} (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM {tbl} GROUP BY user_id)"""
+    ]
+    for r in range(1, _ESD_ROUNDS + 1):
+        prev = f"d{r - 1}"
+        parts.append(f""",
+s{r} AS {mat} (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM {prev}),
+c{r} AS {mat} (
+  SELECT d.user_id, d.x, s.n,
+         ABS(s.n * d.x - s.sx) AS dev_n,
+         (CAST(s.n * d.x - s.sx AS DOUBLE)
+          * CAST(s.n * d.x - s.sx AS DOUBLE)
+          * CAST(s.n - 1 AS DOUBLE))
+           / (CAST(s.n AS DOUBLE)
+              * (CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))) AS r2
+  FROM {prev} d, s{r} s),
+w{r} AS {mat} (
+  SELECT user_id, x, n, r2 FROM c{r}
+  ORDER BY dev_n DESC, user_id LIMIT 1),
+d{r} AS {mat} (
+  SELECT d.user_id, d.x FROM {prev} d, w{r}
+  WHERE d.user_id <> w{r}.user_id)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, user_id AS outlier_user,"
+        f" x AS x_cents, n AS n_points, r2 FROM w{r}"
+        for r in range(1, _ESD_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register(
+    "anomaly_esd_rounds",
+    oracle=_esd_sql("events", "epoch_us", "//", "MATERIALIZED"),
+)
+def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (Rosner's test) — the MULTIPLE-outlier detector
+    that fixes single-pass z-scores' masking problem: one huge outlier
+    inflates the variance and hides the second; ESD removes the most
+    extreme point, RECOMPUTES the statistics on the survivors, and
+    repeats, reporting each round's studentized R^2 (threshold against
+    the ESD critical values downstream). Completes the anomaly ladder
+    above `anomaly_zscore` (single pass) and `anomaly_mad` (robust
+    scale).
+
+    Per round: one collapsed-table aggregate (n, sum-x, sum-x^2), a
+    1-row broadcast back onto the per-user table, an exact-integer
+    argmax, and an anti-filter — three rounds = three such passes over
+    the per-user rollup, never over raw events. The candidate choice
+    is integer-exact, so both engines remove the SAME point every
+    round and the unrolled oracle hashes bit-for-bit.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "esd_events"
+    )
+    return spark.sql(_esd_sql("esd_events", "unix_micros", "div", ""))

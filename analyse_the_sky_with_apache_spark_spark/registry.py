@@ -156,6 +156,7 @@ _ROTATION_R9 = (
     "win_time_range_frame", "txn_log_partition_evolution",
     "corpus_bpe_merges", "ts_matrix_profile",
     "ml_kaplan_meier", "stat_logrank_test", "text_bpe_apply",
+    "stat_cmh_test", "anomaly_esd_rounds",
     # round-7 rows-only→oracle promotions (never driver-sampled, so
     # they join the schedule at promotion; agg_approx_percentile was
     # already sampled in a prior round)

