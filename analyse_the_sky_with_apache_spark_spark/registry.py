@@ -75,33 +75,10 @@ _loaded = False
 #: Already-sampled keys go last; they keep local regression coverage
 #: (tests/test_oracle_differential.py and tools/check.py's full gate).
 
-#: Page 2 — the LIVE round-7 window (50 never-sampled oracle keys;
-#: rotated in at round-7 open per VERDICT r6 task 1 — the round-6 page
-#: is retired via its CORRECTNESS_r06 rows).
+#: Page 3 — the LIVE round-8 window (50 never-sampled oracle keys;
+#: rotated in at round-8 open per VERDICT r7 task 1 — the round-7 page
+#: is retired via its CORRECTNESS_r07 rows, kept below as _RETIRED_R7).
 _PRIORITY = (
-    "graph_bfs_hops", "join_null_safe", "attribution_linear",
-    "xmatch_completeness", "text_boilerplate", "q13_customer_distribution",
-    "ts_order_gaps", "text_repetition", "scan_log_regexp",
-    "sim_knn_per_query", "q14_promo_revenue", "mm_image_tiles",
-    "api_pandas_on_spark", "stream_pyds_source", "sample_systematic",
-    "kmeans_one_round", "agg_restatement", "corpus_quality_pipeline",
-    "semantic_dedup_pipeline", "slo_burn_rate", "ml_calibration_bins",
-    "sql_named_params", "graph_modularity", "join_bloom_prefilter",
-    "basket_apriori_triples", "sky_variability_pipeline",
-    "text_sentiment_lexicon", "q15_top_supplier", "ts_hampel_filter",
-    "join_set_similarity", "scan_txn_log_time_travel",
-    "emb_matryoshka_recall", "q19_disjunctive", "mm_scene_cuts",
-    "udf_arrow_optimized", "stream_upsert_sink", "time_rollup_cascade",
-    "corpus_kl_divergence", "dedup_minhash_eval", "privacy_l_diversity",
-    "ml_feature_hashing", "sql_lateral_alias", "graph_assortativity",
-    "join_asof_nearest", "basket_rules_confidence", "ts_spectral_power",
-    "text_dup_shingle_fraction", "q16_supplier_cnt",
-    "ts_decompose_residuals", "text_perplexity",
-)
-
-#: Page 3 — round-8 window (the final 35 never-sampled oracle keys;
-#: pad to 50 with promotions / new keys when rotating).
-_ROTATION_R8 = (
     "scan_txn_log_incremental", "emb_knn_graph", "q22_dormant_customers",
     "agg_higher_moments", "corpus_dataset_card",
     "dedup_sorted_neighborhood", "dq_volume_anomaly", "ml_target_encoding",
@@ -126,11 +103,32 @@ _ROTATION_R8 = (
     "funnel_unordered", "ts_granger_lite", "sql_variables",
 )
 
-#: Page 4 — round-9 window seed: keys that landed AFTER the three-page
-#: schedule was computed. Every oracle-backed key must appear in a page,
-#: the live window, or a prior CORRECTNESS file
-#: (tests/test_registry_order.py pins this), so new keys join this page
-#: at birth; pad to 50 with promotions when it becomes the live window.
+#: Page 2 — the round-7 window, retired 2026-08-15 (CORRECTNESS_r07:
+#: 50/50 hash-green). Kept for documentation; no longer scheduled.
+_RETIRED_R7 = (
+    "graph_bfs_hops", "join_null_safe", "attribution_linear",
+    "xmatch_completeness", "text_boilerplate", "q13_customer_distribution",
+    "ts_order_gaps", "text_repetition", "scan_log_regexp",
+    "sim_knn_per_query", "q14_promo_revenue", "mm_image_tiles",
+    "api_pandas_on_spark", "stream_pyds_source", "sample_systematic",
+    "kmeans_one_round", "agg_restatement", "corpus_quality_pipeline",
+    "semantic_dedup_pipeline", "slo_burn_rate", "ml_calibration_bins",
+    "sql_named_params", "graph_modularity", "join_bloom_prefilter",
+    "basket_apriori_triples", "sky_variability_pipeline",
+    "text_sentiment_lexicon", "q15_top_supplier", "ts_hampel_filter",
+    "join_set_similarity", "scan_txn_log_time_travel",
+    "emb_matryoshka_recall", "q19_disjunctive", "mm_scene_cuts",
+    "udf_arrow_optimized", "stream_upsert_sink", "time_rollup_cascade",
+    "corpus_kl_divergence", "dedup_minhash_eval", "privacy_l_diversity",
+    "ml_feature_hashing", "sql_lateral_alias", "graph_assortativity",
+    "join_asof_nearest", "basket_rules_confidence", "ts_spectral_power",
+    "text_dup_shingle_fraction", "q16_supplier_cnt",
+    "ts_decompose_residuals", "text_perplexity",
+)
+
+#: Page 4 — round-9 window (exactly 50; split out of the former 71-key
+#: page per VERDICT r7 task 1 so each page fits one 50-key driver
+#: window; the overflow moved to _ROTATION_R10).
 _ROTATION_R9 = (
     "agg_histogram_equiwidth", "graph_reciprocity", "ts_peak_detection",
     "ml_mrr", "stat_cohens_kappa", "stat_cramers_v", "text_readability",
@@ -151,7 +149,16 @@ _ROTATION_R9 = (
     "set_union_byname", "scan_file_metadata", "lightcurve_pdm_theta",
     "lightcurve_eta_von_neumann", "ts_dtw_distance",
     "scan_deletion_vectors", "ts_kalman_1d", "ml_gbt_stump_boost",
-    "lightcurve_string_length", "dq_benford_firstdigit",
+    "lightcurve_string_length",
+)
+
+#: Page 5 — round-10 window seed: the overflow from the R9 split plus
+#: every key that lands from round 8 on. Every oracle-backed key must
+#: appear in a page, the live window, or a prior CORRECTNESS file
+#: (tests/test_registry_order.py pins this), so new keys join the LAST
+#: page at birth; pad to 50 with promotions when it becomes live.
+_ROTATION_R10 = (
+    "dq_benford_firstdigit",
     "ts_sax_symbolize", "ml_isotonic_calibration",
     "win_time_range_frame", "txn_log_partition_evolution",
     "corpus_bpe_merges", "ts_matrix_profile",
