@@ -1798,3 +1798,228 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: grid quantiles: the fixed quantile set (micro units) shared by the
+#: grid-histogram estimator and the KLL sketch rung below.
+_GQ_QUANTILES = (100_000, 500_000, 900_000, 990_000)
+
+
+@register(
+    "agg_grid_quantiles",
+    oracle=f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cw,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM hist) AS n
+  FROM hist
+),
+spec AS (SELECT unnest([{", ".join(str(q) for q in _GQ_QUANTILES)}]) AS q_micro)
+SELECT s.q_micro,
+       CAST(CAST(CEIL(CAST(s.q_micro AS DOUBLE) * 1e-6 * MIN(c.n)) AS BIGINT)
+            AS BIGINT) AS rnk,
+       CAST(MIN(CASE WHEN c.cw >= CEIL(CAST(s.q_micro AS DOUBLE) * 1e-6 * c.n)
+                     THEN c.v END) AS BIGINT) AS est_dollars,
+       CAST(MIN(c.n) AS BIGINT) AS n
+FROM spec s CROSS JOIN cum c
+GROUP BY s.q_micro
+ORDER BY s.q_micro
+""",
+)
+def agg_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a FIXED-GRID histogram — the exact,
+    mergeable, oracle-checkable sibling of a quantile sketch: floor
+    prices onto the dollar grid, aggregate one histogram (map-side
+    combinable; the state is bounded by the VALUE DOMAIN, not the row
+    count, so it is constant-size at any SF), then read each quantile
+    as the first grid cell whose cumulative weight reaches
+    ceil(q·n). Grid resolution bounds the error: estimates are exact
+    to one grid cell, which is the same accuracy contract a KLL/
+    t-digest sketch gives probabilistically (`agg_kll_quantiles` is
+    the domain-free rung when no natural grid exists).
+
+    The cumulative window runs over the COLLAPSED histogram (≤ ~1e5
+    cells for this domain — constant in SF, the documented
+    single-partition-window capping form), and the 4-row quantile spec
+    broadcasts. Everything downstream of the histogram is integer
+    math, so both engines hash identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(F.floor("l_extendedprice").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c").over(Window.orderBy("v")).alias("cw"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    spec = F.explode(
+        F.array(*[F.lit(q) for q in _GQ_QUANTILES])
+    ).alias("q_micro")
+    rank = F.ceil(F.col("q_micro").cast("double") * 1e-6 * F.col("n"))
+    return (
+        cum.crossJoin(F.broadcast(cum.sparkSession.range(1).select(spec)))
+        .groupBy("q_micro")
+        .agg(
+            F.ceil(
+                F.col("q_micro").cast("double") * 1e-6 * F.min("n")
+            )
+            .cast("long")
+            .alias("rnk"),
+            F.min(F.when(F.col("cw") >= rank, F.col("v")))
+            .cast("long")
+            .alias("est_dollars"),
+            F.min("n").alias("n"),
+        )
+        .orderBy("q_micro")
+    )
+
+
+#: KLL sketch parameters: top-level capacity k and the geometric decay
+#: c applied to lower levels (classic KLL constants; error ~O(1/k)).
+_KLL_K = 200
+_KLL_C = 2.0 / 3.0
+
+
+class _KLLSketch:
+    """Deterministic KLL quantile sketch (Karnin–Lang–Liberty 2016),
+    the mergeable building block behind `agg_kll_quantiles`.
+
+    Levels hold items of implicit weight 2^level; an overfull level
+    sort-compacts by promoting every other item (the kept parity is a
+    hash of (level, compaction counter) instead of a random coin, so
+    the sketch is bit-reproducible across runs and engines — the
+    repo-wide determinism discipline; the classic analysis assumes a
+    fair coin, so the error bound is validated empirically in
+    tests/test_approx.py rather than quoted from the paper).
+    """
+
+    __slots__ = ("levels", "n_compactions", "n")
+
+    def __init__(self) -> None:
+        self.levels: list[list[float]] = [[]]
+        self.n_compactions = 0
+        self.n = 0
+
+    def _capacity(self, h: int) -> int:
+        return max(2, int(_KLL_K * _KLL_C ** (len(self.levels) - 1 - h)))
+
+    def insert(self, value: float, level: int = 0) -> None:
+        while level >= len(self.levels):
+            self.levels.append([])
+        self.levels[level].append(value)
+        self.n += 1 << level
+        self._compress()
+
+    def insert_chunk(self, values) -> None:
+        """Bulk level-0 path: fill to capacity, compact, repeat — the
+        per-value compression check amortizes over ~k-item slices (the
+        hot path for the map-side partial over an Arrow batch)."""
+        vals = list(values)
+        pos = 0
+        while pos < len(vals):
+            space = max(1, self._capacity(0) - len(self.levels[0]))
+            take = vals[pos : pos + space]
+            self.levels[0].extend(take)
+            self.n += len(take)
+            pos += len(take)
+            self._compress()
+
+    def _compress(self) -> None:
+        while True:
+            for h, buf in enumerate(self.levels):
+                if len(buf) > self._capacity(h):
+                    self._compact(h)
+                    break
+            else:
+                return
+
+    def _compact(self, h: int) -> None:
+        buf = sorted(self.levels[h])
+        keep = (h * 2654435761 + self.n_compactions * 40503) & 1
+        self.n_compactions += 1
+        if h + 1 == len(self.levels):
+            self.levels.append([])
+        self.levels[h + 1].extend(buf[keep::2])
+        self.levels[h] = []
+
+    def items(self) -> list[tuple[int, float]]:
+        return [(h, v) for h, buf in enumerate(self.levels) for v in buf]
+
+    def quantile(self, q: float) -> float:
+        pts = sorted(
+            (v, 1 << h) for h, buf in enumerate(self.levels) for v in buf
+        )
+        target = q * sum(w for _, w in pts)
+        cum = 0
+        for v, w in pts:
+            cum += w
+            if cum >= target:
+                return v
+        return pts[-1][0]
+
+
+@register("agg_kll_quantiles")  # rows-only: sketch estimates are
+# engine-specific by design; rank-error bound pinned in tests/test_approx.py
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketch over l_extendedprice — the
+    domain-free companion to `agg_grid_quantiles` (no natural grid
+    required) and the mergeable alternative to `agg_approx_percentile`
+    whose partial state the engine can OWN: per-batch sketches build
+    map-side in mapInPandas (constant memory: ≤ k/(1−c) ≈ 600 retained
+    items regardless of batch size), travel as plain (level, value)
+    rows — the serialization is just the sketch's weighted item set —
+    and a single-group applyInPandas merge re-inserts each item at its
+    level and recompresses. That two-level shape is exactly how a
+    100-TB quantile job runs: 10⁵ tasks each emit ~600 rows, the merge
+    sees ~60 M rows worst case (re-sketchable hierarchically by
+    partition range if even that is too wide), and nothing data-sized
+    ever converges on one node.
+    """
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+
+    def partial(batches):
+        sk = _KLLSketch()
+        for pdf in batches:
+            sk.insert_chunk(pdf["x"].astype(float).tolist())
+        items = sk.items()
+        yield pd.DataFrame(
+            {
+                "level": [h for h, _ in items],
+                "value": [v for _, v in items],
+                "w": [1 << h for h, _ in items],
+            }
+        )
+
+    partials = li.mapInPandas(partial, "level int, value double, w long")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _KLLSketch()
+        for level, value in zip(
+            pdf["level"].to_numpy(), pdf["value"].to_numpy()
+        ):
+            sk.insert(float(value), level=int(level))
+        return pd.DataFrame(
+            {
+                "q_micro": list(_GQ_QUANTILES),
+                "est": [sk.quantile(q * 1e-6) for q in _GQ_QUANTILES],
+                "n_weight": [sk.n] * len(_GQ_QUANTILES),
+                "n_retained": [len(sk.items())] * len(_GQ_QUANTILES),
+            }
+        )
+
+    return (
+        partials.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge, "q_micro long, est double, n_weight long, n_retained long")
+        .orderBy("q_micro")
+    )

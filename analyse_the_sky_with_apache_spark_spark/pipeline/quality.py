@@ -1468,3 +1468,150 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benford_orders"
     )
     return spark.sql(_benford_sql("benford_orders", ""))
+
+
+#: DP quantile via the exponential mechanism: $1000 candidate grid,
+#: per-quantile privacy budget, md5-seeded Gumbel-max selection.
+_DPQ_EPS = 1.0
+_DPQ_SEED = "dpq5"
+_DPQ_GRID = 1000
+_DPQ_QUANTILES = (250_000, 500_000, 750_000)
+
+
+@register(
+    "privacy_dp_quantile",
+    oracle=f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(o_totalprice / {_DPQ_GRID}) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT b, SUM(c) OVER (ORDER BY b) AS cw,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM hist) AS n
+  FROM hist
+),
+spec AS (SELECT unnest([{", ".join(str(q) for q in _DPQ_QUANTILES)}]) AS q_micro),
+scored AS (
+  SELECT s.q_micro, c.b, c.n, c.cw,
+         CEIL(CAST(s.q_micro AS DOUBLE) * 1e-6 * c.n) AS target,
+         {_DPQ_EPS} / 2.0
+           * (0.0 - ABS(c.cw - CEIL(CAST(s.q_micro AS DOUBLE) * 1e-6 * c.n)))
+         - LN(0.0 - LN(
+             ({_hex8_int_duckdb("'" + _DPQ_SEED + ":' || CAST(s.q_micro AS VARCHAR) || ':' || CAST(c.b AS VARCHAR)")}
+              + 0.5) / 4294967296.0))
+           AS score
+  FROM spec s CROSS JOIN cum c
+),
+winner AS (
+  SELECT q_micro, b, n,
+         ROW_NUMBER() OVER (PARTITION BY q_micro ORDER BY score DESC, b) AS rn
+  FROM scored
+),
+truth AS (
+  SELECT s.q_micro,
+         CAST(MIN(CASE WHEN c.cw >= CEIL(CAST(s.q_micro AS DOUBLE) * 1e-6 * c.n)
+                       THEN c.b END) AS BIGINT) AS true_b
+  FROM spec s CROSS JOIN cum c
+  GROUP BY s.q_micro
+)
+SELECT w.q_micro, w.n,
+       CAST(t.true_b * {_DPQ_GRID} AS BIGINT) AS true_q_dollars,
+       CAST(w.b * {_DPQ_GRID} AS BIGINT) AS dp_q_dollars,
+       CAST({_DPQ_EPS} AS DOUBLE) AS epsilon
+FROM winner w JOIN truth t ON t.q_micro = w.q_micro
+WHERE w.rn = 1
+ORDER BY w.q_micro
+""",
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private quantiles via the EXPONENTIAL MECHANISM —
+    the third member of the DP family (`privacy_dp_count` / `_mean`
+    add Laplace noise to sums; quantiles need utility-weighted
+    candidate SELECTION instead, because noising a rank statistic
+    directly destroys it). Candidates are the $1000 value grid;
+    utility u(c) = −|rank(c) − ⌈q·n⌉| has sensitivity 1, and the
+    mechanism samples c with probability ∝ exp(ε·u/2) — realized here
+    through the Gumbel-max identity (argmax of ε·u/2 + Gumbel noise is
+    exactly that sample), with the Gumbel draw derived from an md5
+    coin keyed by (quantile, candidate) so both engines select the
+    same winner (the repo's deterministic-noise discipline:
+    reproducible pipelines, NOT a production privacy deployment —
+    swap the coin for a real RNG to deploy).
+
+    Plan: one data-sized histogram pass; the cumulative window and the
+    3×|grid| scoring run over the COLLAPSED candidate table (bounded
+    by the value domain, constant in SF); the quantile spec fans out
+    as a broadcast VALUES table. At 100 TB only the histogram
+    aggregation touches data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hist = (
+        o.select(
+            F.floor(F.col("o_totalprice") / _DPQ_GRID).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = hist.select(
+        "b", F.sum("c").over(Window.orderBy("b")).alias("cw")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").cast("long").alias("n"))))
+    spec = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in _DPQ_QUANTILES])
+        ).alias("q_micro")
+    )
+    target = F.ceil(F.col("q_micro").cast("double") * 1e-6 * F.col("n"))
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{_DPQ_SEED}:"),
+                        F.col("q_micro").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    score = (
+        F.lit(_DPQ_EPS) / F.lit(2.0)
+        * (F.lit(0.0) - F.abs(F.col("cw") - target))
+        - F.log(F.lit(0.0) - F.log(u01))
+    )
+    scored = cum.crossJoin(F.broadcast(spec)).select(
+        "q_micro", "b", "n", "cw", score.alias("score")
+    )
+    w = Window.partitionBy("q_micro").orderBy(F.col("score").desc(), "b")
+    winner = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_micro", F.col("b").alias("win_b"), "n")
+    )
+    truth = (
+        cum.crossJoin(F.broadcast(spec))
+        .groupBy("q_micro")
+        .agg(
+            F.min(
+                F.when(F.col("cw") >= target, F.col("b"))
+            ).alias("true_b")
+        )
+    )
+    return (
+        winner.join(truth, "q_micro")
+        .select(
+            "q_micro",
+            "n",
+            (F.col("true_b") * _DPQ_GRID).cast("long").alias("true_q_dollars"),
+            (F.col("win_b") * _DPQ_GRID).cast("long").alias("dp_q_dollars"),
+            F.lit(float(_DPQ_EPS)).alias("epsilon"),
+        )
+        .orderBy("q_micro")
+    )

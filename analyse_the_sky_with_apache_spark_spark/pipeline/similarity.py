@@ -1252,3 +1252,204 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+#: two-stage rerank: query stride, retriever prefix dims, shortlist
+#: size, final k, and the 1e6 integer grid (64 dims × 1e12/term < 2^53).
+_RR_STRIDE = 100
+_RR_MAX_ID = 5_000  # query batch cap: fixed size at every SF
+_RR_PREFIX = 16
+_RR_SHORTLIST = 10
+_RR_K = 3
+_RR_GRID = 1_000_000
+
+
+@register(
+    "sim_rerank_two_stage",
+    oracle=f"""
+WITH g AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_RR_GRID}.0 + 0.5)
+              AS BIGINT) AS c
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         CAST(SUM(CASE WHEN q.i <= {_RR_PREFIX} THEN q.c * c.c ELSE 0 END)
+              AS BIGINT) AS s_retriever,
+         CAST(SUM(q.c * c.c) AS BIGINT) AS s_full
+  FROM g q JOIN g c ON q.i = c.i
+  WHERE q.vec_id % {_RR_STRIDE} = 0 AND q.vec_id < {_RR_MAX_ID}
+    AND c.vec_id % {_RR_STRIDE} <> 0
+  GROUP BY q.vec_id, c.vec_id
+),
+shortlist AS (
+  SELECT q_id, cand_id, s_full,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY s_retriever DESC, cand_id)
+           AS BIGINT) AS stage1_rnk
+  FROM s
+  QUALIFY stage1_rnk <= {_RR_SHORTLIST}
+)
+SELECT q_id, cand_id, s_full AS ce_score, stage1_rnk,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY s_full DESC, cand_id)
+         AS BIGINT) AS rnk
+FROM shortlist
+QUALIFY rnk <= {_RR_K}
+""",
+)
+def sim_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: a CHEAP retriever (truncated-prefix dot
+    product, the Matryoshka serving trick) shortlists 10 candidates per
+    query, then an EXPENSIVE scorer (full-dimension dot, standing in
+    for a cross-encoder model) re-ranks the shortlist to the final
+    top-3 — the canonical production shape for RAG / training-pair
+    mining, where the heavy model must only ever see #queries × 10
+    rows, never the candidate universe. The query batch is id-capped
+    (fixed size at every SF); a full-corpus rerank iterates batches.
+
+    The plan is deliberately the 100-TB shape: stage 1 scores against a
+    SLIM index projection (only the 16-dim prefix leaves the scan —
+    column pruning keeps 3/4 of the vector bytes out of the exchange),
+    the shortlist is pruned map-side by WindowGroupLimit, and stage 2
+    JOINS BACK to the full-vector table by cand_id — point lookups for
+    the rerank, exactly how a vector index plus a feature store
+    compose. Scores live on a 1e6 integer grid (round-half-up per
+    component, 64 × 1e12 per term < 2^53), so both engines rank
+    identical BIGINTs; ties break on cand_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _RR_GRID + F.lit(0.5)).cast("long"),
+        ).alias("g"),
+    )
+    q_pre = grid.filter(
+        (F.col("vec_id") % _RR_STRIDE == 0) & (F.col("vec_id") < _RR_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("q_id"), F.slice("g", 1, _RR_PREFIX).alias("q_pre")
+    )
+    c_pre = grid.filter(F.col("vec_id") % _RR_STRIDE != 0).select(
+        F.col("vec_id").alias("cand_id"), F.slice("g", 1, _RR_PREFIX).alias("c_pre")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.col("s_retriever").desc(), "cand_id")
+    shortlist = (
+        c_pre.crossJoin(F.broadcast(q_pre))
+        .select("q_id", "cand_id", idot("q_pre", "c_pre").alias("s_retriever"))
+        .withColumn("stage1_rnk", F.row_number().over(w1).cast("long"))
+        .filter(F.col("stage1_rnk") <= _RR_SHORTLIST)
+        .select("q_id", "cand_id", "stage1_rnk")
+    )
+    q_full = grid.filter(
+        (F.col("vec_id") % _RR_STRIDE == 0) & (F.col("vec_id") < _RR_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("g").alias("q_g")
+    )
+    rescored = (
+        shortlist.join(grid.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(F.broadcast(q_full), "q_id")
+        .select(
+            "q_id", "cand_id", idot("q_g", "g").alias("ce_score"), "stage1_rnk"
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("ce_score").desc(), "cand_id")
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _RR_K)
+        .select("q_id", "cand_id", "ce_score", "stage1_rnk", "rnk")
+    )
+
+
+#: hard-negative mining: query stride, negatives kept per query.
+_HN_STRIDE = 50
+_HN_MAX_ID = 5_000  # anchor batch cap: fixed size at every SF
+_HN_K = 5
+
+
+@register(
+    "sim_hard_negative_mine",
+    oracle=f"""
+WITH g AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_RR_GRID}.0 + 0.5)
+              AS BIGINT) AS c
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS q_id, MIN(q.label) AS q_label,
+         c.vec_id AS neg_id, MIN(c.label) AS neg_label,
+         CAST(SUM(q.c * c.c) AS BIGINT) AS score
+  FROM g q JOIN g c ON q.i = c.i
+  WHERE q.vec_id % {_HN_STRIDE} = 0 AND q.vec_id < {_HN_MAX_ID}
+    AND q.label <> c.label
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT q_id, CAST(q_label AS INT) AS q_label,
+       neg_id, CAST(neg_label AS INT) AS neg_label, score,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY score DESC, neg_id)
+         AS BIGINT) AS rnk
+FROM s
+QUALIFY rnk <= {_HN_K}
+""",
+)
+def sim_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor, the top-5 most-similar vectors with a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    what embedding-model training pipelines mine at corpus scale
+    (random negatives are too easy; hard ones carry the gradient).
+
+    Anchors are a strided, id-capped batch (FIXED size at every SF —
+    mining at corpus scale runs anchor batches through the candidate
+    scan, so cost grows linearly with candidates, never quadratically);
+    candidates stream map-side through
+    one integer-grid dot product per (anchor, candidate) pair with the
+    label-mismatch filter applied BEFORE scoring, and per-anchor top-5
+    prunes via WindowGroupLimit heaps below the exchange. At 100 TB
+    this is the brute-force rung; past the scan budget the same mining
+    runs per IVF cell (`ann_ivf`) so each anchor only scores its
+    coarse-quantizer neighborhood.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    grid = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _RR_GRID + F.lit(0.5)).cast("long"),
+        ).alias("g"),
+    )
+    q = grid.filter(
+        (F.col("vec_id") % _HN_STRIDE == 0) & (F.col("vec_id") < _HN_MAX_ID)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("g").alias("q_g"),
+    )
+    idot = F.aggregate(
+        F.zip_with("q_g", "g", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "neg_id")
+    return (
+        grid.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            idot.alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _HN_K)
+        .select("q_id", "q_label", "neg_id", "neg_label", "score", "rnk")
+    )

@@ -3554,3 +3554,191 @@ def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "esd_events"
     )
     return spark.sql(_esd_sql("esd_events", "unix_micros", "div", ""))
+
+
+#: train/val/test split: md5 seed tag and the 80/90 hex boundaries
+#: (i/10 of 32-bit space as fixed-length lowercase hex — string
+#: comparison IS integer comparison, the ml_kfold_assign trick).
+_TVT_SEED = "tvt8"
+_TVT_T80 = "cccccccc"
+_TVT_T90 = "e6666666"
+
+
+@register(
+    "ml_train_split_audit",
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':{_TVT_SEED}'),
+                          1, 8) < '{_TVT_T80}' THEN 'train'
+              WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || ':{_TVT_SEED}'),
+                          1, 8) < '{_TVT_T90}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM orders
+),
+cust AS (
+  SELECT o_custkey, COUNT(DISTINCT split) AS ns FROM a GROUP BY o_custkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM a)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT a.o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CASE WHEN c.ns > 1 THEN a.o_custkey END)
+            AS BIGINT) AS n_leaked_customers,
+       CAST(SUM(CASE WHEN a.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / MIN(tot.n_total) * 1000000.0
+                  + 0.5) AS BIGINT) AS frac_micro
+FROM a JOIN cust c ON c.o_custkey = a.o_custkey CROSS JOIN tot
+GROUP BY a.split
+ORDER BY a.split
+""",
+)
+def ml_train_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split (80/10/10) with a GROUP-LEAKAGE audit — the
+    check that catches the classic training-data bug: splitting at the
+    RECORD level (here: orders) when records share an entity (here:
+    customers), so the same customer's behavior leaks across train and
+    eval. The audit reports, per split, how many customers also appear
+    in another split — a non-zero count is the signal to move the hash
+    coin from the record key to the group key (`ml_kfold_assign` keyed
+    by group id is the fix; `corpus_split_leakage` is the same audit
+    keyed by content hash).
+
+    Assignment is a stateless map-side md5 coin against fixed hex
+    thresholds (no shuffle, reproducible across engines, runs, and
+    incremental loads); the audit is one groupBy over the group key
+    plus one over split. The ride-along total for the realized-fraction
+    column broadcasts as a 1-row aggregate. Per-split URGENT counts
+    audit stratum balance: a hash coin preserves stratum proportions in
+    expectation, and this column is how a pipeline VERIFIES that at
+    run time instead of assuming it.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    coin = F.substring(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f":{_TVT_SEED}"))),
+        1,
+        8,
+    )
+    a = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.when(coin < _TVT_T80, F.lit("train"))
+        .when(coin < _TVT_T90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    cust = a.groupBy("o_custkey").agg(
+        F.countDistinct("split").alias("ns")
+    )
+    tot = a.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        a.join(cust, "o_custkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("ns") > 1, F.col("o_custkey"))
+            ).alias("n_leaked_customers"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("n_urgent"),
+            F.floor(
+                F.count(F.lit(1)).cast("double")
+                / F.min("n_total")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("frac_micro"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "stat_mutual_information",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT prio, status, nxy,
+         SUM(nxy) OVER (PARTITION BY prio) AS nx,
+         SUM(nxy) OVER (PARTITION BY status) AS ny,
+         SUM(nxy) OVER () AS n
+  FROM cells
+)
+SELECT prio, status, nxy,
+       CAST(FLOOR(LN(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro,
+       CAST(FLOOR(CAST(nxy AS DOUBLE) / n
+                  * LN(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS contrib_nano,
+       CAST(SUM(CAST(FLOOR(CAST(nxy AS DOUBLE) / n
+                  * LN(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT)) OVER () AS BIGINT)
+         AS mi_nano
+FROM m
+ORDER BY prio, status
+""",
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order
+    priority × status) with the per-cell PMI decomposition — the
+    feature-selection / dependency-screening statistic a training-data
+    pipeline runs over candidate features against a label
+    (`text_word_pmi` is the word-pair sibling; `stat_cramers_v` is the
+    χ²-family normalization of the same table).
+
+    Plan shape: ONE data-sized pass collapses orders to the |X|·|Y|
+    contingency cells; margins, the grand total, PMI, and MI all come
+    from window sums over that ~15-row table — no joins, no second
+    scan. Float discipline: counts are exact BIGINTs, the single LN
+    term uses identical expression text in both engines, each cell's
+    contribution floors onto the 1e-9 grid BEFORE the MI sum, so the
+    total is an order-independent INTEGER sum (the ride-along mi_nano
+    column repeats it per row; both engines hash the same longs).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    m = cells.select(
+        "prio",
+        "status",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("prio")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("status")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    ln_term = F.log(
+        (F.col("nxy") * F.col("n")).cast("double")
+        / (F.col("nx") * F.col("ny")).cast("double")
+    )
+    contrib = F.floor(
+        F.col("nxy").cast("double") / F.col("n") * ln_term * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        m.select(
+            "prio",
+            "status",
+            "nxy",
+            F.floor(ln_term * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("pmi_micro"),
+            contrib.alias("contrib_nano"),
+        )
+        .withColumn(
+            "mi_nano",
+            F.sum("contrib_nano").over(Window.partitionBy()).cast("long"),
+        )
+        .orderBy("prio", "status")
+    )

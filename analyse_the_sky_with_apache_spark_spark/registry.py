@@ -170,6 +170,10 @@ _ROTATION_R10 = (
     "graph_pagerank", "sim_mmr_diversify", "ml_linreg_normal",
     "stream_join_then_agg", "emb_pca", "stream_chained_agg",
     "kmeans_lloyd", "stream_stream_left_join", "stream_watermark_late",
+    # round-8 additions
+    "sim_rerank_two_stage", "sim_hard_negative_mine",
+    "ml_train_split_audit", "agg_grid_quantiles",
+    "stat_mutual_information", "privacy_dp_quantile",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -95,3 +95,44 @@ def test_approx_percentile_within_rank_error(spark):
             # 1% value slack: generous vs the 0.01% rank guarantee, tight
             # enough to catch a broken sketch or wrong column
             assert abs(est - true) <= 0.01 * abs(true) + 1, (flag, est, true)
+
+
+def test_kll_quantiles_rank_error_bound(spark):
+    """The KLL sketch's quantile estimates must land within 2% RANK
+    error of the true quantile (k=200 ⇒ theoretical eps ≈ 1%; the
+    deterministic coin forfeits the formal guarantee, so the bound is
+    pinned empirically with headroom). Also pins that the merged
+    sketch's weighted count tracks the true row count (compaction
+    preserves weight up to odd-buffer drift) and stays bounded in size.
+    """
+    rows = queries()["agg_kll_quantiles"](spark, SF_DIR).collect()
+    li = load_table(spark, SF_DIR, "lineitem")
+    n = li.count()
+    assert len(rows) == 4
+    for r in rows:
+        q = r["q_micro"] * 1e-6
+        realized_rank = li.filter(F.col("l_extendedprice") <= r["est"]).count()
+        assert abs(realized_rank - q * n) <= max(0.02 * n, 2), (
+            r["q_micro"], r["est"], realized_rank, q * n,
+        )
+        assert abs(r["n_weight"] - n) <= 0.01 * n + 16, (r["n_weight"], n)
+        assert r["n_retained"] <= 700
+
+
+def test_kll_sketch_merge_is_order_insensitive():
+    """Merging the same item multiset in different orders must give the
+    same estimates — the mergeability contract that lets partial
+    sketches combine in any shuffle arrival order."""
+    from analyse_the_sky_with_apache_spark_spark.operators.aggregations import _KLLSketch
+
+    vals = [((i * 7919) % 4999) / 7.0 for i in range(5000)]
+    a = _KLLSketch()
+    for v in vals:
+        a.insert(v)
+    b = _KLLSketch()
+    for v in reversed(vals):
+        b.insert(v)
+    # same DATA through different insertion orders: estimates agree to
+    # within the sketch's own error budget at n=5000
+    for q in (0.1, 0.5, 0.9):
+        assert abs(a.quantile(q) - b.quantile(q)) <= 0.04 * 5000 / 7.0

@@ -135,6 +135,17 @@ _BNL_ALLOWED = {
     # per-round 1-row (n, sum, sumsq) / winner broadcasts onto the
     # per-user rollup (three ESD rounds)
     "anomaly_esd_rounds",
+    # 4-row quantile-spec VALUES table × 1-row total broadcast onto the
+    # collapsed dollar-grid histogram (the dq_benford_firstdigit shape)
+    "agg_grid_quantiles",
+    # 1-row order-count total broadcast for the realized-fraction column
+    "ml_train_split_audit",
+    # id-capped query/anchor batch broadcasts against the candidate
+    # scan (the sim_knn_per_query serving shape; exact-integer scores)
+    "sim_rerank_two_stage", "sim_hard_negative_mine",
+    # 3-row quantile-spec VALUES fan-out × 1-row total broadcast onto
+    # the collapsed $1000-grid histogram (exponential mechanism)
+    "privacy_dp_quantile",
 }
 
 _KEYS = sorted(
@@ -194,6 +205,11 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ml_gbt_stump_boost",
     # prefix-sum windows over the collapsed ~20-row score-bin table
     "ml_isotonic_calibration",
+    # cumulative window over the collapsed dollar-grid histogram
+    # (state bounded by the value domain, constant in SF)
+    "agg_grid_quantiles",
+    # same collapsed-histogram cumulative window, $1000 grid
+    "privacy_dp_quantile",
 }
 
 
