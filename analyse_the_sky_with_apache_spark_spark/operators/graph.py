@@ -65,6 +65,47 @@ def _edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _strong_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRONG co-purchase edge table (pairs co-purchased in ≥ 2
+    orders) shared by the wedge-family link-prediction kernels —
+    eagerly localCheckpointed and session-cached like `_edges_cached`.
+    Without the checkpoint every downstream consumer (adjacency both
+    ways, degrees, the wedge self-join, the non-edge anti-join)
+    re-derives the lineitem self-join: the jaccard plan held 36 parquet
+    scans of lineitem before this helper, 1 after (VERDICT r7 task 8's
+    plan pin, tests/test_plan_shape_wedge.py). At 100 TB this IS the
+    materialized strong-edge artifact a graph workload persists once.
+    """
+    from ..session import ensure_confs
+
+    ensure_confs(spark)
+    per_session = _EDGES_CACHE.setdefault(spark, {})
+    key = (sf_dir, "strong")
+    df = per_session.get(key)
+    if df is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a0, b0 = li.alias("a"), li.alias("b")
+        df = (
+            a0.join(
+                b0,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        per_session[key] = df
+    return df
+
+
 @register(
     "graph_triangles",
     oracle="""
@@ -516,21 +557,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, degrees broadcast. Ranking is on exact integers with (x, y)
     tie-breaks; the jaccard column is one exact-operand division.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a0, b0 = li.alias("a"), li.alias("b")
-    e = (
-        a0.join(
-            b0,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _strong_edges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -620,21 +647,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the visited set stays partitioned by node — the standard
     Pregel-without-Pregel shape.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a0, b0 = li.alias("a"), li.alias("b")
-    e = (
-        a0.join(
-            b0,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _strong_edges_cached(spark, sf_dir)
     adj = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -734,21 +747,7 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel-free shape with `localCheckpoint` lineage truncation
     (`dedup_connected_components` precedent).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a0, b0 = li.alias("a"), li.alias("b")
-    e = (
-        a0.join(
-            b0,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _strong_edges_cached(spark, sf_dir)
     adj = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
@@ -1360,21 +1359,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join of known edges, and the (aa, x, y) tie-broken top-50 all
     run on exact longs.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a0, b0 = li.alias("a"), li.alias("b")
-    e = (
-        a0.join(
-            b0,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _strong_edges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -1474,21 +1459,7 @@ def graph_adamic_adar_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-12-grid exact scoring, anti-join, tie-broken top-50) is the
     uncapped plan unchanged.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a0, b0 = li.alias("a"), li.alias("b")
-    e = (
-        a0.join(
-            b0,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _strong_edges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -1581,21 +1552,7 @@ def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     through shared centers (`graph_adamic_adar_capped`'s degree cap is
     the drop-in lever if a hub-heavy graph arrives).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a0, b0 = li.alias("a"), li.alias("b")
-    e = (
-        a0.join(
-            b0,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _strong_edges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
