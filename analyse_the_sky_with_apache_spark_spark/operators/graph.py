@@ -1844,3 +1844,129 @@ def graph_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_triangles"),
         )
     )
+
+
+#: deterministic random walks: seed tag, walk count, steps per walk.
+_RW_SEED = "rw8"
+_RW_SEEDS = 50
+_RW_STEPS = 3
+
+
+def _rw_hex8_duckdb(expr: str) -> str:
+    """First-8-hex-chars integer of md5(expr) (the privacy_dp_count
+    idiom, local copy so graph.py stays dependency-free)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+@register(
+    "graph_random_walks",
+    oracle=f"""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (
+  SELECT node, nbr,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS rn,
+         COUNT(*) OVER (PARTITION BY node) AS deg
+  FROM (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e)
+),
+seeds AS (
+  SELECT node AS n0 FROM (SELECT DISTINCT node FROM adj)
+  ORDER BY node LIMIT {_RW_SEEDS}
+),
+s1 AS (
+  SELECT s.n0, a.nbr AS n1 FROM seeds s
+  JOIN adj a ON a.node = s.n0
+   AND a.rn = 1 + ({_rw_hex8_duckdb(f"CAST(s.n0 AS VARCHAR) || ':0:{_RW_SEED}'")} % a.deg)
+),
+s2 AS (
+  SELECT s.n0, s.n1, a.nbr AS n2 FROM s1 s
+  JOIN adj a ON a.node = s.n1
+   AND a.rn = 1 + ({_rw_hex8_duckdb(f"CAST(s.n1 AS VARCHAR) || ':1:{_RW_SEED}'")} % a.deg)
+),
+s3 AS (
+  SELECT s.n0, s.n1, s.n2, a.nbr AS n3 FROM s2 s
+  JOIN adj a ON a.node = s.n2
+   AND a.rn = 1 + ({_rw_hex8_duckdb(f"CAST(s.n2 AS VARCHAR) || ':2:{_RW_SEED}'")} % a.deg)
+)
+SELECT n0, n1, n2, n3 FROM s3 ORDER BY n0
+""",
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the strong co-purchase
+    graph — the sequence-generation step of DeepWalk/node2vec-style
+    graph embedding: each seed emits a walk whose every hop feeds a
+    skip-gram trainer. The RNG is an md5 coin keyed by (current node,
+    step, seed tag), so the walk corpus is bit-reproducible across
+    engines, runs, and partitionings (the repo-wide hash-coin
+    discipline) — which is exactly what an incremental embedding
+    refresh needs: unchanged neighborhoods re-emit unchanged walks.
+
+    Each hop is one EQUI-join of the walk frontier against the
+    row_number-indexed adjacency (neighbor slot = coin mod degree) —
+    walks advance breadth-wise in |steps| joins over the SAME
+    shuffle key (node), never a per-walk driver loop. The adjacency
+    index builds once from the session-cached strong-edge table
+    (`_strong_edges_cached`). At 100 TB: walk count scales with the
+    seed table (map-side), steps scale the join chain linearly, and
+    hub skew is bounded because the frontier carries one row per walk
+    regardless of degree.
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    adjraw = e.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    wn = Window.partitionBy("node")
+    adj = adjraw.select(
+        "node",
+        "nbr",
+        F.row_number().over(wn.orderBy("nbr")).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("deg"),
+    )
+    cur = (
+        adj.select("node")
+        .distinct()
+        .orderBy("node")
+        .limit(_RW_SEEDS)
+        .select(F.col("node").alias("n0"))
+    )
+    for step in range(_RW_STEPS):
+        prev = f"n{step}"
+        coin = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(prev).cast("string"),
+                        F.lit(f":{step}:{_RW_SEED}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        a = adj.select(
+            F.col("node").alias("__node"),
+            F.col("nbr").alias(f"n{step + 1}"),
+            F.col("rn").alias("__rn"),
+            F.col("deg").alias("__deg"),
+        )
+        cur = cur.join(
+            a,
+            (F.col(prev) == F.col("__node"))
+            & (F.col("__rn") == 1 + coin % F.col("__deg")),
+        ).drop("__node", "__rn", "__deg")
+    return cur.orderBy("n0")

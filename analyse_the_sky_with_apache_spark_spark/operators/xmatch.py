@@ -2264,3 +2264,197 @@ def lightcurve_string_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strlen_events"
     )
     return spark.sql(_string_length_sql("strlen_events", "unix_micros", "div"))
+
+
+#: Lomb–Scargle trial periods (days) — irregular-sampling periodogram.
+_LS_PERIODS_D = (2.5, 3.0, 4.0, 5.0, 7.0, 9.0, 11.0, 14.0)
+_LS_GRID = 1_000_000.0
+
+
+@register(
+    "lightcurve_lomb_scargle",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS t,
+         CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0
+           AS y
+  FROM events WHERE event_type = 'purchase'
+),
+terms AS (
+  SELECT p.period_d,
+         CAST(FLOOR(y * cos(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS yc,
+         CAST(FLOOR(y * sin(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS ys,
+         CAST(FLOOR(cos(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS c1,
+         CAST(FLOOR(sin(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS s1,
+         CAST(FLOOR(cos(2.0 * pi() * t / p.period_d)
+                    * cos(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS cc,
+         CAST(FLOOR(sin(2.0 * pi() * t / p.period_d)
+                    * sin(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS ss,
+         CAST(FLOOR(sin(2.0 * pi() * t / p.period_d)
+                    * cos(2.0 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS sc,
+         CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS yg
+  FROM pts,
+       (SELECT UNNEST([{", ".join(str(p) for p in _LS_PERIODS_D)}])
+          AS period_d) p
+),
+agg AS (
+  SELECT period_d, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS DOUBLE) / 1000000.0 AS yc,
+         CAST(SUM(ys) AS DOUBLE) / 1000000.0 AS ys,
+         CAST(SUM(c1) AS DOUBLE) / 1000000.0 AS c1,
+         CAST(SUM(s1) AS DOUBLE) / 1000000.0 AS s1,
+         CAST(SUM(cc) AS DOUBLE) / 1000000.0 AS cc,
+         CAST(SUM(ss) AS DOUBLE) / 1000000.0 AS ss,
+         CAST(SUM(sc) AS DOUBLE) / 1000000.0 AS sc,
+         CAST(SUM(yg) AS DOUBLE) / 1000000.0 AS sy
+  FROM terms GROUP BY period_d
+),
+tau AS (
+  SELECT *, atan2(2.0 * sc - 2.0 * s1 * c1 / n,
+                  cc - ss - (c1 * c1 - s1 * s1) / n) / 2.0 AS wtau,
+         sy / n AS ybar
+  FROM agg
+),
+comp AS (
+  SELECT period_d, n,
+         (yc - ybar * c1) * cos(wtau) + (ys - ybar * s1) * sin(wtau)
+           AS num_c,
+         (ys - ybar * s1) * cos(wtau) - (yc - ybar * c1) * sin(wtau)
+           AS num_s,
+         cc * cos(wtau) * cos(wtau) + ss * sin(wtau) * sin(wtau)
+           + 2.0 * sc * sin(wtau) * cos(wtau)
+           - (c1 * cos(wtau) + s1 * sin(wtau))
+             * (c1 * cos(wtau) + s1 * sin(wtau)) / n AS den_c,
+         ss * cos(wtau) * cos(wtau) + cc * sin(wtau) * sin(wtau)
+           - 2.0 * sc * sin(wtau) * cos(wtau)
+           - (s1 * cos(wtau) - c1 * sin(wtau))
+             * (s1 * cos(wtau) - c1 * sin(wtau)) / n AS den_s
+  FROM tau
+)
+SELECT period_d, n,
+       CAST(FLOOR(0.5 * (num_c * num_c / den_c + num_s * num_s / den_s)
+                  * 1000000.0 + 0.5) AS BIGINT) AS p_ls_micro
+FROM comp
+ORDER BY period_d
+""",
+)
+def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb–Scargle periodogram at a trial-period grid — the
+    irregular-sampling periodogram astronomy actually uses (the DFT
+    probe `ts_spectral_power` needs the regular daily grid; LS weights
+    each REAL observation time, so gaps and uneven cadence don't alias
+    power away). Implemented in the generalized single-pass form: per
+    row only the 8 trig projection terms (y·cos, y·sin, cos, sin,
+    cos², sin², sin·cos, y) are computed and FLOOR-GRIDDED onto 1e-6
+    micro-units before aggregation (ts_spectral_power's libm
+    discipline — no ordered-float accumulation anywhere); the phase
+    offset τ (atan2), mean-centering, and the normalized power then
+    derive from the 8 exact aggregate sums by scalar double math with
+    identical expression text in both engines.
+
+    Scale: ONE data-sized pass over (event, trial period) — the
+    |periods|-row VALUES grid fans out as a broadcast, partial
+    aggregation is map-side combinable, and everything after the
+    8-rows-per-period reduction is constant work. At 100 TB widen the
+    period grid, not the shape: cost is rows × periods, embarrassingly
+    parallel, no shuffle beyond the 8-key aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pts = ev.select(
+        (F.unix_micros("ts").cast("double") / F.lit(86400000000.0)).alias("t"),
+        (
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("double")
+            / F.lit(100.0)
+        ).alias("y"),
+    )
+    spec = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _LS_PERIODS_D])).alias("period_d")
+    )
+    ph = F.lit(2.0) * F.lit(math.pi) * F.col("t") / F.col("period_d")
+
+    def g(expr):  # per-term micro-grid before any sum
+        return F.floor(expr * F.lit(_LS_GRID) + F.lit(0.5)).cast("long")
+
+    terms = pts.crossJoin(F.broadcast(spec)).select(
+        "period_d",
+        g(F.col("y") * F.cos(ph)).alias("yc"),
+        g(F.col("y") * F.sin(ph)).alias("ys"),
+        g(F.cos(ph)).alias("c1"),
+        g(F.sin(ph)).alias("s1"),
+        g(F.cos(ph) * F.cos(ph)).alias("cc"),
+        g(F.sin(ph) * F.sin(ph)).alias("ss"),
+        g(F.sin(ph) * F.cos(ph)).alias("sc"),
+        g(F.col("y")).alias("yg"),
+    )
+
+    def d(c):
+        return F.sum(c).cast("double") / F.lit(_LS_GRID)
+
+    agg = terms.groupBy("period_d").agg(
+        F.count(F.lit(1)).alias("n"),
+        d("yc").alias("yc"), d("ys").alias("ys"),
+        d("c1").alias("c1"), d("s1").alias("s1"),
+        d("cc").alias("cc"), d("ss").alias("ss"),
+        d("sc").alias("sc"), d("yg").alias("sy"),
+    )
+    wtau = F.atan2(
+        F.lit(2.0) * F.col("sc")
+        - F.lit(2.0) * F.col("s1") * F.col("c1") / F.col("n"),
+        F.col("cc") - F.col("ss")
+        - (F.col("c1") * F.col("c1") - F.col("s1") * F.col("s1")) / F.col("n"),
+    ) / F.lit(2.0)
+    tau = agg.select(
+        "*", wtau.alias("wtau"), (F.col("sy") / F.col("n")).alias("ybar")
+    )
+    cw, sw = F.cos(F.col("wtau")), F.sin(F.col("wtau"))
+    num_c = (F.col("yc") - F.col("ybar") * F.col("c1")) * cw + (
+        F.col("ys") - F.col("ybar") * F.col("s1")
+    ) * sw
+    num_s = (F.col("ys") - F.col("ybar") * F.col("s1")) * cw - (
+        F.col("yc") - F.col("ybar") * F.col("c1")
+    ) * sw
+    den_c = (
+        F.col("cc") * cw * cw
+        + F.col("ss") * sw * sw
+        + F.lit(2.0) * F.col("sc") * sw * cw
+        - (F.col("c1") * cw + F.col("s1") * sw)
+        * (F.col("c1") * cw + F.col("s1") * sw)
+        / F.col("n")
+    )
+    den_s = (
+        F.col("ss") * cw * cw
+        + F.col("cc") * sw * sw
+        - F.lit(2.0) * F.col("sc") * sw * cw
+        - (F.col("s1") * cw - F.col("c1") * sw)
+        * (F.col("s1") * cw - F.col("c1") * sw)
+        / F.col("n")
+    )
+    comp = tau.select(
+        "period_d", "n",
+        num_c.alias("num_c"), num_s.alias("num_s"),
+        den_c.alias("den_c"), den_s.alias("den_s"),
+    )
+    return comp.select(
+        "period_d",
+        "n",
+        F.floor(
+            F.lit(0.5)
+            * (
+                F.col("num_c") * F.col("num_c") / F.col("den_c")
+                + F.col("num_s") * F.col("num_s") / F.col("den_s")
+            )
+            * F.lit(_LS_GRID)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_ls_micro"),
+    ).orderBy("period_d")

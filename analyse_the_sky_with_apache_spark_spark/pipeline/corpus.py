@@ -1275,3 +1275,105 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_bpe"),
     )
+
+
+@register(
+    "corpus_filter_ablation",
+    oracle="""
+WITH flags AS (
+  SELECT doc_id,
+         (n_chars BETWEEN 150 AND 500) AS f_len,
+         (len(string_split(text, ' ')) >= 30) AS f_wc,
+         (2 * len(list_distinct(string_split(text, ' ')))
+            >= len(string_split(text, ' '))) AS f_uniq,
+         (20 * len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and')))
+            >= len(string_split(text, ' '))) AS f_stop
+  FROM documents
+),
+u AS (
+  SELECT doc_id, 'len' AS filter_name, f_len AS ok,
+         (f_wc AND f_uniq AND f_stop) AS others_ok,
+         (f_len AND f_wc AND f_uniq AND f_stop) AS all_ok FROM flags
+  UNION ALL
+  SELECT doc_id, 'wordcount', f_wc, (f_len AND f_uniq AND f_stop),
+         (f_len AND f_wc AND f_uniq AND f_stop) FROM flags
+  UNION ALL
+  SELECT doc_id, 'uniqueness', f_uniq, (f_len AND f_wc AND f_stop),
+         (f_len AND f_wc AND f_uniq AND f_stop) FROM flags
+  UNION ALL
+  SELECT doc_id, 'stopwords', f_stop, (f_len AND f_wc AND f_uniq),
+         (f_len AND f_wc AND f_uniq AND f_stop) FROM flags
+)
+SELECT filter_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(SUM(CASE WHEN NOT ok AND others_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_fail,
+       CAST(SUM(CASE WHEN all_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+       CAST(FLOOR(CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS pass_rate_micro
+FROM u GROUP BY filter_name ORDER BY filter_name
+""",
+)
+def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION audit: per filter, how many documents it
+    fails, and — the number that actually drives pipeline tuning — how
+    many it UNIQUELY kills (docs every other filter would have kept).
+    A filter with high n_fail but near-zero n_unique_fail is redundant
+    with the rest of the cascade and can be dropped without changing
+    the surviving corpus; one with a large unique-kill count is doing
+    real (and unreviewable) work and deserves a threshold sweep. This
+    is the measurement behind every "which cleaning rules matter"
+    iteration on a pretraining corpus (`corpus_quality_pipeline` APPLIES
+    a cascade; this key EXPLAINS it).
+
+    All four flags (length band, word count, distinct-token ratio,
+    stopword ratio) compute in ONE row-local projection — integer
+    cross-multiplication instead of float ratios — then ``stack``
+    unpivots doc×filter and one hash aggregate collapses to 4 rows.
+    Zero joins, zero windows; at 100 TB the cost is the text scan
+    itself, and adding a fifth filter adds one boolean column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    flags = d.select(
+        "doc_id",
+        F.col("n_chars").between(150, 500).alias("f_len"),
+        (F.size(toks) >= 30).alias("f_wc"),
+        (F.lit(2) * F.size(F.array_distinct(toks)) >= F.size(toks)).alias(
+            "f_uniq"
+        ),
+        (F.lit(20) * F.size(stop) >= F.size(toks)).alias("f_stop"),
+    )
+    u = flags.selectExpr(
+        "doc_id",
+        "stack(4, "
+        "'len', f_len, (f_wc AND f_uniq AND f_stop), "
+        "'wordcount', f_wc, (f_len AND f_uniq AND f_stop), "
+        "'uniqueness', f_uniq, (f_len AND f_wc AND f_stop), "
+        "'stopwords', f_stop, (f_len AND f_wc AND f_uniq)"
+        ") AS (filter_name, ok, others_ok)",
+        "(f_len AND f_wc AND f_uniq AND f_stop) AS all_ok",
+    )
+    return (
+        u.groupBy("filter_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_fail"),
+            F.sum(
+                F.when(~F.col("ok") & F.col("others_ok"), 1).otherwise(0)
+            ).alias("n_unique_fail"),
+            F.sum(F.when(F.col("all_ok"), 1).otherwise(0)).alias("n_pass_all"),
+            F.floor(
+                F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pass_rate_micro"),
+        )
+        .orderBy("filter_name")
+    )

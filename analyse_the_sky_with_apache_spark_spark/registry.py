@@ -174,6 +174,8 @@ _ROTATION_R10 = (
     "sim_rerank_two_stage", "sim_hard_negative_mine",
     "ml_train_split_audit", "agg_grid_quantiles",
     "stat_mutual_information", "privacy_dp_quantile",
+    "lightcurve_lomb_scargle", "corpus_filter_ablation",
+    "graph_random_walks",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -146,6 +146,9 @@ _BNL_ALLOWED = {
     # 3-row quantile-spec VALUES fan-out × 1-row total broadcast onto
     # the collapsed $1000-grid histogram (exponential mechanism)
     "privacy_dp_quantile",
+    # 8-row trial-period VALUES fan-out against the event scan (the
+    # lightcurve_bls_box / ts_spectral_power period-grid shape)
+    "lightcurve_lomb_scargle",
 }
 
 _KEYS = sorted(
