@@ -3742,3 +3742,273 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "status")
     )
+
+
+#: bagged stumps: 8 replicas = 8 16-bit slices of ONE salted digest.
+_BAG_B = 8
+
+
+@register(
+    "ml_bagged_stumps",
+    oracle=f"""
+WITH u AS (
+  SELECT l_quantity AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         b.b,
+         ('0x' || substr(md5({_BOOT_KEY_DUCK} || ':bag'),
+                         4 * b.b::INT + 1, 4))::BIGINT AS u16
+  FROM lineitem, range(0, {_BAG_B}) b(b)
+),
+g AS (
+  SELECT b, x,
+         CAST(SUM({_boot_w("u16")} * y) AS BIGINT) AS p,
+         CAST(SUM({_boot_w("u16")}) AS BIGINT) AS c
+  FROM u GROUP BY b, x
+),
+cum AS (
+  SELECT b, x,
+         CAST(SUM(p) OVER (PARTITION BY b ORDER BY x) AS BIGINT) AS lp,
+         CAST(SUM(c) OVER (PARTITION BY b ORDER BY x) AS BIGINT) AS lc,
+         CAST(SUM(p) OVER (PARTITION BY b) AS BIGINT) AS tp,
+         CAST(SUM(c) OVER (PARTITION BY b) AS BIGINT) AS tc
+  FROM g
+),
+splits AS (
+  SELECT b, x AS threshold, lc AS n_left, tc - lc AS n_right,
+         CAST(FLOOR((
+           (CAST(lc AS DOUBLE) / tc)
+             * (1.0 - (CAST(lp AS DOUBLE) / lc) * (CAST(lp AS DOUBLE) / lc)
+                    - (1.0 - CAST(lp AS DOUBLE) / lc)
+                      * (1.0 - CAST(lp AS DOUBLE) / lc))
+           + (CAST(tc - lc AS DOUBLE) / tc)
+             * (1.0 - (CAST(tp - lp AS DOUBLE) / (tc - lc))
+                      * (CAST(tp - lp AS DOUBLE) / (tc - lc))
+                    - (1.0 - CAST(tp - lp AS DOUBLE) / (tc - lc))
+                      * (1.0 - CAST(tp - lp AS DOUBLE) / (tc - lc)))
+         ) * 1000000000000.0 + 0.5) AS BIGINT) AS gini_g
+  FROM cum WHERE lc > 0 AND tc - lc > 0
+),
+best AS (
+  SELECT b, threshold, n_left, n_right, gini_g,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY gini_g, threshold) AS rn
+  FROM splits
+)
+SELECT b, threshold, n_left, n_right,
+       CAST(gini_g AS DOUBLE) / 1000000000000.0 AS gini,
+       CAST(COUNT(DISTINCT threshold) OVER () AS BIGINT)
+         AS n_distinct_thresholds
+FROM best WHERE rn = 1
+ORDER BY b
+""",
+)
+def ml_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagging (bootstrap aggregation) of decision stumps — the
+    random-forest building block: 8 Poisson-bootstrap replicas
+    (`stat_bootstrap_ci`'s distributed resampling scheme — every row
+    contributes a deterministic Poisson(1) weight per replica, no
+    global sampling coordination) each train the `ml_decision_stump`
+    kernel on WEIGHTED class histograms, and the spread of chosen
+    thresholds across replicas (`n_distinct_thresholds`) is the
+    classic bagging diagnostic: a stable split survives resampling, a
+    knife-edge one scatters.
+
+    One pass fans each row out ×8 with 16-bit uniforms sliced from a
+    single salted md5 digest (computed once per row, BEFORE the
+    replica fan-out — the explode-projection discipline); per-replica
+    histograms aggregate map-side; the cumulative-split scan and the
+    per-replica Gini argmin run over |replicas|×|distinct x| collapsed
+    rows with PARTITIONED windows. At 100 TB bagging costs one
+    histogram pass regardless of B — exactly why Poisson bootstrap is
+    the production form (Chamandy et al. 2012).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").alias("x"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+        F.md5(F.expr(f"concat({_BOOT_KEY_SPARK}, ':bag')")).alias("digest"),
+    ).select(
+        "x",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BAG_B - 1))).alias("b"),
+        F.col("digest"),
+    )
+    u16 = F.expr("conv(substring(digest, 4 * b + 1, 4), 16, 10)").cast("long")
+    w = sum(
+        (u16 >= t).cast("int") for t in _POIS_T16
+    )
+    g = rows.groupBy("b", "x").agg(
+        F.sum(w * F.col("y")).alias("p"), F.sum(w).alias("c")
+    )
+    wc = Window.partitionBy("b").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("b")
+    cum = g.select(
+        "b",
+        "x",
+        F.sum("p").over(wc).alias("lp"),
+        F.sum("c").over(wc).alias("lc"),
+        F.sum("p").over(wt).alias("tp"),
+        F.sum("c").over(wt).alias("tc"),
+    )
+    lp, lc = F.col("lp").cast("double"), F.col("lc")
+    tp, tc = F.col("tp").cast("double"), F.col("tc")
+    rp = tp - lp
+    rc = (tc - lc).cast("double")
+    pl = lp / lc
+    pr = rp / rc
+    gini = (lc.cast("double") / tc) * (
+        F.lit(1.0) - pl * pl - (F.lit(1.0) - pl) * (F.lit(1.0) - pl)
+    ) + (rc / tc) * (
+        F.lit(1.0) - pr * pr - (F.lit(1.0) - pr) * (F.lit(1.0) - pr)
+    )
+    gini_g = F.floor(gini * F.lit(1e12) + F.lit(0.5)).cast("long")
+    splits = cum.where(
+        (F.col("lc") > 0) & (F.col("tc") - F.col("lc") > 0)
+    ).select(
+        "b",
+        F.col("x").alias("threshold"),
+        F.col("lc").alias("n_left"),
+        (F.col("tc") - F.col("lc")).alias("n_right"),
+        gini_g.alias("gini_g"),
+    )
+    wb = Window.partitionBy("b").orderBy("gini_g", "threshold")
+    return (
+        splits.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "b",
+            "threshold",
+            "n_left",
+            "n_right",
+            (F.col("gini_g").cast("double") / F.lit(1e12)).alias("gini"),
+            F.size(
+                F.collect_set("threshold").over(Window.partitionBy())
+            )
+            .cast("long")
+            .alias("n_distinct_thresholds"),
+        )
+        .orderBy("b")
+    )
+
+
+def _seg_sse(n, st, sy, stt, sty, syy):
+    """Centered two-moment SSE of an OLS line fit — DOUBLE math over
+    exact integer sums, identical term order in both engines."""
+    return (
+        f"(({syy}) - CAST(({sy}) AS DOUBLE) * ({sy}) / ({n})"
+        f" - (CAST(({sty}) AS DOUBLE) - CAST(({st}) AS DOUBLE) * ({sy}) / ({n}))"
+        f" * (CAST(({sty}) AS DOUBLE) - CAST(({st}) AS DOUBLE) * ({sy}) / ({n}))"
+        f" / (CAST(({stt}) AS DOUBLE) - CAST(({st}) AS DOUBLE) * ({st}) / ({n})))"
+    )
+
+
+def _seg_slope(n, st, sy, stt, sty):
+    return (
+        f"((CAST(({sty}) AS DOUBLE) - CAST(({st}) AS DOUBLE) * ({sy}) / ({n}))"
+        f" / (CAST(({stt}) AS DOUBLE) - CAST(({st}) AS DOUBLE) * ({st}) / ({n})))"
+    )
+
+
+def _segtrend_sql(table: str, epoch_fn: str, intdiv: str) -> str:
+    """Shared SQL for the segmented-trend fit — templated only on the
+    epoch function and integer-division token (the Kalman/KM recipe).
+    """
+    L = {  # left-segment stats at the knot row
+        "n": "rn", "st": "c_t", "sy": "c_y", "stt": "c_tt",
+        "sty": "c_ty", "syy": "CAST(c_yy AS DOUBLE)",
+    }
+    R = {  # right segment = totals minus prefix
+        "n": "(nn - rn)", "st": "(t_t - c_t)", "sy": "(t_y - c_y)",
+        "stt": "(t_tt - c_tt)", "sty": "(t_ty - c_ty)",
+        "syy": "CAST(t_yy - c_yy AS DOUBLE)",
+    }
+    T = {
+        "n": "nn", "st": "t_t", "sy": "t_y", "stt": "t_tt",
+        "sty": "t_ty", "syy": "CAST(t_yy AS DOUBLE)",
+    }
+    sse_l = _seg_sse(**L)
+    sse_r = _seg_sse(**R)
+    sse_1 = _seg_sse(**T)
+    return f"""
+WITH daily AS (
+  SELECT {epoch_fn}(date_trunc('day', ts)) {intdiv} 86400000000 AS day,
+         {intdiv.join(["SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))", "100"])}
+           AS y
+  FROM {table} GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         day - MIN(day) OVER () AS t, y
+  FROM daily
+),
+cum AS (
+  SELECT rn, t, y,
+         SUM(t) OVER (ORDER BY rn) AS c_t,
+         SUM(y) OVER (ORDER BY rn) AS c_y,
+         SUM(t * t) OVER (ORDER BY rn) AS c_tt,
+         SUM(t * y) OVER (ORDER BY rn) AS c_ty,
+         SUM(y * y) OVER (ORDER BY rn) AS c_yy,
+         SUM(t) OVER () AS t_t,
+         SUM(y) OVER () AS t_y,
+         SUM(t * t) OVER () AS t_tt,
+         SUM(t * y) OVER () AS t_ty,
+         SUM(y * y) OVER () AS t_yy,
+         COUNT(*) OVER () AS nn
+  FROM idx
+),
+cand AS (
+  SELECT t AS knot_day, nn,
+         {sse_l} + {sse_r} AS sse_seg,
+         {sse_1} AS sse_line,
+         {_seg_slope("rn", "c_t", "c_y", "c_tt", "c_ty")} AS slope_l,
+         {_seg_slope("(nn - rn)", "(t_t - c_t)", "(t_y - c_y)",
+                     "(t_tt - c_tt)", "(t_ty - c_ty)")} AS slope_r
+  FROM cum WHERE rn >= 3 AND rn <= nn - 3
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY CAST(FLOOR(sse_seg * 1000000.0 + 0.5) AS BIGINT), knot_day
+    ) AS pick
+  FROM cand
+)
+SELECT CAST(knot_day AS BIGINT) AS knot_day,
+       CAST(nn AS BIGINT) AS n_days,
+       CAST(FLOOR(slope_l * 1000000.0 + 0.5) AS BIGINT) AS slope_l_micro,
+       CAST(FLOOR(slope_r * 1000000.0 + 0.5) AS BIGINT) AS slope_r_micro,
+       CAST(FLOOR(sse_seg * 1000000.0 + 0.5) AS BIGINT) AS sse_seg_micro,
+       CAST(FLOOR(sse_line * 1000000.0 + 0.5) AS BIGINT) AS sse_line_micro
+FROM best WHERE pick = 1
+"""
+
+
+@register(
+    "ts_segmented_trend",
+    oracle=_segtrend_sql("events", "epoch_us", "//"),
+)
+def ts_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-segment piecewise-linear trend fit with exhaustive knot
+    search — the changepoint-aware upgrade of a single OLS trend
+    (`ml_linreg_normal` fits one line; `ts_changepoint` detects a mean
+    shift; this fits a SLOPE change and reports how much SSE the knot
+    buys, the Prophet-style trend building block).
+
+    Everything derives from ONE cumulative-moment pass: the daily
+    rollup is the only data-sized aggregation; prefix sums of
+    (t, y, t², ty, y²) over the collapsed per-day table give BOTH
+    segments' OLS sufficient statistics at EVERY candidate knot
+    simultaneously (left = prefix, right = total − prefix), so the
+    knot scan is O(|days|), not O(|days| · |data|). Daily totals
+    truncate to exact integer dollars (y² sums stay < 2^63 through
+    ~sf100 — overflow ledger in SCALE.md); SSE/slopes are shared-text
+    double math over those exact longs, and the argmin orders on the
+    1e-6-FLOORED SSE with a knot-day tie-break, so the pick cannot
+    flip on a float ulp. Spark side runs the same SQL text via
+    spark.sql on a temp view (the Kalman/KM template recipe:
+    epoch fn and int-div token differ, nothing else).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("segtrend_events")
+    return spark.sql(_segtrend_sql("segtrend_events", "unix_micros", " div "))

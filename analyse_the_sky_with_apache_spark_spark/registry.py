@@ -175,7 +175,7 @@ _ROTATION_R10 = (
     "ml_train_split_audit", "agg_grid_quantiles",
     "stat_mutual_information", "privacy_dp_quantile",
     "lightcurve_lomb_scargle", "corpus_filter_ablation",
-    "graph_random_walks",
+    "graph_random_walks", "ml_bagged_stumps", "ts_segmented_trend",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -213,6 +213,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "agg_grid_quantiles",
     # same collapsed-histogram cumulative window, $1000 grid
     "privacy_dp_quantile",
+    # cumulative-moment prefix sums over the collapsed per-day table
+    # (the knot scan input; |days| rows)
+    "ts_segmented_trend",
 }
 
 
