@@ -1970,3 +1970,89 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__rn") == 1 + coin % F.col("__deg")),
         ).drop("__node", "__rn", "__deg")
     return cur.orderBy("n0")
+
+
+#: k-truss: K=4 — one peel keeps edges in >= K-2 triangles.
+_KTRUSS_K = 4
+
+
+@register(
+    "graph_ktruss_peel",
+    oracle=f"""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+sup AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT a AS u, b AS v FROM tri
+    UNION ALL SELECT a, c FROM tri
+    UNION ALL SELECT b, c FROM tri
+  ) GROUP BY u, v
+),
+es AS (
+  SELECT e.u, e.v, COALESCE(s.support, 0) AS support
+  FROM e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+)
+SELECT support,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN support >= {_KTRUSS_K - 2} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM es GROUP BY support ORDER BY support
+""",
+)
+def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-truss peel round (K=4): per-edge SUPPORT (triangles the
+    edge participates in) via the oriented triangle enumeration, then
+    the keep/drop decision support ≥ K−2 — the cohesion filter that is
+    strictly stronger than `graph_kcore` (every edge in a k-truss
+    joins k−2 triangles, so trusses are the dense "community cores"
+    link-analysis pipelines extract before clustering). Full k-truss
+    iterates this round to fixpoint (the `dedup_connected_components`
+    localCheckpoint loop shape); the registered kernel is the round
+    that touches data-sized input, reported as the support histogram.
+
+    Edge support distributes per-triangle: the u<v<w orientation
+    enumerates each triangle ONCE through three hash equi-joins of the
+    session-cached strong-edge table, then each triangle credits its 3
+    edges through a unionAll + one aggregate — never a per-edge
+    neighborhood intersection. The final left join backfills
+    support=0 edges. All shuffles key on edge endpoints.
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    sup = (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    es = e.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+    )
+    return (
+        es.groupBy("support")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(
+                F.when(F.col("support") >= _KTRUSS_K - 2, 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("support")
+    )

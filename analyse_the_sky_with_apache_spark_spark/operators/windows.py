@@ -3441,3 +3441,109 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mp_events"
     )
     return spark.sql(_matrix_profile_sql("mp_events", "unix_micros", "div"))
+
+
+#: Markov anomaly scoring: minimum transitions per scored user.
+_MKV_MIN_TRANS = 5
+_MKV_TOP = 20
+
+
+@register(
+    "events_markov_anomaly",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+model AS (
+  SELECT prev_type, event_type,
+         CAST(FLOOR(LN(CAST(c AS DOUBLE)
+                       / SUM(c) OVER (PARTITION BY prev_type))
+                    * 1000000.0 + 0.5) AS BIGINT) AS logp_micro
+  FROM trans
+),
+scored AS (
+  SELECT s.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_trans,
+         CAST(SUM(m.logp_micro) AS BIGINT) AS path_logp_micro
+  FROM seq s JOIN model m
+    ON m.prev_type = s.prev_type AND m.event_type = s.event_type
+  GROUP BY s.user_id
+)
+SELECT user_id, n_trans, path_logp_micro,
+       CAST(path_logp_micro // n_trans AS BIGINT) AS avg_logp_micro
+FROM scored
+WHERE n_trans >= {_MKV_MIN_TRANS}
+ORDER BY path_logp_micro // n_trans, user_id
+LIMIT {_MKV_TOP}
+""",
+)
+def events_markov_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence anomaly scoring under a first-order Markov
+    model: fit the corpus-wide transition matrix
+    (`event_transition_matrix` normalized to row-stochastic log-probs),
+    then score every user's OWN event path under it and surface the 20
+    least-likely-per-step users — the sequence-model analogue of
+    `anomaly_zscore` (a user whose transitions are individually common
+    but jointly improbable only falls out of the PATH likelihood).
+
+    The model is |types|² rows and BROADCASTS back onto the transition
+    stream (never a shuffle of data on the model key); each per-step
+    log-prob floors onto the 1e-6 grid before the per-user INTEGER sum,
+    and the per-step average uses truncating integer division (Spark
+    ``div`` == DuckDB ``//``), so ranking and tie-breaks are exact.
+    Two passes over the sequence table (fit + score) share the one
+    user-keyed sort shuffle; at 100 TB both are map-side after it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(wu).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    model = trans.select(
+        "prev_type",
+        "event_type",
+        F.floor(
+            F.log(
+                F.col("c").cast("double")
+                / F.sum("c").over(Window.partitionBy("prev_type"))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("logp_micro"),
+    )
+    scored = (
+        seq.join(F.broadcast(model), ["prev_type", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("logp_micro").alias("path_logp_micro"),
+        )
+        .filter(F.col("n_trans") >= _MKV_MIN_TRANS)
+    )
+    avg = F.expr("path_logp_micro div n_trans")
+    return (
+        scored.select(
+            "user_id",
+            "n_trans",
+            "path_logp_micro",
+            avg.cast("long").alias("avg_logp_micro"),
+        )
+        .orderBy(avg, "user_id")
+        .limit(_MKV_TOP)
+    )
