@@ -4012,3 +4012,210 @@ def ts_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("segtrend_events")
     return spark.sql(_segtrend_sql("segtrend_events", "unix_micros", " div "))
+
+
+@register(
+    "stat_hodges_lehmann",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.grp, a.x + b.x AS s2,
+         CASE WHEN a.x = b.x THEN a.c * (a.c + 1) // 2
+              ELSE a.c * b.c END AS w
+  FROM g a JOIN g b ON a.grp = b.grp AND a.x <= b.x
+),
+agg AS (
+  SELECT grp, s2, CAST(SUM(w) AS BIGINT) AS w
+  FROM pairs GROUP BY grp, s2
+),
+cum AS (
+  SELECT grp, s2, w,
+         SUM(w) OVER (PARTITION BY grp ORDER BY s2) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM agg
+)
+SELECT grp,
+       CAST(MIN(CASE WHEN 2 * cw >= tw + (tw % 2) THEN s2 END) AS BIGINT)
+         AS hl_x2,
+       CAST(MIN(tw) AS BIGINT) AS n_walsh
+FROM cum GROUP BY grp ORDER BY grp
+""",
+)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimator per group — the median of all
+    Walsh averages (xᵢ+xⱼ)/2, i ≤ j: the robust location statistic
+    paired with the Wilcoxon test, ~95% as efficient as the mean on
+    clean Gaussian data yet with a 29% breakdown point
+    (`stat_mann_whitney` is the two-sample rank sibling; `anomaly_mad`
+    the scale analogue). Reported as hl_x2 = 2·HL, keeping the value
+    an exact integer (halving is the caller's display step).
+
+    The naive form is O(n²) pairs; over a BOUNDED VALUE DOMAIN it
+    collapses: aggregate the per-value histogram (the only data-sized
+    pass), pair the |domain|² distinct values with COUNT-PRODUCT
+    weights (diagonal c·(c+1)/2 for i=j Walsh pairs), and read the
+    weighted median off one cumulative window — the stat_mann_whitney
+    collapsed-histogram discipline. Everything is exact integers; the
+    even/odd lower-median rule (2·cw ≥ tw + tw%2) is stated once and
+    shared by both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = g.select("grp", F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = g.select("grp", F.col("x").alias("xb"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, ["grp"])
+        .filter(F.col("xa") <= F.col("xb"))
+        .select(
+            "grp",
+            (F.col("xa") + F.col("xb")).alias("s2"),
+            F.when(
+                F.col("xa") == F.col("xb"), F.expr("ca * (ca + 1) div 2")
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("w"),
+        )
+    )
+    agg = pairs.groupBy("grp", "s2").agg(F.sum("w").alias("w"))
+    wg = Window.partitionBy("grp")
+    cum = agg.select(
+        "grp",
+        "s2",
+        "w",
+        F.sum("w").over(wg.orderBy("s2")).alias("cw"),
+        F.sum("w").over(wg).alias("tw"),
+    )
+    return (
+        cum.groupBy("grp")
+        .agg(
+            F.min(
+                F.when(
+                    2 * F.col("cw") >= F.col("tw") + F.col("tw") % 2,
+                    F.col("s2"),
+                )
+            )
+            .cast("long")
+            .alias("hl_x2"),
+            F.min("tw").alias("n_walsh"),
+        )
+        .orderBy("grp")
+    )
+
+
+#: PACF: maximum lag for the Durbin–Levinson recursion.
+_PACF_MAXLAG = 5
+
+
+def _pacf_sql(table: str, epoch_fn: str, intdiv: str, mat: str) -> str:
+    """Shared PACF SQL (Durbin–Levinson unrolled) — templated on the
+    epoch fn, int-div token, and the MATERIALIZED keyword (DuckDB
+    needs per-step CTEs materialized or inlining explodes ~3^k; Spark
+    ignores the hint via an empty string). Per-lag autocovariance
+    terms grid to exact integers BEFORE summation (the
+    lightcurve_lomb_scargle discipline: term magnitude ~1e12 at sf1,
+    gridded at 1e-3 resolution to keep 60 × term < 2^63); the
+    recursion itself is scalar double math over the 1-row aggregate
+    with identical expression text — the Kalman bit-exactness lesson.
+    """
+    K = _PACF_MAXLAG
+    leads = ",\n         ".join(
+        f"LEAD(y, {k}) OVER (ORDER BY t) AS y{k}" for k in range(1, K + 1)
+    )
+    num_terms = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN "
+        f"CAST(FLOOR((y - ybar) * (y{k} - ybar) * 1e-3 + 0.5) AS BIGINT) "
+        f"ELSE 0 END) AS DOUBLE) * 1e3 AS c{k}"
+        for k in range(1, K + 1)
+    )
+    steps = [f"s1 AS {mat}(SELECT *, r1 AS p1_1, 1.0 - r1 * r1 AS v1 FROM r)"]
+    phis = {1: {1: "p1_1"}}
+    for k in range(2, K + 1):
+        prev = phis[k - 1]
+        dot = " + ".join(f"{prev[j]} * r{k - j}" for j in range(1, k))
+        steps.append(
+            f"t{k} AS {mat}(SELECT *, (r{k} - ({dot})) / v{k - 1} AS a{k}"
+            f" FROM s{k - 1})"
+        )
+        newphi = {}
+        upd = []
+        for j in range(1, k):
+            newphi[j] = f"p{k}_{j}"
+            upd.append(f"{prev[j]} - a{k} * {prev[k - j]} AS p{k}_{j}")
+        newphi[k] = f"a{k}"
+        upd.append(f"v{k - 1} * (1.0 - a{k} * a{k}) AS v{k}")
+        steps.append(f"s{k} AS {mat}(SELECT *, {', '.join(upd)} FROM t{k})")
+        phis[k] = newphi
+    pacf_cols = ["r1 AS pacf1"] + [f"a{k} AS pacf{k}" for k in range(2, K + 1)]
+    steps_sql = ",\n".join(steps)
+    r_cols = ", ".join(f"c{k} / c0 AS r{k}" for k in range(1, K + 1))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag,"
+        f" CAST(FLOOR(r{k} * 1000000.0 + 0.5) AS BIGINT) AS acf_micro,"
+        f" CAST(FLOOR(pacf{k} * 1000000.0 + 0.5) AS BIGINT) AS pacf_micro"
+        f" FROM final"
+        for k in range(1, K + 1)
+    )
+    return f"""
+WITH daily AS {mat}(
+  SELECT {epoch_fn}(date_trunc('day', ts)) {intdiv} 86400000000 AS day,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) {intdiv} 100 AS y
+  FROM {table} GROUP BY 1
+),
+base AS {mat}(
+  SELECT day - MIN(day) OVER () AS t, CAST(y AS DOUBLE) AS y,
+         CAST(SUM(y) OVER () AS DOUBLE) / COUNT(*) OVER () AS ybar
+  FROM daily
+),
+led AS {mat}(
+  SELECT t, y, ybar,
+         {leads}
+  FROM base
+),
+sums AS {mat}(
+  SELECT CAST(SUM(CAST(FLOOR((y - ybar) * (y - ybar) * 1e-3 + 0.5) AS BIGINT))
+              AS DOUBLE) * 1e3 AS c0,
+         {num_terms}
+  FROM led
+),
+r AS {mat}(
+  SELECT {r_cols}
+  FROM sums
+),
+{steps_sql},
+final AS {mat}(SELECT {", ".join(pacf_cols)}, * FROM s{K})
+{unions}
+ORDER BY lag
+"""
+
+
+@register(
+    "ts_pacf_durbin",
+    oracle=_pacf_sql("events", "epoch_us", "//", "MATERIALIZED "),
+)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function via the Durbin–Levinson
+    recursion — the AR-order diagnostic that complements
+    `ts_autocorrelation` (ACF says WHICH lags correlate; PACF says
+    which correlate DIRECTLY after shorter lags are regressed out,
+    and its cutoff picks p for an AR(p) model).
+
+    Structure mirrors the survival/Kalman family: the daily rollup is
+    the only data-sized pass; lag products come from LEAD windows over
+    the collapsed per-day table (per-term integer gridding before the
+    sums, no ordered-float accumulation); and the k-step recursion is
+    UNROLLED scalar math over one aggregate row — per-step CTEs are
+    MATERIALIZED in the DuckDB oracle so inlining can't explode, and
+    Spark runs the identical SQL text via a temp view, so the doubles
+    agree bit-for-bit (python-loop vs recursive-CTE lesson, SCALE.md
+    round 7).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("pacf_events")
+    return spark.sql(_pacf_sql("pacf_events", "unix_micros", " div ", ""))

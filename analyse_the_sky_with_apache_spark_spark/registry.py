@@ -177,6 +177,7 @@ _ROTATION_R10 = (
     "lightcurve_lomb_scargle", "corpus_filter_ablation",
     "graph_random_walks", "ml_bagged_stumps", "ts_segmented_trend",
     "events_markov_anomaly", "graph_ktruss_peel",
+    "stat_hodges_lehmann", "ts_pacf_durbin",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -95,6 +95,11 @@ EXTENDED = (
     "udtf_cogrouped_map",        # cogrouped pandas reconciliation
     "ml_gbt_stump_boost",        # two boosting rounds of histogram stumps
     "lightcurve_pdm_theta",      # PDM variance-ratio period scan
+    # driver-round-8 session additions (regression reference: BENCH_r08)
+    "sim_rerank_two_stage",      # shortlist-then-rescore retrieval
+    "graph_random_walks",        # md5-coin DeepWalk corpus, 3 hops
+    "lightcurve_lomb_scargle",   # irregular-sampling periodogram
+    "ml_bagged_stumps",          # 8-replica Poisson-bootstrap bagging
 )
 
 

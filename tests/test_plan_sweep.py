@@ -216,6 +216,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative-moment prefix sums over the collapsed per-day table
     # (the knot scan input; |days| rows)
     "ts_segmented_trend",
+    # LEAD lag-product windows over the same collapsed per-day table
+    "ts_pacf_durbin",
 }
 
 
