@@ -1377,3 +1377,79 @@ def corpus_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("filter_name")
     )
+
+
+#: mix-epoch planning: total token budget, per-source epoch cap.
+_MIX_BUDGET = 200_000
+_MIX_EPOCH_CAP = 4
+
+
+@register(
+    "corpus_mix_epochs",
+    oracle=f"""
+WITH src AS (
+  SELECT source, CAST(SUM(n_chars // 4) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+plan AS (
+  SELECT source, tokens,
+         CAST({_MIX_BUDGET} // (SELECT COUNT(*) FROM src) AS BIGINT)
+           AS required
+  FROM src
+)
+SELECT source, tokens, required,
+       CAST(LEAST(CAST(CEIL(CAST(required AS DOUBLE) / tokens) AS BIGINT),
+                  {_MIX_EPOCH_CAP}) AS BIGINT) AS epochs,
+       CAST(LEAST(required, {_MIX_EPOCH_CAP} * tokens) AS BIGINT)
+         AS effective_tokens,
+       CAST(GREATEST(required - {_MIX_EPOCH_CAP} * tokens, 0) AS BIGINT)
+         AS deficit
+FROM plan ORDER BY source
+""",
+)
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning for a token-budgeted pretraining mix: given a
+    total budget and a target allocation (uniform here), how many
+    EPOCHS (repeats) each source needs to fill its share, capped at 4
+    (the empirical repeat ceiling past which repeated data stops
+    helping — the LLaMA/DoReMi-style recipe step), plus the resulting
+    shortfall per source. `corpus_domain_mix_weights` chooses the
+    target mix; this key converts it into the repeat plan a sampler
+    executes, and the deficit column is what forces a mix
+    renegotiation when a small source can't fill its quota.
+
+    One token-count aggregate per source (the only data-sized pass;
+    tokens ≈ chars/4 in integer division), a 1-row source-count
+    broadcast, then pure integer scalar math — epochs via
+    ceil-division on exact longs, effective/deficit via LEAST/GREATEST.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.expr("n_chars div 4")).alias("tokens")
+    )
+    nsrc = src.agg(F.count(F.lit(1)).alias("ns"))
+    plan = src.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "tokens",
+        F.expr(f"{_MIX_BUDGET} div ns").cast("long").alias("required"),
+    )
+    epochs = F.least(
+        F.ceil(F.col("required").cast("double") / F.col("tokens")).cast(
+            "long"
+        ),
+        F.lit(_MIX_EPOCH_CAP).cast("long"),
+    )
+    return plan.select(
+        "source",
+        "tokens",
+        "required",
+        epochs.alias("epochs"),
+        F.least(F.col("required"), _MIX_EPOCH_CAP * F.col("tokens"))
+        .cast("long")
+        .alias("effective_tokens"),
+        F.greatest(
+            F.col("required") - _MIX_EPOCH_CAP * F.col("tokens"), F.lit(0)
+        )
+        .cast("long")
+        .alias("deficit"),
+    ).orderBy("source")

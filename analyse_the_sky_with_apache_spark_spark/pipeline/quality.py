@@ -1615,3 +1615,94 @@ def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_micro")
     )
+
+
+#: randomized response: truth-coin threshold 0.75 of 32-bit space.
+_RR_SEED = "rr5"
+_RR_THRESH = 3_221_225_472  # 0.75 * 2^32
+
+
+@register(
+    "privacy_rr_aggregate",
+    oracle=f"""
+WITH resp AS (
+  SELECT event_type,
+         CASE WHEN value > 500.0 THEN 1 ELSE 0 END AS truth,
+         CASE WHEN {_hex8_int_duckdb(f"CAST(event_id AS VARCHAR) || ':{_RR_SEED}'")}
+                   < {_RR_THRESH}
+              THEN CASE WHEN value > 500.0 THEN 1 ELSE 0 END
+              ELSE 1 - CASE WHEN value > 500.0 THEN 1 ELSE 0 END END
+           AS reported
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(CAST(SUM(truth) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+            AS BIGINT) AS true_frac_micro,
+       CAST(FLOOR(CAST(SUM(reported) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+            AS BIGINT) AS reported_frac_micro,
+       CAST(FLOOR((CAST(SUM(reported) AS DOUBLE) / COUNT(*) - 0.25) / 0.5
+                  * 1000000.0 + 0.5) AS BIGINT) AS debiased_frac_micro
+FROM resp GROUP BY event_type ORDER BY event_type
+""",
+)
+def privacy_rr_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965) — LOCAL differential privacy,
+    completing the privacy family's central-DP keys (`privacy_dp_*`
+    noise the AGGREGATES; RR noises each RECORD before it ever reaches
+    the aggregator, ε = ln(p/(1−p)) ≈ ln 3 here): every row reports
+    its sensitive bit truthfully with p = 3/4 and flipped otherwise,
+    and the collector DEBIASES the observed frequency with
+    π̂ = (f̂ − (1−p)) / (2p − 1). The true per-group fraction rides
+    along so the key doubles as the estimator-accuracy audit.
+
+    The flip coin is the repo's md5 hash-coin (deterministic for the
+    oracle and for replayable pipelines — a production LDP deployment
+    swaps in client-side RNG). One row-local projection and one
+    aggregate; debiasing is scalar double math on exact counts, so
+    cost at 100 TB is the scan. The estimator variance shrinks as
+    1/n — the usual LDP trade, visible in the small-group rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    truth = F.when(F.col("value") > 500.0, 1).otherwise(0)
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"), F.lit(f":{_RR_SEED}")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    reported = F.when(coin < _RR_THRESH, truth).otherwise(1 - truth)
+    resp = ev.select(
+        "event_type", truth.alias("truth"), reported.alias("reported")
+    )
+    n = F.count(F.lit(1))
+    return (
+        resp.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            F.floor(F.sum("truth").cast("double") / n * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("true_frac_micro"),
+            F.floor(
+                F.sum("reported").cast("double") / n * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("reported_frac_micro"),
+            F.floor(
+                (F.sum("reported").cast("double") / n - F.lit(0.25))
+                / F.lit(0.5)
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("debiased_frac_micro"),
+        )
+        .orderBy("event_type")
+    )

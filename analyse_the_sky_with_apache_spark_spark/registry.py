@@ -178,6 +178,7 @@ _ROTATION_R10 = (
     "graph_random_walks", "ml_bagged_stumps", "ts_segmented_trend",
     "events_markov_anomaly", "graph_ktruss_peel",
     "stat_hodges_lehmann", "ts_pacf_durbin",
+    "corpus_mix_epochs", "privacy_rr_aggregate",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -149,6 +149,8 @@ _BNL_ALLOWED = {
     # 8-row trial-period VALUES fan-out against the event scan (the
     # lightcurve_bls_box / ts_spectral_power period-grid shape)
     "lightcurve_lomb_scargle",
+    # 1-row source-count broadcast for the per-source budget share
+    "corpus_mix_epochs",
 }
 
 _KEYS = sorted(
