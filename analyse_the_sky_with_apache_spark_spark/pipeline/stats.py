@@ -4219,3 +4219,586 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("pacf_events")
     return spark.sql(_pacf_sql("pacf_events", "unix_micros", " div ", ""))
+
+
+@register(
+    "stat_jarque_bera",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s1,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 10000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * l_quantity
+                             * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * l_quantity
+                             * l_quantity * 10000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / 10000.0 / n AS r1,
+         CAST(s2 AS DOUBLE) / 10000.0 / n AS r2,
+         CAST(s3 AS DOUBLE) / 10000.0 / n AS r3,
+         CAST(s4 AS DOUBLE) / 10000.0 / n AS r4
+  FROM s
+),
+c AS (
+  SELECT l_returnflag, n,
+         r2 - r1 * r1 AS m2,
+         r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS m3,
+         r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+            - 3.0 * r1 * r1 * r1 * r1 AS m4
+  FROM m
+),
+j AS (
+  SELECT l_returnflag, n,
+         m3 / (m2 * sqrt(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exkurt
+  FROM c
+)
+SELECT l_returnflag, n,
+       CAST(FLOOR(skew * 1000000.0 + 0.5) AS BIGINT) AS skew_micro,
+       CAST(FLOOR(exkurt * 1000000.0 + 0.5) AS BIGINT) AS exkurt_micro,
+       CAST(FLOOR(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0)
+                  * 1000.0 + 0.5) AS BIGINT) AS jb_milli,
+       n / 6.0 * (skew * skew + exkurt * exkurt / 4.0) > 5.991
+         AS non_normal
+FROM j
+ORDER BY l_returnflag
+""",
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return-flag group — the
+    moment-based omnibus check (JB = n/6*(S^2 + K^2/4), S = skewness,
+    K = excess kurtosis) that `stat_anova_oneway` and friends implicitly
+    assume away. Built on the `agg_higher_moments` algebra: four exact
+    scaled-long power sums per group in ONE aggregation (mergeable
+    monoid state — partial aggregation does the heavy lifting
+    map-side), then skewness/kurtosis/JB assembled from the exact longs
+    with one identical IEEE double expression tree in both engines and
+    landed on fixed grids. 5.991 = chi-squared(2) at alpha=0.05.
+
+    100-TB posture: a single hash aggregate on the group key; no
+    shuffle beyond |groups| rows of 5-long state. quantity^4 at grid
+    1e4 is ~6e10/row so 2^63 holds to ~1.5e8 rows/group; past that the
+    power sums move to DECIMAL(38,0) lanes (same plan shape).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+
+    def psum(p, name):
+        expr = q
+        for _ in range(p - 1):
+            expr = expr * q
+        return F.sum(F.floor(expr * F.lit(1e4) + F.lit(0.5))).alias(name)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        psum(1, "s1"), psum(2, "s2"), psum(3, "s3"), psum(4, "s4"),
+    )
+    r1 = F.col("s1").cast("double") / F.lit(10000.0) / F.col("n")
+    r2 = F.col("s2").cast("double") / F.lit(10000.0) / F.col("n")
+    r3 = F.col("s3").cast("double") / F.lit(10000.0) / F.col("n")
+    r4 = F.col("s4").cast("double") / F.lit(10000.0) / F.col("n")
+    m = s.select(
+        "l_returnflag", "n",
+        (r2 - r1 * r1).alias("m2"),
+        (r3 - F.lit(3.0) * r1 * r2 + F.lit(2.0) * r1 * r1 * r1).alias("m3"),
+        (
+            r4 - F.lit(4.0) * r1 * r3 + F.lit(6.0) * r1 * r1 * r2
+            - F.lit(3.0) * r1 * r1 * r1 * r1
+        ).alias("m4"),
+    )
+    j = m.select(
+        "l_returnflag", "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt("m2"))).alias("skew"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("exkurt"),
+    )
+    jb = F.col("n") / F.lit(6.0) * (
+        F.col("skew") * F.col("skew")
+        + F.col("exkurt") * F.col("exkurt") / F.lit(4.0)
+    )
+    return j.select(
+        "l_returnflag", "n",
+        F.floor(F.col("skew") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("skew_micro"),
+        F.floor(F.col("exkurt") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("exkurt_micro"),
+        F.floor(jb * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("jb_milli"),
+        (jb > F.lit(5.991)).alias("non_normal"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT q, CAST(SUM(c) AS BIGINT) AS t FROM v GROUP BY q),
+r AS (
+  SELECT q, t,
+         CAST(2 * COALESCE(SUM(t) OVER (ORDER BY q
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2
+  FROM t
+),
+g AS (
+  SELECT grp, CAST(SUM(v.c) AS BIGINT) AS nj,
+         CAST(SUM(v.c * r.r2) AS BIGINT) AS rj2
+  FROM v JOIN r USING (q) GROUP BY grp
+),
+gtot AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+terms AS (
+  SELECT grp, nj, rj2, n, k,
+         CAST(FLOOR(CAST(rj2 AS DOUBLE) * CAST(rj2 AS DOUBLE)
+                    / nj / 4.0
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+  FROM g CROSS JOIN gtot
+),
+ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ttsum FROM t
+),
+tot AS (
+  SELECT MAX(n) AS n, MAX(k) AS k,
+         CAST(SUM(term_nano) AS BIGINT) AS sterm
+  FROM terms
+),
+h AS (
+  SELECT n, k,
+         12.0 * (CAST(sterm AS DOUBLE) / 1000000000.0)
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h_raw,
+         1.0 - CAST(ttsum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)) AS cfac
+  FROM tot CROSS JOIN ties
+)
+SELECT grp, nj, rj2, term_nano, h.n AS n, h.k AS k,
+       CAST(FLOOR(h_raw * 1000000.0 + 0.5) AS BIGINT) AS h_micro,
+       CAST(FLOOR(h_raw / cfac * 1000000.0 + 0.5) AS BIGINT) AS h_adj_micro,
+       h_raw / cfac > 5.991 AS reject
+FROM terms CROSS JOIN h
+ORDER BY grp
+""",
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test (one-way ANOVA on ranks) for quantity
+    across return-flag groups, with the tie correction — the
+    distribution-free sibling of `stat_anova_oneway` and the k-group
+    generalization of `stat_mann_whitney`. Ranks are never assigned
+    row-by-row: quantity collapses to a distinct-value frequency table
+    first (~50 tied values), the 2x-scaled average rank per value is
+    the exact integer ``2*count_below + t + 1``, and per-group rank
+    sums are exact longs from one join + aggregate. Per-group
+    Rj^2/(4*nj*N*(N+1)) terms are gridded to 1e-9 BEFORE the final sum (the KS
+    pre-bin lesson, stats.py:385) so no float accumulation order leaks.
+
+    100-TB posture: the only data-sized passes are two hash aggregates
+    on (grp, value) and (value); the rank window runs over the
+    COLLAPSED distinct-value table (bounded by value cardinality — for
+    continuous measures pre-bin onto a fixed grid exactly like KS).
+    5.991 = chi-squared(k-1=2) at alpha=0.05.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("q"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = v.groupBy("q").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    r = t.select(
+        "q", "t",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+            + F.col("t") + F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    g = (
+        v.join(r.select("q", "r2"), "q")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(F.col("c") * F.col("r2")).alias("rj2"),
+        )
+    )
+    gtot = g.agg(F.sum("nj").alias("n"), F.count(F.lit(1)).alias("k"))
+    nd = F.col("n").cast("double")
+    terms = g.crossJoin(F.broadcast(gtot)).select(
+        "grp", "nj", "rj2", "n", "k",
+        F.floor(
+            F.col("rj2").cast("double") * F.col("rj2").cast("double")
+            / F.col("nj") / F.lit(4.0)
+            / (nd * (nd + F.lit(1.0)))
+            * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("term_nano"),
+    )
+    ties = t.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ttsum")
+    )
+    tot = terms.agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum("term_nano").alias("sterm"),
+    )
+    h = tot.crossJoin(F.broadcast(ties)).select(
+        "n", "k",
+        (
+            F.lit(12.0) * (F.col("sterm").cast("double") / F.lit(1e9))
+            - F.lit(3.0) * (nd + F.lit(1.0))
+        ).alias("h_raw"),
+        (
+            F.lit(1.0)
+            - F.col("ttsum").cast("double") / (nd * nd * nd - nd)
+        ).alias("cfac"),
+    )
+    return (
+        terms.drop("n", "k").crossJoin(F.broadcast(h))
+        .select(
+            "grp", "nj", "rj2", "term_nano", "n", "k",
+            F.floor(F.col("h_raw") * F.lit(1e6) + F.lit(0.5))
+            .cast("long").alias("h_micro"),
+            F.floor(F.col("h_raw") / F.col("cfac") * F.lit(1e6) + F.lit(0.5))
+            .cast("long").alias("h_adj_micro"),
+            (F.col("h_raw") / F.col("cfac") > F.lit(5.991)).alias("reject"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "stat_friedman_test",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+blocks AS (
+  SELECT day FROM cell CROSS JOIN kk
+  GROUP BY day, k HAVING COUNT(*) = MAX(k)
+),
+ranked AS (
+  SELECT c.day, c.event_type,
+         CAST(2 * RANK() OVER (PARTITION BY c.day ORDER BY c.y)
+              + COUNT(*) OVER (PARTITION BY c.day, c.y) - 1
+              AS BIGINT) AS r2
+  FROM cell c JOIN blocks b ON c.day = b.day
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nblocks,
+         CAST(SUM(r2) AS BIGINT) AS rj2
+  FROM ranked GROUP BY event_type
+),
+tot AS (
+  SELECT MAX(nblocks) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(rj2 * rj2) AS BIGINT) AS srj2sq
+  FROM g
+),
+chi AS (
+  SELECT n, k,
+         12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                 * (CAST(k AS DOUBLE) + 1.0))
+           * (CAST(srj2sq AS DOUBLE) / 4.0)
+           - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS chi2
+  FROM tot
+)
+SELECT event_type, nblocks, rj2, n, k,
+       CAST(FLOOR(chi2 * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro,
+       chi2 > 9.488 AS reject
+FROM g CROSS JOIN chi
+ORDER BY event_type
+""",
+)
+def stat_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the within-block rank test for k related
+    treatments (here: do the 5 event types keep a consistent
+    value-ordering across days, blocking on the day so day-level level
+    shifts cancel?). Blocks are the per-(day, type) mean-value cells of
+    one data-sized rollup (exact integer division of micro-sums so the
+    cell values hash identically), restricted to complete blocks;
+    within-block average-tie ranks are exact 2x-scaled integers built
+    from RANK() plus the same-value COUNT() window (k rows per block —
+    the windows are bounded by the treatment count, never data-sized).
+    chi2_F = 12/(n*k*(k+1)) * sum(Rj^2) - 3n(k+1); since Rj^2 = rj2^2/4
+    is exact, the sum over k treatments is an exact long and only the
+    final scalar assembly is IEEE. 9.488 = chi-squared(k-1=4) at 0.05.
+
+    100-TB posture: one hash aggregate to cells (|days|x|types| rows),
+    everything after runs on the collapsed table. Blocks can be any
+    entity (user, site); cardinality-bounded windows per block.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    blocks = (
+        cell.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == F.col("k"))
+        .select("day")
+    )
+    wrank = Window.partitionBy("day").orderBy("y")
+    wtie = Window.partitionBy("day", "y")
+    ranked = cell.join(blocks, "day").select(
+        "day", "event_type",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie) - F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nblocks"),
+        F.sum("r2").alias("rj2"),
+    )
+    tot = g.agg(
+        F.max("nblocks").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("rj2") * F.col("rj2")).alias("srj2sq"),
+    )
+    ndd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    chi = tot.select(
+        "n", "k",
+        (
+            F.lit(12.0) / (ndd * kd * (kd + F.lit(1.0)))
+            * (F.col("srj2sq").cast("double") / F.lit(4.0))
+            - F.lit(3.0) * ndd * (kd + F.lit(1.0))
+        ).alias("chi2"),
+    )
+    return (
+        g.crossJoin(F.broadcast(chi))
+        .select(
+            "event_type", "nblocks", "rj2", "n", "k",
+            F.floor(F.col("chi2") * F.lit(1e6) + F.lit(0.5))
+            .cast("long").alias("chi2_micro"),
+            (F.col("chi2") > F.lit(9.488)).alias("reject"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_permutation_entropy",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+tri AS (
+  SELECT event_type, y,
+         LEAD(y, 1) OVER (PARTITION BY event_type ORDER BY t) AS y1,
+         LEAD(y, 2) OVER (PARTITION BY event_type ORDER BY t) AS y2
+  FROM h
+),
+pat AS (
+  SELECT event_type,
+         CAST(CASE WHEN y < y1 THEN 1 ELSE 0 END
+              + CASE WHEN y < y2 THEN 2 ELSE 0 END
+              + CASE WHEN y1 < y2 THEN 4 ELSE 0 END AS INT) AS pattern
+  FROM tri WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+),
+c AS (
+  SELECT event_type, pattern, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pat GROUP BY 1, 2
+),
+tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+terms AS (
+  SELECT c.event_type, c.pattern, c.c, t.n,
+         CAST(FLOOR(-(CAST(c.c AS DOUBLE) / t.n)
+                    * ln(CAST(c.c AS DOUBLE) / t.n)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+  FROM c JOIN tot t USING (event_type)
+)
+SELECT event_type, MAX(n) AS n,
+       CAST(COUNT(*) AS BIGINT) AS patterns_seen,
+       CAST(SUM(term_nano) AS BIGINT) AS h_nano,
+       CAST(FLOOR(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0
+                  / ln(6.0) * 1000000.0 + 0.5) AS BIGINT) AS h_norm_micro
+FROM terms GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (order 3) per event type — the
+    ordinal-pattern complexity measure (Bandt-Pompe): embed the hourly
+    mean-value series in triples, encode each triple's ordinal pattern
+    as 3 comparison bits (ties fold deterministically into the >=
+    branch, so both engines agree bit-for-bit), and take the Shannon
+    entropy of the pattern histogram normalized by ln(3!) — near 1 for
+    noise-like series, low for monotone/periodic structure. Companion
+    to `ts_autocorrelation` (linear memory) and `ts_sax_symbolize`
+    (amplitude symbols): this one is amplitude-free.
+
+    Per-pattern -p*ln(p) terms are gridded to 1e-9 before the exact
+    sum (<= 8 terms/group). 100-TB posture: one data-sized rollup to
+    (type, hour); LEAD windows partition by type over the collapsed
+    series; the histogram is <= 8 rows/type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").alias("t"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    tri = h.select(
+        "event_type", "y",
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    )
+    pat = tri.where(
+        F.col("y1").isNotNull() & F.col("y2").isNotNull()
+    ).select(
+        "event_type",
+        (
+            F.when(F.col("y") < F.col("y1"), 1).otherwise(0)
+            + F.when(F.col("y") < F.col("y2"), 2).otherwise(0)
+            + F.when(F.col("y1") < F.col("y2"), 4).otherwise(0)
+        ).cast("int").alias("pattern"),
+    )
+    c = pat.groupBy("event_type", "pattern").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = c.groupBy("event_type").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = c.join(tot, "event_type").select(
+        "event_type", "pattern", "c", "n",
+        F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("term_nano"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("patterns_seen"),
+            F.sum("term_nano").alias("h_nano"),
+            F.floor(
+                F.sum("term_nano").cast("double") / F.lit(1e9)
+                / F.log(F.lit(6.0)) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("h_norm_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _dw_sql(table: str, epoch_us: str, idiv: str) -> str:
+    """Shared Spark/DuckDB SQL for `stat_durbin_watson` — identical text
+    modulo the epoch-micros function name and integer-div operator, so
+    every IEEE double is produced by the same expression tree in both
+    engines (the ts_pacf_durbin / ts_segmented_trend pattern)."""
+    return f"""
+WITH h AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+rel AS (
+  SELECT CAST(t - MIN(t) OVER () AS BIGINT) AS t, y FROM h
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM rel
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+            * CAST(st AS DOUBLE))
+         / CAST(n AS DOUBLE) AS a
+  FROM ols
+),
+e AS (
+  SELECT t,
+         CAST(FLOOR((CAST(y AS DOUBLE) - (a + b * CAST(t AS DOUBLE)))
+                    / 1000.0 + 0.5) AS BIGINT) AS e3
+  FROM rel CROSS JOIN fit
+),
+d AS (
+  SELECT e3,
+         LAG(e3) OVER (ORDER BY t) AS ep
+  FROM e
+),
+s AS (
+  SELECT CAST(SUM(e3 * e3) AS BIGINT) AS see,
+         CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                       ELSE (e3 - ep) * (e3 - ep) END) AS BIGINT) AS sdd
+  FROM d
+)
+SELECT fit.n AS n,
+       CAST(FLOOR(b * 1000.0 + 0.5) AS BIGINT) AS slope_milli_micro,
+       CAST(FLOOR(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS dw_micro,
+       CAST(FLOOR((1.0 - CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) / 2.0)
+                  * 1000000.0 + 0.5) AS BIGINT) AS rho_micro,
+       CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE) < 1.5 AS positive_autocorr
+FROM s CROSS JOIN fit
+"""
+
+
+@register(
+    "stat_durbin_watson",
+    oracle=_dw_sql("events", "epoch_us", "//"),
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of an hourly
+    trend regression — the lag-1 autocorrelation diagnostic that says
+    whether `ml_linreg_normal`-style OLS standard errors can be
+    trusted on a time series (DW ~ 2 means independent residuals,
+    DW << 2 positive serial correlation; rho ~ 1 - DW/2). One
+    data-sized rollup to the (hour, exact-integer mean) series; OLS
+    slope/intercept from five exact long sums over the collapsed table
+    (hour index re-based to 0 so t*y stays far from 2^63); per-hour
+    residuals gridded to milli-value units BEFORE the squared sums, so
+    both the numerator sum of squared successive differences and the
+    denominator are exact longs. Spark executes the identical SQL text
+    the DuckDB oracle runs (``_dw_sql``), so each double matches
+    bit-for-bit.
+
+    100-TB posture: the rollup is the only full-data pass (hash
+    aggregate, mergeable); the LAG window runs over the collapsed
+    hourly table (bounded by the time range, not the row count — cap
+    with a coarser bucket exactly like ts_pacf_durbin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("dw_events")
+    return spark.sql(_dw_sql("dw_events", "unix_micros", " div "))

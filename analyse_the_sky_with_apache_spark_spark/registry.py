@@ -179,6 +179,8 @@ _ROTATION_R10 = (
     "events_markov_anomaly", "graph_ktruss_peel",
     "stat_hodges_lehmann", "ts_pacf_durbin",
     "corpus_mix_epochs", "privacy_rr_aggregate",
+    "stat_jarque_bera", "stat_kruskal_wallis", "stat_friedman_test",
+    "ts_permutation_entropy", "stat_durbin_watson",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:
