@@ -1453,3 +1453,131 @@ def sim_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _HN_K)
         .select("q_id", "q_label", "neg_id", "neg_label", "score", "rnk")
     )
+
+
+#: ml_knn_classify: query stride (1/20th of vectors are held-out
+#: queries), an id-cap bounding the query batch regardless of corpus
+#: size (the sim_rerank_two_stage pattern — without it the brute
+#: product grows quadratically with SF; measured 167 s at the 10x
+#: fixture uncapped vs linear capped), and the vote neighborhood.
+_KNN_CLS_STRIDE, _KNN_CLS_CAP, _KNN_CLS_K = 20, 4000, 5
+
+
+@register(
+    "ml_knn_classify",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+  FROM embeddings
+  WHERE vec_id % {_KNN_CLS_STRIDE} = 0 AND vec_id < {_KNN_CLS_CAP}
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb, label
+  FROM embeddings WHERE vec_id % {_KNN_CLS_STRIDE} <> 0
+),
+d AS (
+  SELECT q_id, true_label, cand_id, label,
+         round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 6)
+           AS cos
+  FROM q, c
+),
+top AS (
+  SELECT q_id, true_label, label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+    FROM d) WHERE rn <= {_KNN_CLS_K}
+),
+votes AS (
+  SELECT q_id, true_label, label, CAST(COUNT(*) AS BIGINT) AS v
+  FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT q_id, true_label, label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY v DESC, label) AS pr
+    FROM votes) WHERE pr = 1
+)
+SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(FLOOR(CAST(SUM(CASE WHEN pred_label = true_label
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS acc_micro
+FROM pred GROUP BY true_label
+ORDER BY true_label
+""",
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification with a held-out query split —
+    the lazy-learner eval every embedding pipeline runs before training
+    anything: hold out every 20th vector, retrieve its 5 nearest
+    labeled neighbors by exact cosine, vote (ties break to the smallest
+    label), and report per-class accuracy. Complements
+    `sim_centroid_classify` (parametric prototype) and
+    `sim_knn_per_query` (retrieval without the vote).
+
+    Plan: the bounded query split broadcasts against the candidate
+    scan (id-capped, so the batch is bounded by construction at any
+    corpus size); WindowGroupLimit prunes to k per query BELOW the
+    exchange (per-partition top-k heaps, shuffle carries #queries x k
+    rows per mapper); the vote is two cheap hash aggregates on
+    #queries-sized tables. Ordering on the 6-dp-rounded cosine with cand_id
+    tie-breaks (the sim_knn_cosine precedent). At 100 TB this is the
+    brute-force rung — swap the candidate scan for `ann_ivf` cells and
+    keep the vote stages unchanged.
+    """
+    norm = normalized_embeddings(spark, sf_dir)
+    q = norm.filter(
+        (F.col("vec_id") % _KNN_CLS_STRIDE == 0)
+        & (F.col("vec_id") < _KNN_CLS_CAP)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("nvec").alias("q_vec"),
+        F.col("label").alias("true_label"),
+    )
+    c = norm.filter(F.col("vec_id") % _KNN_CLS_STRIDE != 0).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("nvec").alias("c_vec"),
+        "label",
+    )
+    dot = F.aggregate(
+        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("q_id").orderBy(F.col("cos").desc(), "cand_id")
+    top = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "q_id", "true_label", "cand_id", "label",
+            F.round(dot, 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _KNN_CLS_K)
+    )
+    votes = top.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wp = W.partitionBy("q_id").orderBy(F.col("v").desc(), "label")
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("q_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            correct.alias("n_correct"),
+            F.floor(
+                correct.cast("double") / F.count(F.lit(1)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("acc_micro"),
+        )
+        .orderBy("true_label")
+    )

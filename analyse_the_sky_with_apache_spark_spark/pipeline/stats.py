@@ -4802,3 +4802,264 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("dw_events")
     return spark.sql(_dw_sql("dw_events", "unix_micros", " div "))
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 1000 AS bin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM scored GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, p,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS cn_before,
+         CAST(SUM(n) OVER () AS BIGINT) AS tn
+  FROM bins
+),
+dec AS (
+  SELECT (cn_before * 10) // tn AS decile,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS p
+  FROM cum GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp
+  FROM dec
+),
+terms AS (
+  SELECT decile, n, p, tn, tp,
+         (CAST(decile AS DOUBLE) + 0.5) / 10.0 AS fprob,
+         CAST(p AS DOUBLE) / n AS obar_b,
+         CAST(tp AS DOUBLE) / tn AS obar
+  FROM dec CROSS JOIN tot
+),
+g AS (
+  SELECT decile, n, p,
+         CAST(FLOOR((fprob * fprob * n - 2.0 * fprob * p + p)
+                    / tn * 1000000000.0 + 0.5) AS BIGINT) AS brier_nano,
+         CAST(FLOOR(n * (fprob - obar_b) * (fprob - obar_b)
+                    / tn * 1000000000.0 + 0.5) AS BIGINT) AS rel_nano,
+         CAST(FLOOR(n * (obar_b - obar) * (obar_b - obar)
+                    / tn * 1000000000.0 + 0.5) AS BIGINT) AS res_nano,
+         obar
+  FROM terms
+)
+SELECT decile, n, p,
+       CAST(SUM(brier_nano) OVER () AS BIGINT) AS brier_nano,
+       CAST(SUM(rel_nano) OVER () AS BIGINT) AS rel_nano,
+       CAST(SUM(res_nano) OVER () AS BIGINT) AS res_nano,
+       CAST(FLOOR(obar * (1.0 - obar) * 1000000000.0 + 0.5) AS BIGINT)
+         AS unc_nano
+FROM g
+ORDER BY decile
+""",
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition — the probabilistic
+    sibling of `ml_calibration_bins`: treat the order-value decile as a
+    10-level probability forecast (decile d forecasts p=(d+0.5)/10) for
+    the high-priority outcome and split the mean squared error into
+    reliability (calibration gap, lower better), resolution
+    (discrimination, higher better) and outcome uncertainty:
+    Brier = REL - RES + UNC, an identity this operator preserves on the
+    1e-9 grid because the forecast is constant within each bin
+    (tests/test_round8_ops.py pins it).
+
+    Plan: the `ml_lift_curve` decile machinery (hash agg to value bins,
+    cumulative window over the COLLAPSED bin table, decile re-group),
+    then per-decile double terms gridded to nano before 10-row sums.
+    100-TB posture: the only data-sized pass is the first hash
+    aggregate; everything downstream is bin-cardinality-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # mirror DuckDB's // with floor(): bin cents are positive here, but
+    # floor keeps the semantics aligned if the measure ever goes signed.
+    scored = o.select(
+        F.floor(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            / F.lit(1000)
+        ).cast("long").alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin", "n", "p",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("cn_before"),
+        F.sum("n").over(wall).alias("tn"),
+    )
+    dec = cum.groupBy(
+        F.expr("(cn_before * 10) div tn").alias("decile")
+    ).agg(F.sum("n").alias("n"), F.sum("p").alias("p"))
+    tot = dec.agg(F.sum("n").alias("tn"), F.sum("p").alias("tp"))
+    fprob = (F.col("decile").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    obar_b = F.col("p").cast("double") / F.col("n")
+    obar = F.col("tp").cast("double") / F.col("tn")
+    terms = dec.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "p", "tn", "tp",
+        fprob.alias("fprob"), obar_b.alias("obar_b"), obar.alias("obar"),
+    )
+    g = terms.select(
+        "decile", "n", "p", "obar",
+        F.floor(
+            (
+                F.col("fprob") * F.col("fprob") * F.col("n")
+                - F.lit(2.0) * F.col("fprob") * F.col("p")
+                + F.col("p")
+            ) / F.col("tn") * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("brier_t"),
+        F.floor(
+            F.col("n") * (F.col("fprob") - F.col("obar_b"))
+            * (F.col("fprob") - F.col("obar_b"))
+            / F.col("tn") * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("rel_t"),
+        F.floor(
+            F.col("n") * (F.col("obar_b") - F.col("obar"))
+            * (F.col("obar_b") - F.col("obar"))
+            / F.col("tn") * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("res_t"),
+    )
+    return g.select(
+        "decile", "n", "p",
+        F.sum("brier_t").over(wall).alias("brier_nano"),
+        F.sum("rel_t").over(wall).alias("rel_nano"),
+        F.sum("res_t").over(wall).alias("res_nano"),
+        F.floor(
+            F.col("obar") * (F.lit(1.0) - F.col("obar")) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long").alias("unc_nano"),
+    ).orderBy("decile")
+
+
+def _hurst_sql(table: str, epoch_us: str, idiv: str, unnest8: str) -> str:
+    """Shared Spark/DuckDB SQL for `ts_hurst_rs` (identical text modulo
+    the epoch function, integer-div operator and array-explode idiom)."""
+    return f"""
+WITH h AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+rel AS (
+  SELECT CAST(t - MIN(t) OVER () AS BIGINT) AS t, y FROM h
+),
+sizes AS (SELECT CAST(u AS BIGINT) AS s FROM ({unnest8})),
+ch AS (
+  SELECT s, t {idiv} s AS chunk, t % s + 1 AS i, y
+  FROM rel CROSS JOIN sizes
+),
+cs AS (
+  SELECT s, chunk, i, y,
+         CAST(SUM(y) OVER (PARTITION BY s, chunk ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(y) OVER (PARTITION BY s, chunk) AS BIGINT) AS tot,
+         CAST(SUM(y * y) OVER (PARTITION BY s, chunk) AS BIGINT) AS tot2,
+         CAST(COUNT(*) OVER (PARTITION BY s, chunk) AS BIGINT) AS cnt
+  FROM ch
+),
+w AS (
+  SELECT s, chunk, s * cum - i * tot AS wp, tot, tot2, cnt FROM cs
+),
+rs AS (
+  SELECT s, chunk,
+         CAST(FLOOR(CAST(MAX(wp) - MIN(wp) AS DOUBLE)
+                    / sqrt(CAST(MAX(s) * MAX(tot2)
+                                - MAX(tot) * MAX(tot) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS rs_micro
+  FROM w
+  WHERE cnt = s AND s * tot2 - tot * tot > 0
+  GROUP BY s, chunk
+),
+m AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(rs_micro) AS BIGINT) AS srs
+  FROM rs GROUP BY s
+),
+z AS (
+  SELECT s, n_chunks,
+         CAST(FLOOR(CAST(srs AS DOUBLE) / n_chunks + 0.5) AS BIGINT)
+           AS mean_rs_micro,
+         ln(CAST(s AS DOUBLE)) / ln(2.0) AS x,
+         ln(CAST(srs AS DOUBLE) / n_chunks / 1000000.0) / ln(2.0) AS zz
+  FROM m
+),
+g9 AS (
+  SELECT s, n_chunks, mean_rs_micro,
+         CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT) AS x9,
+         CAST(FLOOR(zz * 1000000000.0 + 0.5) AS BIGINT) AS z9,
+         CAST(FLOOR(x * zz * 1000000000.0 + 0.5) AS BIGINT) AS xz9,
+         CAST(FLOOR(x * x * 1000000000.0 + 0.5) AS BIGINT) AS xx9
+  FROM z
+),
+f0 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+         CAST(SUM(x9) AS DOUBLE) / 1000000000.0 AS sx,
+         CAST(SUM(z9) AS DOUBLE) / 1000000000.0 AS sz,
+         CAST(SUM(xz9) AS DOUBLE) / 1000000000.0 AS sxz,
+         CAST(SUM(xx9) AS DOUBLE) / 1000000000.0 AS sxx
+  FROM g9
+),
+fit AS (
+  SELECT (np * sxz - sx * sz) / (np * sxx - sx * sx) AS hurst
+  FROM f0 WHERE np >= 2.0
+)
+SELECT s, n_chunks, mean_rs_micro,
+       CAST(FLOOR(hurst * 1000000.0 + 0.5) AS BIGINT) AS hurst_micro,
+       hurst > 0.65 AS persistent
+FROM g9 LEFT JOIN fit ON TRUE
+ORDER BY s
+"""
+
+
+@register(
+    "ts_hurst_rs",
+    oracle=_hurst_sql(
+        "events", "epoch_us", "//", "SELECT unnest([8, 16, 32, 64]) AS u"
+    ),
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis — the
+    long-memory diagnostic (H ~ 0.5 random walk, H > 0.5 persistent
+    trends, H < 0.5 mean-reverting) complementing `ts_autocorrelation`
+    (short-lag linear memory) and `ts_hampel_filter` (local outliers).
+    The hourly milli-gridded series is chunked at 4 dyadic window sizes;
+    per chunk, the cumulative-deviation range R and std S come from the
+    EXACT integer identities s*R = max(s*cum - i*tot) - min(...) and
+    s*S = sqrt(s*tot2 - tot^2), so R/S needs one double divide+sqrt per
+    chunk (gridded to 1e-6 before per-size means); the log2-log2 slope
+    is a generic OLS over whichever sizes produced at least one full
+    chunk (sparse series can starve the large windows; per-point terms
+    grid to 1e-9 before the exact sums, the text_heaps_law shape — the
+    fit row is absent below 2 sizes, surfacing NULL). Spark executes the identical SQL text the
+    oracle runs (``_hurst_sql``), so every double matches bit-for-bit.
+
+    100-TB posture: one data-sized rollup; the chunk windows partition
+    by (size, chunk) — thousands of independent small windows, no
+    global sort; milli gridding keeps s*tot2 < 2^63 through ~1e5-hour
+    ranges (re-grid coarser for decade-long series).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hurst_events")
+    return spark.sql(
+        _hurst_sql(
+            "hurst_events", "unix_micros", " div ",
+            "SELECT explode(array(8, 16, 32, 64)) AS u",
+        )
+    )

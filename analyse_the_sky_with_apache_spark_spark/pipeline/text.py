@@ -1481,3 +1481,263 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+firsts AS (SELECT w, CAST(MIN(doc_id) AS BIGINT) AS fd FROM tok GROUP BY w),
+dtok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok FROM tok GROUP BY doc_id
+),
+mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mid FROM documents),
+thr AS (
+  SELECT CAST(u AS BIGINT) AS c, (mid * CAST(u AS BIGINT)) // 10 AS thr
+  FROM (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS u) CROSS JOIN mx
+),
+nv AS (
+  SELECT t.c, t.thr,
+         CAST(SUM(CASE WHEN d.doc_id <= t.thr THEN d.ntok ELSE 0 END)
+              AS BIGINT) AS n_tokens
+  FROM dtok d CROSS JOIN thr t GROUP BY t.c, t.thr
+),
+vv AS (
+  SELECT t.c,
+         CAST(SUM(CASE WHEN f.fd <= t.thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS vocab
+  FROM firsts f CROSS JOIN thr t GROUP BY t.c
+),
+pts AS (
+  SELECT nv.c, nv.thr, nv.n_tokens, vv.vocab,
+         ln(CAST(nv.n_tokens AS DOUBLE)) AS x,
+         ln(CAST(vv.vocab AS DOUBLE)) AS z
+  FROM nv JOIN vv ON nv.c = vv.c
+),
+g AS (
+  SELECT c, thr, n_tokens, vocab,
+         CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT) AS x9,
+         CAST(FLOOR(z * 1000000000.0 + 0.5) AS BIGINT) AS z9,
+         CAST(FLOOR(x * z * 1000000000.0 + 0.5) AS BIGINT) AS xz9,
+         CAST(FLOOR(x * x * 1000000000.0 + 0.5) AS BIGINT) AS xx9
+  FROM pts
+),
+fit AS (
+  SELECT (10.0 * (CAST(SUM(xz9) AS DOUBLE) / 1000000000.0)
+          - (CAST(SUM(x9) AS DOUBLE) / 1000000000.0)
+            * (CAST(SUM(z9) AS DOUBLE) / 1000000000.0))
+         / (10.0 * (CAST(SUM(xx9) AS DOUBLE) / 1000000000.0)
+            - (CAST(SUM(x9) AS DOUBLE) / 1000000000.0)
+              * (CAST(SUM(x9) AS DOUBLE) / 1000000000.0)) AS beta,
+         CAST(SUM(z9) AS DOUBLE) / 1000000000.0 / 10.0 AS zbar,
+         CAST(SUM(x9) AS DOUBLE) / 1000000000.0 / 10.0 AS xbar
+  FROM g
+)
+SELECT c, thr, n_tokens, vocab,
+       CAST(FLOOR(beta * 1000000.0 + 0.5) AS BIGINT) AS beta_micro,
+       CAST(FLOOR(exp(zbar - beta * xbar) * 1000.0 + 0.5) AS BIGINT)
+         AS k_milli
+FROM g CROSS JOIN fit
+ORDER BY c
+""",
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit — vocabulary growth V(N) = K * N^beta over ten
+    corpus-prefix checkpoints, the sublinearity law every tokenizer /
+    dedup budget planner leans on (beta ~ 0.5 natural text; beta near 1
+    flags boilerplate-free synthetic or heavily-deduped corpora; a
+    checkpoint where vocab jumps off the fitted curve flags a source
+    mixture shift). The prefix trick keeps it one-pass: a token's first
+    occurrence doc (MIN(doc_id) per type) makes "vocab at prefix c" a
+    simple <=-threshold count — no running COUNT(DISTINCT), which does
+    not distribute.
+
+    Plan: the token explode feeds two hash aggregates (per-type first
+    doc, per-doc token count); the 10-row checkpoint table cross-joins
+    the COLLAPSED per-doc and per-type tables (10 cheap passes over
+    vocab-sized data); the log-log OLS runs over 10 points, each term
+    gridded to 1e-9 before the exact sums. 100-TB posture: vocab-sized
+    shuffles only; swap the 10x conditional-sum for a one-pass bucket
+    rollup (doc_id -> decile) if the checkpoint count ever grows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    dtok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok"))
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    thr = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("c"))
+        .crossJoin(F.broadcast(mx))
+        .select("c", F.expr("(mid * c) div 10").alias("thr"))
+    )
+    nv = (
+        dtok.crossJoin(F.broadcast(thr))
+        .groupBy("c", "thr")
+        .agg(
+            F.sum(
+                F.when(F.col("doc_id") <= F.col("thr"), F.col("ntok"))
+                .otherwise(0)
+            ).alias("n_tokens")
+        )
+    )
+    vv = (
+        firsts.crossJoin(F.broadcast(thr))
+        .groupBy("c")
+        .agg(
+            F.sum(
+                F.when(F.col("fd") <= F.col("thr"), 1).otherwise(0)
+            ).alias("vocab")
+        )
+    )
+    pts = nv.join(vv, "c").select(
+        "c", "thr", "n_tokens", "vocab",
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("z"),
+    )
+    g = pts.select(
+        "c", "thr", "n_tokens", "vocab",
+        F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("x9"),
+        F.floor(F.col("z") * F.lit(1e9) + F.lit(0.5)).cast("long").alias("z9"),
+        F.floor(F.col("x") * F.col("z") * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("xz9"),
+        F.floor(F.col("x") * F.col("x") * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("xx9"),
+    )
+    sx = F.sum("x9").cast("double") / F.lit(1e9)
+    sz = F.sum("z9").cast("double") / F.lit(1e9)
+    sxz = F.sum("xz9").cast("double") / F.lit(1e9)
+    sxx = F.sum("xx9").cast("double") / F.lit(1e9)
+    fit = g.agg(
+        (
+            (F.lit(10.0) * sxz - sx * sz)
+            / (F.lit(10.0) * sxx - sx * sx)
+        ).alias("beta"),
+        (sz / F.lit(10.0)).alias("zbar"),
+        (sx / F.lit(10.0)).alias("xbar"),
+    )
+    return (
+        g.crossJoin(F.broadcast(fit))
+        .select(
+            "c", "thr", "n_tokens", "vocab",
+            F.floor(F.col("beta") * F.lit(1e6) + F.lit(0.5))
+            .cast("long").alias("beta_micro"),
+            F.floor(
+                F.exp(F.col("zbar") - F.col("beta") * F.col("xbar"))
+                * F.lit(1000.0) + F.lit(0.5)
+            ).cast("long").alias("k_milli"),
+        )
+        .orderBy("c")
+    )
+
+
+@register(
+    "text_rouge_overlap",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tk
+),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM idx GROUP BY doc_id, t[i] || ' ' || t[i + 1]
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM big GROUP BY doc_id
+),
+ov AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+  FROM big a JOIN big b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT ov.d1, ov.d2, ov.ov, ta.tot AS tot1, tb.tot AS tot2,
+         CAST(FLOOR(CAST(ov.ov AS DOUBLE) / ta.tot * 1000000.0 + 0.5)
+              AS BIGINT) AS recall_micro,
+         CAST(FLOOR(CAST(ov.ov AS DOUBLE) / tb.tot * 1000000.0 + 0.5)
+              AS BIGINT) AS precision_micro,
+         CAST(FLOOR(2.0 * ov.ov / (ta.tot + tb.tot) * 1000000.0 + 0.5)
+              AS BIGINT) AS f1_micro
+  FROM ov JOIN tot ta ON ov.d1 = ta.doc_id
+          JOIN tot tb ON ov.d2 = tb.doc_id
+)
+SELECT d1, d2, ov, tot1, tot2, recall_micro, precision_micro, f1_micro
+FROM scored
+ORDER BY f1_micro DESC, d1
+LIMIT 20
+""",
+)
+def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap (clipped bigram-multiset recall / precision / F1)
+    between adjacent documents — the summarization-style containment
+    measure that `dedup_ngram_jaccard` (set semantics) misses: repeated
+    bigrams count up to their occurrence minimum, so a doc that loops
+    one phrase cannot inflate its score. Pairing is the deterministic
+    equi-join doc_id -> doc_id+1 (a window-free adjacency — no global
+    sort), the multiset intersection is SUM(LEAST(c_a, c_b)) over the
+    shared-bigram join, and the top-20 ranks on the integer-gridded F1
+    with doc_id tie-breaks.
+
+    100-TB posture: the bigram explode is the data-sized pass; the
+    overlap join shuffles on (doc pair via +1, gram) — hash-partitioned
+    candidate work only, never all-pairs. Any candidate generator
+    (LSH buckets, blocking keys) can replace the +1 adjacency and keep
+    the clipped-counts machinery unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    idx = tk.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+    )
+    big = idx.select(
+        "doc_id",
+        F.concat(
+            F.expr("element_at(t, i)"), F.lit(" "),
+            F.expr("element_at(t, i + 1)"),
+        ).alias("g"),
+    ).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = big.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    a = big.select(
+        F.col("doc_id").alias("d1"), "g", F.col("c").alias("ca")
+    )
+    b = big.select(
+        F.col("doc_id").alias("d2"), "g", F.col("c").alias("cb")
+    )
+    ov = (
+        a.join(b, (F.col("d2") == F.col("d1") + 1) & (a["g"] == b["g"]))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.least("ca", "cb")).alias("ov"))
+    )
+    ta = tot.select(F.col("doc_id").alias("d1"), F.col("tot").alias("tot1"))
+    tb = tot.select(F.col("doc_id").alias("d2"), F.col("tot").alias("tot2"))
+    return (
+        ov.join(ta, "d1")
+        .join(tb, "d2")
+        .select(
+            "d1", "d2", "ov", "tot1", "tot2",
+            F.floor(
+                F.col("ov").cast("double") / F.col("tot1") * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("recall_micro"),
+            F.floor(
+                F.col("ov").cast("double") / F.col("tot2") * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("precision_micro"),
+            F.floor(
+                F.lit(2.0) * F.col("ov") / (F.col("tot1") + F.col("tot2"))
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("f1_micro"),
+        )
+        .orderBy(F.col("f1_micro").desc(), "d1")
+        .limit(20)
+    )

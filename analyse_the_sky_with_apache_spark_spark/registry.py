@@ -181,6 +181,8 @@ _ROTATION_R10 = (
     "corpus_mix_epochs", "privacy_rr_aggregate",
     "stat_jarque_bera", "stat_kruskal_wallis", "stat_friedman_test",
     "ts_permutation_entropy", "stat_durbin_watson",
+    "ml_knn_classify", "ml_brier_decomposition", "ts_hurst_rs",
+    "text_heaps_law", "text_rouge_overlap",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -151,6 +151,20 @@ _BNL_ALLOWED = {
     "lightcurve_lomb_scargle",
     # 1-row source-count broadcast for the per-source budget share
     "corpus_mix_epochs",
+    # 1-row OLS-fit / H-statistic / chi2 scalar broadcasts onto
+    # collapsed tables (round-8 rank/serial-correlation batch)
+    "stat_durbin_watson", "stat_kruskal_wallis", "stat_friedman_test",
+    # 10-row decile table x 1-row totals broadcast (the ml_lift_curve
+    # scalar shape)
+    "ml_brier_decomposition",
+    # 10-row checkpoint VALUES x 1-row fit broadcast onto the collapsed
+    # per-doc / per-type tables
+    "text_heaps_law",
+    # 4-row window-size VALUES fan-out + 1-row slope broadcast
+    "ts_hurst_rs",
+    # bounded query batch broadcasts against the candidate scan (the
+    # sim_knn_per_query serving shape)
+    "ml_knn_classify",
 }
 
 _KEYS = sorted(
@@ -220,6 +234,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ts_segmented_trend",
     # LEAD lag-product windows over the same collapsed per-day table
     "ts_pacf_durbin",
+    # LAG residual window + cumulative rank window over the collapsed
+    # hourly / distinct-value tables (round-8 batch; docstrings carry
+    # the 100-TB capping form)
+    "stat_durbin_watson", "stat_kruskal_wallis",
+    # cumulative decile window over the collapsed score-bin table
+    "ml_brier_decomposition",
 }
 
 

@@ -7,6 +7,8 @@ uniform quantity column, and DW's [0, 4] range contract.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from analyse_the_sky_with_apache_spark_spark.registry import queries
 from tests.conftest import SF_DIR
 
@@ -67,3 +69,81 @@ def test_permutation_entropy_bounds(spark):
         assert 1 <= r["patterns_seen"] <= 8
         assert 0 <= r["h_norm_micro"] <= 1_160_964  # ln(8)/ln(6) + grid
         assert r["n"] > 0
+
+
+def test_brier_murphy_identity(spark):
+    """Brier = REL - RES + UNC must hold on the nano grid (forecast is
+    constant within each decile, so the identity is exact up to
+    10 half-ulp grid roundings)."""
+    row = queries()["ml_brier_decomposition"](spark, SF_DIR).collect()[0]
+    lhs = row["brier_nano"]
+    rhs = row["rel_nano"] - row["res_nano"] + row["unc_nano"]
+    assert abs(lhs - rhs) <= 15
+    assert 0 <= lhs <= 1_000_000_000  # Brier of a binary outcome <= 1
+
+
+def test_knn_classify_covers_every_query(spark):
+    """Every held-out query must get exactly one prediction; per-class
+    counts must total the query-split size."""
+    from tests.conftest import SF_DIR as sd
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.pipeline.similarity import (
+        _KNN_CLS_CAP,
+        _KNN_CLS_STRIDE,
+    )
+
+    rows = queries()["ml_knn_classify"](spark, sd).collect()
+    n_queries = sum(r["n_queries"] for r in rows)
+    expected = (
+        load_table(spark, sd, "embeddings")
+        .filter(
+            (F.col("vec_id") % _KNN_CLS_STRIDE == 0)
+            & (F.col("vec_id") < _KNN_CLS_CAP)
+        )
+        .count()
+    )
+    assert n_queries == expected
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+
+
+def test_hurst_single_exponent_rides_along(spark):
+    """One hurst estimate rides along all four size rows; R/S grows
+    with the window size (the monotonicity R/S analysis relies on)."""
+    rows = queries()["ts_hurst_rs"](spark, SF_DIR).collect()
+    sizes = [r["s"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert set(sizes) <= {8, 16, 32, 64} and sizes
+    assert len({r["hurst_micro"] for r in rows}) == 1
+    rs = [r["mean_rs_micro"] for r in rows]
+    assert rs == sorted(rs)
+    if len(rows) >= 2:  # the fit needs two surviving sizes
+        assert 0 < rows[0]["hurst_micro"] < 1_200_000
+    else:  # sparse fixture: the fit row is absent -> NULL rides along
+        assert rows[0]["hurst_micro"] is None
+
+
+def test_heaps_vocab_and_tokens_monotone(spark):
+    """Cumulative tokens and cumulative vocabulary must both be
+    non-decreasing in the checkpoint index, and vocab <= tokens."""
+    rows = queries()["text_heaps_law"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    toks = [r["n_tokens"] for r in rows]
+    vocs = [r["vocab"] for r in rows]
+    assert toks == sorted(toks) and vocs == sorted(vocs)
+    assert all(v <= t for v, t in zip(vocs, toks))
+    assert len({r["beta_micro"] for r in rows}) == 1
+    # sublinear growth; 0 is legal when vocab saturates in the first
+    # checkpoint (tiny fixtures with heavy token reuse)
+    assert 0 <= rows[0]["beta_micro"] < 1_000_000
+
+
+def test_rouge_f1_bounds_and_clipping(spark):
+    """F1 is bounded by min(recall, precision)*2/(1+min/max)<=1 and the
+    clipped overlap can exceed neither side's bigram total."""
+    rows = queries()["text_rouge_overlap"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["ov"] <= min(r["tot1"], r["tot2"])
+        assert 0 <= r["f1_micro"] <= 1_000_000
+        assert r["d2"] == r["d1"] + 1
