@@ -2056,3 +2056,105 @@ def graph_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("support")
     )
+
+
+#: harmonic closeness: source count and hop budget.
+_HC_SOURCES, _HC_MAX_HOPS = 20, 3
+
+
+@register(
+    "graph_harmonic_closeness",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+srcs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_HC_SOURCES}),
+reach AS (
+  SELECT node AS src, node, 0 AS hop FROM srcs
+  UNION
+  SELECT reach.src, adj.nbr AS node, reach.hop + 1 AS hop
+  FROM reach JOIN adj ON adj.node = reach.node
+  WHERE reach.hop < {_HC_MAX_HOPS}
+),
+md AS (SELECT src, node, MIN(hop) AS hop FROM reach GROUP BY src, node)
+SELECT src,
+       CAST(SUM(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(SUM(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       CAST(SUM(CASE hop WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+                         WHEN 3 THEN 333333 ELSE 0 END) AS BIGINT)
+         AS harmonic_micro
+FROM md GROUP BY src
+ORDER BY src
+""",
+)
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic closeness centrality for the 20 highest-degree
+    hubs: sum of 1/hop over everything within 3 hops — the
+    influence-reach score used where exact all-pairs closeness is
+    unpayable (harmonic handles disconnected graphs gracefully; the
+    hop cap makes the cost |sources| x |3-hop ball| instead of
+    all-pairs). Extends `graph_bfs_hops`' frontier expansion with a
+    source tag: the frontier carries (src, node) pairs, so one
+    distributed loop runs all 20 BFS trees at once, and 1/hop weights
+    are EXACT micro integers (1e6, 5e5, 333333) — no float sums
+    anywhere.
+
+    100-TB posture: each round shuffles |frontier| x avg-degree rows
+    hash-partitioned on node; the visited set stays partitioned; the
+    source set is bounded by construction (degree-ranked top-20, the
+    id-capped-batch discipline). localCheckpoint truncates lineage per
+    round, the bfs/pagerank precedent.
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    srcs = (
+        deg.orderBy(F.col("d").desc(), "node")
+        .limit(_HC_SOURCES)
+        .select("node")
+    )
+    visited = srcs.select(
+        F.col("node").alias("src"), "node", F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("src", "node")
+    for hop in range(1, _HC_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select("src", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited, ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "node")
+    w = (
+        F.when(F.col("hop") == 1, 1_000_000)
+        .when(F.col("hop") == 2, 500_000)
+        .when(F.col("hop") == 3, 333_333)
+        .otherwise(0)
+    )
+    return (
+        visited.groupBy("src")
+        .agg(
+            F.sum(F.when(F.col("hop") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("hop") == 2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col("hop") == 3, 1).otherwise(0)).alias("n3"),
+            F.sum(w).alias("harmonic_micro"),
+        )
+        .orderBy("src")
+    )

@@ -5063,3 +5063,129 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT explode(array(8, 16, 32, 64)) AS u",
         )
     )
+
+
+def _fisher_cells_sql(table: str) -> str:
+    """The 2x2 contingency cells (lang='en' x source='src0')."""
+    return f"""
+SELECT CAST(SUM(CASE WHEN lang = 'en' AND source = 'src0'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+       CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c1,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {table}
+"""
+
+
+def _fisher_lf_sql(cells: str, series: str) -> str:
+    """The gridded log-factorial prefix table lf9 over 0..N — exact
+    integers (per-term 1e-9 grid BEFORE the cumulative sum), so
+    materialization boundaries cannot change a single value."""
+    return f"""
+WITH ints AS (
+  SELECT CAST(i AS BIGINT) AS i FROM ({series.format(src=cells)})
+)
+SELECT i,
+       CAST(SUM(CASE WHEN i = 0 THEN 0
+                     ELSE CAST(FLOOR(ln(CAST(i AS DOUBLE))
+                                     * 1000000000.0 + 0.5) AS BIGINT)
+                END) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS lf9
+FROM ints
+"""
+
+
+def _fisher_main_sql(cells: str, lf: str) -> str:
+    """The hypergeometric tail off materialized `cells` / `lf` tables
+    (identical text both engines — every double comes from the same
+    expression tree)."""
+    return f"""
+WITH base AS (
+  SELECT c.a, c.r1, c.c1, c.n,
+         fr1.lf9 + fr2.lf9 + fc1.lf9 + fc2.lf9 - fn.lf9 AS lfc9
+  FROM {cells} c
+  JOIN {lf} fr1 ON fr1.i = c.r1
+  JOIN {lf} fr2 ON fr2.i = c.n - c.r1
+  JOIN {lf} fc1 ON fc1.i = c.c1
+  JOIN {lf} fc2 ON fc2.i = c.n - c.c1
+  JOIN {lf} fn  ON fn.i = c.n
+),
+ks AS (
+  SELECT b.a, b.r1, b.c1, b.n, k.i AS k,
+         b.lfc9 - gk.lf9 - g1.lf9 - g2.lf9 - g3.lf9 AS lp9
+  FROM base b
+  JOIN {lf} k  ON k.i  <= b.r1 AND k.i <= b.c1
+            AND b.n - b.r1 - b.c1 + k.i >= 0
+  JOIN {lf} gk ON gk.i = k.i
+  JOIN {lf} g1 ON g1.i = b.r1 - k.i
+  JOIN {lf} g2 ON g2.i = b.c1 - k.i
+  JOIN {lf} g3 ON g3.i = b.n - b.r1 - b.c1 + k.i
+),
+obs AS (SELECT lp9 AS lp9_obs FROM ks WHERE k = a),
+summed AS (
+  SELECT MAX(a) AS a, MAX(r1) AS r1, MAX(c1) AS c1, MAX(n) AS n,
+         CAST(SUM(CASE WHEN lp9 <= (SELECT lp9_obs FROM obs)
+                       THEN CAST(FLOOR(exp(CAST(lp9 AS DOUBLE)
+                                           / 1000000000.0)
+                                       * 1000000000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS p_two_pico,
+         CAST(COUNT(*) AS BIGINT) AS k_terms
+  FROM ks
+)
+SELECT a, r1, c1, n, k_terms, p_two_pico,
+       p_two_pico < 50000000000 AS reject
+FROM summed
+"""
+
+
+_FISHER_DUCK_ORACLE = (
+    "WITH cells AS MATERIALIZED ("
+    + _fisher_cells_sql("documents")
+    + "), lf AS MATERIALIZED ("
+    + _fisher_lf_sql(
+        "cells",
+        "SELECT unnest(generate_series(0, (SELECT n FROM {src}))) AS i",
+    )
+    + "), "
+    + _fisher_main_sql("cells", "lf").lstrip()[len("WITH ") :]
+)
+
+
+@register("stat_fisher_exact", oracle=_FISHER_DUCK_ORACLE)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on the 2x2 (lang='en') x (source='src0')
+    contingency table — the small-cell-safe independence test
+    `stat_chi2_independence` approximates. The entire hypergeometric
+    machinery is made hash-deterministic by ONE trick: per-integer
+    ln(i) terms grid to 1e-9 BEFORE the cumulative sum, so the
+    log-factorial table lf9 is EXACT integers, every table-probability
+    log is exact integer arithmetic off 9 lf9 lookups, and the
+    two-sided tail (sum of all k-tables no more probable than the
+    observed one) selects terms by INTEGER comparison — the only IEEE
+    step is one exp() per k, gridded to 1e-12 before the exact sum.
+
+    100-TB posture: the contingency cells are one data-sized aggregate;
+    the lf9 table is |N| COLLAPSED rows (swap in the gridded Stirling
+    expansion once ln-gamma beats materializing the series); the k-scan
+    is bounded by min(r1, c1). Spark executes the identical SQL text
+    via a temp view (``_fisher_sql``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("fisher_documents")
+    cells = spark.sql(
+        _fisher_cells_sql("fisher_documents")
+    ).localCheckpoint(eager=True)
+    cells.createOrReplaceTempView("fisher_cells")
+    # materialize lf ONCE: Spark inlines CTEs, so leaving lf as a CTE
+    # replays the cumulative window at every one of its 9 references
+    # (measured: 27 Window nodes in the un-materialized plan).
+    lf = spark.sql(
+        _fisher_lf_sql(
+            "fisher_cells",
+            "SELECT explode(sequence(0, (SELECT CAST(n AS INT) "
+            "FROM {src}))) AS i",
+        )
+    ).localCheckpoint(eager=True)
+    lf.createOrReplaceTempView("fisher_lf")
+    return spark.sql(_fisher_main_sql("fisher_cells", "fisher_lf"))

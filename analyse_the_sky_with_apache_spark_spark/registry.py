@@ -183,6 +183,7 @@ _ROTATION_R10 = (
     "ts_permutation_entropy", "stat_durbin_watson",
     "ml_knn_classify", "ml_brier_decomposition", "ts_hurst_rs",
     "text_heaps_law", "text_rouge_overlap",
+    "graph_harmonic_closeness", "stat_fisher_exact", "txn_log_wap_publish",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

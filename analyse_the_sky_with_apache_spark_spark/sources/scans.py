@@ -1863,3 +1863,217 @@ def txn_log_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+_txn_wap_roots: dict[str, str] = {}
+
+#: WAP audit threshold: |row-count delta| must stay within 10%.
+_WAP_MAX_DELTA_MICRO = 100_000
+
+
+def _txn_wap_build(spark: SparkSession, sf_dir: str) -> str:
+    """Build the write-audit-publish fixture once per (process, sf):
+    version 0 ingests orders split by key parity; two branch commits
+    are then STAGED (written under _log/_staged, invisible to replay):
+
+    - ``uplift``  — rewrites the even-key file applying a +5% price
+      uplift in exact cents (row count preserved  -> audits pass),
+    - ``baddedup`` — a buggy dedupe rewrite of the odd-key file that
+      keeps only keys with ``(key div 2) % 5 < 3`` (drops ~40% of the
+      file -> the volume audit fails).
+
+    The publish step (in the operator) renames the passing branch's
+    staged file to the next committed version; failing branches stay
+    quarantined in _staged. Returns the table root."""
+    root = _txn_wap_roots.get(sf_dir)
+    if root:
+        return root
+    import json
+
+    root = os.path.join(
+        _SCRATCH, "txnwap_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    data = os.path.join(root, "data")
+    logd = os.path.join(root, "_log")
+    # staged branches live OUTSIDE _log: replay must never see them
+    # (and _txn_active parses every _log entry name as a version).
+    staged = os.path.join(root, "_staged")
+    os.makedirs(staged, exist_ok=True)
+    os.makedirs(logd, exist_ok=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v0 = []
+    for par in (0, 1):
+        p = os.path.join(data, f"parity_{par}_v0")
+        o.filter(F.pmod("o_orderkey", F.lit(2)) == par).write.mode(
+            "overwrite"
+        ).parquet(p)
+        v0.append({"action": "add", "path": p})
+    with open(os.path.join(logd, "00000000.json"), "w") as f:
+        for a in v0:
+            f.write(json.dumps(a) + "\n")
+    # branch "uplift": even-key rewrite, +5% in exact cents
+    up = os.path.join(data, "parity_0_uplift")
+    o.filter(F.pmod("o_orderkey", F.lit(2)) == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.expr(
+                "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                " * 105 div 100"
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("o_totalprice"),
+    ).write.mode("overwrite").parquet(up)
+    with open(os.path.join(staged, "uplift.json"), "w") as f:
+        f.write(json.dumps({"action": "remove", "path": v0[0]["path"]}) + "\n")
+        f.write(json.dumps({"action": "add", "path": up}) + "\n")
+    # branch "baddedup": odd-key rewrite that silently drops rows
+    bad = os.path.join(data, "parity_1_baddedup")
+    o.filter(
+        (F.pmod("o_orderkey", F.lit(2)) == 1)
+        & (F.pmod(F.expr("o_orderkey div 2"), F.lit(5)) < 3)
+    ).write.mode("overwrite").parquet(bad)
+    with open(os.path.join(staged, "baddedup.json"), "w") as f:
+        f.write(json.dumps({"action": "remove", "path": v0[1]["path"]}) + "\n")
+        f.write(json.dumps({"action": "add", "path": bad}) + "\n")
+    _txn_wap_roots[sf_dir] = root
+    return root
+
+
+def _txn_staged_snapshot(
+    spark: SparkSession, root: str, branch: str
+) -> DataFrame:
+    """The table as it WOULD look if `branch` were published: committed
+    replay plus the branch's staged actions."""
+    import json
+
+    active = {a["path"]: a for a in _txn_active(root, 10**9)}
+    with open(os.path.join(root, "_staged", f"{branch}.json")) as f:
+        for line in f:
+            a = json.loads(line)
+            if a["action"] == "add":
+                active[a["path"]] = a
+            elif a["action"] == "remove":
+                active.pop(a["path"], None)
+    return spark.read.parquet(*sorted(active))
+
+
+@register(
+    "txn_log_wap_publish",
+    oracle="""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+),
+cand AS (
+  SELECT 'baddedup' AS branch,
+         CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         OR (o_orderkey // 2) % 5 < 3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_staged
+  FROM orders
+  UNION ALL
+  SELECT 'uplift' AS branch, CAST(COUNT(*) AS BIGINT) AS n_staged
+  FROM orders
+),
+audit AS (
+  SELECT branch, n_staged, base.n AS n_base,
+         CAST(FLOOR(abs(CAST(n_staged AS DOUBLE) / base.n - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS delta_micro
+  FROM cand CROSS JOIN base
+),
+verdicts AS (
+  SELECT branch, n_staged, n_base, delta_micro,
+         delta_micro <= 100000 AS passed
+  FROM audit
+),
+final AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS final_rows,
+         CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                  THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       * 105 // 100
+                  ELSE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  END) AS BIGINT) AS final_cents
+  FROM orders
+)
+SELECT branch, n_staged, n_base, delta_micro, passed,
+       passed AS published, final_rows, final_cents
+FROM verdicts CROSS JOIN final
+ORDER BY branch
+""",
+)
+def txn_log_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish — the lakehouse promotion gate: candidate
+    commits are STAGED on branches (invisible to readers), a volume
+    audit runs against each staged snapshot, and only passing branches
+    are atomically published (staged file renamed to the next committed
+    version; failing branches stay quarantined for forensics). The
+    fixture stages a row-preserving price uplift (passes, publishes)
+    and a buggy dedupe that drops ~40% of a file (fails, quarantined) —
+    the exact incident WAP exists to catch.
+
+    The oracle re-derives every audit measurement AND the final
+    published state relationally, so the hash proves (a) the audit
+    math, (b) that the failing branch's rows are absent from the
+    published table, and (c) that the uplift landed in exact cents.
+    100-TB posture: audits are one aggregate per staged snapshot
+    (metadata-bounded replay + file-pruned scans); publish is a single
+    log-file rename — O(1), the whole point of the pattern.
+    """
+    import json
+
+    root = _txn_wap_build(spark, sf_dir)
+    logd = os.path.join(root, "_log")
+    staged_d = os.path.join(root, "_staged")
+    audit_p = os.path.join(root, "_audit.json")
+    if os.path.exists(audit_p):
+        # audit + publish already ran in this table's lifetime: replay
+        # the recorded verdicts (idempotent re-reads, the bench/sweep
+        # contract — publish must not double-apply).
+        with open(audit_p) as f:
+            rows = [tuple(r) for r in json.load(f)]
+    else:
+        base_n = _txn_snapshot(spark, root, 10**9).count()
+        rows = []
+        for branch in sorted(os.listdir(staged_d)):
+            name = branch.split(".")[0]
+            n_staged = _txn_staged_snapshot(spark, root, name).count()
+            delta = int(abs(n_staged / base_n - 1.0) * 1e6 + 0.5)
+            rows.append(
+                (name, n_staged, base_n, delta,
+                 delta <= _WAP_MAX_DELTA_MICRO)
+            )
+        # publish every passing branch in name order (deterministic)
+        committed = sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(logd) if f.endswith(".json")
+        )
+        next_ver = committed[-1] + 1
+        for name, _, _, _, passed in rows:
+            if not passed:
+                continue
+            sp = os.path.join(staged_d, f"{name}.json")
+            dst = os.path.join(logd, f"{next_ver:08d}.json")
+            if os.path.exists(sp):
+                os.rename(sp, dst)
+                next_ver += 1
+        with open(audit_p, "w") as f:
+            json.dump(rows, f)
+    fin = _txn_snapshot(spark, root, 10**9).agg(
+        F.count(F.lit(1)).alias("final_rows"),
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+        ).alias("final_cents"),
+    )
+    report = spark.createDataFrame(
+        rows, "branch STRING, n_staged BIGINT, n_base BIGINT, "
+        "delta_micro BIGINT, passed BOOLEAN"
+    ).withColumn("published", F.col("passed"))
+    return (
+        report.crossJoin(F.broadcast(fin))
+        .select(
+            "branch", "n_staged", "n_base", "delta_micro", "passed",
+            "published", "final_rows", "final_cents",
+        )
+        .orderBy("branch")
+    )

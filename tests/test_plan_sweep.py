@@ -165,6 +165,11 @@ _BNL_ALLOWED = {
     # bounded query batch broadcasts against the candidate scan (the
     # sim_knn_per_query serving shape)
     "ml_knn_classify",
+    # lf9 lookup theta-joins are bounded by the COLLAPSED 0..N integer
+    # series; cells is a 1-row broadcast (both sides checkpointed)
+    "stat_fisher_exact",
+    # 1-row final-snapshot stats broadcast onto the 2-row audit report
+    "txn_log_wap_publish",
 }
 
 _KEYS = sorted(
@@ -239,6 +244,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # the 100-TB capping form)
     "stat_durbin_watson", "stat_kruskal_wallis",
     # cumulative decile window over the collapsed score-bin table
+    # (the log-factorial window of stat_fisher_exact hides behind its
+    # localCheckpoint, so it never reaches this plan audit)
     "ml_brier_decomposition",
 }
 

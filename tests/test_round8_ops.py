@@ -147,3 +147,48 @@ def test_rouge_f1_bounds_and_clipping(spark):
         assert r["ov"] <= min(r["tot1"], r["tot2"])
         assert 0 <= r["f1_micro"] <= 1_000_000
         assert r["d2"] == r["d1"] + 1
+
+
+def test_wap_failing_branch_stays_quarantined(spark):
+    """The buggy-dedupe branch must fail its audit, remain staged on
+    disk, and leave no trace in the published table (final_rows equals
+    the base count)."""
+    import os
+
+    from analyse_the_sky_with_apache_spark_spark.sources import scans
+
+    rows = {
+        r["branch"]: r
+        for r in queries()["txn_log_wap_publish"](spark, SF_DIR).collect()
+    }
+    assert not rows["baddedup"]["passed"]
+    assert rows["uplift"]["passed"] and rows["uplift"]["published"]
+    assert rows["uplift"]["final_rows"] == rows["uplift"]["n_base"]
+    root = scans._txn_wap_roots[SF_DIR]
+    assert os.path.exists(os.path.join(root, "_staged", "baddedup.json"))
+    assert not os.path.exists(os.path.join(root, "_staged", "uplift.json"))
+    # published version 1 exists
+    assert os.path.exists(os.path.join(root, "_log", "00000001.json"))
+
+
+def test_fisher_p_value_is_a_probability(spark):
+    """Two-sided Fisher p in (0, 1]; the observed table's own
+    probability is always included, so p > 0; k_terms is bounded by
+    min(r1, c1) + 1."""
+    row = queries()["stat_fisher_exact"](spark, SF_DIR).collect()[0]
+    assert 0 < row["p_two_pico"] <= 1_000_000_000_000 + 1
+    assert row["a"] <= min(row["r1"], row["c1"])
+    assert row["k_terms"] <= min(row["r1"], row["c1"]) + 1
+
+
+def test_harmonic_closeness_weights_are_exact(spark):
+    """harmonic_micro must equal the exact integer combination of the
+    hop counts — no float path exists to disagree with."""
+    rows = queries()["graph_harmonic_closeness"](spark, SF_DIR).collect()
+    assert rows and len(rows) <= 20
+    for r in rows:
+        assert (
+            r["harmonic_micro"]
+            == 1_000_000 * r["n1"] + 500_000 * r["n2"] + 333_333 * r["n3"]
+        )
+        assert r["n1"] > 0  # a top-degree hub has neighbors
