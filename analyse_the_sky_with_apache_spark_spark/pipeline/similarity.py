@@ -1581,3 +1581,157 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+#: ml_learning_curve: test split stride/cap and the training-prefix
+#: fractions (percent).
+_LC_STRIDE, _LC_CAP = 5, 2000
+_LC_FRACTIONS = "25,50,75,100"
+
+
+@register(
+    "ml_learning_curve",
+    oracle=f"""
+WITH mx AS (
+  SELECT CAST(MAX(vec_id) AS BIGINT) AS mid FROM embeddings
+),
+fr AS (
+  SELECT CAST(u AS BIGINT) AS f,
+         (mid * CAST(u AS BIGINT)) // 100 AS thr
+  FROM (SELECT unnest([{_LC_FRACTIONS}]) AS u) CROSS JOIN mx
+),
+tr AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings WHERE vec_id % {_LC_STRIDE} <> 0
+),
+cent AS (
+  SELECT fr.f, tr.label AS clabel, tr.i,
+         CAST(SUM(tr.g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nc
+  FROM tr JOIN fr ON tr.vec_id <= fr.thr
+  GROUP BY fr.f, tr.label, tr.i
+),
+te AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings
+  WHERE vec_id % {_LC_STRIDE} = 0 AND vec_id < {_LC_CAP}
+),
+dist AS (
+  SELECT cent.f, te.vec_id, te.label, cent.clabel,
+         round(SUM((CAST(te.g AS DOUBLE) / 1000000.0
+                    - CAST(cent.s AS DOUBLE) / cent.nc / 1000000.0)
+                   * (CAST(te.g AS DOUBLE) / 1000000.0
+                      - CAST(cent.s AS DOUBLE) / cent.nc / 1000000.0)),
+               6) AS d2
+  FROM te JOIN cent USING (i)
+  GROUP BY cent.f, te.vec_id, te.label, cent.clabel
+),
+pred AS (
+  SELECT f, vec_id, label, clabel FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY f, vec_id ORDER BY d2, clabel) AS rn
+    FROM dist) WHERE rn = 1
+),
+tn AS (
+  SELECT fr.f, CAST(COUNT(DISTINCT tr.vec_id) AS BIGINT) AS n_train
+  FROM (SELECT DISTINCT vec_id FROM tr) tr
+  JOIN fr ON tr.vec_id <= fr.thr
+  GROUP BY fr.f
+)
+SELECT p.f AS f_pct, tn.n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN p.clabel = p.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(FLOOR(CAST(SUM(CASE WHEN p.clabel = p.label
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) AS acc_micro
+FROM pred p JOIN tn ON p.f = tn.f
+GROUP BY p.f, tn.n_train
+ORDER BY p.f
+""",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the nearest-centroid classifier: train on
+    growing id-prefixes (25/50/75/100%) of the training split, evaluate
+    each model on the SAME held-out test batch, and report accuracy per
+    prefix — the does-more-data-help measurement every training-data
+    pipeline runs before paying for more data. One pass builds ALL four
+    models: exploding train vectors once and joining the 4-row fraction
+    table fans each element into every prefix that contains it, so
+    centroid sums are per-(fraction, label, dim) hash aggregates over
+    exact 1e-6-gridded integers (`sim_centroid_classify`'s avg is
+    replaced by exact sums / count).
+
+    100-TB posture: the explode is the data-sized pass; centroid state
+    is |fractions| x |labels| x dims rows; scoring is the bounded test
+    batch (id-capped, the ml_knn_classify discipline) against broadcast
+    centroids. d2 rounds to 6 dp before ranking (the centroid-classify
+    precedent).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id").alias("mid"))
+    fr = (
+        spark.range(1, 5)
+        .select((F.col("id") * 25).alias("f"))
+        .crossJoin(F.broadcast(mx))
+        .select("f", F.expr("(mid * f) div 100").alias("thr"))
+    )
+    dims = e.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select(
+        "vec_id", "label",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("g"),
+    )
+    tr = dims.where(F.col("vec_id") % _LC_STRIDE != 0)
+    cent = (
+        tr.join(F.broadcast(fr), tr.vec_id <= fr.thr)
+        .groupBy("f", F.col("label").alias("clabel"), "i")
+        .agg(F.sum("g").alias("s"), F.count(F.lit(1)).alias("nc"))
+    )
+    te = dims.where(
+        (F.col("vec_id") % _LC_STRIDE == 0) & (F.col("vec_id") < _LC_CAP)
+    )
+    tv = F.col("g").cast("double") / F.lit(1e6)
+    cv = F.col("s").cast("double") / F.col("nc") / F.lit(1e6)
+    dist = (
+        te.join(F.broadcast(cent), "i")
+        .groupBy("f", "vec_id", "label", "clabel")
+        .agg(F.round(F.sum((tv - cv) * (tv - cv)), 6).alias("d2"))
+    )
+    from pyspark.sql import Window as W
+
+    wr = W.partitionBy("f", "vec_id").orderBy("d2", "clabel")
+    pred = (
+        dist.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("f", "vec_id", "label", "clabel")
+    )
+    tn = (
+        tr.select("vec_id").distinct()
+        .join(F.broadcast(fr), F.col("vec_id") <= F.col("thr"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    correct = F.sum(
+        F.when(F.col("clabel") == F.col("label"), 1).otherwise(0)
+    )
+    return (
+        pred.join(tn, "f")
+        .groupBy(F.col("f").alias("f_pct"), "n_train")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            correct.alias("n_correct"),
+            F.floor(
+                correct.cast("double") / F.count(F.lit(1)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("acc_micro"),
+        )
+        .orderBy("f_pct")
+    )

@@ -5189,3 +5189,181 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     lf.createOrReplaceTempView("fisher_lf")
     return spark.sql(_fisher_main_sql("fisher_cells", "fisher_lf"))
+
+
+def _runs_sql(table: str, epoch_us: str, idiv: str, median2: str) -> str:
+    """Shared Spark/DuckDB SQL for `stat_runs_test` (identical text
+    modulo epoch fn, integer-div operator and the exact-median idiom)."""
+    return f"""
+WITH h AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+med AS (SELECT CAST({median2} AS BIGINT) AS m2 FROM h),
+signed AS (
+  SELECT t, CASE WHEN 2 * y > m2 THEN 1 ELSE 0 END AS s
+  FROM h CROSS JOIN med
+  WHERE 2 * y <> m2
+),
+runs AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY t) IS NULL THEN 1
+              WHEN LAG(s) OVER (ORDER BY t) <> s THEN 1
+              ELSE 0 END AS is_start
+  FROM signed
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(is_start) AS BIGINT) AS r
+  FROM runs
+),
+z AS (
+  SELECT n1, n2, r,
+         2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS mu,
+         CAST(n1 + n2 AS DOUBLE) AS n
+  FROM agg
+)
+SELECT n1, n2, r,
+       CAST(FLOOR(mu * 1000000.0 + 0.5) AS BIGINT) AS mu_micro,
+       CAST(FLOOR((CAST(r AS DOUBLE) - mu)
+                  / sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))
+                  * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       abs((CAST(r AS DOUBLE) - mu)
+           / sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))) > 1.96
+         AS non_random
+FROM z
+"""
+
+
+@register(
+    "stat_runs_test",
+    oracle=_runs_sql(
+        "events", "epoch_us", "//", "2 * quantile_cont(y, 0.5)"
+    ),
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the hourly mean-value series —
+    counts maximal runs of above/below-median hours and asks whether
+    their number is consistent with exchangeability (too few runs =
+    trending/clustered, too many = oscillating). The randomness
+    diagnostic that complements `stat_durbin_watson` (linear lag-1
+    structure) with a fully nonparametric one. Exact-median split on
+    the 2x integer trick (ties to the median are dropped, the standard
+    treatment); run starts are LAG sign changes; mean and variance of
+    the run count use the sigma^2 = (mu-1)(mu-2)/(n-1) identity so the
+    double chain is three scalar ops off exact longs. Spark executes
+    the identical SQL text (``_runs_sql``) via a temp view.
+
+    100-TB posture: one data-sized rollup; the LAG window runs over
+    the collapsed hourly table (cap with coarser buckets exactly like
+    ts_pacf_durbin); everything else is one aggregate row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("runs_events")
+    return spark.sql(
+        _runs_sql(
+            "runs_events", "unix_micros", " div ",
+            "2 * percentile(y, 0.5D)",
+        )
+    )
+
+
+#: stat_qq_deciles: the percentile points (in %) compared between the
+#: two groups.
+_QQ_POINTS = "5,10,15,20,25,30,35,40,45,50,55,60,65,70,75,80,85,90,95"
+
+
+@register(
+    "stat_qq_deciles",
+    oracle=f"""
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, cents, c,
+         CAST(SUM(c) OVER (PARTITION BY grp ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM v
+),
+pts AS (SELECT CAST(u AS BIGINT) AS q FROM
+        (SELECT unnest([{_QQ_POINTS}]) AS u)),
+qv AS (
+  SELECT p.q, cum.grp, MIN(cum.cents) AS qcents
+  FROM cum JOIN pts p
+    ON cum.cc * 100 >= p.q * cum.n
+  GROUP BY p.q, cum.grp
+)
+SELECT a.q, a.qcents AS qa_cents, r.qcents AS qr_cents,
+       a.qcents - r.qcents AS diff_cents
+FROM qv a JOIN qv r ON a.q = r.q AND a.grp = 'A' AND r.grp = 'R'
+ORDER BY a.q
+""",
+)
+def stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison table between the A and R
+    return-flag price distributions at 19 ventile points — the
+    distribution-shift VIEW that `stat_ks_test` compresses to one
+    number: WHERE the distributions diverge (tails vs body) rather
+    than just how much. Type-1 (lower-value) quantiles are EXACT
+    integers off the per-group cumulative histogram — quantile q is
+    the smallest value whose cumulative count reaches ceil(q*n/100),
+    expressed as the integer predicate cc*100 >= q*n, so no float
+    enters at all.
+
+    100-TB posture: one hash aggregate to the per-(group, value)
+    histogram; cumulative windows PARTITION BY group over the
+    collapsed value domain (pre-bin onto a fixed grid for continuous
+    measures — the KS lesson); the 19-point lookup is a theta-join
+    against the collapsed table with a MIN rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    v = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("grp")
+    cum = v.select(
+        "grp", "cents",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pts = spark.range(1, 20).select((F.col("id") * 5).alias("q"))
+    qv = (
+        cum.join(
+            F.broadcast(pts),
+            F.col("cc") * F.lit(100) >= F.col("q") * F.col("n"),
+        )
+        .groupBy("q", "grp")
+        .agg(F.min("cents").alias("qcents"))
+    )
+    a = qv.where(F.col("grp") == "A").select(
+        "q", F.col("qcents").alias("qa_cents")
+    )
+    r = qv.where(F.col("grp") == "R").select(
+        "q", F.col("qcents").alias("qr_cents")
+    )
+    return (
+        a.join(r, "q")
+        .select(
+            "q", "qa_cents", "qr_cents",
+            (F.col("qa_cents") - F.col("qr_cents")).alias("diff_cents"),
+        )
+        .orderBy("q")
+    )

@@ -184,6 +184,7 @@ _ROTATION_R10 = (
     "ml_knn_classify", "ml_brier_decomposition", "ts_hurst_rs",
     "text_heaps_law", "text_rouge_overlap",
     "graph_harmonic_closeness", "stat_fisher_exact", "txn_log_wap_publish",
+    "stat_runs_test", "stat_qq_deciles", "ml_learning_curve",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -170,6 +170,13 @@ _BNL_ALLOWED = {
     "stat_fisher_exact",
     # 1-row final-snapshot stats broadcast onto the 2-row audit report
     "txn_log_wap_publish",
+    # 1-row exact-median broadcast onto the collapsed hourly table
+    "stat_runs_test",
+    # 19-point ventile theta-join against the collapsed value histogram
+    "stat_qq_deciles",
+    # 4-row fraction-prefix fan-out + broadcast centroid state against
+    # the bounded test batch
+    "ml_learning_curve",
 }
 
 _KEYS = sorted(
@@ -247,6 +254,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # (the log-factorial window of stat_fisher_exact hides behind its
     # localCheckpoint, so it never reaches this plan audit)
     "ml_brier_decomposition",
+    # LAG run-boundary window over the collapsed hourly table
+    "stat_runs_test",
 }
 
 

@@ -192,3 +192,37 @@ def test_harmonic_closeness_weights_are_exact(spark):
             == 1_000_000 * r["n1"] + 500_000 * r["n2"] + 333_333 * r["n3"]
         )
         assert r["n1"] > 0  # a top-degree hub has neighbors
+
+
+def test_runs_test_counts_are_consistent(spark):
+    """Run count is bounded by the sign count and at least 1; mu lives
+    between 1 and n/2 + 1."""
+    row = queries()["stat_runs_test"](spark, SF_DIR).collect()[0]
+    n = row["n1"] + row["n2"]
+    assert 1 <= row["r"] <= n
+    assert 1_000_000 <= row["mu_micro"] <= (n // 2 + 1) * 1_000_000 + 1
+
+
+def test_qq_deciles_monotone_per_group(spark):
+    """Quantiles must be non-decreasing in q within each group — the
+    basic property of any quantile function."""
+    rows = queries()["stat_qq_deciles"](spark, SF_DIR).collect()
+    assert [r["q"] for r in rows] == list(range(5, 100, 5))
+    qa = [r["qa_cents"] for r in rows]
+    qr = [r["qr_cents"] for r in rows]
+    assert qa == sorted(qa) and qr == sorted(qr)
+    for r in rows:
+        assert r["diff_cents"] == r["qa_cents"] - r["qr_cents"]
+
+
+def test_learning_curve_prefixes_nest(spark):
+    """Training-set sizes must be non-decreasing in the fraction and
+    the 100% prefix must contain every training vector; every fraction
+    evaluates the same test batch."""
+    rows = queries()["ml_learning_curve"](spark, SF_DIR).collect()
+    assert [r["f_pct"] for r in rows] == [25, 50, 75, 100]
+    sizes = [r["n_train"] for r in rows]
+    assert sizes == sorted(sizes)
+    assert len({r["n_test"] for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_test"]
