@@ -2158,3 +2158,61 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle="""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pp AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT pa, pb, w FROM pp
+WHERE w >= 2
+ORDER BY w DESC, pa, pb
+LIMIT 50
+""",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the customer-part bipartite graph: parts
+    co-purchased by the same CUSTOMER (across all their orders), edge
+    weight = #shared customers — the longer-horizon affinity signal
+    `basket_item_pairs` (same single order) can't see, and the raw
+    input recommender co-occurrence models train on. The projection is
+    the standard wedge enumeration: distinct (customer, part)
+    incidences self-joined on the customer, so cost is sum of
+    per-customer degree^2 — bounded by entity behavior, not corpus
+    size.
+
+    100-TB posture: the distinct pass and the wedge join both shuffle
+    hash-partitioned on the customer key; a degree cap on pathological
+    hub customers is the documented skew lever (the
+    graph_adamic_adar_capped pattern). Output is the weight>=2
+    shortlist, fully tie-broken.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = cp.select("c", F.col("p").alias("pa"))
+    b = cp.select("c", F.col("p").alias("pb"))
+    return (
+        a.join(b, (a["c"] == b["c"]) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .orderBy(F.col("w").desc(), "pa", "pb")
+        .limit(50)
+    )

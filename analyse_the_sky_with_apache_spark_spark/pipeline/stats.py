@@ -5367,3 +5367,283 @@ def stat_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+def _coint_sql(table: str, epoch_us: str, idiv: str) -> str:
+    """Shared Spark/DuckDB SQL for `ts_cointegration_egr` (identical
+    text modulo the epoch fn and integer-div operator)."""
+    return f"""
+WITH h AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN
+                       CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN
+                       CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM {table} GROUP BY 1
+),
+pair AS (
+  SELECT t, s1 {idiv} c1 AS y1, s2 {idiv} c2 AS y2
+  FROM h WHERE c1 > 0 AND c2 > 0
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y1) AS BIGINT) AS sy1,
+         CAST(SUM(y2) AS BIGINT) AS sy2,
+         CAST(SUM(y2 * y2) AS BIGINT) AS sy22,
+         CAST(SUM(y2 * y1) AS BIGINT) AS sy21
+  FROM pair
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sy21 AS DOUBLE)
+          - CAST(sy2 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sy22 AS DOUBLE)
+            - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)) AS beta,
+         (CAST(sy1 AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sy21 AS DOUBLE)
+             - CAST(sy2 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sy22 AS DOUBLE)
+               - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+            * CAST(sy2 AS DOUBLE))
+         / CAST(n AS DOUBLE) AS alpha
+  FROM ols
+),
+resid AS (
+  SELECT t,
+         CAST(FLOOR((CAST(y1 AS DOUBLE)
+                     - (alpha + beta * CAST(y2 AS DOUBLE)))
+                    / 1000.0 + 0.5) AS BIGINT) AS e3
+  FROM pair CROSS JOIN fit
+),
+lagged AS (
+  SELECT e3, LAG(e3) OVER (ORDER BY t) AS ep FROM resid
+),
+adf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(ep * (e3 - ep)) AS BIGINT) AS sed,
+         CAST(SUM(ep * ep) AS BIGINT) AS see
+  FROM lagged WHERE ep IS NOT NULL
+),
+gam AS (
+  SELECT m, CAST(sed AS DOUBLE) / CAST(see AS DOUBLE) AS gamma, see
+  FROM adf
+),
+sig AS (
+  SELECT g.m, g.gamma, g.see,
+         CAST(SUM((CAST(l.e3 AS DOUBLE) - CAST(l.ep AS DOUBLE)
+                   - g.gamma * CAST(l.ep AS DOUBLE))
+                  * (CAST(l.e3 AS DOUBLE) - CAST(l.ep AS DOUBLE)
+                     - g.gamma * CAST(l.ep AS DOUBLE))) AS DOUBLE) AS ssu
+  FROM lagged l CROSS JOIN gam g WHERE l.ep IS NOT NULL
+  GROUP BY g.m, g.gamma, g.see
+)
+SELECT m AS n_obs,
+       CAST(FLOOR((SELECT beta FROM fit) * 1000000.0 + 0.5) AS BIGINT)
+         AS beta_micro,
+       CAST(FLOOR(gamma * 1000000.0 + 0.5) AS BIGINT) AS gamma_micro,
+       CAST(FLOOR(gamma / sqrt(ssu / (m - 2.0) / CAST(see AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS adf_t_micro,
+       gamma / sqrt(ssu / (m - 2.0) / CAST(see AS DOUBLE)) < -3.34
+         AS cointegrated
+FROM sig
+"""
+
+
+@register(
+    "ts_cointegration_egr",
+    oracle=_coint_sql("events", "epoch_us", "//"),
+)
+def ts_cointegration_egr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration test between the hourly view and
+    click value series — do two trending series share a common
+    stochastic trend (their residual spread mean-reverts), the
+    pairs-relationship test `ts_granger_lite` (lead-lag) and
+    `ts_cross_corr` (contemporaneous) don't answer. Stage 1 regresses
+    y1 on y2 from five exact long sums; stage 2 runs the Dickey-Fuller
+    regression De_t = gamma*e_{t-1} on milli-gridded residuals, so the
+    ADF t-statistic assembles from exact longs plus one double ssu
+    term computed by the identical expression tree both engines run
+    (shared SQL text, ``_coint_sql``). -3.34 is the 5% Engle-Granger
+    critical value for 2 variables.
+
+    100-TB posture: one data-sized rollup builds BOTH series (a single
+    conditional aggregate — no self-join); the LAG window runs over
+    the collapsed hourly table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("coint_events")
+    return spark.sql(_coint_sql("coint_events", "unix_micros", " div "))
+
+
+#: privacy_microaggregation: records per group (the k of k-anonymity
+#: for numeric quasi-identifiers).
+_MICROAGG_K = 100
+
+
+@register(
+    "privacy_microaggregation",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT cents, c,
+         CAST(SUM(c) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM v
+),
+span AS (
+  SELECT cents, c, cc - c + 1 AS a, cc AS b, n FROM cum
+),
+alloc AS (
+  SELECT cents, n, CAST(g AS BIGINT) AS g,
+         LEAST(b, (CAST(g AS BIGINT) + 1) * {_MICROAGG_K})
+           - GREATEST(a, CAST(g AS BIGINT) * {_MICROAGG_K} + 1) + 1
+           AS cnt
+  FROM span,
+       UNNEST(generate_series((a - 1) // {_MICROAGG_K},
+                              (b - 1) // {_MICROAGG_K})) AS t(g)
+),
+grp AS (
+  SELECT g, MAX(n) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS gn,
+         CAST(SUM(cnt * cents) AS BIGINT) AS gs,
+         CAST(SUM(CAST(cnt AS DECIMAL(38, 0))
+                  * CAST(cents AS DECIMAL(38, 0))
+                  * CAST(cents AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+           AS gq
+  FROM alloc GROUP BY g
+),
+terms AS (
+  SELECT g, n, gn, gs, gq,
+         CAST(FLOOR((CAST(gq AS DOUBLE)
+                     - CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE) / gn)
+                    / 1000000.0 + 0.5) AS BIGINT) AS sse_w_m
+  FROM grp
+),
+tot AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         MIN(gn) AS min_gn, MAX(gn) AS max_gn,
+         CAST(SUM(sse_w_m) AS BIGINT) AS sse_within_m,
+         CAST(SUM(gn) AS BIGINT) AS total_rows,
+         CAST(SUM(gs) AS BIGINT) AS s_all,
+         CAST(SUM(gq) AS DECIMAL(38, 0)) AS q_all
+  FROM terms
+)
+SELECT CAST({_MICROAGG_K} AS BIGINT) AS k, n, n_groups, min_gn, max_gn,
+       sse_within_m,
+       CAST(FLOOR(CAST(sse_within_m AS DOUBLE)
+                  / ((CAST(q_all AS DOUBLE)
+                      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
+                     / 1000000.0)
+                  * 1000000.0 + 0.5) AS BIGINT) AS info_loss_micro
+FROM tot
+""",
+)
+def privacy_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate k=100 microaggregation (the MDAV-style numeric
+    k-anonymization): sort the order values, cut into consecutive
+    groups of exactly k, replace each value by its group centroid, and
+    report the information loss SSE_within/SSE_total — the
+    privacy-utility dial that complements `privacy_k_anonymity`
+    (categorical suppression) with the numeric-attribute mechanism.
+    The sort never materializes row-wise: the per-value histogram's
+    cumulative counts give each value's position span [a, b], every
+    value allocates its count across the <= (span/k + 2) groups it
+    touches via a bounded sequence-explode, and group SSEs come from
+    exact integer/decimal power sums (per-group terms gridded to 1e-6
+    before the final sum).
+
+    100-TB posture: one data-sized hash aggregate to the value
+    histogram; the cumulative window runs over the COLLAPSED value
+    domain (pre-bin continuous measures, the KS lesson); the
+    (value, group) allocation is linear — N/k + |values| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = o.groupBy(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = v.select(
+        "cents", "c",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    span = cum.select(
+        "cents", "c",
+        (F.col("cc") - F.col("c") + 1).alias("a"),
+        F.col("cc").alias("b"),
+        "n",
+    )
+    k = _MICROAGG_K
+    alloc = span.select(
+        "cents", "n",
+        F.explode(
+            F.sequence(
+                F.expr(f"(a - 1) div {k}"), F.expr(f"(b - 1) div {k}")
+            )
+        ).alias("g"),
+        "a", "b",
+    ).select(
+        "cents", "n", "g",
+        (
+            F.least(F.col("b"), (F.col("g") + 1) * k)
+            - F.greatest(F.col("a"), F.col("g") * k + 1) + 1
+        ).alias("cnt"),
+    )
+    cdec = F.col("cnt").cast("decimal(38,0)")
+    vdec = F.col("cents").cast("decimal(38,0)")
+    grp = alloc.groupBy("g").agg(
+        F.max("n").alias("n"),
+        F.sum("cnt").alias("gn"),
+        F.sum(F.col("cnt") * F.col("cents")).alias("gs"),
+        F.sum(cdec * vdec * vdec).cast("decimal(38,0)").alias("gq"),
+    )
+    terms = grp.select(
+        "g", "n", "gn", "gs", "gq",
+        F.floor(
+            (
+                F.col("gq").cast("double")
+                - F.col("gs").cast("double") * F.col("gs").cast("double")
+                / F.col("gn")
+            ) / F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("sse_w_m"),
+    )
+    tot = terms.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("gn").alias("min_gn"),
+        F.max("gn").alias("max_gn"),
+        F.sum("sse_w_m").alias("sse_within_m"),
+        F.sum("gn").alias("total_rows"),
+        F.sum("gs").alias("s_all"),
+        F.sum("gq").cast("decimal(38,0)").alias("q_all"),
+    )
+    return tot.select(
+        F.lit(k).cast("long").alias("k"),
+        "n", "n_groups", "min_gn", "max_gn", "sse_within_m",
+        F.floor(
+            F.col("sse_within_m").cast("double")
+            / (
+                (
+                    F.col("q_all").cast("double")
+                    - F.col("s_all").cast("double")
+                    * F.col("s_all").cast("double") / F.col("n")
+                ) / F.lit(1e6)
+            ) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("info_loss_micro"),
+    )

@@ -185,6 +185,8 @@ _ROTATION_R10 = (
     "text_heaps_law", "text_rouge_overlap",
     "graph_harmonic_closeness", "stat_fisher_exact", "txn_log_wap_publish",
     "stat_runs_test", "stat_qq_deciles", "ml_learning_curve",
+    "ts_cointegration_egr", "graph_bipartite_projection",
+    "privacy_microaggregation",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -177,6 +177,9 @@ _BNL_ALLOWED = {
     # 4-row fraction-prefix fan-out + broadcast centroid state against
     # the bounded test batch
     "ml_learning_curve",
+    # 1-row OLS-fit / gamma scalar broadcasts onto the collapsed
+    # hourly pair series
+    "ts_cointegration_egr",
 }
 
 _KEYS = sorted(
@@ -256,6 +259,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     "ml_brier_decomposition",
     # LAG run-boundary window over the collapsed hourly table
     "stat_runs_test",
+    # LAG residual window over the collapsed hourly pair series (x2:
+    # the Dickey-Fuller stage re-references it)
+    "ts_cointegration_egr",
+    # cumulative position window over the COLLAPSED value histogram
+    # (pre-bin continuous measures; 2 = cc + the ride-along total)
+    "privacy_microaggregation",
 }
 
 

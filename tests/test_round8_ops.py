@@ -226,3 +226,35 @@ def test_learning_curve_prefixes_nest(spark):
     assert len({r["n_test"] for r in rows}) == 1
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_test"]
+
+
+def test_microaggregation_group_sizes_and_loss(spark):
+    """Every group holds exactly k records except possibly the last
+    (which holds n mod k, or k when n divides evenly); information loss
+    of a sorted cut is a fraction of total SSE."""
+    row = queries()["privacy_microaggregation"](spark, SF_DIR).collect()[0]
+    k, n = row["k"], row["n"]
+    assert row["n_groups"] == (n + k - 1) // k
+    assert row["max_gn"] == k
+    assert row["min_gn"] == (n % k if n % k else k)
+    assert 0 <= row["info_loss_micro"] <= 1_000_000
+    # sorted grouping is near-optimal: loss must be tiny vs random
+    assert row["info_loss_micro"] < 100_000
+
+
+def test_bipartite_weights_bounded_by_customer_overlap(spark):
+    """Every projected edge weight >= 2 by the filter, and the pair is
+    ordered pa < pb."""
+    rows = queries()["graph_bipartite_projection"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["w"] >= 2
+        assert r["pa"] < r["pb"]
+
+
+def test_cointegration_outputs_are_finite(spark):
+    """Gamma must be negative-leaning for a mean-reverting residual
+    (OLS residuals are centered by construction) and the ADF t-stat
+    must carry gamma's sign."""
+    row = queries()["ts_cointegration_egr"](spark, SF_DIR).collect()[0]
+    assert row["n_obs"] > 10
+    assert (row["gamma_micro"] < 0) == (row["adf_t_micro"] < 0)
