@@ -152,40 +152,74 @@ _ROTATION_R9 = (
     "lightcurve_string_length",
 )
 
-#: Page 5 — round-10 window seed: the overflow from the R9 split plus
-#: every key that lands from round 8 on. Every oracle-backed key must
-#: appear in a page, the live window, or a prior CORRECTNESS file
-#: (tests/test_registry_order.py pins this), so new keys join the LAST
-#: page at birth; pad to 50 with promotions when it becomes live.
+#: Page 5 — round-10 window (exactly 50; split again at round-8 close
+#: when the page outgrew one 50-key driver window — the overflow moved
+#: to _ROTATION_R11, the VERDICT r7 task-1 discipline).
 _ROTATION_R10 = (
     "dq_benford_firstdigit",
-    "ts_sax_symbolize", "ml_isotonic_calibration",
-    "win_time_range_frame", "txn_log_partition_evolution",
-    "corpus_bpe_merges", "ts_matrix_profile",
-    "ml_kaplan_meier", "stat_logrank_test", "text_bpe_apply",
-    "stat_cmh_test", "anomaly_esd_rounds",
-    # round-7 rows-only→oracle promotions (never driver-sampled, so
-    # they join the schedule at promotion; agg_approx_percentile was
-    # already sampled in a prior round)
-    "graph_pagerank", "sim_mmr_diversify", "ml_linreg_normal",
-    "stream_join_then_agg", "emb_pca", "stream_chained_agg",
-    "kmeans_lloyd", "stream_stream_left_join", "stream_watermark_late",
-    # round-8 additions
-    "sim_rerank_two_stage", "sim_hard_negative_mine",
-    "ml_train_split_audit", "agg_grid_quantiles",
-    "stat_mutual_information", "privacy_dp_quantile",
-    "lightcurve_lomb_scargle", "corpus_filter_ablation",
-    "graph_random_walks", "ml_bagged_stumps", "ts_segmented_trend",
-    "events_markov_anomaly", "graph_ktruss_peel",
-    "stat_hodges_lehmann", "ts_pacf_durbin",
-    "corpus_mix_epochs", "privacy_rr_aggregate",
-    "stat_jarque_bera", "stat_kruskal_wallis", "stat_friedman_test",
-    "ts_permutation_entropy", "stat_durbin_watson",
-    "ml_knn_classify", "ml_brier_decomposition", "ts_hurst_rs",
-    "text_heaps_law", "text_rouge_overlap",
-    "graph_harmonic_closeness", "stat_fisher_exact", "txn_log_wap_publish",
-    "stat_runs_test", "stat_qq_deciles", "ml_learning_curve",
-    "ts_cointegration_egr", "graph_bipartite_projection",
+    "ts_sax_symbolize",
+    "ml_isotonic_calibration",
+    "win_time_range_frame",
+    "txn_log_partition_evolution",
+    "corpus_bpe_merges",
+    "ts_matrix_profile",
+    "ml_kaplan_meier",
+    "stat_logrank_test",
+    "text_bpe_apply",
+    "stat_cmh_test",
+    "anomaly_esd_rounds",
+    "graph_pagerank",
+    "sim_mmr_diversify",
+    "ml_linreg_normal",
+    "stream_join_then_agg",
+    "emb_pca",
+    "stream_chained_agg",
+    "kmeans_lloyd",
+    "stream_stream_left_join",
+    "stream_watermark_late",
+    "sim_rerank_two_stage",
+    "sim_hard_negative_mine",
+    "ml_train_split_audit",
+    "agg_grid_quantiles",
+    "stat_mutual_information",
+    "privacy_dp_quantile",
+    "lightcurve_lomb_scargle",
+    "corpus_filter_ablation",
+    "graph_random_walks",
+    "ml_bagged_stumps",
+    "ts_segmented_trend",
+    "events_markov_anomaly",
+    "graph_ktruss_peel",
+    "stat_hodges_lehmann",
+    "ts_pacf_durbin",
+    "corpus_mix_epochs",
+    "privacy_rr_aggregate",
+    "stat_jarque_bera",
+    "stat_kruskal_wallis",
+    "stat_friedman_test",
+    "ts_permutation_entropy",
+    "stat_durbin_watson",
+    "ml_knn_classify",
+    "ml_brier_decomposition",
+    "ts_hurst_rs",
+    "text_heaps_law",
+    "text_rouge_overlap",
+    "graph_harmonic_closeness",
+    "stat_fisher_exact",
+)
+
+#: Page 6 — round-11 window seed: the overflow from the R10 split plus
+#: every key that lands from round-8 close on. Every oracle-backed key
+#: must appear in a page, the live window, or a prior CORRECTNESS file
+#: (tests/test_registry_order.py pins this), so new keys join the LAST
+#: page at birth; pad to 50 with promotions when it becomes live.
+_ROTATION_R11 = (
+    "txn_log_wap_publish",
+    "stat_runs_test",
+    "stat_qq_deciles",
+    "ml_learning_curve",
+    "ts_cointegration_egr",
+    "graph_bipartite_projection",
     "privacy_microaggregation",
 )
 

@@ -101,7 +101,8 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R9, registry._ROTATION_R10)
+    pages = (registry._ROTATION_R9, registry._ROTATION_R10,
+             registry._ROTATION_R11)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -124,6 +125,7 @@ def test_every_oracle_key_is_scheduled():
         | set(registry._PRIORITY)
         | set(registry._ROTATION_R9)
         | set(registry._ROTATION_R10)
+        | set(registry._ROTATION_R11)
     )
     unscheduled = sorted(osql - covered)
     assert not unscheduled, f"oracle keys missing from the schedule: {unscheduled}"
