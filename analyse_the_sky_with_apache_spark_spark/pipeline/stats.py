@@ -5647,3 +5647,324 @@ def privacy_microaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("info_loss_micro"),
     )
+
+
+#: ml_threshold_sweep: misclassification costs (false positive /
+#: false negative) in integer cost units.
+_THR_FP_COST, _THR_FN_COST = 1, 5
+
+
+@register(
+    "ml_threshold_sweep",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 1000 AS bin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM scored GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, p,
+         CAST(SUM(n) OVER (ORDER BY bin DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_ge,
+         CAST(SUM(p) OVER (ORDER BY bin DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p_ge,
+         CAST(SUM(n) OVER () AS BIGINT) AS tn_all,
+         CAST(SUM(p) OVER () AS BIGINT) AS tp_all
+  FROM bins
+),
+sweep AS (
+  SELECT bin AS threshold_bin,
+         p_ge AS tp, n_ge - p_ge AS fp,
+         tp_all - p_ge AS fn, (tn_all - n_ge) - (tp_all - p_ge) AS tn,
+         CAST({_THR_FP_COST} * (n_ge - p_ge)
+              + {_THR_FN_COST} * (tp_all - p_ge) AS BIGINT) AS cost
+  FROM cum
+)
+SELECT threshold_bin, tp, fp, fn, tn, cost
+FROM sweep
+ORDER BY cost, threshold_bin
+LIMIT 10
+""",
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-optimal decision-threshold search: sweep EVERY candidate
+    cutoff of the score in one pass and rank by expected
+    misclassification cost (FP=1, FN=5 — the asymmetric-cost setting
+    where `ml_pr_curve`'s F1 point is the wrong answer). Predicting
+    positive at score >= t makes every confusion cell a SUFFIX sum of
+    the score histogram, so the entire sweep is two cumulative windows
+    over the collapsed bin table — never a per-threshold pass over the
+    data. Top-10 thresholds by exact integer cost, fully tie-broken.
+
+    100-TB posture: one data-sized hash aggregate to score bins; the
+    descending cumulative window runs over the collapsed (bounded)
+    bin domain — the ml_lift_curve / ml_brier_decomposition shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.floor(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            / F.lit(1000)
+        ).cast("long").alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    wdesc = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin", "n", "p",
+        F.sum("n").over(wdesc).alias("n_ge"),
+        F.sum("p").over(wdesc).alias("p_ge"),
+        F.sum("n").over(wall).alias("tn_all"),
+        F.sum("p").over(wall).alias("tp_all"),
+    )
+    return (
+        cum.select(
+            F.col("bin").alias("threshold_bin"),
+            F.col("p_ge").alias("tp"),
+            (F.col("n_ge") - F.col("p_ge")).alias("fp"),
+            (F.col("tp_all") - F.col("p_ge")).alias("fn"),
+            (
+                (F.col("tn_all") - F.col("n_ge"))
+                - (F.col("tp_all") - F.col("p_ge"))
+            ).alias("tn"),
+            (
+                F.lit(_THR_FP_COST) * (F.col("n_ge") - F.col("p_ge"))
+                + F.lit(_THR_FN_COST) * (F.col("tp_all") - F.col("p_ge"))
+            ).cast("long").alias("cost"),
+        )
+        .orderBy("cost", "threshold_bin")
+        .limit(10)
+    )
+
+
+@register(
+    "stat_power_analysis",
+    oracle="""
+WITH halves AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+              THEN 1 ELSE 2 END AS h,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN h = 1 THEN hit ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN h = 2 THEN hit ELSE 0 END) AS BIGINT) AS x2
+  FROM halves
+),
+rates AS (
+  SELECT n1, x1, n2, x2,
+         CAST(x1 AS DOUBLE) / n1 AS p1,
+         CAST(x2 AS DOUBLE) / n2 AS p2,
+         CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS pbar
+  FROM agg
+),
+calc AS (
+  SELECT n1, x1, n2, x2, p1, p2,
+         (p1 - p2)
+           / sqrt(pbar * (1.0 - pbar) * (1.0 / n1 + 1.0 / n2)) AS z,
+         (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+          + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+         * (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+            + 0.841621 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+         / ((p1 - p2) * (p1 - p2)) AS n_req
+  FROM rates
+)
+SELECT n1, x1, n2, x2,
+       CAST(FLOOR(p1 * 1000000.0 + 0.5) AS BIGINT) AS p1_micro,
+       CAST(FLOOR(p2 * 1000000.0 + 0.5) AS BIGINT) AS p2_micro,
+       CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       CAST(CEIL(n_req) AS BIGINT) AS n_per_arm_80pct,
+       abs(z) > 1.959964 AS significant_now
+FROM calc
+""",
+)
+def stat_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis on the observed purchase-rate
+    difference between the first and second half of the month — the
+    experiment-sizing question every A/B platform answers BEFORE
+    shipping: is the current gap significant, and how many samples per
+    arm would an alpha=0.05 / 80%-power test need to detect it
+    (z_{0.975}=1.959964, z_{0.80}=0.841621)? One conditional aggregate
+    produces all four counts; the z statistic and the classic
+    sample-size formula are scalar IEEE chains off those exact longs,
+    written in the identical expression tree both engines run.
+
+    100-TB posture: one data-sized hash aggregate, one row out —
+    nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.select(
+        F.when(
+            F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1
+        ).otherwise(2).alias("h"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("hit"),
+    )
+    agg = halves.agg(
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("h") == 1, F.col("hit")).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("h") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("h") == 2, F.col("hit")).otherwise(0)).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pbar = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    rates = agg.select(
+        "n1", "x1", "n2", "x2",
+        p1.alias("p1"), p2.alias("p2"), pbar.alias("pbar"),
+    )
+    z = (F.col("p1") - F.col("p2")) / F.sqrt(
+        F.col("pbar") * (F.lit(1.0) - F.col("pbar"))
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    root = (
+        F.lit(1.959964)
+        * F.sqrt(F.lit(2.0) * F.col("pbar") * (F.lit(1.0) - F.col("pbar")))
+        + F.lit(0.841621)
+        * F.sqrt(
+            F.col("p1") * (F.lit(1.0) - F.col("p1"))
+            + F.col("p2") * (F.lit(1.0) - F.col("p2"))
+        )
+    )
+    n_req = root * root / (
+        (F.col("p1") - F.col("p2")) * (F.col("p1") - F.col("p2"))
+    )
+    calc = rates.select(
+        "n1", "x1", "n2", "x2", "p1", "p2",
+        z.alias("z"), n_req.alias("n_req"),
+    )
+    return calc.select(
+        "n1", "x1", "n2", "x2",
+        F.floor(F.col("p1") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("p1_micro"),
+        F.floor(F.col("p2") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("p2_micro"),
+        F.floor(F.col("z") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("z_micro"),
+        F.ceil(F.col("n_req")).cast("long").alias("n_per_arm_80pct"),
+        (F.abs(F.col("z")) > F.lit(1.959964)).alias("significant_now"),
+    )
+
+
+def _addfit_sql(table: str, epoch_us: str, idiv: str) -> str:
+    """Shared Spark/DuckDB SQL for `ts_additive_model_fit` (identical
+    text modulo epoch fn and integer-div operator). dow is days since
+    the Thursday epoch mod 7 — engine-neutral, no locale."""
+    return f"""
+WITH d AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+rel AS (
+  SELECT CAST(day - MIN(day) OVER () AS BIGINT) AS t,
+         day % 7 AS dow, y
+  FROM d
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM rel
+),
+fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+            - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+         (CAST(sy AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+            * CAST(st AS DOUBLE))
+         / CAST(n AS DOUBLE) AS a,
+         CAST(sy AS DOUBLE) / n AS ybar
+  FROM ols
+),
+resid AS (
+  SELECT t, dow, y,
+         CAST(FLOOR((CAST(y AS DOUBLE) - (a + b * CAST(t AS DOUBLE)))
+                    / 1000.0 + 0.5) AS BIGINT) AS r3
+  FROM rel CROSS JOIN fit
+),
+dow_eff AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(r3) AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS eff3
+  FROM resid GROUP BY dow
+),
+finals AS (
+  SELECT r.t, r.dow, r.y, r.r3, e.eff3, e.nd,
+         r.r3 - e.eff3 AS f3
+  FROM resid r JOIN dow_eff e ON r.dow = e.dow
+),
+sse AS (
+  SELECT CAST(SUM(r3 * r3) AS BIGINT) AS sse_trend,
+         CAST(SUM(f3 * f3) AS BIGINT) AS sse_full
+  FROM finals
+),
+tot AS (
+  SELECT CAST(SUM(CAST(FLOOR((CAST(y AS DOUBLE) - ybar) / 1000.0 + 0.5)
+                       AS BIGINT)
+                  * CAST(FLOOR((CAST(y AS DOUBLE) - ybar) / 1000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sse_mean
+  FROM rel CROSS JOIN fit
+)
+SELECT e.dow, e.nd,
+       CAST(e.eff3 AS BIGINT) AS dow_effect_milli,
+       CAST(FLOOR((SELECT b FROM fit) * 1000.0 + 0.5) AS BIGINT)
+         AS slope_milli,
+       CAST(FLOOR((1.0 - CAST(s.sse_full AS DOUBLE) / t.sse_mean)
+                  * 1000000.0 + 0.5) AS BIGINT) AS r2_full_micro,
+       CAST(FLOOR((1.0 - CAST(s.sse_trend AS DOUBLE) / t.sse_mean)
+                  * 1000000.0 + 0.5) AS BIGINT) AS r2_trend_micro
+FROM dow_eff e CROSS JOIN sse s CROSS JOIN tot t
+ORDER BY e.dow
+"""
+
+
+@register(
+    "ts_additive_model_fit",
+    oracle=_addfit_sql("events", "epoch_us", "//"),
+)
+def ts_additive_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition FIT: y(day) = trend(OLS) + day-of-week
+    effect + residual, reporting each dow's effect and the R^2 gained
+    by adding seasonality over trend alone — the explain-the-series
+    model `ts_decompose_residuals` (moving-average STL-lite) answers
+    descriptively, here as a parametric fit whose components are
+    reusable coefficients (the Prophet-shaped workflow). Trend from
+    five exact long sums; residuals gridded to milli BEFORE the dow
+    means (exact integer division) and both SSEs, so every sum is a
+    long and the only IEEE steps are the scalar fit and two R^2
+    ratios. dow = epoch-day mod 7 (engine-neutral, no locale).
+
+    100-TB posture: one data-sized rollup; the dow rollup and SSEs run
+    over the collapsed per-day table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("addfit_events")
+    return spark.sql(_addfit_sql("addfit_events", "unix_micros", " div "))

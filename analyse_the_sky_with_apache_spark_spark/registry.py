@@ -221,6 +221,7 @@ _ROTATION_R11 = (
     "ts_cointegration_egr",
     "graph_bipartite_projection",
     "privacy_microaggregation",
+    "ml_threshold_sweep", "stat_power_analysis", "ts_additive_model_fit",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

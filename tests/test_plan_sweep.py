@@ -180,6 +180,9 @@ _BNL_ALLOWED = {
     # 1-row OLS-fit / gamma scalar broadcasts onto the collapsed
     # hourly pair series
     "ts_cointegration_egr",
+    # 1-row trend-fit / SSE scalar broadcasts onto the collapsed
+    # per-day table
+    "ts_additive_model_fit",
 }
 
 _KEYS = sorted(
@@ -265,6 +268,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative position window over the COLLAPSED value histogram
     # (pre-bin continuous measures; 2 = cc + the ride-along total)
     "privacy_microaggregation",
+    # descending suffix-sum window over the collapsed score-bin table
+    # (the lift-curve shape; 2 = suffix + ride-along totals)
+    "ml_threshold_sweep",
 }
 
 

@@ -258,3 +258,40 @@ def test_cointegration_outputs_are_finite(spark):
     row = queries()["ts_cointegration_egr"](spark, SF_DIR).collect()[0]
     assert row["n_obs"] > 10
     assert (row["gamma_micro"] < 0) == (row["adf_t_micro"] < 0)
+
+
+def test_threshold_sweep_confusion_identities(spark):
+    """Every swept row's confusion cells must total n and be
+    non-negative; cost must equal the declared linear combination."""
+    from analyse_the_sky_with_apache_spark_spark.pipeline.stats import (
+        _THR_FN_COST,
+        _THR_FP_COST,
+    )
+
+    rows = queries()["ml_threshold_sweep"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    total = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+    costs = [r["cost"] for r in rows]
+    assert costs == sorted(costs)
+    for r in rows:
+        assert min(r["tp"], r["fp"], r["fn"], r["tn"]) >= 0
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == total
+        assert r["cost"] == _THR_FP_COST * r["fp"] + _THR_FN_COST * r["fn"]
+
+
+def test_power_analysis_sample_size_sane(spark):
+    """Required n per arm must be positive and shrink as the observed
+    gap grows — here just pin positivity and the z/significance link."""
+    row = queries()["stat_power_analysis"](spark, SF_DIR).collect()[0]
+    assert row["n_per_arm_80pct"] >= 1
+    assert row["significant_now"] == (abs(row["z_micro"]) > 1_959_964)
+
+
+def test_additive_fit_seasonality_never_hurts(spark):
+    """Adding the dow component can only reduce SSE, so R^2(full) >=
+    R^2(trend); dow effects are one-per-dow over the day grid."""
+    rows = queries()["ts_additive_model_fit"](spark, SF_DIR).collect()
+    assert [r["dow"] for r in rows] == sorted({r["dow"] for r in rows})
+    assert len(rows) <= 7
+    r = rows[0]
+    assert r["r2_full_micro"] >= r["r2_trend_micro"] - 1  # grid slack
