@@ -5968,3 +5968,226 @@ def ts_additive_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("addfit_events")
     return spark.sql(_addfit_sql("addfit_events", "unix_micros", " div "))
+
+
+@register(
+    "stat_anderson_darling",
+    oracle="""
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) % 100 AS x,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT x, c,
+         CAST(SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cc,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM v
+),
+spans AS (
+  SELECT x, c, cc - c + 1 AS a, cc AS b, n,
+         (CAST(x AS DOUBLE) + 1.0) / 100.0 AS fx
+  FROM cum
+),
+terms AS (
+  SELECT n,
+         CAST(FLOOR((CAST(b * b - (a - 1) * (a - 1) AS DOUBLE) / n)
+                    * (CAST(CAST(FLOOR(ln(fx) * 1000000000.0 + 0.5)
+                                 AS BIGINT) AS DOUBLE) / 1000000000.0)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS t1,
+         CASE WHEN fx < 1.0 THEN
+           CAST(FLOOR((CAST(2 * n * c - (b * b - (a - 1) * (a - 1))
+                            AS DOUBLE) / n)
+                      * (CAST(CAST(FLOOR(ln(1.0 - fx) * 1000000000.0
+                                         + 0.5) AS BIGINT) AS DOUBLE)
+                         / 1000000000.0)
+                      * 1000000000.0 + 0.5) AS BIGINT)
+           ELSE 0 END AS t2
+  FROM spans
+),
+s AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(t1) AS BIGINT) AS s1,
+         CAST(SUM(t2) AS BIGINT) AS s2
+  FROM terms
+)
+SELECT n,
+       CAST(FLOOR((-CAST(n AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / 1000000000.0
+                      + CAST(s2 AS DOUBLE) / 1000000000.0))
+                  * 1000000.0 + 0.5) AS BIGINT) AS a2_micro,
+       (-CAST(n AS DOUBLE)
+        - (CAST(s1 AS DOUBLE) / 1000000000.0
+           + CAST(s2 AS DOUBLE) / 1000000000.0)) > 2.492 AS non_uniform
+FROM s
+""",
+)
+def stat_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling uniformity test on the cents digit pair of the
+    order totals — the tail-sensitive goodness-of-fit that catches
+    fabricated or truncated monetary data where `dq_benford_firstdigit`
+    (leading digit) and `stat_ks_test` (body-weighted) stay quiet. The
+    row-rank sum A^2 = -n - (1/n) * sum_i [(2i-1) ln F(x_i)
+    + (2i-1) ln(1-F(x_{n+1-i}))] collapses to the 100-value digit
+    histogram: within a tied span [a, b] the rank weights are the
+    arithmetic-series closed forms b^2-(a-1)^2 and 2nc - that
+    (verified against a direct row-rank numpy evaluation,
+    tests/test_round8_ops.py), so
+    both sums are exact longs times 1e-9-gridded logs of the KNOWN
+    discrete-uniform CDF. 2.492 = A^2 critical value at alpha=0.05.
+
+    100-TB posture: one hash aggregate to the 100-row digit histogram;
+    everything else is constant-size. The F(x)=1 boundary term drops
+    (its rank weight multiplies ln(1) = 0 on the mirrored sum).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = o.groupBy(
+        (
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long") % 100
+        ).alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = v.select(
+        "x", "c",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    spans = cum.select(
+        "x", "c",
+        (F.col("cc") - F.col("c") + 1).alias("a"),
+        F.col("cc").alias("b"),
+        "n",
+        ((F.col("x").cast("double") + F.lit(1.0)) / F.lit(100.0))
+        .alias("fx"),
+    )
+    w1 = F.col("b") * F.col("b") - (F.col("a") - 1) * (F.col("a") - 1)
+    w2 = F.lit(2) * F.col("n") * F.col("c") - w1
+    lf9 = F.floor(F.log("fx") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    lg9 = F.floor(
+        F.log(F.lit(1.0) - F.col("fx")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    # per-span terms normalize by n in DOUBLE before the 1e-9 grid —
+    # the raw rank-weight x log product overflows int64 past ~1e5 rows
+    terms = spans.select(
+        "n",
+        F.floor(
+            (w1.cast("double") / F.col("n"))
+            * (lf9.cast("double") / F.lit(1e9))
+            * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("t1"),
+        F.when(
+            F.col("fx") < F.lit(1.0),
+            F.floor(
+                (w2.cast("double") / F.col("n"))
+                * (lg9.cast("double") / F.lit(1e9))
+                * F.lit(1e9) + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(0).alias("t2"),
+    )
+    s = terms.agg(
+        F.max("n").alias("n"),
+        F.sum("t1").alias("s1"),
+        F.sum("t2").alias("s2"),
+    )
+    a2 = (
+        -F.col("n").cast("double")
+        - (
+            F.col("s1").cast("double") / F.lit(1e9)
+            + F.col("s2").cast("double") / F.lit(1e9)
+        )
+    )
+    return s.select(
+        "n",
+        F.floor(a2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("a2_micro"),
+        (a2 > F.lit(2.492)).alias("non_uniform"),
+    )
+
+
+def _ljung_sql(table: str, epoch_us: str, idiv: str) -> str:
+    """Shared Spark/DuckDB SQL for `stat_ljung_box` (identical text
+    modulo epoch fn and integer-div operator). Lags 1..5 via LEAD over
+    the collapsed hourly table; each lag's products grid per term."""
+    leads = ",\n         ".join(
+        f"LEAD(yc, {k}) OVER (ORDER BY t) AS y{k}" for k in range(1, 6)
+    )
+    num = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN y{k} IS NULL THEN 0 ELSE yc * y{k} END) "
+        f"AS BIGINT) AS n{k}" for k in range(1, 6)
+    )
+    rhos = ",\n       ".join(
+        f"CAST(FLOOR(CAST(n{k} AS DOUBLE) / den * 1000000.0 + 0.5) "
+        f"AS BIGINT) AS rho{k}_micro" for k in range(1, 6)
+    )
+    qterms = " + ".join(
+        f"(CAST(n{k} AS DOUBLE) / den) * (CAST(n{k} AS DOUBLE) / den) "
+        f"/ (nn - {k})" for k in range(1, 6)
+    )
+    return f"""
+WITH h AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+m AS (
+  SELECT CAST(SUM(y) AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS mu
+  FROM h
+),
+c AS (
+  SELECT t, CAST(FLOOR((CAST(y AS DOUBLE) - mu) / 1000.0 + 0.5) AS BIGINT)
+            AS yc
+  FROM h CROSS JOIN m
+),
+lagged AS (
+  SELECT t, yc,
+         {leads}
+  FROM c
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn0,
+         CAST(SUM(yc * yc) AS BIGINT) AS den0,
+         {num}
+  FROM lagged
+),
+q AS (
+  SELECT nn0 AS nn, CAST(den0 AS DOUBLE) AS den,
+         n1, n2, n3, n4, n5,
+         CAST(nn0 AS DOUBLE) AS nd
+  FROM sums
+)
+SELECT nn AS n,
+       {rhos},
+       CAST(FLOOR(nd * (nd + 2.0) * ({qterms}) * 1000000.0 + 0.5)
+            AS BIGINT) AS q_micro,
+       nd * (nd + 2.0) * ({qterms}) > 11.07 AS autocorrelated
+FROM q
+"""
+
+
+@register(
+    "stat_ljung_box",
+    oracle=_ljung_sql("events", "epoch_us", "//"),
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over the first 5 autocorrelations of
+    the hourly series — the is-it-white-noise gate run on model
+    residuals before trusting any forecast (`stat_durbin_watson` sees
+    only lag 1; `ts_autocorrelation` reports the ACF without a joint
+    test). Q = n(n+2) * sum_k rho_k^2/(n-k), chi-squared(5) under the
+    null; 11.07 = alpha 0.05. The series centers on its exact integer
+    mean (int-div), centered values grid to milli BEFORE the lag
+    products, so all five numerators and the shared denominator are
+    exact longs off ONE window pass (5 LEADs in a single projection —
+    one sort, not five). Spark executes the identical SQL text.
+
+    100-TB posture: one data-sized rollup; one window pass over the
+    collapsed hourly table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ljung_events")
+    return spark.sql(_ljung_sql("ljung_events", "unix_micros", " div "))

@@ -222,6 +222,7 @@ _ROTATION_R11 = (
     "graph_bipartite_projection",
     "privacy_microaggregation",
     "ml_threshold_sweep", "stat_power_analysis", "ts_additive_model_fit",
+    "stat_anderson_darling", "stat_ljung_box", "dedup_jaro_winkler",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

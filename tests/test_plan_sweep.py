@@ -183,6 +183,8 @@ _BNL_ALLOWED = {
     # 1-row trend-fit / SSE scalar broadcasts onto the collapsed
     # per-day table
     "ts_additive_model_fit",
+    # 1-row exact-mean broadcast onto the collapsed hourly table
+    "stat_ljung_box",
 }
 
 _KEYS = sorted(
@@ -271,6 +273,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # descending suffix-sum window over the collapsed score-bin table
     # (the lift-curve shape; 2 = suffix + ride-along totals)
     "ml_threshold_sweep",
+    # one 5-LEAD window pass over the collapsed hourly table
+    "stat_ljung_box",
+    # cumulative rank window over the 100-row digit histogram
+    "stat_anderson_darling",
 }
 
 

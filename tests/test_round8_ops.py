@@ -295,3 +295,76 @@ def test_additive_fit_seasonality_never_hurts(spark):
     assert len(rows) <= 7
     r = rows[0]
     assert r["r2_full_micro"] >= r["r2_trend_micro"] - 1  # grid slack
+
+
+def test_anderson_darling_matches_direct_row_rank_form(spark):
+    """The histogram-collapsed A^2 must match a direct numpy evaluation
+    of the classic row-rank formula on the same data (catches
+    rank-weight algebra errors the oracle hash CANNOT catch, since both
+    engines share the SQL formula)."""
+    import numpy as np
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+
+    row = queries()["stat_anderson_darling"](spark, SF_DIR).collect()[0]
+    cents = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            (
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+                .cast("long") % 100
+            ).alias("x")
+        )
+        .toPandas()["x"]
+        .to_numpy()
+    )
+    x = np.sort(cents)
+    n = len(x)
+    f = (x + 1.0) / 100.0
+    i = np.arange(1, n + 1)
+    fr = f[::-1]
+    term2 = np.where(fr < 1.0, np.log(1.0 - fr), 0.0)
+    a2 = -n - np.mean((2 * i - 1) * (np.log(f) + term2))
+    assert abs(row["a2_micro"] - round(a2 * 1e6)) <= 2
+
+
+def test_ljung_box_q_matches_rho_recombination(spark):
+    """Q must equal n(n+2) * sum(rho_k^2/(n-k)) recomputed from the
+    reported rhos (grid slack only) and every |rho| <= 1."""
+    row = queries()["stat_ljung_box"](spark, SF_DIR).collect()[0]
+    n = row["n"]
+    q = 0.0
+    for k in range(1, 6):
+        rho = row[f"rho{k}_micro"] / 1e6
+        assert abs(rho) <= 1.000001
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    # rho grid slack amplifies by ~n(n+2)/(n-k): scale the tolerance
+    assert abs(q * 1e6 - row["q_micro"]) < 10 * n
+    assert row["autocorrelated"] == (row["q_micro"] > 11_070_000)
+
+
+def test_jaro_winkler_python_matches_duckdb_builtin(spark):
+    """The Arrow-batched kernel must agree with DuckDB's independent
+    implementation pair-by-pair on real fixture keys (not just the
+    top-50 the oracle hashes)."""
+    import duckdb
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline.dedup import (
+        _jaro_winkler_py,
+    )
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""
+        WITH k AS (SELECT doc_id, substr(text, 1, 32) AS fkey,
+                          substr(text, 1, 8) AS blk
+                   FROM read_parquet('{SF_DIR}/documents.parquet'))
+        SELECT a.fkey, b.fkey, jaro_winkler_similarity(a.fkey, b.fkey)
+        FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        LIMIT 500
+        """
+    ).fetchall()
+    assert pairs
+    for fa, fb, duck in pairs:
+        assert abs(_jaro_winkler_py(fa, fb) - duck) < 1e-12
