@@ -6191,3 +6191,262 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("ljung_events")
     return spark.sql(_ljung_sql("ljung_events", "unix_micros", " div "))
+
+
+def _sampen_tpl_sql(table: str, epoch_us: str, idiv: str) -> str:
+    """The (y, lead1, lead2) template table with the series stats and
+    exact tolerance riding along — built ONCE (Spark materializes it
+    via localCheckpoint; inlined as a CTE it would replay the rollup
+    and window once per self-join side, the fisher lesson)."""
+    return f"""
+WITH h AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS s,
+         CAST(SUM(y * y) AS BIGINT) AS q
+  FROM h
+),
+tol AS (
+  SELECT n,
+         CAST(FLOOR(0.2 * sqrt(CAST(q AS DOUBLE) / n
+                               - (CAST(s AS DOUBLE) / n)
+                                 * (CAST(s AS DOUBLE) / n)) + 0.5)
+              AS BIGINT) AS r
+  FROM stats
+)
+SELECT h.t, h.y,
+       LEAD(h.y, 1) OVER (ORDER BY h.t) AS y1,
+       LEAD(h.y, 2) OVER (ORDER BY h.t) AS y2,
+       tol.n, tol.r
+FROM h CROSS JOIN tol
+"""
+
+
+def _sampen_main_sql(tpl: str) -> str:
+    """SampEn counts + statistic off the materialized template table."""
+    return f"""
+WITH b2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b
+  FROM {tpl} a JOIN {tpl} c ON a.t < c.t AND abs(a.y - c.y) <= a.r
+                           AND abs(a.y1 - c.y1) <= a.r
+  WHERE a.y1 IS NOT NULL AND c.y1 IS NOT NULL
+),
+a3 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS a
+  FROM {tpl} a JOIN {tpl} c ON a.t < c.t AND abs(a.y - c.y) <= a.r
+                           AND abs(a.y1 - c.y1) <= a.r
+                           AND abs(a.y2 - c.y2) <= a.r
+  WHERE a.y2 IS NOT NULL AND c.y2 IS NOT NULL
+),
+meta AS (SELECT MAX(n) AS n, MAX(r) AS r FROM {tpl})
+SELECT meta.n, meta.r, b2.b, a3.a,
+       CAST(FLOOR(-ln(CAST(a3.a AS DOUBLE) / b2.b) * 1000000.0 + 0.5)
+            AS BIGINT) AS sampen_micro
+FROM meta CROSS JOIN b2 CROSS JOIN a3
+"""
+
+
+@register(
+    "ts_sample_entropy",
+    oracle=(
+        "WITH tpl AS MATERIALIZED ("
+        + _sampen_tpl_sql("events", "epoch_us", "//")
+        + "), "
+        + _sampen_main_sql("tpl").lstrip()[len("WITH ") :]
+    ),
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (m=2, r=0.2*sigma) of the hourly series — the
+    amplitude-aware regularity measure (low = self-similar/periodic,
+    high = unpredictable) complementing `ts_permutation_entropy`
+    (amplitude-free ordinal patterns): SampEn = -ln(A/B), A/B = the
+    conditional probability that templates matching for 2 steps still
+    match at 3. The tolerance comes from exact integer power sums; the
+    milli-gridded series makes every template comparison an integer
+    predicate, so A and B are exact counts and the single ln is the
+    only IEEE step.
+
+    100-TB posture: one data-sized rollup; the template self-join runs
+    over the COLLAPSED hourly table (|T|^2 pairs — at longer ranges
+    pre-bucket templates by y div r and join adjacent buckets, turning
+    the theta-join into an equi-join; documented, not needed at |T|
+    ~1e3). Spark executes the identical SQL text.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("sampen_events")
+    tpl = spark.sql(
+        _sampen_tpl_sql("sampen_events", "unix_micros", " div ")
+    ).localCheckpoint(eager=True)
+    tpl.createOrReplaceTempView("sampen_tpl")
+    return spark.sql(_sampen_main_sql("sampen_tpl"))
+
+
+def _bayes_counts_sql(table: str) -> str:
+    """First-half vs second-half purchase counts (the
+    stat_power_analysis 2x2, Bayesian edition)."""
+    return f"""
+SELECT CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                      AND event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS x2
+FROM {table}
+"""
+
+
+def _bayes_lf_sql(counts: str, series: str) -> str:
+    """Gridded log-factorial table over 0..n1+n2+2 (exact 1e-9-unit
+    integers — the stat_fisher_exact machinery)."""
+    return f"""
+WITH ints AS (
+  SELECT CAST(i AS BIGINT) AS i FROM ({series.format(src=counts)})
+)
+SELECT i,
+       CAST(SUM(CASE WHEN i = 0 THEN 0
+                     ELSE CAST(FLOOR(ln(CAST(i AS DOUBLE))
+                                     * 1000000000.0 + 0.5) AS BIGINT)
+                END) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS lf9
+FROM ints
+"""
+
+
+def _bayes_main_sql(counts: str, lf: str, grid: str) -> str:
+    """Posterior comparison off materialized counts/lf/grid tables —
+    identical text both engines."""
+    return f"""
+WITH norm AS (
+  SELECT c.n1, c.x1, c.n2, c.x2,
+         l1.lf9 - l2.lf9 - l3.lf9 AS lb1,
+         m1.lf9 - m2.lf9 - m3.lf9 AS lb2
+  FROM {counts} c
+  JOIN {lf} l1 ON l1.i = c.n1 + 1
+  JOIN {lf} l2 ON l2.i = c.x1
+  JOIN {lf} l3 ON l3.i = c.n1 - c.x1
+  JOIN {lf} m1 ON m1.i = c.n2 + 1
+  JOIN {lf} m2 ON m2.i = c.x2
+  JOIN {lf} m3 ON m3.i = c.n2 - c.x2
+),
+pdf AS (
+  SELECT g.g, n.n1, n.x1, n.n2, n.x2,
+         CAST(FLOOR(exp((CAST(n.lb1 AS DOUBLE)
+                         + n.x1 * CAST(g.lnp9 AS BIGINT)
+                         + (n.n1 - n.x1) * CAST(g.lnq9 AS BIGINT))
+                        / 1000000000.0)
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS f1_pico,
+         CAST(FLOOR(exp((CAST(n.lb2 AS DOUBLE)
+                         + n.x2 * CAST(g.lnp9 AS BIGINT)
+                         + (n.n2 - n.x2) * CAST(g.lnq9 AS BIGINT))
+                        / 1000000000.0)
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS f2_pico
+  FROM {grid} g CROSS JOIN norm n
+),
+cdf AS (
+  SELECT g, n1, x1, n2, x2, f1_pico,
+         CAST(COALESCE(SUM(f2_pico) OVER (ORDER BY g
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0)
+              + f2_pico AS BIGINT) AS cdf2_hi,
+         f2_pico
+  FROM pdf
+),
+terms AS (
+  SELECT g, n1, x1, n2, x2,
+         CAST(FLOOR((CAST(f1_pico AS DOUBLE) / 1000000000000.0)
+                    * ((CAST(cdf2_hi AS DOUBLE)
+                        - 0.5 * CAST(f2_pico AS DOUBLE))
+                       / 1000000000000.0 / 10000.0)
+                    / 10000.0 * 1000000000000.0 + 0.5) AS BIGINT) AS t_pico
+  FROM cdf
+)
+SELECT MAX(n1) AS n1, MAX(x1) AS x1, MAX(n2) AS n2, MAX(x2) AS x2,
+       CAST(FLOOR((CAST(MAX(x1) AS DOUBLE) + 1.0)
+                  / (MAX(n1) + 2.0) * 1000000.0 + 0.5) AS BIGINT)
+         AS p1_mean_micro,
+       CAST(FLOOR((CAST(MAX(x2) AS DOUBLE) + 1.0)
+                  / (MAX(n2) + 2.0) * 1000000.0 + 0.5) AS BIGINT)
+         AS p2_mean_micro,
+       CAST(FLOOR(CAST(SUM(t_pico) AS DOUBLE) / 1000000.0 + 0.5)
+            AS BIGINT) AS prob_p1_gt_p2_micro,
+       CAST(SUM(t_pico) AS DOUBLE) / 1000000000000.0 > 0.95
+         AS decisive
+FROM terms
+"""
+
+
+@register(
+    "stat_bayes_ab_posterior",
+    oracle=(
+        "WITH counts AS MATERIALIZED ("
+        + _bayes_counts_sql("events")
+        + "), lf AS MATERIALIZED ("
+        + _bayes_lf_sql(
+            "counts",
+            "SELECT unnest(generate_series(0, "
+            "(SELECT n1 + n2 + 2 FROM {src}))) AS i",
+        )
+        + "), grid AS MATERIALIZED ("
+        "SELECT CAST(g AS BIGINT) AS g,"
+        " CAST(FLOOR(ln(CAST(g AS DOUBLE) / 10000.0)"
+        "            * 1000000000.0 + 0.5) AS BIGINT) AS lnp9,"
+        " CAST(FLOOR(ln(1.0 - CAST(g AS DOUBLE) / 10000.0)"
+        "            * 1000000000.0 + 0.5) AS BIGINT) AS lnq9"
+        " FROM (SELECT unnest(generate_series(1, 9999)) AS g)"
+        "), "
+        + _bayes_main_sql("counts", "lf", "grid").lstrip()[len("WITH ") :]
+    ),
+)
+def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B comparison of the two half-month purchase rates:
+    Beta(x+1, n-x+1) posteriors for each arm and the decision quantity
+    P(p1 > p2) by a 9999-point midpoint sum of f1(p) * F2(p) — the
+    probability-of-superiority readout an experimentation platform
+    shows next to `stat_power_analysis`' frequentist z. Every
+    transcendental is forced deterministic: Beta log-normalizers come
+    from the gridded log-factorial table (integer posterior
+    parameters), per-grid-point log-pdfs are exact integer
+    combinations of 1e-9-gridded ln(p)/ln(1-p), the two exp() calls
+    per point land on a 1e-12 grid, and the CDF + integral are exact
+    long sums after that.
+
+    100-TB posture: one data-sized conditional aggregate; the lf table
+    is |n| collapsed rows (Stirling swap documented at stat_fisher_
+    exact); the grid is 9999 rows. Spark materializes counts/lf/grid
+    once via localCheckpoint (the fisher CTE-inlining lesson).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bayes_events")
+    counts = spark.sql(
+        _bayes_counts_sql("bayes_events")
+    ).localCheckpoint(eager=True)
+    counts.createOrReplaceTempView("bayes_counts")
+    lf = spark.sql(
+        _bayes_lf_sql(
+            "bayes_counts",
+            "SELECT explode(sequence(0, (SELECT CAST(n1 + n2 + 2 AS INT) "
+            "FROM {src}))) AS i",
+        )
+    ).localCheckpoint(eager=True)
+    lf.createOrReplaceTempView("bayes_lf")
+    grid = spark.sql(
+        "SELECT CAST(g AS BIGINT) AS g,"
+        " CAST(FLOOR(ln(CAST(g AS DOUBLE) / 10000.0)"
+        "            * 1000000000.0 + 0.5) AS BIGINT) AS lnp9,"
+        " CAST(FLOOR(ln(1.0 - CAST(g AS DOUBLE) / 10000.0)"
+        "            * 1000000000.0 + 0.5) AS BIGINT) AS lnq9"
+        " FROM (SELECT explode(sequence(1, 9999)) AS g)"
+    ).localCheckpoint(eager=True)
+    grid.createOrReplaceTempView("bayes_grid")
+    return spark.sql(
+        _bayes_main_sql("bayes_counts", "bayes_lf", "bayes_grid")
+    )

@@ -185,6 +185,12 @@ _BNL_ALLOWED = {
     "ts_additive_model_fit",
     # 1-row exact-mean broadcast onto the collapsed hourly table
     "stat_ljung_box",
+    # tolerance theta self-join over the materialized collapsed
+    # template table (pre-bucket by y div r past |T| ~ 1e3, documented)
+    "ts_sample_entropy",
+    # 1-row counts x materialized lf/grid equi-joins; the 1-row norm
+    # rides along every grid row
+    "stat_bayes_ab_posterior",
 }
 
 _KEYS = sorted(
@@ -277,6 +283,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "stat_ljung_box",
     # cumulative rank window over the 100-row digit histogram
     "stat_anderson_darling",
+    # cumulative CDF window over the fixed 9999-row probability grid
+    "stat_bayes_ab_posterior",
 }
 
 

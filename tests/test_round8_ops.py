@@ -368,3 +368,38 @@ def test_jaro_winkler_python_matches_duckdb_builtin(spark):
     assert pairs
     for fa, fb, duck in pairs:
         assert abs(_jaro_winkler_py(fa, fb) - duck) < 1e-12
+
+
+def test_bayes_ab_matches_closed_form(spark):
+    """The gridded midpoint integral must land within 1e-4 of the
+    EXACT closed-form P(p1 > p2) for integer Beta posteriors — an
+    independent identity the oracle hash cannot check (both engines
+    share the grid)."""
+    import math
+
+    row = queries()["stat_bayes_ab_posterior"](spark, SF_DIR).collect()[0]
+    a1, b1 = row["x1"] + 1, row["n1"] - row["x1"] + 1
+    a2, b2 = row["x2"] + 1, row["n2"] - row["x2"] + 1
+
+    def lbeta(a, b):
+        return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+
+    p = 0.0
+    for i in range(a1):
+        p += math.exp(
+            lbeta(a2 + i, b1 + b2)
+            - math.log(b1 + i)
+            - lbeta(1 + i, b1)
+            - lbeta(a2, b2)
+        )
+    assert abs(row["prob_p1_gt_p2_micro"] - round(p * 1e6)) <= 100
+    assert row["decisive"] == (row["prob_p1_gt_p2_micro"] > 950_000)
+
+
+def test_sample_entropy_a_subset_of_b(spark):
+    """Every 3-step template match is also a 2-step match, so A <= B
+    and SampEn >= 0."""
+    row = queries()["ts_sample_entropy"](spark, SF_DIR).collect()[0]
+    assert 0 <= row["a"] <= row["b"]
+    assert row["sampen_micro"] >= 0
+    assert row["r"] > 0
