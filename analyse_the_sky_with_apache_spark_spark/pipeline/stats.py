@@ -6450,3 +6450,212 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _bayes_main_sql("bayes_counts", "bayes_lf", "bayes_grid")
     )
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                        AND event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x2
+  FROM events
+),
+rates AS (
+  SELECT n1, x1, n2, x2,
+         CAST(x1 AS DOUBLE) / n1 AS p1,
+         CAST(x2 AS DOUBLE) / n2 AS p2
+  FROM agg
+),
+se AS (
+  SELECT n1, x1, n2, x2, p1, p2,
+         sqrt(p1 * (1.0 - p1) / n1 + p2 * (1.0 - p2) / n2) AS s
+  FROM rates
+),
+z AS (
+  SELECT n1, x1, n2, x2, p1, p2, s,
+         ((p1 - p2) + 0.01) / s AS z_lower,
+         (0.01 - (p1 - p2)) / s AS z_upper
+  FROM se
+)
+SELECT n1, x1, n2, x2,
+       CAST(FLOOR((p1 - p2) * 1000000.0 + 0.5) AS BIGINT) AS diff_micro,
+       CAST(FLOOR(z_lower * 1000000.0 + 0.5) AS BIGINT) AS z_lower_micro,
+       CAST(FLOOR(z_upper * 1000000.0 + 0.5) AS BIGINT) AS z_upper_micro,
+       z_lower > 1.644854 AND z_upper > 1.644854 AS equivalent
+FROM z
+""",
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on the half-month
+    purchase rates with a +/-1pp margin — the experimentation question
+    `stat_power_analysis` and `stat_welch_ttest` DON'T answer: not "is
+    there a difference" but "can we claim the arms are the SAME within
+    a margin" (non-inferiority launches, infra migrations, holdback
+    retirement). Both one-sided z statistics come off the same exact
+    conditional aggregate; equivalence holds iff BOTH reject at
+    alpha=0.05 (z > 1.644854), i.e. the 90% CI of the difference lies
+    inside the margin.
+
+    100-TB posture: one data-sized conditional aggregate, one row out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.sum(
+            F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 1)
+            .otherwise(0)
+        ).alias("n1"),
+        F.sum(
+            F.when(
+                (F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"))
+                & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("x1"),
+        F.sum(
+            F.when(F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"), 1)
+            .otherwise(0)
+        ).alias("n2"),
+        F.sum(
+            F.when(
+                (F.col("ts").cast("date") >= F.lit("2024-01-16").cast("date"))
+                & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    rates = agg.select(
+        "n1", "x1", "n2", "x2", p1.alias("p1"), p2.alias("p2")
+    )
+    s = F.sqrt(
+        F.col("p1") * (F.lit(1.0) - F.col("p1")) / F.col("n1")
+        + F.col("p2") * (F.lit(1.0) - F.col("p2")) / F.col("n2")
+    )
+    se = rates.select("n1", "x1", "n2", "x2", "p1", "p2", s.alias("s"))
+    zl = ((F.col("p1") - F.col("p2")) + F.lit(0.01)) / F.col("s")
+    zu = (F.lit(0.01) - (F.col("p1") - F.col("p2"))) / F.col("s")
+    z = se.select(
+        "n1", "x1", "n2", "x2", "p1", "p2", "s",
+        zl.alias("z_lower"), zu.alias("z_upper"),
+    )
+    return z.select(
+        "n1", "x1", "n2", "x2",
+        F.floor((F.col("p1") - F.col("p2")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("diff_micro"),
+        F.floor(F.col("z_lower") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("z_lower_micro"),
+        F.floor(F.col("z_upper") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("z_upper_micro"),
+        (
+            (F.col("z_lower") > F.lit(1.644854))
+            & (F.col("z_upper") > F.lit(1.644854))
+        ).alias("equivalent"),
+    )
+
+
+@register(
+    "events_cuped_variance_reduction",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                       THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38, 0)) * CAST(x AS DECIMAL(38, 0)))
+              AS DECIMAL(38, 0)) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38, 0)) * CAST(y AS DECIMAL(38, 0)))
+              AS DECIMAL(38, 0)) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(38, 0)) * CAST(y AS DECIMAL(38, 0)))
+              AS DECIMAL(38, 0)) AS syy
+  FROM per_user
+),
+moments AS (
+  SELECT n,
+         CAST(sxx AS DOUBLE) / n
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS var_x,
+         CAST(syy AS DOUBLE) / n
+           - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS var_y,
+         CAST(sxy AS DOUBLE) / n
+           - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS cov_xy
+  FROM sums
+)
+SELECT n,
+       CAST(FLOOR(cov_xy / var_x * 1000000.0 + 0.5) AS BIGINT)
+         AS theta_micro,
+       CAST(FLOOR(cov_xy / sqrt(var_x) / sqrt(var_y) * 1000000.0 + 0.5)
+            AS BIGINT) AS corr_micro,
+       CAST(FLOOR((1.0 - (cov_xy / sqrt(var_x) / sqrt(var_y))
+                         * (cov_xy / sqrt(var_x) / sqrt(var_y)))
+                  * 1000000.0 + 0.5) AS BIGINT) AS var_ratio_micro
+FROM moments
+""",
+)
+def events_cuped_variance_reduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED (controlled pre-experiment data) variance reduction: use
+    each user's FIRST-half value as the covariate for their
+    second-half metric, report the optimal theta = cov/var and the
+    residual variance ratio 1 - rho^2 — the sensitivity multiplier
+    every experimentation platform quotes ("CUPED cuts required sample
+    size by X%"; composes directly with `stat_power_analysis`'
+    n-per-arm). One per-user rollup builds covariate and metric in the
+    same pass; all five moment sums are exact (micro-gridded values,
+    DECIMAL(38) cross-products), so theta/rho are single IEEE
+    divisions off exact state.
+
+    100-TB posture: one hash aggregate keyed on user, one 5-long
+    reduction — the mergeable-moments shape (agg_higher_moments).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vmic = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    cut = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(cut, vmic).otherwise(0)).alias("x"),
+        F.sum(F.when(~cut, vmic).otherwise(0)).alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    sums = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    moments = sums.select(
+        "n",
+        (F.col("sxx").cast("double") / F.col("n") - mx * mx).alias("var_x"),
+        (F.col("syy").cast("double") / F.col("n") - my * my).alias("var_y"),
+        (F.col("sxy").cast("double") / F.col("n") - mx * my).alias("cov_xy"),
+    )
+    rho = (
+        F.col("cov_xy") / F.sqrt(F.col("var_x")) / F.sqrt(F.col("var_y"))
+    )
+    return moments.select(
+        "n",
+        F.floor(F.col("cov_xy") / F.col("var_x") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("theta_micro"),
+        F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long").alias("corr_micro"),
+        F.floor((F.lit(1.0) - rho * rho) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("var_ratio_micro"),
+    )

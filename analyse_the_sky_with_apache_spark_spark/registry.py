@@ -224,6 +224,7 @@ _ROTATION_R11 = (
     "ml_threshold_sweep", "stat_power_analysis", "ts_additive_model_fit",
     "stat_anderson_darling", "stat_ljung_box", "dedup_jaro_winkler",
     "ts_sample_entropy", "stat_bayes_ab_posterior",
+    "stat_tost_equivalence", "events_cuped_variance_reduction",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

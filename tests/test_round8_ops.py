@@ -403,3 +403,27 @@ def test_sample_entropy_a_subset_of_b(spark):
     assert 0 <= row["a"] <= row["b"]
     assert row["sampen_micro"] >= 0
     assert row["r"] > 0
+
+
+def test_tost_consistency_with_power_counts(spark):
+    """TOST and power analysis must agree on the underlying counts
+    (same conditional aggregate), and TOST's two z's must straddle the
+    margin: z_lower + z_upper = 2*margin/se > 0."""
+    tost = queries()["stat_tost_equivalence"](spark, SF_DIR).collect()[0]
+    power = queries()["stat_power_analysis"](spark, SF_DIR).collect()[0]
+    assert (tost["n1"], tost["x1"], tost["n2"], tost["x2"]) == (
+        power["n1"], power["x1"], power["n2"], power["x2"],
+    )
+    assert tost["z_lower_micro"] + tost["z_upper_micro"] > 0
+
+
+def test_cuped_rho_bounds_and_ratio_identity(spark):
+    """|rho| <= 1 and the variance ratio must equal 1 - rho^2 on the
+    grid."""
+    row = queries()["events_cuped_variance_reduction"](
+        spark, SF_DIR
+    ).collect()[0]
+    rho = row["corr_micro"] / 1e6
+    assert abs(rho) <= 1.000001
+    assert abs(row["var_ratio_micro"] - round((1 - rho * rho) * 1e6)) <= 5
+    assert row["n"] > 0
