@@ -100,6 +100,11 @@ EXTENDED = (
     "graph_random_walks",        # md5-coin DeepWalk corpus, 3 hops
     "lightcurve_lomb_scargle",   # irregular-sampling periodogram
     "ml_bagged_stumps",          # 8-replica Poisson-bootstrap bagging
+    # round-8 late-session additions (regression reference: BENCH_r08)
+    "graph_harmonic_closeness",  # 20 BFS trees in one (src,node) frontier
+    "dedup_jaro_winkler",        # block-purged JW record linkage kernel
+    "stat_bayes_ab_posterior",   # gridded-transcendental Beta integral
+    "ml_knn_classify",           # id-capped brute kNN + majority vote
 )
 
 
