@@ -225,6 +225,7 @@ _ROTATION_R11 = (
     "stat_anderson_darling", "stat_ljung_box", "dedup_jaro_winkler",
     "ts_sample_entropy", "stat_bayes_ab_posterior",
     "stat_tost_equivalence", "events_cuped_variance_reduction",
+    "stream_stateful_timeout",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -868,3 +868,129 @@ def stream_join_then_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("hour_start"),
         F.col("n_conversions").cast("long").alias("n_conversions"),
     )
+
+
+#: stream_stateful_timeout geometry: session gap and watermark delay
+#: (minutes). Emission horizon for a user's LAST session is
+#: gap + delay behind the stream's max event time.
+_SESS_GAP_MIN, _SESS_WM_MIN = 15, 5
+_SESS_OUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events BIGINT"
+)
+_SESS_STATE_SCHEMA = "start BIGINT, last BIGINT, n BIGINT"
+
+
+def _session_timeout_fn(key, pdf_iter, state):
+    """Event-time sessionizer with EventTimeTimeout: a session closes
+    either when a same-user event arrives more than the gap later
+    (emitted inline) or when the watermark passes last_event + gap
+    (emitted by the timeout callback). Timestamps round-trip through
+    integer microseconds; the per-batch rows sort by (ts, event_id) so
+    multi-session batches split deterministically."""
+    gap_us = _SESS_GAP_MIN * 60 * 1_000_000
+
+    def emit(start, last, n):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield emit(start, last, n)
+        return
+    closed = []
+    cur = state.get if state.exists else None
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_us in pdf["ts"].astype("int64") // 1000:
+            ts_us = int(ts_us)
+            if cur is None:
+                cur = (ts_us, ts_us, 1)
+            elif ts_us - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (ts_us, ts_us, 1)
+            else:
+                cur = (cur[0], max(cur[1], ts_us), cur[2] + 1)
+    state.update(cur)
+    # fire when the watermark passes session end + gap (ms API)
+    state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+    for s in closed:
+        yield emit(*s)
+
+
+@register(
+    "stream_stateful_timeout",
+    oracle=f"""
+WITH lagd AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL
+               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {_SESS_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM lagd
+),
+g AS (
+  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+mx AS (SELECT MAX(ts) AS m FROM events),
+r AS (
+  SELECT g.user_id, g.session_start, g.session_end, g.n_events,
+         ROW_NUMBER() OVER (PARTITION BY g.user_id
+                            ORDER BY g.sid DESC) AS rn,
+         mx.m
+  FROM g CROSS JOIN mx
+)
+SELECT user_id, session_start, session_end, n_events
+FROM r
+WHERE rn > 1
+   OR session_end + INTERVAL {_SESS_GAP_MIN} MINUTE
+        < m - INTERVAL {_SESS_WM_MIN} MINUTE
+""",
+)  # emission contract pinned empirically at two SFs before the oracle
+# was written: non-final sessions always emit; final sessions emit iff
+# end + gap < max_ts - delay (the watermark horizon)
+def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows via applyInPandasWithState with
+    EVENT-TIME TIMEOUTS — the arbitrary-state capability
+    `stream_stateful` (NoTimeout) doesn't exercise and the one real
+    sessionization engines are built on: state must expire by
+    watermark, not by traffic. Replayed as 4 time-ordered micro-batches
+    so timeouts genuinely fire BETWEEN batches; the trailing no-data
+    batch fires the final eligible timeouts at wm = max_ts - delay.
+
+    Emission contract (the oracle states it relationally): every
+    non-final session of a user emits (closed inline by its successor
+    event or by timeout), and the user's FINAL session emits iff
+    last_event + gap < max_ts - delay. Sessions still open inside that
+    horizon stay in state when availableNow terminates — fewer rows
+    than batch sessionization, exactly like stream_watermark_late.
+    """
+    src = stage_events(spark, sf_dir, n_files=4)
+    out = (
+        src.withWatermark("ts", f"{_SESS_WM_MIN} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_fn,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    return run_stream(spark, out, mode="append", name="sess_timeout")

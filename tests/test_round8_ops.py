@@ -427,3 +427,52 @@ def test_cuped_rho_bounds_and_ratio_identity(spark):
     assert abs(rho) <= 1.000001
     assert abs(row["var_ratio_micro"] - round((1 - rho * rho) * 1e6)) <= 5
     assert row["n"] > 0
+
+
+def test_stateful_timeout_emits_fewer_than_batch(spark):
+    """Event-time-timeout sessionization must emit strictly fewer
+    sessions than batch sessionization whenever any user's final
+    session ends inside the gap+delay horizon — and every emitted
+    session must be a genuine batch session (subset check)."""
+    from pyspark.sql import Window as W
+
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+    from analyse_the_sky_with_apache_spark_spark.streaming.queries import (
+        _SESS_GAP_MIN,
+    )
+
+    emitted = queries()["stream_stateful_timeout"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > _SESS_GAP_MIN * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts", brk.alias("brk")).select(
+        "user_id", "ts",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    batch = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    batch_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    }
+    emitted_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in emitted
+    }
+    assert emitted_set <= batch_set
+    assert len(emitted_set) < len(batch_set)
