@@ -2216,3 +2216,90 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("w").desc(), "pa", "pb")
         .limit(50)
     )
+
+
+@register(
+    "graph_katz_bounded",
+    oracle="""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+w1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS w FROM adj GROUP BY node),
+w2 AS (
+  SELECT adj.node, CAST(SUM(w1.w) AS BIGINT) AS w
+  FROM adj JOIN w1 ON adj.nbr = w1.node
+  GROUP BY adj.node
+),
+w3 AS (
+  SELECT adj.node, CAST(SUM(w2.w) AS BIGINT) AS w
+  FROM adj JOIN w2 ON adj.nbr = w2.node
+  GROUP BY adj.node
+)
+SELECT w1.node,
+       w1.w AS walks1, w2.w AS walks2, w3.w AS walks3,
+       CAST(100 * w1.w + 10 * w2.w + w3.w AS BIGINT) AS katz_scaled
+FROM w1 JOIN w2 ON w1.node = w2.node JOIN w3 ON w1.node = w3.node
+ORDER BY katz_scaled DESC, w1.node
+LIMIT 30
+""",
+)
+def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (alpha=0.1, horizon 3): score =
+    sum_k alpha^k * (walks of length k ending at v), the
+    influence-with-decay measure between degree (horizon 1) and
+    `graph_pagerank` (stationary): walk COUNTS, not visit
+    probabilities, so hubs reachable by many short paths outrank
+    high-degree leaves. With alpha = 1/10 the score is the EXACT
+    integer 100*w1 + 10*w2 + w3 — no float enters at all. Each
+    horizon is one adjacency-join + hash aggregate against the
+    previous walk vector (the frontier-vector algebra `graph_pagerank`
+    iterates); 3 shuffles total, all hash-partitioned on the node key.
+
+    100-TB posture: cost is |E| x horizon; hub skew is bounded by the
+    strong-edge co-purchase threshold, and the capped-wedge rung's
+    degree cap applies unchanged if a hub explodes.
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    w1 = adj.groupBy("node").agg(F.count(F.lit(1)).alias("w"))
+    w2 = (
+        adj.join(
+            w1.select(F.col("node").alias("nbr"), F.col("w").alias("wn")),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(F.sum("wn").alias("w"))
+    )
+    w3 = (
+        adj.join(
+            w2.select(F.col("node").alias("nbr"), F.col("w").alias("wn")),
+            "nbr",
+        )
+        .groupBy("node")
+        .agg(F.sum("wn").alias("w"))
+    )
+    return (
+        w1.select("node", F.col("w").alias("walks1"))
+        .join(w2.select("node", F.col("w").alias("walks2")), "node")
+        .join(w3.select("node", F.col("w").alias("walks3")), "node")
+        .select(
+            "node", "walks1", "walks2", "walks3",
+            (
+                F.lit(100) * F.col("walks1")
+                + F.lit(10) * F.col("walks2")
+                + F.col("walks3")
+            ).cast("long").alias("katz_scaled"),
+        )
+        .orderBy(F.col("katz_scaled").desc(), "node")
+        .limit(30)
+    )

@@ -3547,3 +3547,91 @@ def events_markov_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(avg, "user_id")
         .limit(_MKV_TOP)
     )
+
+
+@register(
+    "win_rolling_regression_slope",
+    oracle="""
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, t, y,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(t) OVER win AS BIGINT) AS st,
+         CAST(SUM(y) OVER win AS BIGINT) AS sy,
+         CAST(SUM(t * y) OVER win AS BIGINT) AS sty,
+         CAST(SUM(t * t) OVER win AS BIGINT) AS stt
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY t
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, t AS day,
+       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                  * 1000.0 + 0.5) AS BIGINT) AS slope_milli_micro
+FROM w WHERE n = 7
+ORDER BY event_type, day
+""",
+)
+def win_rolling_regression_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day OLS slope of each event type's daily mean — the
+    local-trend signal a monitoring stack overlays on `ts_ewma`
+    (level) and `ts_bollinger_bands` (spread): the regression
+    generalization of a rolling difference, robust to single-day
+    spikes. All five OLS sufficient statistics come from ONE window
+    frame over the collapsed per-day table (exact longs — day index x
+    micro mean stays far under 2^63), so each output row is a scalar
+    IEEE division; rows with fewer than 7 days of history are
+    suppressed rather than emitting a degenerate fit.
+
+    100-TB posture: one data-sized rollup; the frame windows partition
+    by event type over |days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("t"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("t").rowsBetween(-6, 0)
+    )
+    w = d.select(
+        "event_type", "t", "y",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("t").over(win).alias("st"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("t") * F.col("y")).over(win).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).over(win).alias("stt"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    return (
+        w.where(F.col("n") == 7)
+        .select(
+            "event_type",
+            F.col("t").alias("day"),
+            F.floor(slope * F.lit(1000.0) + F.lit(0.5))
+            .cast("long").alias("slope_milli_micro"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -226,6 +226,7 @@ _ROTATION_R11 = (
     "ts_sample_entropy", "stat_bayes_ab_posterior",
     "stat_tost_equivalence", "events_cuped_variance_reduction",
     "stream_stateful_timeout",
+    "win_rolling_regression_slope", "graph_katz_bounded",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -476,3 +476,29 @@ def test_stateful_timeout_emits_fewer_than_batch(spark):
     }
     assert emitted_set <= batch_set
     assert len(emitted_set) < len(batch_set)
+
+
+def test_katz_score_is_exact_integer_combination(spark):
+    """katz_scaled must equal 100*w1 + 10*w2 + w3 exactly, walks must
+    be monotone in horizon for any node with degree >= 1 on a graph
+    with min degree >= 1 (each walk extends)."""
+    rows = queries()["graph_katz_bounded"](spark, SF_DIR).collect()
+    assert rows
+    scores = [r["katz_scaled"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["katz_scaled"] == (
+            100 * r["walks1"] + 10 * r["walks2"] + r["walks3"]
+        )
+        assert r["walks1"] <= r["walks2"] <= r["walks3"]
+
+
+def test_rolling_slope_needs_full_window(spark):
+    """Exactly |days| - 6 rows per event type (the first 6 days are
+    suppressed), so no degenerate fits leak out."""
+    rows = queries()["win_rolling_regression_slope"](spark, SF_DIR).collect()
+    assert rows
+    from collections import Counter
+
+    per_type = Counter(r["event_type"] for r in rows)
+    assert len(set(per_type.values())) == 1  # same day span per type
