@@ -2303,3 +2303,93 @@ def graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("katz_scaled").desc(), "node")
         .limit(30)
     )
+
+
+@register(
+    "graph_rich_club",
+    oracle="""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+ks AS (SELECT CAST(u AS BIGINT) AS k
+       FROM (SELECT unnest([2, 4, 6, 8, 12]) AS u)),
+club AS (
+  SELECT ks.k, deg.node
+  FROM deg JOIN ks ON deg.d > ks.k
+),
+nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM club GROUP BY k),
+ek AS (
+  SELECT ca.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM e JOIN club ca ON e.u = ca.node
+         JOIN club cb ON e.v = cb.node AND ca.k = cb.k
+  GROUP BY ca.k
+)
+SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+       CASE WHEN nk.n_k >= 2 THEN
+         CAST(FLOOR(2.0 * COALESCE(ek.e_k, 0)
+                    / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1))
+                    * 1000000.0 + 0.5) AS BIGINT)
+       ELSE NULL END AS phi_micro
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+ORDER BY nk.k
+""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) at five
+    degree thresholds — do the hubs of the co-purchase graph link to
+    EACH OTHER more densely than chance (the network-science elite-core
+    diagnostic complementing `graph_assortativity`'s single mixing
+    number with a per-threshold profile)? The club membership table is
+    one degree-threshold theta-join against the 5-row threshold list;
+    club-internal edges come from two semi-join-shaped hash joins of
+    the edge table against the membership — everything exact integers,
+    one double ratio per threshold.
+
+    100-TB posture: degrees are one hash agg; membership is
+    |thresholds| x |high-degree nodes| (shrinks as k grows); the edge
+    filter joins shuffle on node keys.
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    ks = spark.createDataFrame(
+        [(2,), (4,), (6,), (8,), (12,)], "k BIGINT"
+    )
+    club = deg.crossJoin(F.broadcast(ks)).where(
+        F.col("d") > F.col("k")
+    ).select("k", "node")
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    ca = club.select("k", F.col("node").alias("u"))
+    cb = club.select("k", F.col("node").alias("v"))
+    ek = (
+        e.join(ca, "u")
+        .join(cb, ["k", "v"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    phi = F.when(
+        F.col("n_k") >= 2,
+        F.floor(
+            F.lit(2.0) * F.coalesce(F.col("e_k"), F.lit(0))
+            / (F.col("n_k").cast("double") * (F.col("n_k") - 1))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k", "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).alias("e_k"),
+            phi.alias("phi_micro"),
+        )
+        .orderBy("k")
+    )

@@ -2458,3 +2458,108 @@ def lightcurve_lomb_scargle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_ls_micro"),
     ).orderBy("period_d")
+
+
+@register(
+    "xmatch_offset_false_rate",
+    oracle="""
+WITH a AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part WHERE p_partkey % 2 = 0
+),
+b AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part WHERE p_partkey % 2 = 1
+),
+true_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM a JOIN b ON abs(a.cents - b.cents) <= 25
+                AND abs(a.size - b.size) <= 1
+),
+off_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM a JOIN b ON abs(a.cents - (b.cents + 1000)) <= 25
+                AND abs(a.size - b.size) <= 1
+)
+SELECT true_m.n AS n_true, off_m.n AS n_offset,
+       CAST(FLOOR(CAST(off_m.n AS DOUBLE) / true_m.n * 1000000.0 + 0.5)
+            AS BIGINT) AS false_rate_micro,
+       CAST(true_m.n - off_m.n AS BIGINT) AS n_real_excess
+FROM true_m CROSS JOIN off_m
+""",
+)
+def xmatch_offset_false_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-catalog false-match estimate — the standard cross-match
+    validation: re-run the match with one catalog artificially shifted
+    far beyond the tolerance (here +10 on the price axis) so every
+    surviving pair is chance coincidence, and report the
+    offset-to-true ratio as the contamination estimate (the companion
+    to `xmatch_completeness`'s recall side). Both passes use the
+    xmatch_2d cell-grid join — each row hashes to its home cell, one
+    side replicates into the 3x3 neighborhood, exact band predicates
+    prune — so the offset pass costs the same as the real one, never a
+    cartesian.
+
+    100-TB posture: two cell-partitioned equi-joins; the offset is a
+    constant added before cell assignment, so the plan is identical.
+    """
+    eps_p, eps_s, cell_p = 25, 1, 25
+
+    def catalog(parity: int, shift: int) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "part")
+            .where(F.pmod("p_partkey", F.lit(2)) == parity)
+            .select(
+                "p_partkey",
+                (
+                    F.round(F.col("p_retailprice") * 100).cast("long")
+                    + F.lit(shift)
+                ).alias("cents"),
+                F.col("p_size").cast("long").alias("size"),
+            )
+        )
+
+    def match_count(shift: int) -> DataFrame:
+        a = catalog(0, 0)
+        b = catalog(1, shift)
+        bg = b.select(
+            "cents", "size",
+            F.explode(
+                F.sequence(
+                    F.expr(f"cents div {cell_p} - 1"),
+                    F.expr(f"cents div {cell_p} + 1"),
+                )
+            ).alias("pc"),
+            F.explode(F.sequence(F.col("size") - 1, F.col("size") + 1))
+            .alias("sc"),
+        )
+        ag = a.select(
+            F.col("cents").alias("a_cents"),
+            F.col("size").alias("a_size"),
+            F.expr(f"cents div {cell_p}").alias("pc"),
+            F.col("size").alias("sc"),
+        )
+        return (
+            ag.join(bg, ["pc", "sc"])
+            .where(
+                (F.abs(F.col("a_cents") - F.col("cents")) <= eps_p)
+                & (F.abs(F.col("a_size") - F.col("size")) <= eps_s)
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    t = match_count(0).select(F.col("n").alias("n_true"))
+    o = match_count(1000).select(F.col("n").alias("n_offset"))
+    return t.crossJoin(F.broadcast(o)).select(
+        "n_true", "n_offset",
+        F.floor(
+            F.col("n_offset").cast("double") / F.col("n_true") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("false_rate_micro"),
+        (F.col("n_true") - F.col("n_offset")).cast("long")
+        .alias("n_real_excess"),
+    )

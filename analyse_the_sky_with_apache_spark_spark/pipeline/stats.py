@@ -6659,3 +6659,115 @@ def events_cuped_variance_reduction(
         F.floor((F.lit(1.0) - rho * rho) * F.lit(1e6) + F.lit(0.5))
         .cast("long").alias("var_ratio_micro"),
     )
+
+
+@register(
+    "ml_woe_iv",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) // 1000 AS bin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS g
+  FROM scored GROUP BY bin
+),
+cum AS (
+  SELECT bin, n, g,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS cn_before,
+         CAST(SUM(n) OVER () AS BIGINT) AS tn
+  FROM bins
+),
+dec AS (
+  SELECT (cn_before * 10) // tn AS decile,
+         CAST(SUM(g) AS BIGINT) AS g,
+         CAST(SUM(n) - SUM(g) AS BIGINT) AS b
+  FROM cum GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS tg, CAST(SUM(b) AS BIGINT) AS tb
+  FROM dec
+),
+woe AS (
+  SELECT decile, g, b, tg, tb,
+         ln((CAST(g AS DOUBLE) / tg) / (CAST(b AS DOUBLE) / tb)) AS w
+  FROM dec CROSS JOIN tot
+),
+terms AS (
+  SELECT decile, g, b,
+         CAST(FLOOR(w * 1000000.0 + 0.5) AS BIGINT) AS woe_micro,
+         CAST(FLOOR((CAST(g AS DOUBLE) / tg - CAST(b AS DOUBLE) / tb) * w
+                    * 1000000000.0 + 0.5) AS BIGINT) AS iv_nano
+  FROM woe
+)
+SELECT decile, g, b, woe_micro,
+       CAST(SUM(iv_nano) OVER () AS BIGINT) AS iv_total_nano
+FROM terms
+ORDER BY decile
+""",
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence binning and Information Value — the
+    credit-scoring feature diagnostic (WoE_b = ln(good-share /
+    bad-share), IV = sum of share-gap x WoE; IV < 0.02 useless,
+    > 0.5 suspicious) that turns `ml_lift_curve`'s deciles into a
+    monotonic-risk encoding ready for a scorecard. Deciles come from
+    the collapsed score-bin cumulative (the lift machinery); WoE logs
+    ride on exact count ratios and per-decile IV terms grid to 1e-9
+    before the 10-row sum.
+
+    100-TB posture: one data-sized hash aggregate; all downstream on
+    the bounded bin/decile tables.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        F.floor(
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            / F.lit(1000)
+        ).cast("long").alias("bin"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("g")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin", "n", "g",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("cn_before"),
+        F.sum("n").over(wall).alias("tn"),
+    )
+    dec = cum.groupBy(
+        F.expr("(cn_before * 10) div tn").alias("decile")
+    ).agg(
+        F.sum("g").alias("g"),
+        (F.sum("n") - F.sum("g")).alias("b"),
+    )
+    tot = dec.agg(F.sum("g").alias("tg"), F.sum("b").alias("tb"))
+    gshare = F.col("g").cast("double") / F.col("tg")
+    bshare = F.col("b").cast("double") / F.col("tb")
+    woe = dec.crossJoin(F.broadcast(tot)).select(
+        "decile", "g", "b", "tg", "tb",
+        F.log(gshare / bshare).alias("w"),
+    )
+    terms = woe.select(
+        "decile", "g", "b",
+        F.floor(F.col("w") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("woe_micro"),
+        F.floor(
+            (gshare - bshare) * F.col("w") * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("iv_nano"),
+    )
+    return terms.select(
+        "decile", "g", "b", "woe_micro",
+        F.sum("iv_nano").over(wall).alias("iv_total_nano"),
+    ).orderBy("decile")

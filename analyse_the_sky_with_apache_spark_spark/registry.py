@@ -227,6 +227,7 @@ _ROTATION_R11 = (
     "stat_tost_equivalence", "events_cuped_variance_reduction",
     "stream_stateful_timeout",
     "win_rolling_regression_slope", "graph_katz_bounded",
+    "ml_woe_iv", "graph_rich_club", "xmatch_offset_false_rate",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -191,6 +191,12 @@ _BNL_ALLOWED = {
     # 1-row counts x materialized lf/grid equi-joins; the 1-row norm
     # rides along every grid row
     "stat_bayes_ab_posterior",
+    # 1-row good/bad totals broadcast onto the 10-row decile table
+    "ml_woe_iv",
+    # 5-row threshold list theta-joined against the degree table
+    "graph_rich_club",
+    # 1-row true-count x 1-row offset-count scalar product
+    "xmatch_offset_false_rate",
 }
 
 _KEYS = sorted(
@@ -285,6 +291,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "stat_anderson_darling",
     # cumulative CDF window over the fixed 9999-row probability grid
     "stat_bayes_ab_posterior",
+    # lift-curve-shaped cumulative windows over the collapsed score-bin
+    # table (multiplicity = CTE re-expansion of the tiny bin relation)
+    "ml_woe_iv",
 }
 
 

@@ -502,3 +502,37 @@ def test_rolling_slope_needs_full_window(spark):
 
     per_type = Counter(r["event_type"] for r in rows)
     assert len(set(per_type.values())) == 1  # same day span per type
+
+
+def test_woe_shares_and_iv_nonnegative(spark):
+    """Good/bad totals reconcile with the lift-curve counts and IV is
+    non-negative by construction (share-gap and WoE share a sign)."""
+    rows = queries()["ml_woe_iv"](spark, SF_DIR).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    assert len({r["iv_total_nano"] for r in rows}) == 1
+    assert rows[0]["iv_total_nano"] >= 0
+    lift = queries()["ml_lift_curve"](spark, SF_DIR).collect()
+    assert sum(r["g"] + r["b"] for r in rows) == sum(r["n"] for r in lift)
+
+
+def test_rich_club_membership_shrinks_with_k(spark):
+    """Club size and internal edges are non-increasing in k, and
+    phi is a density in [0, 1]."""
+    rows = queries()["graph_rich_club"](spark, SF_DIR).collect()
+    ns = [r["n_k"] for r in rows]
+    es = [r["e_k"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert es == sorted(es, reverse=True)
+    for r in rows:
+        if r["phi_micro"] is not None:
+            assert 0 <= r["phi_micro"] <= 1_000_000
+            assert r["e_k"] <= r["n_k"] * (r["n_k"] - 1) // 2
+
+
+def test_offset_false_rate_below_true(spark):
+    """A +10-price offset kills genuine coincidence structure, so the
+    offset count must sit well below the true count."""
+    row = queries()["xmatch_offset_false_rate"](spark, SF_DIR).collect()[0]
+    assert 0 < row["n_offset"] < row["n_true"]
+    assert row["n_real_excess"] == row["n_true"] - row["n_offset"]
+    assert 0 < row["false_rate_micro"] < 1_000_000
