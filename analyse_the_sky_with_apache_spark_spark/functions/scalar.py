@@ -1054,3 +1054,38 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "grp": "o_orderstatus", "val": "o_totalprice"},
     )
+
+
+@register(
+    "sql_star_except",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders)
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey
+""",
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCEPT (cols)`` — the Spark 4 star-modifier that
+    keeps wide-table projections maintainable (drop the sensitive or
+    huge columns, keep everything else, no 200-column list to
+    hand-sync when the schema evolves). The oracle spells out the
+    surviving columns explicitly, proving the modifier's column
+    arithmetic; column PRUNING still reaches the scan because EXCEPT
+    resolves at analysis time, not runtime.
+
+    100-TB posture: pure analysis-time sugar — the physical plan is
+    identical to the explicit projection, ReadSchema drops the
+    excluded column at the parquet footer.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    o.createOrReplaceTempView("star_except_orders")
+    return spark.sql(
+        "SELECT * EXCEPT (o_totalprice) FROM star_except_orders "
+        "WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"
+    )

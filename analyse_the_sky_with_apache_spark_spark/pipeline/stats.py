@@ -6771,3 +6771,76 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "g", "b", "woe_micro",
         F.sum("iv_nano").over(wall).alias("iv_total_nano"),
     ).orderBy("decile")
+
+
+@register(
+    "ml_cox_one_step",
+    oracle=f"""
+WITH lr AS ({_logrank_sql("events", "epoch_us", "//", "MATERIALIZED")}),
+est AS (
+  SELECT o1_sum, e1_micro_sum, v_micro_sum, n_event_days,
+         CAST(o1_sum * 1000000 - e1_micro_sum AS DOUBLE)
+           / CAST(v_micro_sum AS DOUBLE) AS beta,
+         1.0 / sqrt(CAST(v_micro_sum AS DOUBLE) / 1000000.0) AS se
+  FROM lr
+)
+SELECT o1_sum, n_event_days,
+       CAST(FLOOR(beta * 1000000.0 + 0.5) AS BIGINT) AS beta_micro,
+       CAST(FLOOR(se * 1000000.0 + 0.5) AS BIGINT) AS se_micro,
+       CAST(FLOOR(exp(beta) * 1000000.0 + 0.5) AS BIGINT)
+         AS hazard_ratio_micro,
+       CAST(FLOOR(exp(beta - 1.959964 * se) * 1000000.0 + 0.5) AS BIGINT)
+         AS hr_ci_lo_micro,
+       CAST(FLOOR(exp(beta + 1.959964 * se) * 1000000.0 + 0.5) AS BIGINT)
+         AS hr_ci_hi_micro,
+       abs(beta / se) > 1.959964 AS significant
+FROM est
+""",
+)
+def ml_cox_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step Cox proportional-hazards estimate for the binary
+    first-click cohort covariate — the EFFECT SIZE (hazard ratio with
+    a 95% CI) where `stat_logrank_test` only answers yes/no: at
+    beta=0 the Cox partial-likelihood score is exactly the log-rank
+    numerator U = sum(O1 - E1) and the information is the log-rank
+    variance sum I, so the one-step Newton estimate beta = U/I,
+    SE = 1/sqrt(I) falls out of the SAME exact micro-gridded risk-set
+    sums — this operator is the documented identity applied to the
+    shared kernel, not a second survival pass.
+
+    100-TB posture: identical to stat_logrank_test (one data-sized
+    user rollup, collapsed duration histogram, suffix-sum risk sets);
+    the transform is five scalar IEEE ops.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("cox_events")
+    lr = spark.sql(_logrank_sql("cox_events", "unix_micros", "div", ""))
+    beta = (
+        (F.col("o1_sum") * F.lit(1_000_000) - F.col("e1_micro_sum"))
+        .cast("double") / F.col("v_micro_sum").cast("double")
+    )
+    se = F.lit(1.0) / F.sqrt(
+        F.col("v_micro_sum").cast("double") / F.lit(1e6)
+    )
+    est = lr.select(
+        "o1_sum", "n_event_days", beta.alias("beta"), se.alias("se")
+    )
+    return est.select(
+        "o1_sum", "n_event_days",
+        F.floor(F.col("beta") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("beta_micro"),
+        F.floor(F.col("se") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("se_micro"),
+        F.floor(F.exp(F.col("beta")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("hazard_ratio_micro"),
+        F.floor(
+            F.exp(F.col("beta") - F.lit(1.959964) * F.col("se"))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("hr_ci_lo_micro"),
+        F.floor(
+            F.exp(F.col("beta") + F.lit(1.959964) * F.col("se"))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("hr_ci_hi_micro"),
+        (F.abs(F.col("beta") / F.col("se")) > F.lit(1.959964))
+        .alias("significant"),
+    )

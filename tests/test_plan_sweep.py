@@ -197,6 +197,9 @@ _BNL_ALLOWED = {
     "graph_rich_club",
     # 1-row true-count x 1-row offset-count scalar product
     "xmatch_offset_false_rate",
+    # the shared logrank kernel's 1-row scalar products (same plan as
+    # stat_logrank_test, which is windowed-CTE exempt via the kernel)
+    "ml_cox_one_step",
 }
 
 _KEYS = sorted(

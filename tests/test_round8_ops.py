@@ -536,3 +536,26 @@ def test_offset_false_rate_below_true(spark):
     assert 0 < row["n_offset"] < row["n_true"]
     assert row["n_real_excess"] == row["n_true"] - row["n_offset"]
     assert 0 < row["false_rate_micro"] < 1_000_000
+
+
+def test_cox_one_step_is_logrank_identity(spark):
+    """beta = U/I and chi2 = z^2 must reconcile with the logrank
+    outputs exactly (both read the same risk-set sums)."""
+    cox = queries()["ml_cox_one_step"](spark, SF_DIR).collect()[0]
+    lr = queries()["stat_logrank_test"](spark, SF_DIR).collect()[0]
+    u = lr["o1_sum"] * 1_000_000 - lr["e1_micro_sum"]
+    beta = u / lr["v_micro_sum"]
+    assert abs(cox["beta_micro"] - int(beta * 1e6 + (0.5 if beta > 0 else -0.5))) <= 1
+    # z^2 == logrank chi2 (same standardization)
+    z = beta / (1.0 / (lr["v_micro_sum"] / 1e6) ** 0.5)
+    assert abs(z * z - lr["chi2"]) < 1e-6 * max(1.0, lr["chi2"])
+    assert cox["hr_ci_lo_micro"] <= cox["hazard_ratio_micro"] <= cox["hr_ci_hi_micro"]
+
+
+def test_star_except_prunes_scan_schema(spark):
+    """The excluded column must not appear in the result nor in the
+    parquet ReadSchema (analysis-time pruning reaches the scan)."""
+    df = queries()["sql_star_except"](spark, SF_DIR)
+    assert "o_totalprice" not in df.columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_totalprice" not in plan.split("ReadSchema")[-1][:400]
