@@ -668,3 +668,157 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs("delta") > _SCENE_THRESH)
         .select("doc_id", "frame_idx", F.abs("delta").alias("jump"))
     )
+
+
+@register(
+    "mm_payload_dedup",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+cl AS (
+  SELECT content_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(MIN(doc_id) AS BIGINT) AS survivor,
+         CAST(SUM(n_bytes) - MAX(n_bytes) AS BIGINT) AS wasted_bytes
+  FROM h GROUP BY content_md5
+)
+SELECT content_md5, n_copies, survivor, wasted_bytes
+FROM cl WHERE n_copies > 1
+ORDER BY n_copies DESC, survivor
+LIMIT 50
+""",
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-payload dedup by content hash — the first pass of
+    every multimodal ingestion pipeline (byte-identical images/audio
+    recur constantly across crawls): hash the payload bytes, keep the
+    lowest-id copy as survivor, and account the wasted storage per
+    duplicate cluster. The hash is computed on the BINARY column (the
+    mm_binary_features payload), so this is the blob-side counterpart
+    of `dedup_exact`'s text digest — one hash-partitioned aggregate,
+    no pair space at all.
+
+    100-TB posture: one data-sized hash aggregate on the digest; at
+    petabyte blob scale the same plan runs over (store_key, md5)
+    manifests without touching payload bytes twice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.octet_length(F.col("text").cast("binary")).cast("long")
+        .alias("n_bytes"),
+    )
+    return (
+        h.groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("survivor"),
+            (F.sum("n_bytes") - F.max("n_bytes")).cast("long")
+            .alias("wasted_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy(F.col("n_copies").desc(), "survivor")
+        .limit(50)
+    )
+
+
+@register(
+    "mm_modality_router",
+    oracle=r"""
+WITH framed AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN '\xFF\xD8\xFF'::BLOB || encode(text)
+           WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB || encode(text)
+           ELSE 'RIFF'::BLOB || encode(text)
+         END AS payload
+  FROM documents
+),
+sniffed AS (
+  SELECT doc_id, payload,
+         CASE
+           WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'jpeg'
+           WHEN left(hex(payload), 8) = '89504E47' THEN 'png'
+           WHEN left(hex(payload), 8) = '52494646' THEN 'wav'
+           ELSE 'unknown'
+         END AS modality
+  FROM framed
+)
+SELECT modality,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 AND left(hex(payload), 6)
+                          = 'FFD8FF' THEN 1
+                     WHEN doc_id % 3 = 1 AND left(hex(payload), 8)
+                          = '89504E47' THEN 1
+                     WHEN doc_id % 3 = 2 AND left(hex(payload), 8)
+                          = '52494646' THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_sniff_correct
+FROM sniffed GROUP BY modality
+ORDER BY modality
+""",
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte modality routing — the dispatch step in front of any
+    multimodal decode farm: frame each document's bytes with a real
+    container signature (JPEG FF D8 FF / PNG 89 50 4E 47 / RIFF),
+    then SNIFF the payload prefix (never trust the declared type) and
+    route per modality with byte-volume accounting. Sniffing reads the
+    hex of the payload head; per-modality rollups prove round-trip
+    (n_sniff_correct == n_docs — a corrupted frame would surface as
+    'unknown'). At 100 TB the sniff runs on the first KB of each blob
+    (range read), and the per-modality groups feed the decode UDF
+    pools (`mm_binary_features` etc.) without moving mis-typed bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    framed = d.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(
+                F.expr("X'FFD8FF'"), F.encode("text", "UTF-8")
+            ),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(3)) == 1,
+            F.concat(
+                F.expr("X'89504E47'"), F.encode("text", "UTF-8")
+            ),
+        )
+        .otherwise(
+            F.concat(F.expr("X'52494646'"), F.encode("text", "UTF-8"))
+        )
+        .alias("payload"),
+    )
+    head6 = F.expr("left(hex(payload), 6)")
+    head8 = F.expr("left(hex(payload), 8)")
+    sniffed = framed.select(
+        "doc_id", "payload",
+        F.when(head6 == "FFD8FF", "jpeg")
+        .when(head8 == "89504E47", "png")
+        .when(head8 == "52494646", "wav")
+        .otherwise("unknown")
+        .alias("modality"),
+    )
+    correct = F.sum(
+        F.when((F.pmod("doc_id", F.lit(3)) == 0) & (head6 == "FFD8FF"), 1)
+        .when((F.pmod("doc_id", F.lit(3)) == 1) & (head8 == "89504E47"), 1)
+        .when((F.pmod("doc_id", F.lit(3)) == 2) & (head8 == "52494646"), 1)
+        .otherwise(0)
+    )
+    return (
+        sniffed.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("payload")).cast("long")
+            .alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            correct.cast("long").alias("n_sniff_correct"),
+        )
+        .orderBy("modality")
+    )

@@ -559,3 +559,23 @@ def test_star_except_prunes_scan_schema(spark):
     assert "o_totalprice" not in df.columns
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "o_totalprice" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_modality_router_sniff_roundtrip(spark):
+    """Every framed payload must sniff back to its assigned modality
+    (n_sniff_correct == n_docs per modality, no 'unknown' row)."""
+    rows = queries()["mm_modality_router"](spark, SF_DIR).collect()
+    mods = {r["modality"] for r in rows}
+    assert mods == {"jpeg", "png", "wav"}
+    for r in rows:
+        assert r["n_sniff_correct"] == r["n_docs"]
+        assert r["total_bytes"] > r["n_docs"] * 3  # header + content
+
+
+def test_payload_dedup_wasted_bytes_accounting(spark):
+    """wasted_bytes of an exact cluster is (copies-1) x payload size
+    (identical payloads), and the survivor is the minimum doc id."""
+    rows = queries()["mm_payload_dedup"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_copies"] >= 2
+        assert r["wasted_bytes"] % (r["n_copies"] - 1) == 0
