@@ -6844,3 +6844,83 @@ def ml_cox_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("beta") / F.col("se")) > F.lit(1.959964))
         .alias("significant"),
     )
+
+
+def _backtest_sql(table: str, epoch_us: str, idiv: str) -> str:
+    """Shared Spark/DuckDB SQL for `ts_forecast_backtest` (identical
+    text modulo epoch fn / integer-div). Three closed-form forecasters
+    evaluated at horizon 1 over every rolling origin: naive (last
+    value), drift (last + mean step), seasonal-naive (value 7 days
+    back). Errors are exact integers off the micro-gridded series."""
+    return f"""
+WITH d AS (
+  SELECT CAST({epoch_us}(ts) {idiv} 86400000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) {idiv} CAST(COUNT(*) AS BIGINT) AS y
+  FROM {table} GROUP BY 1
+),
+rel AS (
+  SELECT CAST(t - MIN(t) OVER () AS BIGINT) AS t, y FROM d
+),
+feats AS (
+  SELECT t, y,
+         LAG(y, 1) OVER (ORDER BY t) AS y_1,
+         LAG(y, 2) OVER (ORDER BY t) AS y_2,
+         LAG(y, 7) OVER (ORDER BY t) AS y_7,
+         CAST(FLOOR((CAST(LAG(y, 1) OVER (ORDER BY t) AS DOUBLE)
+                     - FIRST_VALUE(y) OVER (ORDER BY t))
+                    / (t - 1) + 0.5) AS BIGINT) AS step
+  FROM rel
+),
+fc AS (
+  SELECT t, y,
+         y_1 AS f_naive,
+         y_1 + step AS f_drift,
+         y_7 AS f_seasonal
+  FROM feats WHERE y_7 IS NOT NULL AND t >= 8
+),
+err AS (
+  SELECT 'drift' AS method, abs(y - f_drift) AS ae,
+         (y - f_drift) * (y - f_drift) AS se FROM fc
+  UNION ALL
+  SELECT 'naive' AS method, abs(y - f_naive) AS ae,
+         (y - f_naive) * (y - f_naive) AS se FROM fc
+  UNION ALL
+  SELECT 'seasonal' AS method, abs(y - f_seasonal) AS ae,
+         (y - f_seasonal) * (y - f_seasonal) AS se FROM fc
+)
+SELECT method,
+       CAST(COUNT(*) AS BIGINT) AS n_origins,
+       CAST(FLOOR(CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 1000.0 + 0.5)
+            AS BIGINT) AS mae_milli,
+       CAST(FLOOR(sqrt(CAST(SUM(se) AS DOUBLE) / COUNT(*)) / 1000.0
+                  + 0.5) AS BIGINT) AS rmse_milli
+FROM err GROUP BY method
+ORDER BY method
+"""
+
+
+@register(
+    "ts_forecast_backtest",
+    oracle=_backtest_sql("events", "epoch_us", "//"),
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest — the model-selection harness
+    behind `ts_forecast_eval_naive` (one method) and `ts_holt_linear`
+    (one fit): every day ≥ 8 becomes a forecast origin, three
+    closed-form forecasters (naive last-value, drift, seasonal-naive
+    t-7) predict horizon 1, and MAE/RMSE rank them. The drift step
+    uses the expanding-window mean step ((y_{t-1} - y_0)/(t-1)),
+    floored to the integer grid, so every per-origin error is an exact
+    long and the only IEEE steps are the two final ratios per method.
+
+    100-TB posture: one data-sized rollup; LAG/FIRST_VALUE run over
+    the collapsed daily table; the 3x method fan-out is a unionAll of
+    projections, no re-scan (Spark reuses the window stage). Spark
+    executes the identical SQL text.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("backtest_events")
+    return spark.sql(
+        _backtest_sql("backtest_events", "unix_micros", " div ")
+    )

@@ -230,6 +230,7 @@ _ROTATION_R11 = (
     "ml_woe_iv", "graph_rich_club", "xmatch_offset_false_rate",
     "ml_cox_one_step", "sql_star_except",
     "mm_payload_dedup", "mm_modality_router",
+    "ts_forecast_backtest",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

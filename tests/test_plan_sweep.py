@@ -282,6 +282,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # LAG residual window over the collapsed hourly pair series (x2:
     # the Dickey-Fuller stage re-references it)
     "ts_cointegration_egr",
+    # LAG/FIRST_VALUE forecast features over the collapsed daily table
+    # (x3: the method fan-out re-references the window CTE)
+    "ts_forecast_backtest",
     # cumulative position window over the COLLAPSED value histogram
     # (pre-bin continuous measures; 2 = cc + the ride-along total)
     "privacy_microaggregation",

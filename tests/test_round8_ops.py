@@ -579,3 +579,13 @@ def test_payload_dedup_wasted_bytes_accounting(spark):
     for r in rows:
         assert r["n_copies"] >= 2
         assert r["wasted_bytes"] % (r["n_copies"] - 1) == 0
+
+
+def test_backtest_methods_share_origins(spark):
+    """All three methods evaluate the same origin set, and RMSE >= MAE
+    (Jensen) for each."""
+    rows = queries()["ts_forecast_backtest"](spark, SF_DIR).collect()
+    assert {r["method"] for r in rows} == {"naive", "drift", "seasonal"}
+    assert len({r["n_origins"] for r in rows}) == 1
+    for r in rows:
+        assert r["rmse_milli"] >= r["mae_milli"] - 1  # grid slack
