@@ -79,6 +79,18 @@ _KEYS = (
     # argmax on shared-text double scores
     "ts_holt_linear",
     "ml_split_histogram",
+    # round-8 session kernels: doubled average-tie ranks off the
+    # value-frequency table, (src,node)-tagged BFS frontiers, exact
+    # R/S chunk identities, Arrow-batched Jaro-Winkler over purged
+    # blocks, prefix-fraction centroid fan-out, oriented per-corner
+    # triangle crediting, and the gridded Beta-posterior integral
+    "stat_kruskal_wallis",
+    "graph_harmonic_closeness",
+    "ts_hurst_rs",
+    "dedup_jaro_winkler",
+    "ml_learning_curve",
+    "graph_local_clustering",
+    "stat_bayes_ab_posterior",
 )
 
 registry.load_all_modules()
