@@ -6924,3 +6924,163 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _backtest_sql("backtest_events", "unix_micros", " div ")
     )
+
+
+@register(
+    "stat_mcnemar",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-08'
+                   AND CAST(ts AS DATE) < DATE '2024-01-15'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p2
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM per_user
+)
+SELECT a, b, c, d,
+       CASE WHEN b + c > 0 THEN
+         CAST(FLOOR((CAST(b AS DOUBLE) - c) * (CAST(b AS DOUBLE) - c)
+                    / (CAST(b AS DOUBLE) + c) * 1000000.0 + 0.5) AS BIGINT)
+       ELSE NULL END AS chi2_micro,
+       CASE WHEN b + c > 0 THEN
+         (CAST(b AS DOUBLE) - c) * (CAST(b AS DOUBLE) - c)
+           / (CAST(b AS DOUBLE) + c) > 3.841
+       ELSE NULL END AS reject
+FROM cells
+""",
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — did the same users'
+    purchase behavior change between week 1 and week 2? The paired
+    design cancels between-user variation that `stat_power_analysis`'
+    unpaired two-proportion z cannot (only the b/c discordant cells
+    carry signal; the concordant diagonal is noise both arms share).
+    chi2 = (b-c)^2/(b+c) against chi-squared(1), 3.841 at alpha=0.05.
+    One per-user rollup builds both period flags in the same pass; the
+    2x2 is one 4-long reduction.
+
+    100-TB posture: one user-keyed hash aggregate, one scalar row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w1 = F.col("ts").cast("date") < F.lit("2024-01-08").cast("date")
+    w2 = (
+        (F.col("ts").cast("date") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("ts").cast("date") < F.lit("2024-01-15").cast("date"))
+    )
+    isp = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(w1 & isp, 1).otherwise(0)).alias("p1"),
+        F.max(F.when(w2 & isp, 1).otherwise(0)).alias("p2"),
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 1), 1).otherwise(0))
+        .alias("a"),
+        F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0))
+        .alias("b"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0))
+        .alias("c"),
+        F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 0), 1).otherwise(0))
+        .alias("d"),
+    )
+    chi2 = (
+        (F.col("b").cast("double") - F.col("c"))
+        * (F.col("b").cast("double") - F.col("c"))
+        / (F.col("b").cast("double") + F.col("c"))
+    )
+    nonzero = F.col("b") + F.col("c") > 0
+    return cells.select(
+        "a", "b", "c", "d",
+        F.when(
+            nonzero,
+            F.floor(chi2 * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("chi2_micro"),
+        F.when(nonzero, chi2 > F.lit(3.841)).alias("reject"),
+    )
+
+
+@register(
+    "events_poisson_rate_test",
+    oracle="""
+WITH agg AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'error'
+                        AND CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN event_type = 'error'
+                        AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+         CAST((epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+               - epoch_us(MIN(ts))) // 3600000000 AS BIGINT) AS t1,
+         CAST((epoch_us(MAX(ts))
+               - epoch_us(TIMESTAMP '2024-01-16 00:00:00'))
+              // 3600000000 AS BIGINT) AS t2
+  FROM events
+),
+z AS (
+  SELECT x1, x2, t1, t2,
+         ln((CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2))
+           / sqrt(1.0 / x1 + 1.0 / x2) AS zstat,
+         (CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2)
+           AS rate_ratio
+  FROM agg
+)
+SELECT x1, x2, t1, t2,
+       CAST(FLOOR(rate_ratio * 1000000.0 + 0.5) AS BIGINT)
+         AS rate_ratio_micro,
+       CAST(FLOOR(zstat * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       abs(zstat) > 1.959964 AS rates_differ
+FROM z
+""",
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison for the error-event rate
+    across the two half-months — the incident-rate question (counts
+    per exposure TIME, not per trial) that the binomial tests
+    (`stat_power_analysis`, `stat_mcnemar`) cannot pose: the log
+    rate-ratio is approximately normal with variance 1/x1 + 1/x2, so
+    one conditional aggregate yields counts, exposure hours and the
+    test. Exposure uses the half-month boundary against observed
+    min/max timestamps (exact integer hours).
+
+    100-TB posture: one data-sized conditional aggregate, one row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut_ts = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    iserr = F.col("event_type") == "error"
+    before = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    agg = ev.agg(
+        F.sum(F.when(iserr & before, 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(iserr & ~before, 1).otherwise(0)).alias("x2"),
+        F.floor(
+            (F.unix_micros(cut_ts) - F.unix_micros(F.min("ts")))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("t1"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(cut_ts))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("t2"),
+    )
+    r1 = F.col("x1").cast("double") / F.col("t1")
+    r2 = F.col("x2").cast("double") / F.col("t2")
+    zstat = F.log(r1 / r2) / F.sqrt(
+        F.lit(1.0) / F.col("x1") + F.lit(1.0) / F.col("x2")
+    )
+    return agg.select(
+        "x1", "x2", "t1", "t2",
+        F.floor((r1 / r2) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("rate_ratio_micro"),
+        F.floor(zstat * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("z_micro"),
+        (F.abs(zstat) > F.lit(1.959964)).alias("rates_differ"),
+    )

@@ -589,3 +589,29 @@ def test_backtest_methods_share_origins(spark):
     assert len({r["n_origins"] for r in rows}) == 1
     for r in rows:
         assert r["rmse_milli"] >= r["mae_milli"] - 1  # grid slack
+
+
+def test_mcnemar_cells_partition_users(spark):
+    """The four cells partition the paired-user universe; the statistic
+    only exists when discordant pairs exist."""
+    from analyse_the_sky_with_apache_spark_spark.catalog import load_table
+
+    row = queries()["stat_mcnemar"](spark, SF_DIR).collect()[0]
+    n_users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id").distinct().count()
+    )
+    assert row["a"] + row["b"] + row["c"] + row["d"] == n_users
+    if row["b"] + row["c"] > 0:
+        assert row["chi2_micro"] is not None and row["chi2_micro"] >= 0
+    else:
+        assert row["chi2_micro"] is None
+
+
+def test_poisson_rate_exposures_positive(spark):
+    """Exposure hours on both sides of the cut must be positive and
+    the rate ratio consistent with the reported counts/exposures."""
+    row = queries()["events_poisson_rate_test"](spark, SF_DIR).collect()[0]
+    assert row["t1"] > 0 and row["t2"] > 0
+    rr = (row["x1"] / row["t1"]) / (row["x2"] / row["t2"])
+    assert abs(row["rate_ratio_micro"] - round(rr * 1e6)) <= 1
