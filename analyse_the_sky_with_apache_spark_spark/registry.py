@@ -232,6 +232,7 @@ _ROTATION_R11 = (
     "mm_payload_dedup", "mm_modality_router",
     "ts_forecast_backtest",
     "stat_mcnemar", "events_poisson_rate_test",
+    "sink_json_roundtrip",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

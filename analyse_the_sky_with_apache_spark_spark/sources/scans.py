@@ -2077,3 +2077,49 @@ def txn_log_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("branch")
     )
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('o_totalprice', 'total', 2)}
+FROM orders
+WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink round-trip: write a filtered order slice as
+    compressed JSONL partitioned by status, read it back through the
+    JSON source, and aggregate — the export-to-downstream-consumer
+    path (labeling services, spot-check samples, cross-org handoffs
+    live on JSONL, not parquet). The oracle aggregates the ORIGINAL
+    table, so the hash proves the full write -> read cycle preserved
+    every row and every value through JSON's text representation —
+    including exact decimal totals (prices round-trip as JSON numbers;
+    the dsum lands them back on the cents grid).
+
+    100-TB posture: the write is partitioned (one dir per status,
+    parallel files within); the read-back prunes on the partition
+    column. gzip per-file keeps the text format's size honest.
+    """
+    out = os.path.join(_SCRATCH, f"json_rt_{os.path.basename(sf_dir)}")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.pmod("o_orderkey", F.lit(7)) == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").option(
+        "compression", "gzip"
+    ).json(out)
+    back = spark.read.json(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), "total", 2),
+        )
+        .orderBy("o_orderstatus")
+    )
