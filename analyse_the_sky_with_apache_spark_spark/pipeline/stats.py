@@ -7084,3 +7084,251 @@ def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z_micro"),
         (F.abs(zstat) > F.lit(1.959964)).alias("rates_differ"),
     )
+
+
+@register(
+    "stat_cochran_q",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+                       AND DATE '2024-01-07'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS w1,
+         MAX(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                       AND DATE '2024-01-14'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS w2,
+         MAX(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-15'
+                       AND DATE '2024-01-21'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS w3,
+         MAX(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-22'
+                       AND DATE '2024-01-28'
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS w4
+  FROM events GROUP BY user_id
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(w1) AS BIGINT) AS g1,
+         CAST(SUM(w2) AS BIGINT) AS g2,
+         CAST(SUM(w3) AS BIGINT) AS g3,
+         CAST(SUM(w4) AS BIGINT) AS g4,
+         CAST(SUM(w1 + w2 + w3 + w4) AS BIGINT) AS sl,
+         CAST(SUM((w1 + w2 + w3 + w4) * (w1 + w2 + w3 + w4))
+              AS BIGINT) AS sl2
+  FROM per_user
+),
+q AS (
+  SELECT n, g1, g2, g3, g4, sl, sl2,
+         CASE WHEN 4 * sl - sl2 > 0 THEN
+           3.0 * (4.0 * (CAST(g1 AS DOUBLE) * g1 + CAST(g2 AS DOUBLE) * g2
+                         + CAST(g3 AS DOUBLE) * g3 + CAST(g4 AS DOUBLE) * g4)
+                  - CAST(sl AS DOUBLE) * sl)
+             / (4.0 * CAST(sl AS DOUBLE) - sl2)
+         ELSE NULL END AS qstat
+  FROM sums
+)
+SELECT n, g1, g2, g3, g4,
+       CAST(FLOOR(qstat * 1000000.0 + 0.5) AS BIGINT) AS q_micro,
+       qstat > 7.815 AS reject
+FROM q
+""",
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of `stat_mcnemar`:
+    do the SAME users' weekly purchase flags stay homogeneous across
+    the month's four weeks? Q = (k-1)(k*sum(G_j^2) - T^2) /
+    (k*T - sum(L_i^2)) with G_j = per-week successes and L_i = each
+    user's success count — users with all-0 or all-k rows cancel out
+    exactly as the statistic requires. One per-user rollup builds all
+    four flags and both L-sums; Q is one scalar expression over 7
+    exact longs (NULL-guarded when no discordance exists at tiny SF).
+    7.815 = chi-squared(k-1=3) at alpha=0.05.
+
+    100-TB posture: one user-keyed hash aggregate + one reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    isp = F.col("event_type") == "purchase"
+    d = F.col("ts").cast("date")
+
+    def wk(lo, hi):
+        return F.max(
+            F.when(
+                (d >= F.lit(lo).cast("date"))
+                & (d <= F.lit(hi).cast("date"))
+                & isp,
+                1,
+            ).otherwise(0)
+        )
+
+    per_user = ev.groupBy("user_id").agg(
+        wk("2024-01-01", "2024-01-07").alias("w1"),
+        wk("2024-01-08", "2024-01-14").alias("w2"),
+        wk("2024-01-15", "2024-01-21").alias("w3"),
+        wk("2024-01-22", "2024-01-28").alias("w4"),
+    )
+    li = F.col("w1") + F.col("w2") + F.col("w3") + F.col("w4")
+    sums = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w1").alias("g1"),
+        F.sum("w2").alias("g2"),
+        F.sum("w3").alias("g3"),
+        F.sum("w4").alias("g4"),
+        F.sum(li).alias("sl"),
+        F.sum(li * li).alias("sl2"),
+    )
+    gsq = (
+        F.lit(4.0)
+        * (
+            F.col("g1").cast("double") * F.col("g1")
+            + F.col("g2").cast("double") * F.col("g2")
+            + F.col("g3").cast("double") * F.col("g3")
+            + F.col("g4").cast("double") * F.col("g4")
+        )
+        - F.col("sl").cast("double") * F.col("sl")
+    )
+    qstat = F.when(
+        F.lit(4) * F.col("sl") - F.col("sl2") > 0,
+        F.lit(3.0) * gsq
+        / (F.lit(4.0) * F.col("sl").cast("double") - F.col("sl2")),
+    )
+    return sums.select(
+        "n", "g1", "g2", "g3", "g4",
+        F.floor(qstat * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("q_micro"),
+        (qstat > F.lit(7.815)).alias("reject"),
+    )
+
+
+@register(
+    "stat_dunn_posthoc",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS grp,
+         CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT q, CAST(SUM(c) AS BIGINT) AS t FROM v GROUP BY q),
+r AS (
+  SELECT q, t,
+         CAST(2 * COALESCE(SUM(t) OVER (ORDER BY q
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+              + t + 1 AS BIGINT) AS r2
+  FROM t
+),
+g AS (
+  SELECT grp, CAST(SUM(v.c) AS BIGINT) AS nj,
+         CAST(SUM(v.c * r.r2) AS BIGINT) AS rj2
+  FROM v JOIN r USING (q) GROUP BY grp
+),
+tot AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n,
+         (SELECT CAST(SUM(t * t * t - t) AS BIGINT) FROM t) AS ttsum
+  FROM g
+),
+pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         a.nj AS na, b.nj AS nb,
+         CAST(a.rj2 AS DOUBLE) / 2.0 / a.nj
+           - CAST(b.rj2 AS DOUBLE) / 2.0 / b.nj AS rdiff,
+         tot.n, tot.ttsum
+  FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot
+),
+z AS (
+  SELECT grp_a, grp_b, na, nb,
+         rdiff / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        / 12.0
+                       - CAST(ttsum AS DOUBLE)
+                         / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                      * (1.0 / na + 1.0 / nb)) AS zval,
+         rdiff
+  FROM pairs
+)
+SELECT grp_a, grp_b, na, nb,
+       CAST(FLOOR(rdiff * 1000.0 + 0.5) AS BIGINT) AS rank_diff_milli,
+       CAST(FLOOR(zval * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       abs(zval) > 2.394 AS reject_bonferroni
+FROM z
+ORDER BY grp_a, grp_b
+""",
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons — WHICH groups differ once
+    `stat_kruskal_wallis` says "some do": for every group pair, the
+    mean-rank difference standardized by the tie-corrected KW variance
+    (N(N+1)/12 - sum(t^3-t)/(12(N-1))) x (1/n_i + 1/n_j), with the
+    Bonferroni cut for 3 pairwise tests (|z| > 2.394 = z at
+    alpha = 0.05/6 two-sided). Re-derives the exact 2x-scaled tied
+    rank sums from the same collapsed value-frequency algebra, so mean
+    ranks are ratios of exact integers and the z is one double chain.
+
+    100-TB posture: identical to stat_kruskal_wallis (two hash
+    aggregates, collapsed-domain rank window); the pair table is
+    k(k-1)/2 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("q"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = v.groupBy("q").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    r = t.select(
+        "q", "t",
+        (
+            F.lit(2) * F.coalesce(F.sum("t").over(w), F.lit(0))
+            + F.col("t") + F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    g = (
+        v.join(r.select("q", "r2"), "q")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(F.col("c") * F.col("r2")).alias("rj2"),
+        )
+    )
+    ties = t.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("ttsum")
+    )
+    tot = g.agg(F.sum("nj").alias("n")).crossJoin(F.broadcast(ties))
+    a = g.select(
+        F.col("grp").alias("grp_a"), F.col("nj").alias("na"),
+        F.col("rj2").alias("ra2"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"), F.col("nj").alias("nb"),
+        F.col("rj2").alias("rb2"),
+    )
+    rdiff = (
+        F.col("ra2").cast("double") / F.lit(2.0) / F.col("na")
+        - F.col("rb2").cast("double") / F.lit(2.0) / F.col("nb")
+    )
+    nd = F.col("n").cast("double")
+    sigma = F.sqrt(
+        (
+            nd * (nd + F.lit(1.0)) / F.lit(12.0)
+            - F.col("ttsum").cast("double")
+            / (F.lit(12.0) * (nd - F.lit(1.0)))
+        )
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp_a", "grp_b", "na", "nb",
+            rdiff.alias("rdiff"),
+            (rdiff / sigma).alias("zval"),
+        )
+    )
+    return pairs.select(
+        "grp_a", "grp_b", "na", "nb",
+        F.floor(F.col("rdiff") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("rank_diff_milli"),
+        F.floor(F.col("zval") * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("z_micro"),
+        (F.abs(F.col("zval")) > F.lit(2.394)).alias("reject_bonferroni"),
+    ).orderBy("grp_a", "grp_b")

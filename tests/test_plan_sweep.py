@@ -200,6 +200,9 @@ _BNL_ALLOWED = {
     # the shared logrank kernel's 1-row scalar products (same plan as
     # stat_logrank_test, which is windowed-CTE exempt via the kernel)
     "ml_cox_one_step",
+    # k(k-1)/2 group pairs x 1-row (N, tie-sum) broadcast (the KW
+    # rank-kernel scalar shape)
+    "stat_dunn_posthoc",
 }
 
 _KEYS = sorted(
@@ -295,6 +298,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "stat_ljung_box",
     # cumulative rank window over the 100-row digit histogram
     "stat_anderson_darling",
+    # the KW cumulative rank window over the collapsed ~50-value domain
+    "stat_dunn_posthoc",
     # cumulative CDF window over the fixed 9999-row probability grid
     "stat_bayes_ab_posterior",
     # lift-curve-shaped cumulative windows over the collapsed score-bin

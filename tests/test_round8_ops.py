@@ -615,3 +615,24 @@ def test_poisson_rate_exposures_positive(spark):
     assert row["t1"] > 0 and row["t2"] > 0
     rr = (row["x1"] / row["t1"]) / (row["x2"] / row["t2"])
     assert abs(row["rate_ratio_micro"] - round(rr * 1e6)) <= 1
+
+
+def test_cochran_q_reduces_to_mcnemar_shape(spark):
+    """Q with all-concordant rows dropped behaves like the paired
+    family: per-week totals bounded by n, Q non-negative."""
+    row = queries()["stat_cochran_q"](spark, SF_DIR).collect()[0]
+    for j in range(1, 5):
+        assert 0 <= row[f"g{j}"] <= row["n"]
+    if row["q_micro"] is not None:
+        assert row["q_micro"] >= 0
+
+
+def test_dunn_pairs_cover_groups_and_antisymmetry(spark):
+    """Exactly k(k-1)/2 ordered pairs; the z sign matches the rank-diff
+    sign (same standardization for every pair)."""
+    rows = queries()["stat_dunn_posthoc"](spark, SF_DIR).collect()
+    assert len(rows) == 3  # 3 return flags
+    for r in rows:
+        assert r["grp_a"] < r["grp_b"]
+        if r["rank_diff_milli"] != 0:
+            assert (r["z_micro"] > 0) == (r["rank_diff_milli"] > 0)
