@@ -7332,3 +7332,124 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("z_micro"),
         (F.abs(F.col("zval")) > F.lit(2.394)).alias("reject_bonferroni"),
     ).orderBy("grp_a", "grp_b")
+
+
+@register(
+    "stat_page_trend",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+blocks AS (
+  SELECT day FROM cell CROSS JOIN kk
+  GROUP BY day, k HAVING COUNT(*) = MAX(k)
+),
+ranked AS (
+  SELECT c.day, c.event_type,
+         CAST(2 * RANK() OVER (PARTITION BY c.day ORDER BY c.y)
+              + COUNT(*) OVER (PARTITION BY c.day, c.y) - 1
+              AS BIGINT) AS r2
+  FROM cell c JOIN blocks b ON c.day = b.day
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nblocks,
+         CAST(SUM(r2) AS BIGINT) AS rj2,
+         CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS j
+  FROM ranked GROUP BY event_type
+),
+l AS (
+  SELECT MAX(nblocks) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(j * rj2) AS BIGINT) AS l2
+  FROM g
+),
+z AS (
+  SELECT n, k, l2,
+         (CAST(l2 AS DOUBLE) / 2.0
+          - CAST(n AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0)
+         / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1.0)
+                * (CAST(k AS DOUBLE) * k - 1.0) / 144.0) AS zval
+  FROM l
+)
+SELECT n, k, CAST(l2 / 2 AS BIGINT) AS page_l_x2_halved,
+       CAST(FLOOR(zval * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       abs(zval) > 1.959964 AS monotone_trend
+FROM z
+""",
+)
+def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for ordered alternatives — is there a MONOTONE
+    trend in the within-day ranking across treatments in the
+    alphabetical treatment order (the ordered-hypothesis sibling of
+    `stat_friedman_test`, exactly as `stat_dunn_posthoc` refines
+    `stat_kruskal_wallis`): L = sum_j j*R_j over the same exact
+    2x-scaled within-block rank sums, z = (L - nk(k+1)^2/4) /
+    sqrt(nk^2(k+1)(k^2-1)/144). Everything up to the final z is the
+    Friedman kernel's exact integers (L2 = sum j*rj2 is even by
+    construction, halved exactly in both engines).
+
+    100-TB posture: identical to stat_friedman_test — one rollup to
+    |days|x|types| cells, k-row per-block rank windows, a k-row
+    reduction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    kk = ev.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    blocks = (
+        cell.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == F.col("k"))
+        .select("day")
+    )
+    wrank = Window.partitionBy("day").orderBy("y")
+    wtie = Window.partitionBy("day", "y")
+    ranked = cell.join(blocks, "day").select(
+        "day", "event_type",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count(F.lit(1)).over(wtie) - F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    g = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nblocks"),
+            F.sum("r2").alias("rj2"),
+        )
+        .withColumn(
+            "j",
+            F.row_number().over(Window.orderBy("event_type")).cast("long"),
+        )
+    )
+    l = g.agg(
+        F.max("nblocks").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("j") * F.col("rj2")).alias("l2"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    zval = (
+        F.col("l2").cast("double") / F.lit(2.0)
+        - nd * kd * (kd + F.lit(1.0)) * (kd + F.lit(1.0)) / F.lit(4.0)
+    ) / F.sqrt(
+        nd * kd * kd * (kd + F.lit(1.0))
+        * (kd * kd - F.lit(1.0)) / F.lit(144.0)
+    )
+    return l.select(
+        "n", "k",
+        F.expr("CAST(l2 div 2 AS BIGINT)").alias("page_l_x2_halved"),
+        F.floor(zval * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("z_micro"),
+        (F.abs(zval) > F.lit(1.959964)).alias("monotone_trend"),
+    )

@@ -233,7 +233,7 @@ _ROTATION_R11 = (
     "ts_forecast_backtest",
     "stat_mcnemar", "events_poisson_rate_test",
     "sink_json_roundtrip",
-    "stat_cochran_q", "stat_dunn_posthoc",
+    "stat_cochran_q", "stat_dunn_posthoc", "stat_page_trend",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -203,6 +203,8 @@ _BNL_ALLOWED = {
     # k(k-1)/2 group pairs x 1-row (N, tie-sum) broadcast (the KW
     # rank-kernel scalar shape)
     "stat_dunn_posthoc",
+    # 1-row distinct-type count broadcast (the Friedman kernel shape)
+    "stat_page_trend",
 }
 
 _KEYS = sorted(
@@ -300,6 +302,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     "stat_anderson_darling",
     # the KW cumulative rank window over the collapsed ~50-value domain
     "stat_dunn_posthoc",
+    # row_number over the k-row treatment table (the j-weights)
+    "stat_page_trend",
     # cumulative CDF window over the fixed 9999-row probability grid
     "stat_bayes_ab_posterior",
     # lift-curve-shaped cumulative windows over the collapsed score-bin

@@ -636,3 +636,14 @@ def test_dunn_pairs_cover_groups_and_antisymmetry(spark):
         assert r["grp_a"] < r["grp_b"]
         if r["rank_diff_milli"] != 0:
             assert (r["z_micro"] > 0) == (r["rank_diff_milli"] > 0)
+
+
+def test_page_l_consistent_with_friedman_ranks(spark):
+    """Page's L (2x-halved) must equal sum(j * Rj) recomputed from the
+    Friedman rank sums in the same alphabetical treatment order."""
+    fr = queries()["stat_friedman_test"](spark, SF_DIR).collect()
+    page = queries()["stat_page_trend"](spark, SF_DIR).collect()[0]
+    fr_sorted = sorted(fr, key=lambda r: r["event_type"])
+    l2 = sum((j + 1) * r["rj2"] for j, r in enumerate(fr_sorted))
+    assert page["page_l_x2_halved"] == l2 // 2
+    assert page["k"] == len(fr_sorted)
