@@ -2023,3 +2023,234 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(merge, "q_micro long, est double, n_weight long, n_retained long")
         .orderBy("q_micro")
     )
+
+
+#: agg_kll_sketch_merge: probed quantiles, empirical rank-error and
+#: weight-drift tolerances (the tests/test_approx.py bounds with
+#: headroom for the extra persist -> read-back merge round).
+_KLLM_QS = (250_000, 500_000, 750_000)
+_KLLM_RANK_EPS = 0.03
+_KLLM_WEIGHT_EPS = 0.02
+
+
+@register(
+    "agg_kll_sketch_merge",
+    oracle=f"""
+WITH per AS (
+  SELECT l_returnflag AS scope, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM lineitem GROUP BY l_returnflag
+),
+scopes AS (
+  SELECT scope, n_exact FROM per
+  UNION ALL
+  SELECT 'ALL', CAST(SUM(n_exact) AS BIGINT) FROM per
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _KLLM_QS)}]) AS q_micro)
+SELECT scope, CAST(q_micro AS BIGINT) AS q_micro, n_exact,
+       true AS rank_within_bound, true AS weight_within_bound
+FROM scopes CROSS JOIN qs
+ORDER BY scope, q_micro
+""",
+)
+def agg_kll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL sketch merge ACROSS A PARTITIONED SINK — the missing half of
+    `agg_kll_quantiles`' mergeability story: partial sketches are not
+    just shuffled within one job, they are PERSISTED as plain
+    (flag, level, value) rows in a flag-partitioned parquet sink, read
+    back in a separate scan, and merged two ways — per flag (one
+    partition's sketches) and globally ('ALL': algebra over every
+    partition's persisted state). That is the warehouse pattern for
+    100-TB quantiles: each nightly partition job writes its ~600-row
+    sketch table once; any later reader answers quantile queries over
+    ANY union of partitions without rescanning data.
+
+    The hash contract is the part an oracle CAN see: per-scope exact
+    row counts, plus two booleans certifying the merged estimates —
+    realized rank within 3% of target (probed by one conditional
+    aggregate over the base table against the broadcast 12-row
+    estimate table), and sketch weighted-count within 2% of the true
+    count (compaction preserves weight up to odd-buffer drift). The
+    est values themselves are sketch-internal (insertion-order
+    dependent within tolerance) — exactly what the bound certifies.
+    """
+    import os
+
+    import pandas as pd
+
+    from ..sources.scans import _SCRATCH
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            frames = []
+            for flag, grp in pdf.groupby("flag"):
+                sk = _KLLSketch()
+                sk.insert_chunk(grp["x"].astype(float).tolist())
+                items = sk.items()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "flag": [flag] * len(items),
+                            "level": [h for h, _ in items],
+                            "value": [v for _, v in items],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    path = os.path.join(_SCRATCH, "kll_sketch_sink")
+    (
+        li.mapInPandas(partial, "flag string, level int, value double")
+        .write.mode("overwrite")
+        .partitionBy("flag")
+        .parquet(path)
+    )
+    persisted = spark.read.parquet(path)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        scope = str(pdf["scope"].iloc[0])
+        sk = _KLLSketch()
+        for level, value in zip(
+            pdf["level"].to_numpy(), pdf["value"].to_numpy()
+        ):
+            sk.insert(float(value), level=int(level))
+        return pd.DataFrame(
+            {
+                "scope": [scope] * len(_KLLM_QS),
+                "q_micro": list(_KLLM_QS),
+                "est": [sk.quantile(q * 1e-6) for q in _KLLM_QS],
+                "n_weight": [sk.n] * len(_KLLM_QS),
+            }
+        )
+
+    out_schema = "scope string, q_micro long, est double, n_weight long"
+    per_flag = (
+        persisted.withColumn("scope", F.col("flag"))
+        .groupBy("scope")
+        .applyInPandas(merge, out_schema)
+    )
+    global_all = (
+        persisted.withColumn("scope", F.lit("ALL"))
+        .groupBy("scope")
+        .applyInPandas(merge, out_schema)
+    )
+    est = per_flag.unionAll(global_all)
+
+    probe = li.join(
+        F.broadcast(est),
+        (F.col("scope") == F.col("flag")) | (F.col("scope") == "ALL"),
+    )
+    agg = probe.groupBy("scope", "q_micro").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0))
+        .alias("n_le"),
+        F.max("n_weight").alias("n_weight"),
+    )
+    nd = F.col("n_exact").cast("double")
+    return agg.select(
+        "scope", "q_micro", "n_exact",
+        (
+            F.abs(
+                F.col("n_le").cast("double")
+                - F.col("q_micro") * F.lit(1e-6) * nd
+            )
+            <= F.lit(_KLLM_RANK_EPS) * nd + F.lit(2.0)
+        ).alias("rank_within_bound"),
+        (
+            F.abs(F.col("n_weight").cast("double") - nd)
+            <= F.lit(_KLLM_WEIGHT_EPS) * nd + F.lit(16.0)
+        ).alias("weight_within_bound"),
+    ).orderBy("scope", "q_micro")
+
+
+#: agg_hll_sketch_merge: DataSketches lgK and the relative-error bound
+#: the merged estimates must satisfy (lgK=14 -> ~0.8% stderr; 3% is
+#: ~4 sigma of headroom, the agg_kll_sketch_merge discipline).
+_HLLM_LGK = 14
+_HLLM_REL_EPS = 0.03
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+WITH per AS (
+  SELECT o_orderstatus AS scope,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY o_orderstatus
+),
+scopes AS (
+  SELECT scope, n_exact FROM per
+  UNION ALL
+  SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+)
+SELECT scope, n_exact, true AS estimate_within_bound
+FROM scopes ORDER BY scope
+""",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch merge ACROSS A PARTITIONED SINK — the distinct-count
+    twin of `agg_kll_sketch_merge`, completing the persisted-sketch
+    story `agg_hll_sketch` starts: per-(status, priority) DataSketches
+    HLL blobs are WRITTEN to a status-partitioned parquet sink (binary
+    column round-trip), read back in a separate scan, and union-merged
+    two ways — per status and 'ALL' across every partition's persisted
+    state. Distinct-count rollups over any union of partitions then
+    cost sketch-merge arithmetic, never a re-scan: the nightly-page +
+    on-demand-rollup pattern a 100-TB dedup/reach pipeline runs.
+
+    The oracle sees the part SQL can verify: exact per-scope distinct
+    counts, plus a boolean certifying each merged estimate lands
+    within 3% relative error of its exact count (lgK=14 ~ 0.8%
+    stderr). An estimate from a corrupted blob, a lossy binary
+    round-trip, or a wrong union would blow the bound and
+    hash-mismatch.
+    """
+    import os
+
+    from ..sources.scans import _SCRATCH
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "hll_sketch_sink")
+    (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(_HLLM_LGK)).alias("sk"))
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    persisted = spark.read.parquet(path)
+
+    def merged(df: DataFrame) -> DataFrame:
+        return df.groupBy("scope").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+            .cast("long").alias("est")
+        )
+
+    est = merged(
+        persisted.withColumn("scope", F.col("o_orderstatus"))
+    ).unionAll(merged(persisted.withColumn("scope", F.lit("ALL"))))
+
+    exact = o.groupBy(
+        F.col("o_orderstatus").alias("scope")
+    ).agg(F.countDistinct("o_custkey").alias("n_exact")).unionAll(
+        o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+        .select(F.lit("ALL").alias("scope"), "n_exact")
+    )
+
+    nd = F.col("n_exact").cast("double")
+    return (
+        exact.join(F.broadcast(est), "scope")
+        .select(
+            "scope", "n_exact",
+            (
+                F.abs(F.col("est").cast("double") - nd)
+                <= F.lit(_HLLM_REL_EPS) * nd + F.lit(2.0)
+            ).alias("estimate_within_bound"),
+        )
+        .orderBy("scope")
+    )

@@ -1190,8 +1190,9 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three corners via a 3-way explode — per-node counts identical
     to the naive per-node wedge scan the ORACLE still runs, so the
     optimization itself is hash-checked (the graph_triangles
-    discipline; rewrite measured 18.2 s -> 3.4 s at sf0.1 on the weak
-    edge set). Output is O(21) buckets.
+    discipline; rewrite measured 18.2 s -> 5.8 s at sf0.1 in the
+    BASELINE.md/SCALE.md quiet-run pin — the 3.4 s first reading was a
+    warm-cache run, superseded per ADVICE r8). Output is O(21) buckets.
     """
     e = _edges_cached(spark, sf_dir)
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(

@@ -1706,3 +1706,87 @@ def privacy_rr_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: audit_cross_run_determinism: the two shuffle-partition settings the
+#: audited query is executed under (driver default 200 sits between).
+_AUDIT_CONFS = (7, 29)
+
+
+@register(
+    "audit_cross_run_determinism",
+    oracle=f"""
+WITH agg AS (
+  SELECT l_returnflag || '|' || l_linestatus || '|'
+         || CAST(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS VARCHAR) AS rowstr
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+h AS (SELECT md5(string_agg(rowstr, '#' ORDER BY rowstr)) AS result_hash
+      FROM agg)
+SELECT 'run_a' AS run, CAST({_AUDIT_CONFS[0]} AS BIGINT)
+         AS shuffle_partitions, result_hash FROM h
+UNION ALL
+SELECT 'run_b', CAST({_AUDIT_CONFS[1]} AS BIGINT), result_hash FROM h
+ORDER BY run
+""",
+)
+def audit_cross_run_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run determinism audit AS A QUERY — the reproducibility
+    property tests/test_determinism.py pins, promoted to a registered
+    key so the external driver re-certifies it every sampling round:
+    the SAME aggregation executed under two different
+    ``spark.sql.shuffle.partitions`` settings (different physical
+    shuffles, different task counts, different reduce orders) must
+    produce the identical canonical result hash, and that hash must
+    ALSO equal the one DuckDB computes from the same rows — two
+    engines x two configs all agreeing cell-for-cell.
+
+    The canonical hash is md5 over '#'-joined, lexicographically
+    sorted 'flag|status|gridded-sum' row strings — integer-exact, so
+    no float summation order can leak into it. Each run collects ONE
+    hash row (bounded driver-side scalar, the house collect
+    discipline); the conf is restored in a finally block.
+
+    100-TB posture: the audited aggregate shuffles one pre-aggregated
+    row per (partition x group); the hash reduction is a single-row
+    collect_list over |groups| strings (6 here; re-sketch
+    hierarchically by group range if |groups| ever approaches driver
+    memory).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rowstr = F.concat_ws(
+        "|",
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.sum(
+            F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").cast("string"),
+    )
+
+    def run_hash(n_parts: int) -> str:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        agg = (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(rowstr.alias("rowstr"))
+            .agg(
+                F.md5(
+                    F.concat_ws("#", F.sort_array(F.collect_list("rowstr")))
+                ).alias("h")
+            )
+        )
+        return agg.collect()[0]["h"]
+
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        hashes = [run_hash(n) for n in _AUDIT_CONFS]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    return spark.createDataFrame(
+        [
+            ("run_a", _AUDIT_CONFS[0], hashes[0]),
+            ("run_b", _AUDIT_CONFS[1], hashes[1]),
+        ],
+        "run string, shuffle_partitions long, result_hash string",
+    ).orderBy("run")

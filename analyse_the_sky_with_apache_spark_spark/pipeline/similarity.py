@@ -1466,19 +1466,26 @@ _KNN_CLS_STRIDE, _KNN_CLS_CAP, _KNN_CLS_K = 20, 4000, 5
 @register(
     "ml_knn_classify",
     oracle=f"""
-WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+WITH g AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5))
+           AS gvec
   FROM embeddings
-  WHERE vec_id % {_KNN_CLS_STRIDE} = 0 AND vec_id < {_KNN_CLS_CAP}
+),
+q AS (
+  SELECT vec_id AS q_id, gvec AS q_g,
+         list_dot_product(gvec, gvec) AS q_n2, label AS true_label
+  FROM g WHERE vec_id % {_KNN_CLS_STRIDE} = 0 AND vec_id < {_KNN_CLS_CAP}
 ),
 c AS (
-  SELECT vec_id AS cand_id, embedding AS c_emb, label
-  FROM embeddings WHERE vec_id % {_KNN_CLS_STRIDE} <> 0
+  SELECT vec_id AS cand_id, gvec AS c_g,
+         list_dot_product(gvec, gvec) AS c_n2, label
+  FROM g WHERE vec_id % {_KNN_CLS_STRIDE} <> 0
 ),
 d AS (
   SELECT q_id, true_label, cand_id, label,
-         round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 6)
-           AS cos
+         list_dot_product(q_g, c_g) / sqrt(q_n2 * c_n2) AS cos
   FROM q, c
 ),
 top AS (
@@ -1521,28 +1528,50 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size); WindowGroupLimit prunes to k per query BELOW the
     exchange (per-partition top-k heaps, shuffle carries #queries x k
     rows per mapper); the vote is two cheap hash aggregates on
-    #queries-sized tables. Ordering on the 6-dp-rounded cosine with cand_id
-    tie-breaks (the sim_knn_cosine precedent). At 100 TB this is the
+    #queries-sized tables.
+
+    Determinism (ADVICE r8): the cosine is built from MICRO-GRIDDED
+    integer components — g = floor(e*1e6+0.5) per dimension, dot and
+    squared norms exact integer sums (dim 64, |g| <= ~5.3e5, so every
+    sum < 2^53 and is exact even in DuckDB's double-list arithmetic),
+    then ONE division/sqrt over identical exact operands in both
+    engines. Both engines therefore produce bitwise-identical cosines
+    and the row_number ranking cannot flip at a rounding boundary —
+    no reconciliation rounding needed. At 100 TB this is the
     brute-force rung — swap the candidate scan for `ann_ivf` cells and
     keep the vote stages unchanged.
     """
-    norm = normalized_embeddings(spark, sf_dir)
-    q = norm.filter(
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5)),
+        ).alias("gvec"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            "gvec", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ),
+    )
+    q = g.filter(
         (F.col("vec_id") % _KNN_CLS_STRIDE == 0)
         & (F.col("vec_id") < _KNN_CLS_CAP)
     ).select(
         F.col("vec_id").alias("q_id"),
-        F.col("nvec").alias("q_vec"),
+        F.col("gvec").alias("q_g"),
+        F.col("n2").alias("q_n2"),
         F.col("label").alias("true_label"),
     )
-    c = norm.filter(F.col("vec_id") % _KNN_CLS_STRIDE != 0).select(
+    c = g.filter(F.col("vec_id") % _KNN_CLS_STRIDE != 0).select(
         F.col("vec_id").alias("cand_id"),
-        F.col("nvec").alias("c_vec"),
+        F.col("gvec").alias("c_g"),
+        F.col("n2").alias("c_n2"),
         "label",
     )
     dot = F.aggregate(
-        F.zip_with("q_vec", "c_vec", lambda a, b: a * b),
-        F.lit(0.0),
+        F.zip_with("q_g", "c_g", lambda a, b: a * b),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     from pyspark.sql import Window as W
@@ -1552,7 +1581,13 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .select(
             "q_id", "true_label", "cand_id", "label",
-            F.round(dot, 6).alias("cos"),
+            (
+                dot.cast("double")
+                / F.sqrt(
+                    F.col("q_n2").cast("double")
+                    * F.col("c_n2").cast("double")
+                )
+            ).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _KNN_CLS_K)

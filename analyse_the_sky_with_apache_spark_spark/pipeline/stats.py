@@ -5255,20 +5255,63 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2x integer trick (ties to the median are dropped, the standard
     treatment); run starts are LAG sign changes; mean and variance of
     the run count use the sigma^2 = (mu-1)(mu-2)/(n-1) identity so the
-    double chain is three scalar ops off exact longs. Spark executes
-    the identical SQL text (``_runs_sql``) via a temp view.
+    double chain is three scalar ops off exact longs, mirrored
+    operand-for-operand against the oracle SQL (VERDICT r8: converted
+    from the shared-SQL-text form to the DataFrame API — the
+    cross-engine differential is stronger when the two engines don't
+    share a parser).
 
     100-TB posture: one data-sized rollup; the LAG window runs over
     the collapsed hourly table (cap with coarser buckets exactly like
     ts_pacf_durbin); everything else is one aggregate row.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("runs_events")
-    return spark.sql(
-        _runs_sql(
-            "runs_events", "unix_micros", " div ",
-            "2 * percentile(y, 0.5D)",
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("long").alias("t")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    med = h.agg(
+        (F.lit(2) * F.percentile("y", F.lit(0.5))).cast("long").alias("m2")
+    )
+    signed = (
+        h.crossJoin(F.broadcast(med))
+        .where(F.lit(2) * F.col("y") != F.col("m2"))
+        .select(
+            "t",
+            F.when(F.lit(2) * F.col("y") > F.col("m2"), 1)
+            .otherwise(0).alias("s"),
         )
+    )
+    w = Window.orderBy("t")
+    runs = signed.select(
+        "s",
+        F.when(F.lag("s").over(w).isNull(), 1)
+        .when(F.lag("s").over(w) != F.col("s"), 1)
+        .otherwise(0).alias("is_start"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("n2"),
+        F.sum("is_start").alias("r"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mu = F.lit(2.0) * n1d * n2d / (n1d + n2d) + F.lit(1.0)
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    z = (F.col("r").cast("double") - F.col("mu")) / F.sqrt(
+        (F.col("mu") - F.lit(1.0)) * (F.col("mu") - F.lit(2.0))
+        / (F.col("nn") - F.lit(1.0))
+    )
+    return agg.select("n1", "n2", "r", mu.alias("mu"), n.alias("nn")).select(
+        "n1", "n2", "r",
+        F.floor(F.col("mu") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("mu_micro"),
+        F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias("z_micro"),
+        (F.abs(z) > F.lit(1.96)).alias("non_random"),
     )
 
 
@@ -6245,8 +6288,10 @@ a3 AS (
 ),
 meta AS (SELECT MAX(n) AS n, MAX(r) AS r FROM {tpl})
 SELECT meta.n, meta.r, b2.b, a3.a,
-       CAST(FLOOR(-ln(CAST(a3.a AS DOUBLE) / b2.b) * 1000000.0 + 0.5)
-            AS BIGINT) AS sampen_micro
+       CASE WHEN a3.a > 0 AND b2.b > 0
+            THEN CAST(FLOOR(-ln(CAST(a3.a AS DOUBLE) / b2.b)
+                            * 1000000.0 + 0.5) AS BIGINT)
+       END AS sampen_micro
 FROM meta CROSS JOIN b2 CROSS JOIN a3
 """
 
@@ -6275,15 +6320,86 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the COLLAPSED hourly table (|T|^2 pairs — at longer ranges
     pre-bucket templates by y div r and join adjacent buckets, turning
     the theta-join into an equi-join; documented, not needed at |T|
-    ~1e3). Spark executes the identical SQL text.
+    ~1e3). Spark builds the same kernel through the DataFrame API
+    (converted from the shared-SQL-text form per VERDICT r8 — the
+    differential is stronger when the engines don't share a parser);
+    the template table is localCheckpointed once so neither self-join
+    side replays the rollup (the fisher lesson).
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("sampen_events")
-    tpl = spark.sql(
-        _sampen_tpl_sql("sampen_events", "unix_micros", " div ")
-    ).localCheckpoint(eager=True)
-    tpl.createOrReplaceTempView("sampen_tpl")
-    return spark.sql(_sampen_main_sql("sampen_tpl"))
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("long").alias("t")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    sd = F.col("s").cast("double")
+    tol = h.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    ).select(
+        "n",
+        F.floor(
+            F.lit(0.2)
+            * F.sqrt(
+                F.col("q").cast("double") / F.col("n")
+                - (sd / F.col("n")) * (sd / F.col("n"))
+            )
+            + F.lit(0.5)
+        ).cast("long").alias("r"),
+    )
+    w = Window.orderBy("t")
+    tpl = (
+        h.select(
+            "t", "y",
+            F.lead("y", 1).over(w).alias("y1"),
+            F.lead("y", 2).over(w).alias("y2"),
+        )
+        .crossJoin(F.broadcast(tol))
+        .localCheckpoint(eager=True)
+    )
+
+    def match_count(depth: int, alias: str):
+        a, c = tpl.alias("a"), tpl.alias("c")
+        cond = (
+            (F.col("a.t") < F.col("c.t"))
+            & (F.abs(F.col("a.y") - F.col("c.y")) <= F.col("a.r"))
+            & (F.abs(F.col("a.y1") - F.col("c.y1")) <= F.col("a.r"))
+        )
+        last = f"y{depth}"
+        if depth == 2:
+            cond = cond & (
+                F.abs(F.col("a.y2") - F.col("c.y2")) <= F.col("a.r")
+            )
+        return (
+            a.join(c, cond)
+            .where(
+                F.col(f"a.{last}").isNotNull()
+                & F.col(f"c.{last}").isNotNull()
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    meta = tpl.agg(F.max("n").alias("n"), F.max("r").alias("r"))
+    b2, a3 = match_count(1, "b"), match_count(2, "a")
+    return (
+        meta.crossJoin(F.broadcast(b2))
+        .crossJoin(F.broadcast(a3))
+        .select(
+            "n", "r", "b", "a",
+            F.when(
+                (F.col("a") > 0) & (F.col("b") > 0),
+                F.floor(
+                    -F.log(F.col("a").cast("double") / F.col("b"))
+                    * F.lit(1e6) + F.lit(0.5)
+                ).cast("long"),
+            ).alias("sampen_micro"),
+        )
+    )
 
 
 def _bayes_counts_sql(table: str) -> str:
@@ -6695,7 +6811,9 @@ tot AS (
 ),
 woe AS (
   SELECT decile, g, b, tg, tb,
-         ln((CAST(g AS DOUBLE) / tg) / (CAST(b AS DOUBLE) / tb)) AS w
+         CASE WHEN g > 0 AND b > 0
+              THEN ln((CAST(g AS DOUBLE) / tg) / (CAST(b AS DOUBLE) / tb))
+         END AS w
   FROM dec CROSS JOIN tot
 ),
 terms AS (
@@ -6755,9 +6873,14 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dec.agg(F.sum("g").alias("tg"), F.sum("b").alias("tb"))
     gshare = F.col("g").cast("double") / F.col("tg")
     bshare = F.col("b").cast("double") / F.col("tb")
+    # A decile with zero goods or zero bads has no finite WoE: DuckDB's
+    # ln(0) hard-errors where Spark returns NULL (ADVICE r8) — guard
+    # BOTH engines to NULL, the stat_mcnemar degenerate-cell discipline.
     woe = dec.crossJoin(F.broadcast(tot)).select(
         "decile", "g", "b", "tg", "tb",
-        F.log(gshare / bshare).alias("w"),
+        F.when(
+            (F.col("g") > 0) & (F.col("b") > 0), F.log(gshare / bshare)
+        ).alias("w"),
     )
     terms = woe.select(
         "decile", "g", "b",
@@ -7029,10 +7152,12 @@ WITH agg AS (
 ),
 z AS (
   SELECT x1, x2, t1, t2,
-         ln((CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2))
-           / sqrt(1.0 / x1 + 1.0 / x2) AS zstat,
-         (CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2)
-           AS rate_ratio
+         CASE WHEN x1 > 0 AND x2 > 0
+              THEN ln((CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2))
+                   / sqrt(1.0 / x1 + 1.0 / x2) END AS zstat,
+         CASE WHEN x1 > 0 AND x2 > 0
+              THEN (CAST(x1 AS DOUBLE) / t1) / (CAST(x2 AS DOUBLE) / t2)
+         END AS rate_ratio
   FROM agg
 )
 SELECT x1, x2, t1, t2,
@@ -7073,13 +7198,21 @@ def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = F.col("x1").cast("double") / F.col("t1")
     r2 = F.col("x2").cast("double") / F.col("t2")
-    zstat = F.log(r1 / r2) / F.sqrt(
-        F.lit(1.0) / F.col("x1") + F.lit(1.0) / F.col("x2")
+    # With zero errors in either half-month the log/1/x terms are
+    # undefined: DuckDB's ln(0) hard-errors where Spark returns NULL
+    # (ADVICE r8) — guard both engines to NULL.
+    nonzero = (F.col("x1") > 0) & (F.col("x2") > 0)
+    zstat = F.when(
+        nonzero,
+        F.log(r1 / r2) / F.sqrt(
+            F.lit(1.0) / F.col("x1") + F.lit(1.0) / F.col("x2")
+        ),
     )
     return agg.select(
         "x1", "x2", "t1", "t2",
-        F.floor((r1 / r2) * F.lit(1e6) + F.lit(0.5)).cast("long")
-        .alias("rate_ratio_micro"),
+        F.floor(
+            F.when(nonzero, r1 / r2) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("rate_ratio_micro"),
         F.floor(zstat * F.lit(1e6) + F.lit(0.5)).cast("long")
         .alias("z_micro"),
         (F.abs(zstat) > F.lit(1.959964)).alias("rates_differ"),
@@ -7374,7 +7507,7 @@ z AS (
                 * (CAST(k AS DOUBLE) * k - 1.0) / 144.0) AS zval
   FROM l
 )
-SELECT n, k, CAST(l2 / 2 AS BIGINT) AS page_l_x2_halved,
+SELECT n, k, CAST(l2 // 2 AS BIGINT) AS page_l_x2_halved,
        CAST(FLOOR(zval * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
        abs(zval) > 1.959964 AS monotone_trend
 FROM z
@@ -7388,8 +7521,11 @@ def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     `stat_kruskal_wallis`): L = sum_j j*R_j over the same exact
     2x-scaled within-block rank sums, z = (L - nk(k+1)^2/4) /
     sqrt(nk^2(k+1)(k^2-1)/144). Everything up to the final z is the
-    Friedman kernel's exact integers (L2 = sum j*rj2 is even by
-    construction, halved exactly in both engines).
+    Friedman kernel's exact integers; L2 = sum j*rj2 can be ODD when a
+    day-block holds an even-sized rank tie (the tied cells' 2x-ranks go
+    odd), so BOTH engines floor the halving identically — Spark `div`,
+    DuckDB `//` (ADVICE r8: `CAST(l2 / 2 ...)` was double division with
+    round-half-to-even, diverging by 1 on tied data).
 
     100-TB posture: identical to stat_friedman_test — one rollup to
     |days|x|types| cells, k-row per-block rank windows, a k-row

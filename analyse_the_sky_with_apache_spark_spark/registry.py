@@ -30,6 +30,7 @@ ORACLE: dict[str, str] = {}
 #: modules that register queries; imported lazily by load_all_modules().
 _MODULES = (
     "sources.scans",
+    "sources.fits",
     "operators.filters",
     "operators.joins",
     "operators.aggregations",
@@ -75,10 +76,9 @@ _loaded = False
 #: Already-sampled keys go last; they keep local regression coverage
 #: (tests/test_oracle_differential.py and tools/check.py's full gate).
 
-#: Page 3 — the LIVE round-8 window (50 never-sampled oracle keys;
-#: rotated in at round-8 open per VERDICT r7 task 1 — the round-7 page
-#: is retired via its CORRECTNESS_r07 rows, kept below as _RETIRED_R7).
-_PRIORITY = (
+#: Page 3 — the round-8 window, retired 2026-08-16 (CORRECTNESS_r08:
+#: 50/50 hash-green). Kept for documentation; no longer scheduled.
+_RETIRED_R8 = (
     "scan_txn_log_incremental", "emb_knn_graph", "q22_dormant_customers",
     "agg_higher_moments", "corpus_dataset_card",
     "dedup_sorted_neighborhood", "dq_volume_anomaly", "ml_target_encoding",
@@ -126,10 +126,11 @@ _RETIRED_R7 = (
     "ts_decompose_residuals", "text_perplexity",
 )
 
-#: Page 4 — round-9 window (exactly 50; split out of the former 71-key
-#: page per VERDICT r7 task 1 so each page fits one 50-key driver
-#: window; the overflow moved to _ROTATION_R10).
-_ROTATION_R9 = (
+#: Page 4 — the LIVE round-9 window (exactly 50 never-sampled oracle
+#: keys; rotated in at round-9 open per VERDICT r8 task 1 — the round-8
+#: page is retired via its CORRECTNESS_r08 rows, kept above as
+#: _RETIRED_R8).
+_PRIORITY = (
     "agg_histogram_equiwidth", "graph_reciprocity", "ts_peak_detection",
     "ml_mrr", "stat_cohens_kappa", "stat_cramers_v", "text_readability",
     "dq_freshness", "privacy_dp_count", "ml_kfold_assign",
@@ -234,6 +235,10 @@ _ROTATION_R11 = (
     "stat_mcnemar", "events_poisson_rate_test",
     "sink_json_roundtrip",
     "stat_cochran_q", "stat_dunn_posthoc", "stat_page_trend",
+    # round-9 additions
+    "scan_fits", "scan_fits_header", "agg_kll_sketch_merge",
+    "audit_cross_run_determinism", "stream_rate_limit", "scan_fits_image",
+    "agg_hll_sketch_merge",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

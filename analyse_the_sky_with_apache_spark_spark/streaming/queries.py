@@ -994,3 +994,64 @@ def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream(spark, out, mode="append", name="sess_timeout")
+
+
+#: stream_rate_limit: staged file count and the per-trigger file cap —
+#: availableNow must process ceil(6/2) = 3 rate-limited micro-batches.
+_RL_FILES, _RL_CAP = 6, 2
+
+
+@register(
+    "stream_rate_limit",
+    oracle=f"""
+WITH t AS (
+  SELECT NTILE({_RL_FILES}) OVER (ORDER BY ts, event_id) AS tile
+  FROM events
+)
+SELECT CAST((tile - 1) // {_RL_CAP} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM t GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source rate limiting / backpressure accounting —
+    ``maxFilesPerTrigger`` caps how much of the backlog each
+    micro-batch admits, the knob that keeps a recovering stream from
+    swallowing its entire backlog in one giant batch (state blow-up,
+    watermark jump, OOM). Six time-ordered staged files under a
+    2-file cap must yield exactly ceil(6/2) = 3 batches, admitted in
+    modification-time order; ``trigger(availableNow=True)`` honors
+    source rate limits (unlike the legacy ``once`` trigger) so the
+    accounting is observable in a bounded run.
+
+    The oracle reproduces each batch's row count RELATIONALLY: the
+    stager splits events into 6 files by NTILE over (ts, event_id),
+    so batch b = tiles 2b+1..2b+2 — if the source admitted files out
+    of order, coalesced batches, or dropped rows, the per-batch
+    counts hash-mismatch. foreachBatch records (batch_id, count)
+    driver-side (bounded: 3 scalars, the stream_foreach_batch
+    pattern).
+
+    100-TB posture: the file listing distributes; the cap bounds
+    per-batch input regardless of backlog depth — the same contract
+    Kafka's maxOffsetsPerTrigger gives; state stays
+    watermark-bounded because event time advances file by file.
+    """
+    src = stage_events(
+        spark, sf_dir, n_files=_RL_FILES, max_files_per_trigger=_RL_CAP
+    )
+    acc: list[tuple[int, int]] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        acc.append((int(batch_id), df.count()))
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir("rate_limit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(acc), "batch_id BIGINT, n_rows BIGINT"
+    )

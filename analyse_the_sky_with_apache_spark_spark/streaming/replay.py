@@ -58,6 +58,7 @@ def stage_events(
     sf_dir: str,
     n_files: int = 1,
     duplicate: bool = False,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Write events to a staging dir as ``n_files`` time-ordered parquet
     files (ascending mtimes → the file source replays them in event-time
@@ -117,7 +118,7 @@ def stage_events(
 
     reader = spark.readStream.schema(ev.schema)
     if n_files > 1:
-        reader = reader.option("maxFilesPerTrigger", 1)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(final_dir)
 
 

@@ -101,8 +101,7 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R9, registry._ROTATION_R10,
-             registry._ROTATION_R11)
+    pages = (registry._ROTATION_R10, registry._ROTATION_R11)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -123,7 +122,6 @@ def test_every_oracle_key_is_scheduled():
     covered = (
         _sampled()
         | set(registry._PRIORITY)
-        | set(registry._ROTATION_R9)
         | set(registry._ROTATION_R10)
         | set(registry._ROTATION_R11)
     )
@@ -148,14 +146,21 @@ def test_window_wastes_no_slot_on_green_keys():
 
 
 def test_window_covers_the_dark_families():
+    """Each target family with never-sampled keys REMAINING must be
+    represented in the window; a family that is fully driver-sampled
+    (e.g. workloads2 after r08) has no fresh key to schedule and is
+    exempt — the floor can't demand what no page can supply."""
     qs = registry.queries()
     sampled = _sampled()
-    fresh_mods = {
-        qs[k].__module__.split("analyse_the_sky_with_apache_spark_spark.")[-1]
-        for k in registry._PRIORITY
-        if k not in sampled
-    }
-    missing = [f for f in _TARGET_FAMILIES if f not in fresh_mods]
+
+    def fam(k: str) -> str:
+        return qs[k].__module__.split(
+            "analyse_the_sky_with_apache_spark_spark.")[-1]
+
+    still_dark = {fam(k) for k in qs if k not in sampled}
+    fresh_mods = {fam(k) for k in registry._PRIORITY if k not in sampled}
+    missing = [f for f in _TARGET_FAMILIES
+               if f in still_dark and f not in fresh_mods]
     assert not missing, f"dark families absent from the window: {missing}"
 
 
