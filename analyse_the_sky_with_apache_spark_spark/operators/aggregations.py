@@ -2139,12 +2139,17 @@ def agg_kll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scope")
         .applyInPandas(merge, out_schema)
     )
-    est = per_flag.unionAll(global_all)
-
-    probe = li.join(
-        F.broadcast(est),
-        (F.col("scope") == F.col("flag")) | (F.col("scope") == "ALL"),
+    # probe via a broadcast hash EQUI-join: expand the tiny estimate
+    # table per flag ('ALL' scope rows duplicated under each flag key)
+    # instead of an OR-condition join, which would plan a
+    # BroadcastNestedLoopJoin over every fact row x 12 estimate rows —
+    # the test_plan_sweep no-cartesian gate caught exactly that.
+    flag_keys = per_flag.select(F.col("scope").alias("flag_key")).distinct()
+    est = per_flag.withColumn("flag_key", F.col("scope")).unionByName(
+        global_all.join(F.broadcast(flag_keys), F.lit(True))
     )
+
+    probe = li.join(F.broadcast(est), F.col("flag") == F.col("flag_key"))
     agg = probe.groupBy("scope", "q_micro").agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0))

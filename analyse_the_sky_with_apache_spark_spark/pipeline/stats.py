@@ -7589,3 +7589,413 @@ def stat_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z_micro"),
         (F.abs(zval) > F.lit(1.959964)).alias("monotone_trend"),
     )
+
+
+@register(
+    "ts_mann_kendall",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM d a JOIN d b ON a.day < b.day
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY y) g
+  WHERE t > 1
+),
+v AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n,
+         s.s_stat,
+         ties.tie_term
+  FROM s CROSS JOIN ties
+),
+z AS (
+  SELECT n, s_stat,
+         n * (n - 1) * (2 * n + 5) - tie_term AS var18,
+         CASE WHEN s_stat > 0 THEN
+                (CAST(s_stat AS DOUBLE) - 1.0)
+                / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                        - CAST(tie_term AS DOUBLE)) / 18.0)
+              WHEN s_stat < 0 THEN
+                (CAST(s_stat AS DOUBLE) + 1.0)
+                / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                        - CAST(tie_term AS DOUBLE)) / 18.0)
+              ELSE 0.0 END AS zval
+  FROM v
+)
+SELECT n, s_stat, var18,
+       CAST(FLOOR(zval * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       abs(zval) > 1.959964 AS monotonic_trend
+FROM z
+""",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily value series — the
+    nonparametric SIGNIFICANCE question (`is there any monotonic
+    trend?`) whose slope companion is `ts_theil_sen` and whose
+    seasonal/rank siblings are `stat_page_trend` (across treatments)
+    and `stat_runs_test` (any non-randomness): S = sum over day pairs
+    of sign(y_j - y_i), Var(S) = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18
+    with the exact tie correction, z with the +/-1 continuity
+    correction. S, the tie term and 18*Var are exact integers; the
+    single division/sqrt runs on identical exact operands in both
+    engines.
+
+    100-TB posture: one data-sized rollup to |days| exact daily sums;
+    the pair join and tie grouping run on the COLLAPSED daily table
+    (|D|^2/2 integer comparisons — at multi-year ranges switch to the
+    O(n log n) merge-count formulation over a sorted window, same
+    output contract).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).cast("long").alias("y")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    s = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+        ).cast("long").alias("s_stat")
+    )
+    t = F.col("t")
+    ties = (
+        d.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t * (t - 1) * (F.lit(2) * t + F.lit(5))), F.lit(0)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    n_row = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = n_row.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    sd = F.col("s_stat").cast("double")
+    sigma = F.sqrt(
+        (
+            nd * (nd - F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(5.0))
+            - F.col("tie_term").cast("double")
+        ) / F.lit(18.0)
+    )
+    zval = (
+        F.when(F.col("s_stat") > 0, (sd - F.lit(1.0)) / sigma)
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / sigma)
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "n", "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1)
+            * (F.lit(2) * F.col("n") + F.lit(5))
+            - F.col("tie_term")
+        ).alias("var18"),
+        F.floor(zval * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("z_micro"),
+        (F.abs(zval) > F.lit(1.959964)).alias("monotonic_trend"),
+    )
+
+
+@register(
+    "stat_bartlett",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+gs AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS nj,
+         CAST(SUM(cents) AS BIGINT) AS sj,
+         SUM(CAST(cents AS DECIMAL(18,0)) * CAST(cents AS DECIMAL(18,0)))
+           AS qj
+  FROM base GROUP BY grp
+),
+pg AS (
+  SELECT grp, nj, qj,
+         CAST(sj AS DECIMAL(28,0)) * CAST(sj AS DECIMAL(28,0))
+           / CAST(nj AS DECIMAL(18,0)) AS bj,
+         (CAST(qj AS DOUBLE) - CAST(sj AS DOUBLE) * sj / nj)
+           / (CAST(nj AS DOUBLE) - 1.0) AS s2
+  FROM gs
+),
+terms AS (
+  SELECT grp, nj, qj, bj,
+         CAST(FLOOR((CAST(nj AS DOUBLE) - 1.0) * ln(s2) * 1000000.0 + 0.5)
+              AS BIGINT) AS lnterm_micro,
+         CAST(FLOOR(1000000000.0 / (CAST(nj AS DOUBLE) - 1.0) + 0.5)
+              AS BIGINT) AS inv_nano
+  FROM pg
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(nj) AS BIGINT) AS n,
+         SUM(qj) AS q, SUM(bj) AS bsum,
+         CAST(SUM(lnterm_micro) AS BIGINT) AS lsum_micro,
+         CAST(SUM(inv_nano) AS BIGINT) AS isum_nano
+  FROM terms
+),
+tt AS (
+  SELECT k, n,
+         ((CAST(n AS DOUBLE) - k)
+            * ln((CAST(q AS DOUBLE) - CAST(bsum AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - k))
+          - CAST(lsum_micro AS DOUBLE) / 1000000.0)
+         / (1.0 + (CAST(isum_nano AS DOUBLE) / 1000000000.0
+                   - 1.0 / (CAST(n AS DOUBLE) - k))
+                  / (3.0 * (CAST(k AS DOUBLE) - 1.0))) AS t_stat
+  FROM tot
+)
+SELECT k, n, CAST(FLOOR(t_stat * 1000000.0 + 0.5) AS BIGINT) AS t_micro,
+       t_stat > 9.488 AS unequal_variance
+FROM tt
+""",
+)
+def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equal variances across order-priority
+    groups — the PARAMETRIC (normality-assuming, variance-based)
+    companion to `stat_levene`'s robust median-deviation test; when
+    both are registered a user can see the classic disagreement on
+    heavy-tailed data. T = [(n-k) ln s2_pooled - sum (nj-1) ln s2_j]
+    / C with C = 1 + (sum 1/(nj-1) - 1/(n-k)) / (3(k-1)).
+
+    Determinism: per-group variances come off exact long/decimal sums
+    (the levene lanes); each group's (nj-1)·ln(s2_j) and 1/(nj-1) are
+    GRIDDED to micro/nano integers BEFORE the k-row reduction, so no
+    cross-row float summation order exists anywhere; the pooled-
+    variance log runs on the levene-idiom exact q/bsum scalars. 9.488
+    = chi2(k-1=4) at alpha=0.05.
+
+    100-TB posture: one data-sized hash aggregate; everything after
+    runs on the k-row group table.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"),
+    )
+    cdec = F.col("cents").cast("decimal(18,0)")
+    gs = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("cents").cast("long").alias("sj"),
+        F.sum(cdec * cdec).alias("qj"),
+    )
+    njd = F.col("nj").cast("double")
+    s2 = (
+        F.col("qj").cast("double")
+        - F.col("sj").cast("double") * F.col("sj") / F.col("nj")
+    ) / (njd - F.lit(1.0))
+    pg = gs.select(
+        "grp", "nj", "qj",
+        (
+            F.col("sj").cast("decimal(28,0)")
+            * F.col("sj").cast("decimal(28,0)")
+            / F.col("nj").cast("decimal(18,0)")
+        ).alias("bj"),
+        s2.alias("s2"),
+    )
+    terms = pg.select(
+        "nj", "qj", "bj",
+        F.floor(
+            (njd - F.lit(1.0)) * F.log("s2") * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("lnterm_micro"),
+        F.floor(F.lit(1e9) / (njd - F.lit(1.0)) + F.lit(0.5))
+        .cast("long").alias("inv_nano"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("nj").cast("long").alias("n"),
+        F.sum("qj").alias("q"),
+        F.sum("bj").alias("bsum"),
+        F.sum("lnterm_micro").cast("long").alias("lsum_micro"),
+        F.sum("inv_nano").cast("long").alias("isum_nano"),
+    )
+    ndd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    t_stat = (
+        (ndd - kd)
+        * F.log(
+            (F.col("q").cast("double") - F.col("bsum").cast("double"))
+            / (ndd - kd)
+        )
+        - F.col("lsum_micro").cast("double") / F.lit(1e6)
+    ) / (
+        F.lit(1.0)
+        + (
+            F.col("isum_nano").cast("double") / F.lit(1e9)
+            - F.lit(1.0) / (ndd - kd)
+        ) / (F.lit(3.0) * (kd - F.lit(1.0)))
+    )
+    return tot.select(
+        "k", "n",
+        F.floor(t_stat * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("t_micro"),
+        (t_stat > F.lit(9.488)).alias("unequal_variance"),
+    )
+
+
+@register(
+    "stat_breusch_pagan",
+    oracle="""
+WITH d AS MATERIALIZED (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         CAST(SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders GROUP BY 1
+),
+s AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM d
+),
+coef AS MATERIALIZED (
+  SELECT n, sx, sxx,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+         CAST(sy AS DOUBLE) / n AS ybar,
+         CAST(sx AS DOUBLE) / n AS xbar
+  FROM s
+),
+bx AS MATERIALIZED (
+  SELECT d.x, d.y, coef.beta * CAST(d.x AS DOUBLE) AS bxv,
+         coef.ybar - coef.beta * coef.xbar AS alpha
+  FROM d CROSS JOIN coef
+),
+g AS MATERIALIZED (
+  SELECT x,
+         CAST(FLOOR((CAST(y AS DOUBLE) - alpha - bxv)
+                    * (CAST(y AS DOUBLE) - alpha - bxv)
+                    / 1000000.0 + 0.5) AS BIGINT) AS gg
+  FROM bx
+),
+aux AS (
+  SELECT CAST(SUM(gg) AS BIGINT) AS sg,
+         CAST(SUM(x * gg) AS BIGINT) AS sxg,
+         SUM(CAST(gg AS DECIMAL(18,0)) * CAST(gg AS DECIMAL(18,0))) AS sgg
+  FROM g
+),
+lm AS (
+  SELECT s.n, coef.beta,
+         CAST(s.n AS DOUBLE)
+           * ((CAST(s.n AS DOUBLE) * aux.sxg
+               - CAST(s.sx AS DOUBLE) * aux.sg)
+              * (CAST(s.n AS DOUBLE) * aux.sxg
+                 - CAST(s.sx AS DOUBLE) * aux.sg))
+           / ((CAST(s.n AS DOUBLE) * s.sxx
+               - CAST(s.sx AS DOUBLE) * s.sx)
+              * (CAST(s.n AS DOUBLE) * CAST(aux.sgg AS DOUBLE)
+                 - CAST(aux.sg AS DOUBLE) * aux.sg)) AS lm_stat
+  FROM s CROSS JOIN coef CROSS JOIN aux
+)
+SELECT n AS n_days,
+       CAST(FLOOR(beta * 1000000.0 + 0.5) AS BIGINT) AS beta_micro,
+       CAST(FLOOR(lm_stat * 1000000.0 + 0.5) AS BIGINT) AS lm_micro,
+       lm_stat > 3.841 AS heteroscedastic
+FROM lm
+""",
+)
+def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test on the daily-revenue OLS
+    trend — does residual VARIANCE drift with the regressor? The
+    diagnostic that tells a forecaster whether `win_rolling_regression_
+    slope`-style fits need robust errors. LM = n.R2 of the auxiliary
+    regression of squared residuals on x; reject at chi2(1) = 3.841.
+
+    Determinism: the trend fit rides on exact long sufficient sums
+    (daily revenue in whole DOLLARS keeps every sum, including
+    sum(x*y), inside 2^53 at the 10x fixture — the overflow ledger);
+    per-day squared residuals are GRIDDED to exact longs (floor(e^2 /
+    1e6)) before the auxiliary sums, so no cross-row float order
+    exists; beta*x is MATERIALIZED as its own column before the
+    subtraction to keep DuckDB from FMA-contracting `y - alpha -
+    beta*x` (the dq_benford lesson, SCALE.md). R2 assembles from
+    exact sums in mirrored double ops.
+
+    100-TB posture: one data-sized rollup to |days| rows; the fit,
+    residual pass and auxiliary sums all run on the collapsed daily
+    table; two 1-row broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("x")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long")
+        ).cast("long").alias("y")
+    ).localCheckpoint(eager=True)
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    coef = s.select(
+        "n", "sx", "sxx",
+        beta.alias("beta"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    bx = d.crossJoin(F.broadcast(coef)).select(
+        "x", "y",
+        (F.col("beta") * F.col("x").cast("double")).alias("bxv"),
+        (F.col("ybar") - F.col("beta") * F.col("xbar")).alias("alpha"),
+    )
+    resid = F.col("y").cast("double") - F.col("alpha") - F.col("bxv")
+    g = bx.select(
+        "x",
+        F.floor(resid * resid / F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("gg"),
+    )
+    gdec = F.col("gg").cast("decimal(18,0)")
+    aux = g.agg(
+        F.sum("gg").cast("long").alias("sg"),
+        F.sum(F.col("x") * F.col("gg")).cast("long").alias("sxg"),
+        F.sum(gdec * gdec).alias("sgg"),
+    )
+    both = s.crossJoin(F.broadcast(coef.select("beta"))).crossJoin(
+        F.broadcast(aux)
+    )
+    num = nd * F.col("sxg") - F.col("sx").cast("double") * F.col("sg")
+    lm_stat = (
+        nd * (num * num)
+        / (
+            (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (
+                nd * F.col("sgg").cast("double")
+                - F.col("sg").cast("double") * F.col("sg")
+            )
+        )
+    )
+    return both.select(
+        F.col("n").alias("n_days"),
+        F.floor(F.col("beta") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("beta_micro"),
+        F.floor(lm_stat * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("lm_micro"),
+        (lm_stat > F.lit(3.841)).alias("heteroscedastic"),
+    )

@@ -238,7 +238,8 @@ _ROTATION_R11 = (
     # round-9 additions
     "scan_fits", "scan_fits_header", "agg_kll_sketch_merge",
     "audit_cross_run_determinism", "stream_rate_limit", "scan_fits_image",
-    "agg_hll_sketch_merge",
+    "agg_hll_sketch_merge", "ts_mann_kendall", "stat_bartlett",
+    "stat_breusch_pagan",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

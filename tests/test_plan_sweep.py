@@ -205,6 +205,17 @@ _BNL_ALLOWED = {
     "stat_dunn_posthoc",
     # 1-row distinct-type count broadcast (the Friedman kernel shape)
     "stat_page_trend",
+    # 3-row 'ALL'-scope estimate rows x 3-row flag-key expansion (the
+    # sketch-sized fan-out that lets the data-sized probe stay a
+    # broadcast hash EQUI-join)
+    "agg_kll_sketch_merge",
+    # |days|^2 sign-pair scan over the COLLAPSED daily table plus 1-row
+    # S/tie-term broadcasts (the stat_kendall_tau domain-pair shape;
+    # docstring documents the O(n log n) merge-count alternative)
+    "ts_mann_kendall",
+    # 1-row OLS-coefficient and auxiliary-sum broadcasts onto the
+    # collapsed |days| table (the residual pass + LM assembly)
+    "stat_breusch_pagan",
 }
 
 _KEYS = sorted(

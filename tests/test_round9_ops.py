@@ -1,0 +1,133 @@
+"""Round-9 kernels: independent cross-checks BEYOND the oracle gate.
+
+The DuckDB oracle proves Spark and DuckDB agree; these tests rebuild
+each statistic from raw parquet with numpy/pandas — a third
+implementation with none of the two engines' shared SQL idioms — so an
+algebra-level mistake both engines repeat (the round-8 AD-test lesson)
+still fails.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from analyse_the_sky_with_apache_spark_spark.registry import (
+    load_all_modules,
+    QUERIES,
+)
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def _events() -> pd.DataFrame:
+    return pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+
+
+def _orders() -> pd.DataFrame:
+    return pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+
+
+def test_mann_kendall_vs_numpy(spark):
+    ev = _events()
+    micro = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    daily = (
+        pd.DataFrame({"day": ev["ts"].dt.date, "y": micro})
+        .groupby("day")["y"].sum().sort_index().to_numpy()
+    )
+    n = len(daily)
+    s = sum(
+        int(np.sign(daily[j] - daily[i]))
+        for i in range(n) for j in range(i + 1, n)
+    )
+    _, t_counts = np.unique(daily, return_counts=True)
+    tie = sum(int(t) * (t - 1) * (2 * t + 5) for t in t_counts if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    if s > 0:
+        z = (s - 1.0) / math.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1.0) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    row = QUERIES["ts_mann_kendall"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n and row["s_stat"] == s and row["var18"] == var18
+    assert abs(row["z_micro"] - math.floor(z * 1e6 + 0.5)) <= 1
+
+
+def test_bartlett_vs_numpy(spark):
+    o = _orders()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    grp = o["o_orderpriority"].to_numpy()
+    groups = [cents[grp == g] for g in np.unique(grp)]
+    k, n = len(groups), len(cents)
+    s2 = [g.var(ddof=1) for g in groups]
+    nj = [len(g) for g in groups]
+    s2p = sum((m - 1) * v for m, v in zip(nj, s2)) / (n - k)
+    t = ((n - k) * math.log(s2p) - sum(
+        (m - 1) * math.log(v) for m, v in zip(nj, s2)
+    )) / (1.0 + (sum(1.0 / (m - 1) for m in nj) - 1.0 / (n - k))
+          / (3.0 * (k - 1)))
+    row = QUERIES["stat_bartlett"](spark, SF_DIR).collect()[0]
+    assert row["k"] == k and row["n"] == n
+    # numpy's variance path differs from the exact-sum lanes; the
+    # statistic itself must agree to ~1e-4 relative
+    assert abs(row["t_micro"] / 1e6 - t) <= max(1e-4 * abs(t), 1e-3)
+
+
+def test_breusch_pagan_vs_numpy(spark):
+    o = _orders()
+    days = (
+        pd.to_datetime(o["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1995-01-01")
+    ).dt.days.to_numpy()
+    dollars = np.floor(o["o_totalprice"].to_numpy() + 0.5).astype(np.int64)
+    d = (
+        pd.DataFrame({"x": days, "y": dollars})
+        .groupby("x")["y"].sum().reset_index()
+    )
+    x = d["x"].to_numpy(dtype=np.float64)
+    y = d["y"].to_numpy(dtype=np.float64)
+    n = len(x)
+    beta = ((n * (x * y).sum() - x.sum() * y.sum())
+            / (n * (x * x).sum() - x.sum() ** 2))
+    alpha = (y.sum() - beta * x.sum()) / n
+    e = y - alpha - beta * x
+    g = np.floor(e * e / 1e6 + 0.5)
+    num = n * (x * g).sum() - x.sum() * g.sum()
+    r2 = num * num / (
+        (n * (x * x).sum() - x.sum() ** 2)
+        * (n * (g * g).sum() - g.sum() ** 2)
+    )
+    lm = n * r2
+    row = QUERIES["stat_breusch_pagan"](spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["beta_micro"] / 1e6 - beta) <= max(
+        1e-5 * abs(beta), 1e-5
+    )
+    assert abs(row["lm_micro"] / 1e6 - lm) <= max(1e-4 * abs(lm), 1e-3)
+
+
+def test_hll_and_kll_sink_merges_certify(spark):
+    """Both sink-merge keys must return every bound boolean TRUE —
+    the estimates actually sit inside the certified tolerances."""
+    for key in ("agg_hll_sketch_merge", "agg_kll_sketch_merge"):
+        rows = QUERIES[key](spark, SF_DIR).collect()
+        assert rows, key
+        for r in rows:
+            for col in r.asDict():
+                if col.endswith("_within_bound"):
+                    assert r[col] is True, (key, r)
+
+
+def test_rate_limit_batches_partition_the_stream(spark):
+    rows = QUERIES["stream_rate_limit"](spark, SF_DIR).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2]
+    total = sum(r["n_rows"] for r in rows)
+    n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    assert total == n_events
