@@ -3467,12 +3467,47 @@ def stat_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells in a single pass (conditional sums, zero extra shuffles —
     the `agg_cond` shape); expectation/variance land on the
     `stat_logrank_test` integer grid so the single-row statistic
-    hash-matches bit-for-bit.
+    hash-matches bit-for-bit. Spark builds the same kernel through the
+    DataFrame API (converted from the shared-SQL-text form per VERDICT
+    r8), the chained truncating-division ladder expressed with `div`.
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "cmh_orders"
+    o = load_table(spark, sf_dir, "orders")
+    exposed = F.col("o_custkey") % 2 == 0
+    hit = F.col("o_totalprice") > 150000.0
+    cells = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.sum(F.when(exposed & hit, 1).otherwise(0)).cast("long")
+        .alias("a"),
+        F.sum(F.when(exposed, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("m1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     )
-    return spark.sql(_cmh_sql("cmh_orders", "div", ""))
+    terms = cells.select(
+        "stratum", "a", "n1", "m1", "n",
+        F.expr("(1000000 * n1 * m1) div n").alias("e_micro"),
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "(((((1000000 * n1 * (n - n1)) div n) * m1) div n)"
+                " * (n - m1)) div (n - 1)"
+            ),
+        ).otherwise(F.lit(0)).alias("v_micro"),
+    )
+    s = terms.agg(
+        F.sum("a").cast("long").alias("a_sum"),
+        F.sum("e_micro").cast("long").alias("e_micro_sum"),
+        F.sum("v_micro").cast("long").alias("v_micro_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    dev = (F.col("a_sum") * F.lit(1_000_000) - F.col("e_micro_sum")).cast(
+        "double"
+    )
+    return s.select(
+        "a_sum", "e_micro_sum", "v_micro_sum", "n_strata",
+        (
+            dev * dev
+            / (F.col("v_micro_sum").cast("double") * F.lit(1e6))
+        ).alias("chi2"),
+    )
 
 
 #: generalized-ESD rounds (outliers removed one per round).
@@ -4790,9 +4825,11 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour index re-based to 0 so t*y stays far from 2^63); per-hour
     residuals gridded to milli-value units BEFORE the squared sums, so
     both the numerator sum of squared successive differences and the
-    denominator are exact longs. Spark executes the identical SQL text
-    the DuckDB oracle runs (``_dw_sql``), so each double matches
-    bit-for-bit.
+    denominator are exact longs. Spark builds the same kernel through
+    the DataFrame API, double ops mirrored operand-for-operand against
+    the oracle SQL (converted from the shared-SQL-text form per
+    VERDICT r8 — stronger differential when the engines don't share a
+    parser).
 
     100-TB posture: the rollup is the only full-data pass (hash
     aggregate, mergeable); the LAG window runs over the collapsed
@@ -4800,8 +4837,74 @@ def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a coarser bucket exactly like ts_pacf_durbin).
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("dw_events")
-    return spark.sql(_dw_sql("dw_events", "unix_micros", " div "))
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("long").alias("t0")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    rel = h.select(
+        (F.col("t0") - F.min("t0").over(Window.partitionBy()))
+        .cast("long").alias("t"),
+        "y",
+    )
+    ols = rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    bnum = nd * F.col("sty").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    bden = nd * F.col("stt").cast("double") - F.col("st").cast(
+        "double"
+    ) * F.col("st").cast("double")
+    fit = ols.select(
+        "n",
+        (bnum / bden).alias("b"),
+        (
+            (
+                F.col("sy").cast("double")
+                - bnum / bden * F.col("st").cast("double")
+            ) / nd
+        ).alias("a"),
+    )
+    e = rel.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (F.col("a") + F.col("b") * F.col("t").cast("double"))
+            ) / F.lit(1000.0) + F.lit(0.5)
+        ).cast("long").alias("e3"),
+    )
+    d = e.select("e3", F.lag("e3").over(Window.orderBy("t")).alias("ep"))
+    s = d.agg(
+        F.sum(F.col("e3") * F.col("e3")).cast("long").alias("see"),
+        F.sum(
+            F.when(F.col("ep").isNull(), 0).otherwise(
+                (F.col("e3") - F.col("ep")) * (F.col("e3") - F.col("ep"))
+            )
+        ).cast("long").alias("sdd"),
+    )
+    dw = F.col("sdd").cast("double") / F.col("see").cast("double")
+    return s.crossJoin(F.broadcast(fit)).select(
+        "n",
+        F.floor(F.col("b") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        .alias("slope_milli_micro"),
+        F.floor(dw * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("dw_micro"),
+        F.floor(
+            (F.lit(1.0) - dw / F.lit(2.0)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("rho_micro"),
+        (dw < F.lit(1.5)).alias("positive_autocorr"),
+    )
 
 
 @register(
@@ -6226,14 +6329,77 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean (int-div), centered values grid to milli BEFORE the lag
     products, so all five numerators and the shared denominator are
     exact longs off ONE window pass (5 LEADs in a single projection —
-    one sort, not five). Spark executes the identical SQL text.
+    one sort, not five). Spark builds the same kernel through the
+    DataFrame API (converted from the shared-SQL-text form per VERDICT
+    r8), the Q sum assembled in the oracle's exact left-to-right
+    association order.
 
     100-TB posture: one data-sized rollup; one window pass over the
     collapsed hourly table.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("ljung_events")
-    return spark.sql(_ljung_sql("ljung_events", "unix_micros", " div "))
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("long").alias("t")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    m = h.agg(
+        F.expr(
+            "CAST(sum(y) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("mu")
+    )
+    c = h.crossJoin(F.broadcast(m)).select(
+        "t",
+        F.floor(
+            (F.col("y").cast("double") - F.col("mu")) / F.lit(1000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("yc"),
+    )
+    w = Window.orderBy("t")
+    lagged = c.select(
+        "t", "yc",
+        *[F.lead("yc", k).over(w).alias(f"y{k}") for k in range(1, 6)],
+    )
+    sums = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("nn0"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("den0"),
+        *[
+            F.sum(
+                F.when(F.col(f"y{k}").isNull(), 0).otherwise(
+                    F.col("yc") * F.col(f"y{k}")
+                )
+            ).cast("long").alias(f"n{k}")
+            for k in range(1, 6)
+        ],
+    )
+    den = F.col("den0").cast("double")
+    nd = F.col("nn0").cast("double")
+    qsum = None
+    for k in range(1, 6):
+        term = (
+            (F.col(f"n{k}").cast("double") / den)
+            * (F.col(f"n{k}").cast("double") / den)
+            / (nd - F.lit(float(k)))
+        )
+        qsum = term if qsum is None else qsum + term
+    qstat = nd * (nd + F.lit(2.0)) * qsum
+    return sums.select(
+        F.col("nn0").alias("n"),
+        *[
+            F.floor(
+                F.col(f"n{k}").cast("double") / den * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias(f"rho{k}_micro")
+            for k in range(1, 6)
+        ],
+        F.floor(qstat * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("q_micro"),
+        (qstat > F.lit(11.07)).alias("autocorrelated"),
+    )
 
 
 def _sampen_tpl_sql(table: str, epoch_us: str, idiv: str) -> str:
