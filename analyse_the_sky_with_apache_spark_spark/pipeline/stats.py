@@ -8165,3 +8165,236 @@ def stat_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lm_micro"),
         (lm_stat > F.lit(3.841)).alias("heteroscedastic"),
     )
+
+
+@register(
+    "ts_adf_unitroot",
+    oracle="""
+WITH h AS MATERIALIZED (
+  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS t,
+         CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT))
+              AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT t, y, LAG(y) OVER (ORDER BY t) AS yl FROM h
+),
+p AS MATERIALIZED (
+  SELECT t, yl, y - yl AS dy FROM pairs WHERE yl IS NOT NULL
+),
+s AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yl) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(yl * yl) AS BIGINT) AS sxx,
+         CAST(SUM(yl * dy) AS BIGINT) AS sxy
+  FROM p
+),
+coef AS MATERIALIZED (
+  SELECT n, sx, sxx,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS rho,
+         CAST(sy AS DOUBLE) / n AS dybar,
+         CAST(sx AS DOUBLE) / n AS xbar
+  FROM s
+),
+rx AS MATERIALIZED (
+  SELECT p.t, p.yl, p.dy, coef.rho * CAST(p.yl AS DOUBLE) AS rxv,
+         coef.dybar - coef.rho * coef.xbar AS alpha
+  FROM p CROSS JOIN coef
+),
+e AS MATERIALIZED (
+  SELECT CAST(FLOOR((CAST(dy AS DOUBLE) - alpha - rxv)
+                    * (CAST(dy AS DOUBLE) - alpha - rxv) + 0.5)
+              AS BIGINT) AS e2
+  FROM rx
+),
+tstat AS (
+  SELECT s.n, coef.rho,
+         coef.rho / sqrt((CAST(SUM(e.e2) AS DOUBLE) / (s.n - 2.0))
+                         / ((CAST(s.n AS DOUBLE) * s.sxx
+                             - CAST(s.sx AS DOUBLE) * s.sx) / s.n))
+           AS t_stat
+  FROM e CROSS JOIN s CROSS JOIN coef
+  GROUP BY s.n, coef.rho, s.sxx, s.sx
+)
+SELECT n,
+       CAST(FLOOR(rho * 1000000.0 + 0.5) AS BIGINT) AS rho_micro,
+       CAST(FLOOR(t_stat * 1000000.0 + 0.5) AS BIGINT) AS t_micro,
+       t_stat < -2.86 AS stationary
+FROM tstat
+""",
+)
+def ts_adf_unitroot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test on the hourly series — the
+    IS-IT-STATIONARY gate every forecasting pipeline runs before
+    trusting an AR fit (`ts_pacf_durbin`, `ts_holt_linear`): regress
+    delta-y on lagged level, and if rho's t-statistic clears the DF
+    critical value (-2.86 at 5%, intercept case) the level reverts
+    rather than wanders. This is the DF(0) rung of the ladder whose
+    residual-based sibling is `ts_cointegration_egr`'s Engle-Granger
+    step (unit root OF A SPREAD); here the question is asked of the
+    raw series itself.
+
+    Determinism: milli-gridded hourly means make yl/dy exact longs
+    (sum(yl*yl) <= ~1.8e14 at 744 hours — inside 2^53, the overflow
+    ledger); the OLS rides exact sums; rho*yl is MATERIALIZED before
+    the subtraction (the FMA lesson) and squared residuals grid to
+    exact longs before summation, so no cross-row float order exists.
+
+    100-TB posture: one data-sized rollup; the lag window and
+    residual pass run on the collapsed hourly table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+        .cast("long").alias("t")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("y")
+    )
+    w = Window.orderBy("t")
+    p = (
+        h.select("t", "y", F.lag("y").over(w).alias("yl"))
+        .where(F.col("yl").isNotNull())
+        .select("t", "yl", (F.col("y") - F.col("yl")).alias("dy"))
+        .localCheckpoint(eager=True)
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yl").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("yl") * F.col("yl")).cast("long").alias("sxx"),
+        F.sum(F.col("yl") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+    coef = s.select(
+        "n", "sx", "sxx",
+        rho.alias("rho"),
+        (F.col("sy").cast("double") / F.col("n")).alias("dybar"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    rx = p.crossJoin(F.broadcast(coef)).select(
+        "dy",
+        (F.col("rho") * F.col("yl").cast("double")).alias("rxv"),
+        (F.col("dybar") - F.col("rho") * F.col("xbar")).alias("alpha"),
+    )
+    resid = F.col("dy").cast("double") - F.col("alpha") - F.col("rxv")
+    e2sum = rx.agg(
+        F.sum(
+            F.floor(resid * resid + F.lit(0.5)).cast("long")
+        ).cast("long").alias("se2")
+    )
+    both = e2sum.crossJoin(F.broadcast(coef))
+    ndd = F.col("n").cast("double")
+    t_stat = F.col("rho") / F.sqrt(
+        (F.col("se2").cast("double") / (ndd - F.lit(2.0)))
+        / (
+            (ndd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            / F.col("n")
+        )
+    )
+    return both.select(
+        "n",
+        F.floor(F.col("rho") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("rho_micro"),
+        F.floor(t_stat * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("t_micro"),
+        (t_stat < F.lit(-2.86)).alias("stationary"),
+    )
+
+
+#: ml_pinball_loss: evaluated quantile levels (x10 integers) and the
+#: train/test day boundary.
+_PINBALL_TAUS_X10 = (5, 9)
+_PINBALL_CUT = "2024-01-16"
+
+
+@register(
+    "ml_pinball_loss",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+train AS (
+  SELECT list_sort(list(y)) AS ys, CAST(COUNT(*) AS BIGINT) AS n
+  FROM d WHERE day < DATE '{_PINBALL_CUT}'
+),
+qs AS (
+  SELECT CAST(u AS BIGINT) AS tau_x10,
+         list_extract(ys, CAST(ceil(u * n / 10.0) AS BIGINT)) AS q
+  FROM (SELECT unnest([{", ".join(str(t) for t in _PINBALL_TAUS_X10)}])
+        AS u) CROSS JOIN train
+)
+SELECT q.tau_x10, q.q AS q_forecast,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN d.y > q.q THEN q.tau_x10 * (d.y - q.q)
+                     ELSE (10 - q.tau_x10) * (q.q - d.y) END)
+            AS BIGINT) AS pinball_x10_total
+FROM d CROSS JOIN qs q
+WHERE d.day >= DATE '{_PINBALL_CUT}'
+GROUP BY q.tau_x10, q.q
+ORDER BY q.tau_x10
+""",
+)
+def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss — the scoring rule for QUANTILE
+    forecasts that `ts_forecast_backtest`'s point-forecast MAE cannot
+    grade: forecast the second half-month's daily totals with the
+    first half's empirical p50/p90 (Type-1 order-statistic quantile:
+    smallest value with rank >= ceil(tau*n), exact integer by
+    construction), then score each test day with the asymmetric hinge
+    tau*(y-q) over / (1-tau)*(q-y) under, both scaled x10 so every
+    term is an exact integer. A well-calibrated p90 eats 9x penalty
+    for overshooting days it should rarely undershoot — the loss a
+    capacity planner actually minimizes.
+
+    100-TB posture: one data-sized rollup to |days|; the train-half
+    sorted list is |train days| in one reducer (swap for the two-pass
+    CDF quantile at longer ranges); test scoring is a broadcast of 2
+    quantile rows against the collapsed daily table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).cast("long").alias("y")
+    )
+    cut = F.lit(_PINBALL_CUT).cast("date")
+    train = d.where(F.col("day") < cut).agg(
+        F.sort_array(F.collect_list("y")).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    taus = F.explode(
+        F.array(*[F.lit(t) for t in _PINBALL_TAUS_X10])
+    ).alias("tau_x10")
+    qs = train.select(taus, "ys", "n").select(
+        F.col("tau_x10").cast("long").alias("tau_x10"),
+        F.element_at(
+            "ys",
+            F.ceil(F.col("tau_x10") * F.col("n") / F.lit(10.0))
+            .cast("int"),
+        ).alias("q"),
+    )
+    test = d.where(F.col("day") >= cut)
+    joined = test.crossJoin(F.broadcast(qs))
+    over = F.col("y") > F.col("q")
+    term = F.when(
+        over, F.col("tau_x10") * (F.col("y") - F.col("q"))
+    ).otherwise((F.lit(10) - F.col("tau_x10")) * (F.col("q") - F.col("y")))
+    return (
+        joined.groupBy("tau_x10", F.col("q").alias("q_forecast"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(term).cast("long").alias("pinball_x10_total"),
+        )
+        .orderBy("tau_x10")
+    )

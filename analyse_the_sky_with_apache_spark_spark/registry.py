@@ -239,7 +239,15 @@ _ROTATION_R11 = (
     "scan_fits", "scan_fits_header", "agg_kll_sketch_merge",
     "audit_cross_run_determinism", "stream_rate_limit", "scan_fits_image",
     "agg_hll_sketch_merge", "ts_mann_kendall", "stat_bartlett",
-    "stat_breusch_pagan",
+    "stat_breusch_pagan", "stream_pyds_sink", "ts_adf_unitroot",
+    "ml_pinball_loss",
+)
+
+#: Page 7 — round-12 window seed, split out when _ROTATION_R11 reached
+#: exactly 50 (the one-page-per-50-key-driver-window discipline, VERDICT
+#: r8 task 8). Every key landing from here on joins THIS page at birth;
+#: pad to 50 with promotions when it becomes live.
+_ROTATION_R12 = (
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

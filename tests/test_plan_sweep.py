@@ -216,6 +216,12 @@ _BNL_ALLOWED = {
     # 1-row OLS-coefficient and auxiliary-sum broadcasts onto the
     # collapsed |days| table (the residual pass + LM assembly)
     "stat_breusch_pagan",
+    # 1-row DF-coefficient broadcast onto the collapsed hourly table
+    # (the stat_breusch_pagan residual-pass shape)
+    "ts_adf_unitroot",
+    # 2-row quantile-forecast broadcast against the collapsed daily
+    # table (the pinball scoring join)
+    "ml_pinball_loss",
 }
 
 _KEYS = sorted(

@@ -101,7 +101,8 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R10, registry._ROTATION_R11)
+    pages = (registry._ROTATION_R10, registry._ROTATION_R11,
+             registry._ROTATION_R12)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -111,6 +112,15 @@ def test_rotation_pages_exist_and_are_disjoint():
     for i in range(len(pages)):
         for j in range(i + 1, len(pages)):
             assert not (set(pages[i]) & set(pages[j])), (i, j)
+
+
+def test_rotation_pages_fit_the_driver_window():
+    """A rotation page must never outgrow one 50-key driver window —
+    when a page reaches 50, new keys must open the next page (the
+    VERDICT r8 task-8 split discipline, made automatic)."""
+    for name in ("_ROTATION_R10", "_ROTATION_R11", "_ROTATION_R12"):
+        page = getattr(registry, name)
+        assert len(page) <= 50, f"{name} holds {len(page)} keys — split it"
 
 
 def test_every_oracle_key_is_scheduled():
@@ -124,6 +134,7 @@ def test_every_oracle_key_is_scheduled():
         | set(registry._PRIORITY)
         | set(registry._ROTATION_R10)
         | set(registry._ROTATION_R11)
+        | set(registry._ROTATION_R12)
     )
     unscheduled = sorted(osql - covered)
     assert not unscheduled, f"oracle keys missing from the schedule: {unscheduled}"
