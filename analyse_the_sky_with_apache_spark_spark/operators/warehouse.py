@@ -2007,3 +2007,134 @@ def interval_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "relation")
     )
+
+
+#: agg_countmin_merge: probe-key stride (every partkey ≡ 1 mod 100 is
+#: point-estimated from the merged sketch).
+_CMM_PROBE_MOD = 100
+
+
+def _cm_cell(key_col, j: int):
+    """The agg_countmin hash: cell_j(key) = first-6-hex-digits of
+    md5(key || '-' || j) mod w — reproducible in any engine."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key_col.cast("string"), F.lit(f"-{j}"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long") % _CM_W
+    )
+
+
+@register(
+    "agg_countmin_merge",
+    oracle=f"""
+WITH matrix AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '-' ||
+                                  CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {_CM_W} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem, LATERAL unnest(generate_series(0, {_CM_D - 1})) t(j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT l_partkey AS k FROM lineitem
+  WHERE l_partkey % {_CMM_PROBE_MOD} = 1
+),
+probe_cells AS (
+  SELECT k, j,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '-' ||
+                                  CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
+           % {_CM_W} AS cell
+  FROM probes, LATERAL unnest(generate_series(0, {_CM_D - 1})) t(j)
+),
+est AS (
+  SELECT pc.k, CAST(MIN(m.cnt) AS BIGINT) AS cms_estimate
+  FROM probe_cells pc JOIN matrix m USING (j, cell)
+  GROUP BY pc.k
+),
+ex AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM lineitem WHERE l_partkey % {_CMM_PROBE_MOD} = 1
+  GROUP BY l_partkey
+)
+SELECT ex.k AS probe_key, ex.exact_cnt, est.cms_estimate,
+       est.cms_estimate - ex.exact_cnt AS overcount
+FROM ex JOIN est ON ex.k = est.k
+ORDER BY probe_key
+""",
+)
+def agg_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch merge ACROSS A PARTITIONED SINK — the
+    frequency-sketch leg of the persisted-sketch trilogy
+    (`agg_kll_sketch_merge` quantiles, `agg_hll_sketch_merge` distinct
+    counts): per-returnflag d x w counter matrices are WRITTEN to a
+    flag-partitioned parquet sink, read back in a separate scan, and
+    merged by cell-wise addition (CMS merge IS matrix addition — the
+    property that makes it the 100-TB streaming-frequency workhorse:
+    each partition job persists <= d*w counter rows once, any reader
+    rolls up any union of partitions without rescanning data).
+
+    Because the sketch's salted-md5 hash is engine-reproducible, the
+    verification is EXACT, not a bound: every ~1%-stride probe key's
+    point estimate min_j matrix[j][h_j(k)] off the MERGED matrix must
+    hash-equal the DuckDB oracle's rebuild, alongside its exact count
+    and overcount — a wrong merge, a lost partition, or a corrupted
+    counter changes some estimate and fails the gate.
+    """
+    import os
+
+    from ..sources.scans import _SCRATCH
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exploded = li.select(
+        "l_returnflag",
+        F.posexplode(
+            F.array(*[_cm_cell(F.col("l_partkey"), j) for j in range(_CM_D)])
+        ).alias("j", "cell"),
+    )
+    per_mode = exploded.groupBy(
+        "l_returnflag", F.col("j").cast("long").alias("j"), "cell"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    path = os.path.join(_SCRATCH, "cms_sketch_sink")
+    per_mode.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    probes = (
+        li.where(F.col("l_partkey") % _CMM_PROBE_MOD == 1)
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    probe_cells = probes.select(
+        "k",
+        F.posexplode(
+            F.array(*[_cm_cell(F.col("k"), j) for j in range(_CM_D)])
+        ).alias("j", "cell"),
+    ).select("k", F.col("j").cast("long").alias("j"), "cell")
+    est = (
+        probe_cells.join(merged, ["j", "cell"])
+        .groupBy("k")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    exact = (
+        li.where(F.col("l_partkey") % _CMM_PROBE_MOD == 1)
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        exact.join(est, "k")
+        .select(
+            F.col("k").alias("probe_key"),
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("probe_key")
+    )
