@@ -2416,3 +2416,197 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+#: graph_betweenness_sampled: source-set size (degree-ranked, the
+#: graph_harmonic_closeness discipline). Hop horizon is FIXED at 3 by
+#: the unrolled forward/backward passes below.
+_BC_SOURCES = 20
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=f"""
+WITH e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+srcs AS MATERIALIZED (
+  SELECT node FROM deg ORDER BY d DESC, node LIMIT {_BC_SOURCES}
+),
+d0 AS MATERIALIZED (
+  SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM srcs
+),
+d1 AS MATERIALIZED (
+  SELECT d0.src, adj.nbr AS node, CAST(COUNT(*) AS BIGINT) AS sigma
+  FROM d0 JOIN adj ON adj.node = d0.node
+  WHERE adj.nbr <> d0.src
+  GROUP BY 1, 2
+),
+d2 AS MATERIALIZED (
+  SELECT d1.src, adj.nbr AS node, CAST(SUM(d1.sigma) AS BIGINT) AS sigma
+  FROM d1 JOIN adj ON adj.node = d1.node
+  LEFT JOIN d0 ON d0.src = d1.src AND d0.node = adj.nbr
+  LEFT JOIN d1 p ON p.src = d1.src AND p.node = adj.nbr
+  WHERE d0.node IS NULL AND p.node IS NULL
+  GROUP BY 1, 2
+),
+d3 AS MATERIALIZED (
+  SELECT d2.src, adj.nbr AS node, CAST(SUM(d2.sigma) AS BIGINT) AS sigma
+  FROM d2 JOIN adj ON adj.node = d2.node
+  LEFT JOIN d0 ON d0.src = d2.src AND d0.node = adj.nbr
+  LEFT JOIN d1 ON d1.src = d2.src AND d1.node = adj.nbr
+  LEFT JOIN d2 p ON p.src = d2.src AND p.node = adj.nbr
+  WHERE d0.node IS NULL AND d1.node IS NULL AND p.node IS NULL
+  GROUP BY 1, 2
+),
+del2 AS MATERIALIZED (
+  SELECT v.src, v.node,
+         CAST(SUM((v.sigma * 1000000000) // w.sigma) AS BIGINT) AS d_nano
+  FROM d2 v
+  JOIN adj ON adj.node = v.node
+  JOIN d3 w ON w.src = v.src AND w.node = adj.nbr
+  GROUP BY 1, 2
+),
+del1 AS MATERIALIZED (
+  SELECT v.src, v.node,
+         CAST(SUM((v.sigma * (1000000000 + COALESCE(del2.d_nano, 0)))
+                  // w.sigma) AS BIGINT) AS d_nano
+  FROM d1 v
+  JOIN adj ON adj.node = v.node
+  JOIN d2 w ON w.src = v.src AND w.node = adj.nbr
+  LEFT JOIN del2 ON del2.src = w.src AND del2.node = w.node
+  GROUP BY 1, 2
+),
+contrib AS (
+  SELECT node, d_nano FROM del1
+  UNION ALL
+  SELECT node, d_nano FROM del2
+)
+SELECT node, CAST(SUM(d_nano) AS BIGINT) AS betweenness_nano
+FROM contrib GROUP BY node
+HAVING SUM(d_nano) > 0
+ORDER BY betweenness_nano DESC, node
+LIMIT 50
+""",
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled, hop-3-truncated betweenness centrality (Brandes
+    1.0e1 accumulation from the {_BC_SOURCES} highest-degree hubs) — the
+    WHO-BROKERS-FLOW centrality the degree/closeness/Katz family can't
+    answer: a node scores by the fraction of shortest paths THROUGH
+    it. Exact all-pairs Brandes is O(|V||E|) and unpayable at scale;
+    pivot sampling (Brandes-Pich 2007) with a hop horizon is the
+    standard production estimator, and both truncations are explicit
+    constants here.
+
+    Fully INTEGER Brandes: path counts sigma_k(s, v) accumulate as
+    exact longs through 3 unrolled frontier joins (the
+    graph_harmonic_closeness BFS shape, plus sigma ride-along);
+    dependency accumulation runs BACKWARD through the level-(k, k+1)
+    predecessor edges with every sigma-ratio gridded to nano by
+    TRUNCATING integer division — delta2 = sum over successors of
+    (sigma2 * 1e9) div sigma3, delta1 = sum of (sigma1 * (1e9 +
+    delta2)) div sigma2 — so no float exists anywhere and no sum
+    order can matter. Max-deg ~15 fixture bounds sigma3 <= ~3.4e3 and
+    every product <= ~5e13 (overflow ledger).
+
+    100-TB posture: each forward round shuffles |frontier| x
+    avg-degree rows hash-partitioned on node; backward rounds join
+    level tables of the same size; the source set is bounded by
+    construction. Widen accuracy by raising _BC_SOURCES, not by new
+    machinery.
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    srcs = (
+        deg.orderBy(F.col("d").desc(), "node")
+        .limit(_BC_SOURCES)
+        .select("node")
+    )
+    d0 = srcs.select(
+        F.col("node").alias("src"), "node", F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+
+    def next_level(cur: DataFrame, *visited: DataFrame) -> DataFrame:
+        nxt = (
+            cur.join(adj, "node")
+            .groupBy("src", F.col("nbr").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        for seen in visited:
+            nxt = nxt.join(
+                seen.select("src", "node"), ["src", "node"], "left_anti"
+            )
+        return nxt.localCheckpoint(eager=True)
+
+    d1 = next_level(d0, d0)
+    d2 = next_level(d1, d0, d1)
+    d3 = next_level(d2, d0, d1, d2)
+
+    def deltas(lower: DataFrame, upper: DataFrame,
+               upper_delta: DataFrame | None) -> DataFrame:
+        """delta for `lower`-level nodes from their `upper`-level
+        successors: sum of (sigma_low * (1e9 + delta_up)) div sigma_up,
+        all exact integer arithmetic."""
+        up = upper.select(
+            F.col("src").alias("s2"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+        )
+        if upper_delta is not None:
+            up = up.join(
+                upper_delta.select(
+                    F.col("src").alias("s2"),
+                    F.col("node").alias("wnode"),
+                    "d_nano",
+                ),
+                ["s2", "wnode"],
+                "left",
+            ).select(
+                "s2", "wnode", "wsigma",
+                F.coalesce("d_nano", F.lit(0)).alias("up_nano"),
+            )
+        else:
+            up = up.select(
+                "s2", "wnode", "wsigma", F.lit(0).cast("long").alias("up_nano")
+            )
+        term = F.expr(
+            "CAST((sigma * (1000000000 + up_nano)) div wsigma AS BIGINT)"
+        )
+        return (
+            lower.join(adj, "node")
+            .join(
+                up,
+                (F.col("s2") == F.col("src"))
+                & (F.col("wnode") == F.col("nbr")),
+            )
+            .groupBy("src", "node")
+            .agg(F.sum(term).cast("long").alias("d_nano"))
+        )
+
+    del2 = deltas(d2, d3, None).localCheckpoint(eager=True)
+    del1 = deltas(d1, d2, del2)
+    contrib = del1.select("node", "d_nano").unionAll(
+        del2.select("node", "d_nano")
+    )
+    return (
+        contrib.groupBy("node")
+        .agg(F.sum("d_nano").cast("long").alias("betweenness_nano"))
+        .where(F.col("betweenness_nano") > 0)
+        .orderBy(F.col("betweenness_nano").desc(), "node")
+        .limit(50)
+    )
