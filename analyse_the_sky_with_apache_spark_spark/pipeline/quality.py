@@ -1790,3 +1790,120 @@ def audit_cross_run_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "run string, shuffle_partitions long, result_hash string",
     ).orderBy("run")
+
+
+#: privacy_dp_topk: selection size, per-candidate Laplace scale
+#: (sensitivity-k budget split: b = 2k/epsilon, the one-shot noisy
+#: top-k mechanism), release threshold in noisy-count units, and the
+#: coin seed.
+_DPTK_K = 10
+_DPTK_EPSILON = 1.0
+_DPTK_THRESHOLD = 50.0
+_DPTK_SEED = "dptk7"
+
+
+@register(
+    "privacy_dp_topk",
+    oracle=f"""
+WITH cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+),
+coin AS (
+  SELECT user_id, n,
+         ({_hex8_int_duckdb(f"CAST(user_id AS VARCHAR) || ':{_DPTK_SEED}'")}
+          + 0.5) / 4294967296.0 AS u
+  FROM cnt
+),
+noise AS (
+  SELECT user_id, n,
+         CAST(FLOOR(
+           -(2.0 * {_DPTK_K} / {_DPTK_EPSILON})
+             * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000.0 + 0.5
+         ) AS BIGINT) AS noise_micro
+  FROM coin
+),
+ranked AS (
+  SELECT user_id, n, noise_micro,
+         n * 1000000 + noise_micro AS noisy_micro,
+         ROW_NUMBER() OVER (
+           ORDER BY n * 1000000 + noise_micro DESC, user_id
+         ) AS rank
+  FROM noise
+)
+SELECT CAST(rank AS BIGINT) AS rank, user_id, n, noise_micro,
+       noisy_micro,
+       noisy_micro >= {_DPTK_THRESHOLD} * 1000000 AS released
+FROM ranked WHERE rank <= {_DPTK_K}
+ORDER BY rank
+""",
+)
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private top-k selection (one-shot noisy top-k
+    with a release threshold) — the heavy-hitter release the plain
+    Laplace family (`privacy_dp_count`/`privacy_dp_histogram`) cannot
+    do over a HIGH-CARDINALITY domain: every user's count gets seeded
+    Laplace noise at the top-k budget split b = 2k/epsilon, the k
+    highest NOISY counts are selected (selection itself is the private
+    step), and a threshold suppresses candidates too rare to release
+    safely. The seeded md5 coin (the privacy_dp_count audit idiom)
+    makes the release reproducible across engines; noise grids to
+    micro so the noisy ranking key n*1e6 + noise_micro is an exact
+    integer — no float order anywhere.
+
+    100-TB posture: one map-side-combinable count over the domain;
+    noise is O(|domain|) scalar math on the collapsed table; the
+    top-k is a TakeOrdered heap (per-partition k-row heaps + a k-row
+    driver merge), and the only global-order window ranks the
+    ALREADY-BOUNDED k-row shortlist.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(f":{_DPTK_SEED}"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    lap = (
+        F.lit(-2.0 * _DPTK_K / _DPTK_EPSILON)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    noise = cnt.select(
+        "user_id", "n",
+        F.floor(lap * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("noise_micro"),
+    ).withColumn(
+        "noisy_micro",
+        F.col("n") * F.lit(1_000_000) + F.col("noise_micro"),
+    )
+    # TakeOrderedAndProject shortlist FIRST (a k-row heap per partition
+    # + k-row driver merge), then rank the bounded k-row result — a
+    # row_number over the full domain would funnel every user to one
+    # window task.
+    shortlist = noise.orderBy(
+        F.col("noisy_micro").desc(), "user_id"
+    ).limit(_DPTK_K)
+    w = Window.orderBy(F.col("noisy_micro").desc(), "user_id")
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank", "user_id", "n", "noise_micro", "noisy_micro",
+            (
+                F.col("noisy_micro")
+                >= F.lit(_DPTK_THRESHOLD) * F.lit(1_000_000)
+            ).alias("released"),
+        )
+        .orderBy("rank")
+    )

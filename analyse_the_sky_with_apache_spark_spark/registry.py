@@ -248,7 +248,8 @@ _ROTATION_R11 = (
 #: r8 task 8). Every key landing from here on joins THIS page at birth;
 #: pad to 50 with promotions when it becomes live.
 _ROTATION_R12 = (
-    "agg_countmin_merge", "graph_betweenness_sampled",
+    "agg_countmin_merge", "graph_betweenness_sampled", "sky_coadd_tiles",
+    "privacy_dp_topk",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

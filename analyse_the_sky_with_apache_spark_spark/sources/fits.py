@@ -414,3 +414,108 @@ def scan_fits_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+#: sky_coadd_tiles: tile stride in global-x pixels (40-wide tiles every
+#: 20 px -> 50% overlap with each neighbor, the mosaic shape).
+_COADD_STRIDE = 20
+
+
+@register(
+    "sky_coadd_tiles",
+    oracle=f"""
+WITH px AS (
+  SELECT f.f,
+         t.i % {_IMG_NX} AS i,
+         t.i // {_IMG_NX} AS j,
+         ((f.f * 1000003 + t.i) * 7919) % 3600 AS k
+  FROM range(0, {_IMG_TILES}) f(f)
+  CROSS JOIN range(0, {_IMG_NX * _IMG_NY}) t(i)
+),
+cells AS (
+  SELECT f * {_COADD_STRIDE} + i AS gx, j AS gy, k FROM px
+),
+coadd AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(k) AS BIGINT) AS sum_centi
+  FROM cells GROUP BY gx, gy
+)
+SELECT CAST(gx AS BIGINT) AS gx,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n_obs) AS BIGINT) AS n_obs,
+       CAST(SUM(sum_centi) AS BIGINT) AS sum_centi,
+       CAST(SUM(sum_centi) AS BIGINT) // CAST(SUM(n_obs) AS BIGINT)
+         AS mean_centi
+FROM coadd GROUP BY gx ORDER BY gx
+""",
+)
+def sky_coadd_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic COADD over overlapping FITS tiles — the survey-stacking
+    step after `scan_fits_image`: five 40-px-wide tiles placed every
+    20 px (_COADD_STRIDE) overlap 50% with each neighbor; every decoded
+    pixel maps to its GLOBAL sky cell (gx = tile_origin + i, gy = j)
+    and overlapping observations aggregate per cell (count + exact
+    centi-integer sum -> integer-div mean). Wrong tile placement, a
+    double-counted overlap, or a byte-order slip changes some cell's
+    observation count or sum and fails the hash against the oracle's
+    pure-arithmetic rebuild.
+
+    100-TB posture: the kernel emits (cell, value) pairs that hash-
+    partition by cell — overlap resolution is ONE map-side-combinable
+    aggregate, never an image-space gather; a million-tile survey
+    coadds with shuffle volume = pixels written once, and the per-gx
+    rollup keeps the demo output bounded.
+    """
+    base = os.path.join(_SCRATCH, "sky_tiles_fits")
+    os.makedirs(base, exist_ok=True)
+    for f in range(_IMG_TILES):
+        path = os.path.join(base, f"tile_{f}.fits")
+        if not os.path.exists(path):
+            idx = np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
+            k = (f * 1_000_003 + idx) * 7919 % 3600
+            write_fits_image(
+                path,
+                (k / 100.0).astype(np.float32).reshape(_IMG_NY, _IMG_NX),
+            )
+
+    def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                f = int(path.rsplit("tile_", 1)[-1].split(".")[0])
+                for _cards, px in parse_fits_images(bytes(buf)):
+                    ny, nx = px.shape
+                    centi = np.floor(
+                        px.astype(np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+                    jj, ii = np.divmod(np.arange(nx * ny), nx)
+                    yield pd.DataFrame(
+                        {
+                            "gx": f * _COADD_STRIDE + ii,
+                            "gy": jj,
+                            "k": centi.reshape(-1),
+                        }
+                    )
+
+    decoded = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/*.fits")
+        .select("path", "content")
+        .mapInPandas(cells, "gx LONG, gy LONG, k LONG")
+    )
+    coadd = decoded.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("k").cast("long").alias("sum_centi"),
+    )
+    return (
+        coadd.groupBy("gx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.sum("sum_centi").cast("long").alias("sum_centi"),
+            F.expr(
+                "CAST(CAST(sum(sum_centi) AS BIGINT) div "
+                "CAST(sum(n_obs) AS BIGINT) AS BIGINT)"
+            ).alias("mean_centi"),
+        )
+        .orderBy("gx")
+    )

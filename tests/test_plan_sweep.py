@@ -284,6 +284,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative window over the collapsed dollar-grid histogram
     # (state bounded by the value domain, constant in SF)
     "agg_grid_quantiles",
+    # rank over the ALREADY-BOUNDED k-row TakeOrdered shortlist
+    # (k = _DPTK_K = 10 by construction)
+    "privacy_dp_topk",
     # same collapsed-histogram cumulative window, $1000 grid
     "privacy_dp_quantile",
     # cumulative-moment prefix sums over the collapsed per-day table
