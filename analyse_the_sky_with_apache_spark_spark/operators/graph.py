@@ -2610,3 +2610,122 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("betweenness_nano").desc(), "node")
         .limit(50)
     )
+
+
+#: graph_effective_diameter: BFS source-set size and hop horizon.
+_ED_SOURCES, _ED_MAX_HOPS = 20, 4
+
+
+@register(
+    "graph_effective_diameter",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+srcs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT {_ED_SOURCES}),
+reach AS (
+  SELECT node AS src, node, 0 AS hop FROM srcs
+  UNION
+  SELECT reach.src, adj.nbr AS node, reach.hop + 1 AS hop
+  FROM reach JOIN adj ON adj.node = reach.node
+  WHERE reach.hop < {_ED_MAX_HOPS}
+),
+md AS (
+  SELECT src, node, CAST(MIN(hop) AS BIGINT) AS hop
+  FROM reach GROUP BY src, node HAVING MIN(hop) > 0
+),
+hist AS (
+  SELECT hop, CAST(COUNT(*) AS BIGINT) AS pairs FROM md GROUP BY hop
+),
+cum AS (
+  SELECT hop, pairs,
+         CAST(SUM(pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs,
+         CAST(SUM(pairs) OVER () AS BIGINT) AS total_pairs
+  FROM hist
+)
+SELECT (SELECT CAST(MIN(hop) AS BIGINT) FROM cum
+        WHERE cum_pairs * 10 >= total_pairs * 9) AS effective_diameter_90,
+       hop, pairs, cum_pairs, total_pairs
+FROM cum ORDER BY hop
+""",
+)
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter (90th-percentile pairwise hop distance) from
+    the 20 highest-degree hubs within a 4-hop horizon — the
+    HOW-SMALL-IS-THE-WORLD summary that turns `graph_bfs_hops`'
+    frontier machinery into the single number papers quote (ANF /
+    HyperANF's exact-on-sampled-sources form; both truncations are
+    explicit constants). Returns the full hop histogram alongside the
+    quantile so the hash pins the whole neighborhood-function curve,
+    not just the scalar: eff-diam-90 = the smallest hop whose
+    cumulative pair count clears 90% of reached pairs — computed with
+    the integer cross-multiply cum*10 >= total*9, no float.
+
+    100-TB posture: the multi-source BFS shuffles |frontier| x
+    avg-degree rows per round (the graph_harmonic_closeness shape);
+    the histogram and quantile run on <= _ED_MAX_HOPS rows. Widen
+    accuracy by raising _ED_SOURCES (ANF swaps the exact visited sets
+    for HLL registers at extreme scale — `agg_hll_sketch` is that
+    building block).
+    """
+    e = _strong_edges_cached(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    srcs = (
+        deg.orderBy(F.col("d").desc(), "node")
+        .limit(_ED_SOURCES)
+        .select("node")
+    )
+    visited = srcs.select(
+        F.col("node").alias("src"), "node", F.lit(0).alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("src", "node")
+    for hop in range(1, _ED_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select("src", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited, ["src", "node"], "left_anti")
+            .select("src", "node", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "node")
+    hist = (
+        visited.where(F.col("hop") > 0)
+        .groupBy(F.col("hop").cast("long").alias("hop"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pairs"))
+    )
+    wcum = Window.orderBy("hop").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "hop", "pairs",
+        F.sum("pairs").over(wcum).cast("long").alias("cum_pairs"),
+        F.sum("pairs").over(Window.partitionBy()).cast("long")
+        .alias("total_pairs"),
+    )
+    ed = cum.where(
+        F.col("cum_pairs") * 10 >= F.col("total_pairs") * 9
+    ).agg(F.min("hop").cast("long").alias("effective_diameter_90"))
+    return (
+        cum.crossJoin(F.broadcast(ed))
+        .select(
+            "effective_diameter_90", "hop", "pairs", "cum_pairs",
+            "total_pairs",
+        )
+        .orderBy("hop")
+    )

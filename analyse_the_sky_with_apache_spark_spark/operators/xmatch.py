@@ -2563,3 +2563,179 @@ def xmatch_offset_false_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_true") - F.col("n_offset")).cast("long")
         .alias("n_real_excess"),
     )
+
+
+@register(
+    "ts_spectral_entropy",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+         SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS cv
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, day_idx - MIN(day_idx) OVER (PARTITION BY event_type)
+           AS t, CAST(cv AS DOUBLE) / 100.0 AS v
+  FROM daily
+),
+terms AS (
+  SELECT event_type, p.period_d,
+         CAST(FLOOR(v * cos(2 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS c_term,
+         CAST(FLOOR(v * sin(2 * pi() * t / p.period_d) * 1000000.0 + 0.5)
+              AS BIGINT) AS s_term
+  FROM base,
+       (SELECT UNNEST([{", ".join(str(p) for p in _DFT_PERIODS_D)}])
+          AS period_d) p
+),
+coef AS (
+  SELECT event_type, period_d,
+         CAST(SUM(c_term) AS DOUBLE) / 1000000.0 AS re_part,
+         CAST(SUM(s_term) AS DOUBLE) / 1000000.0 AS im_part
+  FROM terms GROUP BY event_type, period_d
+),
+pw AS (
+  SELECT event_type, period_d,
+         CAST(FLOOR((re_part * re_part + im_part * im_part) * 1000.0 + 0.5)
+              AS BIGINT) AS p_milli
+  FROM coef
+),
+tot AS (
+  SELECT event_type, CAST(SUM(p_milli) AS BIGINT) AS p_tot,
+         CAST(MAX(p_milli) AS BIGINT) AS p_max
+  FROM pw GROUP BY event_type
+),
+ent AS (
+  SELECT pw.event_type,
+         CAST(SUM(CASE WHEN pw.p_milli > 0 THEN
+           CAST(FLOOR(-(CAST(pw.p_milli AS DOUBLE) / tot.p_tot)
+                      * ln(CAST(pw.p_milli AS DOUBLE) / tot.p_tot)
+                      * 1000000000.0 + 0.5) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS h_nano
+  FROM pw JOIN tot ON pw.event_type = tot.event_type
+  GROUP BY pw.event_type
+),
+dom AS (
+  SELECT event_type, MIN(period_d) AS dominant_period
+  FROM pw JOIN tot USING (event_type)
+  WHERE p_milli = p_max GROUP BY event_type
+)
+SELECT ent.event_type,
+       CAST(FLOOR(CAST(ent.h_nano AS DOUBLE)
+                  / ln({len(_DFT_PERIODS_D)}.0) / 1000.0 + 0.5) AS BIGINT)
+         AS spectral_entropy_norm_micro,
+       CAST(dom.dominant_period AS BIGINT) AS dominant_period,
+       CAST(FLOOR(CAST(tot.p_max AS DOUBLE) / tot.p_tot
+                  * 1000000.0 + 0.5) AS BIGINT) AS concentration_micro
+FROM ent JOIN dom ON ent.event_type = dom.event_type
+JOIN tot ON ent.event_type = tot.event_type
+ORDER BY ent.event_type
+""",
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy over the candidate-period power set
+    — the HOW-PERIODIC-IS-IT summary that compresses
+    `ts_spectral_power`'s per-period coefficients into one number per
+    series (near 0 = one harmonic dominates, near 1 = power spread
+    flat; the signal-vs-noise triage a variability pipeline runs
+    before fitting periods), completing the entropy triptych with
+    `ts_permutation_entropy` (ordinal) and `ts_sample_entropy`
+    (amplitude regularity).
+
+    Determinism ladder: per-day cos/sin terms grid to micro longs
+    BEFORE summation (the ts_spectral_power discipline); each
+    period's power grids to milli longs; each period's -p·ln(p) term
+    grids to nano longs before the per-series sum; the dominant
+    period breaks power ties by smallest period; the concentration
+    ratio is ONE double division over exact longs (a p_max*1e6
+    cross-multiply overflows BIGINT past sf0.1 — overflow ledger:
+    p_milli <= ~9e17 at sf1, drop the power grid to micro past 100x).
+    No ordered-float accumulation anywhere.
+
+    100-TB posture: identical to ts_spectral_power — daily rollup is
+    the only data-sized pass; everything after runs on
+    |types| x |periods| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.date_trunc("day", F.col("ts")))
+            / F.lit(86_400_000_000)
+        ).alias("day_idx"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        ).alias("cv")
+    )
+    wmin = Window.partitionBy("event_type")
+    base = daily.select(
+        "event_type",
+        (F.col("day_idx") - F.min("day_idx").over(wmin)).alias("t"),
+        (F.col("cv").cast("double") / F.lit(100.0)).alias("v"),
+    )
+    ang = (
+        F.lit(2.0) * F.lit(math.pi) * F.col("t") / F.col("period_d")
+    )
+    terms = base.select(
+        "event_type", "v", "t",
+        F.explode(
+            F.array(*[F.lit(p) for p in _DFT_PERIODS_D])
+        ).alias("period_d"),
+    ).select(
+        "event_type", "period_d",
+        F.floor(F.col("v") * F.cos(ang) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("c_term"),
+        F.floor(F.col("v") * F.sin(ang) * F.lit(1e6) + F.lit(0.5))
+        .cast("long").alias("s_term"),
+    )
+    coef = terms.groupBy("event_type", "period_d").agg(
+        (F.sum("c_term").cast("double") / F.lit(1e6)).alias("re_part"),
+        (F.sum("s_term").cast("double") / F.lit(1e6)).alias("im_part"),
+    )
+    pw = coef.select(
+        "event_type", "period_d",
+        F.floor(
+            (
+                F.col("re_part") * F.col("re_part")
+                + F.col("im_part") * F.col("im_part")
+            ) * F.lit(1e3) + F.lit(0.5)
+        ).cast("long").alias("p_milli"),
+    )
+    tot = pw.groupBy("event_type").agg(
+        F.sum("p_milli").cast("long").alias("p_tot"),
+        F.max("p_milli").cast("long").alias("p_max"),
+    )
+    joined = pw.join(F.broadcast(tot), "event_type")
+    p = F.col("p_milli").cast("double") / F.col("p_tot")
+    hterm = F.when(
+        F.col("p_milli") > 0,
+        F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0))
+    ent = joined.groupBy("event_type").agg(
+        F.sum(hterm).cast("long").alias("h_nano")
+    )
+    dom = (
+        joined.where(F.col("p_milli") == F.col("p_max"))
+        .groupBy("event_type")
+        .agg(F.min("period_d").cast("long").alias("dominant_period"))
+    )
+    return (
+        ent.join(dom, "event_type")
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.col("h_nano").cast("double")
+                / F.lit(math.log(float(len(_DFT_PERIODS_D))))
+                / F.lit(1e3) + F.lit(0.5)
+            ).cast("long").alias("spectral_entropy_norm_micro"),
+            "dominant_period",
+            F.floor(
+                F.col("p_max").cast("double") / F.col("p_tot")
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("concentration_micro"),
+        )
+        .orderBy("event_type")
+    )

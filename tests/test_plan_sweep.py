@@ -222,6 +222,9 @@ _BNL_ALLOWED = {
     # 2-row quantile-forecast broadcast against the collapsed daily
     # table (the pinball scoring join)
     "ml_pinball_loss",
+    # 1-row effective-diameter scalar broadcast onto the <=4-row hop
+    # histogram
+    "graph_effective_diameter",
 }
 
 _KEYS = sorted(
@@ -287,6 +290,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # rank over the ALREADY-BOUNDED k-row TakeOrdered shortlist
     # (k = _DPTK_K = 10 by construction)
     "privacy_dp_topk",
+    # cumulative + total windows over the <= _ED_MAX_HOPS(=4)-row hop
+    # histogram (bounded by the hop horizon, constant in row count)
+    "graph_effective_diameter",
     # same collapsed-histogram cumulative window, $1000 grid
     "privacy_dp_quantile",
     # cumulative-moment prefix sums over the collapsed per-day table
