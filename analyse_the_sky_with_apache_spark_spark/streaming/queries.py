@@ -1179,3 +1179,89 @@ def stream_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         dsum("value", "sum_value", 6),
     )
+
+
+#: stream_update_mode: staged file count (= micro-batch count).
+_UPD_FILES = 4
+
+
+@register(
+    "stream_update_mode_emissions",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro,
+         NTILE({_UPD_FILES}) OVER (ORDER BY ts, event_id) AS f
+  FROM events
+),
+batches AS (
+  SELECT CAST(u AS BIGINT) AS b
+  FROM (SELECT unnest(generate_series(1, {_UPD_FILES})) AS u)
+)
+SELECT b - 1 AS batch_id, cur.day, cur.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cur.v_micro) AS DOUBLE) / 1000000.0 AS sum_value
+FROM batches
+JOIN t cur ON cur.f <= b
+WHERE EXISTS (
+  SELECT 1 FROM t ch
+  WHERE ch.f = b AND ch.day = cur.day AND ch.event_type = cur.event_type
+)
+GROUP BY b, cur.day, cur.event_type
+ORDER BY batch_id, day, event_type
+""",
+)
+def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode's emission SEQUENCE — the third output
+    semantics after complete (`stream_tumbling`) and append
+    (`stream_watermark_late`), and the one upsert sinks consume: each
+    micro-batch emits ONLY the (day, type) groups whose aggregate
+    changed in that batch, carrying the new running value. The whole
+    batch-by-batch emission log is verified RELATIONALLY: with 4
+    time-ordered staged files as batches, batch b must emit exactly
+    the groups having a row in file b, valued over files <= b — a
+    group emitted without new data, a missed update, or a stale
+    running value all hash-mismatch.
+
+    foreachBatch collects each batch's emission rows (bounded by the
+    |days| x |types| group domain, not by event count — the collapsed-
+    domain collect discipline).
+
+    100-TB posture: update mode shuffles one changed-group row per
+    batch to the sink instead of the full state (complete) — the
+    emission volume IS the churn, which is why upsert sinks pair with
+    it; state is the same windowed-agg store as stream_tumbling.
+    """
+    src = stage_events(spark, sf_dir, n_files=_UPD_FILES)
+    agg = src.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value", 6)
+    )
+    acc: list[tuple] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        for r in df.collect():
+            acc.append(
+                (
+                    int(batch_id),
+                    r["w"]["start"].date(),
+                    r["event_type"],
+                    int(r["n"]),
+                    float(r["sum_value"]),
+                )
+            )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir("upd_mode"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(acc),
+        "batch_id BIGINT, day DATE, event_type STRING, n BIGINT, "
+        "sum_value DOUBLE",
+    ).orderBy("batch_id", "day", "event_type")
