@@ -105,6 +105,12 @@ EXTENDED = (
     "dedup_jaro_winkler",        # block-purged JW record linkage kernel
     "stat_bayes_ab_posterior",   # gridded-transcendental Beta integral
     "ml_knn_classify",           # id-capped brute kNN + majority vote
+    # driver-round-9 session additions (regression reference: BENCH_r09)
+    "graph_betweenness_sampled", # all-integer truncated Brandes
+    "agg_kll_sketch_merge",      # quantile sketch merge across a sink
+    "scan_fits",                 # pure-Python FITS BINTABLE decode
+    "stream_rate_limit",         # maxFilesPerTrigger batch accounting
+    "ts_spectral_entropy",       # gridded DFT power entropy
 )
 
 
