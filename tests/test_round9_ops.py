@@ -131,3 +131,68 @@ def test_rate_limit_batches_partition_the_stream(spark):
     total = sum(r["n_rows"] for r in rows)
     n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
     assert total == n_events
+
+
+def test_betweenness_vs_pure_python_brandes(spark):
+    """Third-implementation check for graph_betweenness_sampled: a
+    plain-Python truncated Brandes over the collected strong-edge
+    table (bounded at sf0.001) must reproduce every nano-gridded
+    score — the same integer arithmetic, none of the two engines'
+    SQL/DataFrame machinery."""
+    from collections import defaultdict, deque
+
+    from analyse_the_sky_with_apache_spark_spark.operators.graph import (
+        _BC_SOURCES,
+        _strong_edges_cached,
+    )
+
+    edges = [
+        (r["u"], r["v"])
+        for r in _strong_edges_cached(spark, SF_DIR).collect()
+    ]
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = sorted(adj, key=lambda n: (-len(adj[n]), n))
+    sources = deg[:_BC_SOURCES]
+
+    bc = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = defaultdict(list)
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= 3:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    levels[dist[w]].append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0) + sigma[v]
+        delta = defaultdict(int)  # nano-gridded, truncating div
+        for lev in (2, 1):
+            for v in levels[lev]:
+                for w in adj[v]:
+                    if dist.get(w) == lev + 1:
+                        delta[v] += (
+                            sigma[v] * (1_000_000_000 + delta[w])
+                        ) // sigma[w]
+        for lev in (1, 2):
+            for v in levels[lev]:
+                if delta[v]:
+                    bc[v] += delta[v]
+
+    expected = sorted(
+        ((n, t) for n, t in bc.items() if t > 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:50]
+    from analyse_the_sky_with_apache_spark_spark.registry import QUERIES
+
+    rows = QUERIES["graph_betweenness_sampled"](spark, SF_DIR).collect()
+    got = [(r["node"], r["betweenness_nano"]) for r in rows]
+    assert got == expected
