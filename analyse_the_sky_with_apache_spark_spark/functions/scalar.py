@@ -1089,3 +1089,48 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * EXCEPT (o_totalprice) FROM star_except_orders "
         "WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"
     )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS name_from_xml,
+       n_regionkey AS region_from_xml,
+       n_nationkey * 2 AS doubled_key,
+       n_name IS NOT NULL AS parsed_ok
+FROM nation
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML COLUMN functions (Spark 4 ``from_xml``/``xpath`` family) —
+    the per-cell twin of the file-level `scan_xml` source: payloads
+    that arrive as XML STRINGS inside a column (legacy feeds, SOAP
+    bodies, sitemap entries) parse once per row into a struct with a
+    declared schema, exactly the fn_json discipline (never N xpath
+    re-parses per field). The XML cells are ASSEMBLED from ``nation``
+    columns, so the oracle re-derives every extracted field
+    relationally — element order, nesting and numeric re-extraction
+    round-trip through the real XML parser or the hash fails.
+
+    100-TB posture: ``from_xml`` is a JVM-side expression on the scan
+    projection — no shuffle, no Python; schema is declared (inference
+    would add a full pass).
+    """
+    n = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<rec><k>"), F.col("n_nationkey").cast("string"),
+        F.lit("</k><nm>"), F.col("n_name"),
+        F.lit("</nm><rg>"), F.col("n_regionkey").cast("string"),
+        F.lit("</rg></rec>"),
+    )
+    parsed = F.from_xml(xml, "k INT, nm STRING, rg INT")
+    return n.select(
+        "n_nationkey", parsed.alias("p")
+    ).select(
+        "n_nationkey",
+        F.col("p.nm").alias("name_from_xml"),
+        F.col("p.rg").alias("region_from_xml"),
+        (F.col("p.k") * F.lit(2)).alias("doubled_key"),
+        F.col("p.nm").isNotNull().alias("parsed_ok"),
+    )
