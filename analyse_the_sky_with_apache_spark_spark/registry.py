@@ -250,7 +250,7 @@ _ROTATION_R11 = (
 _ROTATION_R12 = (
     "agg_countmin_merge", "graph_betweenness_sampled", "sky_coadd_tiles",
     "privacy_dp_topk", "ts_spectral_entropy", "graph_effective_diameter",
-    "stream_update_mode_emissions", "fn_xml",
+    "stream_update_mode_emissions", "fn_xml", "ts_burstiness",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -293,6 +293,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative + total windows over the <= _ED_MAX_HOPS(=4)-row hop
     # histogram (bounded by the hop horizon, constant in row count)
     "graph_effective_diameter",
+    # two lag windows over the single global event stream — inherent to
+    # a whole-process interarrival statistic; the docstring documents
+    # the per-series keyed shard (ts_kalman_1d) as the 100-TB form
+    "ts_burstiness",
     # same collapsed-histogram cumulative window, $1000 grid
     "privacy_dp_quantile",
     # cumulative-moment prefix sums over the collapsed per-day table
