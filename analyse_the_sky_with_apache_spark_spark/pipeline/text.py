@@ -1741,3 +1741,133 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("f1_micro").desc(), "d1")
         .limit(20)
     )
+
+
+#: ml_chi2_feature_select: vocabulary shortlist size (document-
+#: frequency top-K) and the chi2(1) significance cut.
+_CHI2_TOPK = 30
+_CHI2_CRIT = 3.841
+
+
+@register(
+    "ml_chi2_feature_select",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_en) AS BIGINT) AS e
+  FROM lab
+),
+topk AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n1
+  FROM dt GROUP BY word
+  ORDER BY COUNT(*) DESC, word LIMIT {_CHI2_TOPK}
+),
+cells AS (
+  SELECT t.word, t.n1, CAST(SUM(l.is_en) AS BIGINT) AS a
+  FROM topk t JOIN dt ON dt.word = t.word
+  JOIN lab l ON l.doc_id = dt.doc_id
+  GROUP BY t.word, t.n1
+),
+chi AS (
+  SELECT word, n1, a, tot.n, tot.e,
+         n1 - a AS b, tot.e - a AS c,
+         tot.n - n1 - (tot.e - a) AS d
+  FROM cells CROSS JOIN tot
+),
+stat AS (
+  SELECT word, n1, a,
+         CAST(n AS DOUBLE)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+           / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+           AS chi2
+  FROM chi
+)
+SELECT word, n1 AS n_docs, a AS n_docs_en,
+       CAST(FLOOR(chi2 * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro,
+       chi2 > {_CHI2_CRIT} AS selected
+FROM stat ORDER BY word
+""",
+)
+def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection for text classification — score
+    every shortlist token's association with the English label (the
+    scikit-learn `chi2`/`SelectKBest` step before training a
+    quality/language classifier): per token the 2x2 presence-vs-label
+    contingency, chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), tokens
+    cleared at chi2(1) = 3.841. Complements `text_word_pmi`
+    (association strength) with a significance TEST, and
+    `ml_feature_hashing` (representation) with selection.
+
+    The vocabulary shortlist is document-frequency top-K with a word
+    tie-break (deterministic); all four cells are exact integer counts
+    from one distinct-(doc, word) pass; the statistic is one mirrored
+    double expression over exact longs (products <= N^2 ~ 3.6e11 at
+    the 10x fixture, exact in double — overflow ledger).
+
+    100-TB posture: the explode + distinct is the data-sized pass
+    (shuffle on (doc, word)); the shortlist bounds everything after
+    to K rows; label totals are a 1-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    lab = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_en").cast("long").alias("e"),
+    )
+    topk = (
+        dt.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .orderBy(F.col("n1").desc(), "word")
+        .limit(_CHI2_TOPK)
+    )
+    cells = (
+        dt.join(F.broadcast(topk), "word")
+        .join(lab, "doc_id")
+        .groupBy("word", "n1")
+        .agg(F.sum("is_en").cast("long").alias("a"))
+    )
+    chi = cells.crossJoin(F.broadcast(tot)).select(
+        "word", "n1", "a", "n", "e",
+        (F.col("n1") - F.col("a")).alias("b"),
+        (F.col("e") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("n1") - (F.col("e") - F.col("a"))).alias("d"),
+    )
+    det = (
+        F.col("a").cast("double") * F.col("d")
+        - F.col("b").cast("double") * F.col("c")
+    )
+    chi2 = (
+        F.col("n").cast("double") * det * det
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        )
+    )
+    return chi.select(
+        "word",
+        F.col("n1").alias("n_docs"),
+        F.col("a").alias("n_docs_en"),
+        F.floor(chi2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("chi2_micro"),
+        (chi2 > F.lit(_CHI2_CRIT)).alias("selected"),
+    ).orderBy("word")

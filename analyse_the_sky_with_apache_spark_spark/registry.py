@@ -251,6 +251,7 @@ _ROTATION_R12 = (
     "agg_countmin_merge", "graph_betweenness_sampled", "sky_coadd_tiles",
     "privacy_dp_topk", "ts_spectral_entropy", "graph_effective_diameter",
     "stream_update_mode_emissions", "fn_xml", "ts_burstiness",
+    "ml_chi2_feature_select",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -225,6 +225,8 @@ _BNL_ALLOWED = {
     # 1-row effective-diameter scalar broadcast onto the <=4-row hop
     # histogram
     "graph_effective_diameter",
+    # 1-row (N, E) label-total broadcast onto the K-row token shortlist
+    "ml_chi2_feature_select",
 }
 
 _KEYS = sorted(
