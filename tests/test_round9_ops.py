@@ -196,3 +196,91 @@ def test_betweenness_vs_pure_python_brandes(spark):
     rows = QUERIES["graph_betweenness_sampled"](spark, SF_DIR).collect()
     got = [(r["node"], r["betweenness_nano"]) for r in rows]
     assert got == expected
+
+
+def test_adf_unitroot_vs_numpy(spark):
+    """Dickey-Fuller regression rebuilt with numpy OLS over the same
+    milli-gridded hourly means."""
+    ev = _events()
+    milli = np.floor(ev["value"].to_numpy() * 1e3 + 0.5).astype(np.int64)
+    micros = ev["ts"].astype("datetime64[us]").astype("int64")
+    hours = (micros // 3_600_000_000).to_numpy()
+    df = pd.DataFrame({"t": hours, "m": milli}).groupby("t").agg(
+        s=("m", "sum"), c=("m", "count")
+    )
+    y = (df["s"] // df["c"]).sort_index().to_numpy(dtype=np.float64)
+    yl, dy = y[:-1], np.diff(y)
+    n = len(yl)
+    rho = ((n * (yl * dy).sum() - yl.sum() * dy.sum())
+           / (n * (yl * yl).sum() - yl.sum() ** 2))
+    alpha = (dy.sum() - rho * yl.sum()) / n
+    e = dy - alpha - rho * yl
+    s2 = np.floor(e * e + 0.5).sum() / (n - 2)
+    se = math.sqrt(s2 / ((n * (yl * yl).sum() - yl.sum() ** 2) / n))
+    t = rho / se
+    row = QUERIES["ts_adf_unitroot"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert abs(row["rho_micro"] / 1e6 - rho) <= max(1e-5 * abs(rho), 1e-5)
+    assert abs(row["t_micro"] / 1e6 - t) <= max(1e-4 * abs(t), 1e-3)
+
+
+def test_pinball_loss_vs_numpy(spark):
+    """Pinball totals rebuilt with a direct numpy order-statistic
+    quantile + hinge over the same daily micro sums."""
+    ev = _events()
+    micro = np.floor(ev["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    d = (
+        pd.DataFrame({"day": ev["ts"].dt.date, "y": micro})
+        .groupby("day")["y"].sum()
+    )
+    cut = pd.Timestamp("2024-01-16").date()
+    train = np.sort(d[d.index < cut].to_numpy())
+    test = d[d.index >= cut].to_numpy()
+    rows = {
+        r["tau_x10"]: r
+        for r in QUERIES["ml_pinball_loss"](spark, SF_DIR).collect()
+    }
+    for tau10 in (5, 9):
+        q = int(train[math.ceil(tau10 * len(train) / 10) - 1])
+        loss = int(
+            sum(
+                tau10 * (y - q) if y > q else (10 - tau10) * (q - y)
+                for y in test
+            )
+        )
+        r = rows[tau10]
+        assert r["q_forecast"] == q
+        assert r["n_test"] == len(test)
+        assert r["pinball_x10_total"] == loss
+
+
+def test_spectral_entropy_bounds_and_dominance(spark):
+    """Normalized spectral entropy must sit in [0, 1e6] and the
+    dominant period's power share must be >= 1/|periods|."""
+    rows = QUERIES["ts_spectral_entropy"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["spectral_entropy_norm_micro"] <= 1_000_000
+        assert r["dominant_period"] in (3, 5, 7, 11)
+        assert r["concentration_micro"] >= 1_000_000 // 4
+
+
+def test_countmin_merge_never_undercounts(spark):
+    """CMS point estimates are >= the true count BY CONSTRUCTION —
+    a strict sketch property the hash alone doesn't articulate."""
+    rows = QUERIES["agg_countmin_merge"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cms_estimate"] - r["exact_cnt"]
+
+
+def test_dp_topk_noise_is_seeded_and_bounded(spark):
+    """Two runs must produce the identical release (seeded coin), and
+    every selected candidate must be top-k by the noisy key."""
+    a = QUERIES["privacy_dp_topk"](spark, SF_DIR).collect()
+    b = QUERIES["privacy_dp_topk"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    noisy = [r["noisy_micro"] for r in a]
+    assert noisy == sorted(noisy, reverse=True)
+    assert len(a) == 10
