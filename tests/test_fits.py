@@ -113,3 +113,61 @@ def test_scan_fits_distributes_one_task_per_file(spark):
     rows = df.collect()
     assert len(rows) == 25
     assert {r["n_regionkey"] for r in rows} == set(range(5))
+
+
+def test_coadd_overlap_counts_vs_numpy(spark):
+    """Mosaic coadd rebuilt in pure numpy from the same tile formula:
+    per-gx observation counts and centi-sums must match exactly."""
+    import numpy as np
+
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        _COADD_STRIDE,
+        _IMG_NX,
+        _IMG_NY,
+        _IMG_TILES,
+        sky_coadd_tiles,
+    )
+
+    sums: dict[int, int] = {}
+    obs: dict[int, int] = {}
+    for f in range(_IMG_TILES):
+        idx = np.arange(_IMG_NX * _IMG_NY)
+        k = (f * 1_000_003 + idx) * 7919 % 3600
+        i = idx % _IMG_NX
+        for gx in range(f * _COADD_STRIDE, f * _COADD_STRIDE + _IMG_NX):
+            sel = k[i == (gx - f * _COADD_STRIDE)]
+            sums[gx] = sums.get(gx, 0) + int(sel.sum())
+            obs[gx] = obs.get(gx, 0) + len(sel)
+
+    rows = sky_coadd_tiles(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == max(sums) + 1
+    for r in rows:
+        assert r["n_obs"] == obs[r["gx"]]
+        assert r["sum_centi"] == sums[r["gx"]]
+        assert r["mean_centi"] == sums[r["gx"]] // obs[r["gx"]]
+    # interior columns are covered by exactly two overlapping tiles
+    two_cov = [r for r in rows if r["n_obs"] == 2 * 30]
+    assert len(two_cov) > 0
+
+
+def test_fits_image_roundtrip_float64(tmp_path):
+    """IMAGE writer/parser round-trip preserves float32 pixel values
+    bit-exactly (big-endian on disk, native in memory)."""
+    import os
+
+    import numpy as np
+
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        parse_fits_images,
+        write_fits_image,
+    )
+
+    px = np.linspace(-1.5, 2.5, 12, dtype=np.float32).reshape(3, 4)
+    path = os.path.join(tmp_path, "img.fits")
+    write_fits_image(path, px)
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    (cards, back), = parse_fits_images(buf)
+    assert int(cards["NAXIS1"]) == 4 and int(cards["NAXIS2"]) == 3
+    assert back.dtype == np.float32
+    assert np.array_equal(back, px)
