@@ -3580,15 +3580,67 @@ def anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per round: one collapsed-table aggregate (n, sum-x, sum-x^2), a
     1-row broadcast back onto the per-user table, an exact-integer
-    argmax, and an anti-filter — three rounds = three such passes over
-    the per-user rollup, never over raw events. The candidate choice
-    is integer-exact, so both engines remove the SAME point every
-    round and the unrolled oracle hashes bit-for-bit.
+    argmax (TakeOrdered limit 1, dev tie-broken by user_id), and an
+    anti-filter — three rounds = three such passes over the per-user
+    rollup, never over raw events. The candidate choice is
+    integer-exact, so both engines remove the SAME point every round.
+    Spark builds the rounds through the DataFrame API (converted from
+    the shared-SQL-text form per VERDICT r8), the R^2 double mirrored
+    operand-for-operand against the unrolled oracle; each round's
+    survivor set is localCheckpointed (the oracle's MATERIALIZED).
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "esd_events"
-    )
-    return spark.sql(_esd_sql("esd_events", "unix_micros", "div", ""))
+    ev = load_table(spark, sf_dir, "events")
+    cur = ev.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("x")
+    ).localCheckpoint(eager=True)
+    rounds = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        s = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        dev = (F.col("n") * F.col("x") - F.col("sx")).cast("long")
+        devd = dev.cast("double")
+        nd = F.col("n").cast("double")
+        r2 = (
+            devd * devd * (F.col("n") - 1).cast("double")
+        ) / (
+            nd
+            * (
+                nd * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        )
+        c = cur.crossJoin(F.broadcast(s)).select(
+            "user_id", "x", "n",
+            F.abs(dev).alias("dev_n"),
+            r2.alias("r2"),
+        )
+        w = (
+            c.orderBy(F.col("dev_n").desc(), "user_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            w.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("user_id").alias("outlier_user"),
+                F.col("x").alias("x_cents"),
+                F.col("n").alias("n_points"),
+                "r2",
+            )
+        )
+        cur = cur.join(
+            F.broadcast(w.select("user_id")), "user_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    out = rounds[0]
+    for more in rounds[1:]:
+        out = out.unionAll(more)
+    return out
 
 
 #: train/val/test split: md5 seed tag and the 80/90 hex boundaries
