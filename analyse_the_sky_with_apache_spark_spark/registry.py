@@ -126,11 +126,9 @@ _RETIRED_R7 = (
     "ts_decompose_residuals", "text_perplexity",
 )
 
-#: Page 4 — the LIVE round-9 window (exactly 50 never-sampled oracle
-#: keys; rotated in at round-9 open per VERDICT r8 task 1 — the round-8
-#: page is retired via its CORRECTNESS_r08 rows, kept above as
-#: _RETIRED_R8).
-_PRIORITY = (
+#: Page 4 — the round-9 window, retired 2026-08-16 (CORRECTNESS_r09:
+#: 50/50 hash-green). Kept for documentation; no longer scheduled.
+_RETIRED_R9 = (
     "agg_histogram_equiwidth", "graph_reciprocity", "ts_peak_detection",
     "ml_mrr", "stat_cohens_kappa", "stat_cramers_v", "text_readability",
     "dq_freshness", "privacy_dp_count", "ml_kfold_assign",
@@ -153,10 +151,11 @@ _PRIORITY = (
     "lightcurve_string_length",
 )
 
-#: Page 5 — round-10 window (exactly 50; split again at round-8 close
-#: when the page outgrew one 50-key driver window — the overflow moved
-#: to _ROTATION_R11, the VERDICT r7 task-1 discipline).
-_ROTATION_R10 = (
+#: Page 5 — the LIVE round-10 window (exactly 50 never-sampled oracle
+#: keys; rotated in at round-10 open per VERDICT r9 task 1 — the round-9
+#: page is retired via its CORRECTNESS_r09 rows, kept above as
+#: _RETIRED_R9).
+_PRIORITY = (
     "dq_benford_firstdigit",
     "ts_sax_symbolize",
     "ml_isotonic_calibration",
@@ -191,22 +190,27 @@ _ROTATION_R10 = (
     "ts_segmented_trend",
     "events_markov_anomaly",
     "graph_ktruss_peel",
-    "stat_hodges_lehmann",
+    # swapped in at round-10 rotation so the window covers every
+    # still-dark family (operators.warehouse / pipeline.dedup /
+    # functions.scalar — test_window_covers_the_dark_families);
+    # the three stats keys they displace moved to R11/R12, where
+    # pipeline.stats remains represented many times over.
+    "txn_log_wap_publish",
     "ts_pacf_durbin",
     "corpus_mix_epochs",
     "privacy_rr_aggregate",
-    "stat_jarque_bera",
+    "dedup_jaro_winkler",
     "stat_kruskal_wallis",
     "stat_friedman_test",
     "ts_permutation_entropy",
-    "stat_durbin_watson",
+    "agg_countmin_merge",
     "ml_knn_classify",
     "ml_brier_decomposition",
     "ts_hurst_rs",
     "text_heaps_law",
     "text_rouge_overlap",
     "graph_harmonic_closeness",
-    "stat_fisher_exact",
+    "fn_xml",
 )
 
 #: Page 6 — round-11 window seed: the overflow from the R10 split plus
@@ -215,7 +219,8 @@ _ROTATION_R10 = (
 #: (tests/test_registry_order.py pins this), so new keys join the LAST
 #: page at birth; pad to 50 with promotions when it becomes live.
 _ROTATION_R11 = (
-    "txn_log_wap_publish",
+    "stat_hodges_lehmann",
+    "stat_fisher_exact",
     "stat_runs_test",
     "stat_qq_deciles",
     "ml_learning_curve",
@@ -223,7 +228,7 @@ _ROTATION_R11 = (
     "graph_bipartite_projection",
     "privacy_microaggregation",
     "ml_threshold_sweep", "stat_power_analysis", "ts_additive_model_fit",
-    "stat_anderson_darling", "stat_ljung_box", "dedup_jaro_winkler",
+    "stat_anderson_darling", "stat_ljung_box",
     "ts_sample_entropy", "stat_bayes_ab_posterior",
     "stat_tost_equivalence", "events_cuped_variance_reduction",
     "stream_stateful_timeout",
@@ -248,9 +253,9 @@ _ROTATION_R11 = (
 #: r8 task 8). Every key landing from here on joins THIS page at birth;
 #: pad to 50 with promotions when it becomes live.
 _ROTATION_R12 = (
-    "agg_countmin_merge", "graph_betweenness_sampled", "sky_coadd_tiles",
+    "stat_durbin_watson", "graph_betweenness_sampled", "sky_coadd_tiles",
     "privacy_dp_topk", "ts_spectral_entropy", "graph_effective_diameter",
-    "stream_update_mode_emissions", "fn_xml", "ts_burstiness",
+    "stream_update_mode_emissions", "stat_jarque_bera", "ts_burstiness",
     "ml_chi2_feature_select",
 )
 

@@ -101,8 +101,7 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R10, registry._ROTATION_R11,
-             registry._ROTATION_R12)
+    pages = (registry._ROTATION_R11, registry._ROTATION_R12)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -118,7 +117,7 @@ def test_rotation_pages_fit_the_driver_window():
     """A rotation page must never outgrow one 50-key driver window —
     when a page reaches 50, new keys must open the next page (the
     VERDICT r8 task-8 split discipline, made automatic)."""
-    for name in ("_ROTATION_R10", "_ROTATION_R11", "_ROTATION_R12"):
+    for name in ("_ROTATION_R11", "_ROTATION_R12"):
         page = getattr(registry, name)
         assert len(page) <= 50, f"{name} holds {len(page)} keys — split it"
 
@@ -132,7 +131,6 @@ def test_every_oracle_key_is_scheduled():
     covered = (
         _sampled()
         | set(registry._PRIORITY)
-        | set(registry._ROTATION_R10)
         | set(registry._ROTATION_R11)
         | set(registry._ROTATION_R12)
     )
