@@ -7942,17 +7942,24 @@ gs AS (
            AS qj
   FROM base GROUP BY grp
 ),
-pg AS (
-  SELECT grp, nj, qj,
-         CAST(sj AS DECIMAL(28,0)) * CAST(sj AS DECIMAL(28,0))
-           / CAST(nj AS DECIMAL(18,0)) AS bj,
-         (CAST(qj AS DOUBLE) - CAST(sj AS DOUBLE) * sj / nj)
-           / (CAST(nj AS DOUBLE) - 1.0) AS s2
+anch AS (
+  SELECT grp, nj, qj, sj // nj AS mj, sj - (sj // nj) * nj AS rj
   FROM gs
 ),
+pg AS (
+  SELECT grp, nj,
+         CAST(CAST(qj AS HUGEINT) - CAST(mj AS HUGEINT) * mj * nj
+              - 2 * CAST(mj AS HUGEINT) * rj AS DECIMAL(38,0)) AS dj,
+         CAST(CAST(rj AS HUGEINT) * rj * 1000000000 // nj AS BIGINT)
+           AS rq_nano
+  FROM anch
+),
 terms AS (
-  SELECT grp, nj, qj, bj,
-         CAST(FLOOR((CAST(nj AS DOUBLE) - 1.0) * ln(s2) * 1000000.0 + 0.5)
+  SELECT nj, dj, rq_nano,
+         CAST(FLOOR((CAST(nj AS DOUBLE) - 1.0)
+              * ln((CAST(dj AS DOUBLE)
+                    - CAST(rq_nano AS DOUBLE) / 1000000000.0)
+                   / (CAST(nj AS DOUBLE) - 1.0)) * 1000000.0 + 0.5)
               AS BIGINT) AS lnterm_micro,
          CAST(FLOOR(1000000000.0 / (CAST(nj AS DOUBLE) - 1.0) + 0.5)
               AS BIGINT) AS inv_nano
@@ -7961,7 +7968,8 @@ terms AS (
 tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(nj) AS BIGINT) AS n,
-         SUM(qj) AS q, SUM(bj) AS bsum,
+         SUM(dj) AS dsum,
+         CAST(SUM(rq_nano) AS BIGINT) AS rqsum_nano,
          CAST(SUM(lnterm_micro) AS BIGINT) AS lsum_micro,
          CAST(SUM(inv_nano) AS BIGINT) AS isum_nano
   FROM terms
@@ -7969,7 +7977,8 @@ tot AS (
 tt AS (
   SELECT k, n,
          ((CAST(n AS DOUBLE) - k)
-            * ln((CAST(q AS DOUBLE) - CAST(bsum AS DOUBLE))
+            * ln((CAST(dsum AS DOUBLE)
+                  - CAST(rqsum_nano AS DOUBLE) / 1000000000.0)
                  / (CAST(n AS DOUBLE) - k))
           - CAST(lsum_micro AS DOUBLE) / 1000000.0)
          / (1.0 + (CAST(isum_nano AS DOUBLE) / 1000000000.0
@@ -7990,15 +7999,25 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tailed data. T = [(n-k) ln s2_pooled - sum (nj-1) ln s2_j]
     / C with C = 1 + (sum 1/(nj-1) - 1/(n-k)) / (3(k-1)).
 
-    Determinism: per-group variances come off exact long/decimal sums
-    (the levene lanes); each group's (nj-1)·ln(s2_j) and 1/(nj-1) are
-    GRIDDED to micro/nano integers BEFORE the k-row reduction, so no
-    cross-row float summation order exists anywhere; the pooled-
-    variance log runs on the levene-idiom exact q/bsum scalars. 9.488
-    = chi2(k-1=4) at alpha=0.05.
+    Determinism (ADVICE r9 fix): the old bj = sj²/nj decimal lane was
+    NOT engine-exact — DuckDB evaluates DECIMAL(28,0)*DECIMAL(28,0)/
+    DECIMAL(18,0) as DOUBLE while Spark keeps decimal(38,6). Replaced
+    by an anchor decomposition: with mj = sj div nj and
+    rj = sj - mj*nj (0 <= rj < nj),  qj - sj²/nj = dj - rj²/nj  where
+    dj = qj - mj²*nj - 2*mj*rj is an EXACT integer (DECIMAL(38,0) /
+    HUGEINT in the two engines) and rj²/nj is gridded to a nano
+    integer via exact integral division BEFORE any cross-row sum. So
+    every k-row reduction (dsum, rqsum_nano, lnterm_micro, inv_nano)
+    sums exact integers — no float summation order and no decimal-
+    typing divergence exists anywhere; each group's (nj-1)·ln(s2_j)
+    is micro-gridded off those same exact inputs. 9.488 = chi2(k-1=4)
+    at alpha=0.05.
 
     100-TB posture: one data-sized hash aggregate; everything after
-    runs on the k-row group table.
+    runs on the k-row group table. Overflow ledger: dj <= qj <
+    rows·cents² — DECIMAL(38,0) holds it to ~1e38 (sf1000-safe);
+    rj²·1e9 < nj²·1e9 stays inside DECIMAL(38,0) for any nj, and
+    rq_nano < nj·1e9 fits BIGINT for nj < 9e9 rows per group.
     """
     base = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
@@ -8011,24 +8030,33 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sj"),
         F.sum(cdec * cdec).alias("qj"),
     )
+    anch = gs.select(
+        "grp", "nj", "qj",
+        F.expr("sj div nj").alias("mj"),
+        F.expr("sj - (sj div nj) * nj").alias("rj"),
+    )
+    mjd = F.col("mj").cast("decimal(38,0)")
+    pg = anch.select(
+        "grp", "nj",
+        (
+            F.col("qj").cast("decimal(38,0)")
+            - mjd * F.col("mj") * F.col("nj")
+            - F.lit(2).cast("decimal(38,0)") * F.col("mj") * F.col("rj")
+        ).cast("decimal(38,0)").alias("dj"),
+        F.expr(
+            "CAST((CAST(rj AS DECIMAL(38,0)) * rj * 1000000000) div nj"
+            " AS BIGINT)"
+        ).alias("rq_nano"),
+    )
     njd = F.col("nj").cast("double")
     s2 = (
-        F.col("qj").cast("double")
-        - F.col("sj").cast("double") * F.col("sj") / F.col("nj")
+        F.col("dj").cast("double")
+        - F.col("rq_nano").cast("double") / F.lit(1e9)
     ) / (njd - F.lit(1.0))
-    pg = gs.select(
-        "grp", "nj", "qj",
-        (
-            F.col("sj").cast("decimal(28,0)")
-            * F.col("sj").cast("decimal(28,0)")
-            / F.col("nj").cast("decimal(18,0)")
-        ).alias("bj"),
-        s2.alias("s2"),
-    )
     terms = pg.select(
-        "nj", "qj", "bj",
+        "nj", "dj", "rq_nano",
         F.floor(
-            (njd - F.lit(1.0)) * F.log("s2") * F.lit(1e6) + F.lit(0.5)
+            (njd - F.lit(1.0)) * F.log(s2) * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("lnterm_micro"),
         F.floor(F.lit(1e9) / (njd - F.lit(1.0)) + F.lit(0.5))
         .cast("long").alias("inv_nano"),
@@ -8036,8 +8064,8 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = terms.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("nj").cast("long").alias("n"),
-        F.sum("qj").alias("q"),
-        F.sum("bj").alias("bsum"),
+        F.sum("dj").alias("dsum"),
+        F.sum("rq_nano").cast("long").alias("rqsum_nano"),
         F.sum("lnterm_micro").cast("long").alias("lsum_micro"),
         F.sum("inv_nano").cast("long").alias("isum_nano"),
     )
@@ -8046,7 +8074,10 @@ def stat_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_stat = (
         (ndd - kd)
         * F.log(
-            (F.col("q").cast("double") - F.col("bsum").cast("double"))
+            (
+                F.col("dsum").cast("double")
+                - F.col("rqsum_nano").cast("double") / F.lit(1e9)
+            )
             / (ndd - kd)
         )
         - F.col("lsum_micro").cast("double") / F.lit(1e6)

@@ -91,8 +91,20 @@ def write_fits_bintable(
     for i, row in enumerate(rows):
         for n, f, v in zip(names, formats, row):
             arr[i][n] = v.ljust(int(f[:-1])) if f.endswith("A") else v
-    with open(path, "wb") as fh:
-        fh.write(header + _pad(cards) + _pad(arr.tobytes()))
+    _atomic_write(path, header + _pad(cards) + _pad(arr.tobytes()))
+
+
+def _atomic_write(path: str, payload: bytes) -> None:
+    """Build-then-rename staging (the streaming/replay.py protocol): a
+    crash or concurrent stager mid-write must never leave a truncated
+    .fits at the final path — the os.path.exists staging guards would
+    then skip regeneration forever. Each writer builds privately under
+    a per-pid temp name; os.replace is atomic, last writer wins with
+    identical bytes."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, path)
 
 
 def _np_dtype(tform: str) -> str:
@@ -121,9 +133,25 @@ def _read_header(buf: bytes, pos: int) -> tuple[dict[str, str], int]:
             if key == "END":
                 return cards, pos
             if card[8:10] == "= ":
-                val = card[10:].split("/", 1)[0].strip()
+                val = card[10:].strip()
                 if val.startswith("'"):
-                    val = val[1:].rsplit("'", 1)[0].rstrip()
+                    # string value: parse to the closing quote BEFORE
+                    # splitting off the '/' comment — a conforming card
+                    # like TTYPE1 = 'FLUX/ERR' keeps its slash ('' is
+                    # an escaped quote inside the string per the std).
+                    body, i = [], 1
+                    while i < len(val):
+                        if val[i] == "'":
+                            if val[i:i + 2] == "''":
+                                body.append("'")
+                                i += 2
+                                continue
+                            break
+                        body.append(val[i])
+                        i += 1
+                    val = "".join(body).rstrip()
+                else:
+                    val = val.split("/", 1)[0].strip()
                 cards[key] = val
         # END not in this block: keep reading cards
     raise ValueError("FITS header without END card")
@@ -309,8 +337,7 @@ def write_fits_image(path: str, pixels: np.ndarray) -> None:
         _card("SIMPLE", True) + _card("BITPIX", -32) + _card("NAXIS", 2)
         + _card("NAXIS1", nx) + _card("NAXIS2", ny) + _card("END")
     )
-    with open(path, "wb") as fh:
-        fh.write(header + _pad(pixels.astype(">f4").tobytes()))
+    _atomic_write(path, header + _pad(pixels.astype(">f4").tobytes()))
 
 
 _BITPIX_DTYPES = {8: "u1", 16: ">i2", 32: ">i4", 64: ">i8",

@@ -171,3 +171,52 @@ def test_fits_image_roundtrip_float64(tmp_path):
     assert int(cards["NAXIS1"]) == 4 and int(cards["NAXIS2"]) == 3
     assert back.dtype == np.float32
     assert np.array_equal(back, px)
+
+
+def test_string_card_with_slash_keeps_slash(tmp_path):
+    """ADVICE r9: a conforming string card whose VALUE contains '/'
+    (e.g. TTYPE1 = 'FLUX/ERR') must parse to the closing quote, not be
+    truncated at the comment separator; escaped quotes ('') unescape."""
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        _read_header,
+    )
+
+    buf = _pad(
+        _card("SIMPLE", True)
+        + _card("TTYPE1", "FLUX/ERR")
+        + "TTYPE2  = 'O''HARA/X' / obs name".ljust(80).encode("ascii")
+        + _card("BITPIX", 8)
+        + _card("END")
+    )
+    cards, _ = _read_header(buf, 0)
+    assert cards["TTYPE1"] == "FLUX/ERR"
+    assert cards["TTYPE2"] == "O'HARA/X"
+    assert cards["BITPIX"] == "8"  # numeric card still drops comments
+
+
+def test_writers_stage_atomically(tmp_path, monkeypatch):
+    """ADVICE r9: writers must never expose a truncated file at the
+    final path — build under a per-pid temp name, then os.replace."""
+    import analyse_the_sky_with_apache_spark_spark.sources.fits as fits
+
+    seen = {}
+    real_replace = os.replace
+
+    def spy(src, dst):
+        seen["src"], seen["dst"] = src, dst
+        assert src == f"{dst}.tmp-{os.getpid()}"
+        assert os.path.getsize(src) % _BLOCK == 0  # fully built already
+        real_replace(src, dst)
+
+    monkeypatch.setattr(fits.os, "replace", spy)
+    path = os.path.join(tmp_path, "t.fits")
+    write_fits_bintable(path, ["K1"], ["J"], [(1,), (2,)])
+    assert seen["dst"] == path and os.path.exists(path)
+    assert not os.path.exists(seen["src"])
+
+    seen.clear()
+    fits.write_fits_image(
+        os.path.join(tmp_path, "img.fits"),
+        np.zeros((2, 2), dtype=np.float32),
+    )
+    assert seen["dst"].endswith("img.fits")
