@@ -111,6 +111,8 @@ EXTENDED = (
     "scan_fits",                 # pure-Python FITS BINTABLE decode
     "stream_rate_limit",         # maxFilesPerTrigger batch accounting
     "ts_spectral_entropy",       # gridded DFT power entropy
+    # round-10 additions (regression reference: BENCH_r10)
+    "stream_update_mode_emissions",  # slowest registered key (VERDICT r9)
 )
 
 
