@@ -3383,6 +3383,88 @@ FROM s
 """
 
 
+def _logrank_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API build of the `_logrank_sql` kernel (converted from
+    the shared-SQL-text form per VERDICT r9 task 4) — the oracle keeps
+    the SQL template, Spark now constructs the identical computation
+    through the API so the cross-engine differential no longer shares a
+    parser: per-user durations + first-event cohort flag, the collapsed
+    duration histogram, suffix-sum risk sets via the tiny `>=` join
+    (the same BNL-over-broadcast plan the SQL text produced), and the
+    `stat_logrank_test` chained truncating-division grid ladder."""
+    day_us = 86400 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us))
+        .alias("conv_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    cohort = u.join(ft, "user_id").select(
+        F.expr(
+            f"(coalesce(conv_us, last_us) - first_us) div {day_us}"
+        ).alias("dur"),
+        F.when(F.col("conv_us").isNotNull(), 1).otherwise(0).alias("ev"),
+        F.when(F.col("first_type") == "click", 1).otherwise(0)
+        .alias("g1"),
+    )
+    hist = cohort.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("ev").cast("long").alias("dd"),
+        F.sum("g1").cast("long").alias("cnt1"),
+        F.sum(F.col("ev") * F.col("g1")).cast("long").alias("dd1"),
+    )
+    d = hist.select(F.col("dur").alias("t")).distinct()
+    risk = (
+        d.join(hist, hist["dur"] >= d["t"])
+        .groupBy("t")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("cnt1").cast("long").alias("n1"),
+            F.sum(F.when(F.col("dur") == F.col("t"), F.col("dd"))
+                  .otherwise(0)).cast("long").alias("dd"),
+            F.sum(F.when(F.col("dur") == F.col("t"), F.col("dd1"))
+                  .otherwise(0)).cast("long").alias("o1"),
+        )
+    )
+    terms = risk.filter(F.col("dd") > 0).select(
+        "t", "n", "n1", "dd", "o1",
+        F.expr("(1000000 * n1 * dd) div n").alias("e1_micro"),
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "(((((1000000 * dd * n1) div n) * (n - n1)) div n)"
+                " * (n - dd)) div (n - 1)"
+            ),
+        ).otherwise(F.lit(0)).alias("v_micro"),
+    )
+    s = terms.agg(
+        F.sum("o1").cast("long").alias("o1_sum"),
+        F.sum("e1_micro").cast("long").alias("e1_micro_sum"),
+        F.sum("v_micro").cast("long").alias("v_micro_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_event_days"),
+    )
+    dev = (
+        F.col("o1_sum") * F.lit(1_000_000) - F.col("e1_micro_sum")
+    ).cast("double")
+    return s.select(
+        "o1_sum", "e1_micro_sum", "v_micro_sum", "n_event_days",
+        (
+            dev * dev
+            / (F.col("v_micro_sum").cast("double") * F.lit(1e6))
+        ).alias("chi2"),
+    )
+
+
 @register(
     "stat_logrank_test",
     oracle=_logrank_sql("events", "epoch_us", "//", "MATERIALIZED"),
@@ -3399,13 +3481,11 @@ def stat_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     One data-sized pass builds per-user durations (plus a first-event
     window for the cohort flag); the risk table, grid terms and the
     final statistic run on <=31 collapsed rows. Expected/variance
-    terms land on an explicit integer grid (see `_logrank_sql`) so the
-    single-row result hash-matches bit-for-bit.
+    terms land on an explicit integer grid so the single-row result
+    hash-matches bit-for-bit; Spark builds the kernel through the
+    DataFrame API (`_logrank_df`) against the unchanged SQL oracle.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "lr_events"
-    )
-    return spark.sql(_logrank_sql("lr_events", "unix_micros", "div", ""))
+    return _logrank_df(spark, sf_dir)
 
 
 def _cmh_sql(tbl: str, div: str, mat: str) -> str:
@@ -4089,16 +4169,97 @@ def ts_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     simultaneously (left = prefix, right = total − prefix), so the
     knot scan is O(|days|), not O(|days| · |data|). Daily totals
     truncate to exact integer dollars (y² sums stay < 2^63 through
-    ~sf100 — overflow ledger in SCALE.md); SSE/slopes are shared-text
-    double math over those exact longs, and the argmin orders on the
+    ~sf100 — overflow ledger in SCALE.md); SSE/slopes are double math
+    over those exact longs whose expression FRAGMENTS stay textually
+    shared with the oracle (`_seg_sse`/`_seg_slope` — operand-for-
+    operand identical IEEE trees), and the argmin orders on the
     1e-6-FLOORED SSE with a knot-day tie-break, so the pick cannot
-    flip on a float ulp. Spark side runs the same SQL text via
-    spark.sql on a temp view (the Kalman/KM template recipe:
-    epoch fn and int-div token differ, nothing else).
+    flip on a float ulp. Spark builds the plan through the DataFrame
+    API (converted from the full-template spark.sql form per VERDICT
+    r9 task 4) — only the scalar fragments are shared, not a parser
+    pass over the whole kernel.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("segtrend_events")
-    return spark.sql(_segtrend_sql("segtrend_events", "unix_micros", " div "))
+    daily = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day")
+    ).agg(
+        F.expr(
+            "SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) div 100"
+        ).alias("y")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        (F.col("day") - F.min("day").over(Window.partitionBy()))
+        .alias("t"),
+        "y",
+    )
+    wc = Window.orderBy("rn")
+    wg = Window.partitionBy()
+    cum = idx.select(
+        "rn", "t", "y",
+        F.sum("t").over(wc).alias("c_t"),
+        F.sum("y").over(wc).alias("c_y"),
+        F.sum(F.col("t") * F.col("t")).over(wc).alias("c_tt"),
+        F.sum(F.col("t") * F.col("y")).over(wc).alias("c_ty"),
+        F.sum(F.col("y") * F.col("y")).over(wc).alias("c_yy"),
+        F.sum("t").over(wg).alias("t_t"),
+        F.sum("y").over(wg).alias("t_y"),
+        F.sum(F.col("t") * F.col("t")).over(wg).alias("t_tt"),
+        F.sum(F.col("t") * F.col("y")).over(wg).alias("t_ty"),
+        F.sum(F.col("y") * F.col("y")).over(wg).alias("t_yy"),
+        F.count(F.lit(1)).over(wg).alias("nn"),
+    )
+    L = {  # left-segment stats at the knot row (same as the oracle)
+        "n": "rn", "st": "c_t", "sy": "c_y", "stt": "c_tt",
+        "sty": "c_ty", "syy": "CAST(c_yy AS DOUBLE)",
+    }
+    R = {  # right segment = totals minus prefix
+        "n": "(nn - rn)", "st": "(t_t - c_t)", "sy": "(t_y - c_y)",
+        "stt": "(t_tt - c_tt)", "sty": "(t_ty - c_ty)",
+        "syy": "CAST(t_yy - c_yy AS DOUBLE)",
+    }
+    T = {
+        "n": "nn", "st": "t_t", "sy": "t_y", "stt": "t_tt",
+        "sty": "t_ty", "syy": "CAST(t_yy AS DOUBLE)",
+    }
+    cand = cum.filter(
+        (F.col("rn") >= 3) & (F.col("rn") <= F.col("nn") - 3)
+    ).select(
+        F.col("t").alias("knot_day"), "nn",
+        F.expr(f"{_seg_sse(**L)} + {_seg_sse(**R)}").alias("sse_seg"),
+        F.expr(_seg_sse(**T)).alias("sse_line"),
+        F.expr(_seg_slope("rn", "c_t", "c_y", "c_tt", "c_ty"))
+        .alias("slope_l"),
+        F.expr(
+            _seg_slope("(nn - rn)", "(t_t - c_t)", "(t_y - c_y)",
+                       "(t_tt - c_tt)", "(t_ty - c_ty)")
+        ).alias("slope_r"),
+    )
+    best = cand.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.orderBy(
+                F.expr(
+                    "CAST(FLOOR(sse_seg * 1000000.0 + 0.5) AS BIGINT)"
+                ),
+                "knot_day",
+            )
+        ),
+    )
+    return best.filter(F.col("pick") == 1).select(
+        F.col("knot_day").cast("long").alias("knot_day"),
+        F.col("nn").cast("long").alias("n_days"),
+        F.expr("CAST(FLOOR(slope_l * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("slope_l_micro"),
+        F.expr("CAST(FLOOR(slope_r * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("slope_r_micro"),
+        F.expr("CAST(FLOOR(sse_seg * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("sse_seg_micro"),
+        F.expr("CAST(FLOOR(sse_line * 1000000.0 + 0.5) AS BIGINT)")
+        .alias("sse_line_micro"),
+    )
 
 
 @register(
@@ -4299,13 +4460,98 @@ def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, no ordered-float accumulation); and the k-step recursion is
     UNROLLED scalar math over one aggregate row — per-step CTEs are
     MATERIALIZED in the DuckDB oracle so inlining can't explode, and
-    Spark runs the identical SQL text via a temp view, so the doubles
-    agree bit-for-bit (python-loop vs recursive-CTE lesson, SCALE.md
+    Spark builds the same unrolled recursion through the DataFrame API
+    (converted from the full-template spark.sql form per VERDICT r9
+    task 4) with the per-step scalar fragments generated from the SAME
+    python expressions the oracle template uses, so the doubles agree
+    bit-for-bit (python-loop vs recursive-CTE lesson, SCALE.md
     round 7).
     """
+    K = _PACF_MAXLAG
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("pacf_events")
-    return spark.sql(_pacf_sql("pacf_events", "unix_micros", " div ", ""))
+    daily = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day")
+    ).agg(
+        F.expr(
+            "SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) div 100"
+        ).alias("y")
+    )
+    wg = Window.partitionBy()
+    base = daily.select(
+        (F.col("day") - F.min("day").over(wg)).alias("t"),
+        F.col("y").cast("double").alias("y"),
+        (
+            F.sum("y").over(wg).cast("double")
+            / F.count(F.lit(1)).over(wg)
+        ).alias("ybar"),
+    )
+    wt = Window.orderBy("t")
+    led = base.select(
+        "t", "y", "ybar",
+        *[F.lead("y", k).over(wt).alias(f"y{k}") for k in range(1, K + 1)],
+    )
+    sums = led.agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR((y - ybar) * (y - ybar) * 1e-3 + 0.5)"
+            " AS BIGINT)) AS DOUBLE) * 1e3"
+        ).alias("c0"),
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN "
+                f"CAST(FLOOR((y - ybar) * (y{k} - ybar) * 1e-3 + 0.5)"
+                f" AS BIGINT) ELSE 0 END) AS DOUBLE) * 1e3"
+            ).alias(f"c{k}")
+            for k in range(1, K + 1)
+        ],
+    )
+    df = sums.select(
+        *[F.expr(f"c{k} / c0").alias(f"r{k}") for k in range(1, K + 1)]
+    )
+    # Durbin–Levinson unrolled — the same fragment strings the oracle
+    # template generates, applied one step per projection.
+    df = df.select(
+        "*", F.expr("r1").alias("p1_1"),
+        F.expr("1.0 - r1 * r1").alias("v1"),
+    )
+    phis = {1: {1: "p1_1"}}
+    for k in range(2, K + 1):
+        prev = phis[k - 1]
+        dot = " + ".join(f"{prev[j]} * r{k - j}" for j in range(1, k))
+        df = df.select(
+            "*", F.expr(f"(r{k} - ({dot})) / v{k - 1}").alias(f"a{k}")
+        )
+        newphi = {}
+        upd = []
+        for j in range(1, k):
+            newphi[j] = f"p{k}_{j}"
+            upd.append(
+                F.expr(f"{prev[j]} - a{k} * {prev[k - j]}")
+                .alias(f"p{k}_{j}")
+            )
+        newphi[k] = f"a{k}"
+        upd.append(
+            F.expr(f"v{k - 1} * (1.0 - a{k} * a{k})").alias(f"v{k}")
+        )
+        df = df.select("*", *upd)
+        phis[k] = newphi
+    final = df.select(
+        F.expr("r1").alias("pacf1"),
+        *[F.expr(f"a{k}").alias(f"pacf{k}") for k in range(2, K + 1)],
+        "*",
+    )
+    out = None
+    for k in range(1, K + 1):
+        part = final.select(
+            F.expr(str(k)).alias("lag"),
+            F.expr(f"CAST(FLOOR(r{k} * 1000000.0 + 0.5) AS BIGINT)")
+            .alias("acf_micro"),
+            F.expr(f"CAST(FLOOR(pacf{k} * 1000000.0 + 0.5) AS BIGINT)")
+            .alias("pacf_micro"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("lag")
 
 
 @register(
@@ -5323,27 +5569,107 @@ def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB posture: the contingency cells are one data-sized aggregate;
     the lf9 table is |N| COLLAPSED rows (swap in the gridded Stirling
     expansion once ln-gamma beats materializing the series); the k-scan
-    is bounded by min(r1, c1). Spark executes the identical SQL text
-    via a temp view (``_fisher_sql``).
+    is bounded by min(r1, c1). Spark builds the whole kernel through
+    the DataFrame API (converted from the three-temp-view spark.sql
+    form per VERDICT r9 task 4); the oracle keeps the SQL template.
     """
     d = load_table(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("fisher_documents")
-    cells = spark.sql(
-        _fisher_cells_sql("fisher_documents")
+    cells = d.agg(
+        F.sum(
+            F.when(
+                (F.col("lang") == "en") & (F.col("source") == "src0"), 1
+            ).otherwise(0)
+        ).cast("long").alias("a"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("r1"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
     ).localCheckpoint(eager=True)
-    cells.createOrReplaceTempView("fisher_cells")
-    # materialize lf ONCE: Spark inlines CTEs, so leaving lf as a CTE
-    # replays the cumulative window at every one of its 9 references
-    # (measured: 27 Window nodes in the un-materialized plan).
-    lf = spark.sql(
-        _fisher_lf_sql(
-            "fisher_cells",
-            "SELECT explode(sequence(0, (SELECT CAST(n AS INT) "
-            "FROM {src}))) AS i",
+    # materialize lf ONCE: Spark inlines plan subtrees, so leaving lf
+    # lazy replays the cumulative window at every one of its 9 join
+    # references (measured: 27 Window nodes in the un-materialized
+    # plan). explode(sequence(0, n)) replaces the scalar subquery.
+    ints = cells.select(
+        F.explode(F.sequence(F.lit(0), F.col("n").cast("int")))
+        .alias("i0")
+    ).select(F.col("i0").cast("long").alias("i"))
+    lf = ints.select(
+        "i",
+        F.expr(
+            "CAST(SUM(CASE WHEN i = 0 THEN 0"
+            " ELSE CAST(FLOOR(ln(CAST(i AS DOUBLE))"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+            " END) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)"
+            " AS BIGINT)"
+        ).alias("lf9"),
+    ).localCheckpoint(eager=True)
+
+    def lfj(tag: str) -> DataFrame:
+        return lf.select(
+            F.col("i").alias(f"{tag}_i"), F.col("lf9").alias(f"{tag}_lf9")
         )
-    ).localCheckpoint(eager=True)
-    lf.createOrReplaceTempView("fisher_lf")
-    return spark.sql(_fisher_main_sql("fisher_cells", "fisher_lf"))
+
+    base = (
+        cells
+        .join(lfj("fr1"), F.col("fr1_i") == F.col("r1"))
+        .join(lfj("fr2"), F.col("fr2_i") == F.col("n") - F.col("r1"))
+        .join(lfj("fc1"), F.col("fc1_i") == F.col("c1"))
+        .join(lfj("fc2"), F.col("fc2_i") == F.col("n") - F.col("c1"))
+        .join(lfj("fn"), F.col("fn_i") == F.col("n"))
+        .select(
+            "a", "r1", "c1", "n",
+            (
+                F.col("fr1_lf9") + F.col("fr2_lf9") + F.col("fc1_lf9")
+                + F.col("fc2_lf9") - F.col("fn_lf9")
+            ).alias("lfc9"),
+        )
+    )
+    ks = (
+        base
+        .join(
+            lfj("k"),
+            (F.col("k_i") <= F.col("r1"))
+            & (F.col("k_i") <= F.col("c1"))
+            & (F.col("n") - F.col("r1") - F.col("c1") + F.col("k_i") >= 0),
+        )
+        .join(lfj("gk"), F.col("gk_i") == F.col("k_i"))
+        .join(lfj("g1"), F.col("g1_i") == F.col("r1") - F.col("k_i"))
+        .join(lfj("g2"), F.col("g2_i") == F.col("c1") - F.col("k_i"))
+        .join(
+            lfj("g3"),
+            F.col("g3_i")
+            == F.col("n") - F.col("r1") - F.col("c1") + F.col("k_i"),
+        )
+        .select(
+            "a", "r1", "c1", "n", F.col("k_i").alias("k"),
+            (
+                F.col("lfc9") - F.col("gk_lf9") - F.col("g1_lf9")
+                - F.col("g2_lf9") - F.col("g3_lf9")
+            ).alias("lp9"),
+        )
+    )
+    obs = ks.filter(F.col("k") == F.col("a")).select(
+        F.col("lp9").alias("lp9_obs")
+    )
+    summed = ks.crossJoin(F.broadcast(obs)).agg(
+        F.max("a").alias("a"), F.max("r1").alias("r1"),
+        F.max("c1").alias("c1"), F.max("n").alias("n"),
+        F.sum(
+            F.when(
+                F.col("lp9") <= F.col("lp9_obs"),
+                F.floor(
+                    F.exp(F.col("lp9").cast("double") / F.lit(1e9))
+                    * F.lit(1e12) + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("p_two_pico"),
+        F.count(F.lit(1)).cast("long").alias("k_terms"),
+    )
+    return summed.select(
+        "a", "r1", "c1", "n", "k_terms", "p_two_pico",
+        (F.col("p_two_pico") < F.lit(50_000_000_000)).alias("reject"),
+    )
 
 
 def _runs_sql(table: str, epoch_us: str, idiv: str, median2: str) -> str:
@@ -7153,9 +7479,7 @@ def ml_cox_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     user rollup, collapsed duration histogram, suffix-sum risk sets);
     the transform is five scalar IEEE ops.
     """
-    ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("cox_events")
-    lr = spark.sql(_logrank_sql("cox_events", "unix_micros", "div", ""))
+    lr = _logrank_df(spark, sf_dir)
     beta = (
         (F.col("o1_sum") * F.lit(1_000_000) - F.col("e1_micro_sum"))
         .cast("double") / F.col("v_micro_sum").cast("double")
@@ -7188,8 +7512,8 @@ def ml_cox_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _backtest_sql(table: str, epoch_us: str, idiv: str) -> str:
-    """Shared Spark/DuckDB SQL for `ts_forecast_backtest` (identical
-    text modulo epoch fn / integer-div). Three closed-form forecasters
+    """DuckDB oracle SQL for `ts_forecast_backtest` (the Spark side is
+    a DataFrame-API build since r10). Three closed-form forecasters
     evaluated at horizon 1 over every rolling origin: naive (last
     value), drift (last + mean step), seasonal-naive (value 7 days
     back). Errors are exact integers off the micro-gridded series."""
@@ -7258,12 +7582,74 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB posture: one data-sized rollup; LAG/FIRST_VALUE run over
     the collapsed daily table; the 3x method fan-out is a unionAll of
     projections, no re-scan (Spark reuses the window stage). Spark
-    executes the identical SQL text.
+    builds the kernel through the DataFrame API (converted from the
+    shared-SQL-text form per VERDICT r9 task 4), double ops mirrored
+    operand-for-operand against the unchanged DuckDB oracle.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("backtest_events")
-    return spark.sql(
-        _backtest_sql("backtest_events", "unix_micros", " div ")
+    d = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+        .alias("t")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))"
+            " AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("y")
+    )
+    rel = d.select(
+        (F.col("t") - F.min("t").over(Window.partitionBy()))
+        .cast("long").alias("t"),
+        "y",
+    )
+    wt = Window.orderBy("t")
+    lag1 = F.lag("y", 1).over(wt)
+    feats = rel.select(
+        "t", "y",
+        lag1.alias("y_1"),
+        F.lag("y", 2).over(wt).alias("y_2"),
+        F.lag("y", 7).over(wt).alias("y_7"),
+        F.floor(
+            (lag1.cast("double") - F.first("y").over(wt))
+            / (F.col("t") - F.lit(1)) + F.lit(0.5)
+        ).cast("long").alias("step"),
+    )
+    fc = feats.filter(
+        F.col("y_7").isNotNull() & (F.col("t") >= 8)
+    ).select(
+        "t", "y",
+        F.col("y_1").alias("f_naive"),
+        (F.col("y_1") + F.col("step")).alias("f_drift"),
+        F.col("y_7").alias("f_seasonal"),
+    )
+
+    def _errs(method: str, f: str) -> DataFrame:
+        e = F.col("y") - F.col(f)
+        return fc.select(
+            F.lit(method).alias("method"),
+            F.abs(e).alias("ae"),
+            (e * e).alias("se"),
+        )
+
+    err = (
+        _errs("drift", "f_drift")
+        .unionAll(_errs("naive", "f_naive"))
+        .unionAll(_errs("seasonal", "f_seasonal"))
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        err.groupBy("method")
+        .agg(
+            cnt.cast("long").alias("n_origins"),
+            F.floor(
+                F.sum("ae").cast("double") / cnt / F.lit(1000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("mae_milli"),
+            F.floor(
+                F.sqrt(F.sum("se").cast("double") / cnt) / F.lit(1000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("rmse_milli"),
+        )
+        .orderBy("method")
     )
 
 
