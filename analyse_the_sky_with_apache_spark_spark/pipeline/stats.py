@@ -3271,19 +3271,42 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first shape: the only data-sized pass is the per-user
     aggregation; the day histogram, risk table and recursive survival
     product all run on collapsed <=31-row tables. The sequential
-    product is an exact INTEGER recurrence on a 1e9 grid executed as
-    ``WITH RECURSIVE`` — Spark 4's and DuckDB's independent fixpoint
-    engines produce bit-identical curves (`sql_recursive_cte`
-    precedent, `ts_kalman_1d`'s recurrence discipline without the
-    float hazard).
+    product is an exact INTEGER recurrence on a 1e9 grid — the oracle
+    runs it as ``WITH RECURSIVE`` while Spark runs the identical
+    integer recurrence in one Arrow-batched kernel (`_km_kernel`); the
+    risk table itself is a DataFrame-API build (converted from the
+    spark.sql template form per VERDICT r9 task 4).
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "km_events"
+    day_us = 86400 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us))
+        .alias("conv_us"),
     )
-    risk = spark.sql(
-        _kaplan_meier_sql(
-            "km_events", "unix_micros", "div", "",
-            "explode(sequence(0, z.mx))",
+    cohort = u.select(
+        F.expr(
+            f"(coalesce(conv_us, last_us) - first_us) div {day_us}"
+        ).alias("dur"),
+        F.when(F.col("conv_us").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    hist = cohort.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("ev").cast("long").alias("dd"),
+    )
+    days = cohort.agg(F.max("dur").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("mx")))
+        .alias("t")
+    )
+    risk = (
+        days.join(hist, hist["dur"] >= days["t"])
+        .groupBy("t")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.when(F.col("dur") == F.col("t"), F.col("dd"))
+                  .otherwise(0)).cast("long").alias("dd"),
         )
     )
     return risk.groupBy(F.lit(1).alias("_g")).applyInPandas(
@@ -5448,8 +5471,10 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a generic OLS over whichever sizes produced at least one full
     chunk (sparse series can starve the large windows; per-point terms
     grid to 1e-9 before the exact sums, the text_heaps_law shape — the
-    fit row is absent below 2 sizes, surfacing NULL). Spark executes the identical SQL text the
-    oracle runs (``_hurst_sql``), so every double matches bit-for-bit.
+    fit row is absent below 2 sizes, surfacing NULL). Spark builds the
+    kernel through the DataFrame API (converted from the shared-SQL
+    form per VERDICT r9 task 4) with the double expressions mirrored
+    operand-for-operand against the unchanged `_hurst_sql` oracle.
 
     100-TB posture: one data-sized rollup; the chunk windows partition
     by (size, chunk) — thousands of independent small windows, no
@@ -5457,12 +5482,125 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges (re-grid coarser for decade-long series).
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("hurst_events")
-    return spark.sql(
-        _hurst_sql(
-            "hurst_events", "unix_micros", " div ",
-            "SELECT explode(array(8, 16, 32, 64)) AS u",
+    h = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+        .alias("t")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT))"
+            " AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("y")
+    )
+    rel = h.select(
+        (F.col("t") - F.min("t").over(Window.partitionBy()))
+        .cast("long").alias("t"),
+        "y",
+    )
+    sizes = (
+        rel.sparkSession.range(1)
+        .select(F.explode(F.array(
+            F.lit(8), F.lit(16), F.lit(32), F.lit(64)
+        )).alias("u"))
+        .select(F.col("u").cast("long").alias("s"))
+    )
+    ch = rel.crossJoin(F.broadcast(sizes)).select(
+        "s",
+        F.expr("t div s").alias("chunk"),
+        (F.col("t") % F.col("s") + F.lit(1)).alias("i"),
+        "y",
+    )
+    wpc = Window.partitionBy("s", "chunk")
+    cs = ch.select(
+        "s", "chunk", "i", "y",
+        F.sum("y").over(
+            wpc.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long").alias("cum"),
+        F.sum("y").over(wpc).cast("long").alias("tot"),
+        F.sum(F.col("y") * F.col("y")).over(wpc).cast("long")
+        .alias("tot2"),
+        F.count(F.lit(1)).over(wpc).cast("long").alias("cnt"),
+    )
+    w = cs.select(
+        "s", "chunk",
+        (F.col("s") * F.col("cum") - F.col("i") * F.col("tot"))
+        .alias("wp"),
+        "tot", "tot2", "cnt",
+    )
+    rs = (
+        w.filter(
+            (F.col("cnt") == F.col("s"))
+            & (
+                F.col("s") * F.col("tot2")
+                - F.col("tot") * F.col("tot") > 0
+            )
         )
+        .groupBy("s", "chunk")
+        .agg(
+            F.floor(
+                (F.max("wp") - F.min("wp")).cast("double")
+                / F.sqrt(
+                    (
+                        F.max("s") * F.max("tot2")
+                        - F.max("tot") * F.max("tot")
+                    ).cast("double")
+                )
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("rs_micro")
+        )
+    )
+    m = rs.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("rs_micro").cast("long").alias("srs"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    z = m.select(
+        "s", "n_chunks",
+        F.floor(
+            F.col("srs").cast("double") / F.col("n_chunks") + F.lit(0.5)
+        ).cast("long").alias("mean_rs_micro"),
+        (F.log(F.col("s").cast("double")) / ln2).alias("x"),
+        (
+            F.log(
+                F.col("srs").cast("double") / F.col("n_chunks")
+                / F.lit(1e6)
+            ) / ln2
+        ).alias("zz"),
+    )
+    g9 = z.select(
+        "s", "n_chunks", "mean_rs_micro",
+        F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")
+        .alias("x9"),
+        F.floor(F.col("zz") * F.lit(1e9) + F.lit(0.5)).cast("long")
+        .alias("z9"),
+        F.floor(F.col("x") * F.col("zz") * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("xz9"),
+        F.floor(F.col("x") * F.col("x") * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("xx9"),
+    )
+    f0 = g9.agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        (F.sum("x9").cast("double") / F.lit(1e9)).alias("sx"),
+        (F.sum("z9").cast("double") / F.lit(1e9)).alias("sz"),
+        (F.sum("xz9").cast("double") / F.lit(1e9)).alias("sxz"),
+        (F.sum("xx9").cast("double") / F.lit(1e9)).alias("sxx"),
+    )
+    fit = f0.filter(F.col("np") >= 2.0).select(
+        (
+            (F.col("np") * F.col("sxz") - F.col("sx") * F.col("sz"))
+            / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("hurst")
+    )
+    return (
+        g9.join(F.broadcast(fit), F.lit(True), "left")
+        .select(
+            "s", "n_chunks", "mean_rs_micro",
+            F.floor(F.col("hurst") * F.lit(1e6) + F.lit(0.5))
+            .cast("long").alias("hurst_micro"),
+            (F.col("hurst") > F.lit(0.65)).alias("persistent"),
+        )
+        .orderBy("s")
     )
 
 
@@ -5992,17 +6130,108 @@ def ts_cointegration_egr(spark: SparkSession, sf_dir: str) -> DataFrame:
     y1 on y2 from five exact long sums; stage 2 runs the Dickey-Fuller
     regression De_t = gamma*e_{t-1} on milli-gridded residuals, so the
     ADF t-statistic assembles from exact longs plus one double ssu
-    term computed by the identical expression tree both engines run
-    (shared SQL text, ``_coint_sql``). -3.34 is the 5% Engle-Granger
-    critical value for 2 variables.
+    term computed by the identical expression tree both engines run.
+    -3.34 is the 5% Engle-Granger critical value for 2 variables.
+    Spark builds the kernel through the DataFrame API (converted from
+    the shared-SQL form per VERDICT r9 task 4) against the unchanged
+    `_coint_sql` oracle.
 
     100-TB posture: one data-sized rollup builds BOTH series (a single
     conditional aggregate — no self-join); the LAG window runs over
     the collapsed hourly table.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("coint_events")
-    return spark.sql(_coint_sql("coint_events", "unix_micros", " div "))
+    grid = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    h = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+        .alias("t")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", grid).otherwise(0))
+        .cast("long").alias("s1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", grid).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("c2"),
+    )
+    pair = h.filter((F.col("c1") > 0) & (F.col("c2") > 0)).select(
+        "t",
+        F.expr("s1 div c1").alias("y1"),
+        F.expr("s2 div c2").alias("y2"),
+    )
+    ols = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y1").cast("long").alias("sy1"),
+        F.sum("y2").cast("long").alias("sy2"),
+        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("sy22"),
+        F.sum(F.col("y2") * F.col("y1")).cast("long").alias("sy21"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (
+        nd * F.col("sy21").cast("double")
+        - F.col("sy2").cast("double") * F.col("sy1").cast("double")
+    ) / (
+        nd * F.col("sy22").cast("double")
+        - F.col("sy2").cast("double") * F.col("sy2").cast("double")
+    )
+    fit = ols.select(
+        "n",
+        beta.alias("beta"),
+        (
+            (F.col("sy1").cast("double") - beta
+             * F.col("sy2").cast("double")) / nd
+        ).alias("alpha"),
+    )
+    resid = pair.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.floor(
+            (
+                F.col("y1").cast("double")
+                - (F.col("alpha") + F.col("beta")
+                   * F.col("y2").cast("double"))
+            ) / F.lit(1000.0) + F.lit(0.5)
+        ).cast("long").alias("e3"),
+    )
+    lagged = resid.select(
+        "e3", F.lag("e3").over(Window.orderBy("t")).alias("ep")
+    )
+    adf = lagged.filter(F.col("ep").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("ep") * (F.col("e3") - F.col("ep"))).cast("long")
+        .alias("sed"),
+        F.sum(F.col("ep") * F.col("ep")).cast("long").alias("see"),
+    )
+    gam = adf.select(
+        "m",
+        (F.col("sed").cast("double") / F.col("see").cast("double"))
+        .alias("gamma"),
+        "see",
+    )
+    r = (
+        F.col("e3").cast("double") - F.col("ep").cast("double")
+        - F.col("gamma") * F.col("ep").cast("double")
+    )
+    sig = (
+        lagged.filter(F.col("ep").isNotNull())
+        .crossJoin(F.broadcast(gam))
+        .groupBy("m", "gamma", "see")
+        .agg(F.sum(r * r).cast("double").alias("ssu"))
+    )
+    adf_t = F.col("gamma") / F.sqrt(
+        F.col("ssu") / (F.col("m") - F.lit(2.0))
+        / F.col("see").cast("double")
+    )
+    return sig.crossJoin(F.broadcast(fit.select("beta"))).select(
+        F.col("m").alias("n_obs"),
+        F.floor(F.col("beta") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("beta_micro"),
+        F.floor(F.col("gamma") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("gamma_micro"),
+        F.floor(adf_t * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("adf_t_micro"),
+        (adf_t < F.lit(-3.34)).alias("cointegrated"),
+    )
 
 
 #: privacy_microaggregation: records per group (the k of k-anonymity
@@ -6487,11 +6716,106 @@ def ts_additive_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios. dow = epoch-day mod 7 (engine-neutral, no locale).
 
     100-TB posture: one data-sized rollup; the dow rollup and SSEs run
-    over the collapsed per-day table.
+    over the collapsed per-day table. Spark builds the kernel through
+    the DataFrame API (converted from the shared-SQL form per VERDICT
+    r9 task 4) against the unchanged `_addfit_sql` oracle.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("addfit_events")
-    return spark.sql(_addfit_sql("addfit_events", "unix_micros", " div "))
+    d = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+        .alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))"
+            " AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("y")
+    )
+    rel = d.select(
+        (F.col("day") - F.min("day").over(Window.partitionBy()))
+        .cast("long").alias("t"),
+        (F.col("day") % 7).alias("dow"),
+        "y",
+    )
+    ols = rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double")
+    )
+    fit = ols.select(
+        "n",
+        b.alias("b"),
+        (
+            (F.col("sy").cast("double") - b * F.col("st").cast("double"))
+            / nd
+        ).alias("a"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+    )
+    resid = rel.crossJoin(F.broadcast(fit)).select(
+        "t", "dow", "y",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (F.col("a") + F.col("b") * F.col("t").cast("double"))
+            ) / F.lit(1000.0) + F.lit(0.5)
+        ).cast("long").alias("r3"),
+    )
+    dow_eff = resid.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.expr(
+            "CAST(SUM(r3) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("eff3"),
+    )
+    finals = resid.join(dow_eff, "dow").select(
+        "r3", (F.col("r3") - F.col("eff3")).alias("f3")
+    )
+    sse = finals.agg(
+        F.sum(F.col("r3") * F.col("r3")).cast("long").alias("sse_trend"),
+        F.sum(F.col("f3") * F.col("f3")).cast("long").alias("sse_full"),
+    )
+    dm = F.floor(
+        (F.col("y").cast("double") - F.col("ybar")) / F.lit(1000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    tot = rel.crossJoin(F.broadcast(fit)).agg(
+        F.sum(dm * dm).cast("long").alias("sse_mean")
+    )
+    return (
+        dow_eff
+        .crossJoin(F.broadcast(sse))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(fit.select("b")))
+        .select(
+            "dow", "nd",
+            F.col("eff3").cast("long").alias("dow_effect_milli"),
+            F.floor(F.col("b") * F.lit(1000.0) + F.lit(0.5))
+            .cast("long").alias("slope_milli"),
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("sse_full").cast("double")
+                    / F.col("sse_mean")
+                ) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("r2_full_micro"),
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.col("sse_trend").cast("double")
+                    / F.col("sse_mean")
+                ) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("r2_trend_micro"),
+        )
+        .orderBy("dow")
+    )
 
 
 @register(
@@ -7082,33 +7406,143 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB posture: one data-sized conditional aggregate; the lf table
     is |n| collapsed rows (Stirling swap documented at stat_fisher_
     exact); the grid is 9999 rows. Spark materializes counts/lf/grid
-    once via localCheckpoint (the fisher CTE-inlining lesson).
+    once via localCheckpoint (the fisher CTE-inlining lesson) and
+    builds the whole kernel through the DataFrame API (converted from
+    the four-temp-view spark.sql form per VERDICT r9 task 4).
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("bayes_events")
-    counts = spark.sql(
-        _bayes_counts_sql("bayes_events")
+    early = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    purch = F.col("event_type") == "purchase"
+    counts = ev.agg(
+        F.sum(F.when(early, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(early & purch, 1).otherwise(0)).cast("long")
+        .alias("x1"),
+        F.sum(F.when(~early, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~early & purch, 1).otherwise(0)).cast("long")
+        .alias("x2"),
     ).localCheckpoint(eager=True)
-    counts.createOrReplaceTempView("bayes_counts")
-    lf = spark.sql(
-        _bayes_lf_sql(
-            "bayes_counts",
-            "SELECT explode(sequence(0, (SELECT CAST(n1 + n2 + 2 AS INT) "
-            "FROM {src}))) AS i",
+    ints = counts.select(
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.col("n1") + F.col("n2") + 2).cast("int")
+            )
+        ).alias("i0")
+    ).select(F.col("i0").cast("long").alias("i"))
+    lf = ints.select(
+        "i",
+        F.expr(
+            "CAST(SUM(CASE WHEN i = 0 THEN 0"
+            " ELSE CAST(FLOOR(ln(CAST(i AS DOUBLE))"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+            " END) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)"
+            " AS BIGINT)"
+        ).alias("lf9"),
+    ).localCheckpoint(eager=True)
+    grid = (
+        counts.sparkSession.range(1, 10000)
+        .select(F.col("id").cast("long").alias("g"))
+        .select(
+            "g",
+            F.floor(
+                F.log(F.col("g").cast("double") / F.lit(10000.0))
+                * F.lit(1e9) + F.lit(0.5)
+            ).cast("long").alias("lnp9"),
+            F.floor(
+                F.log(
+                    F.lit(1.0) - F.col("g").cast("double") / F.lit(10000.0)
+                ) * F.lit(1e9) + F.lit(0.5)
+            ).cast("long").alias("lnq9"),
         )
-    ).localCheckpoint(eager=True)
-    lf.createOrReplaceTempView("bayes_lf")
-    grid = spark.sql(
-        "SELECT CAST(g AS BIGINT) AS g,"
-        " CAST(FLOOR(ln(CAST(g AS DOUBLE) / 10000.0)"
-        "            * 1000000000.0 + 0.5) AS BIGINT) AS lnp9,"
-        " CAST(FLOOR(ln(1.0 - CAST(g AS DOUBLE) / 10000.0)"
-        "            * 1000000000.0 + 0.5) AS BIGINT) AS lnq9"
-        " FROM (SELECT explode(sequence(1, 9999)) AS g)"
-    ).localCheckpoint(eager=True)
-    grid.createOrReplaceTempView("bayes_grid")
-    return spark.sql(
-        _bayes_main_sql("bayes_counts", "bayes_lf", "bayes_grid")
+        .localCheckpoint(eager=True)
+    )
+
+    def lfj(tag: str) -> DataFrame:
+        return lf.select(
+            F.col("i").alias(f"{tag}_i"), F.col("lf9").alias(f"{tag}_lf9")
+        )
+
+    norm = (
+        counts
+        .join(lfj("l1"), F.col("l1_i") == F.col("n1") + 1)
+        .join(lfj("l2"), F.col("l2_i") == F.col("x1"))
+        .join(lfj("l3"), F.col("l3_i") == F.col("n1") - F.col("x1"))
+        .join(lfj("m1"), F.col("m1_i") == F.col("n2") + 1)
+        .join(lfj("m2"), F.col("m2_i") == F.col("x2"))
+        .join(lfj("m3"), F.col("m3_i") == F.col("n2") - F.col("x2"))
+        .select(
+            "n1", "x1", "n2", "x2",
+            (F.col("l1_lf9") - F.col("l2_lf9") - F.col("l3_lf9"))
+            .alias("lb1"),
+            (F.col("m1_lf9") - F.col("m2_lf9") - F.col("m3_lf9"))
+            .alias("lb2"),
+        )
+    )
+    pdf = grid.crossJoin(F.broadcast(norm)).select(
+        "g", "n1", "x1", "n2", "x2",
+        F.floor(
+            F.exp(
+                (
+                    F.col("lb1").cast("double")
+                    + F.col("x1") * F.col("lnp9").cast("long")
+                    + (F.col("n1") - F.col("x1"))
+                    * F.col("lnq9").cast("long")
+                ) / F.lit(1e9)
+            ) * F.lit(1e12) + F.lit(0.5)
+        ).cast("long").alias("f1_pico"),
+        F.floor(
+            F.exp(
+                (
+                    F.col("lb2").cast("double")
+                    + F.col("x2") * F.col("lnp9").cast("long")
+                    + (F.col("n2") - F.col("x2"))
+                    * F.col("lnq9").cast("long")
+                ) / F.lit(1e9)
+            ) * F.lit(1e12) + F.lit(0.5)
+        ).cast("long").alias("f2_pico"),
+    )
+    cdf = pdf.select(
+        "g", "n1", "x1", "n2", "x2", "f1_pico",
+        (
+            F.coalesce(
+                F.sum("f2_pico").over(
+                    Window.orderBy("g").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ) + F.col("f2_pico")
+        ).cast("long").alias("cdf2_hi"),
+        "f2_pico",
+    )
+    terms = cdf.select(
+        "g", "n1", "x1", "n2", "x2",
+        F.floor(
+            (F.col("f1_pico").cast("double") / F.lit(1e12))
+            * (
+                (
+                    F.col("cdf2_hi").cast("double")
+                    - F.lit(0.5) * F.col("f2_pico").cast("double")
+                ) / F.lit(1e12) / F.lit(10000.0)
+            )
+            / F.lit(10000.0) * F.lit(1e12) + F.lit(0.5)
+        ).cast("long").alias("t_pico"),
+    )
+    return terms.agg(
+        F.max("n1").alias("n1"), F.max("x1").alias("x1"),
+        F.max("n2").alias("n2"), F.max("x2").alias("x2"),
+        F.floor(
+            (F.max("x1").cast("double") + F.lit(1.0))
+            / (F.max("n1") + F.lit(2.0)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("p1_mean_micro"),
+        F.floor(
+            (F.max("x2").cast("double") + F.lit(1.0))
+            / (F.max("n2") + F.lit(2.0)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("p2_mean_micro"),
+        F.floor(
+            F.sum("t_pico").cast("double") / F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("prob_p1_gt_p2_micro"),
+        (F.sum("t_pico").cast("double") / F.lit(1e12) > F.lit(0.95))
+        .alias("decisive"),
     )
 
 
