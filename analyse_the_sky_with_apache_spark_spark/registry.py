@@ -257,6 +257,8 @@ _ROTATION_R12 = (
     "privacy_dp_topk", "ts_spectral_entropy", "graph_effective_diameter",
     "stream_update_mode_emissions", "stat_jarque_bera", "ts_burstiness",
     "ml_chi2_feature_select",
+    # round-10 additions
+    "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

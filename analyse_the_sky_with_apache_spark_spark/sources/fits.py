@@ -329,13 +329,18 @@ def scan_fits_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def write_fits_image(path: str, pixels: np.ndarray) -> None:
+def write_fits_image(
+    path: str, pixels: np.ndarray, cards: dict[str, int] | None = None
+) -> None:
     """Author a single-HDU FITS image: 2-D float32 pixels in the
-    PRIMARY HDU (BITPIX=-32, big-endian), the survey-tile shape."""
+    PRIMARY HDU (BITPIX=-32, big-endian), the survey-tile shape.
+    ``cards`` appends extra integer header cards (e.g. the micro-scaled
+    WCS keywords `sky_wcs_xmatch` stages)."""
     ny, nx = pixels.shape
+    extra = b"".join(_card(k, v) for k, v in (cards or {}).items())
     header = _pad(
         _card("SIMPLE", True) + _card("BITPIX", -32) + _card("NAXIS", 2)
-        + _card("NAXIS1", nx) + _card("NAXIS2", ny) + _card("END")
+        + _card("NAXIS1", nx) + _card("NAXIS2", ny) + extra + _card("END")
     )
     _atomic_write(path, header + _pad(pixels.astype(">f4").tobytes()))
 
@@ -366,6 +371,47 @@ def parse_fits_images(buf: bytes) -> Iterator[tuple[dict, np.ndarray]]:
 #: of tile f holds ((f*1000003 + j*NX + i) * 7919 % 3600) / 100.0,
 #: exactly representable to recover the centi-integer from float32.
 _IMG_NX, _IMG_NY, _IMG_TILES = 40, 30, 5
+
+
+def _linear_pixels(f: int, idx: np.ndarray) -> np.ndarray:
+    """The scan_fits_image / sky_coadd_tiles pixel formula."""
+    return (f * 1_000_003 + idx) * 7919 % 3600
+
+
+def _quadratic_pixels(f: int, idx: np.ndarray) -> np.ndarray:
+    """The sky_wcs_xmatch pixel formula. The linear formula cannot be
+    used there: its cross-tile value offset at a shared sky position is
+    CONSTANT mod 3600 (the diff (1000003-20)*7919 never varies), so two
+    overlapping tiles are never both above threshold and the
+    cross-match would be vacuously empty. Squaring makes the offset
+    position-dependent ((b+d)^2 - b^2 = d*(2b+d) varies with b), i.e.
+    the two "epochs" decorrelate; b^2 <= ~2.5e13 fits int64 exactly."""
+    b = f * 1_000_003 + idx
+    return (b * b + 17) % 3600
+
+
+def _stage_sky_tiles(
+    dirname: str,
+    cards_fn=None,
+    pixel_fn=_linear_pixels,
+) -> str:
+    """Stage the five synthetic sky tiles under a scratch dir (atomic
+    writes — see `_atomic_write`). ``cards_fn(f) -> dict`` appends
+    per-tile integer header cards (the WCS staging); ``pixel_fn(f,
+    idx)`` supplies the centi-grid pixel values."""
+    base = os.path.join(_SCRATCH, dirname)
+    os.makedirs(base, exist_ok=True)
+    for f in range(_IMG_TILES):
+        path = os.path.join(base, f"tile_{f}.fits")
+        if not os.path.exists(path):
+            idx = np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
+            k = pixel_fn(f, idx)
+            write_fits_image(
+                path,
+                (k / 100.0).astype(np.float32).reshape(_IMG_NY, _IMG_NX),
+                cards=cards_fn(f) if cards_fn else None,
+            )
+    return base
 
 
 @register(
@@ -401,17 +447,7 @@ def scan_fits_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     one stats row per tile reaches the engine — a million-tile survey
     shuffles a million rows, not pixels.
     """
-    base = os.path.join(_SCRATCH, "sky_tiles_fits")
-    os.makedirs(base, exist_ok=True)
-    for f in range(_IMG_TILES):
-        path = os.path.join(base, f"tile_{f}.fits")
-        if not os.path.exists(path):
-            idx = np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
-            k = (f * 1_000_003 + idx) * 7919 % 3600
-            write_fits_image(
-                path,
-                (k / 100.0).astype(np.float32).reshape(_IMG_NY, _IMG_NX),
-            )
+    base = _stage_sky_tiles("sky_tiles_fits")
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -493,17 +529,7 @@ def sky_coadd_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     coadds with shuffle volume = pixels written once, and the per-gx
     rollup keeps the demo output bounded.
     """
-    base = os.path.join(_SCRATCH, "sky_tiles_fits")
-    os.makedirs(base, exist_ok=True)
-    for f in range(_IMG_TILES):
-        path = os.path.join(base, f"tile_{f}.fits")
-        if not os.path.exists(path):
-            idx = np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
-            k = (f * 1_000_003 + idx) * 7919 % 3600
-            write_fits_image(
-                path,
-                (k / 100.0).astype(np.float32).reshape(_IMG_NY, _IMG_NX),
-            )
+    base = _stage_sky_tiles("sky_tiles_fits")
 
     def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -545,4 +571,316 @@ def sky_coadd_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_centi"),
         )
         .orderBy("gx")
+    )
+
+
+#: sky_source_extract / sky_wcs_xmatch: detection threshold on the
+#: centi-grid (k >= 3240 keeps the top 10% of pixels — "3-sigma over
+#: background" for the synthetic flat field).
+_SRC_THRESH = 3240
+
+#: source extraction: min-label rounds upper bound (= max blob
+#: diameter; the exact convergence probe breaks far earlier on the
+#: scattered 10%-density field).
+_SRC_MAX_ROUNDS = 20
+
+
+@register(
+    "sky_source_extract",
+    oracle=f"""
+WITH RECURSIVE px AS (
+  SELECT f.f, t.i % {_IMG_NX} AS x, t.i // {_IMG_NX} AS y,
+         ((f.f * 1000003 + t.i) * 7919) % 3600 AS k,
+         f.f * 10000 + t.i AS pid
+  FROM range(0, {_IMG_TILES}) f(f)
+  CROSS JOIN range(0, {_IMG_NX * _IMG_NY}) t(i)
+  WHERE ((f.f * 1000003 + t.i) * 7919) % 3600 >= {_SRC_THRESH}
+),
+edges AS (
+  SELECT a.pid AS u, b.pid AS v
+  FROM px a JOIN px b ON a.f = b.f AND a.pid <> b.pid
+   AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+),
+reach(pid, r) AS (
+  SELECT pid, pid FROM px
+  UNION
+  SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.pid
+),
+lbl AS (SELECT pid, MIN(r) AS lbl FROM reach GROUP BY pid)
+SELECT lbl AS source_id,
+       CAST(MIN(f) AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_pix,
+       CAST(SUM(k) AS BIGINT) AS flux_centi,
+       CAST(MIN(x) AS BIGINT) AS x_min,
+       CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min,
+       CAST(MAX(y) AS BIGINT) AS y_max,
+       CAST((SUM(x) * 100) // COUNT(*) AS BIGINT) AS cx_centi,
+       CAST((SUM(y) * 100) // COUNT(*) AS BIGINT) AS cy_centi
+FROM px JOIN lbl USING (pid)
+GROUP BY lbl ORDER BY source_id
+""",
+)
+def sky_source_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source extraction from FITS image tiles — the classic
+    catalog-from-image step (SExtractor's core loop) as relational
+    algebra: threshold the decoded pixels (detection cut k >=
+    _SRC_THRESH on the exact centi-grid), label 8-connected components
+    per tile, and emit one catalog row per source (pixel count, summed
+    flux, bounding box, centi-gridded centroid, keyed by the
+    component's minimum pixel id — deterministic, engine-neutral).
+
+    Connectivity is built WITHOUT a band join: each bright pixel
+    explodes its 8 neighbor coordinates and equi-joins back on the
+    exact (tile, x, y) key — the binned-xmatch discipline where the
+    bin IS the coordinate. Component labels spread by min-label
+    propagation with an exact exceptAll convergence probe (rounds
+    bounded by blob diameter — scattered detections converge in a few
+    rounds; a survey-scale field with giant segments would swap in the
+    `graph_components_twostar` O(log² n) kernel, same edge input).
+    The DuckDB oracle re-derives the same catalog from pure range()
+    arithmetic with a recursive-CTE reachability closure, so the
+    write -> list -> decode -> threshold -> CC -> catalog path is
+    hash-checked end to end.
+
+    100-TB posture: thresholding happens INSIDE the Arrow decode
+    kernel (only detections leave the worker — ~10% here, <<1% on a
+    real sky); the adjacency join and per-component aggregate key on
+    (tile, x, y)/pid, so a million-tile survey shuffles detections,
+    never pixels; labels stay tile-local (components cannot span
+    tiles; cross-tile merging is `sky_coadd_tiles`' job first).
+    """
+    base = _stage_sky_tiles("sky_tiles_fits")
+
+    def bright(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                f = int(path.rsplit("tile_", 1)[-1].split(".")[0])
+                for _cards, px in parse_fits_images(bytes(buf)):
+                    ny, nx = px.shape
+                    centi = np.floor(
+                        px.astype(np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+                    flat = centi.reshape(-1)
+                    idx = np.nonzero(flat >= _SRC_THRESH)[0]
+                    yield pd.DataFrame(
+                        {
+                            "f": np.full(idx.size, f, dtype=np.int64),
+                            "x": idx % nx,
+                            "y": idx // nx,
+                            "k": flat[idx],
+                            "pid": f * 10000 + idx,
+                        }
+                    )
+
+    px = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/*.fits")
+        .select("path", "content")
+        .mapInPandas(bright, "f LONG, x LONG, y LONG, k LONG, pid LONG")
+        .localCheckpoint(eager=True)
+    )
+    offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+               (0, 1), (1, -1), (1, 0), (1, 1)]
+    nb = px.select(
+        "f",
+        F.col("pid").alias("u"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("x") + F.lit(dx)).alias("nx"),
+                    (F.col("y") + F.lit(dy)).alias("ny"),
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("n"),
+    ).select("f", "u", F.col("n.nx").alias("nx"), F.col("n.ny").alias("ny"))
+    edges = nb.join(
+        px.select(
+            "f", F.col("x").alias("nx"), F.col("y").alias("ny"),
+            F.col("pid").alias("v"),
+        ),
+        ["f", "nx", "ny"],
+    ).select("u", "v").localCheckpoint(eager=True)
+
+    labels = px.select("pid", F.col("pid").alias("lbl"))
+    for _ in range(_SRC_MAX_ROUNDS):
+        nl = (
+            edges.join(
+                labels.select(
+                    F.col("pid").alias("v"), F.col("lbl").alias("vl")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nmin"))
+        )
+        new = (
+            labels.join(nl, labels.pid == nl.u, "left")
+            .select(
+                "pid",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.exceptAll(labels).limit(1).count()
+        labels = new
+        if changed == 0:
+            break
+
+    return (
+        px.join(labels, "pid")
+        .groupBy(F.col("lbl").alias("source_id"))
+        .agg(
+            F.min("f").cast("long").alias("tile"),
+            F.count(F.lit(1)).cast("long").alias("n_pix"),
+            F.sum("k").cast("long").alias("flux_centi"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+            F.expr("CAST((SUM(x) * 100) div COUNT(*) AS BIGINT)")
+            .alias("cx_centi"),
+            F.expr("CAST((SUM(y) * 100) div COUNT(*) AS BIGINT)")
+            .alias("cy_centi"),
+        )
+        .orderBy("source_id")
+    )
+
+
+#: sky_wcs_xmatch: micro-degree WCS constants — tile f's reference
+#: value advances by stride*CD so overlapping tiles agree EXACTLY on
+#: every shared pixel's sky position (integer micro-deg, no float WCS).
+_WCS_CD_MICRO = 100          # micro-degrees per pixel
+_WCS_RA0_MICRO = 100_000_000   # RA of global pixel x=0
+_WCS_DEC0_MICRO = 45_000_000   # Dec of global pixel y=0
+
+
+def _wcs_cards(f: int) -> dict[str, int]:
+    """Integer micro-scaled WCS cards for tile f (CRPIXn are standard
+    1-based reference pixels; *M keywords carry micro-deg integers —
+    the float-free WCS this synthetic survey uses)."""
+    return {
+        "CRPIX1": 1,
+        "CRPIX2": 1,
+        "CRVAL1M": _WCS_RA0_MICRO + f * _COADD_STRIDE * _WCS_CD_MICRO,
+        "CRVAL2M": _WCS_DEC0_MICRO,
+        "CD1M": _WCS_CD_MICRO,
+        "CD2M": _WCS_CD_MICRO,
+    }
+
+
+#: sky_wcs_xmatch detection cut (top ~20% of the quadratic field —
+#: keeps ~70 both-bright matches across the four overlapping pairs).
+_WCS_THRESH = 2880
+
+
+@register(
+    "sky_wcs_xmatch",
+    oracle=f"""
+WITH sky AS (
+  SELECT f.f,
+         {_WCS_RA0_MICRO} + (f.f * {_COADD_STRIDE} + t.i % {_IMG_NX})
+           * {_WCS_CD_MICRO} AS ra_micro,
+         {_WCS_DEC0_MICRO} + (t.i // {_IMG_NX}) * {_WCS_CD_MICRO}
+           AS dec_micro,
+         ((f.f * 1000003 + t.i) * (f.f * 1000003 + t.i) + 17) % 3600 AS k
+  FROM range(0, {_IMG_TILES}) f(f)
+  CROSS JOIN range(0, {_IMG_NX * _IMG_NY}) t(i)
+  WHERE ((f.f * 1000003 + t.i) * (f.f * 1000003 + t.i) + 17) % 3600
+          >= {_WCS_THRESH}
+)
+SELECT a.f AS tile_a, b.f AS tile_b,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(a.k) AS BIGINT) AS flux_a_centi,
+       CAST(SUM(b.k) AS BIGINT) AS flux_b_centi,
+       CAST(SUM(ABS(a.k - b.k)) AS BIGINT) AS flux_absdiff_centi
+FROM sky a JOIN sky b
+  ON a.ra_micro = b.ra_micro AND a.dec_micro = b.dec_micro AND a.f < b.f
+GROUP BY a.f, b.f ORDER BY tile_a, tile_b
+""",
+)
+def sky_wcs_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCS pixel->sky transform + inter-tile cross-match — the step
+    between `sky_source_extract` (detections in PIXEL space) and the
+    `xmatch_*` family (science in SKY space): each tile's header
+    carries a linear WCS (reference pixel CRPIXn + micro-degree
+    CRVAL/CD cards staged by `_wcs_cards`), the decode kernel maps
+    every detection to sky coordinates using ITS OWN tile's header,
+    and detections from different tiles are cross-matched by exact
+    sky position. Because tile reference values advance by stride*CD,
+    the 50%-overlapping neighbors must agree exactly on every shared
+    pixel's position — a header off by one card, a CRPIX convention
+    slip, or a transform applied tile-locally instead of through the
+    header breaks the match counts and fails the hash. Matched fluxes
+    DIFFER by construction (each tile "observes" its own value), so
+    the per-pair |flux| deltas are the two-epoch comparison a
+    variability pipeline runs after the positional match.
+
+    100-TB posture: the WCS transform is per-row arithmetic inside
+    the Arrow decode kernel (zero extra shuffles); the cross-match is
+    an equi-join on exact integer sky keys — the binned `xmatch_sphere`
+    discipline with the bin equal to the coordinate (a float-WCS
+    survey bins to sky cells first, then runs the same join).
+    """
+    base = _stage_sky_tiles(
+        "sky_tiles_wcs_fits", cards_fn=_wcs_cards,
+        pixel_fn=_quadratic_pixels,
+    )
+
+    def sky(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                f = int(path.rsplit("tile_", 1)[-1].split(".")[0])
+                for cards, px in parse_fits_images(bytes(buf)):
+                    ny, nx = px.shape
+                    crpix1, crpix2 = int(cards["CRPIX1"]), int(cards["CRPIX2"])
+                    crval1m, crval2m = (
+                        int(cards["CRVAL1M"]), int(cards["CRVAL2M"]),
+                    )
+                    cd1m, cd2m = int(cards["CD1M"]), int(cards["CD2M"])
+                    centi = np.floor(
+                        px.astype(np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+                    flat = centi.reshape(-1)
+                    idx = np.nonzero(flat >= _WCS_THRESH)[0]
+                    x, y = idx % nx, idx // nx
+                    yield pd.DataFrame(
+                        {
+                            "f": np.full(idx.size, f, dtype=np.int64),
+                            "ra_micro": crval1m + (x + 1 - crpix1) * cd1m,
+                            "dec_micro": crval2m + (y + 1 - crpix2) * cd2m,
+                            "k": flat[idx],
+                        }
+                    )
+
+    det = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/*.fits")
+        .select("path", "content")
+        .mapInPandas(sky, "f LONG, ra_micro LONG, dec_micro LONG, k LONG")
+        .localCheckpoint(eager=True)
+    )
+    a = det.select(
+        F.col("f").alias("tile_a"), "ra_micro", "dec_micro",
+        F.col("k").alias("ka"),
+    )
+    b = det.select(
+        F.col("f").alias("tile_b"), "ra_micro", "dec_micro",
+        F.col("k").alias("kb"),
+    )
+    return (
+        a.join(b, ["ra_micro", "dec_micro"])
+        .filter(F.col("tile_a") < F.col("tile_b"))
+        .groupBy("tile_a", "tile_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("ka").cast("long").alias("flux_a_centi"),
+            F.sum("kb").cast("long").alias("flux_b_centi"),
+            F.sum(F.abs(F.col("ka") - F.col("kb"))).cast("long")
+            .alias("flux_absdiff_centi"),
+        )
+        .orderBy("tile_a", "tile_b")
     )

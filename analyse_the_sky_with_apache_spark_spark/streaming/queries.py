@@ -1265,3 +1265,144 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id BIGINT, day DATE, event_type STRING, n BIGINT, "
         "sum_value DOUBLE",
     ).orderBy("batch_id", "day", "event_type")
+
+
+#: stream_cms_sink_merge: probe stride over user ids.
+_SCMS_PROBE_MOD = 50
+
+
+@register(
+    "stream_cms_sink_merge",
+    oracle=f"""
+WITH matrix AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '-' ||
+                                  CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 256 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, LATERAL unnest(generate_series(0, 3)) t(j)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT user_id AS k FROM events
+  WHERE user_id % {_SCMS_PROBE_MOD} = 1
+),
+probe_cells AS (
+  SELECT k, j,
+         CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '-' ||
+                                  CAST(j AS VARCHAR)), 1, 6)) AS BIGINT)
+           % 256 AS cell
+  FROM probes, LATERAL unnest(generate_series(0, 3)) t(j)
+),
+est AS (
+  SELECT pc.k, CAST(MIN(m.cnt) AS BIGINT) AS cms_estimate
+  FROM probe_cells pc JOIN matrix m USING (j, cell)
+  GROUP BY pc.k
+),
+ex AS (
+  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events WHERE user_id % {_SCMS_PROBE_MOD} = 1
+  GROUP BY user_id
+)
+SELECT ex.k AS probe_key, ex.exact_cnt, est.cms_estimate,
+       est.cms_estimate - ex.exact_cnt AS overcount
+FROM ex JOIN est ON ex.k = est.k
+ORDER BY probe_key
+""",
+)
+def stream_cms_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch sink-merge — the per-batch variant of the
+    persisted-sketch trilogy (`agg_countmin_merge` wrote one partial
+    per PARTITION; this writes one per MICRO-BATCH via foreachBatch,
+    the nightly-streaming-job shape): events replay as 4 time-ordered
+    micro-batches, each batch reduces to its own d x w count-min
+    partial matrix inside the foreachBatch sink and APPENDS it to a
+    parquet sink tagged with the batch id; after the stream drains, a
+    separate reader merges all partials by cell-wise addition and
+    point-estimates every ~2%-stride user's event count off the merged
+    matrix.
+
+    Because micro-batches partition the event stream exactly and the
+    salted-md5 cell hash (`operators.warehouse._cm_cell`) is engine-
+    reproducible, the merged matrix must equal DuckDB's single-pass
+    rebuild over the whole table — the verification is EXACT per probe
+    key (estimate, exact count and overcount all hash-checked). A lost
+    batch, a double-fired sink, or a wrong merge changes some cell and
+    fails the gate; tests additionally pin that >= 2 distinct batch
+    partials landed in the sink.
+
+    100-TB posture: each micro-batch ships only its <= d*w counter
+    rows to the sink (sketch-sized, not data-sized); merge cost is
+    independent of stream length; any reader rolls up any batch range
+    (backfill, day, epoch) without replaying events — the reason CMS
+    is the streaming-frequency workhorse.
+    """
+    import uuid as _uuid
+
+    from ..catalog import load_table
+    from ..operators.warehouse import _CM_D, _cm_cell
+    from ..sources.scans import _SCRATCH
+
+    src = stage_events(spark, sf_dir, n_files=4)
+    path = os.path.join(_SCRATCH, f"stream_cms_sink_{_uuid.uuid4().hex[:8]}")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        partial = (
+            df.select(
+                F.posexplode(
+                    F.array(*[
+                        _cm_cell(F.col("user_id"), j) for j in range(_CM_D)
+                    ])
+                ).alias("j", "cell")
+            )
+            .groupBy(F.col("j").cast("long").alias("j"), "cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        )
+        partial.write.mode("append").parquet(path)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir("cms_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("j", "cell")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    probes = (
+        ev.where(F.col("user_id") % _SCMS_PROBE_MOD == 1)
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    probe_cells = probes.select(
+        "k",
+        F.posexplode(
+            F.array(*[_cm_cell(F.col("k"), j) for j in range(_CM_D)])
+        ).alias("j", "cell"),
+    ).select("k", F.col("j").cast("long").alias("j"), "cell")
+    est = (
+        probe_cells.join(merged, ["j", "cell"])
+        .groupBy("k")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    exact = (
+        ev.where(F.col("user_id") % _SCMS_PROBE_MOD == 1)
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    return (
+        exact.join(est, "k")
+        .select(
+            F.col("k").alias("probe_key"),
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("probe_key")
+    )

@@ -1,0 +1,156 @@
+"""Round-10 kernels: independent cross-checks BEYOND the oracle gate.
+
+The DuckDB oracle proves Spark and DuckDB agree; these tests rebuild
+each result with a third, pure-python implementation (BFS flood-fill
+for the source extraction, direct position arithmetic for the WCS
+match, white-box sink inspection for the streaming sketch merge) so an
+algebra-level mistake both engines repeat still fails.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from analyse_the_sky_with_apache_spark_spark.registry import (
+    QUERIES,
+    load_all_modules,
+)
+from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+    _IMG_NX,
+    _IMG_NY,
+    _IMG_TILES,
+    _COADD_STRIDE,
+    _SRC_THRESH,
+    _WCS_THRESH,
+    _linear_pixels,
+    _quadratic_pixels,
+)
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def _flood_fill_catalog():
+    """Pure-python 8-connected component catalog over the rebuilt
+    tiles — BFS, no label propagation, no SQL."""
+    out = []
+    for f in range(_IMG_TILES):
+        k = _linear_pixels(f, np.arange(_IMG_NX * _IMG_NY, dtype=np.int64))
+        bright = {
+            (int(i % _IMG_NX), int(i // _IMG_NX)): int(k[i])
+            for i in np.nonzero(k >= _SRC_THRESH)[0]
+        }
+        seen = set()
+        for start in sorted(bright):
+            if start in seen:
+                continue
+            comp, queue = [], [start]
+            seen.add(start)
+            while queue:
+                x, y = queue.pop()
+                comp.append((x, y))
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        nxy = (x + dx, y + dy)
+                        if nxy in bright and nxy not in seen:
+                            seen.add(nxy)
+                            queue.append(nxy)
+            pid = min(f * 10000 + y * _IMG_NX + x for x, y in comp)
+            xs = [x for x, _ in comp]
+            ys = [y for _, y in comp]
+            out.append({
+                "source_id": pid,
+                "tile": f,
+                "n_pix": len(comp),
+                "flux_centi": sum(bright[c] for c in comp),
+                "x_min": min(xs), "x_max": max(xs),
+                "y_min": min(ys), "y_max": max(ys),
+                "cx_centi": (sum(xs) * 100) // len(comp),
+                "cy_centi": (sum(ys) * 100) // len(comp),
+            })
+    return sorted(out, key=lambda r: r["source_id"])
+
+
+def test_source_extract_vs_flood_fill(spark):
+    rows = QUERIES["sky_source_extract"](spark, SF_DIR).collect()
+    ref = _flood_fill_catalog()
+    assert len(rows) == len(ref) > 0
+    for got, want in zip(rows, ref):
+        for c in want:
+            assert got[c] == want[c], (c, got, want)
+    # multi-pixel blobs must exist, else the CC step is untested
+    assert any(r["n_pix"] >= 2 for r in ref)
+
+
+def test_wcs_xmatch_vs_direct_arithmetic(spark):
+    """Rebuild the cross-match from pure position arithmetic: tile f's
+    bright pixel (x, y) sits at global (f*stride + x, y); two tiles
+    match where both are above threshold at the same global cell."""
+    tiles = {
+        f: _quadratic_pixels(
+            f, np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
+        ).reshape(_IMG_NY, _IMG_NX)
+        for f in range(_IMG_TILES)
+    }
+    want = {}
+    for fa in range(_IMG_TILES):
+        for fb in range(fa + 1, _IMG_TILES):
+            shift = (fb - fa) * _COADD_STRIDE
+            n = sa = sb = sd = 0
+            for y in range(_IMG_NY):
+                for xa in range(shift, _IMG_NX):
+                    ka = int(tiles[fa][y][xa])
+                    kb = int(tiles[fb][y][xa - shift])
+                    if ka >= _WCS_THRESH and kb >= _WCS_THRESH:
+                        n += 1
+                        sa += ka
+                        sb += kb
+                        sd += abs(ka - kb)
+            if n:
+                want[(fa, fb)] = (n, sa, sb, sd)
+    rows = QUERIES["sky_wcs_xmatch"](spark, SF_DIR).collect()
+    got = {
+        (r["tile_a"], r["tile_b"]): (
+            r["n_matched"], r["flux_a_centi"], r["flux_b_centi"],
+            r["flux_absdiff_centi"],
+        )
+        for r in rows
+    }
+    assert got == want
+    assert len(want) > 0 and sum(v[0] for v in want.values()) > 0
+    # adjacent pairs overlap; the overlap invariant must produce
+    # at least one match for every adjacent pair at this threshold
+    assert all((f, f + 1) in want for f in range(_IMG_TILES - 1))
+
+
+def test_cms_sink_merge_receives_multiple_batch_partials(spark):
+    """White-box: the foreachBatch sink must land >= 2 distinct batch
+    partials (the stream really was micro-batched), every partial is
+    sketch-sized, and estimates never undercount (CMS property)."""
+    from analyse_the_sky_with_apache_spark_spark.operators.warehouse import (
+        _CM_D,
+        _CM_W,
+    )
+    from analyse_the_sky_with_apache_spark_spark.sources.scans import (
+        _SCRATCH,
+    )
+
+    rows = QUERIES["stream_cms_sink_merge"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_estimate"] >= r["exact_cnt"] for r in rows)
+    dirs = sorted(
+        glob.glob(os.path.join(_SCRATCH, "stream_cms_sink_*")),
+        key=os.path.getmtime,
+    )
+    sink = spark.read.parquet(dirs[-1])
+    batches = [
+        r["batch_id"]
+        for r in sink.select("batch_id").distinct().collect()
+    ]
+    assert len(batches) >= 2, batches
+    per_batch = sink.groupBy("batch_id").count().collect()
+    assert all(r["count"] <= _CM_D * _CM_W for r in per_batch)
