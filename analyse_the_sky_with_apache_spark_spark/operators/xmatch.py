@@ -2739,3 +2739,359 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "lightcurve_stetson_jk",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS v3
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v3) AS BIGINT) AS sy,
+         CAST(SUM(v3 * v3) AS BIGINT) AS syy
+  FROM m GROUP BY user_id
+  HAVING COUNT(*) >= 10
+   AND COUNT(*) * SUM(v3 * v3) > SUM(v3) * SUM(v3)
+),
+d AS (
+  SELECT m.user_id, m.ts, m.event_id,
+         CAST(FLOOR((CAST(m.v3 AS DOUBLE) - CAST(s.sy AS DOUBLE) / s.n)
+                    / sqrt((CAST(s.syy AS DOUBLE)
+                            - CAST(s.sy AS DOUBLE) * s.sy / s.n)
+                           / (CAST(s.n AS DOUBLE) - 1.0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS d6
+  FROM m JOIN s ON m.user_id = s.user_id
+),
+p AS (
+  SELECT user_id, d6,
+         LEAD(d6) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS d6n
+  FROM d
+),
+terms AS (
+  SELECT user_id,
+         CASE WHEN d6 * d6n > 0 THEN
+                CAST(FLOOR(sqrt(CAST(abs(d6 * d6n) AS DOUBLE)) + 0.5)
+                     AS BIGINT)
+              WHEN d6 * d6n < 0 THEN
+                -CAST(FLOOR(sqrt(CAST(abs(d6 * d6n) AS DOUBLE)) + 0.5)
+                      AS BIGINT)
+              ELSE 0 END AS t6,
+         abs(d6) AS a6
+  FROM p WHERE d6n IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(t6) AS BIGINT) AS jsum_micro,
+       CAST(FLOOR(CAST(SUM(t6) AS DOUBLE) / COUNT(*) / 1000.0 + 0.5)
+            AS BIGINT) AS j_milli,
+       CAST(FLOOR(CAST(SUM(a6) AS DOUBLE) / (COUNT(*) + 1) / 1000.0 + 0.5)
+            AS BIGINT) AS k_milli
+FROM terms GROUP BY user_id ORDER BY user_id
+""",
+)
+def lightcurve_stetson_jk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stetson J/K variability indices per object — the robust
+    variability statistics (Stetson 1996) a survey runs after
+    `lightcurve_eta_von_neumann`: J correlates CONSECUTIVE residual
+    pairs (a real variable wanders coherently, noise does not — J ~ 0
+    for noise, J > 0 for correlated variation), K is the mean-absolute
+    to rms residual ratio (0.798 Gaussian, ~0.9 sinusoid, smaller for
+    spiky curves).
+
+    Determinism ladder: magnitudes grid to milli at birth; per-object
+    mean/std come off exact (n, sy, syy) long sums; standardized
+    residuals grid to micro BEFORE pairing, so each pair product is an
+    exact int64 (|d6·d6n| <= ~1e14) whose signed root re-grids to
+    micro per pair; the per-object J/K reductions sum exact longs. The
+    HAVING guard drops constant curves (zero variance) and n < 10.
+
+    100-TB posture: one shuffle on the object key (shared with every
+    lightcurve_* kernel); the pair window is per-object ordered, the
+    reductions map-side combinable. jsum may be negative — the final
+    per-object means divide as DOUBLE (not integer div) because Spark
+    `div` truncates while DuckDB `//` floors, and they disagree below
+    zero (overflow ledger note in SCALE.md).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("v3"),
+    )
+    s = (
+        m.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v3").cast("long").alias("sy"),
+            F.sum(F.col("v3") * F.col("v3")).cast("long").alias("syy"),
+        )
+        .filter(
+            (F.col("n") >= 10)
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+    )
+    nd = F.col("n").cast("double")
+    d6 = F.floor(
+        (F.col("v3").cast("double") - F.col("sy").cast("double") / F.col("n"))
+        / F.sqrt(
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+            ) / (nd - F.lit(1.0))
+        )
+        * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    d = m.join(s, "user_id").select("user_id", "ts", "event_id", d6.alias("d6"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = d.select("user_id", "d6", F.lead("d6").over(w).alias("d6n")).filter(
+        F.col("d6n").isNotNull()
+    )
+    prod = F.col("d6") * F.col("d6n")
+    root = F.floor(
+        F.sqrt(F.abs(prod).cast("double")) + F.lit(0.5)
+    ).cast("long")
+    terms = p.select(
+        "user_id",
+        F.when(prod > 0, root).when(prod < 0, -root).otherwise(F.lit(0))
+        .alias("t6"),
+        F.abs(F.col("d6")).alias("a6"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            cnt.cast("long").alias("n_pairs"),
+            F.sum("t6").cast("long").alias("jsum_micro"),
+            F.floor(
+                F.sum("t6").cast("double") / cnt / F.lit(1000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("j_milli"),
+            F.floor(
+                F.sum("a6").cast("double") / (cnt + F.lit(1))
+                / F.lit(1000.0) + F.lit(0.5)
+            ).cast("long").alias("k_milli"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "xmatch_proper_motion",
+    oracle="""
+WITH obs AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS pos3
+  FROM events
+),
+anch AS (
+  SELECT user_id, day - MIN(day) OVER (PARTITION BY user_id) AS t, pos3
+  FROM obs
+),
+sums AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(pos3) AS BIGINT) AS sy,
+         CAST(SUM(t * pos3) AS BIGINT) AS sty,
+         CAST(MAX(t) AS BIGINT) AS span_days
+  FROM anch GROUP BY user_id
+  HAVING COUNT(*) >= 5 AND MAX(t) > 0
+),
+fit AS (
+  SELECT user_id, n, span_days,
+         (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS mu
+  FROM sums
+  WHERE CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st > 0.0
+)
+SELECT user_id, n AS n_epochs, span_days,
+       CAST(FLOOR(mu * 1000.0 + 0.5) AS BIGINT) AS pm_micro_per_day,
+       CAST(FLOOR(mu * span_days + 0.5) AS BIGINT) AS drift_milli,
+       abs(mu * span_days) > 50.0 AS high_pm
+FROM fit ORDER BY user_id
+""",
+)
+def xmatch_proper_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-motion fit per object — the multi-epoch astrometry step
+    after `xmatch_epoch` (two-epoch offsets): each object's position
+    drifts linearly over the survey, and the per-object OLS slope of
+    position vs time IS the proper motion; the high-pm flag is the
+    classic fast-mover shortlist (|total drift| above threshold). The
+    epoch frame anchors per object at its first observation so the
+    time sums stay small exact integers regardless of absolute date.
+
+    One data-sized pass builds (t, pos) observations; the per-object
+    sufficient statistics (n, st, stt, sy, sty, span) are one map-side
+    combinable aggregate — the `ml_linreg_suffstats` discipline keyed
+    by object — and the slope is a single double expression over exact
+    longs per object row. Degenerate objects (n < 5, zero span, zero
+    time variance) are filtered in BOTH engines before any division.
+
+    100-TB posture: one shuffle on the object key; no windows except
+    the per-object MIN anchor (rides the same partitioning); output is
+    catalog-sized. Slopes may be negative — milli/micro gridding uses
+    FLOOR on doubles (identical in both engines), never integer div.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("pos3"),
+    )
+    anch = obs.select(
+        "user_id",
+        (
+            F.col("day")
+            - F.min("day").over(Window.partitionBy("user_id"))
+        ).alias("t"),
+        "pos3",
+    )
+    sums = (
+        anch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+            F.sum("pos3").cast("long").alias("sy"),
+            F.sum(F.col("t") * F.col("pos3")).cast("long").alias("sty"),
+            F.max("t").cast("long").alias("span_days"),
+        )
+        .filter((F.col("n") >= 5) & (F.col("span_days") > 0))
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("stt") - F.col("st").cast("double") * F.col("st")
+    mu = (
+        nd * F.col("sty") - F.col("st").cast("double") * F.col("sy")
+    ) / denom
+    fit = sums.filter(denom > F.lit(0.0)).select(
+        "user_id", "n", "span_days", mu.alias("mu")
+    )
+    return fit.select(
+        "user_id",
+        F.col("n").alias("n_epochs"),
+        "span_days",
+        F.floor(F.col("mu") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+        .alias("pm_micro_per_day"),
+        F.floor(F.col("mu") * F.col("span_days") + F.lit(0.5))
+        .cast("long").alias("drift_milli"),
+        (F.abs(F.col("mu") * F.col("span_days")) > F.lit(50.0))
+        .alias("high_pm"),
+    ).orderBy("user_id")
+
+
+@register(
+    "sky_mag_cmd",
+    oracle="""
+WITH flux AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN
+                       CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN
+                       CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events GROUP BY user_id
+),
+mags AS (
+  SELECT user_id,
+         CAST(FLOOR(-2500.0 * log10(CAST(s1 AS DOUBLE) / c1 / 1000.0)
+                    + 0.5) AS BIGINT) AS m1_milli,
+         CAST(FLOOR(-2500.0 * log10(CAST(s2 AS DOUBLE) / c2 / 1000.0)
+                    + 0.5) AS BIGINT) AS m2_milli
+  FROM flux WHERE c1 > 0 AND c2 > 0 AND s1 > 0 AND s2 > 0
+),
+cmd AS (
+  SELECT CAST(FLOOR(m1_milli / 500.0) AS BIGINT) AS mag_bin,
+         CAST(FLOOR((m1_milli - m2_milli) / 250.0) AS BIGINT) AS color_bin,
+         m1_milli, m1_milli - m2_milli AS color_milli
+  FROM mags
+)
+SELECT mag_bin, color_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(MIN(m1_milli) AS BIGINT) AS m1_min_milli,
+       CAST(MAX(m1_milli) AS BIGINT) AS m1_max_milli,
+       CAST(SUM(color_milli) AS BIGINT) AS color_sum_milli
+FROM cmd GROUP BY mag_bin, color_bin ORDER BY mag_bin, color_bin
+""",
+)
+def sky_mag_cmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-magnitude diagram — flux -> magnitude conversion plus the
+    2-D (magnitude x color) histogram every photometric survey plots:
+    each object's two "bands" are its mean view/click fluxes, m =
+    -2.5 log10(flux) lands on an exact millimag grid (one gridded
+    log10 per object per band — never summed as floats), color =
+    m1 - m2, and the CMD cell counts aggregate exactly.
+
+    Both bands come out of ONE conditional aggregate over the event
+    stream (no self-join — the `ts_cointegration_egr` shape); objects
+    missing either band or with non-positive flux are filtered in both
+    engines before the log. Bin indices use FLOOR on double division
+    (magnitudes and colors go negative; integer div would diverge
+    between engines below zero — Spark truncates, DuckDB floors).
+
+    100-TB posture: one data-sized shuffle on the object key; the CMD
+    rollup runs on catalog-sized rows and is map-side combinable;
+    output is bounded by the bin grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v3 = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    flux = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", v3).otherwise(0))
+        .cast("long").alias("s1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", v3).otherwise(0))
+        .cast("long").alias("s2"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("c2"),
+    )
+
+    def mag(s: str, c: str):
+        return F.floor(
+            F.lit(-2500.0)
+            * F.log10(
+                F.col(s).cast("double") / F.col(c) / F.lit(1000.0)
+            )
+            + F.lit(0.5)
+        ).cast("long")
+
+    mags = flux.filter(
+        (F.col("c1") > 0) & (F.col("c2") > 0)
+        & (F.col("s1") > 0) & (F.col("s2") > 0)
+    ).select(
+        "user_id",
+        mag("s1", "c1").alias("m1_milli"),
+        mag("s2", "c2").alias("m2_milli"),
+    )
+    cmd = mags.select(
+        F.floor(F.col("m1_milli") / F.lit(500.0)).cast("long")
+        .alias("mag_bin"),
+        F.floor(
+            (F.col("m1_milli") - F.col("m2_milli")) / F.lit(250.0)
+        ).cast("long").alias("color_bin"),
+        "m1_milli",
+        (F.col("m1_milli") - F.col("m2_milli")).alias("color_milli"),
+    )
+    return (
+        cmd.groupBy("mag_bin", "color_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.min("m1_milli").cast("long").alias("m1_min_milli"),
+            F.max("m1_milli").cast("long").alias("m1_max_milli"),
+            F.sum("color_milli").cast("long").alias("color_sum_milli"),
+        )
+        .orderBy("mag_bin", "color_bin")
+    )

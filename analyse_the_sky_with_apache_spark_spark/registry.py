@@ -259,6 +259,7 @@ _ROTATION_R12 = (
     "ml_chi2_feature_select",
     # round-10 additions
     "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
+    "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -154,3 +154,99 @@ def test_cms_sink_merge_receives_multiple_batch_partials(spark):
     assert len(batches) >= 2, batches
     per_batch = sink.groupBy("batch_id").count().collect()
     assert all(r["count"] <= _CM_D * _CM_W for r in per_batch)
+
+
+def _events_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+
+
+def test_stetson_jk_vs_numpy(spark):
+    """Rebuild J/K for every qualifying object with plain numpy."""
+    import math
+
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    ev["v3"] = np.floor(ev["value"].to_numpy() * 1000.0 + 0.5).astype(
+        np.int64
+    )
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        v = g["v3"].to_numpy()
+        n = len(v)
+        sy, syy = int(v.sum()), int((v * v).sum())
+        if n < 10 or n * syy <= sy * sy:
+            continue
+        mean = sy / n
+        std = math.sqrt((syy - sy * sy / n) / (n - 1.0))
+        d6 = np.floor((v - mean) / std * 1e6 + 0.5).astype(np.int64)
+        prod = d6[:-1] * d6[1:]
+        root = np.floor(np.sqrt(np.abs(prod).astype(float)) + 0.5).astype(
+            np.int64
+        )
+        t6 = np.sign(prod) * root
+        a6 = np.abs(d6[:-1])
+        npairs = len(prod)
+        want[uid] = (
+            npairs,
+            int(t6.sum()),
+            math.floor(t6.sum() / npairs / 1000.0 + 0.5),
+            math.floor(a6.sum() / (npairs + 1) / 1000.0 + 0.5),
+        )
+    rows = QUERIES["lightcurve_stetson_jk"](spark, SF_DIR).collect()
+    got = {
+        r["user_id"]: (
+            r["n_pairs"], r["jsum_micro"], r["j_milli"], r["k_milli"]
+        )
+        for r in rows
+    }
+    assert got == want and len(want) > 0
+
+
+def test_proper_motion_vs_numpy(spark):
+    ev = _events_pdf()
+    ev["day"] = (
+        ev["ts"].astype("int64") // 86_400_000_000  # datetime64[us]
+    ).astype(np.int64)
+    ev["pos3"] = np.floor(ev["value"].to_numpy() * 1000.0 + 0.5).astype(
+        np.int64
+    )
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        t = (g["day"] - g["day"].min()).to_numpy(dtype=np.int64)
+        y = g["pos3"].to_numpy()
+        n = len(t)
+        if n < 5 or t.max() == 0:
+            continue
+        st, stt = int(t.sum()), int((t * t).sum())
+        sy, sty = int(y.sum()), int((t * y).sum())
+        denom = n * float(stt) - float(st) * st
+        if denom <= 0:
+            continue
+        mu = (n * float(sty) - float(st) * sy) / denom
+        want[uid] = (
+            n, int(t.max()),
+            int(np.floor(mu * 1000.0 + 0.5)),
+            int(np.floor(mu * t.max() + 0.5)),
+            abs(mu * t.max()) > 50.0,
+        )
+    rows = QUERIES["xmatch_proper_motion"](spark, SF_DIR).collect()
+    got = {
+        r["user_id"]: (
+            r["n_epochs"], r["span_days"], r["pm_micro_per_day"],
+            r["drift_milli"], r["high_pm"],
+        )
+        for r in rows
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cmd_negative_bins_use_floor_not_truncation(spark):
+    """The CMD must contain negative bin indices (bright objects), and
+    each cell's bounds must bracket its bin edges — a truncating
+    integer division would collapse bins -1 and 0."""
+    rows = QUERIES["sky_mag_cmd"](spark, SF_DIR).collect()
+    assert any(r["mag_bin"] < 0 for r in rows)
+    for r in rows:
+        lo, hi = r["mag_bin"] * 500, (r["mag_bin"] + 1) * 500
+        assert lo <= r["m1_min_milli"] <= r["m1_max_milli"] < hi
