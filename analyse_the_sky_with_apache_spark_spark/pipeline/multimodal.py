@@ -822,3 +822,110 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+#: mm_audio_vad: frame length and the speech-energy threshold on the
+#: deterministic id-derived energy fake (the mm_media_metadata
+#: convention — a real VAD's frame energies plug in at the same seam).
+_VAD_FRAME_MS = 100
+_VAD_THRESH = 600
+
+
+@register(
+    "mm_audio_vad",
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id, 1000 + (doc_id * 61) % 120000 AS dur_ms FROM documents
+),
+frames AS (
+  SELECT doc_id, dur_ms,
+         (dur_ms + {_VAD_FRAME_MS - 1}) // {_VAD_FRAME_MS} AS n_frames,
+         CAST(unnest(generate_series(
+           0, (dur_ms + {_VAD_FRAME_MS - 1}) // {_VAD_FRAME_MS} - 1))
+           AS BIGINT) AS i
+  FROM assets
+),
+speech AS (
+  SELECT doc_id, n_frames, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM frames
+  WHERE (doc_id * 7919 + i * 104729) % 1000 >= {_VAD_THRESH}
+),
+segs AS (
+  SELECT doc_id, MAX(n_frames) AS n_frames,
+         CAST(COUNT(*) AS BIGINT) AS seg_frames
+  FROM speech GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(seg_frames) AS BIGINT) AS speech_frames,
+       CAST(MAX(seg_frames) * {_VAD_FRAME_MS} AS BIGINT)
+         AS longest_segment_ms,
+       CAST(SUM(seg_frames) * 1000000 // MAX(n_frames) AS BIGINT)
+         AS speech_ratio_micro
+FROM segs GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over audio assets — the segmentation
+    step between `mm_audio_chunks` (blind fixed windows) and ASR
+    (which only wants SPEECH): threshold per-frame energies, merge
+    consecutive speech frames into segments with the gaps-and-islands
+    identity (frame_index − row_number is constant exactly within a
+    consecutive run — sessionization with zero window state beyond one
+    row_number), and report the per-asset VAD summary (segment count,
+    speech time, longest utterance, speech ratio) a curation pipeline
+    filters on. Frame energies are the deterministic id-derived fake
+    (the `mm_media_metadata` convention — a real decoder's RMS
+    energies plug into the same frame relation; everything downstream
+    is unchanged relational algebra).
+
+    100-TB posture: the frame fan-out is an executor-side
+    sequence+explode generator (no shuffle); the islands window and
+    both rollups share ONE shuffle on the asset key; output is
+    asset-sized. All counters are exact integers — the ratio is an
+    integer cross-multiply div (positive, so Spark div == DuckDB //).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") * 61) % 120000).alias("dur_ms"),
+    )
+    nf = F.expr(f"(dur_ms + {_VAD_FRAME_MS - 1}) div {_VAD_FRAME_MS}")
+    frames = assets.select(
+        "doc_id",
+        nf.alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), nf.cast("long") - 1)
+        ).alias("i"),
+    )
+    speech = frames.filter(
+        (F.col("doc_id") * 7919 + F.col("i") * 104729) % 1000
+        >= _VAD_THRESH
+    ).select(
+        "doc_id", "n_frames", "i",
+        (
+            F.col("i")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("i")
+            )
+        ).alias("grp"),
+    )
+    segs = speech.groupBy("doc_id", "grp").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.count(F.lit(1)).cast("long").alias("seg_frames"),
+    )
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("seg_frames").cast("long").alias("speech_frames"),
+            (F.max("seg_frames") * F.lit(_VAD_FRAME_MS)).cast("long")
+            .alias("longest_segment_ms"),
+            F.expr(
+                "CAST(SUM(seg_frames) * 1000000 div MAX(n_frames)"
+                " AS BIGINT)"
+            ).alias("speech_ratio_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1770,3 +1770,55 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("f_pct")
     )
+
+
+#: sim_range_search: cosine radius (chosen for the fixture's random-
+#: vector regime — 64-dim uniform vectors concentrate near cos ~ 0.75
+#: of their mean direction; 0.3 above-mean keeps a bounded pair set).
+_RANGE_TAU = 0.3
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+SELECT a.vec_id AS ia, b.vec_id AS ib,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6)
+        >= {_RANGE_TAU}
+ORDER BY ia, ib
+""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — ALL pairs within a cosine
+    radius, the other half of the similarity API surface: `sim_knn_
+    cosine` answers "the k closest" (bounded output, unbounded
+    distance), range search answers "everything this similar"
+    (unbounded output, bounded distance) — the dedup/linkage question
+    where missing a qualifying pair is a correctness bug, not a
+    ranking nit.
+
+    Built on the same normalize-first broadcast-gemm kernel
+    (`cosine_pairs`): the threshold parameter makes the kernel emit
+    EVERY pair at or above tau (not just each row's top-k), and the
+    final filter re-applies the cut on the ROUNDED cosine so both
+    engines select the identical pair set (the kernel pre-filters at
+    tau - 1e-6 to keep rounding-boundary pairs alive).
+
+    100-TB posture: inherits `cosine_pairs`' BroadcastCeilingError
+    guard — the exact rung stops loudly past the broadcast ceiling and
+    the documented escalation is the LSH/IVF ladder (`sim_knn_lsh`,
+    `ann_ivf`) with this same radius as the bucket-candidate filter.
+    Output volume is data-dependent (that is the operator's nature);
+    the radius keeps it bounded on the fixture regime.
+    """
+    pairs = cosine_pairs(
+        spark, sf_dir, threshold=_RANGE_TAU - 1e-6
+    )
+    return (
+        pairs.select("ia", "ib", F.round("raw_cos", 6).alias("cos"))
+        .filter(F.col("cos") >= F.lit(_RANGE_TAU))
+        .orderBy("ia", "ib")
+    )

@@ -884,3 +884,126 @@ def sky_wcs_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile_a", "tile_b")
     )
+
+
+#: mm_image_ahash: block grid (40x30 px tiles -> 8x6 cells of 5x5 px,
+#: one bit per cell = a 48-bit fingerprint).
+_AHASH_BX, _AHASH_BY = 5, 5
+_AHASH_NBX = _IMG_NX // _AHASH_BX  # 8 cells across
+
+
+@register(
+    "mm_image_ahash",
+    oracle=f"""
+WITH px AS (
+  SELECT f.f,
+         (t.i % {_IMG_NX}) // {_AHASH_BX} AS bx,
+         (t.i // {_IMG_NX}) // {_AHASH_BY} AS by,
+         ((f.f * 1000003 + t.i) * 7919) % 3600 AS k
+  FROM range(0, {_IMG_TILES}) f(f)
+  CROSS JOIN range(0, {_IMG_NX * _IMG_NY}) t(i)
+),
+cells AS (
+  SELECT f, by * {_AHASH_NBX} + bx AS cell, CAST(SUM(k) AS BIGINT) AS cs
+  FROM px GROUP BY f, bx, by
+),
+tot AS (
+  SELECT f, CAST(SUM(cs) AS BIGINT) AS tot,
+         CAST(COUNT(*) AS BIGINT) AS nc
+  FROM cells GROUP BY f
+),
+fp AS (
+  SELECT c.f,
+         CAST(SUM(CASE WHEN t.nc * c.cs > t.tot
+                       THEN CAST(1 AS BIGINT) << CAST(c.cell AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS fingerprint
+  FROM cells c JOIN tot t ON c.f = t.f
+  GROUP BY c.f
+)
+SELECT a.f AS tile_a, b.f AS tile_b,
+       a.fingerprint AS fp_a, b.fingerprint AS fp_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT)
+         AS hamming
+FROM fp a JOIN fp b ON a.f < b.f
+ORDER BY tile_a, tile_b
+""",
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint (average-hash) + pairwise Hamming —
+    the image-dedup rung of the near-dup ladder (`dedup_simhash` for
+    text, this for pixels): each decoded FITS tile mean-pools to an
+    8x6 cell grid, each cell contributes one bit (cell above the tile
+    mean), and the 48-bit fingerprints compare by Hamming distance —
+    the industry-standard cheap screen before an embedding-cosine
+    confirm pass.
+
+    Exactness ladder: cell sums are exact centi-integers reduced
+    INSIDE the Arrow decode kernel (48 rows per tile leave the worker,
+    never pixels); the above-mean bit avoids division entirely via the
+    integer cross-multiply n_cells·cell_sum > total_sum; fingerprints
+    assemble by exact shifts, and Hamming is bit_count(xor) — verified
+    to agree operand-for-operand across Spark and DuckDB.
+
+    100-TB posture: fingerprinting is embarrassingly parallel
+    (tile-per-task, kernel-side pooling); at survey scale the pairwise
+    stage joins on fingerprint BANDS (e.g. 4x12-bit sub-keys, the
+    dedup_simhash pigeonhole) instead of this demo's all-pairs over
+    five tiles.
+    """
+    base = _stage_sky_tiles("sky_tiles_fits")
+
+    def cellsums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                f = int(path.rsplit("tile_", 1)[-1].split(".")[0])
+                for _cards, px in parse_fits_images(bytes(buf)):
+                    centi = np.floor(
+                        px.astype(np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+                    ny, nx = centi.shape
+                    nby, nbx = ny // _AHASH_BY, nx // _AHASH_BX
+                    pooled = centi.reshape(
+                        nby, _AHASH_BY, nbx, _AHASH_BX
+                    ).sum(axis=(1, 3))
+                    yield pd.DataFrame(
+                        {
+                            "f": np.full(nby * nbx, f, dtype=np.int64),
+                            "cell": np.arange(nby * nbx, dtype=np.int64),
+                            "cs": pooled.reshape(-1),
+                        }
+                    )
+
+    cells = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/*.fits")
+        .select("path", "content")
+        .mapInPandas(cellsums, "f LONG, cell LONG, cs LONG")
+    )
+    tot = cells.groupBy("f").agg(
+        F.sum("cs").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+    )
+    fp = (
+        cells.join(tot, "f")
+        .groupBy("f")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nc") * F.col("cs") > F.col("tot"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT),"
+                           " CAST(cell AS INT))"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("fingerprint")
+        )
+    )
+    a = fp.select(F.col("f").alias("tile_a"), F.col("fingerprint").alias("fp_a"))
+    b = fp.select(F.col("f").alias("tile_b"), F.col("fingerprint").alias("fp_b"))
+    return (
+        a.join(b, F.col("tile_a") < F.col("tile_b"))
+        .select(
+            "tile_a", "tile_b", "fp_a", "fp_b",
+            F.expr("CAST(bit_count(fp_a ^ fp_b) AS BIGINT)")
+            .alias("hamming"),
+        )
+        .orderBy("tile_a", "tile_b")
+    )

@@ -250,3 +250,105 @@ def test_cmd_negative_bins_use_floor_not_truncation(spark):
     for r in rows:
         lo, hi = r["mag_bin"] * 500, (r["mag_bin"] + 1) * 500
         assert lo <= r["m1_min_milli"] <= r["m1_max_milli"] < hi
+
+
+def test_range_search_complete_vs_numpy(spark):
+    """Range search must return EVERY qualifying pair (completeness is
+    the operator's contract) — rebuild the full pair set with one gemm."""
+    import pyarrow.parquet as pq
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline.similarity import (
+        _RANGE_TAU,
+    )
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(emb["embedding"]), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if round(sims[i, j], 6) >= _RANGE_TAU:
+                a, b = int(ids[i]), int(ids[j])
+                want.add((min(a, b), max(a, b)))
+    rows = QUERIES["sim_range_search"](spark, SF_DIR).collect()
+    got = {(r["ia"], r["ib"]) for r in rows}
+    assert got == want and len(want) > 0
+
+
+def test_vad_segments_vs_python(spark):
+    """Rebuild the VAD summary per asset with a plain python run-length
+    scan over the same deterministic energies."""
+    import pyarrow.parquet as pq
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline.multimodal import (
+        _VAD_FRAME_MS,
+        _VAD_THRESH,
+    )
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    want = {}
+    for doc_id in docs["doc_id"]:
+        doc_id = int(doc_id)
+        dur = 1000 + (doc_id * 61) % 120000
+        nf = (dur + _VAD_FRAME_MS - 1) // _VAD_FRAME_MS
+        segs, cur = [], 0
+        for i in range(nf):
+            if (doc_id * 7919 + i * 104729) % 1000 >= _VAD_THRESH:
+                cur += 1
+            elif cur:
+                segs.append(cur)
+                cur = 0
+        if cur:
+            segs.append(cur)
+        if segs:
+            want[doc_id] = (
+                len(segs), sum(segs), max(segs) * _VAD_FRAME_MS,
+                sum(segs) * 1_000_000 // nf,
+            )
+    rows = QUERIES["mm_audio_vad"](spark, SF_DIR).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_segments"], r["speech_frames"],
+            r["longest_segment_ms"], r["speech_ratio_micro"],
+        )
+        for r in rows
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ahash_vs_numpy(spark):
+    """Rebuild each tile's fingerprint by direct numpy pooling and
+    bit-packing; Hamming distances must match exactly."""
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        _AHASH_BX,
+        _AHASH_BY,
+        _AHASH_NBX,
+    )
+
+    fps = {}
+    for f in range(_IMG_TILES):
+        k = _linear_pixels(
+            f, np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
+        ).reshape(_IMG_NY, _IMG_NX)
+        pooled = k.reshape(
+            _IMG_NY // _AHASH_BY, _AHASH_BY,
+            _IMG_NX // _AHASH_BX, _AHASH_BX,
+        ).sum(axis=(1, 3))
+        tot, nc = pooled.sum(), pooled.size
+        fp = 0
+        for by in range(pooled.shape[0]):
+            for bx in range(pooled.shape[1]):
+                if nc * pooled[by, bx] > tot:
+                    fp |= 1 << (by * _AHASH_NBX + bx)
+        fps[f] = fp
+    rows = QUERIES["mm_image_ahash"](spark, SF_DIR).collect()
+    assert len(rows) == _IMG_TILES * (_IMG_TILES - 1) // 2
+    for r in rows:
+        assert r["fp_a"] == fps[r["tile_a"]]
+        assert r["fp_b"] == fps[r["tile_b"]]
+        assert r["hamming"] == bin(
+            fps[r["tile_a"]] ^ fps[r["tile_b"]]
+        ).count("1")
