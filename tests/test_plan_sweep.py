@@ -78,6 +78,11 @@ _BNL_ALLOWED = {
     "emb_bit_hamming",
     # query-batch × candidate scan: the deliberate per-query brute rung
     "sim_knn_per_query",
+    # tile-fingerprint pairwise stage: 5 48-bit fingerprints (one per
+    # staged FITS tile) compare all-pairs by design; the docstring
+    # names the banded (sub-key pigeonhole) join as the survey-scale
+    # path, so the nested loop is bounded by the fixture tile count
+    "mm_image_ahash",
     # contingency-grid cell-pair scan + 1-row margin broadcasts (work is
     # |domain|², independent of row count)
     "stat_kendall_tau",
