@@ -7438,6 +7438,9 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("lf9"),
     ).localCheckpoint(eager=True)
+    # grid is referenced exactly once (the pdf projection), so unlike
+    # counts/lf it needs no localCheckpoint — no plan subtree is
+    # replayed by fan-out.
     grid = (
         counts.sparkSession.range(1, 10000)
         .select(F.col("id").cast("long").alias("g"))
@@ -7453,7 +7456,6 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ) * F.lit(1e9) + F.lit(0.5)
             ).cast("long").alias("lnq9"),
         )
-        .localCheckpoint(eager=True)
     )
 
     def lfj(tag: str) -> DataFrame:
