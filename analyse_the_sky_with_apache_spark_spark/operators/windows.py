@@ -3353,11 +3353,26 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     span. High-cardinality user partitioning is the shape that scales;
     the 100-TB caveat is a HOT entity whose 6-hour span exceeds an
     executor page — cap with sessionize_capped-style splitting.
+
+    Spark builds the frame through the DataFrame API (converted from
+    the shared-SQL form): ``rangeBetween`` takes numeric bounds, so
+    the order key is exact epoch MICROseconds and the trailing bound
+    is -6h in µs — bit-identical to the oracle's ``RANGE BETWEEN
+    INTERVAL 6 HOURS PRECEDING`` on the raw timestamp (equal
+    timestamps are equal microsecond keys, so the peer sets match).
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "wtr_events"
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-6 * 3600 * 1_000_000, Window.currentRow)
     )
-    return spark.sql(_time_range_sql("wtr_events"))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_6h"),
+        F.sum(cents).over(w).cast("long").alias("cents_6h"),
+    )
 
 
 #: matrix-profile subsequence length (in PAA buckets) and the trivial-
@@ -3435,12 +3450,75 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized pass; the all-pairs stage is O(NB^2) per series on that
     collapsed table — constant in row count, exactly how production
     matrix-profile systems run at scale (downsample, profile, refine).
-    Everything integer, so the per-position argmin hash-matches.
+    Everything integer, so the per-position argmin hash-matches. Spark
+    builds the kernel through the DataFrame API (converted from the
+    shared-SQL form) with the exact-integer SSD fragments generated
+    from the same python expressions the oracle template uses.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "mp_events"
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(
+            f"((unix_micros(ts) - mn) * {_DTW_NB}) div (mx - mn + 1)"
+        ).alias("bucket"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        .alias("f"),
     )
-    return spark.sql(_matrix_profile_sql("mp_events", "unix_micros", "div"))
+    paa = b.groupBy("event_type", "bucket").agg(
+        F.expr(
+            "CAST(SUM(f) AS BIGINT) div CAST(COUNT(*) AS BIGINT)"
+        ).alias("m")
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    w = paa.select(
+        "event_type", F.col("bucket").alias("i"), "m",
+        *[
+            F.lead("m", k).over(wo).alias(f"m{k}")
+            for k in range(1, _MP_SUBLEN)
+        ],
+    )
+    wt = w.filter(F.col(f"m{_MP_SUBLEN - 1}").isNotNull())
+    a = wt.select(
+        "event_type", "i", F.col("m").alias("am0"),
+        *[F.col(f"m{k}").alias(f"am{k}") for k in range(1, _MP_SUBLEN)],
+    )
+    bb = wt.select(
+        F.col("event_type").alias("bet"), F.col("i").alias("j"),
+        F.col("m").alias("bm0"),
+        *[F.col(f"m{k}").alias(f"bm{k}") for k in range(1, _MP_SUBLEN)],
+    )
+    ssd = F.expr(
+        " + ".join(
+            f"(am{k} - bm{k}) * (am{k} - bm{k})"
+            for k in range(_MP_SUBLEN)
+        )
+    ).cast("long")
+    pairs = a.join(
+        bb,
+        (F.col("bet") == F.col("event_type"))
+        & (
+            (F.col("j") - F.col("i") >= _MP_EXCL)
+            | (F.col("i") - F.col("j") >= _MP_EXCL)
+        ),
+    ).select("event_type", "i", "j", ssd.alias("ssd"))
+    prof = pairs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type", "i").orderBy("ssd", "j")
+        ),
+    )
+    return (
+        prof.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("i").cast("long").alias("pos"),
+            F.col("j").cast("long").alias("nn_pos"),
+            F.col("ssd").alias("nn_ssd"),
+        )
+        .orderBy("event_type", "pos")
+    )
 
 
 #: Markov anomaly scoring: minimum transitions per scored user.

@@ -2041,13 +2041,67 @@ def lightcurve_bls_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     observations shuffles only aggregated bins (the lightcurve_fold
     argument), and every downstream step runs on the bin table. Depth
     is double but computed from exact integer (n, Σflux-micro) pairs
-    through SHARED expression text, so the tie-broken argmax row
+    mirrored operand-for-operand, so the tie-broken argmax row
     hash-matches DuckDB bit-for-bit (`ml_split_histogram` precedent).
+    Spark builds the kernel through the DataFrame API (converted from
+    the shared-SQL form); the period grid broadcasts.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "bls_events"
+    day_us = 86400 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    periods = ev.sparkSession.createDataFrame(
+        [(int(p * day_us),) for p in _BLS_PERIODS_D], "p_us LONG"
     )
-    return spark.sql(_bls_sql("bls_events", "unix_micros", "div"))
+    b = ev.crossJoin(F.broadcast(periods)).select(
+        "event_type", "p_us",
+        F.expr(
+            f"(unix_micros(ts) % p_us) div (p_us div {_BLS_NBINS})"
+        ).alias("bin"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("f"),
+    )
+    agg = b.groupBy("event_type", "p_us", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f").cast("long").alias("s"),
+    )
+    tot = agg.groupBy("event_type", "p_us").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    sc = (
+        agg.join(tot, ["event_type", "p_us"])
+        .filter(F.col("n") < F.col("nt"))
+        .select(
+            "event_type", "p_us", "bin", "n",
+            (
+                (
+                    (F.col("st") - F.col("s")).cast("double")
+                    / (F.col("nt") - F.col("n")).cast("double")
+                    - F.col("s").cast("double")
+                    / F.col("n").cast("double")
+                ) / F.lit(1e6)
+            ).alias("depth"),
+        )
+    )
+    best = sc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("depth").desc(), "p_us", "bin"
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.expr(f"CAST(p_us div {day_us} AS BIGINT)")
+            .alias("period_days"),
+            F.col("bin").cast("long").alias("phase_bin"),
+            F.col("n").alias("n_in_box"),
+            "depth",
+        )
+        .orderBy("event_type")
+    )
 
 
 #: PDM trial-period grid (integer days) and phase-bin count. Same grid
@@ -2130,11 +2184,72 @@ def lightcurve_pdm_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose key space is |series| x |periods| x |bins| with map-side
     partials, then everything downstream runs on the bin table. A
     trillion-row log shuffles only aggregated (n, sum-f, sum-f2) bins.
+    Spark builds the kernel through the DataFrame API (converted from
+    the shared-SQL form); the integer dispersion terms are identical
+    F.expr fragments.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "pdm_events"
+    day_us = 86400 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    periods = ev.sparkSession.createDataFrame(
+        [(int(p * day_us),) for p in _PDM_PERIODS_D], "p_us LONG"
     )
-    return spark.sql(_pdm_sql("pdm_events", "unix_micros", "div"))
+    b = ev.crossJoin(F.broadcast(periods)).select(
+        "event_type", "p_us",
+        F.expr(
+            f"(unix_micros(ts) % p_us) div (p_us div {_PDM_NBINS})"
+        ).alias("bin"),
+        F.floor(F.col("value") * F.lit(10.0) + F.lit(0.5)).cast("long")
+        .alias("f"),
+    )
+    agg = b.groupBy("event_type", "p_us", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f").cast("long").alias("s"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("ss"),
+    )
+    pooled = agg.groupBy("event_type", "p_us").agg(
+        F.sum(F.expr("ss - (s * s) div n")).cast("long")
+        .alias("num_pooled"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").cast("long").alias("sst"),
+        F.count(F.lit(1)).cast("long").alias("nbins"),
+    )
+    tvar = F.expr("sst - (st * st) div nt")
+    sc = pooled.filter(
+        (F.col("nt") > F.col("nbins")) & (tvar > 0)
+    ).select(
+        "event_type", "p_us", "nt", "nbins",
+        (
+            (
+                F.col("num_pooled").cast("double")
+                * (F.col("nt") - 1).cast("double")
+            )
+            / (
+                (F.col("nt") - F.col("nbins")).cast("double")
+                * tvar.cast("double")
+            )
+        ).alias("theta"),
+    )
+    best = sc.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("theta").asc(), "p_us"
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.expr(f"CAST(p_us div {day_us} AS BIGINT)")
+            .alias("period_days"),
+            F.col("nt").alias("n_obs"),
+            F.col("nbins").alias("nbins_used"),
+            "theta",
+        )
+        .orderBy("event_type")
+    )
 
 
 def _eta_sql(tbl: str) -> str:
@@ -2184,12 +2299,34 @@ def lightcurve_eta_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on the series key; the lag window and the sums
     both evaluate within each series partition, and the output is one
     row per series. The only data-sized motion is the partition-by
-    exchange a per-series statistic cannot avoid.
+    exchange a per-series statistic cannot avoid. Spark builds the
+    kernel through the DataFrame API (converted from the shared-SQL
+    form) with the eta double mirrored operand-for-operand.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "eta_events"
+    ev = load_table(spark, sf_dir, "events")
+    f = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = ev.select("event_type", f.alias("f"), F.lag(f).over(w).alias("fp"))
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f").cast("long").alias("sv"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("sv2"),
+        F.sum(
+            F.when(F.col("fp").isNull(), 0).otherwise(
+                (F.col("f") - F.col("fp")) * (F.col("f") - F.col("fp"))
+            )
+        ).cast("long").alias("sd2"),
     )
-    return spark.sql(_eta_sql("eta_events"))
+    nd = F.col("n").cast("double")
+    eta = (nd * F.col("sd2").cast("double")) / (
+        nd * F.col("sv2").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double")
+    )
+    return (
+        s.filter(F.col("n") > 1)
+        .select("event_type", "n", eta.alias("eta"))
+        .orderBy("event_type")
+    )
 
 
 def _string_length_sql(tbl: str, epoch_fn: str, div: str) -> str:
@@ -2258,12 +2395,68 @@ def lightcurve_string_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sort, which is exactly its production trade-off: for dense
     series prefer PDM's aggregation; for sparse series the sort input
     is small by definition. Everything is exact integers (see
-    `_string_length_sql`), so the argmin row hash-matches.
+    `_string_length_sql`), so the argmin row hash-matches. Spark
+    builds the kernel through the DataFrame API (converted from the
+    shared-SQL form); the period table broadcasts, integer grids are
+    identical F.expr fragments.
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "strlen_events"
+    day_us = 86400 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    v10 = F.floor(F.col("value") * F.lit(10.0) + F.lit(0.5)).cast("long")
+    mm = ev.groupBy("event_type").agg(
+        F.min(v10).alias("mn"), F.max(v10).alias("mx")
     )
-    return spark.sql(_string_length_sql("strlen_events", "unix_micros", "div"))
+    periods = ev.sparkSession.createDataFrame(
+        [(int(p * day_us),) for p in _PDM_PERIODS_D], "p_us LONG"
+    )
+    b = (
+        ev.join(mm, "event_type")
+        .crossJoin(F.broadcast(periods))
+        .select(
+            "event_type", "p_us",
+            F.expr(
+                "((unix_micros(ts) % p_us) * 10000) div p_us"
+            ).alias("phg"),
+            F.expr(
+                "(((CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT) - mn)"
+                " * 10000) div (mx - mn + 1))"
+            ).alias("mg"),
+            "event_id",
+        )
+    )
+    wp = Window.partitionBy("event_type", "p_us").orderBy(
+        "phg", "mg", "event_id"
+    )
+    d = b.select(
+        "event_type", "p_us",
+        (
+            F.abs(F.col("mg") - F.lag("mg").over(wp))
+            + F.abs(F.col("phg") - F.lag("phg").over(wp))
+        ).alias("step"),
+    )
+    s = (
+        d.filter(F.col("step").isNotNull())
+        .groupBy("event_type", "p_us")
+        .agg(F.sum("step").cast("long").alias("l1_length"))
+    )
+    best = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("l1_length").asc(), "p_us"
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.expr(f"CAST(p_us div {day_us} AS BIGINT)")
+            .alias("period_days"),
+            "l1_length",
+        )
+        .orderBy("event_type")
+    )
 
 
 #: Lomb–Scargle trial periods (days) — irregular-sampling periodogram.

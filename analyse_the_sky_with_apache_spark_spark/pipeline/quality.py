@@ -1460,14 +1460,47 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combinable 9-key aggregation over the scan;
     the Benford table and grand total are literal/1-row broadcasts.
-    Chi-square terms stay per-row doubles from shared expression text
+    Chi-square terms stay per-row doubles mirrored operand-for-operand
     (the engine never sums doubles across rows), so all 9 rows
-    hash-match bit-for-bit.
+    hash-match bit-for-bit. Spark builds the kernel through the
+    DataFrame API (converted from the shared-SQL form, the VERDICT r9
+    task-4 hygiene applied beyond stats.py); the JVM never contracts
+    n - nt*pb to an FMA, so only the DuckDB side needs the
+    MATERIALIZED guard documented in `_benford_sql`.
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "benford_orders"
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5)"
+            " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
     )
-    return spark.sql(_benford_sql("benford_orders", ""))
+    c = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    p = o.sparkSession.createDataFrame(
+        [(dg, float(f"{pb}e0")) for dg, pb in _BENFORD_P],
+        "digit INT, pb DOUBLE",
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("nt"))
+    ex = (
+        p.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            "pb",
+            (F.col("nt").cast("double") * F.col("pb")).alias("expected"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return ex.select(
+        "digit", "n", F.col("pb").alias("p_benford"), "expected",
+        (
+            (nd - F.col("expected")) * (nd - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2_term"),
+    ).orderBy("digit")
 
 
 #: DP quantile via the exponential mechanism: $1000 candidate grid,
