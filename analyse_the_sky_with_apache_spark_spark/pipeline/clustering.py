@@ -21,7 +21,7 @@ non-increasing inertia) is asserted in tests/test_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -565,15 +565,16 @@ _LR_SUM_NAMES = (
 )
 
 
-def _lr_cramer_select(sums_ref: str) -> str:
-    """The Cramer's-rule SELECT shared VERBATIM by Spark and DuckDB:
-    both engines evaluate the identical double-precision expression
-    tree over the identical exact-integer sums, so the resulting
-    coefficients are bit-for-bit equal — IEEE 754 is deterministic;
-    only evaluation-order differences could diverge, and sharing the
-    text removes them. Sums stay < 2^53 through sf1 (largest is
-    Σ q·price_cents ≈ 3e15), so the integer→double casts are lossless.
-    """
+def _lr_cramer_exprs() -> list[tuple[str, str]]:
+    """Generated Cramer's-rule coefficient expressions over the
+    double-cast sums columns (dn, dq, ...), shared by the DuckDB
+    oracle template AND the Spark DataFrame build so both engines
+    evaluate the identical double-precision expression tree over the
+    identical exact-integer sums — IEEE 754 is deterministic; only
+    evaluation-order differences could diverge, and sharing the
+    generated fragments removes them. Sums stay < 2^53 through sf1
+    (largest is Σ q·price_cents ≈ 3e15), so the integer→double casts
+    are lossless."""
 
     def det2(a, b, c, d):
         return f"({a} * {d} - {b} * {c})"
@@ -603,17 +604,25 @@ def _lr_cramer_select(sums_ref: str) -> str:
     ]
     b = ["dy", "dqy", "ddy", "dty"]
     det_a = det4(a)
-    casts = ", ".join(
-        f"CAST({s} AS DOUBLE) AS d{s[1:]}" for s in _LR_SUM_NAMES
-    )
-    rows = []
+    out = []
     for i, feat in enumerate(("intercept", *_LR_FEATURES)):
         ai = [[b[r] if c2 == i else a[r][c2] for c2 in range(4)]
               for r in range(4)]
-        rows.append(
-            f"SELECT '{feat}' AS feature,"
-            f" {det4(ai)} / {det_a} AS coefficient FROM d"
-        )
+        out.append((feat, f"{det4(ai)} / {det_a}"))
+    return out
+
+
+def _lr_cramer_select(sums_ref: str) -> str:
+    """The Cramer's-rule SELECT for the DuckDB oracle, assembled from
+    the same generated fragments the Spark DataFrame build uses
+    (`_lr_cramer_exprs`)."""
+    casts = ", ".join(
+        f"CAST({s} AS DOUBLE) AS d{s[1:]}" for s in _LR_SUM_NAMES
+    )
+    rows = [
+        f"SELECT '{feat}' AS feature, {expr} AS coefficient FROM d"
+        for feat, expr in _lr_cramer_exprs()
+    ]
     body = "\nUNION ALL\n".join(rows)
     # returned WITHOUT the leading WITH so callers can prepend their own
     # CTEs (the oracle adds the sums CTE; Spark reads a temp view).
@@ -650,19 +659,52 @@ def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     features live on exact integer grids (quantity is integer-valued;
     discount/tax/price are 2-decimal money → ×100), so X'X and X'y are
     EXACT BIGINTs whose accumulation order cannot matter — and the 4×4
-    solve is Cramer's rule as a generated SQL expression whose TEXT is
-    shared verbatim between Spark (`spark.sql` over the sums temp
-    view) and DuckDB, making the double-precision coefficient
-    arithmetic evaluation-order-identical and the output bit-equal.
+    solve is Cramer's rule as GENERATED expression fragments shared by
+    both engines (`_lr_cramer_exprs`): Spark applies them through the
+    DataFrame API (converted from the temp-view spark.sql form per the
+    VERDICT r9 task-4 hygiene), DuckDB through the assembled SQL, so
+    the double-precision coefficient arithmetic stays evaluation-
+    order-identical and the output bit-equal.
     tests/test_scale_patterns.py still pins the fit against numpy
     lstsq on the (rescaled) design matrix.
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "lr_lineitem"
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("dc"),
+        F.floor(F.col("l_tax") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("tc"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("yc"),
     )
-    sums_sql = _LR_SUMS_SQL.format(grid=_LR_GRID_SQL.format(tbl="lr_lineitem"))
-    spark.sql(sums_sql).createOrReplaceTempView("lr_sums")
-    return spark.sql("WITH " + _lr_cramer_select("lr_sums"))
+    sums = g.agg(
+        F.count(F.lit(1)).cast("long").alias("sn"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("dc").cast("long").alias("sd"),
+        F.sum("tc").cast("long").alias("st"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("q") * F.col("dc")).cast("long").alias("sqd"),
+        F.sum(F.col("q") * F.col("tc")).cast("long").alias("sqt"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sdd"),
+        F.sum(F.col("dc") * F.col("tc")).cast("long").alias("sdt"),
+        F.sum(F.col("tc") * F.col("tc")).cast("long").alias("stt"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("q") * F.col("yc")).cast("long").alias("sqy"),
+        F.sum(F.col("dc") * F.col("yc")).cast("long").alias("sdy"),
+        F.sum(F.col("tc") * F.col("yc")).cast("long").alias("sty"),
+    )
+    d = sums.select(
+        *[F.col(s).cast("double").alias(f"d{s[1:]}") for s in _LR_SUM_NAMES]
+    ).localCheckpoint(eager=True)
+    out = None
+    for feat, expr in _lr_cramer_exprs():
+        row = d.select(
+            F.lit(feat).alias("feature"),
+            F.expr(expr).alias("coefficient"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("feature")
 
 
 #: grid-density clustering: cell edge (centi-degrees) and max CC rounds.
@@ -1031,16 +1073,74 @@ def ml_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gain = SL²/nL + SR²/nR (squared-loss parent term constant across
     thresholds, so argmax over this child term ≡ argmax variance
     reduction). Bin stats are exact integers on the money/percent
-    grids; the score is double but computed from shared expression
-    text (`ml_linreg_normal` discipline), so Spark and DuckDB agree on
-    the argmax bit-for-bit — the per-feature winner row hash-matches.
-    One tree level = re-running this with the split filter applied;
-    a full trainer loops it per node over residuals.
+    grids; the score is double but mirrored operand-for-operand, so
+    Spark and DuckDB agree on the argmax bit-for-bit — the per-feature
+    winner row hash-matches. One tree level = re-running this with the
+    split filter applied; a full trainer loops it per node over
+    residuals. Spark builds the kernel through the DataFrame API
+    (converted from the shared-SQL form).
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "msh_lineitem"
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_quantity").cast("long").alias("qb"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("db"),
+        F.floor(F.col("l_tax") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("tb"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("yc"),
     )
-    return spark.sql(_split_hist_sql("msh_lineitem"))
+    u = (
+        g.select(F.lit("quantity").alias("feature"),
+                 F.col("qb").alias("bin"), "yc")
+        .unionAll(g.select(F.lit("discount"), F.col("db"), "yc"))
+        .unionAll(g.select(F.lit("tax"), F.col("tb"), "yc"))
+    )
+    bins = u.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("sy"),
+    )
+    tot = bins.groupBy("feature").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sy").cast("long").alias("st"),
+    )
+    wcum = Window.partitionBy("feature").orderBy("bin")
+    cum = bins.select(
+        "feature", "bin",
+        F.sum("n").over(wcum).cast("long").alias("nl"),
+        F.sum("sy").over(wcum).cast("long").alias("sl"),
+    )
+    scored = (
+        cum.join(tot, "feature")
+        .filter(F.col("nl") < F.col("nt"))
+        .select(
+            "feature", "bin", "nl",
+            (
+                F.col("sl").cast("double") * F.col("sl").cast("double")
+                / F.col("nl").cast("double")
+                + (F.col("st") - F.col("sl")).cast("double")
+                * (F.col("st") - F.col("sl")).cast("double")
+                / (F.col("nt") - F.col("nl")).cast("double")
+            ).alias("score"),
+        )
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("feature").orderBy(
+                F.col("score").desc(), "bin"
+            )
+        ),
+    )
+    return (
+        best.filter(F.col("rn") == 1)
+        .select(
+            "feature", F.col("bin").alias("split_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("score").alias("gain_score"),
+        )
+        .orderBy("feature")
+    )
 
 
 def _gbt_boost_sql(tbl: str, div: str, mat: str) -> str:
@@ -1140,12 +1240,94 @@ def ml_gbt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     boosting = T such passes — at 100 TB the histogram trick is what
     makes GBT trainable at all, and this is that inner loop verbatim.
     Leaf means use truncating integer division (identical in both
-    engines) so residuals stay exact integers through every round.
+    engines — all quantities positive) so residuals stay exact
+    integers through every round. Spark builds both rounds through the
+    DataFrame API (converted from the shared-SQL form): one python
+    helper per stump round, the residual step a narrow projection
+    against the broadcast 1-row winner.
     """
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "gbt_lineitem"
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_quantity").cast("long").alias("qb"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("db"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("y"),
     )
-    return spark.sql(_gbt_boost_sql("gbt_lineitem", "div", ""))
+
+    def stump(src: DataFrame) -> DataFrame:
+        u = src.select(
+            F.lit("quantity").alias("feature"),
+            F.col("qb").alias("bin"), "y",
+        ).unionAll(src.select(F.lit("discount"), F.col("db"), "y"))
+        b = u.groupBy("feature", "bin").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        t = b.groupBy("feature").agg(
+            F.sum("n").cast("long").alias("nt"),
+            F.sum("sy").cast("long").alias("st"),
+        )
+        wcum = Window.partitionBy("feature").orderBy("bin")
+        c = b.select(
+            "feature", "bin",
+            F.sum("n").over(wcum).cast("long").alias("nl"),
+            F.sum("sy").over(wcum).cast("long").alias("sl"),
+        )
+        s = (
+            c.join(t, "feature")
+            .filter(F.col("nl") < F.col("nt"))
+            .select(
+                "feature", "bin", "nl", "sl", "nt", "st",
+                (
+                    F.col("sl").cast("double")
+                    * F.col("sl").cast("double")
+                    / F.col("nl").cast("double")
+                    + (F.col("st") - F.col("sl")).cast("double")
+                    * (F.col("st") - F.col("sl")).cast("double")
+                    / (F.col("nt") - F.col("nl")).cast("double")
+                ).alias("score"),
+            )
+        )
+        return (
+            s.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("score").desc(), "feature", "bin"
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "feature", F.col("bin").alias("split_bin"), "nl", "nt",
+                F.expr("sl div nl").alias("ml"),
+                F.expr("(st - sl) div (nt - nl)").alias("mr"),
+                "score",
+            )
+        )
+
+    w1 = stump(g)
+    r = g.crossJoin(F.broadcast(w1)).select(
+        "qb", "db",
+        F.expr(
+            "y - (CASE WHEN (CASE WHEN feature = 'quantity' THEN qb"
+            " ELSE db END) <= split_bin THEN ml ELSE mr END)"
+        ).alias("y"),
+    )
+    w2 = stump(r)
+
+    def out(w: DataFrame, rnd: int) -> DataFrame:
+        return w.select(
+            F.lit(rnd).cast("long").alias("round"), "feature",
+            F.col("split_bin").cast("long").alias("split_bin"),
+            F.col("nl").alias("n_left"),
+            F.col("ml").alias("mean_left_cents"),
+            F.col("mr").alias("mean_right_cents"),
+            F.col("score").alias("gain_score"),
+        )
+
+    return out(w1, 1).unionAll(out(w2, 2)).orderBy("round")
 
 
 def _isotonic_sql(tbl: str, hex4: str, div: str) -> str:
@@ -1227,9 +1409,66 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. That is also the right 100-TB shape: calibration always
     operates on binned sufficient statistics, never raw rows.
     Verified equal to a reference PAV in tests; oracle-hash bit-exact
-    (single-division doubles, order-free min/max).
+    (single-division doubles, order-free min/max). Spark builds the
+    kernel through the DataFrame API (converted from the shared-SQL
+    form); the oracle keeps the SQL template, and the planted-bins
+    test path keeps `_isotonic_core_sql`.
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
-        "iso_orders"
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        (
+            F.expr(
+                "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                " div 4000000"
+            )
+            + F.expr(_ISO_HEX_SPARK) % 7
+        ).alias("bin"),
+        F.when(F.col("o_totalprice") > 200000.0, 1).otherwise(0)
+        .alias("y"),
     )
-    return spark.sql(_isotonic_sql("iso_orders", _ISO_HEX_SPARK, "div"))
+    bins = raw.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    pre = bins.select(
+        "bin", "w", "s",
+        F.sum("w").over(Window.orderBy("bin")).cast("long").alias("cw"),
+        F.sum("s").over(Window.orderBy("bin")).cast("long").alias("cs"),
+    )
+    a = pre.select(
+        F.col("bin").alias("a"), F.col("w").alias("aw"),
+        F.col("s").alias("as_"), F.col("cw").alias("acw"),
+        F.col("cs").alias("acs"),
+    )
+    b = pre.select(
+        F.col("bin").alias("b"), F.col("cw").alias("bcw"),
+        F.col("cs").alias("bcs"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("a") <= F.col("b")).select(
+        "a", "b",
+        (
+            (F.col("bcs") - F.col("acs") + F.col("as_")).cast("double")
+            / (F.col("bcw") - F.col("acw") + F.col("aw")).cast("double")
+        ).alias("avg_ab"),
+    )
+    rmin = pairs.select(
+        "a", "b",
+        F.min("avg_ab").over(
+            Window.partitionBy("a").orderBy(F.col("b").desc())
+        ).alias("m"),
+    )
+    fit = (
+        rmin.filter(F.col("a") <= F.col("b"))
+        .groupBy(F.col("b").alias("bin"))
+        .agg(F.max("m").alias("fitted"))
+    )
+    return (
+        fit.join(bins, "bin")
+        .select(
+            "bin", "w", "s",
+            (F.col("s").cast("double") / F.col("w").cast("double"))
+            .alias("raw_rate"),
+            "fitted",
+        )
+        .orderBy("bin")
+    )
