@@ -3379,3 +3379,168 @@ def sky_galactic_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_id", "ra_c", "dec_c", "l_deg", "b_deg",
         (F.abs(F.col("b_deg")) < F.lit(10.0)).alias("in_plane"),
     ).orderBy("obj_id")
+
+
+#: tracklet linking: velocity gate (centi-deg per epoch) and the cell
+#: edge for the binned pair join (>= gate so 3x3 neighbors cover it).
+_TRK_GATE = 5
+_TRK_CELL = 8
+
+
+@register(
+    "sky_tracklet_link",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra0,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec0,
+         CASE WHEN c_custkey % 20 = 0
+              THEN (c_custkey % 7) - 3 ELSE 0 END AS vra,
+         CASE WHEN c_custkey % 20 = 0
+              THEN (c_custkey % 5) - 2 ELSE 0 END AS vdec
+  FROM customer
+),
+det AS (
+  SELECT e.e, ra0 + vra * e.e AS ra, dec0 + vdec * e.e AS dec
+  FROM cat CROSS JOIN (VALUES (0), (1), (2)) e(e)
+),
+stationary AS (
+  SELECT ra, dec FROM det GROUP BY ra, dec HAVING COUNT(*) >= 3
+),
+mv AS (
+  SELECT d.e, d.ra, d.dec FROM det d
+  ANTI JOIN stationary s ON s.ra = d.ra AND s.dec = d.dec
+),
+p01 AS (
+  SELECT a.ra AS ra_start, a.dec AS dec_start,
+         b.ra - a.ra AS v_ra, b.dec - a.dec AS v_dec
+  FROM mv a JOIN mv b
+    ON a.e = 0 AND b.e = 1
+   AND abs(b.ra - a.ra) <= {_TRK_GATE}
+   AND abs(b.dec - a.dec) <= {_TRK_GATE}
+),
+p12 AS (
+  SELECT a.ra AS ra_mid, a.dec AS dec_mid,
+         b.ra - a.ra AS v_ra, b.dec - a.dec AS v_dec
+  FROM mv a JOIN mv b
+    ON a.e = 1 AND b.e = 2
+   AND abs(b.ra - a.ra) <= {_TRK_GATE}
+   AND abs(b.dec - a.dec) <= {_TRK_GATE}
+)
+SELECT p.ra_start, p.dec_start, p.v_ra, p.v_dec,
+       CAST(COUNT(*) AS BIGINT) AS n_chains
+FROM p01 p JOIN p12 q
+  ON q.ra_mid = p.ra_start + p.v_ra
+ AND q.dec_mid = p.dec_start + p.v_dec
+ AND q.v_ra = p.v_ra AND q.v_dec = p.v_dec
+GROUP BY p.ra_start, p.dec_start, p.v_ra, p.v_dec
+ORDER BY p.ra_start, p.dec_start, p.v_ra, p.v_dec
+""",
+)
+def sky_tracklet_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-object tracklet linking — the asteroid-pipeline step
+    after `sky_source_extract`: three epochs of detections, stationary
+    sources removed by exact-position self-match (an anti-join against
+    positions seen in every epoch), the survivors linked epoch-to-
+    epoch within a velocity gate, and 3-detection TRACKLETS kept only
+    where the two links agree on velocity (linear-motion consistency —
+    the cut that kills chance alignments). The linker never sees
+    object identity: it works purely on (epoch, ra, dec), exactly like
+    a real pipeline; planted movers (every 20th object drifts at an
+    id-derived integer velocity) are recovered by the pytest.
+
+    The epoch-pair search is the binned equi-join (`xmatch_sphere`
+    discipline): each epoch-1 detection replicates into its 3x3
+    neighbor cells at the _TRK_CELL grid and equi-joins on the cell
+    key, with the exact |dra|,|ddec| <= gate predicate applied after —
+    no quadratic pair space. The chain step is a pure EQUI-join on the
+    predicted position + velocity, because a consistent tracklet's
+    third detection is exactly determined by its first two.
+
+    100-TB posture: stationary removal and both link stages shuffle on
+    position/cell keys only; tracklet volume is mover-sized, and the
+    velocity gate bounds candidates per detection by the local mover
+    density (production adds a time-scaled gate per epoch spacing).
+    Positions here stay on the integer centi-degree grid without RA
+    wraparound (synthetic field; production wraps mod 360 deg like
+    `sphere_match`'s ring cells).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra0"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec0"),
+        F.when(F.col("c_custkey") % 20 == 0, F.col("c_custkey") % 7 - 3)
+        .otherwise(0).alias("vra"),
+        F.when(F.col("c_custkey") % 20 == 0, F.col("c_custkey") % 5 - 2)
+        .otherwise(0).alias("vdec"),
+    )
+    det = cat.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("e"),
+        "ra0", "vra", "dec0", "vdec",
+    ).select(
+        "e",
+        (F.col("ra0") + F.col("vra") * F.col("e")).alias("ra"),
+        (F.col("dec0") + F.col("vdec") * F.col("e")).alias("dec"),
+    ).localCheckpoint(eager=True)
+    stationary = (
+        det.groupBy("ra", "dec")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+        .select("ra", "dec")
+    )
+    mv = det.join(stationary, ["ra", "dec"], "left_anti")
+
+    def link(e_from: int, e_to: int) -> DataFrame:
+        a = mv.filter(F.col("e") == e_from).select(
+            F.col("ra").alias("ra_a"), F.col("dec").alias("dec_a"),
+            F.expr(f"ra div {_TRK_CELL}").alias("cx"),
+            F.expr(f"dec div {_TRK_CELL}").alias("cy"),
+        )
+        b = mv.filter(F.col("e") == e_to).select(
+            F.col("ra").alias("ra_b"), F.col("dec").alias("dec_b"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx -> "
+                    f"transform(sequence(-1, 1), dy -> "
+                    f"struct(ra div {_TRK_CELL} + dx AS cx, "
+                    f"dec div {_TRK_CELL} + dy AS cy))))"
+                )
+            ).alias("cell"),
+        ).select("ra_b", "dec_b", "cell.cx", "cell.cy")
+        return (
+            a.join(b, ["cx", "cy"])
+            .filter(
+                (F.abs(F.col("ra_b") - F.col("ra_a")) <= _TRK_GATE)
+                & (F.abs(F.col("dec_b") - F.col("dec_a")) <= _TRK_GATE)
+            )
+            .select(
+                F.col("ra_a").alias("ra_start"),
+                F.col("dec_a").alias("dec_start"),
+                (F.col("ra_b") - F.col("ra_a")).alias("v_ra"),
+                (F.col("dec_b") - F.col("dec_a")).alias("v_dec"),
+            )
+        )
+
+    p01 = link(0, 1)
+    p12 = link(1, 2).select(
+        F.col("ra_start").alias("ra_mid"),
+        F.col("dec_start").alias("dec_mid"),
+        F.col("v_ra").alias("qv_ra"), F.col("v_dec").alias("qv_dec"),
+    )
+    return (
+        p01.join(
+            p12,
+            (F.col("ra_mid") == F.col("ra_start") + F.col("v_ra"))
+            & (F.col("dec_mid") == F.col("dec_start") + F.col("v_dec"))
+            & (F.col("qv_ra") == F.col("v_ra"))
+            & (F.col("qv_dec") == F.col("v_dec")),
+        )
+        .groupBy("ra_start", "dec_start", "v_ra", "v_dec")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chains"))
+        .orderBy("ra_start", "dec_start", "v_ra", "v_dec")
+    )

@@ -405,3 +405,55 @@ def test_galactic_transform_known_points(spark):
         assert abs(r["l_deg"] - round(l, 6)) <= 1e-6
         assert abs(r["b_deg"] - round(b, 6)) <= 1e-6
         assert r["in_plane"] == (abs(round(b, 6)) < 10.0)
+
+
+def test_tracklet_link_recovers_planted_movers(spark):
+    """The linker sees only (epoch, ra, dec); it must recover exactly
+    the planted movers (every 20th customer, id-derived velocity) —
+    rebuilt here independently, including the stationary-removal and
+    linear-consistency semantics."""
+    import pyarrow.parquet as pq
+    import hashlib
+
+    cust = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey"]
+    ).to_pandas()["c_custkey"]
+
+    def md5pos(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return int(h[:6], 16) % 36000, int(h[6:12], 16) % 18000 - 9000
+
+    planted = {}
+    positions = {}
+    for k in cust:
+        k = int(k)
+        ra0, dec0 = md5pos(k)
+        if k % 20 == 0:
+            v = (k % 7 - 3, k % 5 - 2)
+        else:
+            v = (0, 0)
+        planted[k] = (ra0, dec0, v)
+        for e in range(3):
+            positions.setdefault(
+                (ra0 + v[0] * e, dec0 + v[1] * e), 0
+            )
+            positions[(ra0 + v[0] * e, dec0 + v[1] * e)] += 1
+    # expected tracklets: movers whose three positions are NOT all
+    # stationary-classified (a position seen >= 3 times is removed)
+    expected = set()
+    for k, (ra0, dec0, (vra, vdec)) in planted.items():
+        pts = [(ra0 + vra * e, dec0 + vdec * e) for e in range(3)]
+        if all(positions[p] >= 3 for p in pts):
+            continue  # fully stationary-classified → unlinkable
+        if any(positions[p] >= 3 for p in pts):
+            continue  # partially swallowed — not a clean 3-chain
+        expected.add((ra0, dec0, vra, vdec))
+    rows = QUERIES["sky_tracklet_link"](spark, SF_DIR).collect()
+    got = {
+        (r["ra_start"], r["dec_start"], r["v_ra"], r["v_dec"])
+        for r in rows
+    }
+    assert expected <= got, expected - got
+    # every recovered tracklet moves (stationary removal worked)
+    assert all(r["v_ra"] != 0 or r["v_dec"] != 0 for r in rows)
+    assert len(got) > 0
