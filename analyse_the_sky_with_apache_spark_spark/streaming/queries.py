@@ -1406,3 +1406,97 @@ def stream_cms_sink_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+@register(
+    "stream_dedup_index_merge",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         NTILE(4) OVER (ORDER BY ts, event_id) AS b
+  FROM events
+),
+firstb AS (
+  SELECT user_id, event_type, MIN(b) AS fb
+  FROM ranked GROUP BY user_id, event_type
+)
+SELECT CAST(r.b - 1 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CASE WHEN f.fb = r.b THEN
+              CAST(r.user_id AS VARCHAR) || '|' || r.event_type
+            END) AS BIGINT) AS n_new_keys,
+       CAST(SUM(CASE WHEN f.fb < r.b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_rows
+FROM ranked r
+JOIN firstb f
+  ON f.user_id = r.user_id AND f.event_type = r.event_type
+GROUP BY r.b ORDER BY batch_id
+""",
+)
+def stream_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup against a PERSISTED first-seen index — the
+    production incremental-dedup shape (`dedup_incremental_minhash`'s
+    batch kernel moved into foreachBatch): each micro-batch anti-joins
+    its keys against the parquet index built by ALL PRIOR batches,
+    counts rows whose key is already indexed, appends only the
+    genuinely new keys, and logs per-batch accounting to a stats sink.
+    The index granularity is the batch (the foreachBatch transactional
+    unit): a key's entire first batch counts as new, every later
+    appearance as duplicate.
+
+    Exactly verifiable because the replay harness splits events by
+    ``NTILE(4) OVER (ORDER BY ts, event_id)`` — a rule the DuckDB
+    oracle reproduces verbatim, so each batch's row count, new-key
+    count and duplicate-row count are hash-checked end to end through
+    the real streaming machinery (a double-fired sink, a lost index
+    append, or out-of-order file replay all break some batch's row).
+
+    100-TB posture: the index carries one row per DISTINCT key (the
+    dedup state, not the stream); each batch's work is two
+    hash-joins against it co-partitioned on the key, and appends are
+    key-delta-sized — the same pattern at cloud scale swaps parquet
+    for an indexed table format, nothing else moves.
+    """
+    import uuid as _uuid
+
+    from ..catalog import load_table
+    from ..sources.scans import _SCRATCH
+
+    src = stage_events(spark, sf_dir, n_files=4)
+    run_id = _uuid.uuid4().hex[:8]
+    index_path = os.path.join(_SCRATCH, f"dedup_index_{run_id}")
+    stats_path = os.path.join(_SCRATCH, f"dedup_index_stats_{run_id}")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        ss = df.sparkSession
+        try:
+            idx = ss.read.parquet(index_path)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            idx = None
+        n_rows = df.count()
+        if idx is not None:
+            n_dup = df.join(
+                idx, ["user_id", "event_type"], "left_semi"
+            ).count()
+            new_keys = (
+                df.select("user_id", "event_type").distinct()
+                .join(idx, ["user_id", "event_type"], "left_anti")
+            )
+        else:
+            n_dup = 0
+            new_keys = df.select("user_id", "event_type").distinct()
+        n_new = new_keys.count()
+        new_keys.write.mode("append").parquet(index_path)
+        ss.createDataFrame(
+            [(int(batch_id), n_rows, n_new, n_dup)],
+            "batch_id LONG, n_rows LONG, n_new_keys LONG, n_dup_rows LONG",
+        ).write.mode("append").parquet(stats_path)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir("dedup_idx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(stats_path).orderBy("batch_id")

@@ -457,3 +457,21 @@ def test_tracklet_link_recovers_planted_movers(spark):
     # every recovered tracklet moves (stationary removal worked)
     assert all(r["v_ra"] != 0 or r["v_dec"] != 0 for r in rows)
     assert len(got) > 0
+
+
+def test_dedup_index_accounting_invariants(spark):
+    """Conservation laws the oracle hash can't state as invariants:
+    new keys sum to the global distinct-key count, duplicate rows only
+    appear after batch 0, and rows partition exactly."""
+    import pyarrow.parquet as pq
+
+    rows = QUERIES["stream_dedup_index_merge"](spark, SF_DIR).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "event_type"]
+    ).to_pandas()
+    n_distinct = len(ev.drop_duplicates())
+    assert sum(r["n_new_keys"] for r in rows) == n_distinct
+    assert sum(r["n_rows"] for r in rows) == len(ev)
+    assert rows[0]["n_dup_rows"] == 0
+    assert any(r["n_dup_rows"] > 0 for r in rows[1:])
