@@ -1475,9 +1475,11 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
         ).alias("digit")
     )
+    # 9 rows; localCheckpoint so the tot rollup and the left join don't
+    # each replay the orders scan (2 scans -> 1 in the executed plan).
     c = d.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=True)
     p = o.sparkSession.createDataFrame(
         [(dg, float(f"{pb}e0")) for dg, pb in _BENFORD_P],
         "digit INT, pb DOUBLE",
