@@ -262,7 +262,7 @@ _ROTATION_R12 = (
     "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",
     "sim_range_search", "mm_audio_vad", "mm_image_ahash",
     "sky_galactic_transform", "sky_tracklet_link",
-    "stream_dedup_index_merge",
+    "stream_dedup_index_merge", "sky_aperture_photometry",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

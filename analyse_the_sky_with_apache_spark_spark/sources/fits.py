@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1006,4 +1006,161 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
         .orderBy("tile_a", "tile_b")
+    )
+
+
+#: aperture photometry: aperture radius² and annulus bounds (in px²),
+#: and the number of brightest-pixel centers measured per tile.
+_AP_R2 = 9          # aperture: d² <= 9  (r = 3 px)
+_AP_ANN_LO2 = 9     # annulus: 9 < d² <= 25  (r = 3..5 px)
+_AP_ANN_HI2 = 25
+_AP_CENTERS = 5
+
+
+@register(
+    "sky_aperture_photometry",
+    oracle=f"""
+WITH px AS (
+  SELECT f.f, t.i % {_IMG_NX} AS x, t.i // {_IMG_NX} AS y,
+         ((f.f * 1000003 + t.i) * 7919) % 3600 AS k,
+         f.f * 10000 + t.i AS pid
+  FROM range(0, {_IMG_TILES}) f(f)
+  CROSS JOIN range(0, {_IMG_NX * _IMG_NY}) t(i)
+),
+centers AS (
+  SELECT f, x AS cx, y AS cy, pid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY f
+                                     ORDER BY k DESC, pid) AS rn
+        FROM px) z
+  WHERE rn <= {_AP_CENTERS}
+),
+member AS (
+  SELECT c.f, c.pid AS center_id, c.cx, c.cy, p.k,
+         (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2
+  FROM centers c JOIN px p ON p.f = c.f
+  WHERE (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+          <= {_AP_ANN_HI2}
+),
+sums AS (
+  SELECT f, center_id, cx, cy,
+         CAST(SUM(CASE WHEN d2 <= {_AP_R2} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ap,
+         CAST(SUM(CASE WHEN d2 <= {_AP_R2} THEN k ELSE 0 END)
+              AS BIGINT) AS ap_sum,
+         CAST(SUM(CASE WHEN d2 > {_AP_ANN_LO2} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ann,
+         CAST(SUM(CASE WHEN d2 > {_AP_ANN_LO2} THEN k ELSE 0 END)
+              AS BIGINT) AS ann_sum
+  FROM member GROUP BY f, center_id, cx, cy
+)
+SELECT CAST(f AS BIGINT) AS tile, center_id,
+       CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       n_ap, ap_sum, n_ann,
+       ann_sum // n_ann AS bkg_mean_centi,
+       ap_sum - n_ap * (ann_sum // n_ann) AS net_flux_centi
+FROM sums WHERE n_ann > 0
+ORDER BY tile, center_id
+""",
+)
+def sky_aperture_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture photometry over FITS tiles — the flux MEASUREMENT step
+    between `sky_source_extract` (which sums only member pixels above
+    threshold) and the science catalog: around each target (here the
+    _AP_CENTERS brightest pixels per tile, deterministically
+    tie-broken), sum ALL pixel flux inside a fixed circular aperture
+    (d² <= 9) and subtract the local background estimated from the
+    surrounding annulus (9 < d² <= 25) — net = ap_sum − n_ap·bkg_mean,
+    the classic SExtractor/photutils recipe with an integer-exact mean
+    (truncating division on positive sums, identical in both engines).
+
+    Per-tile measurement: targets broadcast against the tile's decoded
+    pixels and join on the tile key with the exact integer d² predicate
+    — apertures never span tiles (edge apertures clip at the tile
+    boundary; the coadd kernel is the cross-tile answer). The DuckDB
+    oracle rebuilds everything from range() arithmetic, so decode,
+    target selection, membership and background subtraction are all
+    hash-checked.
+
+    100-TB posture: pixels stay executor-side (the decode kernel
+    emits them partition-local); the target list is catalog-sized and
+    broadcasts; one shuffle on (tile, center) for the sums. A dense-
+    target survey switches to per-tile kernel-side photometry (sum
+    inside the Arrow kernel per target list chunk) — same numbers,
+    zero pixel shuffle.
+    """
+    base = _stage_sky_tiles("sky_tiles_fits")
+
+    def pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                f = int(path.rsplit("tile_", 1)[-1].split(".")[0])
+                for _cards, arr in parse_fits_images(bytes(buf)):
+                    ny, nx = arr.shape
+                    centi = np.floor(
+                        arr.astype(np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+                    idx = np.arange(nx * ny, dtype=np.int64)
+                    yield pd.DataFrame(
+                        {
+                            "f": np.full(idx.size, f, dtype=np.int64),
+                            "x": idx % nx,
+                            "y": idx // nx,
+                            "k": centi.reshape(-1),
+                            "pid": f * 10000 + idx,
+                        }
+                    )
+
+    px = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/*.fits")
+        .select("path", "content")
+        .mapInPandas(pixels, "f LONG, x LONG, y LONG, k LONG, pid LONG")
+        .localCheckpoint(eager=True)
+    )
+    centers = (
+        px.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("f").orderBy(F.col("k").desc(), "pid")
+            ),
+        )
+        .filter(F.col("rn") <= _AP_CENTERS)
+        .select(
+            "f", F.col("x").alias("cx"), F.col("y").alias("cy"),
+            F.col("pid").alias("center_id"),
+        )
+    )
+    d2 = (
+        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+        + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+    )
+    member = (
+        F.broadcast(centers).join(px, "f")
+        .filter(d2 <= _AP_ANN_HI2)
+        .select("f", "center_id", "cx", "cy", "k", d2.alias("d2"))
+    )
+    sums = member.groupBy("f", "center_id", "cx", "cy").agg(
+        F.sum(F.when(F.col("d2") <= _AP_R2, 1).otherwise(0))
+        .cast("long").alias("n_ap"),
+        F.sum(F.when(F.col("d2") <= _AP_R2, F.col("k")).otherwise(0))
+        .cast("long").alias("ap_sum"),
+        F.sum(F.when(F.col("d2") > _AP_ANN_LO2, 1).otherwise(0))
+        .cast("long").alias("n_ann"),
+        F.sum(F.when(F.col("d2") > _AP_ANN_LO2, F.col("k")).otherwise(0))
+        .cast("long").alias("ann_sum"),
+    )
+    bkg = F.expr("ann_sum div n_ann")
+    return (
+        sums.filter(F.col("n_ann") > 0)
+        .select(
+            F.col("f").cast("long").alias("tile"),
+            "center_id",
+            F.col("cx").cast("long").alias("cx"),
+            F.col("cy").cast("long").alias("cy"),
+            "n_ap", "ap_sum", "n_ann",
+            bkg.alias("bkg_mean_centi"),
+            (F.col("ap_sum") - F.col("n_ap") * bkg)
+            .alias("net_flux_centi"),
+        )
+        .orderBy("tile", "center_id")
     )

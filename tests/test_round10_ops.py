@@ -475,3 +475,44 @@ def test_dedup_index_accounting_invariants(spark):
     assert sum(r["n_rows"] for r in rows) == len(ev)
     assert rows[0]["n_dup_rows"] == 0
     assert any(r["n_dup_rows"] > 0 for r in rows[1:])
+
+
+def test_aperture_photometry_vs_numpy(spark):
+    """Rebuild every aperture measurement with direct numpy masks."""
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        _AP_ANN_HI2,
+        _AP_ANN_LO2,
+        _AP_CENTERS,
+        _AP_R2,
+    )
+
+    want = {}
+    for f in range(_IMG_TILES):
+        k = _linear_pixels(
+            f, np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
+        )
+        order = sorted(range(len(k)), key=lambda i: (-k[i], f * 10000 + i))
+        grid = k.reshape(_IMG_NY, _IMG_NX)
+        ys, xs = np.mgrid[0:_IMG_NY, 0:_IMG_NX]
+        for i in order[:_AP_CENTERS]:
+            cx, cy = i % _IMG_NX, i // _IMG_NX
+            d2 = (xs - cx) ** 2 + (ys - cy) ** 2
+            ap = d2 <= _AP_R2
+            ann = (d2 > _AP_ANN_LO2) & (d2 <= _AP_ANN_HI2)
+            if not ann.any():
+                continue
+            bkg = int(grid[ann].sum()) // int(ann.sum())
+            want[(f, f * 10000 + i)] = (
+                cx, cy, int(ap.sum()), int(grid[ap].sum()),
+                int(ann.sum()), bkg,
+                int(grid[ap].sum()) - int(ap.sum()) * bkg,
+            )
+    rows = QUERIES["sky_aperture_photometry"](spark, SF_DIR).collect()
+    got = {
+        (r["tile"], r["center_id"]): (
+            r["cx"], r["cy"], r["n_ap"], r["ap_sum"], r["n_ann"],
+            r["bkg_mean_centi"], r["net_flux_centi"],
+        )
+        for r in rows
+    }
+    assert got == want and len(want) > 0
