@@ -1472,3 +1472,157 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def _lr_attr_oracle() -> str:
+    """DuckDB oracle for `ml_linear_attribution`, assembled from the
+    same generated Cramer fragments as `ml_linreg_normal`."""
+    exprs = dict(_lr_cramer_exprs())
+    casts = ", ".join(
+        f"CAST({s} AS DOUBLE) AS d{s[1:]}" for s in _LR_SUM_NAMES
+    )
+    return f"""
+WITH s AS MATERIALIZED (
+{_LR_SUMS_SQL.format(grid=_LR_GRID_SQL.format(tbl="lineitem"))}
+),
+d AS MATERIALIZED (SELECT {casts} FROM s),
+coef AS MATERIALIZED (
+  SELECT {exprs['l_quantity']} AS bq,
+         {exprs['l_discount']} AS bd,
+         {exprs['l_tax']} AS bt,
+         dq / dn AS mq, dd / dn AS md, dt / dn AS mt
+  FROM d),
+g AS ({_LR_GRID_SQL.format(tbl="lineitem")}),
+phi AS (
+  SELECT CAST(FLOOR(abs(c.bq * (g.q - c.mq)) * 1000.0 + 0.5)
+              AS BIGINT) AS p1,
+         CAST(FLOOR(abs(c.bd * (g.dc - c.md)) * 1000.0 + 0.5)
+              AS BIGINT) AS p2,
+         CAST(FLOOR(abs(c.bt * (g.tc - c.mt)) * 1000.0 + 0.5)
+              AS BIGINT) AS p3
+  FROM g, coef c),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p1) AS BIGINT) AS s1,
+         CAST(SUM(p2) AS BIGINT) AS s2,
+         CAST(SUM(p3) AS BIGINT) AS s3
+  FROM phi)
+SELECT * FROM (
+  SELECT 'l_quantity' AS feature, n,
+         s1 AS sum_absphi_milli,
+         s1 // n AS mean_absphi_milli,
+         CAST(FLOOR(CAST(s1 AS DOUBLE)
+                    / CAST(s1 + s2 + s3 AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) AS share_micro
+  FROM tot
+  UNION ALL
+  SELECT 'l_discount', n, s2, s2 // n,
+         CAST(FLOOR(CAST(s2 AS DOUBLE)
+                    / CAST(s1 + s2 + s3 AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) FROM tot
+  UNION ALL
+  SELECT 'l_tax', n, s3, s3 // n,
+         CAST(FLOOR(CAST(s3 AS DOUBLE)
+                    / CAST(s1 + s2 + s3 AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) FROM tot
+) ORDER BY feature
+"""
+
+
+@register("ml_linear_attribution", oracle=_lr_attr_oracle())
+def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature attribution for the linear model — closed-form
+    Shapley values: for a linear model, feature j's Shapley value on a
+    row is EXACTLY beta_j * (x_j - mean_j) (no sampling, no
+    approximation), so global importance = mean |phi_j| — the model-
+    explanation readout (the "which feature drives predictions"
+    question), reported with each feature's share of total
+    attribution. Complements `ml_linreg_normal` (coefficients say
+    per-unit effect; attribution folds in each feature's actual
+    dispersion — a tiny beta on a wide feature can dominate).
+
+    Two passes: the sufficient-statistics aggregate (shared with the
+    normal-equations fit — coefficients and feature means come off the
+    same 14 exact sums via the SAME generated Cramer fragments in both
+    engines), then one data-sized projection computing |phi| per row
+    GRIDDED to milli before the per-feature sums, so the reductions
+    are exact longs and the share is one double ratio of exact longs gridded to
+    micro (an integer cross-multiply would overflow int64 at sf1 —
+    found by the 10x sweep).
+
+    100-TB posture: pass 1 reduces to 14 values; pass 2 is a narrow
+    projection against the broadcast 1-row coefficient table plus one
+    map-side-combinable 3-sum aggregate. Overflow: |phi|*1e3 <=
+    ~1e10/row (price-cents scale) — the exact sums hold to ~1e8 rows
+    per partition-merge ladder step at sf100; re-grid to centi past
+    that (SCALE ledger).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("dc"),
+        F.floor(F.col("l_tax") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("tc"),
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("yc"),
+    )
+    sums = g.agg(
+        F.count(F.lit(1)).cast("long").alias("sn"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("dc").cast("long").alias("sd"),
+        F.sum("tc").cast("long").alias("st"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("q") * F.col("dc")).cast("long").alias("sqd"),
+        F.sum(F.col("q") * F.col("tc")).cast("long").alias("sqt"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sdd"),
+        F.sum(F.col("dc") * F.col("tc")).cast("long").alias("sdt"),
+        F.sum(F.col("tc") * F.col("tc")).cast("long").alias("stt"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("q") * F.col("yc")).cast("long").alias("sqy"),
+        F.sum(F.col("dc") * F.col("yc")).cast("long").alias("sdy"),
+        F.sum(F.col("tc") * F.col("yc")).cast("long").alias("sty"),
+    )
+    d = sums.select(
+        *[F.col(s).cast("double").alias(f"d{s[1:]}") for s in _LR_SUM_NAMES]
+    )
+    exprs = dict(_lr_cramer_exprs())
+    coef = d.select(
+        F.expr(exprs["l_quantity"]).alias("bq"),
+        F.expr(exprs["l_discount"]).alias("bd"),
+        F.expr(exprs["l_tax"]).alias("bt"),
+        F.expr("dq / dn").alias("mq"),
+        F.expr("dd / dn").alias("md"),
+        F.expr("dt / dn").alias("mt"),
+    ).localCheckpoint(eager=True)
+    phi = g.crossJoin(F.broadcast(coef)).select(
+        F.floor(F.abs(F.col("bq") * (F.col("q") - F.col("mq")))
+                * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p1"),
+        F.floor(F.abs(F.col("bd") * (F.col("dc") - F.col("md")))
+                * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p2"),
+        F.floor(F.abs(F.col("bt") * (F.col("tc") - F.col("mt")))
+                * F.lit(1000.0) + F.lit(0.5)).cast("long").alias("p3"),
+    )
+    tot = phi.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p1").cast("long").alias("s1"),
+        F.sum("p2").cast("long").alias("s2"),
+        F.sum("p3").cast("long").alias("s3"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for feat, col in (
+        ("l_quantity", "s1"), ("l_discount", "s2"), ("l_tax", "s3"),
+    ):
+        row = tot.select(
+            F.lit(feat).alias("feature"),
+            "n",
+            F.col(col).alias("sum_absphi_milli"),
+            F.expr(f"{col} div n").alias("mean_absphi_milli"),
+            F.expr(
+                f"CAST(FLOOR(CAST({col} AS DOUBLE)"
+                f" / CAST(s1 + s2 + s3 AS DOUBLE)"
+                f" * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("feature")

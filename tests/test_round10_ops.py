@@ -516,3 +516,70 @@ def test_aperture_photometry_vs_numpy(spark):
         for r in rows
     }
     assert got == want and len(want) > 0
+
+
+def test_diff_image_transients_vs_numpy(spark):
+    """Rebuild per-tile transient accounting by direct subtraction of
+    the two closed-form pixel fields."""
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        _DIFF_THRESH,
+    )
+
+    rows = QUERIES["sky_diff_image_transients"](spark, SF_DIR).collect()
+    got = {r["tile"]: r for r in rows}
+    for f in range(_IMG_TILES):
+        idx = np.arange(_IMG_NX * _IMG_NY, dtype=np.int64)
+        dk = _quadratic_pixels(f, idx) - _linear_pixels(f, idx)
+        det = np.abs(dk) >= _DIFF_THRESH
+        assert got[f]["n_px"] == int(det.sum())
+        assert got[f]["n_brighter"] == int((dk >= _DIFF_THRESH).sum())
+        assert got[f]["n_fainter"] == int((dk <= -_DIFF_THRESH).sum())
+        assert got[f]["sum_absdiff_centi"] == int(np.abs(dk[det]).sum())
+        # argmax tie-break: |dk| desc, then y, then x
+        cand = [
+            (int(abs(dk[i])), int(i // _IMG_NX), int(i % _IMG_NX), i)
+            for i in np.nonzero(det)[0]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+        top = cand[0]
+        assert (got[f]["top_x"], got[f]["top_y"]) == (top[2], top[1])
+        assert got[f]["top_dk_centi"] == int(dk[top[3]])
+
+
+def test_linear_attribution_vs_numpy(spark):
+    """Rebuild coefficients with numpy lstsq and check the attribution
+    shares against a direct |beta*(x-mean)| computation."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    ).to_pandas()
+    q = li["l_quantity"].to_numpy(np.float64).astype(np.int64)
+    dc = np.floor(li["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    tc = np.floor(li["l_tax"].to_numpy() * 100 + 0.5).astype(np.int64)
+    yc = np.floor(
+        li["l_extendedprice"].to_numpy() * 100 + 0.5
+    ).astype(np.int64)
+    X = np.column_stack([np.ones(len(q)), q, dc, tc]).astype(np.float64)
+    beta = np.linalg.lstsq(X, yc.astype(np.float64), rcond=None)[0]
+    sums = {}
+    for name, col, b in (
+        ("l_quantity", q, beta[1]),
+        ("l_discount", dc, beta[2]),
+        ("l_tax", tc, beta[3]),
+    ):
+        phi = np.floor(
+            np.abs(b * (col - col.mean())) * 1000.0 + 0.5
+        ).astype(np.int64)
+        sums[name] = int(phi.sum())
+    rows = QUERIES["ml_linear_attribution"](spark, SF_DIR).collect()
+    total = sum(sums.values())
+    for r in rows:
+        # lstsq vs Cramer agree to ~1e-9 relative; allow a tiny slack
+        # on the milli-gridded sums (boundary rows can flip one unit)
+        assert abs(r["sum_absphi_milli"] - sums[r["feature"]]) <= max(
+            5, len(q) // 1000
+        ), (r["feature"], r["sum_absphi_milli"], sums[r["feature"]])
+        share = sums[r["feature"]] * 1_000_000 // total
+        assert abs(r["share_micro"] - share) <= 50
