@@ -9303,3 +9303,127 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau_x10")
     )
+
+
+#: ts_burst_viterbi: burst-state rate multiplier and the 0->1
+#: transition penalty on the 1e6 cost grid (Kleinberg's gamma).
+_VIT_BURST_MULT = 3
+_VIT_GAMMA_MICRO = 2_000_000
+
+
+def _viterbi_kernel(key, pdf):
+    """Integer Viterbi forward pass over the collapsed hourly table —
+    one python loop, exact int64 (the `_km_kernel` recurrence shape);
+    emits the running two-state costs and the online burst flag."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("t")
+    out = []
+    c0 = c1 = None
+    for hr, n, e0, e1 in zip(pdf["hr"], pdf["n"], pdf["e0"], pdf["e1"]):
+        if c0 is None:
+            c0, c1 = int(e0), _VIT_GAMMA_MICRO + int(e1)
+        else:
+            c0, c1 = (
+                min(c0, c1) + int(e0),
+                min(c0 + _VIT_GAMMA_MICRO, c1) + int(e1),
+            )
+        out.append((int(hr), int(n), c0, c1, c1 < c0))
+    return pd.DataFrame(
+        out, columns=["hour_id", "n_events", "cost_base", "cost_burst",
+                      "burst"],
+    )
+
+
+@register(
+    "ts_burst_viterbi",
+    oracle=f"""
+WITH RECURSIVE h AS MATERIALIZED (
+  SELECT epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY hr) - 1 AS t, hr, n FROM h
+),
+lam AS MATERIALIZED (
+  SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS l0 FROM h
+),
+e AS MATERIALIZED (
+  SELECT t, hr, n,
+         CAST(FLOOR((l0 - n * ln(l0)) * 1000000.0 + 0.5)
+              AS BIGINT) AS e0,
+         CAST(FLOOR(({_VIT_BURST_MULT} * l0
+                     - n * ln({_VIT_BURST_MULT} * l0)) * 1000000.0 + 0.5)
+              AS BIGINT) AS e1
+  FROM idx, lam
+),
+rec(t, c0, c1) AS (
+  SELECT t, e0, {_VIT_GAMMA_MICRO} + e1 FROM e WHERE t = 0
+  UNION ALL
+  SELECT e.t, LEAST(rec.c0, rec.c1) + e.e0,
+         LEAST(rec.c0 + {_VIT_GAMMA_MICRO}, rec.c1) + e.e1
+  FROM rec JOIN e ON e.t = rec.t + 1
+)
+SELECT e.hr AS hour_id, e.n AS n_events,
+       rec.c0 AS cost_base, rec.c1 AS cost_burst,
+       rec.c1 < rec.c0 AS burst
+FROM rec JOIN e ON e.t = rec.t
+ORDER BY hour_id
+""",
+)
+def ts_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state burst detection by Viterbi decoding (Kleinberg's
+    burst automaton, hourly-count form) — the HMM-decoding operator
+    class: state q0 emits at the global base rate, q1 at
+    _VIT_BURST_MULT× it, entering the burst state costs gamma, and the
+    forward recursion tracks the cheapest cost of ending each hour in
+    either state; burst = the burst state currently wins. Unlike
+    `ts_cusum_alarm` (one-sided mean shift) this is a full
+    time-structured model with hysteresis: short spikes don't pay off
+    against gamma, sustained elevations do.
+
+    The sequential recurrence follows the `ml_kaplan_meier`/
+    `ts_kalman_1d` discipline: per-hour Poisson emission costs
+    lambda − n·ln(lambda) land on an exact 1e6 grid BEFORE any
+    sequential step (the lambdas are doubles from exact sums, shared
+    operand-for-operand), so the recursion itself is pure int64
+    min/add — DuckDB runs it as WITH RECURSIVE, Spark as one
+    Arrow-batched kernel over the collapsed hourly table, and both
+    produce bit-identical cost curves.
+
+    100-TB posture: the only data-sized pass is the hourly rollup;
+    the DP state is two longs over |hours| rows. Overflow: per-hour
+    costs ≤ ~1e12 micro at sf100 rates; a year of hours keeps the
+    running costs ≤ ~1e16 ≪ 2^63.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    idx = h.select(
+        (F.row_number().over(Window.orderBy("hr")) - 1).alias("t"),
+        "hr", "n",
+    )
+    lam = h.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("l0")
+    )
+    e = idx.crossJoin(F.broadcast(lam)).select(
+        "t", "hr", "n",
+        F.floor(
+            (F.col("l0") - F.col("n") * F.log(F.col("l0")))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("e0"),
+        F.floor(
+            (
+                F.lit(float(_VIT_BURST_MULT)) * F.col("l0")
+                - F.col("n")
+                * F.log(F.lit(float(_VIT_BURST_MULT)) * F.col("l0"))
+            ) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("e1"),
+    )
+    return e.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _viterbi_kernel,
+        "hour_id BIGINT, n_events BIGINT, cost_base BIGINT,"
+        " cost_burst BIGINT, burst BOOLEAN",
+    )

@@ -264,6 +264,7 @@ _ROTATION_R12 = (
     "sky_galactic_transform", "sky_tracklet_link",
     "stream_dedup_index_merge", "sky_aperture_photometry",
     "sky_diff_image_transients", "ml_linear_attribution",
+    "ts_burst_viterbi",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

