@@ -65,6 +65,7 @@ _BNL_ALLOWED = {
     "ml_target_encoding", "privacy_t_closeness", "retention_decay_fit",
     "ts_decompose_residuals", "ml_psi_drift",
     "ts_cusum_alarm",
+    "ts_burst_viterbi",  # 1-row lambda scalar broadcast vs hourly rollup
     "stat_bootstrap_ci",  # 1-row totals × 1-row sorted-means array
     # bounded query batch broadcasts against the member scan (the
     # sim_knn_per_query serving shape; exact-integer distances)
@@ -270,6 +271,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "sky_lognlogs", "skyline_pareto", "slo_burn_rate",
     "stat_ks_test", "stat_mann_whitney", "text_zipf_fit",
     "ts_bollinger_bands", "ts_cusum_alarm", "ts_decompose_residuals",
+    # the hour-index ROW_NUMBER runs over the COLLAPSED hourly rollup
+    # (|hours| rows) feeding the Viterbi kernel — never raw events
+    "ts_burst_viterbi",
     "ts_hampel_filter", "win_pareto_abc", "win_running_distinct",
     "win_decile_spend", "corpus_curriculum_order",
     # BH rank + family-max windows run over |event types| rows (the
