@@ -1244,7 +1244,14 @@ def ml_gbt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers through every round. Spark builds both rounds through the
     DataFrame API (converted from the shared-SQL form): one python
     helper per stump round, the residual step a narrow projection
-    against the broadcast 1-row winner.
+    against the broadcast 1-row winner. Two plan-shape guards keep the
+    pass count at exactly T scans for T rounds (the r10 conversion had
+    drifted to ~10 — VERDICT r10 audit): the per-stump feature fan-out
+    is explode(array(struct...)) inside the scan stage rather than a
+    self-unionAll that reads the source twice, and each round's 1-row
+    winner is localCheckpointed so the next round's plan (and the
+    final union) never re-derives the previous round's subtree —
+    exactly how a real GBT trainer persists per-round models.
     """
     li = load_table(spark, sf_dir, "lineitem")
     g = li.select(
@@ -1257,9 +1264,20 @@ def ml_gbt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stump(src: DataFrame) -> DataFrame:
         u = src.select(
-            F.lit("quantity").alias("feature"),
-            F.col("qb").alias("bin"), "y",
-        ).unionAll(src.select(F.lit("discount"), F.col("db"), "y"))
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("quantity").alias("feature"),
+                        F.col("qb").alias("bin"),
+                    ),
+                    F.struct(
+                        F.lit("discount").alias("feature"),
+                        F.col("db").alias("bin"),
+                    ),
+                )
+            ).alias("fb"),
+            "y",
+        ).select("fb.feature", "fb.bin", "y")
         b = u.groupBy("feature", "bin").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("y").cast("long").alias("sy"),
@@ -1307,7 +1325,7 @@ def ml_gbt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    w1 = stump(g)
+    w1 = stump(g).localCheckpoint(eager=True)  # 1 row: round-1 model
     r = g.crossJoin(F.broadcast(w1)).select(
         "qb", "db",
         F.expr(

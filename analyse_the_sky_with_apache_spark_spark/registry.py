@@ -151,11 +151,9 @@ _RETIRED_R9 = (
     "lightcurve_string_length",
 )
 
-#: Page 5 — the LIVE round-10 window (exactly 50 never-sampled oracle
-#: keys; rotated in at round-10 open per VERDICT r9 task 1 — the round-9
-#: page is retired via its CORRECTNESS_r09 rows, kept above as
-#: _RETIRED_R9).
-_PRIORITY = (
+#: Page 5 — the round-10 window, retired 2026-08-16 (CORRECTNESS_r10:
+#: 50/50 hash-green). Kept for documentation; no longer scheduled.
+_RETIRED_R10 = (
     "dq_benford_firstdigit",
     "ts_sax_symbolize",
     "ml_isotonic_calibration",
@@ -213,12 +211,13 @@ _PRIORITY = (
     "fn_xml",
 )
 
-#: Page 6 — round-11 window seed: the overflow from the R10 split plus
-#: every key that lands from round-8 close on. Every oracle-backed key
-#: must appear in a page, the live window, or a prior CORRECTNESS file
-#: (tests/test_registry_order.py pins this), so new keys join the LAST
-#: page at birth; pad to 50 with promotions when it becomes live.
-_ROTATION_R11 = (
+#: Page 6 — the LIVE round-11 window (exactly 50 never-sampled oracle
+#: keys; rotated in at round-11 open per VERDICT r10 task 1 — the
+#: round-10 page is retired via its CORRECTNESS_r10 rows, kept above as
+#: _RETIRED_R10). The 47 seed keys are padded to 50 with the three
+#: oracle keys that headed the R12 page (stat_durbin_watson,
+#: ts_spectral_entropy, stat_jarque_bera).
+_PRIORITY = (
     "stat_hodges_lehmann",
     "stat_fisher_exact",
     "stat_runs_test",
@@ -246,17 +245,26 @@ _ROTATION_R11 = (
     "agg_hll_sketch_merge", "ts_mann_kendall", "stat_bartlett",
     "stat_breusch_pagan", "stream_pyds_sink", "ts_adf_unitroot",
     "ml_pinball_loss",
+    # padding to 50: pulled forward from the R12 page head (all oracle)
+    "stat_durbin_watson", "ts_spectral_entropy", "stat_jarque_bera",
 )
 
 #: Page 7 — round-12 window seed, split out when _ROTATION_R11 reached
 #: exactly 50 (the one-page-per-50-key-driver-window discipline, VERDICT
 #: r8 task 8). Every key landing from here on joins THIS page at birth;
-#: pad to 50 with promotions when it becomes live.
+#: pad to 50 with promotions when it becomes live. Its three former head
+#: keys moved to the live R11 window as padding (VERDICT r10 task 1);
+#: the four never-scheduled rows-only keys joined per VERDICT r10 task 3
+#: so every registered key eventually earns a driver row (theirs will be
+#: `no_oracle` smoke rows by design).
 _ROTATION_R12 = (
-    "stat_durbin_watson", "graph_betweenness_sampled", "sky_coadd_tiles",
-    "privacy_dp_topk", "ts_spectral_entropy", "graph_effective_diameter",
-    "stream_update_mode_emissions", "stat_jarque_bera", "ts_burstiness",
+    "graph_betweenness_sampled", "sky_coadd_tiles",
+    "privacy_dp_topk", "graph_effective_diameter",
+    "stream_update_mode_emissions", "ts_burstiness",
     "ml_chi2_feature_select",
+    # rows-only keys, scheduled for driver visibility (VERDICT r10 task 3)
+    "scan_parquet_footer_stats", "agg_hll_overlap", "agg_kll_quantiles",
+    "ann_recall_eval",
     # round-10 additions
     "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
     "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",
