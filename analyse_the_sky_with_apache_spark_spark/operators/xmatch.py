@@ -3560,3 +3560,279 @@ def sky_tracklet_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_chains"))
         .orderBy("ra_start", "dec_start", "v_ra", "v_dec")
     )
+
+
+#: HEALPix resolution for `sky_healpix_ring`: Nside = 4 → 192 pixels,
+#: ncap = 2·Nside·(Nside−1) = 24 polar-cap pixels per hemisphere edge.
+_HPX_NSIDE = 4
+_HPX_NPIX = 12 * _HPX_NSIDE * _HPX_NSIDE
+_HPX_NCAP = 2 * _HPX_NSIDE * (_HPX_NSIDE - 1)
+
+
+def _hpx_ring_expr(ra_col: str, z9_col: str, div: str) -> str:
+    """RING-scheme ang2pix (Górski et al. 2005, the public HEALPix
+    primer's ang2pix_ring algorithm) as ONE SQL expression shared
+    textually by both engines.
+
+    Determinism: the only transcendental, z = sin(dec), is gridded to
+    1e-9 BEFORE this expression (``{z9_col}`` is a BIGINT — the
+    `stat_bayes_ab_posterior` lf9 discipline), and phi enters as the
+    exact integer centi-degree RA (tt = phi/(pi/2) = ra_c/9000 — no pi
+    anywhere). Every downstream operation is IEEE double +,·,/, SQRT
+    (correctly rounded per IEEE in both engines) and FLOOR of
+    identical doubles, so the integer pixel id cannot straddle
+    engines. All FLOOR arguments are provably non-negative, so FLOOR
+    equals the C code's int truncation. ``div`` is the integer-
+    division token (Spark ``div``, DuckDB ``//`` — the `_bls_sql`
+    dialect discipline); its operand is non-negative in the belt
+    (jp + jm >= Nside - 1 by the edge-line construction).
+    """
+    n = _HPX_NSIDE
+    zd = f"(CAST({z9_col} AS DOUBLE) / 1000000000.0)"
+    tt = f"(CAST({ra_col} AS DOUBLE) / 9000.0)"
+    # equatorial belt |z| <= 2/3: two edge-line indices jp/jm
+    jp = f"CAST(FLOOR({n}*(0.5 + {tt}) - 3.0*{zd}) AS BIGINT)"
+    jm = f"CAST(FLOOR({n}*(0.5 + {tt}) + 3.0*{zd}) AS BIGINT)"
+    ir = f"({n} + 1 + {jp} - {jm})"
+    kshift = f"(1 - ({ir} % 2))"
+    ip_eq = f"((({jp} + {jm} - {n} + {kshift} + 1) {div} 2) % {4 * n})"
+    pix_eq = f"({_HPX_NCAP} + ({ir} - 1) * {4 * n} + {ip_eq})"
+    # polar caps |z| > 2/3: ring index from the cap-area radius
+    tp = f"({tt} - FLOOR({tt}))"
+    tmp = f"({n} * SQRT(3.0 * (1.0 - ABS({zd}))))"
+    irp = (
+        f"(CAST(FLOOR({tp} * {tmp}) AS BIGINT)"
+        f" + CAST(FLOOR((1.0 - {tp}) * {tmp}) AS BIGINT) + 1)"
+    )
+    ipp = f"(CAST(FLOOR({tt} * {irp}) AS BIGINT) % (4 * {irp}))"
+    pix_n = f"(2 * {irp} * ({irp} - 1) + {ipp})"
+    pix_s = f"({_HPX_NPIX} - 2 * {irp} * ({irp} + 1) + {ipp})"
+    return (
+        f"CAST(CASE WHEN ABS({zd}) <= 2.0/3.0 THEN {pix_eq}"
+        f" WHEN {zd} > 0 THEN {pix_n} ELSE {pix_s} END AS BIGINT)"
+    )
+
+
+
+def _hpx_sql_oracle() -> str:
+    z9 = (
+        "CAST(FLOOR(SIN(RADIANS(CAST(dec_c AS DOUBLE) / 100.0))"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    pix = _hpx_ring_expr("ra_c", "z9", "//")
+    return f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer),
+z AS (
+  SELECT obj_id, ra_c, dec_c, {z9} AS z9 FROM cat),
+px AS (
+  SELECT obj_id, {pix} AS pix FROM z)
+SELECT pix, CAST(COUNT(*) AS BIGINT) AS n_src,
+       CAST(MIN(obj_id) AS BIGINT) AS min_obj_id
+FROM px GROUP BY pix ORDER BY pix
+"""
+
+
+@register("sky_healpix_ring", oracle=_hpx_sql_oracle())
+def sky_healpix_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix RING-scheme pixelization + per-pixel source counts —
+    the survey-standard equal-area sky index (Górski et al. 2005;
+    every modern catalog keys spatial joins, density maps and coverage
+    masks on it). Each object's (RA, Dec) maps to one of
+    12·Nside² = 192 equal-area pixels (Nside = 4) via the public
+    ang2pix_ring integer algorithm; the result is the pixel source-
+    count map — the sky-density histogram every survey QA page shows.
+
+    Determinism: z = sin(dec) is the ONLY transcendental and lands on
+    an exact 1e-9 integer grid before the pixel math (libm and JVM sin
+    agree far below that — the lf9/ln discipline); phi enters as the
+    exact integer centi-degree RA over 9000 (phi/(pi/2) needs no pi),
+    and everything downstream is IEEE-identical double arithmetic +
+    FLOOR on provably non-negative operands, so the pixel ids match
+    DuckDB bit-for-bit.
+
+    100-TB posture: a stateless narrow projection (whole-stage
+    codegen) followed by ONE map-side-combinable count per pixel —
+    the output is |pixels| rows regardless of catalog size. At
+    production Nside (1024+) the same expression emits the shuffle key
+    that co-partitions every downstream spatial join (`xmatch_sphere`
+    replaces its ad-hoc cells with this id unchanged); neighbor
+    replication stays 3×3 in (ring, intra-ring) space.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec_c"),
+    )
+    z = cat.select(
+        "obj_id", "ra_c",
+        F.floor(
+            F.sin(F.radians(F.col("dec_c").cast("double") / F.lit(100.0)))
+            * F.lit(1e9) + F.lit(0.5)
+        ).cast("long").alias("z9"),
+    )
+    px = z.select("obj_id", F.expr(_hpx_ring_expr("ra_c", "z9", "div")).alias("pix"))
+    return (
+        px.groupBy("pix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.min("obj_id").cast("long").alias("min_obj_id"),
+        )
+        .orderBy("pix")
+    )
+
+
+#: two-point separation-bin edges in 6dp-rounded radians (0.5/1/2 deg)
+#: — compared against the 6dp-rounded haversine, so the cut is exact.
+_TPT_EDGES = (0.008727, 0.017453, 0.034907)
+
+
+def _tpt_bin_expr(dist_col: str) -> str:
+    e0, e1, e2 = _TPT_EDGES
+    return (
+        f"CASE WHEN {dist_col} < {e0} THEN 0"
+        f" WHEN {dist_col} < {e1} THEN 1"
+        f" WHEN {dist_col} < {e2} THEN 2 ELSE 3 END"
+    )
+
+
+@register(
+    "sky_two_point_dd",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer),
+pairs AS (
+  SELECT {_SPH_HAVERSINE.replace("a_dec_c", "a.dec_c").replace("b_dec_c", "b.dec_c")
+                        .replace("a_ra_c", "a.ra_c").replace("b_ra_c", "b.ra_c")}
+           AS dist_rad
+  FROM cat a JOIN cat b ON a.obj_id < b.obj_id
+  WHERE LEAST(abs(a.ra_c - b.ra_c),
+              {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c)) <= {_SPH_EPS}
+    AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS})
+SELECT CAST(sep_bin AS BIGINT) AS sep_bin,
+       CAST(COUNT(*) AS BIGINT) AS dd_pairs
+FROM (SELECT {_tpt_bin_expr("dist_rad")} AS sep_bin FROM pairs) z
+WHERE sep_bin < 3
+GROUP BY sep_bin ORDER BY sep_bin
+""",
+)
+def sky_two_point_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Angular two-point correlation DD(θ) pair counts — the
+    clustering statistic every galaxy survey computes (the DD term of
+    the Landy–Szalay estimator (DD − 2DR + RR)/RR; DR and RR run this
+    SAME kernel against a uniform random catalog, so this is the whole
+    estimator's data path). Pairs are counted in three separation bins
+    (0–0.5°, 0.5–1°, 1–2°) over the md5-derived catalog.
+
+    The pair search is `sphere_match`'s binned 3×3 mod-ring cell join
+    — NEVER an all-pairs product — and the candidate set is the same
+    2° coordinate box as `xmatch_sphere` (production widens the RA box
+    by 1/cos(dec) near the poles — the `_CONE_RA_BOX` note); the bin
+    cut compares the 6dp-rounded haversine against 6dp edge constants
+    shared with the oracle, so no pair can straddle a bin boundary
+    between engines.
+
+    100-TB posture: shuffle on cell id (AQE splits dense sky cells),
+    pair volume bounded by the 2° box, and the output collapses to
+    |bins| rows via ONE map-side-combinable count — at survey scale
+    the per-cell partial histograms merge associatively, which is why
+    two-point codes distribute this exact shape.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    base = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra_c"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec_c"),
+    )
+    pairs = sphere_match(base)
+    return (
+        pairs.select(
+            F.expr(_tpt_bin_expr("dist_rad")).cast("long").alias("sep_bin")
+        )
+        .filter(F.col("sep_bin") < 3)
+        .groupBy("sep_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("dd_pairs"))
+        .orderBy("sep_bin")
+    )
+
+
+@register(
+    "lightcurve_chi2_constant",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s1,
+         CAST(SUM(CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM events GROUP BY 1)
+SELECT event_type, n AS n_obs,
+       CAST(n * s2 - s1 * s1 AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 100.0)
+         AS chi2_red,
+       2 * (n * s2 - s1 * s1) > 3 * n * (n - 1) * 100 AS is_variable
+FROM s WHERE n > 1 ORDER BY event_type
+""",
+)
+def lightcurve_chi2_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduced chi-squared against the constant-flux model — the
+    first-cut variability statistic every time-domain survey computes
+    before the heavier rungs (`lightcurve_stetson_jk`, the period
+    scans): chi2_red = sum((f_i - mean)^2) / ((n-1) * sigma^2) with a
+    fixed per-point error sigma of one flux unit. chi2_red >> 1 means
+    the constant model fails — the object varies.
+
+    Division-free exactness (the `ts_changepoint` rational trick):
+    sum((f - mean)^2) * n == n*S2 - S1^2 on the exact deci grid, so
+    chi2_red is ONE double ratio of exact int64s and the variable flag
+    is the pure-integer cross-multiply 2*(n*S2 - S1^2) > 3*n*(n-1)*100
+    (threshold 1.5) — no float comparison can straddle engines.
+
+    100-TB posture: ONE map-side-combinable aggregation per series
+    (three longs of state), output |series|-sized; the deci grid keeps
+    n*S2 inside int64 to ~4e9 rows per series at |value| <= 600 (the
+    `lightcurve_pdm_theta` overflow ledger).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = F.floor(F.col("value") * F.lit(10.0) + F.lit(0.5)).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(f).cast("long").alias("s1"),
+        F.sum(f * f).cast("long").alias("s2"),
+    ).filter(F.col("n") > 1)
+    ss = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_obs"),
+        (
+            ss.cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - 1).cast("double")
+                * F.lit(100.0)
+            )
+        ).alias("chi2_red"),
+        (
+            F.lit(2) * ss
+            > F.lit(3) * F.col("n") * (F.col("n") - 1) * F.lit(100)
+        ).alias("is_variable"),
+    ).orderBy("event_type")

@@ -9427,3 +9427,369 @@ def ts_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_id BIGINT, n_events BIGINT, cost_base BIGINT,"
         " cost_burst BIGINT, burst BOOLEAN",
     )
+
+
+#: EWMA smoothing denominators: fast alpha = 1/4, slow alpha = 1/16,
+#: state scaled by _EWMA_SCALE so integer rounding keeps resolution.
+_EWMA_FAST_DEN = 4
+_EWMA_SLOW_DEN = 16
+_EWMA_SCALE = 1000
+
+
+def _trunc_div(d: int, n: int) -> int:
+    """Integer division truncating toward zero — DuckDB's `//` on
+    integers (probed: -7 // 4 = -1 there, -2 in python). Python's
+    floor `//` would drift one milli low on every negative diff."""
+    return d // n if d >= 0 else -((-d) // n)
+
+
+def _ewma_kernel(key, pdf):
+    """Integer EWMA forward pass over the collapsed daily table — one
+    python loop, exact int64 (the `_viterbi_kernel` recurrence shape).
+    Division truncates toward zero to match DuckDB's integer `//`, so
+    the state sequence is bit-identical."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("t")
+    out = []
+    sf = ss = None
+    prev_above = None
+    for day, v in zip(pdf["day_id"], pdf["v"]):
+        x = int(v) * _EWMA_SCALE
+        if sf is None:
+            sf, ss = x, x
+        else:
+            sf = sf + _trunc_div(x - sf, _EWMA_FAST_DEN)
+            ss = ss + _trunc_div(x - ss, _EWMA_SLOW_DEN)
+        above = sf > ss
+        crossover = prev_above is not None and above != prev_above
+        prev_above = above
+        out.append((int(day), int(v), sf, ss, above, crossover))
+    return pd.DataFrame(
+        out,
+        columns=["day_id", "v_cents", "ewma_fast_milli",
+                 "ewma_slow_milli", "fast_above", "crossover"],
+    )
+
+
+@register(
+    "ts_ewma_crossover",
+    oracle=f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day_id,
+         CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY day_id) - 1 AS t, day_id, v FROM d
+),
+rec AS (
+  SELECT t, day_id, v,
+         v * {_EWMA_SCALE} AS sf,
+         v * {_EWMA_SCALE} AS ss
+  FROM idx WHERE t = 0
+  UNION ALL
+  SELECT i.t, i.day_id, i.v,
+         r.sf + (i.v * {_EWMA_SCALE} - r.sf) // {_EWMA_FAST_DEN},
+         r.ss + (i.v * {_EWMA_SCALE} - r.ss) // {_EWMA_SLOW_DEN}
+  FROM rec r JOIN idx i ON i.t = r.t + 1
+)
+SELECT day_id, v AS v_cents,
+       sf AS ewma_fast_milli, ss AS ewma_slow_milli,
+       sf > ss AS fast_above,
+       COALESCE((sf > ss) <> LAG(sf > ss) OVER (ORDER BY t), FALSE)
+         AS crossover
+FROM rec ORDER BY day_id
+""",
+)
+def ts_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow EWMA crossover signals over the daily revenue series —
+    the moving-average-crossover detector (trading's golden/death
+    cross, ops' trend-break alarm) as an exact integer recurrence:
+    s_t = s_(t-1) + (x_t - s_(t-1)) div_trunc N with N = 4 (fast,
+    alpha = 1/4) and 16 (slow, alpha = 1/16), state scaled by 1e3 so
+    truncation keeps milli resolution. A crossover fires on any day
+    whose fast-above-slow flag flips.
+
+    Sequential-recurrence discipline (`ts_burst_viterbi` /
+    `ts_kalman_1d`): the only data-sized pass is the daily rollup;
+    the recursion is pure int64 add/trunc-div over |days| rows —
+    DuckDB runs it as WITH RECURSIVE, Spark as one Arrow-batched
+    kernel whose division truncates toward zero to match DuckDB's
+    integer `//`, so the state curves are bit-identical.
+
+    100-TB posture: the rollup is ONE map-side-combinable aggregation;
+    DP state is two longs over |days| rows (a year = 365). Overflow:
+    |state| <= max daily |v|·1e3 — int64-safe to ~9e15 cents/day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_id")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).cast("long").alias("v")
+    )
+    idx = d.select(
+        (F.row_number().over(Window.orderBy("day_id")) - 1).alias("t"),
+        "day_id", "v",
+    )
+    return idx.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _ewma_kernel,
+        "day_id BIGINT, v_cents BIGINT, ewma_fast_milli BIGINT,"
+        " ewma_slow_milli BIGINT, fast_above BOOLEAN, crossover BOOLEAN",
+    )
+
+
+@register(
+    "ts_pettitt_test",
+    oracle="""
+WITH obs AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT) AS v,
+         ts, event_id
+  FROM events),
+vals AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM obs GROUP BY 1, 2),
+rk AS (
+  SELECT event_type, v,
+         2 * (CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v)
+                   AS BIGINT) - cnt) + cnt + 1 AS r2
+  FROM vals),
+seq AS (
+  SELECT o.event_type,
+         ROW_NUMBER() OVER (PARTITION BY o.event_type
+                            ORDER BY o.ts, o.event_id) AS k,
+         CAST(SUM(r.r2) OVER (PARTITION BY o.event_type
+                              ORDER BY o.ts, o.event_id
+                              ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS w2,
+         CAST(COUNT(*) OVER (PARTITION BY o.event_type)
+              AS BIGINT) AS n
+  FROM obs o JOIN rk r ON r.event_type = o.event_type AND r.v = o.v),
+u AS (
+  SELECT event_type, k, n, w2 - k * (n + 1) AS uk
+  FROM seq WHERE k < n),
+best AS (
+  SELECT event_type, MAX(n) AS n,
+         arg_min(k, (-abs(uk)) * 10000000000 + k) AS k_star,
+         MAX(abs(uk)) AS k_stat
+  FROM u GROUP BY event_type)
+SELECT event_type, n AS n_obs, k_star, k_stat,
+       CAST(CAST(FLOOR(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+                                 * CAST(k_stat AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                       * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS p_approx
+FROM best ORDER BY event_type
+""",
+)
+def ts_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point test — the rank-based (distribution-free)
+    complement to `ts_changepoint`'s CUSUM: U_k = sum_(i<=k, j>k)
+    sign(x_i - x_j) peaks where the value DISTRIBUTION shifts, even
+    when the mean barely moves. Reports, per series, the most likely
+    break position k*, the statistic K = max|U_k|, and the standard
+    approximate p-value 2·exp(-6K²/(n³+n²)).
+
+    Exactness under ties: U_k = W2_k - k(n+1) where W2_k is the prefix
+    sum of TWICE the average rank — 2·avgrank = 2·cnt_lt + cnt_eq + 1
+    is always an integer, so the whole U curve is exact int64 and the
+    tie-broken argmax (earliest k on equal |U|) cannot straddle
+    engines; the final p-value lands on the 1e-6 grid (libm vs JVM
+    exp agree far below it — the naive-bayes loglik discipline).
+
+    100-TB posture: ranks come from the value-COLLAPSED distinct table
+    (the `stat_mann_whitney` trick — no per-row sort beyond one
+    |distinct-values| window), then one per-series time-ordered prefix
+    window and one struct-min argmax aggregation; state per row is two
+    longs. Overflow: W2 <= 2n² — int64-safe to ~2e9 rows per series;
+    the argmax packs (-|U|, k) into one long with a 1e10 shift, safe
+    while |U| <= n² < 9.2e8² and k < 1e10.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(10.0) + F.lit(0.5)).cast("long")
+        .alias("v"),
+        "ts", "event_id",
+    )
+    vals = obs.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("event_type").orderBy("v")
+    rk = vals.select(
+        "event_type", "v",
+        (
+            F.lit(2) * (F.sum("cnt").over(wv).cast("long") - F.col("cnt"))
+            + F.col("cnt") + F.lit(1)
+        ).alias("r2"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = obs.join(rk, ["event_type", "v"]).select(
+        "event_type",
+        F.row_number().over(wt).cast("long").alias("k"),
+        F.sum("r2").over(
+            wt.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("w2"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")
+        ).cast("long").alias("n"),
+    )
+    u = seq.filter(F.col("k") < F.col("n")).select(
+        "event_type", "k", "n",
+        (F.col("w2") - F.col("k") * (F.col("n") + 1)).alias("uk"),
+    )
+    best = u.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min_by(
+            "k", -F.abs(F.col("uk")) * F.lit(10000000000) + F.col("k")
+        ).alias("k_star"),
+        F.max(F.abs(F.col("uk"))).alias("k_stat"),
+    )
+    nd = F.col("n").cast("double")
+    return best.select(
+        "event_type", F.col("n").alias("n_obs"), "k_star", "k_stat",
+        (
+            F.floor(
+                F.lit(2.0)
+                * F.exp(
+                    F.lit(-6.0)
+                    * F.col("k_stat").cast("double")
+                    * F.col("k_stat").cast("double")
+                    / (nd * nd * nd + nd * nd)
+                )
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").cast("double") / F.lit(1e6)
+        ).alias("p_approx"),
+    ).orderBy("event_type")
+
+
+#: chi-squared 5% critical value for df = 4 (|event types| - 1),
+#: in micro units for the exact-integer decision compare.
+_MOOD_CRIT_MICRO = 9487729
+
+
+@register(
+    "stat_mood_median",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10.0 + 0.5) AS BIGINT) AS v
+  FROM events),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM obs GROUP BY v),
+med AS (
+  SELECT MIN(v) AS m
+  FROM (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        FROM vals) z, tot
+  WHERE 2 * cum >= n),
+grp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CASE WHEN v > (SELECT m FROM med)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM obs GROUP BY event_type),
+marg AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(ng) AS BIGINT) AS n
+  FROM grp),
+terms AS (
+  SELECT CAST(FLOOR((
+           POW(CAST(a AS DOUBLE)
+               - CAST(ng AS DOUBLE) * ta / n, 2)
+             / (CAST(ng AS DOUBLE) * ta / n)
+           + POW(CAST(ng - a AS DOUBLE)
+                 - CAST(ng AS DOUBLE) * (n - ta) / n, 2)
+             / (CAST(ng AS DOUBLE) * (n - ta) / n)
+         ) * 1000000.0 + 0.5) AS BIGINT) AS t_micro,
+         ng
+  FROM grp, marg)
+SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+       (SELECT m FROM med) AS grand_median_deci,
+       CAST(COUNT(*) - 1 AS BIGINT) AS df,
+       CAST(SUM(t_micro) AS DOUBLE) / 1000000.0 AS chi2,
+       CAST(SUM(t_micro) AS BIGINT) > {_MOOD_CRIT_MICRO} AS reject_5pct
+FROM terms
+""",
+)
+def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test — the nonparametric k-sample location test:
+    does any event type's value distribution sit above or below the
+    others' around the grand median? Counts per group how many values
+    exceed the grand (lower pseudo-)median, forms the 2×k contingency
+    against expectation, and reports the chi-squared statistic with
+    the 5%-critical decision (df = k−1).
+
+    Exactness: the grand median is the smallest collapsed value whose
+    2·cumulative-count reaches n (pure integer — no mid-point
+    averaging to straddle engines); each group's chi-squared term is
+    one double expression from exact longs, floored onto the 1e-6
+    grid BEFORE the cross-group sum, so the total is an exact long
+    sum (order-free — the repo's gridded-partial discipline) and the
+    rejection flag is an integer compare against the gridded critical
+    value.
+
+    100-TB posture: two map-side-combinable aggregations (value
+    histogram for the median; per-group counts) plus two 1-row scalar
+    broadcasts — no data-sized join, no row-level sort; the collapsed
+    value table is |distinct values|-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(10.0) + F.lit(0.5)).cast("long")
+        .alias("v"),
+    )
+    vals = obs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        vals.select(
+            "v", F.sum("cnt").over(Window.orderBy("v")).cast("long")
+            .alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))  # 1-row scalar
+        .filter(F.lit(2) * F.col("cum") >= F.col("n"))
+        .agg(F.min("v").alias("m"))
+    )
+    grp = (
+        obs.crossJoin(F.broadcast(med))  # 1-row scalar
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+            .cast("long").alias("a"),
+            F.max("m").alias("m"),
+        )
+    )
+    marg = grp.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("ng").cast("long").alias("n"),
+    )
+    ngd = F.col("ng").cast("double")
+    ea = ngd * F.col("ta") / F.col("n")
+    eb = ngd * (F.col("n") - F.col("ta")) / F.col("n")
+    terms = grp.crossJoin(F.broadcast(marg)).select(
+        "ng", "m",
+        F.floor(
+            (
+                F.pow(F.col("a").cast("double") - ea, F.lit(2.0)) / ea
+                + F.pow(
+                    (F.col("ng") - F.col("a")).cast("double") - eb,
+                    F.lit(2.0),
+                ) / eb
+            ) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("t_micro"),
+    )
+    return terms.agg(
+        F.sum("ng").cast("long").alias("n_total"),
+        F.max("m").alias("grand_median_deci"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("df"),
+        (F.sum("t_micro").cast("double") / F.lit(1e6)).alias("chi2"),
+        (F.sum("t_micro").cast("long") > F.lit(_MOOD_CRIT_MICRO))
+        .alias("reject_5pct"),
+    )

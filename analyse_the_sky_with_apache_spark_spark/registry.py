@@ -265,6 +265,9 @@ _ROTATION_R12 = (
     # rows-only keys, scheduled for driver visibility (VERDICT r10 task 3)
     "scan_parquet_footer_stats", "agg_hll_overlap", "agg_kll_quantiles",
     "ann_recall_eval",
+    # round-11 additions
+    "sky_healpix_ring", "sky_two_point_dd", "lightcurve_chi2_constant",
+    "ts_ewma_crossover", "ts_pettitt_test", "stat_mood_median",
     # round-10 additions
     "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
     "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",

@@ -108,6 +108,9 @@ _BNL_ALLOWED = {
     "lightcurve_bls_box",
     # same VALUES-grid fan-out, 10-row PDM period grid
     "lightcurve_pdm_theta",
+    # three 1-row scalar broadcasts (grand-median, margins, totals)
+    # onto the collapsed value histogram / 5-row group table
+    "stat_mood_median",
     # 1-row global (min, max) epoch bounds broadcast onto the scan to
     # derive the fixed bucket grid; the pair join itself is broadcast
     "ts_dtw_distance",
@@ -328,6 +331,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     # LAG residual window over the collapsed hourly pair series (x2:
     # the Dickey-Fuller stage re-references it)
     "ts_cointegration_egr",
+    # day-index ROW_NUMBER over the collapsed daily rollup (|days|
+    # rows) feeding the EWMA kernel — the ts_burst_viterbi shape
+    "ts_ewma_crossover",
+    # cumulative window over the collapsed distinct-value histogram
+    # (the grand-median scan; |distinct deci values| rows)
+    "stat_mood_median",
     # LAG/FIRST_VALUE forecast features over the collapsed daily table
     # (x3: the method fan-out re-references the window CTE)
     "ts_forecast_backtest",
