@@ -1644,3 +1644,142 @@ def ml_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("feature")
+
+
+#: spherical k-means: cluster count for the cosine round.
+_SKM_K = 10
+
+
+@register(
+    "kmeans_spherical_round",
+    oracle=f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings),
+ss AS (
+  SELECT vec_id, CAST(SUM(g * g) AS BIGINT) AS ss
+  FROM dims GROUP BY vec_id),
+nq AS (
+  SELECT d.vec_id, d.i,
+         CAST(FLOOR(CAST(d.g AS DOUBLE) / SQRT(CAST(ss.ss AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM dims d JOIN ss USING (vec_id)),
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cluster,
+         vec_id
+  FROM embeddings ORDER BY vec_id LIMIT {_SKM_K}),
+sq AS (
+  SELECT s.cluster, n.i, n.q AS cq
+  FROM seeds s JOIN nq n ON n.vec_id = s.vec_id),
+dots AS (
+  SELECT p.vec_id, s.cluster, CAST(SUM(p.q * s.cq) AS BIGINT) AS dot
+  FROM nq p JOIN sq s ON s.i = p.i
+  GROUP BY p.vec_id, s.cluster),
+best AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cluster) AS rn
+    FROM dots) z WHERE rn = 1)
+SELECT b.cluster, n.i - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n.q) AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid
+FROM best b JOIN nq n USING (vec_id)
+GROUP BY b.cluster, n.i
+ORDER BY b.cluster, dim
+""",
+)
+def kmeans_spherical_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE spherical k-means round — `kmeans_one_round`'s cosine
+    sibling and the standard clustering step for embedding spaces
+    (direction matters, magnitude doesn't — SemDeDup/dataset-pruning
+    pipelines cluster exactly this way): L2-normalize every vector,
+    assign each to the seed with the LARGEST dot product (cosine,
+    since all operands are unit-norm), and recompute per-(cluster,
+    dim) means of the normalized coordinates (a real trainer
+    renormalizes the mean — the reported mean determines that unit
+    vector up to the public constant).
+
+    Exactness: coordinates land on the micro grid, the squared norm is
+    an exact long sum, the normalized coordinate floor-grids ONE
+    IEEE-identical double expression (g / sqrt(ss) — floor, multiply,
+    divide and sqrt are all correctly rounded in IEEE float64, so
+    numpy, python and DuckDB produce the same bits), and from there
+    the dot products, the (dot DESC, cluster) argmax (numpy argmax
+    takes the first max = lowest cluster) and the update sums are pure
+    int64 — the `kmeans_one_round` discipline transplanted to cosine
+    space.
+
+    100-TB posture: ONE Arrow-batched pass (the `sim_knn_cosine`
+    normalize-first gemm kernel shape): each batch normalizes, assigns
+    via an int64 gemm against the broadcast k×dim seed matrix, and
+    emits per-batch PARTIAL (cluster, dim, n, sum) rows — a manual
+    map-side combine, so the only shuffle carries k·dim·|batches| tiny
+    partials, never points. The first cut expressed assignment with
+    nested higher-order-function lambdas; those are CodegenFallback
+    (interpreted per row) and ran 6x slower at the 10x fixture — the
+    measured reason this kernel is numpy. Overflow: |q| <= 1e6, dot <=
+    64·1e12, q² sums <= 64·1e12 — int64-trivial; batch partial sums
+    stay exact to ~9e6 members per cluster-dim at micro scale.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def _norm_py(vec) -> list[int]:
+        import math
+
+        gv = [math.floor(float(x) * 1e6 + 0.5) for x in vec]
+        ss = sum(x * x for x in gv)
+        r = math.sqrt(float(ss))
+        return [math.floor(x / r * 1e6 + 0.5) for x in gv]
+
+    seed_raw = sorted(
+        em.select("vec_id", "embedding").orderBy("vec_id")
+        .limit(_SKM_K).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    import numpy as np
+
+    seeds = np.array([_norm_py(r["embedding"]) for r in seed_raw],
+                     dtype=np.int64)
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            g = np.floor(v * 1e6 + 0.5).astype(np.int64)
+            ss = (g * g).sum(axis=1)
+            nq = np.floor(
+                g / np.sqrt(ss.astype(np.float64))[:, None] * 1e6 + 0.5
+            ).astype(np.int64)
+            # argmax takes the FIRST maximum = lowest cluster id — the
+            # exact (dot DESC, cluster ASC) tie-break of the oracle
+            assign = (nq @ seeds.T).argmax(axis=1)
+            out = []
+            for c in range(seeds.shape[0]):
+                rows = nq[assign == c]
+                if len(rows):
+                    sm = rows.sum(axis=0)
+                    out.extend(
+                        (c + 1, d, len(rows), int(sm[d]))
+                        for d in range(nq.shape[1])
+                    )
+            yield pd.DataFrame(
+                out, columns=["cluster", "dim", "n_part", "s_part"]
+            )
+
+    part = em.select("embedding").mapInPandas(
+        partials, "cluster INT, dim BIGINT, n_part BIGINT, s_part BIGINT"
+    )
+    return (
+        part.groupBy("cluster", "dim")
+        .agg(
+            F.sum("n_part").cast("long").alias("n"),
+            (
+                F.sum("s_part").cast("double") / F.lit(1e6)
+                / F.sum("n_part")
+            ).alias("centroid"),
+        )
+        .orderBy("cluster", "dim")
+    )

@@ -1808,3 +1808,115 @@ def dedup_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jw_micro").desc(), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@register(
+    "dedup_semantic_rep",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= {_COS_DUP_MIN}
+),
+edges AS (SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib AS a, ia AS b FROM pairs),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM edges e JOIN reach ON e.a = reach.id
+),
+comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id),
+dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS g
+  FROM embeddings),
+dl AS (
+  SELECT d.vec_id, c.component, d.i, d.g
+  FROM dims d JOIN comp c USING (vec_id)),
+cent AS (
+  SELECT component, i, CAST(SUM(g) AS BIGINT) AS s
+  FROM dl GROUP BY 1, 2),
+sc AS (
+  SELECT dl.vec_id, dl.component,
+         CAST(SUM(dl.g * cent.s) AS BIGINT) AS score
+  FROM dl JOIN cent ON cent.component = dl.component AND cent.i = dl.i
+  GROUP BY 1, 2),
+nm AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY 1)
+SELECT component, vec_id AS rep_vec_id, n_members, score AS rep_score
+FROM (
+  SELECT s.component, s.vec_id, s.score, nm.n_members,
+         ROW_NUMBER() OVER (PARTITION BY s.component
+                            ORDER BY s.score DESC, s.vec_id) AS rn
+  FROM sc s JOIN nm USING (component)) z
+WHERE rn = 1 ORDER BY component
+""",
+)
+def dedup_semantic_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style representative selection (Abbas et al. 2023,
+    public): within each semantic duplicate cluster keep the member
+    most aligned with the cluster centroid — NOT the arbitrary min-id
+    survivor `semantic_dedup_pipeline` keeps. Alignment is the exact
+    integer dot product <v_i, SUM_j v_j> on the micro grid (the
+    unnormalized centroid — dropping the 1/n and the norm changes no
+    argmax within a cluster and keeps every comparison in int64), so
+    the per-cluster winner and its (score DESC, vec_id) tie-break are
+    bit-identical across engines.
+
+    Pipeline shape: embedding-cosine pairs (`dedup_embed_cosine`'s
+    normalize-first kernel) -> `min_label_propagation` components ->
+    element-wise cluster-sum vectors (one (component, dim)-keyed
+    aggregation) -> dot-product argmax. The DuckDB oracle recomputes
+    the fixpoint with a recursive CTE — independent algorithms, same
+    answer.
+
+    100-TB posture: the exploded (member, dim) relation is |rows|·64 —
+    linear; centroids are |clusters|·64; both shuffles key on the
+    component. Overflow: |g| <= ~5e6 micro, cluster sums |s| <= n·5e6,
+    per-dim product g·s <= n·2.5e13 — int64-safe to ~300k-member
+    clusters at 64 dims; the ledger's escalation is per-dim DECIMAL
+    partials.
+    """
+    pairs = dedup_embed_cosine(spark, sf_dir).select("ia", "ib")
+    em = load_table(spark, sf_dir, "embeddings")
+    nodes = em.select(F.col("vec_id").alias("node_id"))
+    labels = min_label_propagation(nodes, pairs).toDF("vec_id", "component")
+    dims = em.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)"
+                " AS BIGINT))"
+            )
+        ).alias("i", "g"),
+    )
+    dl = dims.join(labels, "vec_id")
+    cent = dl.groupBy("component", "i").agg(
+        F.sum("g").cast("long").alias("s")
+    )
+    sc = (
+        dl.join(cent, ["component", "i"])
+        .groupBy("vec_id", "component")
+        .agg(F.sum(F.col("g") * F.col("s")).cast("long").alias("score"))
+    )
+    nm = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), "vec_id"
+    )
+    return (
+        sc.join(nm, "component")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component", F.col("vec_id").alias("rep_vec_id"),
+            "n_members", F.col("score").alias("rep_score"),
+        )
+        .orderBy("component")
+    )

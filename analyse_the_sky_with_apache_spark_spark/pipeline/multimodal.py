@@ -929,3 +929,134 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: loudness normalization: target RMS level and the clip ceiling on
+#: the deterministic 0..999 fake energy scale.
+_GAIN_TARGET = 600
+_GAIN_CLIP = 999
+
+
+@register(
+    "mm_audio_gain_normalize",
+    oracle=f"""
+WITH assets AS (
+  SELECT doc_id, 1000 + (doc_id * 61) % 120000 AS dur_ms FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         (dur_ms + {_VAD_FRAME_MS - 1}) // {_VAD_FRAME_MS} AS n_frames,
+         unnest(generate_series(
+           0, (dur_ms + {_VAD_FRAME_MS - 1}) // {_VAD_FRAME_MS} - 1)) AS i
+  FROM assets
+),
+e AS (
+  SELECT doc_id, n_frames, i,
+         (doc_id * 7919 + i * 104729) % 1000 AS energy
+  FROM frames
+),
+s AS (
+  SELECT doc_id,
+         CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+         CAST(SUM(energy * energy) AS BIGINT) AS ssq
+  FROM e GROUP BY doc_id
+),
+clip AS (
+  SELECT e.doc_id,
+         CAST(SUM(CASE WHEN s.n_frames * e.energy * e.energy
+                            * {_GAIN_TARGET * _GAIN_TARGET}
+                        > {_GAIN_CLIP * _GAIN_CLIP} * s.ssq
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+  FROM e JOIN s USING (doc_id) GROUP BY e.doc_id
+)
+SELECT s.doc_id, s.n_frames, s.ssq,
+       CAST(FLOOR({_GAIN_TARGET}.0
+                  * SQRT(CAST(s.n_frames AS DOUBLE)
+                         / CAST(s.ssq AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS gain_micro,
+       c.n_clipped,
+       c.n_clipped * 100 <= s.n_frames AS gain_safe
+FROM s JOIN clip c USING (doc_id)
+ORDER BY s.doc_id
+""",
+)
+def mm_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness (RMS gain) normalization audit over audio assets — the
+    step a speech-corpus build runs between `mm_audio_vad` and
+    chunking: compute each asset's RMS level, the gain factor that
+    brings it to the corpus target, and — BEFORE applying it — how
+    many frames that gain would clip (the decision between plain gain
+    and a limiter). Frame energies are the deterministic id-derived
+    fake (the `mm_media_metadata` convention; a real decoder's RMS
+    frames feed the same relation unchanged).
+
+    Exactness: the clip predicate is the pure-integer cross-multiply
+    n·e²·T² > CLIP²·Σe² (squaring e·gain > CLIP with gain =
+    T·sqrt(n/Σe²) — no float boundary anywhere); the reported gain
+    lands on the 1e-6 grid from ONE IEEE-identical sqrt expression
+    over exact longs; the gain_safe flag (<=1% frames clipped) is an
+    integer cross-multiply.
+
+    100-TB posture: the frame fan-out is an executor-side
+    sequence+explode generator (no pixel/sample bytes move — the
+    `mm_audio_vad` shape); the energy rollup and the clip count share
+    ONE asset-key shuffle (two aggregations co-partitioned by the
+    join); output is asset-sized. Overflow: e <= 999, Σe² <= n·1e6,
+    n·e²·T² <= 6e3·1e6·3.6e5 ≈ 2.2e15 and CLIP²·Σe² <= 6e15 at the
+    fixture's 2-minute cap — both ~4000× inside int64 even at 10×.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") * 61) % 120000).alias("dur_ms"),
+    )
+    nf = F.expr(f"(dur_ms + {_VAD_FRAME_MS - 1}) div {_VAD_FRAME_MS}")
+    e = assets.select(
+        "doc_id",
+        nf.cast("long").alias("n_frames"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), nf.cast("long") - 1)
+        ).alias("i"),
+    ).select(
+        "doc_id", "n_frames",
+        ((F.col("doc_id") * 7919 + F.col("i") * 104729) % 1000)
+        .alias("energy"),
+    )
+    s = e.groupBy("doc_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.sum(F.col("energy") * F.col("energy")).cast("long").alias("ssq"),
+    )
+    clip = (
+        e.select("doc_id", "energy")
+        .join(s, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_frames")
+                    * F.col("energy") * F.col("energy")
+                    * F.lit(_GAIN_TARGET * _GAIN_TARGET)
+                    > F.lit(_GAIN_CLIP * _GAIN_CLIP) * F.col("ssq"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_clipped")
+        )
+    )
+    return (
+        s.join(clip, "doc_id")
+        .select(
+            "doc_id", "n_frames", "ssq",
+            F.floor(
+                F.lit(float(_GAIN_TARGET))
+                * F.sqrt(
+                    F.col("n_frames").cast("double")
+                    / F.col("ssq").cast("double")
+                )
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("gain_micro"),
+            "n_clipped",
+            (F.col("n_clipped") * 100 <= F.col("n_frames"))
+            .alias("gain_safe"),
+        )
+        .orderBy("doc_id")
+    )

@@ -214,9 +214,13 @@ _RETIRED_R10 = (
 #: Page 6 — the LIVE round-11 window (exactly 50 never-sampled oracle
 #: keys; rotated in at round-11 open per VERDICT r10 task 1 — the
 #: round-10 page is retired via its CORRECTNESS_r10 rows, kept above as
-#: _RETIRED_R10). The 47 seed keys are padded to 50 with the three
-#: oracle keys that headed the R12 page (stat_durbin_watson,
-#: ts_spectral_entropy, stat_jarque_bera).
+#: _RETIRED_R10). The 47 seed keys are padded to 50 with two oracle
+#: keys pulled from the R12 page head (stat_durbin_watson,
+#: ts_spectral_entropy) plus the round-11 dedup_semantic_rep — the
+#: swap keeps every still-dark family represented in the window
+#: (test_window_covers_the_dark_families) after round 11 gave
+#: pipeline.dedup a fresh never-sampled key; stat_jarque_bera went
+#: back to the R12 head.
 _PRIORITY = (
     "stat_hodges_lehmann",
     "stat_fisher_exact",
@@ -245,8 +249,9 @@ _PRIORITY = (
     "agg_hll_sketch_merge", "ts_mann_kendall", "stat_bartlett",
     "stat_breusch_pagan", "stream_pyds_sink", "ts_adf_unitroot",
     "ml_pinball_loss",
-    # padding to 50: pulled forward from the R12 page head (all oracle)
-    "stat_durbin_watson", "ts_spectral_entropy", "stat_jarque_bera",
+    # padding to 50: two R12-head pulls + the round-11 dedup key that
+    # keeps pipeline.dedup represented among the never-sampled families
+    "stat_durbin_watson", "ts_spectral_entropy", "dedup_semantic_rep",
 )
 
 #: Page 7 — round-12 window seed, split out when _ROTATION_R11 reached
@@ -258,6 +263,7 @@ _PRIORITY = (
 #: so every registered key eventually earns a driver row (theirs will be
 #: `no_oracle` smoke rows by design).
 _ROTATION_R12 = (
+    "stat_jarque_bera",
     "graph_betweenness_sampled", "sky_coadd_tiles",
     "privacy_dp_topk", "graph_effective_diameter",
     "stream_update_mode_emissions", "ts_burstiness",
@@ -268,6 +274,8 @@ _ROTATION_R12 = (
     # round-11 additions
     "sky_healpix_ring", "sky_two_point_dd", "lightcurve_chi2_constant",
     "ts_ewma_crossover", "ts_pettitt_test", "stat_mood_median",
+    "kmeans_spherical_round",
+    "mm_audio_gain_normalize",
     # round-10 additions
     "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
     "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",

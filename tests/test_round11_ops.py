@@ -1,0 +1,393 @@
+"""Round-11 kernels: independent cross-checks BEYOND the oracle gate.
+
+The DuckDB oracle proves Spark and DuckDB agree; these tests rebuild
+each result with a third, pure-python/numpy implementation (a float
+ang2pix_ring for the HEALPix index, brute-force O(n²) pair loops for
+the two-point counts and the Pettitt statistic, union-find for the
+semantic clusters) so an algebra-level mistake both engines repeat
+still fails.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from analyse_the_sky_with_apache_spark_spark.pipeline.multimodal import (
+    _GAIN_CLIP,
+    _GAIN_TARGET,
+    _VAD_FRAME_MS,
+)
+from analyse_the_sky_with_apache_spark_spark.pipeline.stats import (
+    _EWMA_FAST_DEN,
+    _EWMA_SCALE,
+    _EWMA_SLOW_DEN,
+    _trunc_div,
+)
+from analyse_the_sky_with_apache_spark_spark.operators.xmatch import (
+    _HPX_NCAP,
+    _HPX_NPIX,
+    _HPX_NSIDE,
+    _SPH_CIRCLE,
+    _SPH_EPS,
+    _TPT_EDGES,
+)
+from analyse_the_sky_with_apache_spark_spark.registry import (
+    QUERIES,
+    load_all_modules,
+)
+from tests.conftest import SF_DIR
+
+load_all_modules()
+
+
+def _md5_catalog(keys):
+    """The shared md5-derived (ra_c, dec_c) catalog, python-side."""
+    out = []
+    for k in keys:
+        h = hashlib.md5(str(int(k)).encode()).hexdigest()
+        out.append(
+            (int(k), int(h[:6], 16) % 36000, int(h[6:12], 16) % 18000 - 9000)
+        )
+    return out
+
+
+def _custkeys():
+    return pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_pylist()
+
+
+# ---------------------------------------------------------------- HEALPix
+
+
+def _ang2pix_ring_ref(ra_c: int, dec_c: int) -> int:
+    """Independent float ang2pix_ring (the public Górski 2005
+    algorithm written directly — no 1e-9 gridding, no shared
+    expression text with the engine kernel)."""
+    n = _HPX_NSIDE
+    z = math.sin(math.radians(dec_c / 100.0))
+    tt = (ra_c / 100.0) / 90.0
+    if abs(z) <= 2.0 / 3.0:
+        temp1 = n * (0.5 + tt)
+        temp2 = n * z * 0.75
+        jp = int(temp1 - temp2)
+        jm = int(temp1 + temp2)
+        ir = n + 1 + jp - jm
+        kshift = 1 - (ir & 1)
+        ip = ((jp + jm - n + kshift + 1) // 2) % (4 * n)
+        return _HPX_NCAP + (ir - 1) * 4 * n + ip
+    tp = tt - int(tt)
+    tmp = n * math.sqrt(3.0 * (1.0 - abs(z)))
+    jp = int(tp * tmp)
+    jm = int((1.0 - tp) * tmp)
+    ir = jp + jm + 1
+    ip = int(tt * ir) % (4 * ir)
+    if z > 0:
+        return 2 * ir * (ir - 1) + ip
+    return _HPX_NPIX - 2 * ir * (ir + 1) + ip
+
+
+def test_healpix_matches_python_reference(spark):
+    rows = QUERIES["sky_healpix_ring"](spark, SF_DIR).collect()
+    got = {r["pix"]: (r["n_src"], r["min_obj_id"]) for r in rows}
+    ref: dict[int, list[int]] = {}
+    for obj, ra_c, dec_c in _md5_catalog(_custkeys()):
+        ref.setdefault(_ang2pix_ring_ref(ra_c, dec_c), []).append(obj)
+    want = {p: (len(v), min(v)) for p, v in ref.items()}
+    assert got == want
+
+
+def test_healpix_pix_ids_valid(spark):
+    rows = QUERIES["sky_healpix_ring"](spark, SF_DIR).collect()
+    assert all(0 <= r["pix"] < _HPX_NPIX for r in rows)
+    assert sum(r["n_src"] for r in rows) == len(_custkeys())
+
+
+def test_healpix_reference_covers_every_region():
+    """The fixture catalog must genuinely exercise all three branches
+    (north cap, belt, south cap) — otherwise the oracle checks less
+    than it claims."""
+    regions = set()
+    for _, ra_c, dec_c in _md5_catalog(_custkeys()):
+        z = math.sin(math.radians(dec_c / 100.0))
+        regions.add("belt" if abs(z) <= 2 / 3 else ("n" if z > 0 else "s"))
+    assert regions == {"belt", "n", "s"}
+
+
+# -------------------------------------------------------------- two-point
+
+
+def test_two_point_matches_brute_force(spark):
+    rows = QUERIES["sky_two_point_dd"](spark, SF_DIR).collect()
+    got = {r["sep_bin"]: r["dd_pairs"] for r in rows}
+    cat = _md5_catalog(_custkeys())
+    want: dict[int, int] = {}
+    for i in range(len(cat)):
+        for j in range(i + 1, len(cat)):
+            _, ra_a, dec_a = cat[i]
+            _, ra_b, dec_b = cat[j]
+            dra = abs(ra_a - ra_b)
+            if min(dra, _SPH_CIRCLE - dra) > _SPH_EPS:
+                continue
+            if abs(dec_a - dec_b) > _SPH_EPS:
+                continue
+            d = round(
+                2
+                * math.asin(
+                    math.sqrt(
+                        math.sin(math.radians((dec_b - dec_a) / 100.0) / 2)
+                        ** 2
+                        + math.cos(math.radians(dec_a / 100.0))
+                        * math.cos(math.radians(dec_b / 100.0))
+                        * math.sin(math.radians((ra_b - ra_a) / 100.0) / 2)
+                        ** 2
+                    )
+                ),
+                6,
+            )
+            for b, edge in enumerate(_TPT_EDGES):
+                if d < edge:
+                    want[b] = want.get(b, 0) + 1
+                    break
+    assert got == want
+
+
+# ------------------------------------------------------- chi2 / constant
+
+
+def _events():
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    return t.to_pylist()
+
+
+def test_chi2_constant_matches_python(spark):
+    rows = QUERIES["lightcurve_chi2_constant"](spark, SF_DIR).collect()
+    series: dict[str, list[int]] = {}
+    for e in _events():
+        series.setdefault(e["event_type"], []).append(
+            math.floor(e["value"] * 10.0 + 0.5)
+        )
+    for r in rows:
+        f = series[r["event_type"]]
+        n, s1 = len(f), sum(f)
+        s2 = sum(x * x for x in f)
+        ss = n * s2 - s1 * s1
+        assert r["n_obs"] == n
+        assert abs(r["chi2_red"] - ss / (n * (n - 1) * 100.0)) < 1e-12
+        assert r["is_variable"] == (2 * ss > 3 * n * (n - 1) * 100)
+
+
+# ------------------------------------------------------------------ EWMA
+
+
+def test_ewma_crossover_matches_python(spark):
+    rows = sorted(
+        QUERIES["ts_ewma_crossover"](spark, SF_DIR).collect(),
+        key=lambda r: r["day_id"],
+    )
+    days: dict[int, int] = {}
+    for e in _events():
+        us = int(e["ts"].timestamp() * 1e6) if hasattr(e["ts"], "timestamp") else int(e["ts"])
+        day = us // 86400000000
+        days[day] = days.get(day, 0) + math.floor(e["value"] * 100.0 + 0.5)
+    sf = ss = None
+    prev = None
+    for r in rows:
+        v = days[r["day_id"]]
+        assert r["v_cents"] == v
+        x = v * _EWMA_SCALE
+        if sf is None:
+            sf, ss = x, x
+        else:
+            sf = sf + _trunc_div(x - sf, _EWMA_FAST_DEN)
+            ss = ss + _trunc_div(x - ss, _EWMA_SLOW_DEN)
+        assert r["ewma_fast_milli"] == sf
+        assert r["ewma_slow_milli"] == ss
+        above = sf > ss
+        assert r["fast_above"] == above
+        assert r["crossover"] == (prev is not None and above != prev)
+        prev = above
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    import duckdb
+
+    cases = [(-7, 4), (7, 4), (-8, 4), (-1, 16), (15, 16), (-15, 16), (0, 4)]
+    got = [_trunc_div(a, b) for a, b in cases]
+    want = [
+        duckdb.sql(f"SELECT ({a}) // ({b})").fetchone()[0] for a, b in cases
+    ]
+    assert got == want
+
+
+# --------------------------------------------------------------- Pettitt
+
+
+def test_pettitt_matches_brute_force(spark):
+    rows = QUERIES["ts_pettitt_test"](spark, SF_DIR).collect()
+    series: dict[str, list[tuple]] = {}
+    for e in _events():
+        series.setdefault(e["event_type"], []).append(
+            (e["ts"], e["event_id"], math.floor(e["value"] * 10.0 + 0.5))
+        )
+    for r in rows:
+        xs = [v for _, _, v in sorted(series[r["event_type"]])]
+        n = len(xs)
+        best_k, best_u = None, -1
+        for k in range(1, n):
+            u = sum(
+                (xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(k)
+                for j in range(k, n)
+            )
+            if abs(u) > best_u:
+                best_u, best_k = abs(u), k
+        assert r["n_obs"] == n
+        assert r["k_stat"] == best_u
+        assert r["k_star"] == best_k
+        p = 2.0 * math.exp(-6.0 * best_u * best_u / (n**3 + n**2))
+        assert abs(r["p_approx"] - p) < 2e-6
+
+
+# ------------------------------------------------------------------ Mood
+
+
+def test_mood_median_matches_python(spark):
+    row = QUERIES["stat_mood_median"](spark, SF_DIR).collect()[0]
+    groups: dict[str, list[int]] = {}
+    for e in _events():
+        groups.setdefault(e["event_type"], []).append(
+            math.floor(e["value"] * 10.0 + 0.5)
+        )
+    allv = sorted(v for g in groups.values() for v in g)
+    n = len(allv)
+    # smallest value whose 2*cumulative-count reaches n
+    cum, m = 0, None
+    for v in allv:
+        cum += 1
+        if 2 * cum >= n:
+            m = v
+            break
+    assert row["grand_median_deci"] == m
+    ta = sum(1 for g in groups.values() for v in g if v > m)
+    chi2 = 0.0
+    for g in groups.values():
+        ng, a = len(g), sum(1 for v in g if v > m)
+        ea, eb = ng * ta / n, ng * (n - ta) / n
+        term = (a - ea) ** 2 / ea + ((ng - a) - eb) ** 2 / eb
+        chi2 += math.floor(term * 1e6 + 0.5) / 1e6
+    assert row["n_total"] == n
+    assert row["df"] == len(groups) - 1
+    assert abs(row["chi2"] - chi2) < 1e-9
+    assert row["reject_5pct"] == (round(chi2 * 1e6) > 9487729)
+
+
+# -------------------------------------------------- semantic rep (SemDeDup)
+
+
+def _embeddings():
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def test_semantic_rep_matches_union_find(spark):
+    rows = QUERIES["dedup_semantic_rep"](spark, SF_DIR).collect()
+    ids, vecs = _embeddings()
+    norms = np.sqrt((vecs**2).sum(axis=1))
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cos[a, b] >= 0.45:
+                ra, rb = find(ids[a]), find(ids[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    g = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+    idx = {v: k for k, v in enumerate(ids)}
+    want = {}
+    for comp, members in comps.items():
+        s = g[[idx[m] for m in members]].sum(axis=0)
+        scored = sorted(
+            ((-int(g[idx[m]] @ s), m) for m in members),
+        )
+        want[comp] = (scored[0][1], len(members), -scored[0][0])
+    got = {
+        r["component"]: (r["rep_vec_id"], r["n_members"], r["rep_score"])
+        for r in rows
+    }
+    assert got == want
+
+
+# -------------------------------------------------- spherical k-means round
+
+
+def test_spherical_round_matches_numpy(spark):
+    rows = QUERIES["kmeans_spherical_round"](spark, SF_DIR).collect()
+    ids, vecs = _embeddings()
+    order = np.argsort(ids)
+    g = np.floor(vecs * 1e6 + 0.5).astype(np.int64)
+    ss = (g * g).sum(axis=1)
+    nq = np.floor(g / np.sqrt(ss.astype(np.float64))[:, None] * 1e6 + 0.5
+                  ).astype(np.int64)
+    seeds = nq[order[:10]]
+    dots = nq @ seeds.T
+    # argmax dot, tie-break lowest cluster id (stable argmax does this)
+    assign = dots.argmax(axis=1) + 1
+    got = {(r["cluster"], r["dim"]): (r["n"], r["centroid"]) for r in rows}
+    for c in range(1, 11):
+        members = nq[assign == c]
+        if not len(members):
+            continue
+        for d in range(64):
+            n, cent = got[(c, d)]
+            assert n == len(members)
+            assert abs(cent - members[:, d].sum() / 1e6 / n) < 1e-12
+
+
+# ----------------------------------------------------- audio gain normalize
+
+
+def test_gain_normalize_matches_python(spark):
+    rows = QUERIES["mm_audio_gain_normalize"](spark, SF_DIR).collect()
+    doc_ids = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    assert len(rows) == len(doc_ids)
+    by_id = {r["doc_id"]: r for r in rows}
+    for doc in doc_ids:
+        dur = 1000 + (doc * 61) % 120000
+        nf = (dur + _VAD_FRAME_MS - 1) // _VAD_FRAME_MS
+        e = [(doc * 7919 + i * 104729) % 1000 for i in range(nf)]
+        ssq = sum(x * x for x in e)
+        r = by_id[doc]
+        assert r["n_frames"] == nf and r["ssq"] == ssq
+        gain = math.floor(
+            _GAIN_TARGET * math.sqrt(nf / ssq) * 1e6 + 0.5
+        )
+        assert r["gain_micro"] == gain
+        clipped = sum(
+            1
+            for x in e
+            if nf * x * x * _GAIN_TARGET**2 > _GAIN_CLIP**2 * ssq
+        )
+        assert r["n_clipped"] == clipped
+        assert r["gain_safe"] == (clipped * 100 <= nf)
