@@ -2729,3 +2729,118 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+#: bounded-hop weighted SSSP: relaxation rounds (= max path edges).
+_SSSP_MAX_HOPS = 3
+
+
+@register(
+    "graph_sssp_bounded",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         1000 // COUNT(*) AS cost
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS node, v AS nbr, cost FROM e
+        UNION ALL SELECT v, u, cost FROM e),
+seeds AS (
+  SELECT DISTINCT node FROM adj
+  JOIN part ON p_partkey = node
+  WHERE p_size = 50
+),
+walk AS (
+  SELECT node, 0 AS hop, CAST(0 AS BIGINT) AS cost FROM seeds
+  UNION
+  SELECT adj.nbr AS node, walk.hop + 1 AS hop,
+         CAST(walk.cost + adj.cost AS BIGINT) AS cost
+  FROM walk JOIN adj ON adj.node = walk.node
+  WHERE walk.hop < {_SSSP_MAX_HOPS}
+)
+SELECT node, CAST(MIN(cost) AS BIGINT) AS best_cost
+FROM walk GROUP BY node ORDER BY node
+""",
+)
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, bounded at
+    _SSSP_MAX_HOPS = 3 relaxation rounds — Bellman-Ford, the weighted upgrade of
+    `graph_bfs_hops` (closeness in a similarity-weighted graph, not
+    raw hop count): edge cost = 1000 // co-purchase-count, so strong
+    ties are cheap to cross, and dist(node) = the cheapest <= 3-edge
+    path from the size-50 seed set. Costs are exact positive integers
+    (one truncating division both engines agree on), so every round's
+    per-node MIN and the final table are int64-exact.
+
+    Spark side: textbook distributed Bellman-Ford — each round joins
+    the CURRENT distance table against the adjacency, unions the
+    relaxed candidates, and takes one per-node MIN (map-side
+    combinable); ``localCheckpoint`` truncates lineage per round.
+    Unlike the BFS frontier, a node can IMPROVE after first discovery
+    (a 2-hop cheap path can beat a 1-hop expensive edge — the fixture
+    contains such nodes), so the loop keeps the full distance table —
+    the price of weights, and why this is a separate kernel. The
+    DuckDB oracle explores the bounded path space declaratively with a
+    recursive CTE and takes the same MIN — two genuinely independent
+    algorithms.
+
+    100-TB posture: R rounds = R shuffles keyed on the node id, each
+    carrying |dist| + |dist ⋈ adj| rows; the distance table stays
+    partitioned by node, the adjacency is the persisted shared edge
+    artifact (`_strong_edges_cached` note). Overflow: costs <= 500 per
+    edge, <= 1500 per path — trivial.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a0, b0 = li.alias("a"), li.alias("b")
+    e = (
+        a0.join(
+            b0,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v", F.expr("1000 div w").cast("long").alias("cost"))
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "cost")
+        .unionAll(
+            e.select(
+                F.col("v").alias("node"), F.col("u").alias("nbr"), "cost"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 50)
+    dist = (
+        adj.select("node")
+        .distinct()
+        .join(p, F.col("node") == p.p_partkey, "left_semi")
+        .select("node", F.lit(0).cast("long").alias("best_cost"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_SSSP_MAX_HOPS):
+        relaxed = (
+            dist.join(adj, "node")
+            .select(
+                F.col("nbr").alias("node"),
+                (F.col("best_cost") + F.col("cost")).alias("best_cost"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("best_cost").alias("best_cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.orderBy("node")

@@ -2138,3 +2138,139 @@ def agg_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+@register(
+    "cdc_apply_compact",
+    oracle="""
+WITH cdc AS (
+  SELECT o_orderkey AS k, 1 AS lsn, 'U' AS op,
+         CAST(FLOOR(o_totalprice * 110.0 + 0.5) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', CAST(0 AS BIGINT)
+  FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, 1, 'I', CAST(100000 AS BIGINT)
+  FROM orders WHERE o_orderkey % 1000 = 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, 2, 'U', CAST(200000 AS BIGINT)
+  FROM orders WHERE o_orderkey % 1000 = 0
+),
+compacted AS (
+  SELECT k, op, price_cents FROM (
+    SELECT k, op, price_cents,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY lsn DESC) AS rn
+    FROM cdc) z
+  WHERE rn = 1
+),
+tgt AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+),
+merged AS (
+  SELECT COALESCE(t.k, c.k) AS k,
+         CASE WHEN c.k IS NULL THEN 'keep'
+              WHEN c.op = 'D' AND t.k IS NOT NULL THEN 'delete'
+              WHEN c.op = 'D' THEN 'noop'
+              WHEN t.k IS NULL THEN 'insert'
+              ELSE 'update' END AS action,
+         CASE WHEN c.k IS NULL THEN t.price_cents
+              WHEN c.op = 'D' THEN CAST(0 AS BIGINT)
+              ELSE c.price_cents END AS price_cents
+  FROM tgt t FULL OUTER JOIN compacted c ON t.k = c.k
+)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY action ORDER BY action
+""",
+)
+def cdc_apply_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY with in-batch compaction — the Debezium-consumer /
+    MERGE-with-deletes pattern `merge_upsert` stops short of: the
+    change batch carries MULTIPLE ordered events per key (update then
+    delete; insert then update), so applying it naively double-counts.
+    Stage 1 compacts to last-writer-wins per key (ROW_NUMBER over LSN
+    DESC — one shuffle on the key); stage 2 is ONE full-outer join
+    against the target with a 5-way action CASE: keep / update /
+    insert / delete / noop (a delete for a key that never existed —
+    real CDC streams contain them, and swallowing one silently is the
+    classic apply bug this key pins). Output is the action audit every
+    ingestion job logs: row count + cents sum per action.
+
+    Determinism: the batch derives from the target keys (the
+    `merge_upsert` convention), prices live on the exact cent grid,
+    LSNs are explicit integers — compaction, merge, and audit sums are
+    all int64-exact.
+
+    100-TB posture: compaction shuffles the (small) batch only; the
+    merge is the Delta/Iceberg MERGE join — one shuffle of the target
+    on the key, which bucketing removes entirely; a small CDC batch
+    broadcasts and MERGE becomes map-only. Audit sums are map-side
+    combinable. Overflow: cents sums <= 1e15 at 10x — int64-safe.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cdc = (
+        o.filter(F.col("o_orderkey") % 7 == 0).select(
+            F.col("o_orderkey").alias("k"), F.lit(1).alias("lsn"),
+            F.lit("U").alias("op"),
+            F.floor(F.col("o_totalprice") * F.lit(110.0) + F.lit(0.5))
+            .cast("long").alias("price_cents"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 21 == 0).select(
+                F.col("o_orderkey"), F.lit(2), F.lit("D"),
+                F.lit(0).cast("long"),
+            )
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                F.col("o_orderkey") + 20000000, F.lit(1), F.lit("I"),
+                F.lit(100000).cast("long"),
+            )
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                F.col("o_orderkey") + 20000000, F.lit(2), F.lit("U"),
+                F.lit(200000).cast("long"),
+            )
+        )
+    )
+    compacted = (
+        cdc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.col("lsn").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "price_cents")
+    )
+    tgt = o.select(
+        F.col("o_orderkey").alias("tk"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("t_cents"),
+    )
+    merged = tgt.join(
+        compacted, tgt.tk == compacted.k, "full_outer"
+    ).select(
+        F.when(F.col("k").isNull(), F.lit("keep"))
+        .when((F.col("op") == "D") & F.col("tk").isNotNull(), "delete")
+        .when(F.col("op") == "D", "noop")
+        .when(F.col("tk").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.when(F.col("k").isNull(), F.col("t_cents"))
+        .when(F.col("op") == "D", F.lit(0).cast("long"))
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("action")
+    )

@@ -3836,3 +3836,120 @@ def lightcurve_chi2_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(3) * F.col("n") * (F.col("n") - 1) * F.lit(100)
         ).alias("is_variable"),
     ).orderBy("event_type")
+
+
+@register(
+    "lightcurve_flare_runs",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.5), 6) AS med,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+), idx AS (
+  SELECT e.event_type, e.value, m.med, d.mad,
+         ROW_NUMBER() OVER (PARTITION BY e.event_type
+                            ORDER BY e.ts, e.event_id) AS k
+  FROM events e
+  JOIN med m USING (event_type) JOIN mad d USING (event_type)
+  WHERE d.mad > 0
+), flagged AS (
+  SELECT event_type, value, k,
+         k - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY k)
+           AS grp
+  FROM idx
+  WHERE value - med > 3.0 * {_MAD_SIGMA} * mad
+), runs AS (
+  SELECT event_type, grp,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         MAX(value) AS run_peak
+  FROM flagged GROUP BY event_type, grp
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_flares,
+       CAST(SUM(run_len) AS BIGINT) AS flare_points,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       MAX(run_peak) AS peak_value
+FROM runs GROUP BY event_type ORDER BY event_type
+""",
+)
+def lightcurve_flare_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flare detection by robust-threshold RUN merging — the stellar-
+    flare / outburst counter (M-dwarf flare surveys run exactly this):
+    flag observations brighter than median + 3 robust sigmas
+    (`lightcurve_sigma_clip`'s one-sided cousin — flares BRIGHTEN, so
+    the cut is directional), then merge CONSECUTIVE flagged
+    observations into single flare events with the gaps-and-islands
+    identity (obs-index − flagged-row-number is constant within a
+    run), and report per series the flare count, total flare points,
+    longest run, and peak flux. One isolated spike = one 1-point
+    flare; a sustained brightening = ONE event, not n — that merge is
+    what makes the count physical.
+
+    Determinism: both medians round to 6 dp (the sigma_clip pin), the
+    threshold compares identical rounded inputs, and run identities
+    are pure integer window arithmetic over the (ts, event_id)
+    tie-broken order; peak is a MAX over raw stored doubles — no
+    arithmetic, no straddle. Zero-MAD series are excluded (no robust
+    scale exists).
+
+    100-TB posture: two exact grouped medians + two windows + two
+    rollups, ALL keyed on the series id — one partitioning reused
+    end-to-end (exchange reuse); per-row window state is one long. The
+    `agg_median_exact` caveat applies to the exact medians at extreme
+    series sizes — the approx-percentile sketch swaps in, plan
+    unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5D)"), 6).alias("mad")
+    )
+    wk = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    idx = (
+        ev.join(med, "event_type")
+        .join(mad, "event_type")
+        .where(F.col("mad") > 0)
+        .select(
+            "event_type", "value", "med", "mad",
+            F.row_number().over(wk).alias("k"),
+        )
+    )
+    flagged = idx.filter(
+        F.col("value") - F.col("med")
+        > F.lit(3.0 * _MAD_SIGMA) * F.col("mad")
+    ).select(
+        "event_type", "value", "k",
+        (
+            F.col("k")
+            - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("k")
+            )
+        ).alias("grp"),
+    )
+    runs = flagged.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.max("value").alias("run_peak"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flares"),
+            F.sum("run_len").cast("long").alias("flare_points"),
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.max("run_peak").alias("peak_value"),
+        )
+        .orderBy("event_type")
+    )

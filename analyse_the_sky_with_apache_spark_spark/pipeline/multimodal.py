@@ -1060,3 +1060,96 @@ def mm_audio_gain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_keyframe_select",
+    oracle=f"""
+WITH frames AS (
+  SELECT doc_id, g.i AS frame_idx,
+         (doc_id * 7919 + g.i * 104729) % 1000 AS feat,
+         (doc_id * 104729 + g.i * 7919) % 1000 AS sharp
+  FROM documents, range(0, {_SCENE_FRAMES}) g(i)
+),
+d AS (
+  SELECT doc_id, frame_idx, sharp,
+         CASE WHEN abs(feat - LAG(feat) OVER w) > {_SCENE_THRESH}
+              THEN 1 ELSE 0 END AS is_cut
+  FROM frames
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+),
+shots AS (
+  SELECT doc_id, frame_idx, sharp,
+         CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+              AS BIGINT) AS shot_id
+  FROM d
+)
+SELECT doc_id, shot_id,
+       CAST(MIN(frame_idx) AS BIGINT) AS shot_start,
+       CAST(MAX(frame_idx) AS BIGINT) AS shot_end,
+       CAST(arg_min(frame_idx, -sharp * 1000000 + frame_idx)
+            AS BIGINT) AS keyframe_idx,
+       CAST(arg_min(sharp, -sharp * 1000000 + frame_idx)
+            AS BIGINT) AS keyframe_sharp
+FROM shots GROUP BY doc_id, shot_id
+ORDER BY doc_id, shot_id
+""",
+)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection per shot — the step after `mm_scene_cuts`
+    that a vision-training pipeline actually samples from: cut flags
+    become shot ids by a running cut-count window, and each shot keeps
+    its SHARPEST frame (argmax of the focus measure, tie-break lowest
+    frame index) — the thumbnail/clip-anchor every video curation
+    stack extracts. Sharpness is a second deterministic id-derived
+    fake, independent of the cut feature (the `_decode_image_stub`
+    seam note: a real Laplacian-variance extractor lands in the same
+    column).
+
+    Exactness: cuts, shot ids, and the argmax are all pure integer
+    window/aggregate arithmetic; the argmax packs (-sharp, frame_idx)
+    into one long (frame counts < 1e6 by construction — the
+    `ts_pettitt_test` packing bound).
+
+    100-TB posture: frame generation is executor-side; BOTH windows
+    and the shot rollup ride one exchange keyed on the asset id (the
+    decode kernel's natural output clustering); output is shot-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SCENE_FRAMES - 1))).alias(
+            "frame_idx"
+        ),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        ((F.col("doc_id") * 7919 + F.col("frame_idx") * 104729) % 1000)
+        .alias("feat"),
+        ((F.col("doc_id") * 104729 + F.col("frame_idx") * 7919) % 1000)
+        .alias("sharp"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.select(
+        "doc_id", "frame_idx", "sharp",
+        F.when(
+            F.abs(F.col("feat") - F.lag("feat").over(w)) > _SCENE_THRESH, 1
+        ).otherwise(0).alias("is_cut"),
+    )
+    shots = cuts.select(
+        "doc_id", "frame_idx", "sharp",
+        F.sum("is_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("shot_id"),
+    )
+    pack = -F.col("sharp") * F.lit(1000000) + F.col("frame_idx")
+    return (
+        shots.groupBy("doc_id", "shot_id")
+        .agg(
+            F.min("frame_idx").cast("long").alias("shot_start"),
+            F.max("frame_idx").cast("long").alias("shot_end"),
+            F.min_by("frame_idx", pack).cast("long").alias("keyframe_idx"),
+            F.min_by("sharp", pack).cast("long").alias("keyframe_sharp"),
+        )
+        .orderBy("doc_id", "shot_id")
+    )

@@ -604,3 +604,178 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("intercept_ln"),
     )
+
+
+#: RRF fusion: the standard rank-smoothing constant and list depths.
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOPK = 20
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words
+  WHERE word IN ('spark', 'scan', 'merge') GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words
+  WHERE word IN ('spark', 'scan', 'merge') GROUP BY word
+),
+bm25 AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(FLOOR(
+           ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           * (tf * ({_K1} + 1.0))
+           / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+),
+tfidf AS (
+  SELECT doc_id,
+         CAST(SUM(tf * CAST(FLOOR(
+           ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0 + 0.5)
+           AS BIGINT)) AS BIGINT) AS s_micro
+  FROM tf JOIN df USING (word) CROSS JOIN stats
+  GROUP BY doc_id
+),
+ra AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY s_micro DESC, doc_id) AS rnk
+    FROM bm25) z WHERE rnk <= {_RRF_DEPTH}
+),
+rb AS (
+  SELECT doc_id, rnk FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY s_micro DESC, doc_id) AS rnk
+    FROM tfidf) z WHERE rnk <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.rnk AS rank_bm25, rb.rnk AS rank_tfidf,
+         CAST(COALESCE(
+                CAST(FLOOR(1000000000.0 / ({_RRF_K} + ra.rnk) + 0.5)
+                     AS BIGINT), 0)
+              + COALESCE(
+                CAST(FLOOR(1000000000.0 / ({_RRF_K} + rb.rnk) + 0.5)
+                     AS BIGINT), 0) AS BIGINT) AS rrf_nano
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_bm25, rank_tfidf, rrf_nano
+FROM fused
+ORDER BY rrf_nano DESC, doc_id
+LIMIT {_RRF_TOPK}
+""",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two rankers — THE standard hybrid-
+    search combiner (Cormack et al. 2009; every BM25+vector stack
+    ships it): rank the same query with BM25 (length-normalized) and
+    raw tf-idf (not — the orderings genuinely differ on the fixtures),
+    keep each list's top-50, and fuse by
+    rrf = sum_r 1/(k + rank_r), k = 60. Docs found by both rankers
+    rise; single-list docs survive with one term.
+
+    Exactness: both rankers score on the micro grid (the `text_bm25`
+    ln discipline), ranks are ROW_NUMBER over (score DESC, doc_id),
+    and each reciprocal term is floor-gridded to nano BEFORE the
+    two-term sum — so the fused ordering and its tie-break are pure
+    int64. NULL ranks coalesce to 0 contribution on both sides.
+
+    100-TB posture: the query-term IN-filter prunes the token stream
+    before any aggregation (the BM25 shape); both rank windows run
+    over <= |matching docs| rows; the fusion is a full outer join of
+    two 50-row lists — broadcast-trivial. Fusing N rankers at depth d
+    is an N-way union + one groupBy-sum of nano terms, mergeable by
+    construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    q = words.filter(F.col("word").isin(*_BM25_TERMS))
+    tf = q.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = q.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    base = tf.join(df, "word").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    idf_bm = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    bm25 = base.groupBy("doc_id").agg(
+        F.sum(
+            F.floor(
+                idf_bm
+                * (F.col("tf") * F.lit(_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_K1)
+                    * (
+                        F.lit(1.0 - _B)
+                        + F.lit(_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long")
+        ).cast("long").alias("s_micro")
+    )
+    tfidf = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.floor(
+                    F.log(
+                        F.col("n_docs").cast("double") / F.col("df")
+                    ) * F.lit(1e6) + F.lit(0.5)
+                ).cast("long")
+            ).cast("long").alias("s_micro")
+        )
+    )
+
+    def top_ranked(scored: DataFrame, name: str) -> DataFrame:
+        w = Window.orderBy(F.col("s_micro").desc(), "doc_id")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _RRF_DEPTH)
+            .select(F.col("doc_id").alias(f"{name}_doc"),
+                    F.col("rnk").alias(f"rank_{name}"))
+        )
+
+    ra = top_ranked(bm25, "bm25")
+    rb = top_ranked(tfidf, "tfidf")
+    term = (
+        lambda c: F.coalesce(
+            F.floor(
+                F.lit(1e9) / (F.lit(_RRF_K) + F.col(c)) + F.lit(0.5)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    )
+    fused = (
+        ra.join(rb, ra.bm25_doc == rb.tfidf_doc, "full_outer")
+        .select(
+            F.coalesce("bm25_doc", "tfidf_doc").alias("doc_id"),
+            "rank_bm25", "rank_tfidf",
+            (term("rank_bm25") + term("rank_tfidf")).alias("rrf_nano"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(_RRF_TOPK)

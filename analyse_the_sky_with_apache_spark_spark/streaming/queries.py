@@ -1500,3 +1500,60 @@ def stream_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(stats_path).orderBy("batch_id")
+
+
+@register(
+    "stream_window_distinct",
+    oracle="""
+WITH daily AS MATERIALIZED (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1, 2),
+cut AS MATERIALIZED (
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT day, event_type, n_users
+FROM daily, cut
+WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= cut.wm
+ORDER BY day, event_type
+""",
+)
+def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT windowed COUNT(DISTINCT) as a streaming query — the
+    daily-active-users panel every product team runs, and an operator
+    Structured Streaming forbids directly (distinct aggregates are
+    unsupported in streaming plans): the standard rewrite chains TWO
+    stateful operators — watermarked dropDuplicates on (window, type,
+    user) collapses each user's repeats, then a windowed count over
+    the survivors — legal since Spark 3.4's multiple-stateful-operator
+    support (the `stream_chained_agg` machinery with dedup as stage 1).
+    Chained state requires APPEND output, so each day emits exactly
+    once as the watermark finalizes it and the open tail day is
+    withheld; on the in-order 4-file replay the emitted set is the
+    batch COUNT(DISTINCT) restricted to days whose end <= the final
+    watermark (max ts - 1 h) — the `stream_join_then_agg` horizon
+    rule, so the hash certifies dedup state, count state AND the
+    finalization boundary.
+
+    100-TB posture: dedup state is one row per DISTINCT (day, type,
+    user) and ages out with the watermark; the count state is
+    |days|x|types|; both operators co-partition on the grouping key.
+    The exact-rung ceiling (state = distinct keys) is the documented
+    trade against `agg_approx_distinct`'s HLL sketch rung.
+    """
+    src = stage_events(spark, sf_dir, n_files=4)
+    dd = (
+        src.withWatermark("ts", "1 hour")
+        .select(
+            F.window("ts", "1 day").alias("w"), "event_type", "user_id"
+        )
+        .dropDuplicates(["w", "event_type", "user_id"])
+    )
+    daily = dd.groupBy("w", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    res = run_stream(spark, daily, mode="append", name="win_distinct")
+    return res.select(
+        F.col("w.start").cast("date").alias("day"),
+        "event_type",
+        "n_users",
+    ).orderBy("day", "event_type")

@@ -111,6 +111,9 @@ _BNL_ALLOWED = {
     # three 1-row scalar broadcasts (grand-median, margins, totals)
     # onto the collapsed value histogram / 5-row group table
     "stat_mood_median",
+    # 1-row corpus-stats broadcast onto the pruned query-term postings
+    # (the text_bm25 scalar shape, twice — once per fused ranker)
+    "retrieval_rrf_fusion",
     # 1-row global (min, max) epoch bounds broadcast onto the scan to
     # derive the fixed bucket grid; the pair join itself is broadcast
     "ts_dtw_distance",
@@ -337,6 +340,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative window over the collapsed distinct-value histogram
     # (the grand-median scan; |distinct deci values| rows)
     "stat_mood_median",
+    # two rank windows over the <= |query-term-matching docs| scored
+    # tables (IN-filter pruned before any window — the text_bm25 bound)
+    "retrieval_rrf_fusion",
     # LAG/FIRST_VALUE forecast features over the collapsed daily table
     # (x3: the method fan-out re-references the window CTE)
     "ts_forecast_backtest",

@@ -162,7 +162,7 @@ def test_two_point_matches_brute_force(spark):
 def _events():
     t = pq.read_table(
         f"{SF_DIR}/events.parquet",
-        columns=["event_id", "ts", "event_type", "value"],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
     return t.to_pylist()
 
@@ -391,3 +391,232 @@ def test_gain_normalize_matches_python(spark):
         )
         assert r["n_clipped"] == clipped
         assert r["gain_safe"] == (clipped * 100 <= nf)
+
+
+# ------------------------------------------------- wave 2 cross-checks
+
+
+def test_window_distinct_matches_batch(spark):
+    """Streaming exact COUNT(DISTINCT) == batch distinct counts
+    restricted to watermark-finalized days, and the open tail day is
+    genuinely withheld."""
+    rows = QUERIES["stream_window_distinct"](spark, SF_DIR).collect()
+    got = {(str(r["day"]), r["event_type"]): r["n_users"] for r in rows}
+    days: dict[tuple, set] = {}
+    max_ts = None
+    for e in _events():
+        d = e["ts"].date()
+        days.setdefault((str(d), e["event_type"]), set()).add(e["user_id"])
+        max_ts = e["ts"] if max_ts is None else max(max_ts, e["ts"])
+    import datetime
+
+    wm = max_ts - datetime.timedelta(hours=1)
+    want = {
+        k: len(v)
+        for k, v in days.items()
+        if datetime.datetime.fromisoformat(k[0])
+        + datetime.timedelta(days=1)
+        <= wm
+    }
+    assert got == want
+    open_tail = {k for k in days if k not in want}
+    assert open_tail, "fixture must leave an unfinalized tail day"
+    assert not (set(got) & open_tail)
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    rows = QUERIES["graph_sssp_bounded"](spark, SF_DIR).collect()
+    got = {r["node"]: r["best_cost"] for r in rows}
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    parts = pq.read_table(
+        f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_size"]
+    ).to_pylist()
+    by_order: dict[int, dict] = {}
+    for r in li:
+        cnt = by_order.setdefault(r["l_orderkey"], {})
+        cnt[r["l_partkey"]] = cnt.get(r["l_partkey"], 0) + 1
+    pair_w: dict[tuple, int] = {}
+    for cnt in by_order.values():
+        ks = sorted(cnt)
+        # the SQL self-join counts ROW pairs, so multiplicities multiply
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                key = (ks[i], ks[j])
+                pair_w[key] = pair_w.get(key, 0) + cnt[ks[i]] * cnt[ks[j]]
+    adj: dict[int, list] = {}
+    for (u, v), w in pair_w.items():
+        if w >= 2:
+            cost = 1000 // w
+            adj.setdefault(u, []).append((v, cost))
+            adj.setdefault(v, []).append((u, cost))
+    seeds = {
+        p["p_partkey"] for p in parts if p["p_size"] == 50
+    } & set(adj)
+    dist = {n: 0 for n in seeds}
+    for _ in range(3):
+        new = dict(dist)
+        for n, d in dist.items():
+            for v, c in adj.get(n, []):
+                if d + c < new.get(v, 1 << 60):
+                    new[v] = d + c
+        dist = new
+    assert got == dist
+
+
+def test_rrf_fusion_matches_python(spark):
+    rows = QUERIES["retrieval_rrf_fusion"](spark, SF_DIR).collect()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    terms = ("spark", "scan", "merge")
+    tf: dict[tuple, int] = {}
+    dl: dict[int, int] = {}
+    for d in docs:
+        words = d["text"].split(" ")
+        dl[d["doc_id"]] = len(words)
+        for w in words:
+            if w in terms:
+                tf[(d["doc_id"], w)] = tf.get((d["doc_id"], w), 0) + 1
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    df = {
+        t: len({doc for (doc, w) in tf if w == t}) for t in terms
+    }
+    bm25: dict[int, int] = {}
+    tfidf: dict[int, int] = {}
+    for (doc, w), f in tf.items():
+        idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+        s = idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl[doc] / avgdl))
+        bm25[doc] = bm25.get(doc, 0) + math.floor(s * 1e6 + 0.5)
+        tfidf[doc] = tfidf.get(doc, 0) + f * math.floor(
+            math.log(n_docs / df[w]) * 1e6 + 0.5
+        )
+
+    def ranks(scored):
+        order = sorted(scored, key=lambda d: (-scored[d], d))[:50]
+        return {d: i + 1 for i, d in enumerate(order)}
+
+    ra, rb = ranks(bm25), ranks(tfidf)
+    fused = {}
+    for d in set(ra) | set(rb):
+        t = 0
+        if d in ra:
+            t += math.floor(1e9 / (60 + ra[d]) + 0.5)
+        if d in rb:
+            t += math.floor(1e9 / (60 + rb[d]) + 0.5)
+        fused[d] = t
+    top = sorted(fused, key=lambda d: (-fused[d], d))[:20]
+    want = [
+        (d, ra.get(d), rb.get(d), fused[d]) for d in top
+    ]
+    got = [
+        (r["doc_id"], r["rank_bm25"], r["rank_tfidf"], r["rrf_nano"])
+        for r in rows
+    ]
+    assert got == want
+
+
+def test_flare_runs_matches_python(spark):
+    import statistics
+
+    rows = QUERIES["lightcurve_flare_runs"](spark, SF_DIR).collect()
+    series: dict[str, list[tuple]] = {}
+    for e in _events():
+        series.setdefault(e["event_type"], []).append(
+            (e["ts"], e["event_id"], e["value"])
+        )
+    got = {r["event_type"]: r for r in rows}
+    for et, obs in series.items():
+        vals = [v for _, _, v in obs]
+        med = round(statistics.median(vals), 6)
+        mad = round(statistics.median([abs(v - med) for v in vals]), 6)
+        if mad <= 0:
+            assert et not in got
+            continue
+        ordered = [v for _, _, v in sorted(obs, key=lambda t: t[:2])]
+        runs, cur, peak_all, total = [], 0, None, 0
+        cur_peak = None
+        for v in ordered:
+            if v - med > 3.0 * 1.4826 * mad:
+                cur += 1
+                total += 1
+                cur_peak = v if cur_peak is None else max(cur_peak, v)
+            elif cur:
+                runs.append((cur, cur_peak))
+                cur, cur_peak = 0, None
+        if cur:
+            runs.append((cur, cur_peak))
+        r = got[et]
+        assert r["n_flares"] == len(runs)
+        assert r["flare_points"] == total
+        assert r["longest_run"] == max(n for n, _ in runs)
+        assert r["peak_value"] == max(p for _, p in runs)
+
+
+def test_cdc_apply_matches_python(spark):
+    rows = QUERIES["cdc_apply_compact"](spark, SF_DIR).collect()
+    got = {r["action"]: (r["n_rows"], r["sum_cents"]) for r in rows}
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).to_pylist()
+    cdc: dict[int, list] = {}
+    for o in orders:
+        k, p = o["o_orderkey"], o["o_totalprice"]
+        if k % 7 == 0:
+            cdc.setdefault(k, []).append((1, "U", math.floor(p * 110 + 0.5)))
+        if k % 21 == 0:
+            cdc.setdefault(k, []).append((2, "D", 0))
+        if k % 1000 == 0:
+            cdc.setdefault(k + 20000000, []).append((1, "I", 100000))
+            cdc.setdefault(k + 20000000, []).append((2, "U", 200000))
+    compacted = {k: max(v)[1:] for k, v in cdc.items()}
+    tgt = {
+        o["o_orderkey"]: math.floor(o["o_totalprice"] * 100 + 0.5)
+        for o in orders
+    }
+    want: dict[str, list] = {}
+    for k in set(tgt) | set(compacted):
+        if k not in compacted:
+            a, c = "keep", tgt[k]
+        else:
+            op, price = compacted[k]
+            if op == "D":
+                a, c = ("delete", 0) if k in tgt else ("noop", 0)
+            else:
+                a, c = ("insert" if k not in tgt else "update", price)
+        want.setdefault(a, [0, 0])
+        want[a][0] += 1
+        want[a][1] += c
+    assert got == {a: tuple(v) for a, v in want.items()}
+    assert set(got) >= {"keep", "update", "delete", "insert"}
+
+
+def test_keyframe_select_matches_python(spark):
+    rows = QUERIES["mm_keyframe_select"](spark, SF_DIR).collect()
+    got = {
+        (r["doc_id"], r["shot_id"]): (
+            r["shot_start"], r["shot_end"],
+            r["keyframe_idx"], r["keyframe_sharp"],
+        )
+        for r in rows
+    }
+    doc_ids = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    want = {}
+    for doc in doc_ids:
+        feats = [(doc * 7919 + i * 104729) % 1000 for i in range(8)]
+        sharps = [(doc * 104729 + i * 7919) % 1000 for i in range(8)]
+        shot, shots = 0, {}
+        for i in range(8):
+            if i > 0 and abs(feats[i] - feats[i - 1]) > 500:
+                shot += 1
+            shots.setdefault(shot, []).append(i)
+        for sid, idxs in shots.items():
+            key = min(idxs, key=lambda i: (-sharps[i], i))
+            want[(doc, sid)] = (
+                min(idxs), max(idxs), key, sharps[key]
+            )
+    assert got == want
