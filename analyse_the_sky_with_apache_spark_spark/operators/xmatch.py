@@ -3953,3 +3953,327 @@ def lightcurve_flare_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: catalog-merge match radius (centi-degrees) — divides the RA circle
+#: exactly (36000 / 5 = 7200 ring cells), so mod-ring replication is
+#: exact; echo detections offset by (+1, -1) sit well inside it.
+_CATM_EPS = 5
+_CATM_CELLS = _SPH_CIRCLE // _CATM_EPS
+#: echo detections: every 3rd object re-detected with a 1-centi-deg
+#: offset, ids displaced far outside the real key range.
+_CATM_ECHO_OFF = 50_000_000
+
+
+def _catm_detections_sql() -> str:
+    return f"""
+  SELECT c_custkey AS det_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + {_CATM_ECHO_OFF},
+         (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+               AS BIGINT) % 36000 + 1) % 36000,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 - 1
+  FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+@register(
+    "sky_catalog_merge",
+    oracle=f"""
+WITH RECURSIVE det AS ({_catm_detections_sql()}),
+pairs AS (
+  SELECT a.det_id AS ia, b.det_id AS ib
+  FROM det a JOIN det b ON a.det_id < b.det_id
+  WHERE LEAST(abs(a.ra_c - b.ra_c),
+              {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c)) <= {_CATM_EPS}
+    AND abs(a.dec_c - b.dec_c) <= {_CATM_EPS}
+),
+edges AS (SELECT ia AS a, ib AS b FROM pairs
+          UNION SELECT ib AS a, ia AS b FROM pairs),
+reach AS (
+  SELECT det_id AS id, det_id AS r FROM det
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM edges e JOIN reach ON e.a = reach.id
+),
+comp AS (SELECT id AS det_id, MIN(r) AS source_id FROM reach GROUP BY id)
+SELECT c.source_id,
+       CAST(COUNT(*) AS BIGINT) AS n_det,
+       CAST(SUM(d.ra_c) AS BIGINT) AS sum_ra_c,
+       CAST(SUM(d.dec_c) AS BIGINT) AS sum_dec_c,
+       CAST(SUM(d.ra_c) AS DOUBLE) / COUNT(*) AS mean_ra_c,
+       CAST(SUM(d.dec_c) AS DOUBLE) / COUNT(*) AS mean_dec_c
+FROM comp c JOIN det d USING (det_id)
+GROUP BY c.source_id ORDER BY c.source_id
+""",
+)
+def sky_catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal catalog merge (the survey "internal match"): repeat
+    detections of the same physical source — here every 3rd object
+    re-detected 1 centi-degree away under a displaced detection id —
+    cluster by positional proximity and collapse to ONE merged source
+    with the mean position and detection count. This is the step that
+    turns a detection table (one row per exposure) into a source
+    catalog (one row per object), and it must be transitive: detection
+    chains A~B~C merge even when A and C are farther than the radius
+    apart — which is why pair matching alone (`xmatch_sphere`) isn't
+    enough and the connected-components kernel
+    (`min_label_propagation`, pipeline.dedup) runs between pairing and
+    the rollup.
+
+    The pair stage is the binned mod-ring cell join at a 5-centi-deg
+    radius (36000/5 ring cells — wraparound exact); positions are
+    exact integers so the merged means are single double divisions of
+    exact longs. The DuckDB oracle recomputes the fixpoint with a
+    recursive CTE — independent algorithms, same catalog.
+
+    100-TB posture: pairing shuffles on cell id (never all-pairs), CC
+    rounds = duplicate-chain diameter (~2 here, bounded by exposure
+    overlap geometry), the rollup is one component-key aggregation —
+    the exact shape LSST's internal match distributes. Overflow:
+    coordinate sums <= n_det·36000 — trivial.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    ra = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000
+    dec = F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000
+    base = c.select(
+        F.col("c_custkey").alias("det_id"),
+        ra.alias("ra_c"), dec.alias("dec_c"),
+    )
+    echo = c.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + _CATM_ECHO_OFF).alias("det_id"),
+        ((ra + 1) % 36000).alias("ra_c"),
+        (dec - 1).alias("dec_c"),
+    )
+    det = base.unionAll(echo).localCheckpoint(eager=True)
+    eps, ncell = _CATM_EPS, _CATM_CELLS
+    a = det.select(
+        F.col("det_id").alias("ia"),
+        F.col("ra_c").alias("a_ra"), F.col("dec_c").alias("a_dec"),
+        F.expr(f"ra_c div {eps}").alias("cx"),
+        F.expr(f"dec_c div {eps}").alias("cy"),
+    )
+    b = det.select(
+        F.col("det_id").alias("ib"),
+        F.col("ra_c").alias("b_ra"), F.col("dec_c").alias("b_dec"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(pmod(ra_c div {eps} + dx, {ncell}) AS cx, "
+                f"dec_c div {eps} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("ib", "b_ra", "b_dec", "cell.cx", "cell.cy")
+    dra = F.abs(F.col("a_ra") - F.col("b_ra"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.least(dra, F.lit(_SPH_CIRCLE) - dra) <= eps)
+            & (F.abs(F.col("a_dec") - F.col("b_dec")) <= eps)
+        )
+        .select("ia", "ib")
+    )
+    from ..pipeline.dedup import min_label_propagation
+
+    labels = min_label_propagation(
+        det.select(F.col("det_id").alias("node_id")), pairs
+    ).toDF("det_id", "source_id")
+    return (
+        det.join(labels, "det_id")
+        .groupBy("source_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_det"),
+            F.sum("ra_c").cast("long").alias("sum_ra_c"),
+            F.sum("dec_c").cast("long").alias("sum_dec_c"),
+            (F.sum("ra_c").cast("double") / F.count(F.lit(1)))
+            .alias("mean_ra_c"),
+            (F.sum("dec_c").cast("double") / F.count(F.lit(1)))
+            .alias("mean_dec_c"),
+        )
+        .orderBy("source_id")
+    )
+
+
+#: epoch-propagation match: epochs between catalogs, match box
+#: half-width (centi-deg; divides 36000 → exact mod-ring cells), and
+#: the mover velocity rule shared with `sky_tracklet_link`.
+_EPR_DT = 3
+_EPR_EPS = 4
+_EPR_CELLS = _SPH_CIRCLE // _EPR_EPS
+
+
+def _epr_cat_sql() -> str:
+    return f"""
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra0,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec0,
+         CASE WHEN c_custkey % 20 = 0
+              THEN (c_custkey % 7) - 3 ELSE 0 END AS vra,
+         CASE WHEN c_custkey % 20 = 0
+              THEN (c_custkey % 5) - 2 ELSE 0 END AS vdec
+  FROM customer
+"""
+
+
+@register(
+    "xmatch_epoch_propagate",
+    oracle=f"""
+WITH cat AS ({_epr_cat_sql()}),
+b AS (
+  SELECT obj_id AS b_id,
+         (ra0 + {_EPR_DT} * vra + ((obj_id * 13) % 3 - 1) + 36000) % 36000
+           AS b_ra,
+         dec0 + {_EPR_DT} * vdec + ((obj_id * 17) % 3 - 1) AS b_dec
+  FROM cat
+),
+a AS (
+  SELECT obj_id AS a_id,
+         (ra0 + {_EPR_DT} * vra + 36000) % 36000 AS p_ra,
+         dec0 + {_EPR_DT} * vdec AS p_dec,
+         CASE WHEN obj_id % 20 = 0 THEN TRUE ELSE FALSE END AS is_mover
+  FROM cat
+),
+cand AS (
+  SELECT a.a_id, a.is_mover, b.b_id,
+         LEAST(abs(a.p_ra - b.b_ra), {_SPH_CIRCLE} - abs(a.p_ra - b.b_ra))
+           AS dra,
+         abs(a.p_dec - b.b_dec) AS ddec
+  FROM a JOIN b
+    ON LEAST(abs(a.p_ra - b.b_ra),
+             {_SPH_CIRCLE} - abs(a.p_ra - b.b_ra)) <= {_EPR_EPS}
+   AND abs(a.p_dec - b.b_dec) <= {_EPR_EPS}
+),
+best AS (
+  SELECT a_id, is_mover, b_id, dra * dra + ddec * ddec AS d2
+  FROM (
+    SELECT a_id, is_mover, b_id, dra, ddec,
+           ROW_NUMBER() OVER (PARTITION BY a_id
+                              ORDER BY dra * dra + ddec * ddec, b_id)
+             AS rn
+    FROM cand) z
+  WHERE rn = 1
+)
+SELECT is_mover,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN a_id = b_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM best GROUP BY is_mover ORDER BY is_mover
+""",
+)
+def xmatch_epoch_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-propagated cross-match — the Gaia-era correction every
+    multi-epoch match needs: catalog B was observed Δt = 3 epochs
+    after catalog A, so high-proper-motion objects (the
+    `sky_tracklet_link` movers, 1-in-20 with |v| <= 3 centi-deg/epoch)
+    have moved up to ~13 centi-degrees — far outside the 4-centi-deg
+    match box. The operator propagates A to B's epoch
+    (ra0 + Δt·v, exact integers), THEN runs the binned nearest-match:
+    movers match only because of the propagation, which the
+    n_correct-by-is_mover audit makes visible (the un-propagated match
+    loses ~all movers — pinned in tests). B carries a ±1 centi-deg
+    md5-derived detection jitter so best-match selection is
+    non-trivial.
+
+    Exactness: positions, velocities, jitter, and d² are all exact
+    integers; the per-object argmin tie-breaks (d², b_id); RA
+    wraparound uses the mod-ring circular distance everywhere
+    (propagation can cross 0°/360°).
+
+    100-TB posture: the pair search is the 3×3 mod-ring cell equi-join
+    on the PROPAGATED position (shuffle on cell id, AQE-split dense
+    cells); the argmin is one window keyed by the same partitioning;
+    output is a 2-row audit. Propagation itself is a stateless narrow
+    projection — at survey scale it fuses into the scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra0"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec0"),
+        F.when(F.col("c_custkey") % 20 == 0, F.col("c_custkey") % 7 - 3)
+        .otherwise(0).cast("long").alias("vra"),
+        F.when(F.col("c_custkey") % 20 == 0, F.col("c_custkey") % 5 - 2)
+        .otherwise(0).cast("long").alias("vdec"),
+    )
+    bcat = cat.select(
+        F.col("obj_id").alias("b_id"),
+        (
+            (
+                F.col("ra0") + _EPR_DT * F.col("vra")
+                + (F.col("obj_id") * 13) % 3 - 1 + 36000
+            ) % 36000
+        ).alias("b_ra"),
+        (
+            F.col("dec0") + _EPR_DT * F.col("vdec")
+            + (F.col("obj_id") * 17) % 3 - 1
+        ).alias("b_dec"),
+    )
+    acat = cat.select(
+        F.col("obj_id").alias("a_id"),
+        ((F.col("ra0") + _EPR_DT * F.col("vra") + 36000) % 36000)
+        .alias("p_ra"),
+        (F.col("dec0") + _EPR_DT * F.col("vdec")).alias("p_dec"),
+        (F.col("obj_id") % 20 == 0).alias("is_mover"),
+    )
+    eps, ncell = _EPR_EPS, _EPR_CELLS
+    a = acat.select(
+        "a_id", "p_ra", "p_dec", "is_mover",
+        F.expr(f"p_ra div {eps}").alias("cx"),
+        F.expr(f"p_dec div {eps}").alias("cy"),
+    )
+    b = bcat.select(
+        "b_id", "b_ra", "b_dec",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(pmod(b_ra div {eps} + dx, {ncell}) AS cx, "
+                f"b_dec div {eps} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("b_id", "b_ra", "b_dec", "cell.cx", "cell.cy")
+    dra_raw = F.abs(F.col("p_ra") - F.col("b_ra"))
+    dra = F.least(dra_raw, F.lit(_SPH_CIRCLE) - dra_raw)
+    ddec = F.abs(F.col("p_dec") - F.col("b_dec"))
+    cand = (
+        a.join(b, ["cx", "cy"])
+        .filter((dra <= eps) & (ddec <= eps))
+        .select(
+            "a_id", "is_mover", "b_id",
+            (dra * dra + ddec * ddec).alias("d2"),
+        )
+    )
+    best = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a_id").orderBy("d2", "b_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy("is_mover")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum(
+                F.when(F.col("a_id") == F.col("b_id"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .orderBy("is_mover")
+    )

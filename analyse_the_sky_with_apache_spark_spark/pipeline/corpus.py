@@ -1453,3 +1453,128 @@ def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("deficit"),
     ).orderBy("source")
+
+
+#: span corruption: md5-coin mask rate (percent) — the T5 default 15%.
+_SPAN_RATE_PCT = 15
+
+
+@register(
+    "corpus_span_corruption",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d,
+       LATERAL unnest(generate_series(1, len(ws))) t(i)
+),
+masked AS (
+  SELECT doc_id, idx,
+         CASE WHEN CAST(('0x' || substr(
+                md5(CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)),
+                1, 6)) AS BIGINT) % 100 < {_SPAN_RATE_PCT}
+              THEN 1 ELSE 0 END AS m
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS span_len
+  FROM (
+    SELECT doc_id, idx,
+           idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx)
+             AS grp
+    FROM masked WHERE m = 1) z
+  GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT m.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(m.m) AS BIGINT) AS n_masked
+  FROM masked m GROUP BY m.doc_id
+)
+SELECT p.doc_id, p.n_tokens, p.n_masked,
+       CAST(COALESCE(COUNT(s.grp), 0) AS BIGINT) AS n_spans,
+       CAST(p.n_masked * 1000000 // p.n_tokens AS BIGINT)
+         AS corrupt_rate_micro,
+       CAST(COALESCE(MAX(s.span_len), 0) AS BIGINT) AS max_span_len
+FROM per_doc p LEFT JOIN spans s ON s.doc_id = p.doc_id
+GROUP BY p.doc_id, p.n_tokens, p.n_masked
+ORDER BY p.doc_id
+""",
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking plan (T5/UL2 denoising objectives,
+    public): decide — deterministically and reproducibly — WHICH token
+    positions each document masks, merge consecutive masked positions
+    into spans (each span becomes one sentinel token at training
+    time), and emit the per-doc corruption audit (token count, masked
+    count, span count = sentinel budget, realized corruption rate,
+    longest span). The mask coin is md5(doc_id:idx) % 100 < 15 — the
+    repo's deterministic-sampling convention (`corpus_mix_sample`), so
+    re-running the plan on any engine regenerates the identical mask:
+    exactly the reproducibility a training-data pipeline needs when
+    the corruption plan and the tensor writer are separate jobs.
+
+    Spans via the gaps-and-islands identity (idx − row_number constant
+    within a run — the `mm_audio_vad` shape); every statistic is an
+    exact integer, the rate a positive-integer cross-multiply div.
+
+    100-TB posture: the token fan-out is an executor-side
+    posexplode (no bytes shuffle); the islands window, the span
+    rollup, and the per-doc audit all ride ONE doc-key exchange;
+    output is doc-sized. Sentinel budgeting (n_spans <= vocab
+    sentinels) becomes a plain filter on this audit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("idx", "_w"),
+    ).select("doc_id", "idx")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("idx").cast("string"),
+                    )
+                ),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    masked = toks.select(
+        "doc_id", "idx",
+        F.when(coin < _SPAN_RATE_PCT, 1).otherwise(0).alias("m"),
+    )
+    spans = (
+        masked.filter(F.col("m") == 1)
+        .select(
+            "doc_id", "idx",
+            (
+                F.col("idx")
+                - F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("idx")
+                )
+            ).alias("grp"),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("span_len"))
+    )
+    per_doc = masked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("m").cast("long").alias("n_masked"),
+    )
+    return (
+        per_doc.join(spans, "doc_id", "left")
+        .groupBy("doc_id", "n_tokens", "n_masked")
+        .agg(
+            F.coalesce(F.count("grp"), F.lit(0)).cast("long")
+            .alias("n_spans"),
+            F.expr("CAST(n_masked * 1000000 div n_tokens AS BIGINT)")
+            .alias("corrupt_rate_micro"),
+            F.coalesce(F.max("span_len"), F.lit(0)).cast("long")
+            .alias("max_span_len"),
+        )
+        .orderBy("doc_id")
+    )

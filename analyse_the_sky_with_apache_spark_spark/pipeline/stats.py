@@ -9793,3 +9793,159 @@ def stat_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("t_micro").cast("long") > F.lit(_MOOD_CRIT_MICRO))
         .alias("reject_5pct"),
     )
+
+
+@register(
+    "ts_seasonal_mann_kendall",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS season,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+per_season AS (
+  SELECT a.season,
+         CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_m
+  FROM d a JOIN d b ON a.season = b.season AND a.day < b.day
+  GROUP BY a.season
+),
+counts AS (
+  SELECT season, CAST(COUNT(*) AS BIGINT) AS n_m FROM d GROUP BY season
+),
+ties AS (
+  SELECT season,
+         CAST(COALESCE(SUM(CASE WHEN t > 1
+                                THEN t * (t - 1) * (2 * t + 5)
+                                ELSE 0 END), 0) AS BIGINT) AS tie_m
+  FROM (SELECT season, y, CAST(COUNT(*) AS BIGINT) AS t
+        FROM d GROUP BY season, y) g
+  GROUP BY season
+),
+tot AS (
+  SELECT CAST(SUM(c.n_m) AS BIGINT) AS n_days,
+         CAST(SUM(COALESCE(p.s_m, 0)) AS BIGINT) AS s_total,
+         CAST(SUM(c.n_m * (c.n_m - 1) * (2 * c.n_m + 5) - t.tie_m)
+              AS BIGINT) AS var18
+  FROM counts c
+  LEFT JOIN per_season p USING (season)
+  JOIN ties t USING (season)
+)
+SELECT n_days, s_total, var18,
+       CAST(FLOOR((CASE WHEN s_total > 0 THEN
+                     (CAST(s_total AS DOUBLE) - 1.0)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   WHEN s_total < 0 THEN
+                     (CAST(s_total AS DOUBLE) + 1.0)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       abs(CASE WHEN s_total > 0 THEN
+             (CAST(s_total AS DOUBLE) - 1.0)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+           WHEN s_total < 0 THEN
+             (CAST(s_total AS DOUBLE) + 1.0)
+             / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+           ELSE 0.0 END) > 1.959964 AS monotonic_trend
+FROM tot
+""",
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) — the
+    hydrology/monitoring standard that `ts_mann_kendall` cannot
+    replace when the series has a cycle: comparing a Saturday against
+    a Tuesday reads weekly seasonality as fake trend, so the seasonal
+    variant forms the S statistic ONLY within each season (here
+    day-of-week over daily revenue totals), sums the per-season S and
+    variances, and applies the usual continuity-corrected Z on the
+    totals.
+
+    Exactness: per-season S and the tie-corrected variance terms are
+    pure integer pair counts (the `ts_mann_kendall` discipline — daily
+    totals land on the 1e-6 grid first); Z floor-grids to micro and
+    the trend flag compares the SAME expression both engines share.
+
+    100-TB posture: the data-sized pass is the daily rollup; the pair
+    join runs per season over the COLLAPSED per-day table (|days/7|²
+    per season — a decade is ~520 rows/season; beyond that the
+    collapsed-value rank rewrite of `ts_pettitt_test` drops it to
+    |distinct y| per season). Overflow: |S| <= n², var18 <= ~n³·4 —
+    int64-safe past a million days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).cast("long").alias("y")
+    ).select("day", (F.col("day") % 7).cast("long").alias("season"), "y")
+    a, b = d.alias("a"), d.alias("b")
+    per_season = (
+        a.join(
+            b,
+            (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.season").alias("season"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_m")
+        )
+    )
+    counts = d.groupBy("season").agg(
+        F.count(F.lit(1)).cast("long").alias("n_m")
+    )
+    ties = (
+        d.groupBy("season", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("season")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("t") > 1,
+                        F.col("t") * (F.col("t") - 1)
+                        * (2 * F.col("t") + 5),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_m")
+        )
+    )
+    tot = (
+        counts.join(per_season, "season", "left")
+        .join(ties, "season")
+        .agg(
+            F.sum("n_m").cast("long").alias("n_days"),
+            F.sum(F.coalesce("s_m", F.lit(0))).cast("long")
+            .alias("s_total"),
+            F.sum(
+                F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+                - F.col("tie_m")
+            ).cast("long").alias("var18"),
+        )
+    )
+    zval = (
+        F.when(
+            F.col("s_total") > 0,
+            (F.col("s_total").cast("double") - F.lit(1.0))
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_total") < 0,
+            (F.col("s_total").cast("double") + F.lit(1.0))
+            / F.sqrt(F.col("var18").cast("double") / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        "n_days", "s_total", "var18",
+        F.floor(zval * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("z_micro"),
+        (F.abs(zval) > F.lit(1.959964)).alias("monotonic_trend"),
+    )

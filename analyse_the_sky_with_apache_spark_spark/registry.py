@@ -249,10 +249,12 @@ _PRIORITY = (
     "agg_hll_sketch_merge", "ts_mann_kendall", "stat_bartlett",
     "stat_breusch_pagan", "stream_pyds_sink", "ts_adf_unitroot",
     "ml_pinball_loss",
-    # padding to 50: one R12-head pull + the two round-11 keys that keep
-    # pipeline.dedup and operators.warehouse represented among the
-    # never-sampled families (test_window_covers_the_dark_families)
-    "stat_durbin_watson", "cdc_apply_compact", "dedup_semantic_rep",
+    # padding to 50: three round-11 keys that keep pipeline.dedup,
+    # operators.warehouse and pipeline.corpus represented among the
+    # never-sampled families (test_window_covers_the_dark_families);
+    # the R12-head pulls this page briefly borrowed (durbin-watson,
+    # spectral-entropy, jarque-bera) returned to the R12 head.
+    "corpus_span_corruption", "cdc_apply_compact", "dedup_semantic_rep",
 )
 
 #: Page 7 — round-12 window seed, split out when _ROTATION_R11 reached
@@ -264,7 +266,7 @@ _PRIORITY = (
 #: so every registered key eventually earns a driver row (theirs will be
 #: `no_oracle` smoke rows by design).
 _ROTATION_R12 = (
-    "stat_jarque_bera", "ts_spectral_entropy",
+    "stat_jarque_bera", "ts_spectral_entropy", "stat_durbin_watson",
     "graph_betweenness_sampled", "sky_coadd_tiles",
     "privacy_dp_topk", "graph_effective_diameter",
     "stream_update_mode_emissions", "ts_burstiness",
@@ -278,7 +280,9 @@ _ROTATION_R12 = (
     "kmeans_spherical_round",
     "mm_audio_gain_normalize", "stream_window_distinct",
     "graph_sssp_bounded", "retrieval_rrf_fusion", "lightcurve_flare_runs",
-    "mm_keyframe_select",
+    "mm_keyframe_select", "ts_seasonal_mann_kendall",
+    "sky_catalog_merge", "xmatch_epoch_propagate",
+    "stream_cdc_apply",
     # round-10 additions
     "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
     "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",

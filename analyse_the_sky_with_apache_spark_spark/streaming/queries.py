@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, dsum_sql
@@ -1557,3 +1557,171 @@ def stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_users",
     ).orderBy("day", "event_type")
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         NTILE(4) OVER (ORDER BY ts, event_id) AS b
+  FROM events
+),
+ops AS (
+  SELECT user_id AS k, b, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'U' ELSE 'D' END AS op,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM ranked WHERE event_type IN ('purchase', 'error')
+),
+comp AS (
+  SELECT k, b, op, cents FROM (
+    SELECT k, b, op, cents,
+           ROW_NUMBER() OVER (PARTITION BY k, b
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ops) z
+  WHERE rn = 1
+),
+hist AS (
+  SELECT k, b, op, cents,
+         COALESCE(LAG(op) OVER (PARTITION BY k ORDER BY b) = 'U', FALSE)
+           AS present_before
+  FROM comp
+),
+per_batch AS (
+  SELECT h.b,
+         CAST(SUM(CASE WHEN op = 'U' AND NOT present_before
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+         CAST(SUM(CASE WHEN op = 'U' AND present_before
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+         CAST(SUM(CASE WHEN op = 'D' AND present_before
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+         CAST(SUM(CASE WHEN op = 'D' AND NOT present_before
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_noops
+  FROM hist h GROUP BY h.b
+),
+raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_ops FROM ops GROUP BY b
+)
+SELECT CAST(p.b - 1 AS BIGINT) AS batch_id, r.n_ops,
+       p.n_inserts, p.n_updates, p.n_deletes, p.n_noops,
+       CAST(SUM(p.n_inserts - p.n_deletes) OVER (ORDER BY p.b)
+            AS BIGINT) AS state_rows
+FROM per_batch p JOIN raw r ON r.b = p.b
+ORDER BY batch_id
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC APPLY against a persisted state table — the
+    `cdc_apply_compact` batch kernel moved into foreachBatch (the
+    `stream_dedup_index_merge` machinery, but with UPDATES AND DELETES
+    mutating state, not just first-seen appends): each micro-batch
+    reads the event stream as a change feed (purchase = upsert of the
+    user's balance, error = delete of the user's row), compacts to
+    last-writer-wins per key WITHIN the batch (ts, event_id order),
+    classifies every op against the state built by all prior batches
+    (insert / update / delete / noop — phantom deletes again pinned),
+    and writes the post-batch state as a NEW snapshot version (the
+    table-format pattern: state_v{batch}; readers never see a torn
+    write). The per-batch audit row carries the op counts AND the
+    actually-counted post-batch state size — so the oracle's
+    arithmetic (state = cumulative inserts − deletes) is checked
+    against rows physically present in the snapshot.
+
+    Exactly verifiable through real streaming machinery because the
+    replay splits events by NTILE(4) OVER (ts, event_id) — reproduced
+    verbatim by the DuckDB oracle (the stream_dedup_index_merge
+    discipline): a lost snapshot, a double-applied batch, or
+    out-of-order replay breaks some batch's hash.
+
+    100-TB posture: state is one row per LIVE key; each batch does two
+    key-joins against it (classify + merge) co-partitioned on the key,
+    and snapshot versioning is exactly what Delta/Iceberg give for
+    free — swap the parquet path for a MERGE INTO, nothing else moves.
+    Batch compaction shuffles only the batch.
+    """
+    import uuid as _uuid
+
+    from ..sources.scans import _SCRATCH
+
+    src = stage_events(spark, sf_dir, n_files=4)
+    run_id = _uuid.uuid4().hex[:8]
+    root = os.path.join(_SCRATCH, f"cdc_state_{run_id}")
+    stats_path = os.path.join(_SCRATCH, f"cdc_stats_{run_id}")
+    cur = {"path": None}
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        ss = df.sparkSession
+        ops = df.filter(
+            F.col("event_type").isin("purchase", "error")
+        ).select(
+            F.col("user_id").alias("k"),
+            F.when(F.col("event_type") == "purchase", "U")
+            .otherwise("D").alias("op"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long").alias("cents"),
+            "ts", "event_id",
+        )
+        n_ops = ops.count()
+        comp = (
+            ops.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("k").orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("k", "op", "cents")
+        )
+        if cur["path"] is None:
+            state = ss.createDataFrame([], "k LONG, balance_cents LONG")
+        else:
+            state = ss.read.parquet(cur["path"])
+        merged = state.join(comp, "k", "full_outer").select(
+            "k",
+            F.when(F.col("op").isNull(), F.lit("keep"))
+            .when(
+                (F.col("op") == "D") & F.col("balance_cents").isNotNull(),
+                "delete",
+            )
+            .when(F.col("op") == "D", "noop")
+            .when(F.col("balance_cents").isNull(), "insert")
+            .otherwise("update")
+            .alias("action"),
+            F.coalesce("cents", "balance_cents").alias("new_cents"),
+        ).localCheckpoint(eager=True)
+        acts = {
+            r["action"]: r["n"]
+            for r in merged.groupBy("action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        new_state = merged.filter(
+            ~F.col("action").isin("delete", "noop")
+        ).select("k", F.col("new_cents").alias("balance_cents"))
+        new_path = os.path.join(root, f"state_v{int(batch_id)}")
+        new_state.write.mode("overwrite").parquet(new_path)
+        cur["path"] = new_path
+        state_rows = ss.read.parquet(new_path).count()
+        ss.createDataFrame(
+            [
+                (
+                    int(batch_id), n_ops,
+                    acts.get("insert", 0), acts.get("update", 0),
+                    acts.get("delete", 0), acts.get("noop", 0),
+                    state_rows,
+                )
+            ],
+            "batch_id LONG, n_ops LONG, n_inserts LONG, n_updates LONG,"
+            " n_deletes LONG, n_noops LONG, state_rows LONG",
+        ).write.mode("append").parquet(stats_path)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir("cdc_apply"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(stats_path).orderBy("batch_id")

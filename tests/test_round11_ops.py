@@ -620,3 +620,196 @@ def test_keyframe_select_matches_python(spark):
                 min(idxs), max(idxs), key, sharps[key]
             )
     assert got == want
+
+
+# ------------------------------------------------- wave 3 cross-checks
+
+
+def test_seasonal_mk_matches_python(spark):
+    row = QUERIES["ts_seasonal_mann_kendall"](spark, SF_DIR).collect()[0]
+    days: dict[int, int] = {}
+    for e in _events():
+        us = int(e["ts"].timestamp() * 1e6)
+        day = us // 86400000000
+        days[day] = days.get(day, 0) + math.floor(e["value"] * 1e6 + 0.5)
+    seasons: dict[int, list] = {}
+    for day in sorted(days):
+        seasons.setdefault(day % 7, []).append(days[day])
+    s_total, var18 = 0, 0
+    for ys in seasons.values():
+        n = len(ys)
+        s_total += sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties: dict[int, int] = {}
+        for y in ys:
+            ties[y] = ties.get(y, 0) + 1
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+        var18 += n * (n - 1) * (2 * n + 5) - tie
+    assert row["n_days"] == len(days)
+    assert row["s_total"] == s_total
+    assert row["var18"] == var18
+    if s_total > 0:
+        z = (s_total - 1.0) / math.sqrt(var18 / 18.0)
+    elif s_total < 0:
+        z = (s_total + 1.0) / math.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    assert row["z_micro"] == math.floor(z * 1e6 + 0.5)
+    assert row["monotonic_trend"] == (abs(z) > 1.959964)
+
+
+def test_catalog_merge_matches_union_find(spark):
+    rows = QUERIES["sky_catalog_merge"](spark, SF_DIR).collect()
+    got = {
+        r["source_id"]: (r["n_det"], r["sum_ra_c"], r["sum_dec_c"])
+        for r in rows
+    }
+    det = []
+    for obj, ra, dec in _md5_catalog(_custkeys()):
+        det.append((obj, ra, dec))
+        if obj % 3 == 0:
+            det.append((obj + 50_000_000, (ra + 1) % 36000, dec - 1))
+    parent = {i: i for i, _, _ in det}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(det)):
+        for j in range(i + 1, len(det)):
+            ia, ra_a, dec_a = det[i]
+            ib, ra_b, dec_b = det[j]
+            dra = abs(ra_a - ra_b)
+            if (
+                min(dra, 36000 - dra) <= 5
+                and abs(dec_a - dec_b) <= 5
+            ):
+                ra_, rb_ = find(ia), find(ib)
+                if ra_ != rb_:
+                    parent[max(ra_, rb_)] = min(ra_, rb_)
+    comps: dict[int, list] = {}
+    for i, ra, dec in det:
+        comps.setdefault(find(i), []).append((ra, dec))
+    want = {
+        c: (len(v), sum(r for r, _ in v), sum(d for _, d in v))
+        for c, v in comps.items()
+    }
+    assert got == want
+    # every echo must have merged into its original
+    assert all(c < 50_000_000 for c in got)
+
+
+def test_epoch_propagate_movers_need_propagation(spark):
+    """Movers match (and match CORRECTLY) only because of the epoch
+    propagation — the un-propagated match at the same radius loses
+    them. Stationary objects are unaffected by propagation."""
+    rows = QUERIES["xmatch_epoch_propagate"](spark, SF_DIR).collect()
+    by_mover = {r["is_mover"]: r for r in rows}
+    cat = _md5_catalog(_custkeys())
+    n_movers = sum(1 for k, _, _ in cat if k % 20 == 0)
+    # all movers matched, and all matched to themselves
+    assert by_mover[True]["n_matched"] == n_movers
+    assert by_mover[True]["n_correct"] == n_movers
+    assert by_mover[False]["n_correct"] == by_mover[False]["n_matched"]
+    # un-propagated: count movers whose true displacement leaves the box
+    lost = 0
+    for k, _, _ in cat:
+        if k % 20 != 0:
+            continue
+        vra, vdec = k % 7 - 3, k % 5 - 2
+        jra, jdec = (k * 13) % 3 - 1, (k * 17) % 3 - 1
+        if (
+            min(abs(3 * vra + jra), 36000 - abs(3 * vra + jra)) > 4
+            or abs(3 * vdec + jdec) > 4
+        ):
+            lost += 1
+    assert lost > 0, "fixture must contain movers that outrun the box"
+
+
+def test_span_corruption_matches_python(spark):
+    rows = QUERIES["corpus_span_corruption"](spark, SF_DIR).collect()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    got = {r["doc_id"]: r for r in rows}
+    assert len(got) == len(docs)
+    for d in docs:
+        toks = d["text"].split(" ")
+        mask = []
+        for i in range(len(toks)):
+            h = hashlib.md5(f"{d['doc_id']}:{i}".encode()).hexdigest()
+            mask.append(int(h[:6], 16) % 100 < 15)
+        spans, cur = [], 0
+        for m in mask:
+            if m:
+                cur += 1
+            elif cur:
+                spans.append(cur)
+                cur = 0
+        if cur:
+            spans.append(cur)
+        r = got[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_masked"] == sum(mask)
+        assert r["n_spans"] == len(spans)
+        assert r["corrupt_rate_micro"] == sum(mask) * 1000000 // len(toks)
+        assert r["max_span_len"] == (max(spans) if spans else 0)
+
+
+def test_stream_cdc_apply_matches_python(spark):
+    rows = QUERIES["stream_cdc_apply"](spark, SF_DIR).collect()
+    evs = sorted(_events(), key=lambda e: (e["ts"], e["event_id"]))
+    n = len(evs)
+    # NTILE(4) over the full order
+    batches: list[list] = [[] for _ in range(4)]
+    base, rem = n // 4, n % 4
+    pos = 0
+    for b in range(4):
+        size = base + (1 if b < rem else 0)
+        batches[b] = evs[pos:pos + size]
+        pos += size
+    state: set = set()
+    want = []
+    for b, batch in enumerate(batches):
+        ops = [
+            (
+                e["user_id"],
+                "U" if e["event_type"] == "purchase" else "D",
+                math.floor(e["value"] * 100 + 0.5),
+            )
+            for e in batch
+            if e["event_type"] in ("purchase", "error")
+        ]
+        comp = {}
+        for k, op, cents in ops:  # last write wins (batch is ordered)
+            comp[k] = (op, cents)
+        ins = upd = dele = noop = 0
+        for k, (op, _) in comp.items():
+            if op == "U":
+                if k in state:
+                    upd += 1
+                else:
+                    ins += 1
+                    state.add(k)
+            else:
+                if k in state:
+                    dele += 1
+                    state.discard(k)
+                else:
+                    noop += 1
+        want.append((b, len(ops), ins, upd, dele, noop, len(state)))
+    got = [
+        (
+            r["batch_id"], r["n_ops"], r["n_inserts"], r["n_updates"],
+            r["n_deletes"], r["n_noops"], r["state_rows"],
+        )
+        for r in rows
+    ]
+    assert got == want
