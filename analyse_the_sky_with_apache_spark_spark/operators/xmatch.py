@@ -4277,3 +4277,102 @@ def xmatch_epoch_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_mover")
     )
+
+
+#: phase-coverage audit: the fixture's true 7-day cycle and the PDM
+#: bin count, shared with the period scans.
+_PCOV_P_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "lightcurve_phase_coverage",
+    oracle=f"""
+WITH ph AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) % {_PCOV_P_US} AS phase_us
+  FROM events
+),
+gaps AS (
+  SELECT event_type, phase_us,
+         phase_us - LAG(phase_us) OVER (PARTITION BY event_type
+                                        ORDER BY phase_us) AS gap
+  FROM ph
+),
+span AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_phases,
+         CAST(MAX(COALESCE(gap, 0)) AS BIGINT) AS max_inner_gap,
+         CAST({_PCOV_P_US} - MAX(phase_us) + MIN(phase_us) AS BIGINT)
+           AS wrap_gap
+  FROM gaps GROUP BY event_type
+),
+bins AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT (phase_us * {_PDM_NBINS})
+                    // {_PCOV_P_US}) AS BIGINT) AS n_bins_hit
+  FROM ph GROUP BY event_type
+)
+SELECT s.event_type, s.n_phases, b.n_bins_hit,
+       CAST(GREATEST(s.max_inner_gap, s.wrap_gap) AS BIGINT)
+         AS max_gap_us,
+       b.n_bins_hit * 1000000 // {_PDM_NBINS} AS coverage_micro
+FROM span s JOIN bins b USING (event_type)
+ORDER BY s.event_type
+""",
+)
+def lightcurve_phase_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-coverage audit at a trial period — the validity check a
+    period search runs BEFORE believing its best peak
+    (`lightcurve_pdm_theta` / `_bls_box` report the best-scoring
+    period; this reports whether the folded sampling can support it):
+    fold each series on the 7-day fixture cycle, and measure how the
+    observations cover phase — distinct phase count, how many of the 8
+    PDM bins are hit, the coverage fraction, and the largest CIRCULAR
+    phase gap (the wrap gap between the last and first phase counts —
+    a survey with a 6-month seasonal hole shows it here, and any
+    period whose max gap spans a transit cannot exclude one).
+
+    Exactness: phases are exact integer microseconds (epoch % period),
+    gaps are integer differences over one ordered window, the circular
+    closure is GREATEST(max inner gap, wrap gap), and coverage is a
+    positive-integer cross-multiply div — no float anywhere.
+
+    100-TB posture: the DISTINCT collapse and both rollups key on the
+    series id (one exchange); per-row window state is one long. The
+    |distinct phases| per series is bounded by the period over the
+    cadence — a collapsed table, not the observation stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ph = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) % {_PCOV_P_US}").alias("phase_us"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("phase_us")
+    gaps = ph.select(
+        "event_type", "phase_us",
+        (F.col("phase_us") - F.lag("phase_us").over(w)).alias("gap"),
+    )
+    span = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_phases"),
+        F.max(F.coalesce("gap", F.lit(0))).cast("long")
+        .alias("max_inner_gap"),
+        (
+            F.lit(_PCOV_P_US) - F.max("phase_us") + F.min("phase_us")
+        ).cast("long").alias("wrap_gap"),
+    )
+    bins = ph.groupBy("event_type").agg(
+        F.countDistinct(
+            F.expr(f"(phase_us * {_PDM_NBINS}) div {_PCOV_P_US}")
+        ).cast("long").alias("n_bins_hit")
+    )
+    return (
+        span.join(bins, "event_type")
+        .select(
+            "event_type", "n_phases", "n_bins_hit",
+            F.greatest("max_inner_gap", "wrap_gap").cast("long")
+            .alias("max_gap_us"),
+            F.expr(f"n_bins_hit * 1000000 div {_PDM_NBINS}")
+            .alias("coverage_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -9949,3 +9949,124 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z_micro"),
         (F.abs(zval) > F.lit(1.959964)).alias("monotonic_trend"),
     )
+
+
+#: SPRT: H0 purchase-rate p0 vs H1 p1, alpha = beta = 0.05. The two
+#: per-observation LLR increments and both decision thresholds are
+#: CONSTANTS — gridded to nano once, so the sequential statistic is a
+#: pure integer prefix sum.
+_SPRT_P0, _SPRT_P1 = 0.20, 0.25
+
+
+def _sprt_c_sql(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 1000000000.0 + 0.5) AS BIGINT)"
+
+
+@register(
+    "stat_sprt_sequential",
+    oracle=f"""
+WITH c AS (
+  SELECT {_sprt_c_sql(f"ln({_SPRT_P1} / {_SPRT_P0})")} AS c1,
+         {_sprt_c_sql(f"ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0}))")} AS c0,
+         {_sprt_c_sql("ln(0.95 / 0.05)")} AS a_hi,
+         {_sprt_c_sql("ln(0.05 / 0.95)")} AS b_lo
+),
+seq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS k,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS npos
+  FROM events
+),
+llr AS (
+  SELECT k, npos, npos * c.c1 + (k - npos) * c.c0 AS llr_nano,
+         c.a_hi, c.b_lo
+  FROM seq, c
+),
+crossing AS (
+  SELECT k, npos, llr_nano,
+         CASE WHEN llr_nano >= a_hi THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision
+  FROM llr WHERE llr_nano >= a_hi OR llr_nano <= b_lo
+),
+first_cross AS (
+  SELECT k, npos, llr_nano, decision
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM crossing) z
+  WHERE rn = 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+SELECT COALESCE(f.k, t.n_total) AS n_seen,
+       COALESCE(f.decision, 'continue') AS decision,
+       f.llr_nano AS llr_nano_at_stop,
+       f.npos AS n_pos_at_stop,
+       t.n_total
+FROM tot t LEFT JOIN first_cross f ON TRUE
+""",
+)
+def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test — the always-valid
+    sequential decision rule an experimentation platform runs so it
+    can STOP EARLY (Wald 1945): is the purchase rate p1 = 25% (H1) or
+    p0 = 20% (H0)? Each event adds one of two constant log-likelihood
+    increments; the test stops the first time the running LLR exits
+    [ln(β/(1−α)), ln((1−β)/α)]. Reports the stopping point, the
+    decision, and the LLR there — on the fixture the test decides
+    after a few hundred events, ~10× earlier than the fixed-horizon z.
+
+    Exactness: the two increments and both thresholds are ln() of
+    LITERALS, gridded to nano once (libm/JVM agree far below 1e-9 —
+    the bayes-posterior discipline), so the running statistic is
+    npos·c1 + (k−npos)·c0 — a pure integer expression of the
+    cumulative purchase count; the first-crossing argmin is a
+    tie-broken window over crossing rows only.
+
+    100-TB posture: the prefix count is ONE time-ordered window; this
+    demo runs it over the single global stream (whole-process
+    sequential test), and at scale the identical plan shards per
+    experiment key — the `ts_burstiness` global-window adjudication.
+    Overflow: |llr| <= n·3e8 nano — int64-safe to ~3e10 events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    import math as _m
+
+    c1 = _m.floor(_m.log(_SPRT_P1 / _SPRT_P0) * 1e9 + 0.5)
+    c0 = _m.floor(_m.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e9 + 0.5)
+    a_hi = _m.floor(_m.log(0.95 / 0.05) * 1e9 + 0.5)
+    b_lo = _m.floor(_m.log(0.05 / 0.95) * 1e9 + 0.5)
+    w = Window.orderBy("ts", "event_id")
+    seq = ev.select(
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("npos"),
+    )
+    llr = seq.select(
+        "k", "npos",
+        (F.col("npos") * F.lit(c1) + (F.col("k") - F.col("npos"))
+         * F.lit(c0)).alias("llr_nano"),
+    )
+    crossing = llr.filter(
+        (F.col("llr_nano") >= a_hi) | (F.col("llr_nano") <= b_lo)
+    ).select(
+        "k", "npos", "llr_nano",
+        F.when(F.col("llr_nano") >= a_hi, "accept_h1")
+        .otherwise("accept_h0").alias("decision"),
+    )
+    first = (
+        crossing.withColumn(
+            "rn", F.row_number().over(Window.orderBy("k"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # LEFT join (not cross): a stream that never crosses must still
+    # yield the one 'continue' row, matching the oracle's LEFT JOIN.
+    return tot.join(F.broadcast(first), F.lit(True), "left").select(
+        F.coalesce("k", "n_total").alias("n_seen"),
+        F.coalesce("decision", F.lit("continue")).alias("decision"),
+        F.col("llr_nano").alias("llr_nano_at_stop"),
+        F.col("npos").alias("n_pos_at_stop"),
+        "n_total",
+    )

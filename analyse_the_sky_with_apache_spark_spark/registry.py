@@ -282,7 +282,8 @@ _ROTATION_R12 = (
     "graph_sssp_bounded", "retrieval_rrf_fusion", "lightcurve_flare_runs",
     "mm_keyframe_select", "ts_seasonal_mann_kendall",
     "sky_catalog_merge", "xmatch_epoch_propagate",
-    "stream_cdc_apply",
+    "stream_cdc_apply", "stat_sprt_sequential",
+    "lightcurve_phase_coverage",
     # round-10 additions
     "sky_source_extract", "sky_wcs_xmatch", "stream_cms_sink_merge",
     "lightcurve_stetson_jk", "xmatch_proper_motion", "sky_mag_cmd",

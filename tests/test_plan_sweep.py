@@ -114,6 +114,9 @@ _BNL_ALLOWED = {
     # 1-row corpus-stats broadcast onto the pruned query-term postings
     # (the text_bm25 scalar shape, twice — once per fused ranker)
     "retrieval_rrf_fusion",
+    # 1-row total LEFT-joined to the <=1-row first-crossing (ON TRUE:
+    # a never-crossing stream must still emit the 'continue' row)
+    "stat_sprt_sequential",
     # 1-row global (min, max) epoch bounds broadcast onto the scan to
     # derive the fixed bucket grid; the pair join itself is broadcast
     "ts_dtw_distance",
@@ -337,6 +340,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     # day-index ROW_NUMBER over the collapsed daily rollup (|days|
     # rows) feeding the EWMA kernel — the ts_burst_viterbi shape
     "ts_ewma_crossover",
+    # sequential prefix count over the single global event stream —
+    # inherent to a whole-process sequential test; the docstring
+    # documents the per-experiment-key shard as the 100-TB form (the
+    # ts_burstiness adjudication); the crossing argmin window runs
+    # over crossing rows only
+    "stat_sprt_sequential",
     # cumulative window over the collapsed distinct-value histogram
     # (the grand-median scan; |distinct deci values| rows)
     "stat_mood_median",

@@ -813,3 +813,60 @@ def test_stream_cdc_apply_matches_python(spark):
         for r in rows
     ]
     assert got == want
+
+
+# ------------------------------------------------- wave 4 cross-checks
+
+
+def test_sprt_matches_python(spark):
+    row = QUERIES["stat_sprt_sequential"](spark, SF_DIR).collect()[0]
+    c1 = math.floor(math.log(0.25 / 0.20) * 1e9 + 0.5)
+    c0 = math.floor(math.log(0.75 / 0.80) * 1e9 + 0.5)
+    a_hi = math.floor(math.log(0.95 / 0.05) * 1e9 + 0.5)
+    b_lo = math.floor(math.log(0.05 / 0.95) * 1e9 + 0.5)
+    evs = sorted(_events(), key=lambda e: (e["ts"], e["event_id"]))
+    llr = npos = 0
+    stopped = None
+    for k, e in enumerate(evs, start=1):
+        if e["event_type"] == "purchase":
+            npos += 1
+            llr += c1
+        else:
+            llr += c0
+        if llr >= a_hi or llr <= b_lo:
+            stopped = (
+                k,
+                "accept_h1" if llr >= a_hi else "accept_h0",
+                llr, npos,
+            )
+            break
+    assert stopped is not None, "fixture stream must reach a decision"
+    assert (
+        row["n_seen"], row["decision"],
+        row["llr_nano_at_stop"], row["n_pos_at_stop"],
+    ) == stopped
+    assert row["n_total"] == len(evs)
+    # early stopping is the whole point: well before the full stream
+    assert row["n_seen"] < len(evs) // 2
+
+
+def test_phase_coverage_matches_python(spark):
+    P = 7 * 86400 * 1_000_000
+    rows = QUERIES["lightcurve_phase_coverage"](spark, SF_DIR).collect()
+    series: dict[str, set] = {}
+    for e in _events():
+        us = int(e["ts"].timestamp() * 1e6)
+        series.setdefault(e["event_type"], set()).add(us % P)
+    got = {r["event_type"]: r for r in rows}
+    for et, phases in series.items():
+        ps = sorted(phases)
+        inner = max(
+            (b - a for a, b in zip(ps, ps[1:])), default=0
+        )
+        wrap = P - ps[-1] + ps[0]
+        bins = {p * 8 // P for p in ps}
+        r = got[et]
+        assert r["n_phases"] == len(ps)
+        assert r["n_bins_hit"] == len(bins)
+        assert r["max_gap_us"] == max(inner, wrap)
+        assert r["coverage_micro"] == len(bins) * 1000000 // 8
