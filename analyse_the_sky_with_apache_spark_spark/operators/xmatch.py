@@ -4376,3 +4376,224 @@ def lightcurve_phase_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: observing-site latitude (centi-degrees): Cerro-Paranal-like -24.63°.
+_OBS_LAT_C = -2463
+#: minimum culmination altitude for "observable" (centi-degrees).
+_OBS_MIN_ALT_C = 3000
+
+
+@register(
+    "sky_observability",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer
+),
+alt AS (
+  SELECT obj_id, dec_c,
+         9000 - abs({_OBS_LAT_C} - dec_c) AS alt_max_c
+  FROM cat
+)
+SELECT obj_id, dec_c, CAST(alt_max_c AS BIGINT) AS alt_max_c,
+       alt_max_c >= {_OBS_MIN_ALT_C} AS observable,
+       CASE WHEN alt_max_c >= {_OBS_MIN_ALT_C}
+            THEN CAST(FLOOR(1.0 / sin(radians(CAST(alt_max_c AS DOUBLE)
+                                              / 100.0))
+                            * 1000000.0 + 0.5) AS BIGINT)
+            ELSE NULL END AS airmass_micro
+FROM alt ORDER BY obj_id
+""",
+)
+def sky_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability screening for a ground site — the scheduling
+    filter every target list passes through before anything else: an
+    object culminates at altitude 90° − |site latitude − declination|
+    (the meridian identity — EXACT in integer centi-degrees, no hour
+    angle needed for the culmination bound), it is observable iff that
+    peak clears 30°, and the best-case airmass is the secant of the
+    zenith distance, sec z = 1/sin(alt). Screens the md5 catalog
+    against a Paranal-like site at −24.63°.
+
+    Exactness: the altitude bound is pure integer arithmetic; airmass
+    is the only transcendental and floor-grids to micro from the SAME
+    integer altitude in both engines (the haversine 6dp/1e-9
+    discipline); the observable flag compares integers, and
+    non-observable objects carry NULL airmass (sec z explodes below
+    the horizon — the NULL is the honest value).
+
+    100-TB posture: a stateless narrow projection in whole-stage
+    codegen — no shuffle; the natural downstream (per-night scheduling
+    with real hour angles) adds trig columns to the same scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("obj_id"),
+        (F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec_c"),
+    )
+    alt = cat.select(
+        "obj_id", "dec_c",
+        (F.lit(9000) - F.abs(F.lit(_OBS_LAT_C) - F.col("dec_c")))
+        .cast("long").alias("alt_max_c"),
+    )
+    return alt.select(
+        "obj_id", "dec_c", "alt_max_c",
+        (F.col("alt_max_c") >= _OBS_MIN_ALT_C).alias("observable"),
+        F.when(
+            F.col("alt_max_c") >= _OBS_MIN_ALT_C,
+            F.floor(
+                F.lit(1.0)
+                / F.sin(
+                    F.radians(F.col("alt_max_c").cast("double") / F.lit(100.0))
+                )
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("airmass_micro"),
+    ).orderBy("obj_id")
+
+
+@register(
+    "xmatch_mutual_nearest",
+    oracle=f"""
+WITH cat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer
+),
+b AS (
+  SELECT s_suppkey AS b_id,
+         CAST(('0x' || substr(md5('s' || CAST(s_suppkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5('s' || CAST(s_suppkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM supplier
+),
+cand AS (
+  SELECT a.obj_id AS a_id, b.b_id,
+         LEAST(abs(a.ra_c - b.ra_c), {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c))
+           * LEAST(abs(a.ra_c - b.ra_c),
+                   {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c))
+         + (a.dec_c - b.dec_c) * (a.dec_c - b.dec_c) AS d2
+  FROM cat a JOIN b
+    ON LEAST(abs(a.ra_c - b.ra_c),
+             {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c)) <= {_SPH_EPS}
+   AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}
+),
+best_a AS (
+  SELECT a_id, b_id, d2 FROM (
+    SELECT a_id, b_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+    FROM cand) z WHERE rn = 1
+),
+best_b AS (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id,
+           ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY d2, a_id) AS rn
+    FROM cand) z WHERE rn = 1
+)
+SELECT a.a_id, a.b_id, a.d2
+FROM best_a a JOIN best_b b ON a.a_id = b.a_id AND a.b_id = b.b_id
+ORDER BY a.a_id
+""",
+)
+def xmatch_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest (symmetric best) cross-match — the one-to-one
+    assignment rule catalog pipelines use when BOTH catalogs are
+    confusion-limited: keep a pair only when A's nearest candidate is
+    B AND B's nearest candidate is A. One-directional nearest matching
+    (`xmatch_nearest`) lets a bright source absorb several neighbors;
+    the mutual filter breaks exactly those many-to-one chains, which
+    the fixture genuinely contains (pinned in tests).
+
+    The candidate search is the binned 3×3 mod-ring cell join; both
+    argmin directions are ROW_NUMBER windows over the SAME candidate
+    table tie-broken by (d², partner id) on exact integer squared
+    distances (box metric on centi-degree coords with circular RA);
+    the mutual filter is one equi-join of the two 1-row-per-object
+    winners.
+
+    100-TB posture: candidates shuffle on cell id; both windows and
+    the final join key on object ids — three exchanges total,
+    candidate-sized, never all-pairs. d² <= 2·200² — trivial ints.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    hc = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_custkey").alias("a_id"),
+        (F.conv(F.substring(hc, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra_c"),
+        (F.conv(F.substring(hc, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec_c"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    hs = F.md5(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")))
+    bcat = s.select(
+        F.col("s_suppkey").alias("b_id"),
+        (F.conv(F.substring(hs, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra_c"),
+        (F.conv(F.substring(hs, 7, 6), 16, 10).cast("long") % 18000 - 9000)
+        .alias("dec_c"),
+    )
+    eps, ncell = _SPH_EPS, _SPH_RA_CELLS
+    a = cat.select(
+        "a_id",
+        F.col("ra_c").alias("a_ra"), F.col("dec_c").alias("a_dec"),
+        F.expr(f"ra_c div {eps}").alias("cx"),
+        F.expr(f"dec_c div {eps}").alias("cy"),
+    )
+    b = bcat.select(
+        "b_id",
+        F.col("ra_c").alias("b_ra"), F.col("dec_c").alias("b_dec"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(pmod(ra_c div {eps} + dx, {ncell}) AS cx, "
+                f"dec_c div {eps} + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("b_id", "b_ra", "b_dec", "cell.cx", "cell.cy")
+    dra_raw = F.abs(F.col("a_ra") - F.col("b_ra"))
+    dra = F.least(dra_raw, F.lit(_SPH_CIRCLE) - dra_raw)
+    ddec = F.abs(F.col("a_dec") - F.col("b_dec"))
+    cand = (
+        a.join(b, ["cx", "cy"])
+        .filter((dra <= eps) & (ddec <= eps))
+        .select("a_id", "b_id", (dra * dra + ddec * ddec).alias("d2"))
+    )
+    best_a = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("a_id").orderBy("d2", "b_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id", "d2")
+    )
+    best_b = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("b_id").orderBy("d2", "a_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("a_id").alias("ba_id"), F.col("b_id").alias("bb_id"))
+    )
+    return (
+        best_a.join(
+            best_b,
+            (best_a.a_id == F.col("ba_id")) & (best_a.b_id == F.col("bb_id")),
+        )
+        .select("a_id", "b_id", "d2")
+        .orderBy("a_id")
+    )

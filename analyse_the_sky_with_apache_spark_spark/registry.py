@@ -294,6 +294,14 @@ _ROTATION_R12 = (
     "ts_burst_viterbi",
 )
 
+#: Page 8 — round-13 window seed, split out when _ROTATION_R12 reached
+#: exactly 50 (the one-page-per-50-key-driver-window discipline). Every
+#: key landing from here on joins THIS page at birth; pad to 50 with
+#: promotions when it becomes live.
+_ROTATION_R13 = (
+    "sky_observability", "xmatch_mutual_nearest",
+)
+
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:
 #: 50/50 hash-green). Kept for documentation; no longer scheduled —
 #: these keys are now covered by their driver rows.

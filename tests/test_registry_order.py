@@ -111,7 +111,7 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R12,)
+    pages = (registry._ROTATION_R12, registry._ROTATION_R13)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -128,7 +128,7 @@ def test_rotation_pages_fit_the_driver_window():
     """A rotation page must never outgrow one 50-key driver window —
     when a page reaches 50, new keys must open the next page (the
     VERDICT r8 task-8 split discipline, made automatic)."""
-    for name in ("_ROTATION_R12",):
+    for name in ("_ROTATION_R12", "_ROTATION_R13"):
         page = getattr(registry, name)
         assert len(page) <= 50, f"{name} holds {len(page)} keys — split it"
 
@@ -143,6 +143,7 @@ def test_every_oracle_key_is_scheduled():
         _sampled()
         | set(registry._PRIORITY)
         | set(registry._ROTATION_R12)
+        | set(registry._ROTATION_R13)
     )
     unscheduled = sorted(osql - covered)
     assert not unscheduled, f"oracle keys missing from the schedule: {unscheduled}"

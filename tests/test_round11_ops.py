@@ -870,3 +870,98 @@ def test_phase_coverage_matches_python(spark):
         assert r["n_bins_hit"] == len(bins)
         assert r["max_gap_us"] == max(inner, wrap)
         assert r["coverage_micro"] == len(bins) * 1000000 // 8
+
+
+# ------------------------------------------------- wave 5 cross-checks
+
+
+def test_observability_matches_python(spark):
+    rows = QUERIES["sky_observability"](spark, SF_DIR).collect()
+    got = {r["obj_id"]: r for r in rows}
+    for obj, _, dec_c in _md5_catalog(_custkeys()):
+        alt = 9000 - abs(-2463 - dec_c)
+        r = got[obj]
+        assert r["alt_max_c"] == alt
+        assert r["observable"] == (alt >= 3000)
+        if alt >= 3000:
+            am = math.floor(
+                1.0 / math.sin(math.radians(alt / 100.0)) * 1e6 + 0.5
+            )
+            assert r["airmass_micro"] == am
+        else:
+            assert r["airmass_micro"] is None
+    # both branches must be exercised
+    assert any(r["observable"] for r in rows)
+    assert any(not r["observable"] for r in rows)
+
+
+def test_mutual_nearest_matches_brute_force(spark):
+    rows = QUERIES["xmatch_mutual_nearest"](spark, SF_DIR).collect()
+    got = {(r["a_id"], r["b_id"]): r["d2"] for r in rows}
+    cat = _md5_catalog(_custkeys())
+    sups = pq.read_table(
+        f"{SF_DIR}/supplier.parquet", columns=["s_suppkey"]
+    )["s_suppkey"].to_pylist()
+    bcat = []
+    for k in sups:
+        h = hashlib.md5(f"s{k}".encode()).hexdigest()
+        bcat.append(
+            (k, int(h[:6], 16) % 36000, int(h[6:12], 16) % 18000 - 9000)
+        )
+    cand = []
+    for a_id, a_ra, a_dec in cat:
+        for b_id, b_ra, b_dec in bcat:
+            dra = abs(a_ra - b_ra)
+            dra = min(dra, 36000 - dra)
+            ddec = abs(a_dec - b_dec)
+            if dra <= 200 and ddec <= 200:
+                cand.append((a_id, b_id, dra * dra + ddec * ddec))
+    best_a = {}
+    for a_id, b_id, d2 in sorted(cand, key=lambda t: (t[0], t[2], t[1])):
+        best_a.setdefault(a_id, (b_id, d2))
+    best_b = {}
+    for a_id, b_id, d2 in sorted(cand, key=lambda t: (t[1], t[2], t[0])):
+        best_b.setdefault(b_id, a_id)
+    want = {
+        (a, bd[0]): bd[1]
+        for a, bd in best_a.items()
+        if best_b.get(bd[0]) == a
+    }
+    assert got == want
+
+
+def test_mutual_nearest_drops_chains_at_sf001():
+    """The mutual filter must genuinely drop one-directional pairs —
+    pinned at sf0.01 (sf0.001's candidate set is too sparse to form a
+    many-to-one chain), python-side brute force only."""
+    cust = pq.read_table(
+        "/root/testdata/sf0.01/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_pylist()
+    sups = pq.read_table(
+        "/root/testdata/sf0.01/supplier.parquet", columns=["s_suppkey"]
+    )["s_suppkey"].to_pylist()
+    cat = _md5_catalog(cust)
+    bcat = []
+    for k in sups:
+        h = hashlib.md5(f"s{k}".encode()).hexdigest()
+        bcat.append(
+            (k, int(h[:6], 16) % 36000, int(h[6:12], 16) % 18000 - 9000)
+        )
+    cand = []
+    for a_id, a_ra, a_dec in cat:
+        for b_id, b_ra, b_dec in bcat:
+            dra = abs(a_ra - b_ra)
+            dra = min(dra, 36000 - dra)
+            ddec = abs(a_dec - b_dec)
+            if dra <= 200 and ddec <= 200:
+                cand.append((a_id, b_id, dra * dra + ddec * ddec))
+    best_a = {}
+    for a_id, b_id, d2 in sorted(cand, key=lambda t: (t[0], t[2], t[1])):
+        best_a.setdefault(a_id, (b_id, d2))
+    best_b = {}
+    for a_id, b_id, d2 in sorted(cand, key=lambda t: (t[1], t[2], t[0])):
+        best_b.setdefault(b_id, a_id)
+    mutual = [
+        a for a, bd in best_a.items() if best_b.get(bd[0]) == a
+    ]
+    assert len(mutual) < len(best_a)
