@@ -113,6 +113,9 @@ EXTENDED = (
     "ts_spectral_entropy",       # gridded DFT power entropy
     # round-10 additions (regression reference: BENCH_r10)
     "stream_update_mode_emissions",  # slowest registered key (VERDICT r9)
+    # round-11 additions (regression reference: BENCH_r11)
+    "sky_healpix_ring",          # RING ang2pix projection + pixel counts
+    "kmeans_spherical_round",    # Arrow int64 gemm, per-batch partials
 )
 
 
