@@ -1783,3 +1783,116 @@ def kmeans_spherical_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster", "dim")
     )
+
+
+@register(
+    "ml_categorical_split",
+    oracle="""
+WITH cats AS (
+  SELECT o_orderpriority AS cat,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders GROUP BY o_orderpriority
+),
+ordered AS (
+  SELECT cat, n, pos,
+         ROW_NUMBER() OVER (ORDER BY CAST(pos AS DOUBLE) / n, cat) AS k,
+         CAST(SUM(n) OVER (ORDER BY CAST(pos AS DOUBLE) / n, cat)
+              AS BIGINT) AS nl,
+         CAST(SUM(pos) OVER (ORDER BY CAST(pos AS DOUBLE) / n, cat)
+              AS BIGINT) AS sl,
+         CAST(SUM(n) OVER () AS BIGINT) AS nt,
+         CAST(SUM(pos) OVER () AS BIGINT) AS st
+  FROM cats
+),
+scored AS (
+  SELECT k, cat, nl, sl, nt, st,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+         + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)
+           / CAST(nt - nl AS DOUBLE) AS score
+  FROM ordered WHERE nl < nt
+)
+SELECT CAST(k AS BIGINT) AS split_prefix_len,
+       cat AS last_left_category,
+       nl AS n_left, sl AS pos_left, score AS gain_score
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, k) AS rn
+      FROM scored) z
+WHERE rn = 1
+""",
+)
+def ml_categorical_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal binary split of a CATEGORICAL feature — Breiman's
+    classic result (CART, 1984): for a binary target, the best of the
+    2^(k-1) category subsets is always a PREFIX of the categories
+    sorted by their positive rate, so k categories need k−1 candidate
+    splits, not exponentially many. Sorts o_orderpriority by
+    P(orderstatus = 'F'), scans the prefix boundary with the same
+    sl²/nl + (st−sl)²/(nt−nl) gain `ml_split_histogram` uses, and
+    reports the winning prefix. The numeric-split siblings
+    (`ml_split_histogram`, `ml_gbt_stump_boost`) cover ordered
+    features; this is the piece that makes the stump family handle
+    enum columns the way real GBT/CART trainers do.
+
+    Exactness: category counts and positive sums are exact longs; the
+    sort key pos/n is one double division of exact longs, tie-broken
+    by category name; the gain is the shared expression of exact ints;
+    the argmax tie-breaks (score DESC, prefix).
+
+    100-TB posture: one map-side-combinable aggregation collapses the
+    data to |categories| rows (7 here); every window runs over that
+    collapsed table — the rate sort never touches rows. At
+    high-cardinality (ids masquerading as categories) the standard cap
+    applies: bucket the tail into an 'other' class first.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cats = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long").alias("pos"),
+    )
+    wr = Window.orderBy(F.col("pos").cast("double") / F.col("n"), "cat")
+    ordered = cats.select(
+        "cat", "n", "pos",
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.sum("n").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("nl"),
+        F.sum("pos").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("sl"),
+        F.sum("n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("nt"),
+        F.sum("pos").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("st"),
+    )
+    scored = ordered.filter(F.col("nl") < F.col("nt")).select(
+        "k", "cat", "nl", "sl", "nt", "st",
+        (
+            F.col("sl").cast("double") * F.col("sl").cast("double")
+            / F.col("nl").cast("double")
+            + (F.col("st") - F.col("sl")).cast("double")
+            * (F.col("st") - F.col("sl")).cast("double")
+            / (F.col("nt") - F.col("nl")).cast("double")
+        ).alias("score"),
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("score").desc(), "k")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("split_prefix_len"),
+            F.col("cat").alias("last_left_category"),
+            F.col("nl").alias("n_left"),
+            F.col("sl").alias("pos_left"),
+            F.col("score").alias("gain_score"),
+        )
+    )

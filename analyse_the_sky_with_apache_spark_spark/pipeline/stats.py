@@ -10070,3 +10070,192 @@ def stat_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("npos").alias("n_pos_at_stop"),
         "n_total",
     )
+
+
+@register(
+    "ml_expected_calibration_error",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 1000000 AS conf_micro,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                        7, 6)) AS BIGINT) % 1000000
+                   < (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                           1, 6)) AS BIGINT) % 1000000)
+                     * 9 // 10 + 50000
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+bins AS (
+  SELECT conf_micro // 100000 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(conf_micro) AS BIGINT) AS sc
+  FROM scored GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(abs(pos * 1000000 - sc)) AS DOUBLE)
+         / (CAST(SUM(n) AS DOUBLE) * 1000000.0) AS ece,
+       CAST(MAX(abs(pos * 1000000 - sc) // n) AS BIGINT) AS mce_micro
+FROM bins
+""",
+)
+def ml_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the scalar every model card reports
+    on top of `ml_calibration_bins`' reliability table: bucket
+    confidences into 10 equal-width bins and average |accuracy −
+    mean confidence| weighted by bin mass; MCE is the worst bin. The
+    synthetic scorer is deliberately miscalibrated (outcome rate =
+    0.9·conf + 0.05, both md5-derived), so ECE is genuinely nonzero
+    and the direction of the miscalibration is pinned in tests.
+
+    Exactness WITHOUT gridding: with integer micro confidences,
+    (n_b/N)·|pos_b/n_b − meanconf_b| telescopes to
+    |pos_b·1e6 − Σconf_b| / (N·1e6) — the weighted ECE is ONE exact
+    long sum divided once, and MCE is an integer division per bin.
+    No transcendental, no float accumulation, nothing to grid.
+
+    100-TB posture: one map-side-combinable aggregation onto 10 bins,
+    then a 10-row rollup. The fixed-width binning (not quantile) is
+    what keeps the bin id deterministic and the operator one pass at
+    any scale (the `ml_calibration_bins` note).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    conf = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 1000000
+    )
+    coin = F.conv(F.substring(h, 7, 6), 16, 10).cast("long") % 1000000
+    scored = o.select(
+        conf.alias("conf_micro"),
+        F.when(coin < F.expr("conf_micro * 9 div 10") + 50000, 1)
+        .otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy(
+        F.expr("conf_micro div 100000").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("conf_micro").cast("long").alias("sc"),
+    )
+    gap = F.abs(F.col("pos") * F.lit(1000000) - F.col("sc"))
+    return bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.sum(gap).cast("double")
+            / (F.sum("n").cast("double") * F.lit(1e6))
+        ).alias("ece"),
+        F.max(F.expr("abs(pos * 1000000 - sc) div n")).cast("long")
+        .alias("mce_micro"),
+    )
+
+
+#: Croston smoothing denominator (alpha = 1/4) and state scale.
+_CRO_DEN = 4
+_CRO_SCALE = 1000
+
+
+def _croston_kernel(key, pdf):
+    """Integer Croston forward pass over the nonzero-demand sequence —
+    one python loop, exact int64 (`_ewma_kernel` discipline: division
+    truncates toward zero to match DuckDB's `//`)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("t")
+    out = []
+    z = p = None
+    prev_day = None
+    for day, q in zip(pdf["day_id"], pdf["q"]):
+        gap = 1 if prev_day is None else int(day) - prev_day
+        if z is None:
+            z, p = int(q) * _CRO_SCALE, gap * _CRO_SCALE
+        else:
+            z = z + _trunc_div(int(q) * _CRO_SCALE - z, _CRO_DEN)
+            p = p + _trunc_div(gap * _CRO_SCALE - p, _CRO_DEN)
+        prev_day = int(day)
+        out.append(
+            (int(day), int(q), gap, z, p, z * 1000000 // p)
+        )
+    return pd.DataFrame(
+        out,
+        columns=["day_id", "demand", "gap_days", "z_milli", "p_milli",
+                 "forecast_micro"],
+    )
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle=f"""
+WITH RECURSIVE nz AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day_id,
+         CAST(COUNT(*) AS BIGINT) AS q
+  FROM events
+  WHERE event_type = 'purchase' AND value > 200.0
+  GROUP BY 1
+),
+idx AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY day_id) - 1 AS t, day_id, q,
+         COALESCE(day_id - LAG(day_id) OVER (ORDER BY day_id), 1) AS gap
+  FROM nz
+),
+rec AS (
+  SELECT t, day_id, q, gap,
+         q * {_CRO_SCALE} AS z, gap * {_CRO_SCALE} AS p
+  FROM idx WHERE t = 0
+  UNION ALL
+  SELECT i.t, i.day_id, i.q, i.gap,
+         r.z + (i.q * {_CRO_SCALE} - r.z) // {_CRO_DEN},
+         r.p + (i.gap * {_CRO_SCALE} - r.p) // {_CRO_DEN}
+  FROM rec r JOIN idx i ON i.t = r.t + 1
+)
+SELECT day_id, q AS demand, CAST(gap AS BIGINT) AS gap_days,
+       z AS z_milli, p AS p_milli,
+       z * 1000000 // p AS forecast_micro
+FROM rec ORDER BY day_id
+""",
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) — the
+    forecasting standard when most periods are zero (spare parts, rare
+    SKUs, tail queries), where ordinary exponential smoothing decays
+    toward zero between demands and systematically under-forecasts:
+    smooth the nonzero demand SIZES and the INTER-DEMAND INTERVALS as
+    two separate EWMA states (alpha = 1/4), forecast = size / interval.
+    Demand here is the daily count of large purchases (value > 200 —
+    genuinely intermittent on the fixtures).
+
+    Sequential-recurrence discipline (`ts_ewma_crossover`): the only
+    data-sized pass is the filtered daily rollup; both states are pure
+    int64 add/trunc-div over |nonzero days| rows — DuckDB runs the
+    recursion as WITH RECURSIVE, Spark as one Arrow kernel with
+    toward-zero division matching DuckDB's `//`; the forecast is a
+    positive-integer cross-multiply div.
+
+    100-TB posture: the rollup is ONE map-side-combinable aggregation;
+    DP state is two longs over the nonzero-day sequence (by
+    construction far shorter than the calendar — that sparsity is the
+    whole reason Croston exists). Per-SKU sharding = add the key to
+    the groupBy and the applyInPandas key. Overflow: z <= max-q·1e3,
+    p <= max-gap·1e3 — trivial.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    nz = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200.0)
+        )
+        .groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("q"))
+    )
+    idx = nz.select(
+        (F.row_number().over(Window.orderBy("day_id")) - 1).alias("t"),
+        "day_id", "q",
+    )
+    return idx.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _croston_kernel,
+        "day_id BIGINT, demand BIGINT, gap_days BIGINT, z_milli BIGINT,"
+        " p_milli BIGINT, forecast_micro BIGINT",
+    )

@@ -300,6 +300,8 @@ _ROTATION_R12 = (
 #: promotions when it becomes live.
 _ROTATION_R13 = (
     "sky_observability", "xmatch_mutual_nearest",
+    "ml_expected_calibration_error", "ml_categorical_split",
+    "ts_croston_intermittent",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

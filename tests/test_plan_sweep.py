@@ -340,6 +340,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     # day-index ROW_NUMBER over the collapsed daily rollup (|days|
     # rows) feeding the EWMA kernel — the ts_burst_viterbi shape
     "ts_ewma_crossover",
+    # rate-sort + prefix windows over the COLLAPSED |categories| table
+    # (7 rows; the data-sized pass is one hash aggregation)
+    "ml_categorical_split",
+    # day-index ROW_NUMBER over the collapsed nonzero-demand day table
+    # feeding the Croston kernel — the ts_ewma_crossover shape
+    "ts_croston_intermittent",
     # sequential prefix count over the single global event stream —
     # inherent to a whole-process sequential test; the docstring
     # documents the per-experiment-key shard as the 100-TB form (the

@@ -965,3 +965,98 @@ def test_mutual_nearest_drops_chains_at_sf001():
         a for a, bd in best_a.items() if best_b.get(bd[0]) == a
     ]
     assert len(mutual) < len(best_a)
+
+
+# ------------------------------------------------- wave 6 cross-checks
+
+
+def test_ece_matches_python(spark):
+    row = QUERIES["ml_expected_calibration_error"](spark, SF_DIR).collect()[0]
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_pylist()
+    bins: dict[int, list] = {}
+    for k in orders:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        conf = int(h[:6], 16) % 1000000
+        coin = int(h[6:12], 16) % 1000000
+        y = 1 if coin < conf * 9 // 10 + 50000 else 0
+        b = bins.setdefault(conf // 100000, [0, 0, 0])
+        b[0] += 1
+        b[1] += y
+        b[2] += conf
+    gaps = {b: abs(pos * 1000000 - sc) for b, (n, pos, sc) in bins.items()}
+    n_total = sum(n for n, _, _ in bins.values())
+    assert row["n_total"] == n_total
+    assert row["n_bins"] == len(bins)
+    assert abs(row["ece"] - sum(gaps.values()) / (n_total * 1e6)) < 1e-15
+    assert row["mce_micro"] == max(
+        gaps[b] // bins[b][0] for b in bins
+    )
+    # the synthetic scorer is deliberately miscalibrated — ECE nonzero
+    assert row["ece"] > 0.01
+
+
+def test_categorical_split_matches_python(spark):
+    row = QUERIES["ml_categorical_split"](spark, SF_DIR).collect()[0]
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus"],
+    ).to_pylist()
+    cats: dict[str, list] = {}
+    for o in orders:
+        c = cats.setdefault(o["o_orderpriority"], [0, 0])
+        c[0] += 1
+        c[1] += 1 if o["o_orderstatus"] == "F" else 0
+    order = sorted(cats, key=lambda c: (cats[c][1] / cats[c][0], c))
+    nt = sum(v[0] for v in cats.values())
+    st = sum(v[1] for v in cats.values())
+    nl = sl = 0
+    best = None
+    for k, c in enumerate(order, start=1):
+        nl += cats[c][0]
+        sl += cats[c][1]
+        if nl >= nt:
+            break
+        score = sl * sl / nl + (st - sl) ** 2 / (nt - nl)
+        if best is None or score > best[0]:
+            best = (score, k, c, nl, sl)
+    assert (
+        row["gain_score"], row["split_prefix_len"],
+        row["last_left_category"], row["n_left"], row["pos_left"],
+    ) == best
+    # Breiman's guarantee only holds on the rate-sorted order; the
+    # winning prefix must be a strict, non-trivial subset
+    assert 1 <= row["split_prefix_len"] < len(cats)
+
+
+def test_croston_matches_python(spark):
+    rows = sorted(
+        QUERIES["ts_croston_intermittent"](spark, SF_DIR).collect(),
+        key=lambda r: r["day_id"],
+    )
+    days: dict[int, int] = {}
+    for e in _events():
+        if e["event_type"] == "purchase" and e["value"] > 200.0:
+            us = int(e["ts"].timestamp() * 1e6)
+            d = us // 86400000000
+            days[d] = days.get(d, 0) + 1
+    seq = sorted(days)
+    assert len(rows) == len(seq)
+    z = p = None
+    prev = None
+    for r, d in zip(rows, seq):
+        q = days[d]
+        gap = 1 if prev is None else d - prev
+        if z is None:
+            z, p = q * 1000, gap * 1000
+        else:
+            z = z + _trunc_div(q * 1000 - z, 4)
+            p = p + _trunc_div(gap * 1000 - p, 4)
+        prev = d
+        assert (
+            r["day_id"], r["demand"], r["gap_days"],
+            r["z_milli"], r["p_milli"], r["forecast_micro"],
+        ) == (d, q, gap, z, p, z * 1000000 // p)
+    # intermittency: the nonzero-demand sequence must skip days
+    assert any(b - a > 1 for a, b in zip(seq, seq[1:]))
