@@ -10259,3 +10259,223 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_id BIGINT, demand BIGINT, gap_days BIGINT, z_milli BIGINT,"
         " p_milli BIGINT, forecast_micro BIGINT",
     )
+
+
+@register(
+    "stat_circular_rayleigh",
+    oracle="""
+WITH cat AS (
+  SELECT c_mktsegment AS seg,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c
+  FROM customer
+),
+g AS (
+  SELECT seg,
+         CAST(FLOOR(cos(radians(CAST(ra_c AS DOUBLE) / 100.0))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS c9,
+         CAST(FLOOR(sin(radians(CAST(ra_c AS DOUBLE) / 100.0))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS s9
+  FROM cat
+),
+s AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c9) AS BIGINT) AS sc, CAST(SUM(s9) AS BIGINT) AS ss
+  FROM g GROUP BY seg
+)
+SELECT seg, n,
+       CAST(FLOOR(sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                       + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1000000000.0)
+                  * 1000000.0 + 0.5) AS BIGINT) AS rbar_micro,
+       ROUND(degrees(atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))), 6)
+         AS mean_dir_deg,
+       CAST(FLOOR((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                   + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * 1e18) * 1000000.0 + 0.5)
+            AS BIGINT) AS z_micro,
+       (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+         / (CAST(n AS DOUBLE) * 1e18) > 2.995732 AS nonuniform_5pct
+FROM s ORDER BY seg
+""",
+)
+def stat_circular_rayleigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics + the Rayleigh uniformity test — the
+    directional-data toolkit ordinary moments get WRONG (the
+    arithmetic mean of 1° and 359° is 180°; the circular mean is 0°):
+    per market segment, the resultant length R̄ (0 = uniform on the
+    circle, 1 = concentrated), the circular mean direction via
+    atan2(Σsin, Σcos), and Rayleigh's z = n·R̄² with the 5% decision
+    (z > ~3 rejects uniformity). Angles are the md5 catalog's RA — the
+    astronomy use is literal (is this sample of objects clustered in
+    RA?), and the same kernel serves phase/time-of-day/wind-direction
+    data.
+
+    Exactness: per-row cos/sin land on the 1e-9 grid BEFORE any sum
+    (the lf9/ln discipline — sums are exact longs, order-free); R̄ and
+    z floor-grid from ONE IEEE-identical expression over those longs;
+    the mean direction rounds atan2 to 6 dp (the `sky_galactic_
+    transform` trig pin); the decision compares the identical shared
+    expression in both engines.
+
+    100-TB posture: ONE map-side-combinable aggregation (three longs
+    of state per group) — the textbook mergeable-moments shape.
+    Overflow: |c9| <= 1e9, so Σ stays int64-exact to ~9e9 rows/group;
+    past that the DECIMAL(38,0) lane (stat_spearman precedent).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    cat = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+        .alias("ra_c"),
+    )
+    rad = F.radians(F.col("ra_c").cast("double") / F.lit(100.0))
+    g = cat.select(
+        "seg",
+        F.floor(F.cos(rad) * F.lit(1e9) + F.lit(0.5)).cast("long")
+        .alias("c9"),
+        F.floor(F.sin(rad) * F.lit(1e9) + F.lit(0.5)).cast("long")
+        .alias("s9"),
+    )
+    s = g.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c9").cast("long").alias("sc"),
+        F.sum("s9").cast("long").alias("ss"),
+    )
+    r2 = (
+        F.col("sc").cast("double") * F.col("sc").cast("double")
+        + F.col("ss").cast("double") * F.col("ss").cast("double")
+    )
+    z = r2 / (F.col("n").cast("double") * F.lit(1e18))
+    return s.select(
+        "seg", "n",
+        F.floor(
+            F.sqrt(r2) / (F.col("n").cast("double") * F.lit(1e9))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("rbar_micro"),
+        F.round(
+            F.degrees(
+                F.atan2(F.col("ss").cast("double"), F.col("sc").cast("double"))
+            ),
+            6,
+        ).alias("mean_dir_deg"),
+        F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias("z_micro"),
+        (z > F.lit(2.995732)).alias("nonuniform_5pct"),
+    ).orderBy("seg")
+
+
+@register(
+    "stat_deming_regression",
+    oracle="""
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+           + CAST(('0x' || substr(md5('a' || CAST(o_orderkey AS VARCHAR)),
+                                  1, 6)) AS BIGINT) % 2001 - 1000 AS x,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+           + CAST(('0x' || substr(md5('b' || CAST(o_orderkey AS VARCHAR)),
+                                  1, 6)) AS BIGINT) % 2001 - 1000 AS y
+  FROM orders
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM g
+),
+c AS (
+  SELECT n, sx, sy,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy
+  FROM m
+)
+SELECT n,
+       CAST(FLOOR((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                    + 4.0 * cxy * cxy))
+                  / (2.0 * cxy) * 1000000.0 + 0.5) AS BIGINT)
+         AS slope_micro,
+       CAST(FLOOR((CAST(sy AS DOUBLE)
+                   - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                       + 4.0 * cxy * cxy))
+                     / (2.0 * cxy) * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         AS intercept_micro
+FROM c
+""",
+)
+def stat_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-both-variables) regression, λ = 1 — the
+    method-comparison fit OLS gets wrong whenever the X axis is ALSO
+    measured with error (two instruments, two surveys, two pipelines):
+    OLS attenuates the slope toward zero; Deming's closed form
+    slope = (cyy − cxx + sqrt((cyy − cxx)² + 4·cxy²)) / (2·cxy)
+    treats both axes symmetrically. The fixture scenario is the
+    canonical one: TWO noisy instruments measure the same quantity
+    (order totals on the cent grid, each perturbed by an independent
+    md5-derived ±10-dollar error) — the true slope is 1, OLS
+    attenuates below it, Deming recovers it (both pinned in tests).
+
+    Exactness: the five sufficient moments are exact int64 sums (the
+    `ml_linreg_suffstats` shape); the centered second moments, the
+    discriminant sqrt, slope and intercept are ONE IEEE-identical
+    expression over those longs, floor-gridded to micro.
+
+    100-TB posture: ONE map-side-combinable aggregation — five moments
+    of state, mergeable, partition-invariant. Overflow: Σy² on the
+    cent grid is n·~1e14 — PAST int64 at scale, so all three
+    second-moment lanes run on DECIMAL(38,0) in Spark (the
+    stat_spearman_corr lane; verified at the 10× fixture). DuckDB
+    widens BIGINT SUM
+    to HUGEINT internally and hands the exact integer to the same
+    double expression — both engines convert the identical integer
+    with one correctly-rounded cast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+
+    def noisy(tag: str):
+        h = F.md5(F.concat(F.lit(tag), F.col("o_orderkey").cast("string")))
+        return (
+            cents
+            + F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 2001
+            - 1000
+        )
+
+    g = o.select(noisy("a").alias("x"), noisy("b").alias("y"))
+    m = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("syy"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    cyy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    cxy = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    slope = (
+        cyy - cxx
+        + F.sqrt((cyy - cxx) * (cyy - cxx) + F.lit(4.0) * cxy * cxy)
+    ) / (F.lit(2.0) * cxy)
+    return m.select(
+        "n",
+        F.floor(slope * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("slope_micro"),
+        F.floor(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / nd * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("intercept_micro"),
+    )

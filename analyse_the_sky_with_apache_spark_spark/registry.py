@@ -301,7 +301,8 @@ _ROTATION_R12 = (
 _ROTATION_R13 = (
     "sky_observability", "xmatch_mutual_nearest",
     "ml_expected_calibration_error", "ml_categorical_split",
-    "ts_croston_intermittent",
+    "ts_croston_intermittent", "sky_tile_overlap_graph",
+    "stat_circular_rayleigh", "stat_deming_regression",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

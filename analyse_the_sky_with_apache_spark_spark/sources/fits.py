@@ -1315,3 +1315,117 @@ def sky_diff_image_transients(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@register(
+    "sky_tile_overlap_graph",
+    oracle=f"""
+WITH foot AS (
+  SELECT f.f AS tile,
+         {_WCS_RA0_MICRO} + f.f * {_COADD_STRIDE} * {_WCS_CD_MICRO}
+           AS ra_lo,
+         {_WCS_RA0_MICRO} + (f.f * {_COADD_STRIDE} + {_IMG_NX})
+           * {_WCS_CD_MICRO} AS ra_hi
+  FROM range(0, {_IMG_TILES}) f(f)
+)
+SELECT a.tile AS tile_a, b.tile AS tile_b,
+       CAST(GREATEST(a.ra_lo, b.ra_lo) AS BIGINT) AS ovl_lo_micro,
+       CAST(LEAST(a.ra_hi, b.ra_hi) AS BIGINT) AS ovl_hi_micro,
+       CAST((LEAST(a.ra_hi, b.ra_hi) - GREATEST(a.ra_lo, b.ra_lo))
+            // {_WCS_CD_MICRO} AS BIGINT) AS overlap_px,
+       (LEAST(a.ra_hi, b.ra_hi) - GREATEST(a.ra_lo, b.ra_lo)) * 1000000
+         // ({_IMG_NX} * {_WCS_CD_MICRO}) AS overlap_frac_micro
+FROM foot a JOIN foot b
+  ON a.tile < b.tile
+ AND a.ra_lo < b.ra_hi AND b.ra_lo < a.ra_hi
+ORDER BY tile_a, tile_b
+""",
+)
+def sky_tile_overlap_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-footprint overlap graph from FITS headers — the
+    coadd/mosaic PLANNING step (`sky_coadd_tiles` consumes exactly
+    these overlaps): a header-only scan (no pixel decode — the
+    `scan_fits_header` cost model) reconstructs each tile's sky
+    footprint from its WCS cards (CRPIXn, micro-degree CRVAL/CD,
+    NAXIS1), then a 1-D interval-overlap join pairs tiles whose RA
+    extents intersect, reporting the shared sky interval, its width in
+    pixels, and the overlap fraction — the table a survey uses to
+    decide which tile pairs co-add, cross-calibrate
+    (`sky_wcs_xmatch`), or difference (`sky_diff_image_transients`).
+
+    Exactness: footprints are pure integer micro-degree arithmetic
+    from header cards; the overlap interval, pixel width, and fraction
+    are integer min/max/divisions. The oracle recomputes the
+    footprints from the staging constants — a header writer/parser
+    drift on ANY card (CRPIX convention, CD sign, NAXIS) breaks it.
+
+    100-TB posture: header parsing is O(header blocks) per file inside
+    the Arrow kernel (payloads never decode); the interval join is the
+    `join_interval_overlap` binned 1-D shape — at survey scale tiles
+    bucket by RA cell and the pair space is bounded by sky geometry,
+    never tile count².
+    """
+    base = _stage_sky_tiles(
+        "sky_tiles_wcs_fits", cards_fn=_wcs_cards,
+        pixel_fn=_quadratic_pixels,
+    )
+
+    def footprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, buf in zip(pdf["path"], pdf["content"]):
+                tile = int(path.rsplit("tile_", 1)[-1].split(".")[0])
+                for cards in parse_fits_headers(bytes(buf)):
+                    if "CRVAL1M" not in cards:
+                        continue
+                    nx = int(cards["NAXIS1"])
+                    crpix1 = int(cards["CRPIX1"])
+                    crval1m = int(cards["CRVAL1M"])
+                    cd1m = int(cards["CD1M"])
+                    lo = crval1m + (1 - crpix1) * cd1m
+                    yield pd.DataFrame(
+                        {
+                            "tile": [tile],
+                            "ra_lo": [lo],
+                            "ra_hi": [lo + nx * cd1m],
+                        }
+                    )
+
+    foot = (
+        spark.read.format("binaryFile")
+        .load(f"{base}/*.fits")
+        .select("path", "content")
+        .mapInPandas(footprints, "tile LONG, ra_lo LONG, ra_hi LONG")
+        .localCheckpoint(eager=True)
+    )
+    a = foot.select(
+        F.col("tile").alias("tile_a"),
+        F.col("ra_lo").alias("a_lo"), F.col("ra_hi").alias("a_hi"),
+    )
+    b = foot.select(
+        F.col("tile").alias("tile_b"),
+        F.col("ra_lo").alias("b_lo"), F.col("ra_hi").alias("b_hi"),
+    )
+    ovl_lo = F.greatest("a_lo", "b_lo")
+    ovl_hi = F.least("a_hi", "b_hi")
+    return (
+        a.join(
+            b,
+            (F.col("tile_a") < F.col("tile_b"))
+            & (F.col("a_lo") < F.col("b_hi"))
+            & (F.col("b_lo") < F.col("a_hi")),
+        )
+        .select(
+            "tile_a", "tile_b",
+            ovl_lo.cast("long").alias("ovl_lo_micro"),
+            ovl_hi.cast("long").alias("ovl_hi_micro"),
+            F.expr(
+                f"(least(a_hi, b_hi) - greatest(a_lo, b_lo))"
+                f" div {_WCS_CD_MICRO}"
+            ).cast("long").alias("overlap_px"),
+            F.expr(
+                f"(least(a_hi, b_hi) - greatest(a_lo, b_lo)) * 1000000"
+                f" div ({_IMG_NX} * {_WCS_CD_MICRO})"
+            ).alias("overlap_frac_micro"),
+        )
+        .orderBy("tile_a", "tile_b")
+    )

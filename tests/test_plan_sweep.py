@@ -102,12 +102,13 @@ _BNL_ALLOWED = {
     "dedup_blocking_multipass",
     # 1-row edge/kept/triangle counters meet in broadcasts
     "graph_triangles_doulion",
-    # deliberate tiny-literal product: the 3-row candidate-period VALUES
-    # table fans the scan out per period (the BLS grid); bounded by the
-    # period-grid size, never by data
-    "lightcurve_bls_box",
-    # same VALUES-grid fan-out, 10-row PDM period grid
-    "lightcurve_pdm_theta",
+    # 5-row tile-footprint interval self-join (header-only relation,
+    # |tiles| rows by construction); the docstring names the RA-bucketed
+    # interval join (join_interval_overlap) as the survey-scale path
+    "sky_tile_overlap_graph",
+    # (lightcurve_bls_box / lightcurve_pdm_theta were allowlisted here
+    # for their r10 VALUES-grid BroadcastNestedLoop fan-out; the r11
+    # explode(array) rewrite removed the nested loop — entries retired)
     # three 1-row scalar broadcasts (grand-median, margins, totals)
     # onto the collapsed value histogram / 5-row group table
     "stat_mood_median",

@@ -1060,3 +1060,124 @@ def test_croston_matches_python(spark):
         ) == (d, q, gap, z, p, z * 1000000 // p)
     # intermittency: the nonzero-demand sequence must skip days
     assert any(b - a > 1 for a, b in zip(seq, seq[1:]))
+
+
+# ------------------------------------------------- wave 7 cross-checks
+
+
+def test_tile_overlap_matches_python(spark):
+    from analyse_the_sky_with_apache_spark_spark.sources.fits import (
+        _COADD_STRIDE,
+        _IMG_NX,
+        _IMG_TILES,
+        _WCS_CD_MICRO,
+        _WCS_RA0_MICRO,
+    )
+
+    rows = QUERIES["sky_tile_overlap_graph"](spark, SF_DIR).collect()
+    foot = {
+        f: (
+            _WCS_RA0_MICRO + f * _COADD_STRIDE * _WCS_CD_MICRO,
+            _WCS_RA0_MICRO + (f * _COADD_STRIDE + _IMG_NX) * _WCS_CD_MICRO,
+        )
+        for f in range(_IMG_TILES)
+    }
+    want = []
+    for a in range(_IMG_TILES):
+        for b in range(a + 1, _IMG_TILES):
+            lo = max(foot[a][0], foot[b][0])
+            hi = min(foot[a][1], foot[b][1])
+            if foot[a][0] < foot[b][1] and foot[b][0] < foot[a][1]:
+                want.append(
+                    (
+                        a, b, lo, hi, (hi - lo) // _WCS_CD_MICRO,
+                        (hi - lo) * 1000000 // (_IMG_NX * _WCS_CD_MICRO),
+                    )
+                )
+    got = [
+        (
+            r["tile_a"], r["tile_b"], r["ovl_lo_micro"], r["ovl_hi_micro"],
+            r["overlap_px"], r["overlap_frac_micro"],
+        )
+        for r in rows
+    ]
+    assert got == sorted(want)
+    # stride 20 on 40-px tiles: adjacent tiles overlap 50%, gap-2 none
+    assert all(b - a == 1 for a, b, *_ in got)
+    assert all(px == _IMG_NX - _COADD_STRIDE for *_, px, _f in got)
+
+
+def test_circular_rayleigh_matches_python(spark):
+    rows = QUERIES["stat_circular_rayleigh"](spark, SF_DIR).collect()
+    cust = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pylist()
+    segs: dict[str, list] = {}
+    for c in cust:
+        h = hashlib.md5(str(c["c_custkey"]).encode()).hexdigest()
+        ra = int(h[:6], 16) % 36000
+        segs.setdefault(c["c_mktsegment"], []).append(ra)
+    got = {r["seg"]: r for r in rows}
+    for seg, ras in segs.items():
+        sc = sum(
+            math.floor(math.cos(math.radians(ra / 100.0)) * 1e9 + 0.5)
+            for ra in ras
+        )
+        ss = sum(
+            math.floor(math.sin(math.radians(ra / 100.0)) * 1e9 + 0.5)
+            for ra in ras
+        )
+        n = len(ras)
+        r2 = float(sc) * sc + float(ss) * ss
+        r = got[seg]
+        assert r["n"] == n
+        assert r["rbar_micro"] == math.floor(
+            math.sqrt(r2) / (n * 1e9) * 1e6 + 0.5
+        )
+        assert r["mean_dir_deg"] == round(
+            math.degrees(math.atan2(float(ss), float(sc))), 6
+        )
+        z = r2 / (n * 1e18)
+        assert r["z_micro"] == math.floor(z * 1e6 + 0.5)
+        assert r["nonuniform_5pct"] == (z > 2.995732)
+        # md5 RA is uniform — the test must NOT reject uniformity
+        assert not r["nonuniform_5pct"]
+
+
+def test_deming_matches_python_and_beats_ols_attenuation(spark):
+    row = QUERIES["stat_deming_regression"](spark, SF_DIR).collect()[0]
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+    ).to_pylist()
+
+    def noisy(tag, o):
+        h = hashlib.md5(f"{tag}{o['o_orderkey']}".encode()).hexdigest()
+        return (
+            math.floor(o["o_totalprice"] * 100 + 0.5)
+            + int(h[:6], 16) % 2001 - 1000
+        )
+
+    xs = [noisy("a", o) for o in orders]
+    ys = [noisy("b", o) for o in orders]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    cxx = n * float(sxx) - float(sx) * sx
+    cyy = n * float(syy) - float(sy) * sy
+    cxy = n * float(sxy) - float(sx) * sy
+    slope = (
+        cyy - cxx + math.sqrt((cyy - cxx) ** 2 + 4.0 * cxy * cxy)
+    ) / (2.0 * cxy)
+    assert row["n"] == n
+    assert row["slope_micro"] == math.floor(slope * 1e6 + 0.5)
+    assert row["intercept_micro"] == math.floor(
+        (sy - slope * sx) / n * 1e6 + 0.5
+    )
+    # two noisy instruments measuring the same quantity: OLS
+    # attenuates below the true slope of 1, Deming recovers it
+    ols = cxy / cxx
+    assert ols < slope
+    assert abs(slope - 1.0) < abs(ols - 1.0)
