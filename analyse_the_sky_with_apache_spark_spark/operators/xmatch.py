@@ -4597,3 +4597,106 @@ def xmatch_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "d2")
         .orderBy("a_id")
     )
+
+
+#: injection-recovery: mag grid (centi-mag), detection threshold in
+#: micro-flux at mag 20.00, and the md5 noise half-range.
+_INJ_MAG_LO_C = 1800
+_INJ_MAG_HI_C = 2400
+_INJ_BIN_C = 50
+
+
+@register(
+    "sky_injection_completeness",
+    oracle=f"""
+WITH inj AS (
+  SELECT c_custkey AS src_id,
+         {_INJ_MAG_LO_C} + CAST(('0x' || substr(
+             md5(CAST(c_custkey AS VARCHAR)), 13, 6)) AS BIGINT)
+           % {_INJ_MAG_HI_C - _INJ_MAG_LO_C} AS mag_c
+  FROM customer
+),
+det AS (
+  SELECT src_id, mag_c, (mag_c - {_INJ_MAG_LO_C}) // {_INJ_BIN_C} AS bin,
+         CASE WHEN mag_c * 10 + CAST(('0x' || substr(
+                  md5('n' || CAST(src_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                  % 4000 - 2000 < 21500
+              THEN 1 ELSE 0 END AS recovered
+  FROM inj
+),
+bins AS (
+  SELECT bin,
+         MIN(mag_c) AS mag_lo_c,
+         CAST(COUNT(*) AS BIGINT) AS n_injected,
+         CAST(SUM(recovered) AS BIGINT) AS n_recovered,
+         CAST(SUM(recovered) * 1000000 // COUNT(*) AS BIGINT)
+           AS completeness_micro
+  FROM det GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(mag_lo_c AS BIGINT) AS mag_lo_c,
+       n_injected, n_recovered, completeness_micro,
+       completeness_micro >= 500000 AS above_half
+FROM bins ORDER BY bin
+""",
+)
+def sky_injection_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injection–recovery completeness curve — how every survey
+    measures its detection depth (inject synthetic sources of known
+    magnitude, count how many the pipeline recovers, report the
+    recovered fraction per magnitude bin and where it crosses 50% —
+    the quoted "limiting magnitude"): injected magnitudes are
+    md5-uniform on 18.00–24.00 mag, the recovery rule is a
+    deterministic noisy threshold (mag·10 + md5-noise ±2000 against a
+    fixed cut, so completeness genuinely FALLS from ~1 to ~0 across
+    the grid — the sigmoid shape is pinned in tests), and the audit
+    bins by 0.5 mag. The same relational shape consumes REAL
+    injection-recovery pairs (`sky_source_extract` detections
+    anti-joined against the injected list) — the synthetic recovery
+    rule stands in for the detector, not for the algebra.
+
+    Exactness: magnitudes, noise, bins, and the completeness ratio are
+    all exact integers (positive cross-multiply div); no float exists.
+
+    100-TB posture: ONE map-side-combinable aggregation onto
+    |mag bins| rows; injection lists at survey scale are per-tile and
+    the groupBy key extends to (tile, bin) with the same plan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    inj = c.select(
+        F.col("c_custkey").alias("src_id"),
+        (
+            F.lit(_INJ_MAG_LO_C)
+            + F.conv(F.substring(h, 13, 6), 16, 10).cast("long")
+            % (_INJ_MAG_HI_C - _INJ_MAG_LO_C)
+        ).alias("mag_c"),
+    )
+    hn = F.md5(F.concat(F.lit("n"), F.col("src_id").cast("string")))
+    det = inj.select(
+        "src_id", "mag_c",
+        F.expr(f"(mag_c - {_INJ_MAG_LO_C}) div {_INJ_BIN_C}").alias("bin"),
+        F.when(
+            F.col("mag_c") * 10
+            + F.conv(F.substring(hn, 1, 6), 16, 10).cast("long") % 4000
+            - 2000
+            < 21500,
+            1,
+        ).otherwise(0).alias("recovered"),
+    )
+    return (
+        det.groupBy("bin")
+        .agg(
+            F.min("mag_c").cast("long").alias("mag_lo_c"),
+            F.count(F.lit(1)).cast("long").alias("n_injected"),
+            F.sum("recovered").cast("long").alias("n_recovered"),
+            F.expr(
+                "CAST(SUM(recovered) * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("completeness_micro"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"), "mag_lo_c",
+            "n_injected", "n_recovered", "completeness_micro",
+            (F.col("completeness_micro") >= 500000).alias("above_half"),
+        )
+        .orderBy("bin")
+    )

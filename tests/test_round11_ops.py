@@ -1181,3 +1181,34 @@ def test_deming_matches_python_and_beats_ols_attenuation(spark):
     ols = cxy / cxx
     assert ols < slope
     assert abs(slope - 1.0) < abs(ols - 1.0)
+
+
+def test_injection_completeness_matches_python(spark):
+    rows = QUERIES["sky_injection_completeness"](spark, SF_DIR).collect()
+    cust = _custkeys()
+    bins: dict[int, list] = {}
+    for k in cust:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        mag = 1800 + int(h[12:18], 16) % 600
+        hn = hashlib.md5(f"n{k}".encode()).hexdigest()
+        rec = 1 if mag * 10 + int(hn[:6], 16) % 4000 - 2000 < 21500 else 0
+        b = bins.setdefault((mag - 1800) // 50, [10**9, 0, 0])
+        b[0] = min(b[0], mag)
+        b[1] += 1
+        b[2] += rec
+    got = {
+        r["bin"]: (
+            r["mag_lo_c"], r["n_injected"], r["n_recovered"],
+            r["completeness_micro"], r["above_half"],
+        )
+        for r in rows
+    }
+    want = {
+        b: (lo, n, rec, rec * 1000000 // n, rec * 1000000 // n >= 500000)
+        for b, (lo, n, rec) in bins.items()
+    }
+    assert got == want
+    # the curve must genuinely fall from ~complete to ~empty
+    first = got[min(got)][3]
+    last = got[max(got)][3]
+    assert first > 900000 and last < 100000
