@@ -2259,3 +2259,127 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+#: DDSketch (Masson et al., VLDB 2019): gamma = 1.02 → 2% relative
+#: error; buckets are integer indices of log_gamma(value).
+_DDS_QS = (50, 95, 99)
+
+
+@register(
+    "agg_ddsketch_quantile",
+    oracle="""
+WITH v AS (
+  SELECT l_returnflag AS shard,
+         CAST(FLOOR(ln(l_extendedprice) * 1000000000.0 + 0.5) AS BIGINT)
+           AS ln9
+  FROM lineitem WHERE l_extendedprice > 0
+),
+b AS (
+  SELECT shard,
+         CAST(CASE WHEN ln9 >= 0 THEN ln9 // 19802627
+                   ELSE -((-ln9 + 19802626) // 19802627) END
+              AS BIGINT) AS bucket
+  FROM v
+),
+hist AS (
+  SELECT shard, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY shard, bucket
+),
+merged AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM merged),
+cum AS (
+  SELECT bucket, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS c
+  FROM merged
+),
+qs AS (SELECT unnest([50, 95, 99]) AS q),
+pick AS (
+  SELECT q.q, MIN(cum.bucket) AS bucket, MAX(tot.n) AS n
+  FROM qs q, cum, tot
+  WHERE cum.c * 100 >= q.q * tot.n
+  GROUP BY q.q
+)
+SELECT CAST(q AS BIGINT) AS q_pct, n,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(FLOOR(2.0 * exp(CAST(bucket AS DOUBLE) * 0.019802627296)
+                  / (1.02 + 1.0) * 1000000.0 + 0.5) AS BIGINT)
+         AS est_micro
+FROM pick ORDER BY q_pct
+""",
+)
+def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (Masson, Lee & Rim, VLDB 2019 — the
+    relative-error quantile sketch DataDog/OpenTelemetry standardized):
+    bucket every value by the integer index of log_gamma(value) with
+    gamma = 1.02, so EVERY quantile estimate is within 2% of the true
+    value by construction, and the sketch is a plain integer histogram
+    — two sketches merge by adding counts, which this kernel
+    demonstrates literally (per-returnflag shard histograms merged by
+    one groupBy-sum before the quantile read-off). The estimate for a
+    bucket is the bucket midpoint 2·gamma^b/(gamma+1).
+
+    Exactness: ln(value) lands on the 1e-9 grid per row BEFORE
+    bucketing (the lf9 discipline); the bucket index is an integer
+    division of that gridded long by ln(1.02) on the same grid
+    (19802627 nano — floor semantics spelled out for negatives so
+    Spark `div` and DuckDB `//` agree); counts, cumulative ranks and
+    the quantile pick are pure integers; the read-off midpoint
+    floor-grids ONE exp() to micro.
+
+    100-TB posture: the sketch IS the mergeable state — one map-side-
+    combinable histogram per shard (|buckets| ≈ 580 per decade span),
+    merged with one tiny shuffle; read-off runs on the merged
+    |buckets| rows. This is the production alternative to
+    `agg_median_exact`'s buffer-a-group caveat, with a PROVEN error
+    bound (pytest pins est within 2% of the exact percentile) —
+    complementing the rows-only KLL rung with a hash-verifiable
+    sketch.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_extendedprice") > 0).select(
+        F.col("l_returnflag").alias("shard"),
+        F.floor(F.log(F.col("l_extendedprice")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long").alias("ln9"),
+    )
+    b = v.select(
+        "shard",
+        F.expr(
+            "CAST(CASE WHEN ln9 >= 0 THEN ln9 div 19802627"
+            " ELSE -((-ln9 + 19802626) div 19802627) END AS BIGINT)"
+        ).alias("bucket"),
+    )
+    hist = b.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    merged = hist.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    tot = merged.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = merged.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(Window.orderBy("bucket")).cast("long").alias("c"),
+    )
+    qs = v.sparkSession.range(0, 3).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in _DDS_QS]), (F.col("id") + 1).cast("int")
+        ).alias("q")
+    )
+    pick = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("c") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
+    )
+    return pick.select(
+        F.col("q").cast("long").alias("q_pct"), "n",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.floor(
+            F.lit(2.0)
+            * F.exp(F.col("bucket").cast("double") * F.lit(0.019802627296))
+            / F.lit(1.02 + 1.0) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("est_micro"),
+    ).orderBy("q_pct")

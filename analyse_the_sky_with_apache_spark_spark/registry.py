@@ -303,7 +303,7 @@ _ROTATION_R13 = (
     "ml_expected_calibration_error", "ml_categorical_split",
     "ts_croston_intermittent", "sky_tile_overlap_graph",
     "stat_circular_rayleigh", "stat_deming_regression",
-    "sky_injection_completeness",
+    "sky_injection_completeness", "agg_ddsketch_quantile",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

