@@ -4700,3 +4700,200 @@ def sky_injection_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def _tpt_pairs_sql(a_src: str, b_src: str, self_pair: bool) -> str:
+    """Binned-box pair counts per separation bin between two staged
+    catalogs (SQL half of the Landy–Szalay kernel)."""
+    cond = (
+        "a.obj_id < b.obj_id" if self_pair else "TRUE"
+    )
+    return f"""
+  SELECT {_tpt_bin_expr("d.dist_rad")} AS sep_bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM (
+    SELECT {_SPH_HAVERSINE.replace("a_dec_c", "a.dec_c")
+                          .replace("b_dec_c", "b.dec_c")
+                          .replace("a_ra_c", "a.ra_c")
+                          .replace("b_ra_c", "b.ra_c")} AS dist_rad
+    FROM {a_src} a JOIN {b_src} b
+      ON {cond}
+     AND LEAST(abs(a.ra_c - b.ra_c),
+               {_SPH_CIRCLE} - abs(a.ra_c - b.ra_c)) <= {_SPH_EPS}
+     AND abs(a.dec_c - b.dec_c) <= {_SPH_EPS}) d
+  WHERE {_tpt_bin_expr("d.dist_rad")} < 3
+  GROUP BY 1
+"""
+
+
+@register(
+    "sky_two_point_landy_szalay",
+    oracle=f"""
+WITH dcat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer),
+rcat AS (
+  SELECT c_custkey AS obj_id,
+         CAST(('0x' || substr(md5('r' || CAST(c_custkey AS VARCHAR)), 1, 6))
+              AS BIGINT) % 36000 AS ra_c,
+         CAST(('0x' || substr(md5('r' || CAST(c_custkey AS VARCHAR)), 7, 6))
+              AS BIGINT) % 18000 - 9000 AS dec_c
+  FROM customer),
+dd AS ({_tpt_pairs_sql("dcat", "dcat", True)}),
+dr AS ({_tpt_pairs_sql("dcat", "rcat", False)}),
+rr AS ({_tpt_pairs_sql("rcat", "rcat", True)}),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dcat)
+SELECT b.sep_bin,
+       COALESCE(dd.n_pairs, 0) AS dd_pairs,
+       COALESCE(dr.n_pairs, 0) AS dr_pairs,
+       COALESCE(rr.n_pairs, 0) AS rr_pairs,
+       CASE WHEN COALESCE(rr.n_pairs, 0) > 0 THEN
+         CAST(FLOOR((
+           (CAST(COALESCE(dd.n_pairs, 0) AS DOUBLE)
+              / (CAST(nd AS DOUBLE) * (nd - 1) / 2.0)
+            - 2.0 * CAST(COALESCE(dr.n_pairs, 0) AS DOUBLE)
+              / (CAST(nd AS DOUBLE) * nd)
+            + CAST(COALESCE(rr.n_pairs, 0) AS DOUBLE)
+              / (CAST(nd AS DOUBLE) * (nd - 1) / 2.0))
+           / (CAST(COALESCE(rr.n_pairs, 0) AS DOUBLE)
+              / (CAST(nd AS DOUBLE) * (nd - 1) / 2.0))
+         ) * 1000000.0 + 0.5) AS BIGINT)
+       ELSE NULL END AS w_micro
+FROM (SELECT unnest(generate_series(0, 2)) AS sep_bin) b
+LEFT JOIN dd USING (sep_bin)
+LEFT JOIN dr USING (sep_bin)
+LEFT JOIN rr USING (sep_bin)
+CROSS JOIN nn
+ORDER BY b.sep_bin
+""",
+)
+def sky_two_point_landy_szalay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Landy–Szalay angular correlation estimator
+    w(θ) = (DD − 2DR + RR) / RR (Landy & Szalay 1993, each term
+    normalized by its pair budget) — the production form of
+    `sky_two_point_dd`: the data catalog's pair counts are compared
+    against a same-size RANDOM catalog (md5 with a salted key — the
+    repo's deterministic-randoms convention, exactly how surveys ship
+    reproducible random catalogs), with DR correcting for the survey
+    window. On the md5 sky both catalogs are uniform draws, so w(θ)
+    must be consistent with ZERO at every separation — the null
+    result is the correctness statement, and the cross-check pins it.
+
+    All three pair searches run the SAME binned 3×3 mod-ring cell
+    join (never all-pairs); DD/RR count unordered pairs (i < j), DR
+    counts ordered cross-pairs; counts are exact integers, w
+    floor-grids ONE shared normalization expression to micro, and an
+    empty-RR bin reports NULL (no estimate exists there — and under
+    ANSI mode a guard, not a 0-division, is the only correct plan).
+
+    100-TB posture: three candidate joins shuffling on cell id with
+    AQE skew splits — the estimator's cost IS three DD-shaped passes
+    (surveys run exactly this, with RR cached across data releases
+    since randoms don't change; the staged `rcat` plays that role).
+    """
+    c = load_table(spark, sf_dir, "customer")
+
+    def cat(salt: str) -> DataFrame:
+        h = F.md5(
+            F.concat(F.lit(salt), F.col("c_custkey").cast("string"))
+        ) if salt else F.md5(F.col("c_custkey").cast("string"))
+        return c.select(
+            F.col("c_custkey").alias("obj_id"),
+            (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 36000)
+            .alias("ra_c"),
+            (F.conv(F.substring(h, 7, 6), 16, 10).cast("long")
+             % 18000 - 9000).alias("dec_c"),
+        )
+
+    dcat = cat("").localCheckpoint(eager=True)
+    rcat = cat("r").localCheckpoint(eager=True)
+    eps, ncell = _SPH_EPS, _SPH_RA_CELLS
+
+    def pair_bins(left: DataFrame, right: DataFrame,
+                  self_pair: bool) -> DataFrame:
+        a = left.select(
+            F.col("obj_id").alias("ia"),
+            F.col("ra_c").alias("a_ra"), F.col("dec_c").alias("a_dec"),
+            F.expr(f"ra_c div {eps}").alias("cx"),
+            F.expr(f"dec_c div {eps}").alias("cy"),
+        )
+        b = right.select(
+            F.col("obj_id").alias("ib"),
+            F.col("ra_c").alias("b_ra"), F.col("dec_c").alias("b_dec"),
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(-1, 1), dx -> "
+                    f"transform(sequence(-1, 1), dy -> "
+                    f"struct(pmod(ra_c div {eps} + dx, {ncell}) AS cx, "
+                    f"dec_c div {eps} + dy AS cy))))"
+                )
+            ).alias("cell"),
+        ).select("ib", "b_ra", "b_dec", "cell.cx", "cell.cy")
+        dra = F.abs(F.col("a_ra") - F.col("b_ra"))
+        flt = (
+            (F.least(dra, F.lit(_SPH_CIRCLE) - dra) <= eps)
+            & (F.abs(F.col("a_dec") - F.col("b_dec")) <= eps)
+        )
+        if self_pair:
+            flt = flt & (F.col("ia") < F.col("ib"))
+        hav = _SPH_HAVERSINE.replace("a_dec_c", "a_dec").replace(
+            "b_dec_c", "b_dec"
+        ).replace("a_ra_c", "a_ra").replace("b_ra_c", "b_ra")
+        return (
+            a.join(b, ["cx", "cy"])
+            .filter(flt)
+            .select(
+                F.expr(_tpt_bin_expr(f"({hav})")).cast("long")
+                .alias("sep_bin")
+            )
+            .filter(F.col("sep_bin") < 3)
+            .groupBy("sep_bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+
+    dd = pair_bins(dcat, dcat, True)
+    dr = pair_bins(dcat, rcat, False)
+    rr = pair_bins(rcat, rcat, True)
+    nn = dcat.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    bins = c.sparkSession.range(0, 3).select(
+        F.col("id").cast("long").alias("sep_bin")
+    )
+    j = (
+        bins.join(dd.withColumnRenamed("n_pairs", "dd_pairs"),
+                  "sep_bin", "left")
+        .join(dr.withColumnRenamed("n_pairs", "dr_pairs"),
+              "sep_bin", "left")
+        .join(rr.withColumnRenamed("n_pairs", "rr_pairs"),
+              "sep_bin", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "sep_bin",
+            F.coalesce("dd_pairs", F.lit(0)).cast("long").alias("dd_pairs"),
+            F.coalesce("dr_pairs", F.lit(0)).cast("long").alias("dr_pairs"),
+            F.coalesce("rr_pairs", F.lit(0)).cast("long").alias("rr_pairs"),
+            "nd",
+        )
+    )
+    ndd = F.col("nd").cast("double") * (F.col("nd") - 1) / F.lit(2.0)
+    ndr = F.col("nd").cast("double") * F.col("nd")
+    w = (
+        (
+            F.col("dd_pairs").cast("double") / ndd
+            - F.lit(2.0) * F.col("dr_pairs").cast("double") / ndr
+            + F.col("rr_pairs").cast("double") / ndd
+        )
+        / (F.col("rr_pairs").cast("double") / ndd)
+    )
+    return j.select(
+        "sep_bin", "dd_pairs", "dr_pairs", "rr_pairs",
+        # an empty-RR bin has no estimate — NULL, never a division
+        F.when(
+            F.col("rr_pairs") > 0,
+            F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("w_micro"),
+    ).orderBy("sep_bin")

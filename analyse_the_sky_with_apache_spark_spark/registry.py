@@ -304,6 +304,7 @@ _ROTATION_R13 = (
     "ts_croston_intermittent", "sky_tile_overlap_graph",
     "stat_circular_rayleigh", "stat_deming_regression",
     "sky_injection_completeness", "agg_ddsketch_quantile",
+    "sky_two_point_landy_szalay",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

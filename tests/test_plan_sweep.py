@@ -102,6 +102,9 @@ _BNL_ALLOWED = {
     "dedup_blocking_multipass",
     # 1-row edge/kept/triangle counters meet in broadcasts
     "graph_triangles_doulion",
+    # 1-row catalog-size broadcast onto the 3-row bin spine (the
+    # Landy-Szalay normalization scalar)
+    "sky_two_point_landy_szalay",
     # 3-row quantile literals × the ~|buckets|-row cumulative sketch
     # (the read-off rank pick; work bounded by bucket count, not data)
     "agg_ddsketch_quantile",

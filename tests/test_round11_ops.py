@@ -1265,3 +1265,45 @@ def test_ddsketch_merge_is_exactly_additive(spark):
     got = {r["bucket"]: None for r in
            QUERIES["agg_ddsketch_quantile"](spark, SF_DIR).collect()}
     assert set(got) <= set(whole)
+
+
+def test_landy_szalay_null_on_uniform_sky(spark):
+    """Both catalogs are uniform md5 draws, so w(theta) must be
+    statistically consistent with zero in every bin — |w| well below
+    the ~1/sqrt(pairs) shot noise scale — and each term must obey its
+    pair-budget bound."""
+    rows = QUERIES["sky_two_point_landy_szalay"](spark, SF_DIR).collect()
+    assert [r["sep_bin"] for r in rows] == [0, 1, 2]
+    assert any(r["rr_pairs"] > 0 for r in rows)
+    for r in rows:
+        if r["rr_pairs"] == 0:
+            assert r["w_micro"] is None  # no estimate without randoms
+            continue
+        # null bound must respect shot noise: with p pairs the
+        # estimator scatters ~1/sqrt(p); 5 sigma is a loose gate and
+        # only meaningful once a bin has real statistics
+        if r["rr_pairs"] >= 50:
+            assert abs(r["w_micro"]) < 5_000_000 // int(
+                math.sqrt(r["rr_pairs"])
+            )
+    # DR (ordered, n*n budget) should be roughly twice DD (unordered)
+    tot_dd = sum(r["dd_pairs"] for r in rows)
+    tot_dr = sum(r["dr_pairs"] for r in rows)
+    assert 1.0 < tot_dr / max(tot_dd, 1) < 4.0
+
+
+def test_landy_szalay_dd_consistent_with_two_point_dd(spark):
+    """The DD column must equal the standalone `sky_two_point_dd`
+    counts — one kernel, two surfaces."""
+    ls = {
+        r["sep_bin"]: r["dd_pairs"]
+        for r in QUERIES["sky_two_point_landy_szalay"](
+            spark, SF_DIR
+        ).collect()
+    }
+    dd = {
+        r["sep_bin"]: r["dd_pairs"]
+        for r in QUERIES["sky_two_point_dd"](spark, SF_DIR).collect()
+    }
+    for b, n in dd.items():
+        assert ls[b] == n
