@@ -1269,23 +1269,25 @@ def test_ddsketch_merge_is_exactly_additive(spark):
 
 def test_landy_szalay_null_on_uniform_sky(spark):
     """Both catalogs are uniform md5 draws, so w(theta) must be
-    statistically consistent with zero in every bin — |w| well below
-    the ~1/sqrt(pairs) shot noise scale — and each term must obey its
-    pair-budget bound."""
-    rows = QUERIES["sky_two_point_landy_szalay"](spark, SF_DIR).collect()
-    assert [r["sep_bin"] for r in rows] == [0, 1, 2]
-    assert any(r["rr_pairs"] > 0 for r in rows)
-    for r in rows:
+    statistically consistent with zero — checked at sf0.01, where the
+    bins hold real pair statistics (sf0.001's RR counts are 0–1, so
+    only the NULL/spine semantics are checkable there)."""
+    small = QUERIES["sky_two_point_landy_szalay"](spark, SF_DIR).collect()
+    assert [r["sep_bin"] for r in small] == [0, 1, 2]
+    for r in small:
         if r["rr_pairs"] == 0:
             assert r["w_micro"] is None  # no estimate without randoms
-            continue
-        # null bound must respect shot noise: with p pairs the
-        # estimator scatters ~1/sqrt(p); 5 sigma is a loose gate and
-        # only meaningful once a bin has real statistics
-        if r["rr_pairs"] >= 50:
-            assert abs(r["w_micro"]) < 5_000_000 // int(
-                math.sqrt(r["rr_pairs"])
-            )
+    rows = QUERIES["sky_two_point_landy_szalay"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    for r in rows:
+        assert r["rr_pairs"] >= 20, "sf0.01 must populate every bin"
+        # null bound respecting shot noise: the estimator scatters
+        # ~1/sqrt(pairs); 5 sigma is a loose gate (observed |w| on the
+        # fixture: 0.004-0.15 across the bins)
+        assert abs(r["w_micro"]) < 5_000_000 // int(
+            math.sqrt(r["rr_pairs"])
+        )
     # DR (ordered, n*n budget) should be roughly twice DD (unordered)
     tot_dd = sum(r["dd_pairs"] for r in rows)
     tot_dr = sum(r["dr_pairs"] for r in rows)
