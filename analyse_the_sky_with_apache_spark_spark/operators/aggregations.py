@@ -2305,7 +2305,7 @@ pick AS (
 )
 SELECT CAST(q AS BIGINT) AS q_pct, n,
        CAST(bucket AS BIGINT) AS bucket,
-       CAST(FLOOR(2.0 * exp(CAST(bucket AS DOUBLE) * 0.019802627296)
+       CAST(FLOOR(2.0 * exp(CAST(bucket + 1 AS DOUBLE) * 0.019802627296)
                   / (1.02 + 1.0) * 1000000.0 + 0.5) AS BIGINT)
          AS est_micro
 FROM pick ORDER BY q_pct
@@ -2314,13 +2314,17 @@ FROM pick ORDER BY q_pct
 def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch quantiles (Masson, Lee & Rim, VLDB 2019 — the
     relative-error quantile sketch DataDog/OpenTelemetry standardized):
-    bucket every value by the integer index of log_gamma(value) with
-    gamma = 1.02, so EVERY quantile estimate is within 2% of the true
-    value by construction, and the sketch is a plain integer histogram
-    — two sketches merge by adding counts, which this kernel
-    demonstrates literally (per-returnflag shard histograms merged by
-    one groupBy-sum before the quantile read-off). The estimate for a
-    bucket is the bucket midpoint 2·gamma^b/(gamma+1).
+    bucket every value by the FLOOR integer index of log_gamma(value)
+    with gamma = 1.02, so EVERY quantile estimate is within
+    (gamma-1)/(gamma+1) ~ 0.99% of the true value by construction, and
+    the sketch is a plain integer histogram — two sketches merge by
+    adding counts, which this kernel demonstrates literally
+    (per-returnflag shard histograms merged by one groupBy-sum before
+    the quantile read-off). Floor indexing puts bucket b over
+    [gamma^b, gamma^(b+1)), whose symmetric-relative-error midpoint is
+    2·gamma^(b+1)/(gamma+1) — NOT the ceil-indexing midpoint
+    2·gamma^b/(gamma+1), which would bias every estimate low by
+    ~1-3% (ADVICE r11 fix).
 
     Exactness: ln(value) lands on the 1e-9 grid per row BEFORE
     bucketing (the lf9 discipline); the bucket index is an integer
@@ -2379,7 +2383,537 @@ def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.floor(
             F.lit(2.0)
-            * F.exp(F.col("bucket").cast("double") * F.lit(0.019802627296))
+            * F.exp((F.col("bucket") + F.lit(1)).cast("double")
+                    * F.lit(0.019802627296))
             / F.lit(1.02 + 1.0) * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("est_micro"),
     ).orderBy("q_pct")
+
+
+#: Deterministic-sketch trio (round 12): h48(x) = first-12-hex of
+#: md5(x) as a 48-bit integer — the agg_countmin_merge salted-md5
+#: trick widened to 12 hex digits, so KMV/theta/HLL sketches become
+#: engine-reproducible and hash-verifiable (the CMS-promotion pattern:
+#: the rows-only `agg_approx_distinct`/`agg_hll_overlap` keys
+#: demonstrate Spark's private-hash sketch APIs; these give the same
+#: algorithms an engine-owned hash so the ORACLE CAN REBUILD THEM).
+_H48 = 1 << 48
+_KMV_K = 128          # bottom-k size: rel. stderr ~ 1/sqrt(k-2) ~ 9%
+_KMV_SALT = 64        # tournament fan-in for the scale-safe bottom-k
+_HLL_M = 1024         # 2^p registers, p = 10
+_HLL_WBITS = 39       # rho domain: 38 suffix bits -> rho in [1, 39]
+#: alpha_m * m^2 * 2^39 as ONE python double, inlined verbatim into
+#: both engines so the raw-estimate arithmetic is bit-identical.
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / 1024.0)) * float(1 << 59)
+
+
+def _h48(col):
+    """48-bit md5-prefix hash of a column — reproducible in any engine."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+@register(
+    "agg_kmv_bottomk",
+    oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority AS shard,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM orders
+),
+ranked AS (
+  SELECT shard, h,
+         row_number() OVER (PARTITION BY shard ORDER BY h) AS r
+  FROM hashed
+),
+sketch AS (SELECT shard, h FROM ranked WHERE r <= {_KMV_K}),
+per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS hk
+  FROM sketch GROUP BY shard
+),
+msk AS (
+  SELECT h FROM (SELECT DISTINCT h FROM sketch)
+  ORDER BY h LIMIT {_KMV_K}
+),
+mper AS (
+  SELECT '~ALL' AS shard, CAST(COUNT(*) AS BIGINT) AS k_used,
+         MAX(h) AS hk
+  FROM msk
+),
+est AS (
+  SELECT shard, k_used,
+         CASE WHEN k_used < {_KMV_K} THEN k_used
+              ELSE CAST({(_KMV_K - 1) * _H48} AS BIGINT) // hk END
+           AS kmv_est
+  FROM (SELECT * FROM per UNION ALL SELECT * FROM mper)
+),
+exact AS (
+  SELECT o_orderpriority AS shard,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT '~ALL', CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+)
+SELECT e.shard, x.exact_distinct, e.k_used, e.kmv_est,
+       e.kmv_est - x.exact_distinct AS err
+FROM est e JOIN exact x USING (shard)
+ORDER BY shard
+""",
+)
+def agg_kmv_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch — the hash-verifiable
+    sibling of the rows-only `agg_approx_distinct` (whose HLL++ uses a
+    Spark-private hash): keep the k smallest 48-bit md5 hashes of the
+    key per shard; the (k-1)/theta estimator reads the cardinality off
+    the kth hash. The merge demonstrated here is EXACT by the bottom-k
+    union property — bottom-k(union of per-shard bottom-k lists) ==
+    bottom-k(union of the full sets), because any hash below the global
+    kth is necessarily within its own shard's bottom-k — so the '~ALL'
+    row is a true sketch merge, not a recompute.
+
+    Exactness: every quantity is integer (48-bit hashes, counts, the
+    (k-1)*2^48 div h_k read-off — operands positive, so Spark `div`
+    and DuckDB `//` agree); shards with fewer than k distinct keys
+    degrade to the exact count by the standard KMV rule.
+
+    100-TB posture: the per-shard bottom-k runs as a TOURNAMENT — rank
+    within (shard, h%64) salt buckets first, keep <=k per bucket, then
+    rank the <=64k survivors per shard — so no single window task ever
+    sorts more than its salt slice, and the merged read-off touches
+    only <=|shards|*k sketch rows (a TakeOrderedAndProject, no global
+    window). The sketch itself is the mergeable state: persist k longs
+    per shard and any reader rolls up any shard union.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hashed = (
+        o.select(
+            F.col("o_orderpriority").alias("shard"),
+            _h48(F.col("o_orderkey")).alias("h"),
+        )
+        .groupBy("shard", "h")
+        .agg(F.lit(1))
+        .select("shard", "h")
+    )
+    pre = (
+        hashed.withColumn("salt", (F.col("h") % _KMV_SALT).cast("int"))
+        .withColumn(
+            "r1",
+            F.row_number().over(
+                Window.partitionBy("shard", "salt").orderBy("h")
+            ),
+        )
+        .filter(F.col("r1") <= _KMV_K)
+        .drop("salt", "r1")
+    )
+    sketch = (
+        pre.withColumn(
+            "r", F.row_number().over(Window.partitionBy("shard").orderBy("h"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .select("shard", "h")
+    )
+    per = sketch.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("hk"),
+    )
+    msk = sketch.select("h").distinct().orderBy("h").limit(_KMV_K)
+    mper = msk.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("hk"),
+    ).select(F.lit("~ALL").alias("shard"), "k_used", "hk")
+    est = per.unionByName(mper).select(
+        "shard", "k_used",
+        F.when(F.col("k_used") < _KMV_K, F.col("k_used"))
+        .otherwise(
+            F.expr(
+                f"CAST({(_KMV_K - 1) * _H48} AS BIGINT) div hk"
+            )
+        )
+        .cast("long")
+        .alias("kmv_est"),
+    )
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("shard"))
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("exact_distinct"))
+        .unionByName(
+            o.agg(
+                F.countDistinct("o_orderkey").cast("long").alias("exact_distinct")
+            ).select(F.lit("~ALL").alias("shard"), "exact_distinct")
+        )
+    )
+    return (
+        est.join(exact, "shard")
+        .select(
+            "shard", "exact_distinct", "k_used", "kmv_est",
+            (F.col("kmv_est") - F.col("exact_distinct")).alias("err"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "agg_hll_deterministic",
+    oracle=f"""
+WITH h AS (
+  SELECT l_returnflag AS shard,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                  CAST(l_linenumber AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM lineitem
+),
+parts AS (
+  SELECT shard, hv // {1 << 38} AS bucket, hv % {1 << 38} AS w FROM h
+),
+rho AS (
+  SELECT shard, bucket,
+         CASE WHEN w = 0 THEN {_HLL_WBITS}
+              ELSE {_HLL_WBITS} - length(ltrim(bin(w), '0')) END AS rho
+  FROM parts
+),
+regs AS (
+  SELECT shard, bucket, CAST(MAX(rho) AS INT) AS r
+  FROM rho GROUP BY shard, bucket
+),
+merged AS (
+  SELECT '~ALL' AS shard, bucket, CAST(MAX(r) AS INT) AS r
+  FROM regs GROUP BY bucket
+),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+stats AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS present,
+         CAST(SUM(1::BIGINT << ({_HLL_WBITS} - r)) AS BIGINT) AS s_present
+  FROM allregs GROUP BY shard
+),
+readoff AS (
+  SELECT shard, present,
+         s_present + ({_HLL_M} - present) * CAST({1 << _HLL_WBITS} AS BIGINT)
+           AS s_total,
+         {_HLL_M} - present AS v_zero
+  FROM stats
+),
+raw AS (
+  SELECT shard, present, v_zero,
+         CAST(FLOOR({_HLL_NUM!r} / s_total * 1000000.0 + 0.5) AS BIGINT)
+           AS e_raw_micro
+  FROM readoff
+),
+est AS (
+  SELECT shard, present,
+         CASE WHEN e_raw_micro <= CAST({(5 * _HLL_M // 2) * 1000000}
+                                       AS BIGINT)
+                   AND v_zero > 0
+              THEN CAST(FLOOR({float(_HLL_M)!r} *
+                              ln({float(_HLL_M)!r} / v_zero)
+                              * 1000000.0 + 0.5) AS BIGINT)
+              ELSE e_raw_micro END AS est_micro
+  FROM raw
+),
+exact AS (
+  SELECT l_returnflag AS shard,
+         CAST(COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT)
+           AS exact_distinct
+  FROM lineitem GROUP BY 1
+  UNION ALL
+  SELECT '~ALL',
+         CAST(COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT)
+  FROM lineitem
+)
+SELECT e.shard AS shard, x.exact_distinct, e.present, e.est_micro,
+       e.est_micro - x.exact_distinct * 1000000 AS err_micro
+FROM est e JOIN exact x ON e.shard = x.shard
+ORDER BY e.shard
+""",
+)
+def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-owned HyperLogLog (Flajolet et al. 2007) with a
+    reproducible md5 hash — the hash-verifiable sibling of the
+    rows-only `agg_hll_sketch_merge`/`agg_approx_distinct` keys (whose
+    DataSketches/HLL++ internals use Spark-private hashes the oracle
+    cannot rebuild): p=10 → 1024 registers, bucket = top 10 bits of
+    the 48-bit hash, rho = leading-zero rank of the remaining 38 bits;
+    per-returnflag register vectors merged into the '~ALL' sketch by
+    register-wise MAX — the HLL merge, demonstrated literally.
+
+    Exactness: registers are integers; the harmonic-mean denominator
+    is computed as the INTEGER sum of 2^(39-rho) (max 1024·2^39 <
+    2^49), so the only float ops are one division by a shared inlined
+    double constant, the linear-counting ln, and the micro-grid floor
+    — identical expression shapes in both engines. The standard
+    small-range switch (E <= 2.5m and zero registers present → linear
+    counting m·ln(m/V)) branches on the GRIDDED micro estimate, so
+    the branch decision itself is engine-identical; the sf0.001
+    fixtures land in the linear-counting regime and sf0.01 in the raw
+    regime, exercising both sides.
+
+    100-TB posture: the sketch is a <=1024-row integer vector per
+    shard — built with one map-side-combinable groupBy-max over the
+    hashed scan, merged by one groupBy-max over |shards|·1024 rows;
+    no raw key ever crosses the shuffle twice. pytest pins the
+    estimate within the published 1.04/sqrt(m) ~ 3.25% stderr band
+    against exact distinct counts and cross-checks every register
+    against a pure-python rebuild.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("shard"),
+        _h48(
+            F.concat(
+                F.col("l_orderkey").cast("string"), F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    parts = h.select(
+        "shard",
+        F.expr(f"hv div {1 << 38}").alias("bucket"),
+        F.expr(f"hv % {1 << 38}").alias("w"),
+    )
+    rho = parts.select(
+        "shard", "bucket",
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS))
+        .otherwise(
+            F.lit(_HLL_WBITS)
+            - F.length(F.conv(F.col("w").cast("string"), 10, 2))
+        )
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = rho.groupBy("shard", "bucket").agg(
+        F.max("rho").cast("int").alias("r")
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").cast("int").alias("r"))
+        .select(F.lit("~ALL").alias("shard"), "bucket", "r")
+    )
+    allregs = regs.unionByName(merged)
+    stats = allregs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - r)")
+        ).cast("long").alias("s_present"),
+    )
+    readoff = stats.select(
+        "shard", "present",
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("present"))
+            * F.lit(1 << _HLL_WBITS).cast("long")
+        ).alias("s_total"),
+        (F.lit(_HLL_M) - F.col("present")).alias("v_zero"),
+    )
+    raw = readoff.select(
+        "shard", "present", "v_zero",
+        F.floor(
+            F.lit(_HLL_NUM) / F.col("s_total") * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("e_raw_micro"),
+    )
+    est = raw.select(
+        "shard", "present",
+        F.when(
+            (F.col("e_raw_micro") <= F.lit((5 * _HLL_M // 2) * 1000000))
+            & (F.col("v_zero") > 0),
+            F.floor(
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("v_zero"))
+                * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.col("e_raw_micro"))
+        .alias("est_micro"),
+    )
+    key = (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    exact = (
+        li.groupBy(F.col("l_returnflag").alias("shard"))
+        .agg(F.countDistinct(key).cast("long").alias("exact_distinct"))
+        .unionByName(
+            li.agg(
+                F.countDistinct(key).cast("long").alias("exact_distinct")
+            ).select(F.lit("~ALL").alias("shard"), "exact_distinct")
+        )
+    )
+    return (
+        est.join(exact, "shard")
+        .select(
+            "shard", "exact_distinct", "present", "est_micro",
+            (F.col("est_micro") - F.col("exact_distinct") * F.lit(1000000))
+            .cast("long").alias("err_micro"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "agg_theta_intersect_kmv",
+    oracle=f"""
+WITH sides AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END
+           AS side,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h,
+         o_custkey AS k
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+),
+hashed AS (SELECT DISTINCT side, h FROM sides),
+ranked AS (
+  SELECT side, h,
+         row_number() OVER (PARTITION BY side ORDER BY h) AS r
+  FROM hashed
+),
+sketch AS (SELECT side, h FROM ranked WHERE r <= {_KMV_K}),
+per AS (
+  SELECT side, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS hk
+  FROM sketch GROUP BY side
+),
+wide AS (
+  SELECT
+    LEAST(
+      MAX(CASE WHEN side = 'A' THEN
+        CASE WHEN k_used < {_KMV_K} THEN CAST({_H48} AS BIGINT)
+             ELSE hk END END),
+      MAX(CASE WHEN side = 'B' THEN
+        CASE WHEN k_used < {_KMV_K} THEN CAST({_H48} AS BIGINT)
+             ELSE hk END END)
+    ) AS theta
+  FROM per
+),
+pairs AS (
+  SELECT a.h FROM sketch a JOIN sketch b ON a.h = b.h
+  WHERE a.side = 'A' AND b.side = 'B'
+),
+below AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_below
+  FROM pairs, wide WHERE pairs.h < wide.theta
+),
+exact AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN o_custkey END) AS BIGINT) AS n_a_exact,
+    CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                             THEN o_custkey END) AS BIGINT) AS n_b_exact
+  FROM orders
+),
+inter AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS inter_exact FROM (
+    SELECT k FROM sides WHERE side = 'A'
+    INTERSECT
+    SELECT k FROM sides WHERE side = 'B'
+  )
+)
+SELECT n_a_exact, n_b_exact, inter_exact, k_below, theta,
+       CASE WHEN theta = CAST({_H48} AS BIGINT) THEN k_below
+            ELSE CAST(k_below * CAST({_H48} AS BIGINT) AS BIGINT)
+                 // theta END AS theta_est,
+       CASE WHEN theta = CAST({_H48} AS BIGINT) THEN k_below
+            ELSE CAST(k_below * CAST({_H48} AS BIGINT) AS BIGINT)
+                 // theta END - inter_exact AS err
+FROM exact, inter, wide, below
+""",
+)
+def agg_theta_intersect_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection over two KMV sketches (the
+    Datasketches theta-sketch algebra with an engine-owned md5 hash) —
+    the hash-verifiable sibling of the rows-only `agg_hll_overlap`
+    (HLL sketches can only estimate overlap by inclusion–exclusion;
+    theta sketches intersect DIRECTLY): A = customers with an URGENT
+    order, B = customers with a HIGH order; each side keeps its
+    bottom-k 48-bit hashes, theta = min(theta_A, theta_B), and the
+    intersection estimate is |{{h in sketch_A ∩ sketch_B : h <
+    theta}}| / theta — the standard theta intersection rule. A side
+    with fewer than k distinct keys keeps everything (theta = 1), so
+    the estimator degrades toward exact on small sides.
+
+    Exactness: hashes, counts and the k_below·2^48 div theta read-off
+    are all integers (operands positive — Spark `div` == DuckDB `//`);
+    the sketch-pair join is an equi-join on the hash.
+
+    100-TB posture: each side's bottom-k is the same salted tournament
+    as `agg_kmv_bottomk` (no unbounded window partition); the
+    intersection probes k·k-at-most sketch rows, never raw data — two
+    persisted k-long sketches answer the overlap question without
+    rescanning either table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    sides = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("side"),
+        _h48(F.col("o_custkey")).alias("h"),
+        F.col("o_custkey").alias("k"),
+    )
+    hashed = sides.select("side", "h").distinct()
+    pre = (
+        hashed.withColumn("salt", (F.col("h") % _KMV_SALT).cast("int"))
+        .withColumn(
+            "r1",
+            F.row_number().over(
+                Window.partitionBy("side", "salt").orderBy("h")
+            ),
+        )
+        .filter(F.col("r1") <= _KMV_K)
+        .drop("salt", "r1")
+    )
+    sketch = (
+        pre.withColumn(
+            "r", F.row_number().over(Window.partitionBy("side").orderBy("h"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .select("side", "h")
+    )
+    per = sketch.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("hk"),
+    )
+    theta_side = F.when(
+        F.col("k_used") < _KMV_K, F.lit(_H48).cast("long")
+    ).otherwise(F.col("hk"))
+    wide = per.agg(
+        F.least(
+            F.max(F.when(F.col("side") == "A", theta_side)),
+            F.max(F.when(F.col("side") == "B", theta_side)),
+        ).alias("theta")
+    )
+    pairs = (
+        sketch.filter(F.col("side") == "A")
+        .select("h")
+        .join(sketch.filter(F.col("side") == "B").select("h"), "h")
+    )
+    below = (
+        pairs.crossJoin(F.broadcast(wide))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k_below"))
+    )
+    inter = (
+        sides.filter(F.col("side") == "A")
+        .select("k")
+        .intersect(sides.filter(F.col("side") == "B").select("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    exact = o.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).cast("long").alias("n_a_exact"),
+        F.countDistinct(
+            F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+        ).cast("long").alias("n_b_exact"),
+    )
+    est = F.when(
+        F.col("theta") == F.lit(_H48).cast("long"), F.col("k_below")
+    ).otherwise(
+        F.expr(f"CAST(k_below * CAST({_H48} AS BIGINT) AS BIGINT) div theta")
+    ).cast("long")
+    return (
+        exact.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(wide))
+        .crossJoin(F.broadcast(below))
+        .select(
+            "n_a_exact", "n_b_exact", "inter_exact", "k_below", "theta",
+            est.alias("theta_est"),
+            (est - F.col("inter_exact")).cast("long").alias("err"),
+        )
+    )

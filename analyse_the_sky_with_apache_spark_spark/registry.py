@@ -211,17 +211,16 @@ _RETIRED_R10 = (
     "fn_xml",
 )
 
-#: Page 6 — the LIVE round-11 window (exactly 50 never-sampled oracle
-#: keys; rotated in at round-11 open per VERDICT r10 task 1 — the
-#: round-10 page is retired via its CORRECTNESS_r10 rows, kept above as
-#: _RETIRED_R10). The 47 seed keys are padded to 50 with two oracle
-#: keys pulled from the R12 page head (stat_durbin_watson,
-#: ts_spectral_entropy) plus the round-11 dedup_semantic_rep — the
-#: swap keeps every still-dark family represented in the window
-#: (test_window_covers_the_dark_families) after round 11 gave
-#: pipeline.dedup a fresh never-sampled key; stat_jarque_bera went
-#: back to the R12 head.
-_PRIORITY = (
+#: Page 6 — the round-11 window, retired 2026-08-17 (CORRECTNESS_r11:
+#: 50/50 hash-green). Kept for documentation; no longer scheduled.
+#: The 47 seed keys were padded to 50 with three round-11 keys —
+#: corpus_span_corruption, cdc_apply_compact and dedup_semantic_rep —
+#: keeping pipeline.corpus, operators.warehouse and pipeline.dedup
+#: represented among the never-sampled families (the earlier
+#: R12-head borrow of stat_durbin_watson / ts_spectral_entropy /
+#: stat_jarque_bera was returned to the R12 page before round-11
+#: close; ADVICE r11 flagged the stale comment, corrected here).
+_RETIRED_R11 = (
     "stat_hodges_lehmann",
     "stat_fisher_exact",
     "stat_runs_test",
@@ -257,15 +256,16 @@ _PRIORITY = (
     "corpus_span_corruption", "cdc_apply_compact", "dedup_semantic_rep",
 )
 
-#: Page 7 — round-12 window seed, split out when _ROTATION_R11 reached
-#: exactly 50 (the one-page-per-50-key-driver-window discipline, VERDICT
-#: r8 task 8). Every key landing from here on joins THIS page at birth;
-#: pad to 50 with promotions when it becomes live. Its three former head
-#: keys moved to the live R11 window as padding (VERDICT r10 task 1);
-#: the four never-scheduled rows-only keys joined per VERDICT r10 task 3
-#: so every registered key eventually earns a driver row (theirs will be
-#: `no_oracle` smoke rows by design).
-_ROTATION_R12 = (
+#: Page 7 — the LIVE round-12 window (rotated in at round-12 open per
+#: VERDICT r11 task 1; the round-11 page is retired via its
+#: CORRECTNESS_r11 rows, kept above as _RETIRED_R11). The 49 R12-page
+#: keys are padded to 50 with the R13-page head key sky_observability.
+#: Four keys are the deliberately-scheduled rows-only entries (VERDICT
+#: r10 task 3: scan_parquet_footer_stats, agg_hll_overlap,
+#: agg_kll_quantiles, ann_recall_eval) — their driver rows will be
+#: `no_oracle` smoke rows by design; the other 46 carry oracles. After
+#: this round, never-driver-sampled debt = the 10 R13 keys.
+_PRIORITY = (
     "stat_jarque_bera", "ts_spectral_entropy", "stat_durbin_watson",
     "graph_betweenness_sampled", "sky_coadd_tiles",
     "privacy_dp_topk", "graph_effective_diameter",
@@ -292,19 +292,24 @@ _ROTATION_R12 = (
     "stream_dedup_index_merge", "sky_aperture_photometry",
     "sky_diff_image_transients", "ml_linear_attribution",
     "ts_burst_viterbi",
+    # padding to 50: the R13 page head key (VERDICT r11 task 1)
+    "sky_observability",
 )
 
-#: Page 8 — round-13 window seed, split out when _ROTATION_R12 reached
-#: exactly 50 (the one-page-per-50-key-driver-window discipline). Every
-#: key landing from here on joins THIS page at birth; pad to 50 with
-#: promotions when it becomes live.
+#: Page 8 — round-13 window seed (the one-page-per-50-key-driver-window
+#: discipline). Every key landing from here on joins THIS page at
+#: birth; pad to 50 with promotions when it becomes live. Its former
+#: head key sky_observability moved to the live R12 window as padding.
 _ROTATION_R13 = (
-    "sky_observability", "xmatch_mutual_nearest",
+    "xmatch_mutual_nearest",
     "ml_expected_calibration_error", "ml_categorical_split",
     "ts_croston_intermittent", "sky_tile_overlap_graph",
     "stat_circular_rayleigh", "stat_deming_regression",
     "sky_injection_completeness", "agg_ddsketch_quantile",
     "sky_two_point_landy_szalay",
+    # round-12 additions (deterministic-sketch promotions of the
+    # rows-only HLL/approx-distinct family — the CMS pattern)
+    "agg_kmv_bottomk", "agg_hll_deterministic", "agg_theta_intersect_kmv",
 )
 
 #: Page 1 — the round-6 window, retired 2026-08-15 (CORRECTNESS_r06:

@@ -118,6 +118,12 @@ _BNL_ALLOWED = {
     # three 1-row scalar broadcasts (grand-median, margins, totals)
     # onto the collapsed value histogram / 5-row group table
     "stat_mood_median",
+    # four 1-row scalar broadcasts (exact counts × exact intersection ×
+    # theta × below-theta count) meet in the single output row; the
+    # sketch-pair probe itself is an equi-join on the hash, and the
+    # <=k-row pair table × 1-row theta broadcast is bounded by the
+    # sketch size, never the data
+    "agg_theta_intersect_kmv",
     # 1-row corpus-stats broadcast onto the pruned query-term postings
     # (the text_bm25 scalar shape, twice — once per fused ranker)
     "retrieval_rrf_fusion",

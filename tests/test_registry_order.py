@@ -97,7 +97,9 @@ def test_every_priority_key_exists():
 
 #: Rows-only keys deliberately scheduled for driver visibility (VERDICT
 #: r10 task 3): their driver rows will be ``no_oracle`` smoke rows by
-#: design — the page-oracle invariant exempts exactly these.
+#: design — the page/window oracle invariants exempt exactly these.
+#: They sit in the LIVE round-12 window (rotated in per VERDICT r11
+#: task 1).
 _SCHEDULED_ROWS_ONLY = {
     "scan_parquet_footer_stats", "agg_hll_overlap", "agg_kll_quantiles",
     "ann_recall_eval",
@@ -111,7 +113,7 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R12, registry._ROTATION_R13)
+    pages = (registry._ROTATION_R13,)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -128,7 +130,7 @@ def test_rotation_pages_fit_the_driver_window():
     """A rotation page must never outgrow one 50-key driver window —
     when a page reaches 50, new keys must open the next page (the
     VERDICT r8 task-8 split discipline, made automatic)."""
-    for name in ("_ROTATION_R12", "_ROTATION_R13"):
+    for name in ("_ROTATION_R13",):
         page = getattr(registry, name)
         assert len(page) <= 50, f"{name} holds {len(page)} keys — split it"
 
@@ -142,7 +144,6 @@ def test_every_oracle_key_is_scheduled():
     covered = (
         _sampled()
         | set(registry._PRIORITY)
-        | set(registry._ROTATION_R12)
         | set(registry._ROTATION_R13)
     )
     unscheduled = sorted(osql - covered)
@@ -150,10 +151,13 @@ def test_every_oracle_key_is_scheduled():
 
 
 def test_window_is_all_oracle():
-    """Every live-window key carries an oracle, so the round's
-    CORRECTNESS file should be 50 hash rows and 0 ``no_oracle`` rows."""
+    """Every live-window key carries an oracle — except the four
+    deliberately-scheduled rows-only keys (``_SCHEDULED_ROWS_ONLY``),
+    whose driver rows are ``no_oracle`` smoke rows by design — so the
+    round's CORRECTNESS file should be 46 hash rows + 4 smoke rows."""
     osql = set(registry.oracle_sql())
-    missing = [k for k in registry._PRIORITY if k not in osql]
+    missing = [k for k in registry._PRIORITY
+               if k not in osql and k not in _SCHEDULED_ROWS_ONLY]
     assert not missing, f"window keys without an oracle: {missing}"
 
 

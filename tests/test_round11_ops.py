@@ -1216,10 +1216,12 @@ def test_injection_completeness_matches_python(spark):
 
 def test_ddsketch_within_relative_error_bound(spark):
     """DDSketch's whole contract: every quantile estimate within
-    gamma-1 = 2% of the exact percentile — proven against a python
-    exact quantile, not just the oracle's arithmetic."""
-    import duckdb
-
+    (gamma-1)/(gamma+1) ~ 0.99% of the exact percentile — proven
+    against a python exact quantile, not just the oracle's arithmetic.
+    The bound is the SYMMETRIC floor-indexing one (midpoint
+    2*g^(b+1)/(g+1), ADVICE r11): the old ceil midpoint passed the
+    looser 2.01% assertion only because every error happened to be
+    biased low by 1.1-1.7%."""
     rows = QUERIES["agg_ddsketch_quantile"](spark, SF_DIR).collect()
     prices = sorted(
         r["l_extendedprice"]
@@ -1234,7 +1236,8 @@ def test_ddsketch_within_relative_error_bound(spark):
         rank = -(-r["q_pct"] * n // 100)  # ceil
         exact = prices[min(rank, n) - 1]
         est = r["est_micro"] / 1e6
-        assert abs(est - exact) / exact <= 0.0201, (r["q_pct"], est, exact)
+        # (g-1)/(g+1) = 0.00990099; +1e-6 headroom for the micro grid
+        assert abs(est - exact) / exact <= 0.009902, (r["q_pct"], est, exact)
         assert r["n"] == n
 
 
