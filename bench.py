@@ -116,6 +116,8 @@ EXTENDED = (
     # round-11 additions (regression reference: BENCH_r11)
     "sky_healpix_ring",          # RING ang2pix projection + pixel counts
     "kmeans_spherical_round",    # Arrow int64 gemm, per-batch partials
+    # round-12 additions (regression reference: BENCH_r12)
+    "agg_hll_deterministic",     # engine-owned HLL, register-max merge
 )
 
 
