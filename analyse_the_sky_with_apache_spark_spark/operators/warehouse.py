@@ -1258,17 +1258,19 @@ fp AS (
 )
 SELECT t.x, t.y, t.z, COUNT(*) AS support
 FROM (
-  SELECT a.l_orderkey, a.l_partkey AS x, b.l_partkey AS y,
-         c.l_partkey AS z
-  FROM items a
-  JOIN items b ON a.l_orderkey = b.l_orderkey
-              AND a.l_partkey < b.l_partkey
-  JOIN items c ON a.l_orderkey = c.l_orderkey
-              AND b.l_partkey < c.l_partkey
+  -- candidate generation FROM the frequent-pair table (the same
+  -- downward-closure order the Spark plan uses): enumerate-all-
+  -- triples-then-EXISTS planned as an hour-scale scan at sf1 in
+  -- DuckDB (round-12 sf1 gate finding, 384s at sf0.1 vs 1.4s for
+  -- this form); identical result set, fp-first join order
+  SELECT a.l_orderkey, f.x, f.y, c.l_partkey AS z
+  FROM fp f
+  JOIN items a ON a.l_partkey = f.x
+  JOIN items b ON b.l_orderkey = a.l_orderkey AND b.l_partkey = f.y
+  JOIN items c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > f.y
+  JOIN fp f2 ON f2.x = f.x AND f2.y = c.l_partkey
+  JOIN fp f3 ON f3.x = f.y AND f3.y = c.l_partkey
 ) t
-WHERE EXISTS (SELECT 1 FROM fp WHERE fp.x = t.x AND fp.y = t.y)
-  AND EXISTS (SELECT 1 FROM fp WHERE fp.x = t.x AND fp.y = t.z)
-  AND EXISTS (SELECT 1 FROM fp WHERE fp.x = t.y AND fp.y = t.z)
 GROUP BY t.x, t.y, t.z
 HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
 """,
