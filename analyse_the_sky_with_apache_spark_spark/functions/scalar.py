@@ -299,6 +299,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k INT, missing STRING, _corrupt STRING",
         {"columnNameOfCorruptRecord": "_corrupt"},
     )
+    # r12 note: a single-split fan-out before the parse was tried and
+    # REVERTED — at this events volume the added exchange (stage +
+    # shuffle of props) costs more than the serial parse it
+    # parallelizes (paired A/B ~0.9 s → ~3.7 s). The fan-out pattern
+    # only pays when per-row work dominates the shuffle (md5 folds,
+    # ×200 fan-outs), which a 3-field from_json does not.
     return (
         ev.select("event_id", parsed.alias("p"))
         .groupBy(

@@ -2085,27 +2085,42 @@ def agg_kll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partial(batches):
+        # ONE sketch per (task, flag), accumulated ACROSS batches
+        # (guide §4.5: amortize state over every batch in the
+        # partition) — the earlier per-batch sketch form persisted a
+        # fresh ~600-item sketch for every 10k-row Arrow batch, so the
+        # sink held ~60× more rows and the downstream merge re-inserted
+        # every one of them serially in Python (r12 A/B: 2.81 s → this
+        # form, same booleans, bounds unchanged).
+        sks: dict[str, _KLLSketch] = {}
         for pdf in batches:
-            frames = []
             for flag, grp in pdf.groupby("flag"):
-                sk = _KLLSketch()
+                sk = sks.get(flag)
+                if sk is None:
+                    sk = sks[flag] = _KLLSketch()
                 sk.insert_chunk(grp["x"].astype(float).tolist())
-                items = sk.items()
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "flag": [flag] * len(items),
-                            "level": [h for h, _ in items],
-                            "value": [v for _, v in items],
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+        frames = [
+            pd.DataFrame(
+                {
+                    "flag": [flag] * len(items),
+                    "level": [h for h, _ in items],
+                    "value": [v for _, v in items],
+                }
+            )
+            for flag, sk in sks.items()
+            for items in (sk.items(),)
+        ]
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     path = os.path.join(_SCRATCH, "kll_sketch_sink")
+    # the bench fixture is ONE parquet file → one input split; without
+    # the fan-out the whole Python sketch build runs in a single task
+    # (the stat_bootstrap_ci single-split lesson). At 100 TB the scan
+    # arrives pre-split and each partition job builds its own partials.
+    fan = li.repartition(spark.sparkContext.defaultParallelism)
     (
-        li.mapInPandas(partial, "flag string, level int, value double")
+        fan.mapInPandas(partial, "flag string, level int, value double")
         .write.mode("overwrite")
         .partitionBy("flag")
         .parquet(path)
@@ -2724,6 +2739,11 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("e_raw_micro"))
         .alias("est_micro"),
     )
+    # r12 note: a shared-distinct rewrite (dedup (shard, key) once,
+    # count per shard + re-distinct for '~ALL') was tried and REVERTED:
+    # ReuseExchange does not fire across the two consumers under AQE
+    # (0 ReusedExchange in the executed plan), so the distinct lineage
+    # ran twice and paired A/B read ~1.6× slower than this form.
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
     exact = (
         li.groupBy(F.col("l_returnflag").alias("shard"))

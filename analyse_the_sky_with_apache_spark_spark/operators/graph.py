@@ -2152,6 +2152,12 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("src"), "node", F.lit(0).alias("hop")
     ).localCheckpoint(eager=True)
     frontier = visited.select("src", "node")
+    # r12: two driver-side actions per hop removed — the visited set is
+    # a union of ALREADY-checkpointed frontiers (its lineage is flat, a
+    # re-checkpoint per hop bought nothing), and the final hop's
+    # empty-frontier probe is pointless because the loop ends either
+    # way. Each hop now costs exactly one eager action (the frontier
+    # checkpoint) plus one 1-row probe on the non-final hops.
     for hop in range(1, _HC_MAX_HOPS + 1):
         nxt = (
             frontier.join(adj, "node")
@@ -2161,10 +2167,10 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "node", F.lit(hop).alias("hop"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
-            break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("src", "node")
+        if hop < _HC_MAX_HOPS and nxt.limit(1).count() == 0:
+            break
     w = (
         F.when(F.col("hop") == 1, 1_000_000)
         .when(F.col("hop") == 2, 500_000)

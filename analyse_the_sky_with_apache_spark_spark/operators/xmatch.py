@@ -1247,21 +1247,38 @@ def sky_variability_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical per-bin divisions — rank ties resolve by period.
     """
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("user_id").agg(
-        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    mad = (
-        ev.join(med, "user_id")
-        .select("user_id", F.abs(F.col("value") - F.col("med")).alias("ad"))
-        .groupBy("user_id")
-        .agg(F.round(F.expr("percentile(ad, 0.5D)"), 6).alias("mad"))
+    # r12 (guide §2.4): median + MAD used to be two aggregates BRIDGED
+    # BY A JOIN back onto the events scan, and the resulting shortlist
+    # lineage was then re-executed for the final join — the before plan
+    # held ~15 Exchanges with the percentile subtree duplicated. Now the
+    # per-series median rides a window over ONE exchange by user_id, the
+    # MAD is the immediately following aggregate on the same
+    # partitioning (no second shuffle — guide §2.4's "window + agg on
+    # the same key share one exchange"), and the 20-row shortlist is
+    # eagerly checkpointed so both its consumers reuse it. Identical
+    # rounding and tie-breaks.
+    base = ev.select(
+        "user_id",
+        "value",
+        F.round(
+            F.expr("percentile(value, 0.5D) OVER (PARTITION BY user_id)"), 6
+        ).alias("med"),
+        F.expr("count(1) OVER (PARTITION BY user_id)").alias("n"),
     )
     cand = (
-        med.join(mad, "user_id")
+        base.groupBy("user_id")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("n").alias("n"),
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5D)"), 6
+            ).alias("mad"),
+        )
         .filter((F.col("n") >= 30) & (F.col("mad") > 0))
         .orderBy(F.col("mad").desc(), "user_id")
         .limit(_VAR_TOP)
+        .select("user_id", "med", "n", "mad")
+        .localCheckpoint(eager=True)
     )
     e = (
         ev.join(F.broadcast(cand.select("user_id")), "user_id", "left_semi")
@@ -2912,27 +2929,35 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) * F.lit(1e3) + F.lit(0.5)
         ).cast("long").alias("p_milli"),
     )
-    tot = pw.groupBy("event_type").agg(
-        F.sum("p_milli").cast("long").alias("p_tot"),
-        F.max("p_milli").cast("long").alias("p_max"),
+    # r12 (guide §2.4): the totals used to be a groupBy + broadcast
+    # self-join, and the final select joined `tot` AGAIN — three copies
+    # of the whole daily-rollup lineage in one plan (the before plan
+    # shows the duplicated scan subtrees; ~15 Exchanges). The per-type
+    # total/max now ride a window over the collapsed |types|×|periods|
+    # table and ONE aggregate emits entropy, dominant period and
+    # concentration together — identical grids and arithmetic, single
+    # events scan.
+    wt = Window.partitionBy("event_type")
+    joined = pw.select(
+        "event_type", "period_d", "p_milli",
+        F.sum("p_milli").over(wt).cast("long").alias("p_tot"),
+        F.max("p_milli").over(wt).cast("long").alias("p_max"),
     )
-    joined = pw.join(F.broadcast(tot), "event_type")
     p = F.col("p_milli").cast("double") / F.col("p_tot")
     hterm = F.when(
         F.col("p_milli") > 0,
         F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long"),
     ).otherwise(F.lit(0))
-    ent = joined.groupBy("event_type").agg(
-        F.sum(hterm).cast("long").alias("h_nano")
-    )
-    dom = (
-        joined.where(F.col("p_milli") == F.col("p_max"))
-        .groupBy("event_type")
-        .agg(F.min("period_d").cast("long").alias("dominant_period"))
-    )
     return (
-        ent.join(dom, "event_type")
-        .join(tot, "event_type")
+        joined.groupBy("event_type")
+        .agg(
+            F.sum(hterm).cast("long").alias("h_nano"),
+            F.min(
+                F.when(F.col("p_milli") == F.col("p_max"), F.col("period_d"))
+            ).cast("long").alias("dominant_period"),
+            F.max("p_tot").alias("p_tot"),
+            F.max("p_max").alias("p_max"),
+        )
         .select(
             "event_type",
             F.floor(

@@ -820,7 +820,15 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # descend ([1,0,-1] → ANSI INVALID_ARRAY_INDEX); the 999 cap mirrors
     # the oracle's range(1, 1000) so both sides enumerate the same
     # positions on >1001-token docs (join_set_similarity's guard pair).
-    sh = d.select(
+    # r12: fan the single-file scan out before the explode (the
+    # dedup-module single-split rule — the whole tokenize/hash fold ran
+    # in one task) and materialize the shingle table ONCE: it feeds the
+    # first-occurrence aggregate AND the join-back probe side, which
+    # re-executed the explode lineage twice before (the
+    # join_set_similarity checkpointed-band-table move).
+    sh = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 3).select(
         "doc_id",
@@ -831,6 +839,7 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
+    sh = sh.localCheckpoint(eager=True)
     firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (

@@ -2875,8 +2875,17 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in (0, 1)
         for i in range(3)
     ]
-    # separate select: keeps the digest projection BELOW the Generate
-    digs = od.select("cents", *chunk_cols)
+    # separate select: keeps the digest projection BELOW the Generate.
+    # r12: fan the scan out FIRST — the bench fixture is one parquet
+    # split, so without this the two md5 digests per row AND the ×200
+    # Generate + map-side partial aggregate all ran in a single task
+    # (the stat_bootstrap_ci single-split lesson; measured ~2.6 s → the
+    # fan-out spreads the op's entire cost across executors). At 100 TB
+    # the scan arrives pre-split and this is a no-op-sized shuffle of
+    # (key, cents).
+    digs = od.repartition(spark.sparkContext.defaultParallelism).select(
+        "cents", *chunk_cols
+    )
     perms = digs.select(
         "cents",
         *[f"c{i}" for i in range(6)],
@@ -4012,17 +4021,33 @@ def ml_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production form (Chamandy et al. 2012).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    rows = li.select(
-        F.col("l_quantity").alias("x"),
-        F.when(F.col("l_returnflag") == "R", F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("y"),
-        F.md5(F.expr(f"concat({_BOOT_KEY_SPARK}, ':bag')")).alias("digest"),
-    ).select(
-        "x",
-        "y",
-        F.explode(F.sequence(F.lit(0), F.lit(_BAG_B - 1))).alias("b"),
-        F.col("digest"),
+    # r12: fan the scan out FIRST over the 6 needed columns — the
+    # bench fixture is one parquet split, so the md5 digest projection,
+    # the ×8 Generate and the map-side partial aggregate all ran in a
+    # single task (the stat_bootstrap_ci single-split lesson). The ×8
+    # explode + (b, x) aggregate shape itself is kept: an A/B against a
+    # 16-wide "sum per replica" flat aggregate measured ~1.5× SLOWER
+    # (paired medians 5.6 s vs 7.9 s) — the same wide-aggregate cliff
+    # stat_bootstrap_ci's docstring pins, so the Generate stays.
+    rows = (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity", "l_returnflag",
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("l_quantity").alias("x"),
+            F.when(F.col("l_returnflag") == "R", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+            F.md5(F.expr(f"concat({_BOOT_KEY_SPARK}, ':bag')")).alias("digest"),
+        )
+        .select(
+            "x",
+            "y",
+            F.explode(F.sequence(F.lit(0), F.lit(_BAG_B - 1))).alias("b"),
+            F.col("digest"),
+        )
     )
     u16 = F.expr("conv(substring(digest, 4 * b + 1, 4), 16, 10)").cast("long")
     w = sum(

@@ -1130,6 +1130,11 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     so at 100 TB nothing shuffles twice.
     """
     d = load_table(spark, sf_dir, "documents")
+    # r12: fan the single-file scan out first — tokenization and the
+    # per-token regex strip (this op's data-sized work) otherwise run
+    # in ONE task (the dedup-module single-split rule). Keyed on doc_id
+    # so the phrase window reuses the exchange.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
@@ -1158,11 +1163,16 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(~F.col("is_stop"))
     )
-    plen = content.groupBy("doc_id", "pid").agg(
-        F.count(F.lit(1)).alias("phrase_len")
-    )
+    # r12 (guide §2.4): phrase length used to be a groupBy + self-join
+    # back onto `content`, which re-executed the whole tokenize/window
+    # lineage on both sides; a COUNT window over (doc_id, pid) is the
+    # same value on the partitioning the phrase window already
+    # established — one lineage, no join, identical integers.
+    wp = Window.partitionBy("doc_id", "pid")
     wordstats = (
-        content.join(plen, ["doc_id", "pid"])
+        content.select(
+            "wc", F.count(F.lit(1)).over(wp).alias("phrase_len")
+        )
         .groupBy(F.col("wc").alias("word"))
         .agg(
             F.count(F.lit(1)).alias("freq"),

@@ -44,8 +44,41 @@ _RUNTIME_CONFS: dict[str, str] = {
     # oracle) evaluates epoch_us on the same naive values.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    # r12 (guide §3.1): let the planner pick a shuffled-hash join when
+    # its size checks pass instead of always sorting both sides, and let
+    # AQE convert a planned sort-merge join to shuffled-hash at runtime
+    # when every post-shuffle partition is under the threshold. Both are
+    # bounded by MEASURED sizes (AQE) or the planner's per-partition
+    # build estimate, so the 100-TB failure mode (a build side that
+    # doesn't fit) keeps falling back to sort-merge; results are
+    # join-strategy-invariant. The threshold is env-overridable for
+    # cluster tuning (guide §9 baseline: preferSortMergeJoin=false).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
+        "SPARK_GRAFT_SHJ_THRESHOLD", "128m"
+    ),
+    # "auto" resolves in ensure_confs (tests override this entry with a
+    # literal count — keep the key present).
+    "spark.sql.shuffle.partitions": "auto",
 }
+
+
+def _shuffle_partitions(spark: SparkSession) -> str:
+    """Scale-adaptive shuffle-partition count (guide §2.2): default to
+    the session's actual core count instead of a constant tuned for one
+    machine shape — the driver re-runs the bench at lower core counts,
+    and a hard-coded 32 there is pure scheduling overhead. On a real
+    cluster set ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` (or rely on AQE
+    coalescing from a high initial value) so partitions land in the
+    100 MB–1 GB band.
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env:
+        return env
+    try:
+        return str(max(int(spark.sparkContext.defaultParallelism), 1))
+    except Exception:  # Connect-style sessions: no sparkContext
+        return "32"
 
 
 def ensure_confs(spark: SparkSession) -> SparkSession:
@@ -54,7 +87,10 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     Idempotent and cheap; called at the top of every registered query so
     the driver's own SparkSession behaves like ours.
     """
-    for k, v in _RUNTIME_CONFS.items():
+    confs = dict(_RUNTIME_CONFS)
+    if confs.get("spark.sql.shuffle.partitions") == "auto":
+        confs["spark.sql.shuffle.partitions"] = _shuffle_partitions(spark)
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -80,6 +116,8 @@ def get_spark(app_name: str = "analyse-the-sky-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32" if cpus == "*" else cpus)
     )
     for k, v in _RUNTIME_CONFS.items():
+        if v == "auto":  # resolved per-session in ensure_confs
+            continue
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return ensure_confs(spark)
