@@ -78,6 +78,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread an under-split scan across the session's cores (guide §2.5).
+
+    The local fixtures are single-row-group parquet files, so a scan is
+    ONE input split and everything narrow below it (digest projections,
+    explodes, Python batches, map-side partial aggregates) serializes
+    into a single task; a repartition fixes that. But an UNCONDITIONAL
+    ``repartition(defaultParallelism)`` is scale-unsafe (ADVICE r12):
+    ``repartition(N)`` always shuffles every row it sees, and on a
+    pre-split 100-TB scan (~10^5 input tasks) it would both add a
+    full-data exchange and CAP the stage at N partitions — spill and
+    lost parallelism, the opposite of its purpose. So fire only in the
+    regime the fan-out was measured in: when the input arrives with
+    fewer partitions than the session has cores.
+
+    ``cols`` keeps a keyed fan-out keyed (a hash exchange a downstream
+    window/groupBy on the same key can reuse); no cols → round-robin.
+    The partition probe plans the subtree once (`.rdd` is lazy — no job
+    runs); at these call sites the input is a scan + narrow projection,
+    so the probe costs milliseconds of planning, not data.
+    """
+    try:
+        spark = df.sparkSession
+        target = int(spark.sparkContext.defaultParallelism)
+        n = df.rdd.getNumPartitions()
+    except Exception:  # Connect-style session: no sparkContext / .rdd
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table (lazy scans; nothing is materialized)."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.exact import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 
@@ -2118,7 +2118,7 @@ def agg_kll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fan-out the whole Python sketch build runs in a single task
     # (the stat_bootstrap_ci single-split lesson). At 100 TB the scan
     # arrives pre-split and each partition job builds its own partials.
-    fan = li.repartition(spark.sparkContext.defaultParallelism)
+    fan = fan_out(li)
     (
         fan.mapInPandas(partial, "flag string, level int, value double")
         .write.mode("overwrite")
@@ -2671,8 +2671,28 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-python rebuild.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    h = li.select(
-        F.col("l_returnflag").alias("shard"),
+    # r13 (VERDICT r12 task 3): BOTH branches are functions of the
+    # DISTINCT (returnflag, orderkey, linenumber) set — the HLL
+    # registers max-aggregate a hash of (okey, lnum), so duplicate rows
+    # add nothing, and the exact branch counts distinct keys. Dedup
+    # ONCE, materialize the narrow 3-column table eagerly
+    # (ReuseExchange never fires across separate consumers under AQE —
+    # the r12 measured revert), and run all three aggregates off the
+    # checkpointed table: one lineitem scan + one distinct exchange
+    # replaces three scans and two independent countDistinct
+    # expansions. At 100 TB the checkpoint holds only the 3-column
+    # distinct projection (guide §8: decide with small rows).
+    dk = (
+        li.select(
+            F.col("l_returnflag").alias("shard"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = dk.select(
+        "shard",
         _h48(
             F.concat(
                 F.col("l_orderkey").cast("string"), F.lit("-"),
@@ -2739,17 +2759,20 @@ def agg_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("e_raw_micro"))
         .alias("est_micro"),
     )
-    # r12 note: a shared-distinct rewrite (dedup (shard, key) once,
-    # count per shard + re-distinct for '~ALL') was tried and REVERTED:
-    # ReuseExchange does not fire across the two consumers under AQE
-    # (0 ReusedExchange in the executed plan), so the distinct lineage
-    # ran twice and paired A/B read ~1.6× slower than this form.
+    # r12 note: a shared-distinct rewrite WITHOUT materialization was
+    # tried and REVERTED (ReuseExchange does not fire across the two
+    # consumers under AQE — the distinct lineage ran twice, ~1.6×
+    # slower). The r13 form above sidesteps that with an eager
+    # localCheckpoint: both counts below read the materialized blocks.
+    # countDistinct(key) over the distinct-pair table is exactly
+    # countDistinct(key) over lineitem (per shard and globally) — no
+    # injectivity assumption on okey*8+lnum is needed.
     key = (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
     exact = (
-        li.groupBy(F.col("l_returnflag").alias("shard"))
+        dk.groupBy("shard")
         .agg(F.countDistinct(key).cast("long").alias("exact_distinct"))
         .unionByName(
-            li.agg(
+            dk.agg(
                 F.countDistinct(key).cast("long").alias("exact_distinct")
             ).select(F.lit("~ALL").alias("shard"), "exact_distinct")
         )

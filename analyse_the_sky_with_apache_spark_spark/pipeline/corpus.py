@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..registry import register
 
 #: tokens per packed training sequence.
@@ -820,15 +820,16 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # descend ([1,0,-1] → ANSI INVALID_ARRAY_INDEX); the 999 cap mirrors
     # the oracle's range(1, 1000) so both sides enumerate the same
     # positions on >1001-token docs (join_set_similarity's guard pair).
-    # r12: fan the single-file scan out before the explode (the
-    # dedup-module single-split rule — the whole tokenize/hash fold ran
-    # in one task) and materialize the shingle table ONCE: it feeds the
-    # first-occurrence aggregate AND the join-back probe side, which
-    # re-executed the explode lineage twice before (the
-    # join_set_similarity checkpointed-band-table move).
-    sh = d.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).select(
+    # r12 fanned the single-file scan out before the explode (the
+    # dedup-module single-split rule) and localCheckpointed the shingle
+    # table for its two consumers. r13 (ADVICE r12: that checkpoint
+    # materializes the ENTIRE exploded shingle table — O(corpus) block
+    # storage, lineage-truncated so unrecomputable on executor loss):
+    # the first-occurrence doc is simply min(doc_id) OVER (PARTITION BY
+    # s) — one window on the shingle hash replaces the groupBy + join-
+    # back pair, so the explode lineage has ONE consumer and nothing
+    # needs materializing at all.
+    sh = fan_out(d, "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 3).select(
         "doc_id",
@@ -839,11 +840,11 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    sh = sh.localCheckpoint(eager=True)
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        sh.join(firsts, "s")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("s"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..registry import register
 
 
@@ -83,7 +83,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = fan_out(d, "doc_id")
     toks = Tokenizer(inputCol="text", outputCol="words").transform(d)
     tf = HashingTF(
         inputCol="words", outputCol="features", numFeatures=1 << 18, binary=True
@@ -181,11 +181,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The projection is fanned out across executors first — the
     single-row-group fixture scan otherwise serializes the whole
     fingerprint stage into one task (SCALE.md round-8 single-split
-    lesson); at 100 TB the scan arrives pre-split and the exchange is a
-    no-op-cost hash spread.
+    lesson); fan_out skips the exchange entirely when the scan
+    arrives pre-split (>= cores partitions) — r13, ADVICE r12.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = fan_out(d, "doc_id")
     # Runtime enforcement of the lane cap (ADVICE r6): past 65 535
     # distinct words a 16-bit lane would wrap silently and the
     # fingerprint would be wrong with no signal. assert_true returns
@@ -322,12 +322,12 @@ def shingle_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 from this one change). The general 100-TB rule: size input
     partitions for the *post-fan-out* CPU work, not the input bytes; at
     real scale the many-file layout provides the splits naturally and
-    the explicit repartition becomes a no-op-cost hash exchange of doc
-    ids. Explicit partition count (not bare repartition(col)) so AQE
-    doesn't coalesce the tiny byte volume back onto one core.
+    fan_out skips the exchange outright (r13, ADVICE r12). Explicit
+    partition count (not bare repartition(col)) so AQE doesn't coalesce
+    the tiny byte volume back onto one core.
     """
     d = load_table(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = fan_out(d, "doc_id")
     return d.select(
         "doc_id",
         F.explode(
@@ -1340,7 +1340,7 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out BEFORE the position explode or the whole gram/digest build
     # runs in a single task (same note as stat_bootstrap_ci).
     g = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        fan_out(d)
         .filter(F.col("n_chars") >= _SPAN_K)
         .select(
             "doc_id",

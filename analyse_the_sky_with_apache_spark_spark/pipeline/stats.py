@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..registry import register
 
 
@@ -1866,9 +1866,11 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bench fixture is ONE parquet file -> one input split; without
     # this explicit fan-out the md5/conv projection (the op's entire
     # cost) runs in a single task (measured 7.9 s single-task vs 0.9 s
-    # repartitioned at sf0.1). At 100 TB the scan arrives pre-split and
-    # this becomes a no-op-sized shuffle of the 5 key columns.
-    ex1 = li.repartition(spark.sparkContext.defaultParallelism).select(
+    # repartitioned at sf0.1). fan_out skips the exchange when the scan
+    # arrives pre-split (>= cores partitions) — r13, ADVICE r12: an
+    # unconditional repartition would shuffle all rows AND cap a 100-TB
+    # stage at core-count partitions.
+    ex1 = fan_out(li).select(
         cents, F.posexplode(dgs).alias("s", "dg")
     )
     proj = ex1.select(
@@ -2880,10 +2882,11 @@ def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split, so without this the two md5 digests per row AND the ×200
     # Generate + map-side partial aggregate all ran in a single task
     # (the stat_bootstrap_ci single-split lesson; measured ~2.6 s → the
-    # fan-out spreads the op's entire cost across executors). At 100 TB
-    # the scan arrives pre-split and this is a no-op-sized shuffle of
-    # (key, cents).
-    digs = od.repartition(spark.sparkContext.defaultParallelism).select(
+    # fan-out spreads the op's entire cost across executors). fan_out
+    # skips the exchange when the scan arrives pre-split (r13, ADVICE
+    # r12 — an unconditional repartition would shuffle every row and cap
+    # the stage at core-count partitions).
+    digs = fan_out(od).select(
         "cents", *chunk_cols
     )
     perms = digs.select(
@@ -4034,7 +4037,7 @@ def ml_bagged_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
             "l_quantity", "l_returnflag",
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(fan_out)
         .select(
             F.col("l_quantity").alias("x"),
             F.when(F.col("l_returnflag") == "R", F.lit(1))
@@ -7428,12 +7431,13 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     per point land on a 1e-12 grid, and the CDF + integral are exact
     long sums after that.
 
-    100-TB posture: one data-sized conditional aggregate; the lf table
-    is |n| collapsed rows (Stirling swap documented at stat_fisher_
-    exact); the grid is 9999 rows. Spark materializes counts/lf/grid
-    once via localCheckpoint (the fisher CTE-inlining lesson) and
-    builds the whole kernel through the DataFrame API (converted from
-    the four-temp-view spark.sql form per VERDICT r9 task 4).
+    100-TB posture: one data-sized conditional aggregate; the six
+    log-factorial read-offs are conditional sums over a parallel range
+    (r13 — Stirling swap documented at stat_fisher_exact); the grid is
+    9999 rows. Spark materializes counts once via localCheckpoint (the
+    fisher CTE-inlining lesson) and builds the whole kernel through the
+    DataFrame API (converted from the four-temp-view spark.sql form per
+    VERDICT r9 task 4).
     """
     ev = load_table(spark, sf_dir, "events")
     early = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
@@ -7446,26 +7450,46 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~early & purch, 1).otherwise(0)).cast("long")
         .alias("x2"),
     ).localCheckpoint(eager=True)
-    ints = counts.select(
-        F.explode(
-            F.sequence(
-                F.lit(0), (F.col("n1") + F.col("n2") + 2).cast("int")
-            )
-        ).alias("i0")
-    ).select(F.col("i0").cast("long").alias("i"))
-    lf = ints.select(
-        "i",
-        F.expr(
-            "CAST(SUM(CASE WHEN i = 0 THEN 0"
-            " ELSE CAST(FLOOR(ln(CAST(i AS DOUBLE))"
-            " * 1000000000.0 + 0.5) AS BIGINT)"
-            " END) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)"
-            " AS BIGINT)"
-        ).alias("lf9"),
-    ).localCheckpoint(eager=True)
+    # r13: the lf table was built by exploding ONE sequence row (a
+    # single task holding ~|events| longs) into a GLOBAL-order window
+    # prefix sum (single partition — WindowExec's own "serious
+    # performance degradation" warning), checkpointing ~|events| rows,
+    # and then probing it with SIX separate joins, one per log-factorial
+    # read-off point. But lf9(t) is just Σ_{0<i<=t} term(i): six
+    # conditional SUMS over a parallel `spark.range` compute the six
+    # read-offs in ONE map-side-combinable aggregate — no explode, no
+    # global window, no checkpoint, no joins (guide §2.4). The collected
+    # counts row (1 row, already materialized by its checkpoint) only
+    # sizes the range; every value still computes from the events scan.
+    _c = counts.first()
+    ints = (
+        spark.range(0, int(_c["n1"]) + int(_c["n2"]) + 3)
+        .select(F.col("id").alias("i"))
+    )
+    term = F.when(
+        F.col("i") == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            F.log(F.col("i").cast("double")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+    )
+
+    def _lf_at(bound, alias):
+        return F.sum(
+            F.when(F.col("i") <= bound, term).otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias(alias)
+
+    lfsums = ints.crossJoin(F.broadcast(counts)).agg(
+        _lf_at(F.col("n1") + 1, "l1_lf9"),
+        _lf_at(F.col("x1"), "l2_lf9"),
+        _lf_at(F.col("n1") - F.col("x1"), "l3_lf9"),
+        _lf_at(F.col("n2") + 1, "m1_lf9"),
+        _lf_at(F.col("x2"), "m2_lf9"),
+        _lf_at(F.col("n2") - F.col("x2"), "m3_lf9"),
+    )
     # grid is referenced exactly once (the pdf projection), so unlike
-    # counts/lf it needs no localCheckpoint — no plan subtree is
-    # replayed by fan-out.
+    # counts it needs no localCheckpoint — no plan subtree is replayed
+    # by fan-out.
     grid = (
         counts.sparkSession.range(1, 10000)
         .select(F.col("id").cast("long").alias("g"))
@@ -7483,26 +7507,12 @@ def stat_bayes_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def lfj(tag: str) -> DataFrame:
-        return lf.select(
-            F.col("i").alias(f"{tag}_i"), F.col("lf9").alias(f"{tag}_lf9")
-        )
-
-    norm = (
-        counts
-        .join(lfj("l1"), F.col("l1_i") == F.col("n1") + 1)
-        .join(lfj("l2"), F.col("l2_i") == F.col("x1"))
-        .join(lfj("l3"), F.col("l3_i") == F.col("n1") - F.col("x1"))
-        .join(lfj("m1"), F.col("m1_i") == F.col("n2") + 1)
-        .join(lfj("m2"), F.col("m2_i") == F.col("x2"))
-        .join(lfj("m3"), F.col("m3_i") == F.col("n2") - F.col("x2"))
-        .select(
-            "n1", "x1", "n2", "x2",
-            (F.col("l1_lf9") - F.col("l2_lf9") - F.col("l3_lf9"))
-            .alias("lb1"),
-            (F.col("m1_lf9") - F.col("m2_lf9") - F.col("m3_lf9"))
-            .alias("lb2"),
-        )
+    norm = counts.crossJoin(F.broadcast(lfsums)).select(
+        "n1", "x1", "n2", "x2",
+        (F.col("l1_lf9") - F.col("l2_lf9") - F.col("l3_lf9"))
+        .alias("lb1"),
+        (F.col("m1_lf9") - F.col("m2_lf9") - F.col("m3_lf9"))
+        .alias("lb2"),
     )
     pdf = grid.crossJoin(F.broadcast(norm)).select(
         "g", "n1", "x1", "n2", "x2",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fan_out, load_table
 from ..functions.exact import dsum, dsum_sql
 from ..registry import register
 
@@ -669,7 +669,7 @@ def text_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # single-file input: size partitions for the post-fan-out CPU work
     # (the shingle_bag rule), not the input bytes.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = fan_out(docs, "doc_id")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n = F.size("t")
     sh = toks.select(
@@ -1134,7 +1134,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-token regex strip (this op's data-sized work) otherwise run
     # in ONE task (the dedup-module single-split rule). Keyed on doc_id
     # so the phrase window reuses the exchange.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = fan_out(d, "doc_id")
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
@@ -1365,7 +1365,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the hash.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = fan_out(docs, "doc_id")
     toks = docs.select("source", F.split("text", " ").alias("t"))
     n = F.size("t")
     sh = toks.select(
@@ -1461,7 +1461,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle family as text_ngram_tf) and everything else is narrow.
     """
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = fan_out(docs, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )

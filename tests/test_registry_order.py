@@ -98,8 +98,8 @@ def test_every_priority_key_exists():
 #: Rows-only keys deliberately scheduled for driver visibility (VERDICT
 #: r10 task 3): their driver rows will be ``no_oracle`` smoke rows by
 #: design — the page/window oracle invariants exempt exactly these.
-#: They sit in the LIVE round-12 window (rotated in per VERDICT r11
-#: task 1).
+#: They sat in the round-12 window (CORRECTNESS_r12 carries their smoke
+#: rows); the round-13 window is all-oracle.
 _SCHEDULED_ROWS_ONLY = {
     "scan_parquet_footer_stats", "agg_hll_overlap", "agg_kll_quantiles",
     "ann_recall_eval",
@@ -113,7 +113,7 @@ def test_rotation_pages_exist_and_are_disjoint():
     keys = set(registry.queries())
     osql = set(registry.oracle_sql())
     live = set(registry._PRIORITY)
-    pages = (registry._ROTATION_R13,)
+    pages = (registry._ROTATION_R14,)
     for page in pages:
         missing = [k for k in page if k not in keys]
         assert not missing, f"rotation page names unknown keys: {missing}"
@@ -130,7 +130,7 @@ def test_rotation_pages_fit_the_driver_window():
     """A rotation page must never outgrow one 50-key driver window —
     when a page reaches 50, new keys must open the next page (the
     VERDICT r8 task-8 split discipline, made automatic)."""
-    for name in ("_ROTATION_R13",):
+    for name in ("_ROTATION_R14",):
         page = getattr(registry, name)
         assert len(page) <= 50, f"{name} holds {len(page)} keys — split it"
 
@@ -144,7 +144,7 @@ def test_every_oracle_key_is_scheduled():
     covered = (
         _sampled()
         | set(registry._PRIORITY)
-        | set(registry._ROTATION_R13)
+        | set(registry._ROTATION_R14)
     )
     unscheduled = sorted(osql - covered)
     assert not unscheduled, f"oracle keys missing from the schedule: {unscheduled}"
@@ -164,8 +164,14 @@ def test_window_is_all_oracle():
 def test_window_wastes_no_slot_on_green_keys():
     """No window slot may re-sample a key that already has a
     driver-recorded hash match from a PRIOR round (the in-flight
-    round's own file is excluded — see module docstring)."""
-    wasted = [k for k in registry._PRIORITY if k in _hash_green()]
+    round's own file is excluded — see module docstring) — UNLESS the
+    key is on the documented re-sample schedule
+    (``registry._RESAMPLE_R13``): optimization-round rewrites and
+    conf-affected keys must be re-verified by the driver even though
+    an older implementation's row is green (VERDICT r12 items 1/4)."""
+    allowed = set(registry._RESAMPLE_R13)
+    wasted = [k for k in registry._PRIORITY
+              if k in _hash_green() and k not in allowed]
     assert not wasted, f"already-green keys occupying the window: {wasted}"
 
 
