@@ -44,16 +44,15 @@ _RUNTIME_CONFS: dict[str, str] = {
     # oracle) evaluates epoch_us on the same naive values.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # r12 (guide §3.1): let the planner pick a shuffled-hash join when
-    # its size checks pass instead of always sorting both sides, and let
-    # AQE convert a planned sort-merge join to shuffled-hash at runtime
-    # when every post-shuffle partition is under the threshold. Both are
-    # bounded by MEASURED sizes (AQE) or the planner's per-partition
-    # build estimate, so the 100-TB failure mode (a build side that
-    # doesn't fit) keeps falling back to sort-merge; results are
-    # join-strategy-invariant. The threshold is env-overridable for
-    # cluster tuning (guide §9 baseline: preferSortMergeJoin=false).
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # r12 introduced two SMJ→SHJ levers; r13 keeps only the AQE one
+    # (ADVICE r12): the static preferSortMergeJoin=false flip decides
+    # from the planner's size ESTIMATES (often wrong after UDF/explode
+    # stages) and a mis-sized build side OOMs with no fallback, while
+    # the AQE conversion below uses MEASURED post-shuffle sizes, so at
+    # 100 TB an oversized build side simply stays sort-merge. Paired
+    # A/B on the join-heavy bench keys read the static flip as noise
+    # locally (see OPTIMIZATION_r13.md), so the safer posture costs
+    # nothing. Threshold env-overridable for cluster tuning.
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
         "SPARK_GRAFT_SHJ_THRESHOLD", "128m"
     ),

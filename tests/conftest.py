@@ -16,6 +16,17 @@ from analyse_the_sky_with_apache_spark_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# r13 (VERDICT r12 item 4 — the driver's pytest gate outgrew its
+# window): the suite runs against 1000-row sf0.001 fixtures, where a
+# local[32] session turns every exchange into a 32-task stage of pure
+# scheduling overhead across ~2100 tests. Default the TEST session to 8
+# cores (shuffle partitions follow via the session's "auto" rule);
+# interleaved same-window timing on the oracle-differential slice read
+# ~1.8x faster (254 s -> 138 s for 82 keys). Results are
+# partitioning-invariant by design (tests/test_partition_invariance.py
+# is the gate for exactly that claim). Env still wins: setdefault only.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 
 @pytest.fixture(scope="session")
 def spark():
