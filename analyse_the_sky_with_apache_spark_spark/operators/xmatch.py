@@ -4601,31 +4601,24 @@ def xmatch_mutual_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((dra <= eps) & (ddec <= eps))
         .select("a_id", "b_id", (dra * dra + ddec * ddec).alias("d2"))
     )
-    best_a = (
-        cand.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("a_id").orderBy("d2", "b_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("a_id", "b_id", "d2")
-    )
-    best_b = (
-        cand.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("b_id").orderBy("d2", "a_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(F.col("a_id").alias("ba_id"), F.col("b_id").alias("bb_id"))
+    # r13 (guide §2.4, the round's duplicate-lineage sweep): best_a and
+    # best_b were two separate consumers of `cand`, so the WHOLE
+    # candidate build (both md5 catalogs, the 3x3 cell explode and the
+    # cell join) executed twice, and a third join reconciled the two
+    # winner tables. A pair is mutual-nearest iff it is rank 1 in BOTH
+    # directions — two consecutive row_number windows over the SAME
+    # candidate rows compute exactly that with one lineage and no join
+    # (each (a_id, b_id) pair appears at most once in cand: `a` sits in
+    # exactly one cell, so only the matching replica of b joins).
+    ranked = cand.withColumn(
+        "rn_a",
+        F.row_number().over(Window.partitionBy("a_id").orderBy("d2", "b_id")),
+    ).withColumn(
+        "rn_b",
+        F.row_number().over(Window.partitionBy("b_id").orderBy("d2", "a_id")),
     )
     return (
-        best_a.join(
-            best_b,
-            (best_a.a_id == F.col("ba_id")) & (best_a.b_id == F.col("bb_id")),
-        )
+        ranked.filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
         .select("a_id", "b_id", "d2")
         .orderBy("a_id")
     )

@@ -715,18 +715,25 @@ def sky_source_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("vl").alias("nmin"))
         )
+        # r13: carry the previous label through the checkpoint so the
+        # convergence probe is a FILTER over the just-materialized
+        # blocks instead of an exceptAll (a full hash anti-join of two
+        # label tables) — one shuffle fewer per round, same predicate
+        # (pid is unique, so "any row with lbl != prev" == "exceptAll
+        # non-empty").
         new = (
             labels.join(nl, labels.pid == nl.u, "left")
             .select(
                 "pid",
+                F.col("lbl").alias("prev"),
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = new.exceptAll(labels).limit(1).count()
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("prev")).limit(1).count()
+        labels = new.select("pid", "lbl")
         if changed == 0:
             break
 

@@ -118,6 +118,12 @@ EXTENDED = (
     "kmeans_spherical_round",    # Arrow int64 gemm, per-batch partials
     # round-12 additions (regression reference: BENCH_r12)
     "agg_hll_deterministic",     # engine-owned HLL, register-max merge
+    # round-13 additions (regression reference: BENCH_r13) — the top
+    # offenders of the r13 full-registry sf0.01 timing sweep (VERDICT
+    # r12 item 8), promoted additions-only so they stay visible:
+    "stream_join_then_agg",      # stream-stream join -> windowed agg
+    "xmatch_mutual_nearest",     # symmetric-best cross-match (r13 rewrite)
+    "sky_source_extract",        # FITS threshold + connected components
 )
 
 
